@@ -1,0 +1,269 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[Queries]].
+  *
+  * Dialect/determinism notes (mirrored in Queries' Spark code):
+  *  - money aggregation: operands cast to DECIMAL(18,2) first (exact sums),
+  *    final CAST to DOUBLE; integer sums CAST to BIGINT (DuckDB sums bigint
+  *    into HUGEINT)
+  *  - ratios/cosines: FLOOR(x * 10^k) AS BIGINT, never round() (rounding-mode
+  *    coupling between engines)
+  *  - vector math: ordered aggregates `sum(... ORDER BY i)` to match Spark's
+  *    left-to-right `aggregate` fold bit-for-bit
+  *  - DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all
+  */
+object Oracles {
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
+
+  private val tokensExpr =
+    """CASE WHEN len(trim(text))=0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text),'\s+') END"""
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE) AND l_quantity < 24""".stripMargin,
+
+    "q03_join_revenue" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON o_orderkey=l_orderkey
+        |WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey=o_orderkey AND l_quantity > 45)""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_orderpriority='1-URGENT')""".stripMargin,
+
+    "q06_dim_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q07_window_latest" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        | SELECT o_custkey, o_orderkey, o_orderdate,
+        |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        | FROM orders) WHERE rn = 1""".stripMargin,
+
+    "q08_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q09_in_list" ->
+      """SELECT l_partkey, count(*) AS n_lines, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_partkey IN (1,7,42,99,123,555,1024,1776) GROUP BY l_partkey""".stripMargin,
+
+    "q10_null_sentinel" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        | count(CASE WHEN o_orderpriority='1-URGENT' THEN NULL ELSE o_orderpriority END) AS n_nonnull,
+        | count(*) - count(CASE WHEN o_orderpriority='1-URGENT' THEN NULL ELSE o_orderpriority END) AS n_nulled
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q11_scd2_upsert" ->
+      """WITH w AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        | tgt AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    CASE WHEN rn=1 THEN 'Y' ELSE 'N' END actv_flg, CAST(NULL AS TIMESTAMP) record_to FROM w),
+        | wb AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+        | batch AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM wb WHERE rn=1),
+        | bkeys AS (SELECT DISTINCT o_custkey FROM batch)
+        |SELECT * FROM tgt WHERE actv_flg='N'
+        |UNION ALL
+        |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, 'N', TIMESTAMP '2002-01-01 00:00:00'
+        |FROM tgt WHERE actv_flg='Y' AND o_custkey IN (SELECT o_custkey FROM bkeys)
+        |UNION ALL
+        |SELECT * FROM tgt WHERE actv_flg='Y' AND o_custkey NOT IN (SELECT o_custkey FROM bkeys)
+        |UNION ALL
+        |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, 'Y', CAST(NULL AS TIMESTAMP) FROM batch""".stripMargin,
+
+    "q12_state_delta" ->
+      """WITH cur AS (SELECT user_id,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) total_cents,
+        |    count(*) n_events
+        |  FROM events GROUP BY user_id),
+        | snap AS (SELECT user_id,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) prev_total_cents
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id)
+        |SELECT c.user_id, c.n_events,
+        | CASE WHEN s.user_id IS NOT NULL THEN c.total_cents - COALESCE(s.prev_total_cents, 0)
+        |      ELSE c.total_cents END AS delta_total_cents
+        |FROM cur c LEFT JOIN snap s ON c.user_id = s.user_id""".stripMargin,
+
+    "q13_explode_tokens" ->
+      """SELECT token, count(*) AS n FROM (SELECT unnest(string_split(p_type,' ')) token FROM part)
+        |GROUP BY token""".stripMargin,
+
+    "q14_first_element" ->
+      """SELECT head_token, count(*) AS n, CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (SELECT string_split(p_type,' ')[1] head_token, p_retailprice FROM part)
+        |GROUP BY head_token""".stripMargin,
+
+    "q15_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | max(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q16_float_to_long" ->
+      """SELECT CAST(TRUNC(COALESCE(l_quantity, 0)) AS BIGINT) AS qty_int, count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q17_year_filter" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders WHERE year(o_orderdate) >= 1999 GROUP BY 1""".stripMargin,
+
+    "q18_date_parts" ->
+      """SELECT CAST(year(ts) AS INTEGER) AS y, lpad(CAST(month(ts) AS VARCHAR),2,'0') AS m,
+        | lpad(CAST(day(ts) AS VARCHAR),2,'0') AS d, CAST(hour(ts) AS INTEGER) AS h, count(*) AS n
+        |FROM events GROUP BY 1,2,3,4""".stripMargin,
+
+    "q19_mask_hash" ->
+      "SELECT c_custkey, sha256(c_name) AS name_hash, c_nationkey FROM customer",
+
+    "q20_scd2_two_key" ->
+      """WITH target AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |    'Y' actv_flg, CAST(NULL AS TIMESTAMP) record_to
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'),
+        | batch AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'),
+        | scd AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |    'N' actv_flg, TIMESTAMP '2002-01-01 00:00:00' record_to FROM target
+        |  WHERE l_partkey IN (SELECT l_partkey FROM batch) AND l_suppkey IN (SELECT l_suppkey FROM batch)
+        |  UNION ALL
+        |  SELECT * FROM target
+        |  WHERE NOT (l_partkey IN (SELECT l_partkey FROM batch) AND l_suppkey IN (SELECT l_suppkey FROM batch))
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, 'Y', CAST(NULL AS TIMESTAMP) FROM batch)
+        |SELECT actv_flg, count(*) AS n_rows, CAST(sum(l_partkey) AS BIGINT) AS sum_partkey,
+        | CAST(sum(l_suppkey) AS BIGINT) AS sum_suppkey, count(record_to) AS n_closed
+        |FROM scd GROUP BY actv_flg""".stripMargin,
+
+    "q21_dq_suite" ->
+      """WITH m AS (SELECT count(*) n, count(*)-count(o_orderstatus) u_status, count(*)-count(o_totalprice) u_total,
+        |   count(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < CAST(0 AS DOUBLE) OR o_totalprice > CAST(1e9 AS DOUBLE)) THEN 1 END) u_between
+        | FROM orders),
+        | d AS (SELECT CAST(coalesce(sum(c),0) AS BIGINT) n, CAST(coalesce(sum(CASE WHEN c>1 THEN c END),0) AS BIGINT) dups
+        |   FROM (SELECT count(*) c FROM orders GROUP BY o_orderkey))
+        |SELECT 'orders' AS file_identifier, 'b1' AS "batchID", 'o_orderstatus' AS column_name,
+        |  'expect_column_values_to_not_be_null' AS expectation_type, u_status=0 AS success,
+        |  n AS element_count, CAST(u_status AS BIGINT) AS unexpected_count FROM m
+        |UNION ALL SELECT 'orders','b1','o_totalprice','expect_column_values_to_not_be_null', u_total=0, n, CAST(u_total AS BIGINT) FROM m
+        |UNION ALL SELECT 'orders','b1','o_totalprice','expect_column_values_to_be_between', u_between=0, n, CAST(u_between AS BIGINT) FROM m
+        |UNION ALL SELECT 'orders','b1','o_orderkey','expect_column_values_to_be_unique', dups=0, n, dups FROM d""".stripMargin,
+
+    "q22_unique_check" ->
+      """SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1""".stripMargin,
+
+    "q30_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+        | CAST(min(doc_id) AS BIGINT) AS keeper_id, count(*) AS copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q31_text_tokens" ->
+      s"""SELECT doc_id,
+         | CAST(CASE WHEN len(trim(text))=0 THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END AS INTEGER) AS n_tokens,
+         | CAST(length(text) AS INTEGER) AS n_chars_m
+         |FROM documents""".stripMargin,
+
+    "q32_text_quality" ->
+      s"""SELECT doc_id,
+         | CAST(FLOOR(CASE WHEN nt>0 THEN (CAST(sl AS DOUBLE)/nt)*10000 ELSE 0 END) AS BIGINT) AS avg_token_len_e4,
+         | CAST(FLOOR(CASE WHEN nc>0 THEN (CAST(nc-ncp AS DOUBLE)/nc)*10000 ELSE 0 END) AS BIGINT) AS punct_ratio_e4,
+         | CAST(FLOOR(CASE WHEN nt>0 THEN (CAST(sw AS DOUBLE)/nt)*10000 ELSE 0 END) AS BIGINT) AS stopword_ratio_e4
+         |FROM (SELECT doc_id, len(ws) nt, coalesce(list_sum(list_transform(ws, w->len(w))),0) sl, length(text) nc,
+         |    length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) ncp,
+         |    len(list_filter(ws, w -> list_contains(${sqlList(TextAnalysis.stopwordLists("en"))}, lower(w)))) sw
+         |  FROM (SELECT doc_id, text, $tokensExpr ws FROM documents))""".stripMargin,
+
+    "q33_lang_id" -> {
+      val langs = TextAnalysis.stopwordLists.keys.toSeq.sorted // de,en,es,fr,zh
+      val scoreCols = langs
+        .map(l => s"len(list_filter(ws, w -> list_contains(${sqlList(TextAnalysis.stopwordLists(l))}, w))) s_$l")
+        .mkString(",\n    ")
+      // ties break to the alphabetically-first language, zero evidence -> und
+      val caseExpr = {
+        val branches = langs.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1)
+          if (rest.isEmpty) s"ELSE '$l'"
+          else s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+        }
+        s"CASE WHEN ${langs.map(l => s"s_$l=0").mkString(" AND ")} THEN 'und' ${branches.mkString(" ")} END"
+      }
+      s"""SELECT doc_id, lang, lang_pred, (lang = lang_pred) AS correct FROM (
+         | SELECT doc_id, lang, $caseExpr AS lang_pred FROM (
+         |  SELECT doc_id, lang,
+         |    $scoreCols
+         |  FROM (SELECT doc_id, lang, list_transform($tokensExpr, w -> lower(w)) ws FROM documents)))""".stripMargin
+    },
+
+    "q34_rolling_fingerprint" ->
+      s"""SELECT doc_id,
+         | list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ws, w -> CAST(('0x'||substr(md5(w),1,8)) AS BIGINT))),
+         |   (acc, x) -> (acc*31 + x) % 1099511627776) AS fingerprint64
+         |FROM (SELECT doc_id, $tokensExpr ws FROM documents)""".stripMargin,
+
+    "q36_jaccard_pairs" ->
+      s"""WITH base AS (SELECT source, doc_id, $tokensExpr ws FROM documents),
+         | sh AS (SELECT source, doc_id,
+         |   list_distinct(CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+         |     ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END) sh
+         |  FROM base),
+         | pairs AS (SELECT a.source, a.doc_id id_a, b.doc_id id_b,
+         |    len(list_intersect(a.sh, b.sh)) inter, len(a.sh) la, len(b.sh) lb
+         |  FROM sh a JOIN sh b ON a.source=b.source AND a.doc_id < b.doc_id),
+         | j AS (SELECT source, id_a, id_b,
+         |    CASE WHEN la+lb-inter=0 THEN 0.0 ELSE CAST(inter AS DOUBLE)/(la+lb-inter) END jac FROM pairs)
+         |SELECT source, id_a, id_b, CAST(FLOOR(jac*10000) AS BIGINT) AS jaccard_e4
+         |FROM j WHERE jac >= CAST(0.3 AS DOUBLE)""".stripMargin,
+
+    "q40_ann_bruteforce" ->
+      """WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id=0),
+        | pairs AS (SELECT e.vec_id, unnest(e.embedding) x, unnest(q.qe) y, unnest(range(64)) i
+        |   FROM embeddings e, q WHERE e.vec_id <> 0),
+        | dots AS (SELECT vec_id,
+        |    sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d,
+        |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) nx,
+        |    sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) ny
+        |  FROM pairs GROUP BY vec_id),
+        | cos AS (SELECT vec_id, CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END c FROM dots)
+        |SELECT vec_id, CAST(FLOOR(c*1000000) AS BIGINT) AS cosine_e6
+        |FROM cos ORDER BY c DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "q42_multimodal_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS fmt,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        | CAST(FLOOR(1*octet_length(encode(text))/4) AS BIGINT) AS offset_1,
+        | CAST(FLOOR(3*octet_length(encode(text))/4) AS BIGINT) AS offset_3
+        |FROM documents""".stripMargin,
+
+    "q43_event_windows" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,401 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators._
+import graft.sources.IO
+
+/** The engine's declared query inventory (SURVEY.md §2 coverage + the
+  * LLM-pipeline operator set), each with a DuckDB oracle in
+  * [[Oracles]]. Determinism rules shared by both sides:
+  *  - money/value aggregation casts operands to DECIMAL(18,2) first, sums
+  *    exactly, and casts the final value to DOUBLE (bit-identical across
+  *    engines; naive double sums are order-dependent and would hash-mismatch)
+  *  - float ratios are scaled by 1e4 and floored to BIGINT (no rounding-mode
+  *    coupling between engines)
+  *  - vector dot products fold in index order on both sides
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = IO.table(s, dir, name)
+
+  /** decimal-exact sum of a 2-decimal double column, exposed as double */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ---------------------------------------------------------------- relational
+
+  /** q01: pricing summary (TPC-H Q1 shape): scan + filter + hash agg with
+    * partial (map-side) aggregation; at scale this is one shuffle of a
+    * 6-group payload. Covers A1/A2/P5/P6 projections+filters+agg.
+    */
+  def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+
+  /** q02: projection + filter pushdown — Catalyst pushes both predicates and
+    * the 4-column projection into the parquet scan (verified via
+    * PushedFilters/ReadSchema in explain).
+    */
+  def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24
+      )
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+
+  /** q03: 3-way join + agg (TPC-H Q3 shape). customer is small -> broadcast;
+    * orders⋈lineitem shuffles on the order key.
+    */
+  def q03(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    broadcast(c)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue")
+      )
+  }
+
+  /** q04: left-semi join (J1 — the SCD-2 close's key-existence check). */
+  def q04(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem").filter(col("l_quantity") > 45).select("l_orderkey").distinct()
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** q05: left-anti join — customers with no URGENT orders. */
+  def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  /** q06: dimension rollup — region⋈nation broadcast onto customer. */
+  def q06(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))
+  }
+
+  /** q07: window dedup — latest order per customer (the latest-version-view
+    * machinery behind SCD-2, O-SCD2).
+    */
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+  }
+
+  /** q08: distinct (A1 — staging-key dedup). */
+  def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  /** q09: IN-list predicate (P8). */
+  def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_partkey").isin(1L, 7L, 42L, 99L, 123L, 555L, 1024L, 1776L))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+
+  /** q10: null-sentinel normalization (P11) — sentinel values become null,
+    * then null accounting per group.
+    */
+  def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("prio_norm", when(col("o_orderpriority") === "1-URGENT", lit(null)).otherwise(col("o_orderpriority")))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("prio_norm")).as("n_nonnull"),
+        (count(lit(1)) - count(col("prio_norm"))).as("n_nulled")
+      )
+
+  /** q11: SCD Type-2 upsert (O-SCD2 + J1), end-to-end: a history table built
+    * from pre-1998 orders (latest per customer active), a batch of 1998+
+    * orders, closed/untouched/inserted union via [[Scd2.upsert]].
+    */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val target = orders
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("actv_flg", when(col("rn") === 1, "Y").otherwise("N"))
+      .withColumn("record_to", lit(null).cast("timestamp"))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "actv_flg", "record_to")
+    val batch = orders
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    Scd2.upsert(target, batch, Seq("o_custkey"), lit("2002-01-01 00:00:00").cast("timestamp"))
+  }
+
+  /** q12: stateful cumulative->delta (§2.6) as a snapshot join. Counters are
+    * exact cents (value*100 as long). Users first seen after the snapshot
+    * date pass through raw — the reference's no-snapshot asymmetry.
+    */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val snapshot = ev
+      .filter(col("ts") < lit("2024-01-15").cast("timestamp"))
+      .groupBy(col("user_id"))
+      .agg(sum(cents).as("prev_total_cents"))
+    val current = ev.groupBy(col("user_id")).agg(sum(cents).as("total_cents"), count(lit(1)).as("n_events"))
+    DeltaState
+      .applyDeltas(current, snapshot, Seq("user_id"), Seq("total_cents" -> "prev_total_cents"), coalesceCurrent = false)
+      .select(col("user_id"), col("n_events"), col("delta_total_cents"))
+  }
+
+  /** q13: row explode (R1) — tokens of p_type; empty arrays drop rows. */
+  def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(explode(split(col("p_type"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+
+  /** q14: first array element (R5). */
+  def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(element_at(split(col("p_type"), " "), 1).as("head_token"), col("p_retailprice"))
+      .groupBy(col("head_token"))
+      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("sum_price"))
+
+  /** q15: JSON-string field extraction (F6/P2). */
+  def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+
+  /** q16: float->long truncation cast (F2). */
+  def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("qty_int", coalesce(nanvl(col("l_quantity"), lit(0.0)), lit(0.0)).cast("long"))
+      .groupBy(col("qty_int"))
+      .agg(count(lit(1)).as("n"))
+
+  /** q17: year filter (P6). */
+  def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) >= 1999)
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))
+
+  /** q18: timestamp decomposition into parts + zero-padded path components
+    * (P3/F4 — the reference's year=/month=/day= partition grammar).
+    */
+  def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        year(col("ts")).as("y"),
+        lpad(month(col("ts")).cast("string"), 2, "0").as("m"),
+        lpad(dayofmonth(col("ts")).cast("string"), 2, "0").as("d"),
+        hour(col("ts")).as("h")
+      )
+      .groupBy(col("y"), col("m"), col("d"), col("h"))
+      .agg(count(lit(1)).as("n"))
+
+  /** q19: PII masking (P10) + hash pseudonymization (F10 family): drop the
+    * sensitive columns, keep a one-way sha256 surrogate.
+    */
+  def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .drop("c_acctbal", "c_mktsegment") // masking_cols
+      .select(col("c_custkey"), sha2(col("c_name").cast("string"), 256).as("name_hash"), col("c_nationkey"))
+
+  /** q20: two-key independent-IN-list close (J2) — closes strictly more rows
+    * than pair matching; aggregated checksum output.
+    */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val target = li
+      .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .withColumn("actv_flg", lit("Y"))
+      .withColumn("record_to", lit(null).cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "actv_flg", "record_to")
+    val batch = li
+      .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    Scd2
+      .upsertTwoKeyInLists(target, batch, "l_partkey", "l_suppkey", lit("2002-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("actv_flg"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_partkey")).as("sum_partkey"),
+        sum(col("l_suppkey")).as("sum_suppkey"),
+        count(col("record_to")).as("n_closed")
+      )
+  }
+
+  /** q21: data-quality suite (A2-A4) — whole suite in one aggregation pass +
+    * one grouped pass for uniqueness, via [[graft.dq.DqSuite]].
+    */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    import graft.dq._
+    val orders = t(s, dir, "orders")
+    val rs = DqSuite.run(
+      orders,
+      Seq(NotNull("o_orderstatus"), NotNull("o_totalprice"), Between("o_totalprice", 0, 1e9), Unique("o_orderkey")),
+      batchId = "b1",
+      fileIdentifier = "orders"
+    )
+    DqSuite.resultsDf(s, rs)
+  }
+
+  /** q22: uniqueness violation listing (A3) — keys with multiple rows. */
+  def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") > 1)
+
+  // ------------------------------------------------------- LLM pipeline ops
+
+  /** q30: exact dedup by normalized-content fingerprint (hash groupBy). */
+  def q30(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+
+  /** q31: token/char counting per document. */
+  def q31(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"), length(col("text")).as("n_chars_m"))
+
+  /** q32: quality-scoring features, 1e4-scaled-floored for engine parity. */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+    d.select(
+      col("doc_id"),
+      floor(col("avg_token_len") * 10000).cast("long").as("avg_token_len_e4"),
+      floor(col("punct_ratio") * 10000).cast("long").as("punct_ratio_e4"),
+      floor(col("stopword_ratio") * 10000).cast("long").as("stopword_ratio_e4")
+    )
+  }
+
+  /** q33: language identification vs the labeled lang column. */
+  def q33(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .withColumn("correct", (col("lang") === col("lang_pred")).cast("boolean"))
+
+  /** q34: order-sensitive rolling-hash document fingerprint (portable
+    * md5-prefix token hash; 2^40 ring keeps both engines overflow-free).
+    */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val ring = lit(1099511627776L) // 2^40
+    val rolled = aggregate(
+      toks,
+      lit(0L),
+      (acc, t) => pmod(acc * 31 + conv(substring(md5(t), 1, 8), 16, 10).cast("long"), ring)
+    )
+    t(s, dir, "documents").select(col("doc_id"), rolled.as("fingerprint64"))
+  }
+
+  /** q36: exact n-gram Jaccard near-dup pairs within (source) blocks —
+    * the verification path of MinHash-LSH; blocks bound the quadratic term.
+    */
+  def q36(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .jaccardPairsWithinBlocks(t(s, dir, "documents"), "doc_id", "text", Seq("source"), shingleSize = 3, minJaccard = 0.3)
+      .select(col("source"), col("id_a"), col("id_b"), floor(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+
+  /** q37: MinHash+LSH candidate pairs (banded buckets; xxhash64 fast path,
+    * not SQL-expressible -> rows-only check; exact-verified by q36's oracle
+    * on the overlapping pair set).
+    */
+  def q37(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2, minJaccard = 0.5)
+
+  /** q38: SimHash sketch dedup groups (xxhash64 fast path, rows-only). */
+  def q38(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDuplicates(t(s, dir, "documents"), "doc_id", "text")
+
+  /** q40: brute-force cosine top-k vs the vec_id=0 query vector (index-order
+    * fold; ranking on rounded cosine for cross-engine stability).
+    */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qvec, 20)
+      .select(col("vec_id"), floor(col("cosine") * 1000000).cast("long").as("cosine_e6"))
+  }
+
+  /** q41: LSH-bucketed ANN top-k (multi-probe) — the 100 TB scale path;
+    * rows-only (hyperplane plan literals; recall checked in tests vs q40).
+    */
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    Similarity
+      .lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qvec, 20)
+      .select(col("vec_id"), floor(col("cosine") * 1000000).cast("long").as("cosine_e6"))
+  }
+
+  /** q42: multimodal column plumbing — text payload as opaque binary media
+    * with typed metadata and deterministic frame-sample offsets.
+    */
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.toMediaTable(
+      t(s, dir, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", "text/plain"
+    )
+    Multimodal
+      .frameSampleOffsets(media, 4)
+      .select(
+        col("media_id"),
+        col("meta.format").as("fmt"),
+        col("meta.byte_len").as("byte_len"),
+        element_at(col("frame_offsets"), 2).as("offset_1"),
+        element_at(col("frame_offsets"), 4).as("offset_3")
+      )
+  }
+
+  /** q43: event-time tumbling-window aggregation (ST surface, batch form —
+    * the streaming twin uses the same expression via readStream).
+    */
+  def q43(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast("decimal(18,2)") * 100).cast("long").as("sum_value_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value_cents"))
+
+  /** q44: multimodal decode plumbing (mapPartitions batched stub decoder) —
+    * deterministic fake features; rows-only (JVM hash not SQL-portable).
+    */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.toMediaTable(
+      t(s, dir, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", "text/plain"
+    )
+    Multimodal.decodeFeatures(s, media).toDF()
+  }
+}

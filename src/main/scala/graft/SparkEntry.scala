@@ -1,13 +1,60 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + COVERAGE.md for the
+  * operator-to-query mapping.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.q01(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the LLM-pipeline
+    * operator set). Names ending without an oracle entry are rows-only
+    * checked (non-SQL-expressible fast paths).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Queries.q01 _),
+    "q02_filter_pushdown" -> (Queries.q02 _),
+    "q03_join_revenue" -> (Queries.q03 _),
+    "q04_semi_join" -> (Queries.q04 _),
+    "q05_anti_join" -> (Queries.q05 _),
+    "q06_dim_rollup" -> (Queries.q06 _),
+    "q07_window_latest" -> (Queries.q07 _),
+    "q08_distinct" -> (Queries.q08 _),
+    "q09_in_list" -> (Queries.q09 _),
+    "q10_null_sentinel" -> (Queries.q10 _),
+    "q11_scd2_upsert" -> (Queries.q11 _),
+    "q12_state_delta" -> (Queries.q12 _),
+    "q13_explode_tokens" -> (Queries.q13 _),
+    "q14_first_element" -> (Queries.q14 _),
+    "q15_json_extract" -> (Queries.q15 _),
+    "q16_float_to_long" -> (Queries.q16 _),
+    "q17_year_filter" -> (Queries.q17 _),
+    "q18_date_parts" -> (Queries.q18 _),
+    "q19_mask_hash" -> (Queries.q19 _),
+    "q20_scd2_two_key" -> (Queries.q20 _),
+    "q21_dq_suite" -> (Queries.q21 _),
+    "q22_unique_check" -> (Queries.q22 _),
+    "q30_dedup_exact" -> (Queries.q30 _),
+    "q31_text_tokens" -> (Queries.q31 _),
+    "q32_text_quality" -> (Queries.q32 _),
+    "q33_lang_id" -> (Queries.q33 _),
+    "q34_rolling_fingerprint" -> (Queries.q34 _),
+    "q36_jaccard_pairs" -> (Queries.q36 _),
+    "q37_minhash_lsh" -> (Queries.q37 _),
+    "q38_simhash" -> (Queries.q38 _),
+    "q40_ann_bruteforce" -> (Queries.q40 _),
+    "q41_ann_lsh" -> (Queries.q41 _),
+    "q42_multimodal_meta" -> (Queries.q42 _),
+    "q43_event_windows" -> (Queries.q43 _),
+    "q44_media_decode" -> (Queries.q44 _)
+  )
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for non-SQL-expressible ops (q37/q38/q41/
+    * q44) -> driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Oracles.all
 }

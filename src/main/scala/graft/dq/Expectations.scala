@@ -1,0 +1,114 @@
+package graft.dq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality layer (SURVEY.md §2.4 A2-A4, §3.2).
+  *
+  * The reference runs Great Expectations suites per micro-batch on Spark
+  * DataFrames (great_expectations.py:238-340): each expectation triggers its
+  * own Spark aggregation pass. Here a whole suite compiles into ONE
+  * `df.agg(...)` pass — every expectation contributes a couple of conditional
+  * count expressions, so a 30-expectation suite still scans the batch exactly
+  * once. Uniqueness checks need a shuffle (groupBy key) and are computed in a
+  * second single pass over the distinct-key aggregation.
+  *
+  * Results mirror the reference's persisted shape
+  * (great_expectations.py:318-335): file_identifier, batchID, column_name,
+  * expectation_type, success, element_count, unexpected_count.
+  */
+sealed trait Expectation {
+  def columnName: String
+  def name: String
+}
+final case class NotNull(columnName: String) extends Expectation {
+  val name = "expect_column_values_to_not_be_null"
+}
+final case class Unique(columnName: String) extends Expectation {
+  val name = "expect_column_values_to_be_unique"
+}
+final case class Matches(columnName: String, regex: String) extends Expectation {
+  val name = "expect_column_values_to_match_regex"
+}
+final case class Between(columnName: String, lo: Double, hi: Double) extends Expectation {
+  val name = "expect_column_values_to_be_between"
+}
+
+final case class DqResult(
+    fileIdentifier: String,
+    batchId: String,
+    columnName: String,
+    expectationType: String,
+    success: Boolean,
+    elementCount: Long,
+    unexpectedCount: Long
+)
+
+object DqSuite {
+
+  /** Run a suite in (at most) two passes: one global agg for row-scoped
+    * expectations, one grouped agg for uniqueness.
+    */
+  def run(df: DataFrame, expectations: Seq[Expectation], batchId: String, fileIdentifier: String): Seq[DqResult] = {
+    val rowScoped = expectations.filter(!_.isInstanceOf[Unique])
+    val uniques = expectations.collect { case u: Unique => u }
+
+    val rowResults: Seq[DqResult] =
+      if (rowScoped.isEmpty) Nil
+      else {
+        val aggs: Seq[Column] = count(lit(1)).as("__n") +: rowScoped.zipWithIndex.map { case (e, i) =>
+          val unexpected: Column = e match {
+            case NotNull(c)       => count(when(col(c).isNull, 1))
+            case Matches(c, re)   => count(when(col(c).isNotNull && !col(c).rlike(re), 1))
+            case Between(c, l, h) => count(when(col(c).isNotNull && (col(c) < l || col(c) > h), 1))
+            case _                => lit(0L)
+          }
+          unexpected.as(s"__u$i")
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        val n = row.getLong(0)
+        rowScoped.zipWithIndex.map { case (e, i) =>
+          val u = row.getLong(i + 1)
+          DqResult(fileIdentifier, batchId, e.columnName, e.name, u == 0, n, u)
+        }
+      }
+
+    val uniqueResults: Seq[DqResult] = uniques.map { u =>
+      val agg = df
+        .groupBy(col(u.columnName))
+        .agg(count(lit(1)).as("c"))
+        .agg(
+          coalesce(sum("c"), lit(0L)).as("n"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dups")
+        )
+        .head()
+      val n = agg.getLong(0)
+      val dups = agg.getLong(1)
+      DqResult(fileIdentifier, batchId, u.columnName, u.name, dups == 0, n, dups)
+    }
+
+    rowResults ++ uniqueResults
+  }
+
+  /** Results as a DataFrame for the append sink (S12: mode=append +
+    * mergeSchema, great_expectations.py:337-338).
+    */
+  def resultsDf(spark: org.apache.spark.sql.SparkSession, rs: Seq[DqResult]): DataFrame = {
+    import spark.implicits._
+    rs.toDF(
+      "file_identifier", "batchID", "column_name", "expectation_type",
+      "success", "element_count", "unexpected_count"
+    )
+  }
+
+  /** Build a suite from hot-loaded config rows (ST3: great_expectations.py:208-217). */
+  def fromConfig(rules: Seq[graft.core.DqRule]): Seq[Expectation] =
+    rules.filter(_.active).flatMap { r =>
+      r.formattingRule match {
+        case "not_null" => Some(NotNull(r.colName))
+        case "unique"   => Some(Unique(r.colName))
+        case m if m.startsWith("matches:") => Some(Matches(r.colName, m.stripPrefix("matches:")))
+        case _          => None
+      }
+    }
+}

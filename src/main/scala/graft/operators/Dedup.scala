@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, at 100 TB design
+  * scale.
+  *
+  * - exact: hash-groupBy on a content fingerprint. One shuffle on a 16-byte
+  *   key; with AQE skew handling, safe at any scale.
+  * - MinHash + LSH: signature computed per-row with pure column expressions
+  *   (no UDF), banded, and candidates found by a self-join on
+  *   (band, band-hash) buckets — the join key space is tiny relative to the
+  *   corpus so the shuffle is on the banded keys, never all-pairs.
+  * - SimHash: 64-bit sketch per document; near-dups = identical sketch (or
+  *   bucketed by rotation for Hamming<k).
+  * - n-gram Jaccard: exact verification on candidate pairs only.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving doc_id (min) per normalized-content
+    * fingerprint, plus the duplicate count. At scale: a single hash
+    * aggregation with map-side partial combine.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("copies"))
+
+  /** Deterministic MinHash signature as an array column.
+    * hash_i(s) = (a_i * xxhash64(s) + b_i) mod p, signature_i = min over
+    * shingles. a/b derive from the permutation index via splitmix-style
+    * constants so executors need no side data at all.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val p = 2147483647L // 2^31 - 1, Mersenne prime
+    val sigs = (0 until numHashes).map { i =>
+      val a = 2L * ((i * 0x9E3779B97F4A7C15L) >>> 33) + 1 // odd multiplier
+      val b = (i * 0xC2B2AE3D27D4EB4FL) >>> 31
+      array_min(transform(shingles, s => pmod(lit(a) * pmod(xxhash64(s), lit(p)) + lit(b), lit(p))))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash + LSH banding: returns candidate near-duplicate pairs
+    * (id_a < id_b) with their verified n-gram Jaccard similarity.
+    *
+    * numHashes = bands * rowsPerBand. Each doc emits `bands` bucket keys;
+    * docs sharing any bucket become candidates; candidates are verified with
+    * exact Jaccard on the shingle sets. The explode-on-bands keeps the
+    * shuffle linear in corpus size; the quadratic blowup is confined to
+    * within-bucket groups, which the banding makes small by construction.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5
+  ): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = df
+      .select(
+        col(idCol).as("doc_id"),
+        array_distinct(TextAnalysis.wordShingles(col(textCol), shingleSize)).as("shingles")
+      )
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+
+    val banded = withSig.select(
+      col("doc_id"),
+      col("shingles"),
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b).as("bucket"))
+        )
+      ).as("bb")
+    )
+
+    val a = banded.select(col("bb").as("bba"), col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("bb").as("bbb"), col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val cand = a
+      .join(b, a("bba") === b("bbb") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact set Jaccard between two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** 64-bit SimHash over tokens: bit j of the sketch is set when the sum of
+    * (+1/-1 votes from each token's xxhash64 bit j) is positive. Pure
+    * expression: fold an array accumulator of 64 counters over the tokens,
+    * then pack.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val counters = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) =>
+        zip_with(
+          acc,
+          array((0 until 64).map(j => when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)): _*),
+          (x, y) => x + y
+        )
+    )
+    (0 until 64)
+      .map(j => when(element_at(counters, j + 1) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** SimHash near-dup grouping: docs with identical sketches (Hamming 0).
+    * For Hamming<=k at scale, band the 64 bits into k+1 chunks and join on
+    * any-equal-chunk (pigeonhole), verifying candidates with bit_count.
+    */
+  def simhashDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("simhash"))
+      .groupBy("simhash")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("copies"))
+
+  /** Pairwise n-gram Jaccard within explicit blocks (e.g. same source+lang) —
+    * the exact-verification / small-block strategy. Blocks bound the
+    * quadratic term; at 100 TB the blocking key must keep groups << 10^5.
+    */
+  def jaccardPairsWithinBlocks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      shingleSize: Int = 3,
+      minJaccard: Double = 0.3
+  ): DataFrame = {
+    val base = df.select(
+      (blockCols.map(col) :+ col(idCol).as("doc_id")) :+
+        array_distinct(TextAnalysis.wordShingles(col(textCol), shingleSize)).as("sh"): _*
+    )
+    val a = base.toDF(base.columns.map(c => if (c == "doc_id") "id_a" else if (c == "sh") "sh_a" else c).toIndexedSeq: _*)
+    val b = base.toDF(base.columns.map(c => if (c == "doc_id") "id_b" else if (c == "sh") "sh_b" else c).toIndexedSeq: _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select((blockCols.map(col) :+ col("id_a")) :+ col("id_b") :+ col("jaccard"): _*)
+  }
+
+  /** Embedding cosine near-dup: pairs above a cosine threshold, blocked by
+    * LSH bucket (see Similarity.lshBucket) so the pair join never goes
+    * all-pairs.
+    */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nBits: Int = 12,
+      minCosine: Double = 0.95
+  ): DataFrame = {
+    val dim = 64
+    val bucketed = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      Similarity.lshBucket(col(vecCol), dim, nBits).as("bucket")
+    )
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = bucketed.select(col("bucket").as("bucket_b"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

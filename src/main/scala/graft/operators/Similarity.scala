@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the query vector(s)
+  * and one scan, no shuffle until the final top-k (which is a tree-reduce of
+  * per-partition heaps via sort+limit). Scale path: random-hyperplane LSH
+  * bucketing (deterministic, seed-derived hyperplanes embedded as plan
+  * literals so executors need no side data), probing the query's bucket
+  * only — turning a 100 TB scan into a partition-pruned bucket read when the
+  * table is stored partitioned/bucketed by the LSH key.
+  */
+object Similarity {
+
+  /** Dot product in index order: both the Spark fold and the verification
+    * oracle accumulate left-to-right, keeping float results bit-comparable.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Brute-force cosine top-k against a literal query vector. Raw (unrounded)
+    * cosine — the index-order fold keeps it bit-identical across engines, so
+    * the ordering and the top-k cut are deterministic.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    df.select(
+      col(idCol),
+      cosine(transform(col(vecCol), _.cast("double")), q).as("cosine")
+    ).orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: nBits x dim entries in {-1,+1}
+    * derived from a seeded xorshift-free closed form (driver-side constants,
+    * folded into the plan as literals).
+    */
+  private def hyperplaneSign(bit: Int, i: Int): Double = {
+    var h = bit.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Sign-random-projection LSH bucket id (0 .. 2^nBits-1) for a vector.
+    * `table` selects an independent hyperplane family (multi-table LSH).
+    */
+  def lshBucket(vec: Column, dim: Int, nBits: Int, table: Int = 0): Column = {
+    val bits = (0 until nBits).map { b =>
+      val plane = array((0 until dim).map(i => lit(hyperplaneSign(table * 1024 + b, i))): _*)
+      when(dot(vec, plane) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Driver-side mirror of [[lshBucket]] for a literal query vector. */
+  def lshBucketLocal(query: Seq[Float], dim: Int, nBits: Int, table: Int): Long = {
+    def dotLocal(plane: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += query(i).toDouble * hyperplaneSign(plane, i); i += 1 }
+      acc
+    }
+    (0 until nBits).map(b => if (dotLocal(table * 1024 + b) > 0) 1L << b else 0L).reduce(_ | _)
+  }
+
+  /** Multi-table LSH ANN top-k: a candidate is scored when it matches the
+    * query's bucket in ANY of the `tables` independent hash tables — the
+    * standard recall lever for sign-LSH. One scan, no shuffle: the bucket
+    * filter is a codegen'd OR of per-table equality checks, and at rest the
+    * table can be stored partitioned by (table-0 bucket) for pruning.
+    */
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      dim: Int = 64,
+      nBits: Int = 5,
+      tables: Int = 8
+  ): DataFrame = {
+    // Size nBits to the corpus: candidates/table ~ N/2^nBits; aim for
+    // ~50-100x k candidates overall. At 100 TB you would also persist the
+    // table partitioned by bucket so the filter prunes partitions.
+    val anyMatch = (0 until tables)
+      .map(t => lshBucket(col(vecCol), dim, nBits, t) === lit(lshBucketLocal(query, dim, nBits, t)))
+      .reduce(_ || _)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    df.filter(anyMatch)
+      .select(col(idCol), cosine(transform(col(vecCol), _.cast("double")), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All-vectors pairwise top-k join via LSH blocking (ANN join). */
+  def annJoin(df: DataFrame, idCol: String, vecCol: String, dim: Int = 64, nBits: Int = 10, minCosine: Double = 0.9): DataFrame =
+    Dedup.embeddingNearDup(df, idCol, vecCol, nBits, minCosine)
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All built from codegen'd `functions._` expressions — no UDFs — so a
+  * 100 TB documents table is processed in one whole-stage-codegen pass with
+  * column pruning reaching the parquet scan (only `text` + keys are read).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty text -> empty array (Spark's split("")
+    * would yield [""], which we normalize away).
+    */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count heuristic: words plus punctuation runs counted
+    * separately (a cheap stand-in for a real tokenizer's token count).
+    */
+  def approxBpeCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])(?=[a-zA-Z0-9])|\\s+"), x => length(x) > 0))
+
+  /** Quality-scoring feature columns (length / punctuation / stopword
+    * ratios). Raw doubles — integer numerator/denominator division, so the
+    * values are bit-identical across engines; callers scale+floor for
+    * hash-stable output.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val stop = stopwords("en")
+    df.withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn(
+        "avg_token_len",
+        when(size(toks) > 0, aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(toks))
+          .otherwise(lit(0.0))
+      )
+      .withColumn(
+        "punct_ratio",
+        when(length(t) > 0, (length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))).cast("double") / length(t))
+          .otherwise(lit(0.0))
+      )
+      .withColumn(
+        "stopword_ratio",
+        when(size(toks) > 0, size(filter(toks, x => array_contains(stop, lower(x)))).cast("double") / size(toks))
+          .otherwise(lit(0.0))
+      )
+  }
+
+  /** Shared with the oracle-SQL generator so both engines score identically. */
+  val stopwordLists: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "a", "to", "in", "is", "it", "that", "for", "on", "with", "as", "at", "this"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "por", "con", "los", "las", "del", "se"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "in", "den", "von", "zu", "mit", "ein", "eine", "auf", "für", "im"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "en", "un", "une", "du", "que", "qui", "dans", "pour"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "他", "这", "中", "大", "来", "上", "国", "个")
+  )
+
+  def stopwords(lang: String): Column =
+    array(stopwordLists.getOrElse(lang, Nil).map(lit): _*)
+
+  /** Language ID by stopword-overlap scoring: for each candidate language,
+    * score = number of tokens found in its stopword list; argmax wins, ties
+    * broken by language code order, zero evidence -> "und". A classic n-gram
+    * profile would use character trigrams; for the word-salad fixtures the
+    * token-overlap variant is the deterministic, oracle-expressible choice.
+    */
+  def langId(text: Column): Column = {
+    val toks = transform(tokens(text), lower _)
+    val scored = stopwordLists.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val stop = array(words.map(lit): _*)
+      struct(size(filter(toks, x => array_contains(stop, x))).as("score"), lit(lang).as("lang"))
+    }
+    // argmax: sort (score, lang-desc) and take the head; array_sort on structs
+    // orders by fields ascending, so invert score and take element 1
+    val best = array_sort(array(scored.map(s => struct((-s.getField("score")).as("neg"), s.getField("lang").as("lang"))): _*))
+    when(element_at(best, 1).getField("neg") === 0, lit("und"))
+      .otherwise(element_at(best, 1).getField("lang"))
+  }
+
+  /** Document fingerprint: md5 of the case/punctuation/whitespace-normalized
+    * text — the content-defined identity used by exact dedup.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** Rolling (polynomial) hash over tokens — order-sensitive fingerprint on
+    * a 2^40 ring: h = fold((h * 31 + hash32(token)) mod 2^40). The ring keeps
+    * the fold free of ANSI long overflow (31*2^40 + 2^32 << 2^63) while
+    * staying deterministic and codegen'd.
+    */
+  def rollingHash(text: Column): Column = {
+    val ring = lit(1099511627776L) // 2^40
+    aggregate(tokens(text), lit(0L), (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(4294967296L)), ring))
+  }
+
+  /** Word n-gram shingles (ordered, positional) — the input to MinHash and
+    * Jaccard dedup. Empty result when fewer than n tokens.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+      )
+    )
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.dq.{DqSuite, Expectation}
+
+/** Structured-Streaming surface (SURVEY.md §2.8).
+  *
+  * ST1-ST3: the reference validates each micro-batch with Great Expectations
+  * inside what is shaped exactly like `foreachBatch`
+  * (great_expectation_microbatch.py:16, great_expectations.py:238). Here the
+  * DQ suite runs as one aggregation per batch and appends its results to a
+  * parquet sink with schema merge.
+  *
+  * ST5: the cumulative-counter delta state (§2.6) gets a streaming twin via
+  * `flatMapGroupsWithState` — per-key last-seen counters live in Spark's
+  * state store instead of DynamoDB, which shards state by key across
+  * executors and checkpoints it; this is the design that survives
+  * 1000-executor scale.
+  */
+object Streaming {
+
+  /** ST1/ST2: stream with per-micro-batch DQ validation, results appended. */
+  def validatedStream(
+      spark: SparkSession,
+      source: DataFrame,
+      expectations: Seq[Expectation],
+      resultsPath: String,
+      fileIdentifier: String = "stream"
+  ): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val rs = DqSuite.run(df, expectations, batchId.toString, fileIdentifier)
+        DqSuite
+          .resultsDf(spark, rs)
+          .write
+          .mode("append")
+          .option("mergeSchema", "true")
+          .parquet(resultsPath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  final case class CounterEvent(key: String, counters: Map[String, Long], ts: java.sql.Timestamp)
+  final case class CounterDelta(key: String, deltas: Map[String, Long], ts: java.sql.Timestamp)
+
+  /** ST5: streaming cumulative->delta conversion. State = last-seen counters
+    * per key. First event for a key passes through raw (the reference's
+    * no-snapshot semantics, transformation.py:93-98).
+    */
+  def deltaStream(events: Dataset[CounterEvent])(implicit spark: SparkSession): Dataset[CounterDelta] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[CounterEvent], state: GroupState[Map[String, Long]]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var last = state.getOption
+          val out = sorted.map { ev =>
+            val deltas = ev.counters.map { case (k, cur) =>
+              k -> (last match {
+                case Some(snap) => cur - snap.getOrElse(k, 0L)
+                case None       => cur
+              })
+            }
+            last = Some(ev.counters)
+            CounterDelta(key, deltas, ev.ts)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Event-time windowed aggregation with watermark (engine-native surface
+    * beyond reference parity): tumbling-window counts/sums per event type.
+    */
+  def windowedEventAgg(events: DataFrame, windowLen: String = "1 hour", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+}

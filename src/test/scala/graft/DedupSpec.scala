@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextAnalysis}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The quick brown fox jumps over the lazy dog!"), // exact dup after normalization
+    (3L, "the quick brown fox jumps over the sleepy dog and then runs away"), // near-dup of 1
+    (4L, "completely different content about spark query engines and shuffles"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized-identical docs") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    val dupGroup = out.find(_.getLong(2) == 2)
+    assert(dupGroup.isDefined)
+    assert(dupGroup.get.getLong(1) == 1L) // keeper = min doc_id
+    assert(out.length == 4) // 1&2 merge; 3,4,5 distinct
+  }
+
+  test("minhash LSH finds the planted near-dup pair and verifies jaccard") {
+    val out = Dedup
+      .minhashLsh(docs, "doc_id", "text", shingleSize = 2, bands = 8, rowsPerBand = 2, minJaccard = 0.3)
+      .collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)) || pairs.contains((1L, 2L)))
+    out.foreach(r => assert(r.getDouble(2) >= 0.3 && r.getDouble(2) <= 1.0))
+  }
+
+  test("simhash: identical texts share sketch, disjoint texts differ") {
+    val hashes = docs
+      .filter($"doc_id".isin(1L, 2L, 4L))
+      .select($"doc_id", Dedup.simhash(lower(regexp_replace($"text", "[^a-zA-Z ]", ""))).as("h"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes(1L) != hashes(4L))
+  }
+
+  test("jaccard: exact values on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard($"x", $"y")).head().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12) // |{b,c}| / |{a,b,c,d}|
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+    assert(empty.select(Dedup.jaccard($"x", $"y")).head().getDouble(0) == 0.0)
+  }
+
+  test("wordShingles: n-gram construction and short-doc empty result") {
+    val sh = docs
+      .filter($"doc_id" === 1L)
+      .select(TextAnalysis.wordShingles($"text", 3).as("sh"))
+      .head()
+      .getSeq[String](0)
+    assert(sh.head == "the quick brown")
+    assert(sh.length == 7) // 9 tokens -> 7 tri-grams
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+    assert(short.select(TextAnalysis.wordShingles($"text", 3)).head().getSeq[String](0).isEmpty)
+  }
+}

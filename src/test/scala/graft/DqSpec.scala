@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.DqRule
+import graft.dq._
+
+/** DQ suite semantics (FIXTURES.md B6): element/unexpected counts per
+  * expectation, single-pass aggregation, config-driven suite construction.
+  */
+class DqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("o1", Some("2024-01-01"), 10.0),
+    ("o2", None, 20.0),
+    ("o2", Some("2024-01-03"), -5.0),
+    ("o4", Some("bad-date"), 40.0)
+  ).toDF("order_id", "ship_date", "amount")
+
+  test("NotNull / Between / Matches / Unique counts") {
+    val rs = DqSuite
+      .run(
+        df,
+        Seq(
+          NotNull("ship_date"),
+          Between("amount", 0, 100),
+          Matches("ship_date", "\\d{4}-\\d{2}-\\d{2}"),
+          Unique("order_id")
+        ),
+        "b1",
+        "f1"
+      )
+      .map(r => (r.expectationType, r.columnName) -> r)
+      .toMap
+
+    val nn = rs(("expect_column_values_to_not_be_null", "ship_date"))
+    assert(nn.elementCount == 4 && nn.unexpectedCount == 1 && !nn.success)
+    val bt = rs(("expect_column_values_to_be_between", "amount"))
+    assert(bt.unexpectedCount == 1 && !bt.success)
+    val mt = rs(("expect_column_values_to_match_regex", "ship_date"))
+    assert(mt.unexpectedCount == 1)
+    val uq = rs(("expect_column_values_to_be_unique", "order_id"))
+    assert(uq.elementCount == 4 && uq.unexpectedCount == 2 && !uq.success)
+  }
+
+  test("suite from hot-loaded config rows (ST3)") {
+    val rules = Seq(
+      DqRule("p1", "order_id", "unique", active = true),
+      DqRule("p1", "ship_date", "not_null", active = true),
+      DqRule("p1", "amount", "matches:\\d+", active = false) // inactive -> dropped
+    )
+    val suite = DqSuite.fromConfig(rules)
+    assert(suite.size == 2)
+    assert(suite.collect { case u: Unique => u.columnName } == Seq("order_id"))
+  }
+
+  test("all-pass suite reports success") {
+    val clean = Seq(("a", 1.0), ("b", 2.0)).toDF("id", "v")
+    val rs = DqSuite.run(clean, Seq(NotNull("id"), Unique("id"), Between("v", 0, 10)), "b", "f")
+    assert(rs.forall(_.success))
+  }
+}

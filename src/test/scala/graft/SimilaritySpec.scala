@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identity, orthogonality, opposition") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(-1.0, 0.0, 0.0))
+    ).toDF("a", "b")
+    val out = df.select(Similarity.cosine($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1)) < 1e-12)
+    assert(math.abs(out(2) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine desc") {
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(1.0f, 0.0f, 0.0f, 0.0f), 3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(out(0).getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("lshTopK achieves good recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(emb.filter($"vec_id" =!= 0), "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(emb.filter($"vec_id" =!= 0), "vec_id", "embedding", q, 10, dim = 64, nBits = 4, tables = 8)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("lshBucket is deterministic and balanced-ish") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val buckets = emb.select(Similarity.lshBucket($"embedding", 64, 8).as("b"))
+    val n = buckets.select(countDistinct($"b")).head().getLong(0)
+    assert(n > 32, s"only $n distinct buckets out of 256")
+    // deterministic across evaluations
+    val a = buckets.collect().map(_.getLong(0)).toSeq
+    val b = emb.select(Similarity.lshBucket($"embedding", 64, 8)).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+}

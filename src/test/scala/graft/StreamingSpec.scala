@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dq.{NotNull, Unique}
+import graft.streaming.Streaming
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ST1/ST2: foreachBatch DQ validation appends results per micro-batch") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val srcDir = s"$tmp/src"
+    val resDir = s"$tmp/results"
+    Seq(("o1", 10.0), ("o2", 20.0), ("o2", 30.0)).toDF("order_id", "amount")
+      .write.parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema("order_id STRING, amount DOUBLE")
+      .parquet(srcDir)
+    val q = Streaming.validatedStream(spark, stream, Seq(NotNull("order_id"), Unique("order_id")), resDir, "t1")
+    q.awaitTermination(60000)
+
+    val results = spark.read.parquet(resDir)
+    assert(results.count() == 2)
+    val uq = results.filter($"expectation_type" === "expect_column_values_to_be_unique").head()
+    assert(!uq.getAs[Boolean]("success"))
+    assert(uq.getAs[Long]("unexpected_count") == 2L)
+  }
+
+  test("ST5: streaming cumulative->delta with flatMapGroupsWithState") {
+    implicit val s = spark
+    val tmp = Files.createTempDirectory("graft-stream2").toString
+    val srcDir = s"$tmp/src"
+    Seq(
+      ("k1", 100L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("k1", 130L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      ("k2", 50L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    ).toDF("key", "imp", "ts").write.parquet(srcDir)
+
+    val events = spark.readStream
+      .schema("key STRING, imp BIGINT, ts TIMESTAMP")
+      .parquet(srcDir)
+      .select($"key", map(lit("imp"), $"imp").as("counters"), $"ts")
+      .as[Streaming.CounterEvent]
+
+    val out = Streaming.deltaStream(events)
+    val query = out.writeStream.format("memory").queryName("deltas")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+
+    val got = spark.table("deltas").collect()
+      .map(r => (r.getString(0), r.getAs[Map[String, Long]](1)("imp"), r.getTimestamp(2).toString))
+      .toSet
+    assert(got.contains(("k1", 100L, "2024-01-01 00:00:00.0"))) // first seen -> raw
+    assert(got.contains(("k1", 30L, "2024-01-02 00:00:00.0"))) // delta
+    assert(got.contains(("k2", 50L, "2024-01-01 00:00:00.0")))
+  }
+
+  test("windowed event aggregation (engine-native streaming surface)") {
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "click", 4.0)
+    ).toDF("ts", "event_type", "value")
+    val out = Streaming.windowedEventAgg(df).collect()
+    assert(out.length == 2)
+    val h10 = out.find(_.getTimestamp(0).toString.startsWith("2024-01-01 10")).get
+    assert(h10.getLong(2) == 2L && h10.getDouble(3) == 3.0)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokens: whitespace split, empty text -> empty array") {
+    val df = Seq("a  b\tc", "", "   ", "single").toDF("text")
+    val out = df.select(TextAnalysis.tokenCount($"text")).collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("langId scores stopword overlap with deterministic tie-break") {
+    val df = Seq(
+      "the cat sat on the mat with the hat",
+      "el gato es un animal y la casa es grande",
+      "der hund und die katze ist ein tier",
+      "xyzzy plugh qwerty" // no stopwords -> und
+    ).toDF("text")
+    val out = df.select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "es", "de", "und"))
+  }
+
+  test("fingerprint is case/punctuation/whitespace invariant") {
+    val df = Seq(("Hello, World!", "hello world"), ("a b", "c d")).toDF("t1", "t2")
+    val r = df.select(
+      (TextAnalysis.fingerprint($"t1") === TextAnalysis.fingerprint($"t2")).as("eq")
+    ).collect().map(_.getBoolean(0))
+    assert(r.toSeq == Seq(true, false))
+  }
+
+  test("rollingHash is order-sensitive") {
+    val df = Seq(("a b c", "c b a")).toDF("t1", "t2")
+    val r = df.select(TextAnalysis.rollingHash($"t1").as("h1"), TextAnalysis.rollingHash($"t2").as("h2")).head()
+    assert(r.getLong(0) != r.getLong(1))
+  }
+
+  test("quality features: exact ratios on a constructed doc") {
+    val df = Seq("ab cd!!").toDF("text") // 7 chars, 2 tokens, 2 punct
+    val out = TextAnalysis.qualityFeatures(df).head()
+    assert(out.getAs[Int]("n_tokens") == 2)
+    assert(math.abs(out.getAs[Double]("avg_token_len") - 3.0) < 1e-12) // (2+4)/2 (the "cd!!" token is len 4)
+    assert(math.abs(out.getAs[Double]("punct_ratio") - 2.0 / 7) < 1e-12)
+  }
+
+  test("approxBpeCount splits words and punctuation runs") {
+    val df = Seq("hello, world").toDF("text")
+    assert(df.select(TextAnalysis.approxBpeCount($"text")).head().getInt(0) == 3) // hello , world
+  }
+}
