@@ -229,8 +229,10 @@ object Oracles {
     "q36_jaccard_pairs" ->
       s"""WITH base AS (SELECT source, doc_id, $tokensExpr ws FROM documents),
          | sh AS (SELECT source, doc_id,
-         |   list_distinct(CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
-         |     ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END) sh
+         |   list_distinct(list_transform(
+         |     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
+         |     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) sh
          |  FROM base),
          | pairs AS (SELECT a.source, a.doc_id id_a, b.doc_id id_b,
          |    len(list_intersect(a.sh, b.sh)) inter, len(a.sh) la, len(b.sh) lb

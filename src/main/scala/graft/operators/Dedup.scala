@@ -26,6 +26,14 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("copies"))
 
+  /** Portable 64-bit shingle hash (md5-prefix), replicable in the DuckDB
+    * oracle: conv(substr(md5(s),1,15),16,10). Hashing shingles to longs
+    * before set ops shrinks shuffle payloads ~4x and makes array_intersect
+    * integer-keyed; a 60-bit space makes collisions (which would perturb
+    * Jaccard) negligible at any realistic block size.
+    */
+  def shingleHash64(s: Column): Column = conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   /** Deterministic MinHash signature as an array column.
     * hash_i(s) = (a_i * xxhash64(s) + b_i) mod p, signature_i = min over
     * shingles. a/b derive from the permutation index via splitmix-style
@@ -60,17 +68,28 @@ object Dedup {
       minJaccard: Double = 0.5
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // hashed shingle sets: small long arrays instead of wide varchar arrays.
+    // Tokens and shingles are bound as real columns between the HOF stages —
+    // interpreted lambdas re-evaluate their subtrees per element, so chaining
+    // the expressions inline would re-tokenize per shingle (measured ~10x).
     val withSig = df
-      .select(
-        col(idCol).as("doc_id"),
-        array_distinct(TextAnalysis.wordShingles(col(textCol), shingleSize)).as("shingles")
-      )
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__sh_str", TextAnalysis.wordShinglesFromTokens(col("__toks"), shingleSize))
+      // xxhash64 (not the md5-based portable hash): this path has no SQL
+      // oracle to mirror, and xxhash64 is ~10x cheaper per shingle
+      .select(col("doc_id"), array_distinct(transform(col("__sh_str"), s => xxhash64(s))).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("sig", minhashSignatureFromHashes(col("shingles"), numHashes))
+      // the signature table feeds three plan branches (banding + both sides
+      // of the candidate verify); cache it instead of recomputing the
+      // tokenize/shingle/hash subtree per branch. At production scale this
+      // table is persisted to storage once and reused across dedup runs.
+      .cache()
 
+    // band table carries only (doc_id, band-key): the 8x explode must not
+    // replicate the shingle payload through the shuffle
     val banded = withSig.select(
       col("doc_id"),
-      col("shingles"),
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
@@ -79,17 +98,33 @@ object Dedup {
       ).as("bb")
     )
 
-    val a = banded.select(col("bb").as("bba"), col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("bb").as("bbb"), col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val a = banded.select(col("bb").as("bba"), col("doc_id").as("id_a"))
+    val b = banded.select(col("bb").as("bbb"), col("doc_id").as("id_b"))
     val cand = a
       .join(b, a("bba") === b("bbb") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
 
+    // verify candidates only: join the (small) shingle sets back by id
+    val shA = withSig.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = withSig.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
     cand
+      .join(shA, "id_a")
+      .join(shB, "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash over pre-hashed shingles: hash_i(h) = (a_i * (h mod p) + b_i) mod p. */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column = {
+    val p = 2147483647L
+    val sigs = (0 until numHashes).map { i =>
+      val a = 2L * ((i * 0x9E3779B97F4A7C15L) >>> 33) + 1
+      val b = (i * 0xC2B2AE3D27D4EB4FL) >>> 31
+      array_min(transform(hashes, h => pmod(lit(a) * pmod(h, lit(p)) + lit(b), lit(p))))
+    }
+    array(sigs: _*)
   }
 
   /** Exact set Jaccard between two (distinct-element) array columns. */
@@ -105,14 +140,16 @@ object Dedup {
     * then pack.
     */
   def simhash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
+    // pre-hash tokens once: the per-bit lambda below would otherwise
+    // recompute xxhash64(token) 64 times per token (interpreted HOFs)
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
     val counters = aggregate(
-      toks,
+      hashes,
       array_repeat(lit(0), 64),
-      (acc, t) =>
+      (acc, h) =>
         zip_with(
           acc,
-          array((0 until 64).map(j => when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)): _*),
+          array((0 until 64).map(j => when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)): _*),
           (x, y) => x + y
         )
     )
@@ -142,15 +179,40 @@ object Dedup {
       shingleSize: Int = 3,
       minJaccard: Double = 0.3
   ): DataFrame = {
-    val base = df.select(
-      (blockCols.map(col) :+ col(idCol).as("doc_id")) :+
-        array_distinct(TextAnalysis.wordShingles(col(textCol), shingleSize)).as("sh"): _*
-    )
-    val a = base.toDF(base.columns.map(c => if (c == "doc_id") "id_a" else if (c == "sh") "sh_a" else c).toIndexedSeq: _*)
-    val b = base.toDF(base.columns.map(c => if (c == "doc_id") "id_b" else if (c == "sh") "sh_b" else c).toIndexedSeq: _*)
-    a.join(b, blockCols)
+    // Inverted-index formulation: explode (block, doc, shingle) postings,
+    // self-join on (block, shingle) so ONLY pairs sharing >=1 shingle ever
+    // materialize, and compute |A∩B| by counting co-occurrences — no
+    // array_intersect, no all-pairs cross product. For a minJaccard > 0
+    // threshold this is result-identical to the naive formulation (a pair
+    // with empty intersection has J=0) while doing ~10x less work on
+    // sparse-overlap corpora; at 100 TB it is the only shape that survives,
+    // since the shuffle is linear in total postings, not quadratic in block
+    // size.
+    require(minJaccard > 0, "inverted-index Jaccard requires a positive threshold")
+    val base = df
+      .select(blockCols.map(col) :+ col(idCol).as("doc_id") :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
+      .withColumn("__sh_str", TextAnalysis.wordShinglesFromTokens(col("__toks"), shingleSize))
+      .select(
+        blockCols.map(col) :+ col("doc_id") :+
+          array_distinct(transform(col("__sh_str"), shingleHash64 _)).as("sh"): _*
+      )
+      // feeds postings (twice) + sizes (twice): cache beats 4x recompute
+      .cache()
+    val sizes = base.select(blockCols.map(col) :+ col("doc_id") :+ size(col("sh")).as("sz"): _*)
+    val postings = base.select(blockCols.map(col) :+ col("doc_id") :+ explode(col("sh")).as("s"): _*)
+    val pa = postings.toDF(postings.columns.map(c => if (c == "doc_id") "id_a" else c).toIndexedSeq: _*)
+    val pb = postings.toDF(postings.columns.map(c => if (c == "doc_id") "id_b" else c).toIndexedSeq: _*)
+    val inter = pa
+      .join(pb, blockCols :+ "s")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .groupBy(blockCols.map(col) :+ col("id_a") :+ col("id_b"): _*)
+      .agg(count(lit(1)).as("inter"))
+    val sa = sizes.select(blockCols.map(col) :+ col("doc_id").as("id_a") :+ col("sz").as("la"): _*)
+    val sb = sizes.select(col("doc_id").as("id_b"), col("sz").as("lb"))
+    inter
+      .join(sa, blockCols :+ "id_a")
+      .join(sb, "id_b")
+      .withColumn("jaccard", col("inter").cast("double") / (col("la") + col("lb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select((blockCols.map(col) :+ col("id_a")) :+ col("id_b") :+ col("jaccard"): _*)
   }

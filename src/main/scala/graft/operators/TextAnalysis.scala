@@ -103,14 +103,23 @@ object TextAnalysis {
 
   /** Word n-gram shingles (ordered, positional) — the input to MinHash and
     * Jaccard dedup. Empty result when fewer than n tokens.
+    *
+    * PERF: pass a bound token COLUMN (`df.withColumn("toks", tokens(text))`)
+    * — higher-order-function lambdas are interpreted and re-evaluate their
+    * subtree per element, so an inline `split()` here would re-tokenize the
+    * document once per shingle.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))
       )
     )
-  }
+
+  /** Convenience form over raw text — fine for small data / tests; hot paths
+    * should bind tokens first (see wordShinglesFromTokens).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(text), n)
 }
