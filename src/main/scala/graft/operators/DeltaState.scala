@@ -29,18 +29,25 @@ object DeltaState {
     *                        current stays null in the delta (line_item
     *                        behavior)
     */
+  /** @param broadcastSnapshot force-broadcast the snapshot side. Default
+    *        false: Catalyst auto-broadcasts under the threshold, and a
+    *        forced broadcast of a 100M-entity state table would OOM the
+    *        executors; pass true only when the snapshot is known-small.
+    */
   def applyDeltas(
       batch: DataFrame,
       snapshot: DataFrame,
       keyCols: Seq[String],
       counters: Seq[(String, String)],
-      coalesceCurrent: Boolean
+      coalesceCurrent: Boolean,
+      broadcastSnapshot: Boolean = false
   ): DataFrame = {
     val snapCols = keyCols ++ counters.map(_._2)
     val snap = snapshot
       .select(snapCols.head, snapCols.tail: _*)
       .withColumn("__snap_exists", lit(true))
-    val joined = batch.join(broadcast(snap), keyCols, "left_outer")
+    val snapSide = if (broadcastSnapshot) broadcast(snap) else snap
+    val joined = batch.join(snapSide, keyCols, "left_outer")
 
     counters
       .foldLeft(joined) { case (df, (cur, prev)) =>

@@ -15,10 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product in index order: both the Spark fold and the verification
-    * oracle accumulate left-to-right, keeping float results bit-comparable.
+  /** Dot product in index order: both sides accumulate left-to-right,
+    * keeping float results bit-comparable with the oracle's ordered
+    * aggregate. Backed by the codegen'd [[graft.plans.DotProduct]]
+    * expression — a tight primitive loop instead of interpreted
+    * per-element lambda dispatch.
     */
   def dot(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.dotNative(a, b)
+
+  /** The higher-order-function formulation (kept for reference/tests —
+    * bit-identical to [[dot]]).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{ServiceConfig, SourceConfig, StagePath}
+import graft.operators.{DeltaState, Flatten, Scd2, Transform}
+import graft.sources.IO
+
+/** End-to-end staged pipeline — the engine equivalent of the reference's
+  * five processes (SURVEY.md §3.1), with the same stage boundaries
+  * materialized as partitioned files (lineage + restartability parity):
+  *
+  *   raw (JSON docs) -> cleansing (flattened pipe-CSV)
+  *                   -> partitioning (masked passthrough)
+  *                   -> transformation (rules/explodes/filter/delta; main +
+  *                      side outputs)
+  *                   -> warehouse load (SCD-2 parquet)
+  *
+  * Each stage is one Spark job graph; within a stage the S3-object handoffs
+  * of the reference become shuffle boundaries, between stages they stay
+  * files. All writes are partitioned by the run date (year/month/day), so
+  * downstream reads prune to one day — at 100 TB that's the difference
+  * between scanning a day and scanning the lake.
+  */
+final case class PipelineRun(
+    root: String,
+    source: String,
+    date: java.time.LocalDate,
+    now: Column // injected clock (deterministic backfill: date+1s, F1)
+) {
+  def path(alias: String, stage: String, fmt: String): String =
+    StagePath(root, source, alias, stage, fmt).forDate(date)
+}
+
+object Pipeline {
+
+  /** Cleansing stage (cleansing.py:22-41): raw JSON documents -> fully
+    * flattened relational pipe-CSV.
+    */
+  def cleanse(spark: SparkSession, run: PipelineRun, alias: String, listIndexBound: Int = 4): DataFrame = {
+    val raw = IO.readJsonDocs(spark, run.path(alias, "raw", "json"))
+    if (raw.isEmpty) raw // blank-input short-circuit (P12)
+    else {
+      val flat = Flatten.flattenAll(raw, listIndexBound = listIndexBound)
+      IO.writePipeCsv(flat, run.path(alias, "cleansing", "csv"))
+      flat
+    }
+  }
+
+  /** Partitioning stage (partitioning.py:81-136): raw -> partitioning copy
+    * with PII masking-column drops.
+    */
+  def partitionStage(spark: SparkSession, run: PipelineRun, svc: ServiceConfig): DataFrame = {
+    val raw = IO.readJsonDocs(spark, run.path(svc.alias, "raw", "json"))
+    val masked = Transform.mask(raw, svc.maskingCols)
+    IO.writeJson(masked, run.path(svc.alias, "partitioning", "json"))
+    masked
+  }
+
+  /** Transformation stage (transformation.py:246-416): config-driven
+    * projection, explode side-outputs, year filter, conversions, generic
+    * spares + timestamp, stateful delta against the snapshot table. Returns
+    * (main, side outputs) and persists all of them as pipe-CSV.
+    */
+  def transform(
+      spark: SparkSession,
+      run: PipelineRun,
+      svc: ServiceConfig,
+      snapshot: Option[DataFrame] = None,
+      deltaCounters: Seq[(String, String)] = Nil,
+      deltaKeys: Seq[String] = Nil,
+      coalesceCurrent: Boolean = false,
+      applyYearFilter: Boolean = false
+  ): (DataFrame, Map[String, DataFrame]) = {
+    val raw = IO.readJsonDocs(spark, run.path(svc.alias, "raw", "json"))
+    val (projected, sides) = Transform.forService(raw, svc, applyYearFilter)
+    val withDeltas = snapshot match {
+      case Some(snap) if deltaCounters.nonEmpty =>
+        DeltaState.applyDeltas(projected, snap, deltaKeys, deltaCounters, coalesceCurrent)
+      case _ => projected
+    }
+    val main = Transform.addGenericAndTimestamp(Transform.floatColumnsToLong(withDeltas), run.now)
+    IO.writePipeCsv(main, run.path(svc.alias, "transformation", "csv"))
+    sides.foreach { case (name, df) => IO.writePipeCsv(df, run.path(name, "transformation", "csv")) }
+    (main, sides)
+  }
+
+  /** Loading stage (loading.py:25-133 shape): staged pipe-CSV -> SCD-2
+    * upsert into the parquet warehouse table; staging "truncate" is the
+    * overwrite of the staged file on the next run.
+    */
+  def load(
+      spark: SparkSession,
+      run: PipelineRun,
+      alias: String,
+      warehousePath: String,
+      keyCols: Seq[String]
+  ): DataFrame = {
+    val staged = IO.readPipeCsv(spark, run.path(alias, "transformation", "csv"))
+    val target =
+      if (IO.listFiles(spark, s"$warehousePath/*.parquet").nonEmpty || new java.io.File(warehousePath).exists())
+        spark.read.parquet(warehousePath)
+      else {
+        // empty target with the staged schema + SCD columns
+        val empty = staged.limit(0)
+        empty
+          .withColumn("actv_flg", lit("Y"))
+          .withColumn("record_to", lit(null).cast("timestamp"))
+      }
+    val result = Scd2.upsert(target, staged, keyCols, run.now)
+    // write-audit-publish: land the new version next to the old, then swap
+    val tmp = warehousePath + ".next"
+    result.write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(warehousePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(warehousePath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(warehousePath))
+    spark.read.parquet(warehousePath)
+  }
+
+  /** Full-refresh loader (O-FULL, loading.py:1937-1956). */
+  def loadFullRefresh(spark: SparkSession, run: PipelineRun, alias: String, warehousePath: String): Unit = {
+    val staged = IO.readPipeCsv(spark, run.path(alias, "transformation", "csv"))
+    Scd2.fullRefresh(staged, warehousePath)
+  }
+}

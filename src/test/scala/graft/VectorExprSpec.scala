@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.plans.VectorExpressions
+
+/** Codegen'd DotProduct must be bit-identical to the HOF fold (same
+  * index-ascending accumulation), across float/double inputs.
+  */
+class VectorExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dotNative == HOF fold, bit-exact, on real float embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 7).select($"embedding").head().getSeq[Float](0)
+    val qc = array(q.map(v => lit(v.toDouble)): _*)
+    val cmp = emb.select(
+      VectorExpressions.dotNative($"embedding", qc).as("native"),
+      Similarity.dotHof($"embedding", qc).as("hof")
+    ).collect()
+    cmp.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) == java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("dotNative on double arrays and known values") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(df.select(VectorExpressions.dotNative($"a", $"b")).head().getDouble(0) == 32.0)
+  }
+
+  test("null array yields null; SQL registration works") {
+    val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    val r = df.select(VectorExpressions.dotNative($"a", $"b")).head()
+    assert(r.isNullAt(0))
+    VectorExpressions.register(spark)
+    df.createOrReplaceTempView("vex")
+    assert(spark.sql("SELECT dot_product(a, a) FROM vex").head().getDouble(0) == 5.0)
+  }
+}
