@@ -178,6 +178,68 @@ object Oracles {
     "q22_unique_check" ->
       """SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1""".stripMargin,
 
+    "q23_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "q24_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts FROM events),
+        | f AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000 THEN 1 ELSE 0 END new_session FROM e),
+        | g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) session_id FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        | CAST(min(ts) AS TIMESTAMP) AS session_start, CAST(max(ts) AS TIMESTAMP) AS session_end,
+        | CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS session_value_cents
+        |FROM g GROUP BY user_id, session_id""".stripMargin,
+
+    "q26_distinct_profile" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q27_pivot" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type='click' THEN CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type='error' THEN CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) END) AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type='purchase' THEN CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type='signup' THEN CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type='view' THEN CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q35_minhash_signature" -> {
+      // constants generated by the SAME formula as minhashSignatureFromHashes
+      val p = 2147483647L
+      val sigExprs = (0 until 8)
+        .map { i =>
+          val a = 2L * ((i * 0x9E3779B97F4A7C15L) >>> 33) + 1
+          val b = ((i * 0xC2B2AE3D27D4EB4FL) >>> 31) % p
+          s"list_min(list_transform(sh, h -> ($a*(h%$p)+$b)%$p)) AS sig_$i"
+        }
+        .mkString(",\n ")
+      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | sh AS (SELECT doc_id,
+         |   list_distinct(list_transform(
+         |     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
+         |     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) sh
+         |  FROM base)
+         |SELECT doc_id,
+         | $sigExprs
+         |FROM sh WHERE len(sh) > 0""".stripMargin
+    },
+
+    "q39_simhash_portable" ->
+      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | th AS (SELECT doc_id, unnest(list_transform(ws, w -> CAST(('0x'||substr(md5(w),1,15)) AS BIGINT))) h FROM base),
+         | votes AS (SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) c
+         |   FROM th CROSS JOIN (SELECT unnest(range(60)) j) js GROUP BY doc_id, j),
+         | sk AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) simhash60
+         |   FROM votes GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(sk.simhash60, 0) AS simhash60
+         |FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id""".stripMargin,
+
     "q30_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
         | CAST(min(doc_id) AS BIGINT) AS keeper_id, count(*) AS copies

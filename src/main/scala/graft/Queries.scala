@@ -277,6 +277,60 @@ object Queries {
       .agg(count(lit(1)).as("n_lines"))
       .filter(col("n_lines") > 1)
 
+  /** q23: hierarchical rollup (region -> nation -> grand total) — Spark
+    * `rollup` = GROUPING SETS; one shuffle, null-marker subtotal rows.
+    */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))
+  }
+
+  /** q24: sessionization — per-user event streams split at >1h inactivity
+    * gaps (lag + cumulative flag sum), then per-session aggregates. The
+    * training-data equivalent of event-log session building.
+    */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 3600000000L, 1).otherwise(0)
+      )
+      .withColumn("session_id", sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("session_value_cents")
+      )
+  }
+
+  /** q26: exact distinct-count profile (the dedup-accounting aggregation). */
+  def q26(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows")
+      )
+
+  /** q27: pivot — per-user event-type value matrix (explicit value list so
+    * the output schema is static and shuffle-free beyond one aggregation).
+    */
+  def q27(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")))
+
   // ------------------------------------------------------- LLM pipeline ops
 
   /** q30: exact dedup by normalized-content fingerprint (hash groupBy). */
@@ -319,6 +373,20 @@ object Queries {
     t(s, dir, "documents").select(col("doc_id"), rolled.as("fingerprint64"))
   }
 
+  /** q35: MinHash signature table (portable md5-prefix hashing; flattened to
+    * scalar columns for oracle comparison) — the building block the LSH
+    * banding consumes.
+    */
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .withColumn("__sh_str", TextAnalysis.wordShinglesFromTokens(col("__toks"), 3))
+      .select(col("doc_id"), array_distinct(transform(col("__sh_str"), Dedup.shingleHash64 _)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", Dedup.minhashSignatureFromHashes(col("sh"), 8))
+    base.select(col("doc_id") +: (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"sig_$i")): _*)
+  }
+
   /** q36: exact n-gram Jaccard near-dup pairs within (source) blocks —
     * the verification path of MinHash-LSH; blocks bound the quadratic term.
     */
@@ -337,6 +405,13 @@ object Queries {
   /** q38: SimHash sketch dedup groups (xxhash64 fast path, rows-only). */
   def q38(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashDuplicates(t(s, dir, "documents"), "doc_id", "text")
+
+  /** q39: portable 60-bit SimHash sketches with duplicate grouping — the
+    * oracle-checked twin of q38's xxhash64 fast path.
+    */
+  def q39(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash60(col("text")).as("simhash60"))
 
   /** q40: brute-force cosine top-k vs the vec_id=0 query vector (index-order
     * fold; ranking on rounded cosine for cross-engine stability).

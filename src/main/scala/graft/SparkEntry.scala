@@ -37,12 +37,18 @@ object SparkEntry {
     "q20_scd2_two_key" -> (Queries.q20 _),
     "q21_dq_suite" -> (Queries.q21 _),
     "q22_unique_check" -> (Queries.q22 _),
+    "q23_rollup" -> (Queries.q23 _),
+    "q24_sessions" -> (Queries.q24 _),
+    "q26_distinct_profile" -> (Queries.q26 _),
+    "q27_pivot" -> (Queries.q27 _),
     "q30_dedup_exact" -> (Queries.q30 _),
     "q31_text_tokens" -> (Queries.q31 _),
     "q32_text_quality" -> (Queries.q32 _),
     "q33_lang_id" -> (Queries.q33 _),
     "q34_rolling_fingerprint" -> (Queries.q34 _),
+    "q35_minhash_signature" -> (Queries.q35 _),
     "q36_jaccard_pairs" -> (Queries.q36 _),
+    "q39_simhash_portable" -> (Queries.q39 _),
     "q37_minhash_lsh" -> (Queries.q37 _),
     "q38_simhash" -> (Queries.q38 _),
     "q40_ann_bruteforce" -> (Queries.q40 _),

@@ -43,7 +43,7 @@ object Dedup {
     val p = 2147483647L // 2^31 - 1, Mersenne prime
     val sigs = (0 until numHashes).map { i =>
       val a = 2L * ((i * 0x9E3779B97F4A7C15L) >>> 33) + 1 // odd multiplier
-      val b = (i * 0xC2B2AE3D27D4EB4FL) >>> 31
+      val b = ((i * 0xC2B2AE3D27D4EB4FL) >>> 31) % p // keep a*(h%p)+b < 2^63 (ANSI-safe)
       array_min(transform(shingles, s => pmod(lit(a) * pmod(xxhash64(s), lit(p)) + lit(b), lit(p))))
     }
     array(sigs: _*)
@@ -121,7 +121,7 @@ object Dedup {
     val p = 2147483647L
     val sigs = (0 until numHashes).map { i =>
       val a = 2L * ((i * 0x9E3779B97F4A7C15L) >>> 33) + 1
-      val b = (i * 0xC2B2AE3D27D4EB4FL) >>> 31
+      val b = ((i * 0xC2B2AE3D27D4EB4FL) >>> 31) % p // keep a*(h%p)+b < 2^63 (ANSI-safe)
       array_min(transform(hashes, h => pmod(lit(a) * pmod(h, lit(p)) + lit(b), lit(p))))
     }
     array(sigs: _*)
@@ -154,6 +154,27 @@ object Dedup {
         )
     )
     (0 until 64)
+      .map(j => when(element_at(counters, j + 1) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Portable 60-bit SimHash (md5-prefix token hashes) — same construction
+    * as [[simhash]] but fully replicable in the SQL oracle. Empty docs
+    * sketch to 0.
+    */
+  def simhash60(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), w => shingleHash64(w))
+    val counters = aggregate(
+      hashes,
+      array_repeat(lit(0), 60),
+      (acc, h) =>
+        zip_with(
+          acc,
+          array((0 until 60).map(j => when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)): _*),
+          (x, y) => x + y
+        )
+    )
+    (0 until 60)
       .map(j => when(element_at(counters, j + 1) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
   }
