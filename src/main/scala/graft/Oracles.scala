@@ -240,6 +240,70 @@ object Oracles {
          |SELECT d.doc_id, COALESCE(sk.simhash60, 0) AS simhash60
          |FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id""".stripMargin,
 
+    "q50_multi_join" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+
+    "q51_conditional_agg" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus""".stripMargin,
+
+    "q52_like_filter" ->
+      """SELECT p_brand, count(*) AS n_parts, CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part WHERE p_type LIKE '%PROMO%' AND p_name NOT LIKE '%red%'
+        |GROUP BY p_brand""".stripMargin,
+
+    "q53_date_arith" ->
+      """SELECT o_orderkey, o_orderdate, o_orderdate + INTERVAL 90 DAY AS deadline
+        |FROM orders WHERE o_orderdate + INTERVAL 90 DAY > TIMESTAMP '2001-06-01 00:00:00'""".stripMargin,
+
+    "q54_correlated_avg" ->
+      """WITH pp AS (SELECT l_partkey pk,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) / count(*) AS DOUBLE) avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, count(*) AS n_small, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN pp ON l_partkey = pk
+        |WHERE l_quantity < avg_qty * CAST(0.2 AS DOUBLE)
+        |GROUP BY l_partkey""".stripMargin,
+
+    "q55_union_distinct" ->
+      """SELECT DISTINCT k FROM (
+        | SELECT l_partkey k FROM lineitem WHERE l_quantity >= 49
+        | UNION ALL
+        | SELECT p_partkey k FROM part WHERE p_size = 50)""".stripMargin,
+
+    "q56_exists_combo" ->
+      """SELECT l1.l_suppkey, count(*) AS numwait
+        |FROM lineitem l1
+        |WHERE l1.l_shipdate > TIMESTAMP '2001-06-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > TIMESTAMP '2001-06-01 00:00:00')
+        |GROUP BY l1.l_suppkey""".stripMargin,
+
+    "q57_string_funcs" ->
+      """SELECT c_custkey, upper(substr(c_name, 1, 8)) AS name_prefix,
+        | c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR) AS seg_key,
+        | CAST(length(regexp_replace(c_name, '[0-9]', '', 'g')) AS INTEGER) AS alpha_len
+        |FROM customer""".stripMargin,
+
+    "q58_min_by_group" ->
+      """SELECT s_nationkey, s_suppkey, s_name, s_acctbal FROM (
+        | SELECT *, min(s_acctbal) OVER (PARTITION BY s_nationkey) min_bal FROM supplier)
+        |WHERE s_acctbal = min_bal""".stripMargin,
+
     "q30_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
         | CAST(min(doc_id) AS BIGINT) AS keeper_id, count(*) AS copies

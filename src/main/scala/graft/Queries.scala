@@ -331,6 +331,116 @@ object Queries {
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")))
 
+  /** q50: five-table join with region filter (TPC-H Q5 shape) — local
+    * supplier revenue by nation. Dimensions broadcast; the orders⋈lineitem
+    * spine shuffles once on the order key.
+    */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines")
+      )
+  }
+
+  /** q51: conditional aggregation (TPC-H Q12 shape) — priority class counts
+    * per line status.
+    */
+  def q51(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count")
+      )
+
+  /** q52: LIKE predicate pushdown + grouped counts. */
+  def q52(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_type").like("%PROMO%") && !col("p_name").like("%red%"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("sum_price"))
+
+  /** q53: date arithmetic — orders shipped within 90 days of a cutoff. */
+  def q53(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("deadline", col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .filter(col("deadline") > lit("2001-06-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("deadline"))
+
+  /** q54: correlated scalar aggregate (TPC-H Q17 shape) — lineitems below
+    * 20% of their part's mean quantity. The mean is computed as an exact
+    * decimal sum over count (portable, unlike engine-native avg).
+    */
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val perPart = li
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")) / count(lit(1))).cast("double").as("avg_qty"))
+    li.join(broadcast(perPart), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_small"), dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** q55: set operation — distinct union of two key projections. */
+  def q55(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_partkey").as("k"))
+      .union(t(s, dir, "part").filter(col("p_size") === 50).select(col("p_partkey").as("k")))
+      .distinct()
+
+  /** q56: EXISTS + NOT EXISTS combination (TPC-H Q21 family) — suppliers
+    * with a late line on a multi-supplier order where no co-supplier was
+    * late. Late = shipdate after 2001-06-01.
+    */
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val late = li.filter(col("l_shipdate") > lit("2001-06-01").cast("timestamp"))
+    val othersOnOrder = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    late
+      .join(othersOnOrder, col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"), "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** q57: string function family — substring/upper/concat/replace parity. */
+  def q57(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(substring(col("c_name"), 1, 8)).as("name_prefix"),
+        concat(col("c_mktsegment"), lit("#"), col("c_nationkey").cast("string")).as("seg_key"),
+        length(regexp_replace(col("c_name"), "[0-9]", "")).as("alpha_len")
+      )
+
+  /** q58: min-by-group selection (TPC-H Q2 shape) — suppliers holding their
+    * nation's minimum account balance, via a window min.
+    */
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+    t(s, dir, "supplier")
+      .withColumn("min_bal", min(col("s_acctbal")).over(w))
+      .filter(col("s_acctbal") === col("min_bal"))
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
+  }
+
   // ------------------------------------------------------- LLM pipeline ops
 
   /** q30: exact dedup by normalized-content fingerprint (hash groupBy). */

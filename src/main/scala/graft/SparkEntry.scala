@@ -41,6 +41,15 @@ object SparkEntry {
     "q24_sessions" -> (Queries.q24 _),
     "q26_distinct_profile" -> (Queries.q26 _),
     "q27_pivot" -> (Queries.q27 _),
+    "q50_multi_join" -> (Queries.q50 _),
+    "q51_conditional_agg" -> (Queries.q51 _),
+    "q52_like_filter" -> (Queries.q52 _),
+    "q53_date_arith" -> (Queries.q53 _),
+    "q54_correlated_avg" -> (Queries.q54 _),
+    "q55_union_distinct" -> (Queries.q55 _),
+    "q56_exists_combo" -> (Queries.q56 _),
+    "q57_string_funcs" -> (Queries.q57 _),
+    "q58_min_by_group" -> (Queries.q58 _),
     "q30_dedup_exact" -> (Queries.q30 _),
     "q31_text_tokens" -> (Queries.q31 _),
     "q32_text_quality" -> (Queries.q32 _),

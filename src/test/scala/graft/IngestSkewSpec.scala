@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+import graft.sources.Ingest
+
+class IngestSkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("S8: paginated ingest lands every page, stops on empty page") {
+    val tmp = Files.createTempDirectory("graft-ingest").toString
+    val all = (1 to 25).map(i => s"""{"id": $i, "name": "row$i"}""")
+    def fetchPage(offset: Int): Seq[String] = all.slice(offset, offset + 10)
+    val df = Ingest.pagedJsonIngest(spark, fetchPage, s"$tmp/landing", pageSize = 10)
+    assert(df.count() == 25)
+    assert(df.agg(sum("id")).head().getLong(0) == 325)
+  }
+
+  test("report ingest repairs schema drift (ingestion.py:84-123 semantics)") {
+    val tmp = Files.createTempDirectory("graft-report").toString
+    // gzip CSV: dotted prefix header, one new column, one registry column
+    // missing, '-' null sentinel, float metric (FIXTURES.md B3)
+    val csv = "Dimension.AD_UNIT_ID,Total Impressions,surprise_col\nau1,100.5,x\nau2,-,y\n"
+    val gz = s"$tmp/report.csv.gz"
+    val out = new GZIPOutputStream(new java.io.FileOutputStream(gz))
+    out.write(csv.getBytes("UTF-8")); out.close()
+
+    val registry = Seq("ad_unit_id", "total_impressions", "clicks")
+    val (df, updated) = Ingest.reportIngest(spark, gz, registry, s"$tmp/landed")
+    assert(df.columns.toSeq == Seq("ad_unit_id", "total_impressions", "clicks", "surprise_col"))
+    val rows = df.orderBy("ad_unit_id").collect()
+    assert(rows(0).getString(0) == "au1" && rows(0).getLong(1) == 100L) // float->trunc long
+    assert(rows(1).getLong(1) == 0L) // '-' -> null -> 0 (F2 coalesce)
+    assert(rows(0).isNullAt(2)) // registry col missing from report -> null
+    assert(updated == registry :+ "surprise_col") // S16 writeback payload
+  }
+
+  test("salted join result-identical to plain join under skew") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) "rare" + i else "hot", i)).toDF("k", "v")
+    val small = Seq(("hot", 1.0), ("rare20", 2.0), ("rare30", 3.0)).toDF("k", "w")
+    val plain = big.join(small, "k")
+    val salted = SkewJoin.saltedInnerJoin(big, small, "k", nSalts = 8)
+    assert(salted.count() == plain.count())
+    val a = plain.orderBy("k", "v").collect().map(_.toSeq).toSeq
+    val b = salted.select(plain.columns.map(col): _*).orderBy("k", "v").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("two-phase count matches plain groupBy count") {
+    val df = (1 to 500).map(i => if (i % 50 == 0) "tail" else "head").toDF("k")
+    val plain = df.groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val twoPhase = SkewJoin.twoPhaseCount(df, "k", 4).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == twoPhase)
+  }
+}
