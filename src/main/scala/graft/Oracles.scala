@@ -368,6 +368,19 @@ object Oracles {
          |SELECT source, id_a, id_b, CAST(FLOOR(jac*10000) AS BIGINT) AS jaccard_e4
          |FROM j WHERE jac >= CAST(0.3 AS DOUBLE)""".stripMargin,
 
+    "q46_lsh_buckets" -> {
+      val masks = (0 until 8)
+        .map(b => s"($b, '${graft.operators.Similarity.hyperplaneMask(0, b, 64)}')")
+        .mkString(", ")
+      s"""WITH m(bit, mask) AS (VALUES $masks),
+         | e AS (SELECT vec_id, unnest(embedding) x, unnest(range(64)) i FROM embeddings),
+         | d AS (SELECT vec_id, bit,
+         |    sum(CAST(x AS DOUBLE) * (CASE substr(mask, CAST(i+1 AS INTEGER), 1) WHEN '1' THEN 1.0 ELSE -1.0 END) ORDER BY i) dt
+         |  FROM e CROSS JOIN m GROUP BY vec_id, bit)
+         |SELECT vec_id, CAST(sum(CASE WHEN dt > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS bucket
+         |FROM d GROUP BY vec_id""".stripMargin
+    },
+
     "q40_ann_bruteforce" ->
       """WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id=0),
         | pairs AS (SELECT e.vec_id, unnest(e.embedding) x, unnest(q.qe) y, unnest(range(64)) i
@@ -389,6 +402,13 @@ object Oracles {
         |FROM documents""".stripMargin,
 
     "q43_event_windows" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // identical oracle: the streaming execution must match the batch plan
+    "q45_stream_windows" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         | count(*) AS n_events,
         | CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_value_cents

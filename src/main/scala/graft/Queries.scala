@@ -573,6 +573,37 @@ object Queries {
       .agg(count(lit(1)).as("n_events"), sum(col("value").cast("decimal(18,2)") * 100).cast("long").as("sum_value_cents"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value_cents"))
 
+  /** q45: the SAME windowed aggregation as q43, but executed through
+    * Structured Streaming — readStream over the events parquet, complete-
+    * mode aggregation into a memory sink, one AvailableNow pass. Proves the
+    * streaming engine computes identically to the batch plan (and to the
+    * DuckDB oracle).
+    */
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // file-stream sources take a directory; select just the events table
+    val stream = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast("decimal(18,2)") * 100).cast("long").as("sum_value_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value_cents"))
+    val name = s"q45_sink_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    s.table(name)
+  }
+
+  /** q46: sign-LSH bucket assignment (table 0, 8 bits) — the partitioning
+    * key of the ANN scale path, oracle-checked bit-for-bit against SQL with
+    * the hyperplanes embedded as sign masks.
+    */
+  def q46(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 64, 8, 0).as("bucket"))
+
   /** q44: multimodal decode plumbing (mapPartitions batched stub decoder) —
     * deterministic fake features; rows-only (JVM hash not SQL-portable).
     */

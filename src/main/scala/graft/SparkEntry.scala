@@ -64,6 +64,8 @@ object SparkEntry {
     "q41_ann_lsh" -> (Queries.q41 _),
     "q42_multimodal_meta" -> (Queries.q42 _),
     "q43_event_windows" -> (Queries.q43 _),
+    "q45_stream_windows" -> (Queries.q45 _),
+    "q46_lsh_buckets" -> (Queries.q46 _),
     "q44_media_decode" -> (Queries.q44 _)
   )
 

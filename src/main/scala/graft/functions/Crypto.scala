@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   * the UDF closes over a Broadcast[Array[Byte]] so executors never re-fetch.
   */
 object Fernet {
-  private val B64 = Base64.getUrlEncoder.withoutPadding
+  // padded url-safe base64: the Python cryptography library REJECTS unpadded
+  // tokens (verified by cross-implementation round-trip)
+  private val B64 = Base64.getUrlEncoder
   private val B64D = Base64.getUrlDecoder
 
   def generateKey(): String = {

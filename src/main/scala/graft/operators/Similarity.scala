@@ -55,11 +55,17 @@ object Similarity {
     * derived from a seeded xorshift-free closed form (driver-side constants,
     * folded into the plan as literals).
     */
-  private def hyperplaneSign(bit: Int, i: Int): Double = {
+  def hyperplaneSign(bit: Int, i: Int): Double = {
     var h = bit.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
     h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
     if ((h & 1L) == 0L) 1.0 else -1.0
   }
+
+  /** '1'/'0' mask string of one hyperplane's signs — for embedding the
+    * deterministic hyperplanes into oracle SQL.
+    */
+  def hyperplaneMask(table: Int, bit: Int, dim: Int): String =
+    (0 until dim).map(i => if (hyperplaneSign(table * 1024 + bit, i) > 0) '1' else '0').mkString
 
   /** Sign-random-projection LSH bucket id (0 .. 2^nBits-1) for a vector.
     * `table` selects an independent hyperplane family (multi-table LSH).

@@ -46,6 +46,19 @@ class CryptoSpec extends AnyFunSuite {
     assert(raw.length == 1 + 8 + 16 + 16 + 32) // "hello" pads to one AES block
   }
 
+  test("cross-implementation golden: decrypts a token produced by Python cryptography.Fernet") {
+    // generated once with cryptography==41.x: Fernet(key).encrypt(b'graft-cross-check')
+    val key = "iYcYnfEU7ztI4DziB5Zjb93MK25BtMfL1UNnHgew2IU="
+    val token = "gAAAAABqfBiPJZvvCpavlTdDJIUejj5Hr0OtJj9WI3iU2UmJLg5DvJmaNdqwZ3Dc3ahKH0ILjpl_Ka7FAUTsJBC1k0pugkJAsj_Qh8NTo-_pgONDW3NFrx8="
+    assert(new String(Fernet.decrypt(Fernet.decodeKey(key), token), "UTF-8") == "graft-cross-check")
+  }
+
+  test("Fernet tokens are padded url-safe base64 (Python-library requirement)") {
+    val kb = Fernet.decodeKey(Fernet.generateKey())
+    val tok = Fernet.encrypt(kb, "x".getBytes("UTF-8"))
+    assert(tok.length % 4 == 0)
+  }
+
   test("Fernet HMAC tamper detection") {
     val kb = Fernet.decodeKey(Fernet.generateKey())
     val tok = Fernet.encrypt(kb, "hello".getBytes("UTF-8"))
