@@ -368,6 +368,23 @@ object Oracles {
          |SELECT source, id_a, id_b, CAST(FLOOR(jac*10000) AS BIGINT) AS jaccard_e4
          |FROM j WHERE jac >= CAST(0.3 AS DOUBLE)""".stripMargin,
 
+    "q48_profile" ->
+      """SELECT o_orderstatus, n, n_null, min_price, max_price, sum_price,
+        | CAST(FLOOR(((sumsq_price - sum_price*sum_price/n)/(n-1))*10000) AS BIGINT) AS variance_e4
+        |FROM (SELECT o_orderstatus, count(*) n, count(*)-count(o_totalprice) n_null,
+        |    min(o_totalprice) min_price, max(o_totalprice) max_price,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) sum_price,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) sumsq_price
+        |  FROM orders GROUP BY o_orderstatus)""".stripMargin,
+
+    // independent algorithm on the oracle side: DuckDB's native ASOF JOIN vs
+    // the engine's carry-forward window formulation
+    "q49_asof_join" ->
+      """WITH clicks AS (SELECT user_id, ts, event_id click_id FROM events WHERE event_type='click'),
+        | purchases AS (SELECT user_id, ts, event_id purchase_id FROM events WHERE event_type='purchase')
+        |SELECT p.user_id, p.purchase_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts, c.click_id AS last_click_id
+        |FROM purchases p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
     "q46_lsh_buckets" -> {
       val masks = (0 until 8)
         .map(b => s"($b, '${graft.operators.Similarity.hyperplaneMask(0, b, 64)}')")

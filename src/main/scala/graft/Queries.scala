@@ -604,6 +604,59 @@ object Queries {
     t(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 64, 8, 0).as("bucket"))
 
+  /** q47: embedding cosine near-dup pairs, LSH-blocked (composition of the
+    * q46-verified buckets and the q40-verified cosine; rows-only).
+    */
+  def q47(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", nBits = 8, minCosine = 0.9)
+
+  /** q48: one-pass column profiler — count/nulls/min/max plus exact variance
+    * from decimal sum/sum-of-squares (engine-native stddev is an
+    * order-dependent double fold; this is the portable formulation).
+    */
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val v = col("o_totalprice").cast("decimal(18,2)")
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("o_totalprice"))).as("n_null"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sum(v).cast("double").as("sum_price"),
+        sum(v * v).cast("double").as("sumsq_price")
+      )
+      .withColumn(
+        "variance_e4",
+        floor(
+          ((col("sumsq_price") - col("sum_price") * col("sum_price") / col("n")) / (col("n") - 1)) * 10000
+        ).cast("long")
+      )
+      .drop("sumsq_price")
+  }
+
+  /** q49: as-of join — for each purchase, the user's latest click at-or-
+    * before it. Implemented as the scalable carry-forward pattern: union the
+    * two streams, one sort-shuffle per user, `last(_, ignoreNulls)` over the
+    * time-ordered window. No range-join blowup; at 100 TB this is one
+    * shuffle of events on user_id.
+    */
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"), lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"), col("event_id").as("purchase_id"))
+    // clicks sort before purchases at identical ts (tag 0 < 1) => "at or before"
+    val tagged = clicks.withColumn("__tag", lit(0)).unionByName(purchases.withColumn("__tag", lit(1)))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("__tag"), coalesce(col("click_id"), col("purchase_id")))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("purchase_id").isNotNull)
+      .select(col("user_id"), col("purchase_id"), col("ts").as("purchase_ts"), col("last_click_id"))
+  }
+
   /** q44: multimodal decode plumbing (mapPartitions batched stub decoder) —
     * deterministic fake features; rows-only (JVM hash not SQL-portable).
     */

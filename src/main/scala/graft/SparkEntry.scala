@@ -66,6 +66,9 @@ object SparkEntry {
     "q43_event_windows" -> (Queries.q43 _),
     "q45_stream_windows" -> (Queries.q45 _),
     "q46_lsh_buckets" -> (Queries.q46 _),
+    "q47_embedding_neardup" -> (Queries.q47 _),
+    "q48_profile" -> (Queries.q48 _),
+    "q49_asof_join" -> (Queries.q49 _),
     "q44_media_decode" -> (Queries.q44 _)
   )
 
