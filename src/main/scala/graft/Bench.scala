@@ -19,7 +19,7 @@ object Bench {
       "q13_explode_tokens", "q21_dq_suite",
       "q30_dedup_exact", "q32_text_quality", "q36_jaccard_pairs",
       "q37_minhash_lsh", "q40_ann_bruteforce", "q41_ann_lsh",
-      "q43_event_windows"
+      "q43_event_windows", "q24_sessions", "q49_asof_join", "q50_multi_join"
     )
 
     // warm-up: run every headline query once at the smallest SF so JIT/C2

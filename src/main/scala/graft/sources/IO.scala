@@ -90,6 +90,17 @@ object IO {
   def readWarehouse(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Bucketed warehouse table: co-locates rows by key hash at write time so
+    * subsequent equi-joins/aggregations on the bucket key run shuffle-free
+    * (SortMergeJoin with no Exchange). At 100 TB this is THE lever for the
+    * repeated fact-fact joins: pay the shuffle once at load, never per
+    * query. Requires a metastore-backed table (saveAsTable).
+    */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String, numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet").bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w).saveAsTable(table)
+  }
+
   /** S14: file discovery under a prefix (Hadoop FS glob — the Spark-native
     * replacement for the reference's S3 list_objects loop,
     * partitioning.py:28-32).
