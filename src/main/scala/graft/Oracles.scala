@@ -385,6 +385,15 @@ object Oracles {
         |SELECT p.user_id, p.purchase_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts, c.click_id AS last_click_id
         |FROM purchases p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
+    "q60_repetition" ->
+      s"""SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_bigrams,
+         | CAST(FLOOR(CASE WHEN len(sh)=0 THEN 0.0
+         |   ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)/len(sh) END * 10000) AS BIGINT) AS repetition_e4
+         |FROM (SELECT doc_id,
+         |   CASE WHEN len(ws)<2 THEN CAST([] AS VARCHAR[])
+         |     ELSE list_transform(range(1, len(ws)), i -> ws[i]||' '||ws[i+1]) END sh
+         | FROM (SELECT doc_id, $tokensExpr ws FROM documents))""".stripMargin,
+
     "q46_lsh_buckets" -> {
       val masks = (0 until 8)
         .map(b => s"($b, '${graft.operators.Similarity.hyperplaneMask(0, b, 64)}')")

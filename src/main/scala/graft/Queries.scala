@@ -604,6 +604,19 @@ object Queries {
     t(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 64, 8, 0).as("bucket"))
 
+  /** q60: within-document repetition ratio (boilerplate/template signal)
+    * over word 2-grams, floor-scaled for engine parity.
+    */
+  def q60(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .withColumn("__sh", TextAnalysis.wordShinglesFromTokens(col("__toks"), 2))
+      .select(
+        col("doc_id"),
+        size(col("__sh")).as("n_bigrams"),
+        floor(TextAnalysis.repetitionRatio(col("__sh")) * 10000).cast("long").as("repetition_e4")
+      )
+
   /** q47: embedding cosine near-dup pairs, LSH-blocked (composition of the
     * q46-verified buckets and the q40-verified cosine; rows-only).
     */

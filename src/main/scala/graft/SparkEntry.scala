@@ -69,6 +69,7 @@ object SparkEntry {
     "q47_embedding_neardup" -> (Queries.q47 _),
     "q48_profile" -> (Queries.q48 _),
     "q49_asof_join" -> (Queries.q49 _),
+    "q60_repetition" -> (Queries.q60 _),
     "q44_media_decode" -> (Queries.q44 _)
   )
 

@@ -101,6 +101,14 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L), (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(4294967296L)), ring))
   }
 
+  /** Within-document repetition ratio: 1 - distinct/total word n-grams — a
+    * standard training-data quality signal (template/boilerplate detector).
+    * 0 = no repeated n-grams; -> 1 for highly repetitive text.
+    */
+  def repetitionRatio(shingles: Column): Column =
+    when(size(shingles) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(shingles)).cast("double") / size(shingles))
+
   /** Word n-gram shingles (ordered, positional) — the input to MinHash and
     * Jaccard dedup. Empty result when fewer than n tokens.
     *

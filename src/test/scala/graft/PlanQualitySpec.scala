@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale properties claimed in SCALE.md
+  * (pushdown reaching the scan, broadcasts on dimension sides, partial
+  * aggregation before exchanges) asserted on the optimized plans so a future
+  * edit can't silently regress them.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: predicates and projection pushed into the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("l_shipdate#") && p.contains(">= 1997-01-01"))
+    // pruned read schema: only the 4 projected + filter columns
+    assert(!p.contains("l_returnflag"), "column pruning regressed: scan reads unprojected columns")
+  }
+
+  test("q03: dimension side broadcasts, aggregation is partial-then-final") {
+    val p = plan("q03_join_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial aggregation missing")
+  }
+
+  test("q04: semi join stays broadcast with pre-aggregated key set") {
+    val p = plan("q04_semi_join")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q12: snapshot join is broadcast at this scale") {
+    val p = plan("q12_state_delta")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    assert(p.contains("LeftOuter"))
+  }
+
+  test("q01: scan prunes to the aggregated columns only") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!scans.contains("l_orderkey"), "scan reads columns the aggregation never touches")
+  }
+}
