@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.plans.{MinHashAgg, MinHashUnionAgg}
+
+class AggExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("MinHashUnionAgg: group signature == signature of the union set") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val sigs = docs
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("sh", TextAnalysis.wordShinglesFromTokens(col("toks"), 3))
+      .select(col("source"), array_distinct(transform(col("sh"), Dedup.shingleHash64 _)).as("hashes"))
+      .filter(size(col("hashes")) > 0)
+      .withColumn("sig", Dedup.minhashSignatureFromHashes(col("hashes"), 16))
+
+    val agg = new MinHashUnionAgg(16).toColumn
+    val grouped = sigs
+      .select(col("source"), col("sig").as("value"))
+      .as[(String, Seq[Long])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("gsig"))
+      .collect()
+      .toMap
+
+    // ground truth: signature of the flattened union of each group's shingles
+    val truth = sigs
+      .groupBy("source")
+      .agg(array_distinct(flatten(collect_list(col("hashes")))).as("all"))
+      .withColumn("tsig", Dedup.minhashSignatureFromHashes(col("all"), 16))
+      .select("source", "tsig")
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+      .toMap
+
+    truth.foreach { case (src, tsig) => assert(grouped(src) == tsig, s"group $src") }
+  }
+
+  test("estimatedJaccard of identical signatures is 1, disjoint ~0") {
+    assert(MinHashAgg.estimatedJaccard(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == 1.0)
+    assert(MinHashAgg.estimatedJaccard(Seq(1L, 2L), Seq(9L, 8L)) == 0.0)
+  }
+
+  test("GraftExtensions injects dot_product for pure-SQL sessions") {
+    import org.apache.spark.sql.SparkSession
+    val prev = TestSpark.spark // ensure the context exists
+    // getOrCreate returns the active session (ignoring extensions) unless we
+    // clear it; the new session shares the SparkContext but gets our
+    // extensions applied
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession
+        .builder()
+        .master("local[4]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+      assert(r.getDouble(0) == 11.0)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+}
