@@ -32,7 +32,12 @@ object Dedup {
     * integer-keyed; a 60-bit space makes collisions (which would perturb
     * Jaccard) negligible at any realistic block size.
     */
-  def shingleHash64(s: Column): Column = conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  def shingleHash64(s: Column): Column = graft.plans.HashExpressions.md5Prefix60(s)
+
+  /** The functions._ formulation shingleHash64 is value-identical to (kept
+    * for the bit-equality regression test).
+    */
+  def shingleHash64Hof(s: Column): Column = conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** Deterministic MinHash signature as an array column.
     * hash_i(s) = (a_i * xxhash64(s) + b_i) mod p, signature_i = min over
@@ -116,8 +121,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash over pre-hashed shingles: hash_i(h) = (a_i * (h mod p) + b_i) mod p. */
-  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column = {
+  /** MinHash over pre-hashed shingles: hash_i(h) = (a_i * (h mod p) + b_i)
+    * mod p — fused codegen loop (plans.MinHashSig), value-identical to the
+    * HOF formulation below.
+    */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column =
+    graft.plans.HashExpressions.minhashSig(hashes, numHashes)
+
+  /** HOF formulation (regression baseline for the codegen expression). */
+  def minhashSignatureFromHashesHof(hashes: Column, numHashes: Int): Column = {
     val p = 2147483647L
     val sigs = (0 until numHashes).map { i =>
       val a = 2L * ((i * 0x9E3779B97F4A7C15L) >>> 33) + 1

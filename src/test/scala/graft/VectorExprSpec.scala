@@ -31,6 +31,25 @@ class VectorExprSpec extends AnyFunSuite {
     assert(df.select(VectorExpressions.dotNative($"a", $"b")).head().getDouble(0) == 32.0)
   }
 
+  test("Md5Prefix60 == conv(substr(md5)) formulation, on real shingles") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val sh = docs
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .select(explode(TextAnalysis.wordShinglesFromTokens(col("toks"), 3)).as("s"))
+    val cmp = sh.select(Dedup.shingleHash64(col("s")).as("native"), Dedup.shingleHash64Hof(col("s")).as("hof")).collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("MinHashSig == HOF signature formulation") {
+    import graft.operators.Dedup
+    val df = Seq(Seq(5L, 123456789L, -42L, Long.MinValue + 7, 999999999999L)).toDF("hs")
+    val a = df.select(Dedup.minhashSignatureFromHashes(col("hs"), 16)).head().getSeq[Long](0)
+    val b = df.select(Dedup.minhashSignatureFromHashesHof(col("hs"), 16)).head().getSeq[Long](0)
+    assert(a == b)
+  }
+
   test("null array yields null; SQL registration works") {
     val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")
     val r = df.select(VectorExpressions.dotNative($"a", $"b")).head()
