@@ -209,14 +209,10 @@ object Oracles {
         |FROM events GROUP BY user_id""".stripMargin,
 
     "q35_minhash_signature" -> {
-      // constants generated by the SAME formula as minhashSignatureFromHashes
-      val p = 2147483647L
+      // constants from the SAME source as the engine (plans.MinHashSig)
+      import graft.plans.MinHashSig.{P, a, b}
       val sigExprs = (0 until 8)
-        .map { i =>
-          val a = 2L * ((i * 0x9E3779B97F4A7C15L) >>> 33) + 1
-          val b = ((i * 0xC2B2AE3D27D4EB4FL) >>> 31) % p
-          s"list_min(list_transform(sh, h -> ($a*(h%$p)+$b)%$p)) AS sig_$i"
-        }
+        .map(i => s"list_min(list_transform(sh, h -> (${a(i)}*(h%$P)+${b(i)})%$P)) AS sig_$i")
         .mkString(",\n ")
       s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
          | sh AS (SELECT doc_id,

@@ -45,11 +45,9 @@ object Dedup {
     * constants so executors need no side data at all.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val p = 2147483647L // 2^31 - 1, Mersenne prime
+    import graft.plans.MinHashSig.{P, a, b} // single home for the constants
     val sigs = (0 until numHashes).map { i =>
-      val a = 2L * ((i * 0x9E3779B97F4A7C15L) >>> 33) + 1 // odd multiplier
-      val b = ((i * 0xC2B2AE3D27D4EB4FL) >>> 31) % p // keep a*(h%p)+b < 2^63 (ANSI-safe)
-      array_min(transform(shingles, s => pmod(lit(a) * pmod(xxhash64(s), lit(p)) + lit(b), lit(p))))
+      array_min(transform(shingles, s => pmod(lit(a(i)) * pmod(xxhash64(s), lit(P)) + lit(b(i)), lit(P))))
     }
     array(sigs: _*)
   }
@@ -130,11 +128,9 @@ object Dedup {
 
   /** HOF formulation (regression baseline for the codegen expression). */
   def minhashSignatureFromHashesHof(hashes: Column, numHashes: Int): Column = {
-    val p = 2147483647L
+    import graft.plans.MinHashSig.{P, a, b}
     val sigs = (0 until numHashes).map { i =>
-      val a = 2L * ((i * 0x9E3779B97F4A7C15L) >>> 33) + 1
-      val b = ((i * 0xC2B2AE3D27D4EB4FL) >>> 31) % p // keep a*(h%p)+b < 2^63 (ANSI-safe)
-      array_min(transform(hashes, h => pmod(lit(a) * pmod(h, lit(p)) + lit(b), lit(p))))
+      array_min(transform(hashes, h => pmod(lit(a(i)) * pmod(h, lit(P)) + lit(b(i)), lit(P))))
     }
     array(sigs: _*)
   }

@@ -21,6 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class Md5Prefix60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"Md5Prefix60 requires a string input, got ${child.dataType}"
+      )
+
   override def nullSafeEval(v: Any): Any =
     Md5Prefix60.hash(v.asInstanceOf[UTF8String].getBytes)
 
@@ -55,19 +63,35 @@ object Md5Prefix60 {
   */
 case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"MinHashSig requires array<bigint>, got $dt"
+        )
+    }
+
+  // Empty input (or all-null elements) yields NULL — a signature of nothing
+  // is undefined, matching the spirit of array_min's null on empty. Null
+  // ELEMENTS are skipped, as array_min does.
   override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    new GenericArrayData(MinHashSig.signature(arr.toLongArray(), numHashes))
+    val sig = MinHashSig.signature(v.asInstanceOf[ArrayData], numHashes)
+    if (sig == null) null else new GenericArrayData(sig)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(
+    nullSafeCodeGen(
       ctx,
       ev,
-      c =>
-        s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-          s"graft.plans.MinHashSig$$.MODULE$$.signature($c.toLongArray(), $numHashes))"
+      c => s"""
+        |long[] sig = graft.plans.MinHashSig$$.MODULE$$.signature($c, $numHashes);
+        |if (sig == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(sig); }
+       """.stripMargin
     )
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -80,23 +104,29 @@ object MinHashSig {
   def a(i: Int): Long = 2L * ((i * 0x9E3779B97F4A7C15L) >>> 33) + 1
   def b(i: Int): Long = ((i * 0xC2B2AE3D27D4EB4FL) >>> 31) % P
 
-  def signature(hashes: Array[Long], numHashes: Int): Array[Long] = {
+  /** null when there are no (non-null) elements to hash. */
+  def signature(arr: ArrayData, numHashes: Int): Array[Long] = {
+    val n = arr.numElements()
     val out = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
     var k = 0
     while (k < numHashes) {
       val ak = a(k); val bk = b(k)
       var j = 0
       var mn = Long.MaxValue
-      while (j < hashes.length) {
-        val hm = { val m = hashes(j) % P; if (m < 0) m + P else m }
-        val v = (ak * hm + bk) % P
-        if (v < mn) mn = v
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          if (k == 0) any = true
+          val hm = { val m = arr.getLong(j) % P; if (m < 0) m + P else m }
+          val v = (ak * hm + bk) % P
+          if (v < mn) mn = v
+        }
         j += 1
       }
       out(k) = mn
       k += 1
     }
-    out
+    if (n == 0 || !any) null else out
   }
 }
 
