@@ -390,6 +390,21 @@ object Oracles {
          |     ELSE list_transform(range(1, len(ws)), i -> ws[i]||' '||ws[i+1]) END sh
          | FROM (SELECT doc_id, $tokensExpr ws FROM documents))""".stripMargin,
 
+    "q61_vocab" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | df AS (SELECT token, count(*) doc_freq FROM (SELECT doc_id, unnest(list_distinct(ws)) token FROM toks) GROUP BY token),
+         | tf AS (SELECT token, count(*) term_freq FROM (SELECT unnest(ws) token FROM toks) GROUP BY token)
+         |SELECT df.token, df.doc_freq, tf.term_freq FROM df JOIN tf ON df.token = tf.token""".stripMargin,
+
+    "q62_stratified_sample" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN b < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        | CAST(sum(CASE WHEN b < 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        | CAST(sum(CASE WHEN b >= 80 AND b < 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        | CAST(sum(CASE WHEN b >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |FROM (SELECT lang, CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b FROM documents)
+        |GROUP BY lang""".stripMargin,
+
     "q46_lsh_buckets" -> {
       val masks = (0 until 8)
         .map(b => s"($b, '${graft.operators.Similarity.hyperplaneMask(0, b, 64)}')")

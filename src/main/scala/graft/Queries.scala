@@ -617,6 +617,40 @@ object Queries {
         floor(TextAnalysis.repetitionRatio(col("__sh")) * 10000).cast("long").as("repetition_e4")
       )
 
+  /** q61: corpus vocabulary profile — document frequency + total term
+    * frequency per token (explode + two-level aggregation with map-side
+    * combine).
+    */
+  def q61(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .join(
+        t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("term_freq")),
+        Seq("token")
+      )
+
+  /** q62: deterministic stratified sampling — hash-mod bucketing per
+    * language stratum (the reproducible train/val/test split primitive; no
+    * rand(), so re-runs and both engines agree exactly).
+    */
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(graft.plans.HashExpressions.md5Prefix60(col("doc_id").cast("string")), lit(100L))
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(bucket < 10, 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(bucket < 80, 1L).otherwise(0L)).as("n_train"),
+        sum(when(bucket >= 80 && bucket < 90, 1L).otherwise(0L)).as("n_val"),
+        sum(when(bucket >= 90, 1L).otherwise(0L)).as("n_test")
+      )
+  }
+
   /** q47: embedding cosine near-dup pairs, LSH-blocked (composition of the
     * q46-verified buckets and the q40-verified cosine; rows-only).
     */

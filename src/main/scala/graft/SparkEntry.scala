@@ -70,6 +70,8 @@ object SparkEntry {
     "q48_profile" -> (Queries.q48 _),
     "q49_asof_join" -> (Queries.q49 _),
     "q60_repetition" -> (Queries.q60 _),
+    "q61_vocab" -> (Queries.q61 _),
+    "q62_stratified_sample" -> (Queries.q62 _),
     "q44_media_decode" -> (Queries.q44 _)
   )
 

@@ -68,6 +68,20 @@ class CryptoSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Fernet.decrypt(kb, bad))
   }
 
+  test("S5: key bootstrap via text-file source -> broadcast -> column UDFs (createKey.py flow)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-key").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/fernet.key"), Fernet.generateKey())
+    // read key file as a 1-row DataFrame, collect to driver (createKey.py:62-84)
+    val key = graft.sources.IO.readText(spark, s"$tmp/fernet.key").head().getString(0)
+    val enc = Crypto.encryptCol(spark, key)
+    val dec = Crypto.decryptCol(spark, key)
+    val out = Seq("secret").toDF("v")
+      .withColumn("e", enc(col("v")))
+      .withColumn("d", dec(col("e")))
+      .head()
+    assert(out.getString(2) == "secret")
+  }
+
   test("column-level encrypt/decrypt UDFs with broadcast key (createKey.py shape)") {
     val key = Fernet.generateKey()
     val enc = Crypto.encryptCol(spark, key)

@@ -105,5 +105,24 @@ class PipelineSpec extends AnyFunSuite {
     // exactly one active version per key (O-SCD2 invariant)
     val perKey = v2.filter($"actv_flg" === "Y").groupBy("line_item_id").count().collect()
     assert(perKey.forall(_.getLong(1) == 1))
+
+    // O-FULL: full-refresh load overwrites, no history
+    val whFull = s"$root/warehouse/tbl_line_item_full"
+    Pipeline.loadFullRefresh(spark, run, "line_item", whFull)
+    Pipeline.loadFullRefresh(spark, run2, "line_item", whFull)
+    assert(spark.read.parquet(whFull).count() == 2) // overwritten, not appended
+  }
+
+  test("P12: blank-input short-circuit (empty raw document array)") {
+    val root = Files.createTempDirectory("graft-pipe-empty").toString
+    val run = PipelineRun(root, "ad-manager", java.time.LocalDate.of(2024, 6, 1),
+      lit("2024-06-01 00:00:01").cast("timestamp"))
+    val rawDir = new java.io.File(run.path("empty_svc", "raw", "json"))
+    rawDir.mkdirs()
+    Files.writeString(java.nio.file.Paths.get(rawDir + "/empty_svc.json"), "[]")
+    val out = Pipeline.cleanse(spark, run, "empty_svc")
+    assert(out.isEmpty)
+    // short-circuit: no cleansing output written
+    assert(!new java.io.File(run.path("empty_svc", "cleansing", "csv")).exists())
   }
 }
