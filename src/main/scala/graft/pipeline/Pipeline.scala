@@ -87,7 +87,9 @@ object Pipeline {
   }
 
   /** Loading stage (loading.py:25-133 shape): staged pipe-CSV -> SCD-2
-    * upsert into the parquet warehouse table; staging "truncate" is the
+    * upsert committed as a new snapshot of a [[graft.sources.VersionedTable]]
+    * — readers keep a consistent view mid-load, each run is time-travelable,
+    * and rollback = read the previous version. Staging "truncate" is the
     * overwrite of the staged file on the next run.
     */
   def load(
@@ -97,26 +99,20 @@ object Pipeline {
       warehousePath: String,
       keyCols: Seq[String]
   ): DataFrame = {
+    import graft.sources.VersionedTable
     val staged = IO.readPipeCsv(spark, run.path(alias, "transformation", "csv"))
-    val target =
-      if (IO.listFiles(spark, s"$warehousePath/*.parquet").nonEmpty || new java.io.File(warehousePath).exists())
-        spark.read.parquet(warehousePath)
-      else {
+    val target = VersionedTable.latestVersion(spark, warehousePath) match {
+      case Some(_) => VersionedTable.read(spark, warehousePath)
+      case None =>
         // empty target with the staged schema + SCD columns
-        val empty = staged.limit(0)
-        empty
+        staged
+          .limit(0)
           .withColumn("actv_flg", lit("Y"))
           .withColumn("record_to", lit(null).cast("timestamp"))
-      }
+    }
     val result = Scd2.upsert(target, staged, keyCols, run.now)
-    // write-audit-publish: land the new version next to the old, then swap
-    val tmp = warehousePath + ".next"
-    result.write.mode("overwrite").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(warehousePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(warehousePath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(warehousePath))
-    spark.read.parquet(warehousePath)
+    VersionedTable.commit(result, warehousePath)
+    VersionedTable.read(spark, warehousePath)
   }
 
   /** Full-refresh loader (O-FULL, loading.py:1937-1956). */
