@@ -651,6 +651,42 @@ object Queries {
       )
   }
 
+  /** q63: sketch-based approximate statistics — HLL distinct counts and
+    * approximate quantiles (rows-only: approximation algorithms are
+    * engine-specific by design; the exact twins are oracle-checked in
+    * q26/q48).
+    */
+  def q63(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price")
+      )
+
+  /** q64: TF-IDF scoring — top term per document by tf * ln(N/df)
+    * (rows-only: ln() is not bit-portable across math libraries).
+    */
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.count()
+    val postings = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(dfreq, "token")
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("token").as("top_term"), floor(col("tfidf") * 10000).cast("long").as("tfidf_e4"))
+  }
+
   /** q47: embedding cosine near-dup pairs, LSH-blocked (composition of the
     * q46-verified buckets and the q40-verified cosine; rows-only).
     */

@@ -72,6 +72,8 @@ object SparkEntry {
     "q60_repetition" -> (Queries.q60 _),
     "q61_vocab" -> (Queries.q61 _),
     "q62_stratified_sample" -> (Queries.q62 _),
+    "q63_approx_stats" -> (Queries.q63 _),
+    "q64_tfidf" -> (Queries.q64 _),
     "q44_media_decode" -> (Queries.q44 _)
   )
 

@@ -90,21 +90,23 @@ object Dedup {
       .cache()
 
     // band table carries only (doc_id, band-key): the 8x explode must not
-    // replicate the shingle payload through the shuffle
+    // replicate the shingle payload through the shuffle. The bucket hash is
+    // seeded by the band index, so it alone is the join key (a plain long —
+    // no struct comparison in the join).
     val banded = withSig.select(
       col("doc_id"),
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b).as("bucket"))
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)
         )
-      ).as("bb")
+      ).as("bucket")
     )
 
-    val a = banded.select(col("bb").as("bba"), col("doc_id").as("id_a"))
-    val b = banded.select(col("bb").as("bbb"), col("doc_id").as("id_b"))
+    val a = banded.select(col("bucket").as("ba"), col("doc_id").as("id_a"))
+    val b = banded.select(col("bucket").as("bb2"), col("doc_id").as("id_b"))
     val cand = a
-      .join(b, a("bba") === b("bbb") && col("id_a") < col("id_b"))
+      .join(b, a("ba") === b("bb2") && col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
 
