@@ -651,6 +651,12 @@ object Queries {
       )
   }
 
+  /** q65: SimHash near-dup pairs within a Hamming budget (pigeonhole-banded
+    * chunks + bit_count verify; rows-only xxhash64 path).
+    */
+  def q65(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(t(s, dir, "documents"), "doc_id", "text", maxHamming = 10)
+
   /** q63: sketch-based approximate statistics — HLL distinct counts and
     * approximate quantiles (rows-only: approximation algorithms are
     * engine-specific by design; the exact twins are oracle-checked in

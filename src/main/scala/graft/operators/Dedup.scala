@@ -198,6 +198,39 @@ object Dedup {
       .groupBy("simhash")
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("copies"))
 
+  /** SimHash near-dups within Hamming distance <= maxHamming, at scale:
+    * band the 64 bits into (maxHamming+1) chunks — by pigeonhole, any pair
+    * within the distance agrees exactly on at least one chunk — join on
+    * (chunk index, chunk value), then verify candidates with bit_count(xor).
+    * Shuffle is linear in corpus x chunks; quadratic work only inside
+    * identical-chunk groups.
+    */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val sketched = df
+      .select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sk"))
+      .cache()
+    val banded = sketched.select(
+      col("doc_id"),
+      col("sk"),
+      explode(
+        array((0 until chunks).map { c =>
+          // chunk value tagged with its index so chunks only match same-position chunks
+          struct(lit(c).as("c"), shiftrightunsigned(col("sk"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)).as("v"))
+        }: _*)
+      ).as("chunk")
+    )
+    val a = banded.select(col("chunk").as("ca"), col("doc_id").as("id_a"), col("sk").as("sk_a"))
+    val b = banded.select(col("chunk").as("cb"), col("doc_id").as("id_b"), col("sk").as("sk_b"))
+    a.join(b, a("ca") === b("cb") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sk_a", "sk_b")
+      .distinct()
+      .withColumn("hamming", bit_count(col("sk_a").bitwiseXOR(col("sk_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Pairwise n-gram Jaccard within explicit blocks (e.g. same source+lang) —
     * the exact-verification / small-block strategy. Blocks bound the
     * quadratic term; at 100 TB the blocking key must keep groups << 10^5.

@@ -45,6 +45,18 @@ class DedupSpec extends AnyFunSuite {
     assert(hashes(1L) != hashes(4L))
   }
 
+  test("simhashNearDup finds near-identical docs within the Hamming budget") {
+    val near = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"), // 1 word swapped
+      (3L, "totally different content with other words entirely unrelated here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(near, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("jaccard: exact values on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.jaccard($"x", $"y")).head().getDouble(0)
