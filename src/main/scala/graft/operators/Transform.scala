@@ -26,24 +26,23 @@ object Transform {
     * real struct paths). Unknown/missing columns become typed nulls, matching
     * the reference's reindex-with-NaN.
     */
-  def applyRules(df: DataFrame, rules: Seq[TransformationRule]): DataFrame = {
+  def applyRules(df: DataFrame, rules: Seq[TransformationRule]): DataFrame =
+    df.select(rules.map(r => ruleExpr(df, r).as(r.finalColumnName)): _*)
+
+  /** The column expression one rule compiles to. */
+  def ruleExpr(df: DataFrame, r: TransformationRule): Column = {
     val top = df.columns.toSet
-    val cols = rules.map { r =>
-      val c: Column =
-        if (r.ruleType == "dict") {
-          r.mappingColumnName match {
-            case Some(mapping) if top.contains(r.oldColumnName) =>
-              // mapping is `old_a_b` or `old_a` — strip the leading old column
-              // name, the rest is the struct path
-              val rest = mapping.stripPrefix(r.oldColumnName).stripPrefix("_")
-              structPath(df, r.oldColumnName, rest)
-            case _ => lit(null)
-          }
-        } else if (top.contains(r.oldColumnName)) col(r.oldColumnName)
-        else lit(null)
-      c.as(r.finalColumnName)
-    }
-    df.select(cols: _*)
+    if (r.ruleType == "dict") {
+      r.mappingColumnName match {
+        case Some(mapping) if top.contains(r.oldColumnName) =>
+          // mapping is `old_a_b` or `old_a` — strip the leading old column
+          // name, the rest is the struct path
+          val rest = mapping.stripPrefix(r.oldColumnName).stripPrefix("_")
+          structPath(df, r.oldColumnName, rest)
+        case _ => lit(null).cast("string")
+      }
+    } else if (top.contains(r.oldColumnName)) col(r.oldColumnName)
+    else lit(null).cast("string")
   }
 
   /** Resolve `a_b_c`-style flattened names onto the real nested schema:
@@ -71,12 +70,13 @@ object Transform {
     field.map(f => walk(f.dataType, col(topCol), flatRest)).getOrElse(lit(null))
   }
 
-  /** P5: ordered column subset; names absent from df become null columns
-    * (reference reindex semantics).
+  /** P5: ordered column subset; names absent from df become (string-typed)
+    * null columns — reference reindex semantics. The cast matters: an
+    * untyped null is VoidType, which the CSV sink rejects at write.
     */
   def subset(df: DataFrame, columns: Seq[String]): DataFrame = {
     val have = df.columns.toSet
-    df.select(columns.map(c => if (have.contains(c)) col(c) else lit(null).as(c)): _*)
+    df.select(columns.map(c => if (have.contains(c)) col(c) else lit(null).cast("string").as(c)): _*)
   }
 
   /** P6: start-year filter, applied only to the configured services
@@ -183,13 +183,45 @@ object Transform {
     */
   def forService(df: DataFrame, svc: ServiceConfig, applyYearFilter: Boolean): (DataFrame, Map[String, DataFrame]) = {
     val idCols = Seq("orderId", "id").filter(df.columns.contains)
+    // Side outputs in the reference are built from a COPY of the rule-
+    // transformed frame (final column names) with the derived explode
+    // columns added, then subset to expand_columns (transformation.py:
+    // 325-389: df_expand = df_new.copy(); ...; df_expand[expand_columns]).
+    // So the subset must resolve against raw + final + derived names.
+    val withFinals = {
+      val rawCols = df.columns.toSeq
+      val finalCols = svc.transformationRules
+        .filterNot(r => df.columns.contains(r.finalColumnName))
+        .map(r => ruleExpr(df, r).as(r.finalColumnName))
+      df.select(rawCols.map(col) ++ finalCols: _*)
+    }
+    // With a configured list: subset the final-named frame + derived cols.
+    // Without: the compact (rawIds + derived) shape.
+    def side(explodedFull: DataFrame, compact: DataFrame, cols: Seq[String]): DataFrame =
+      if (cols.nonEmpty) subset(explodedFull, cols) else compact
+    val allIds = withFinals.columns.toSeq.filterNot(c => Seq("targeting", "customFieldValues").contains(c))
     val sides = scala.collection.mutable.Map[String, DataFrame]()
     if (hasPath(df, "targeting.geoTargeting.targetedLocations"))
-      sides += s"${svc.alias}_targeting_locations" -> explodeGeoTargeting(df, idCols)
+      sides += s"${svc.alias}_targeting_locations" ->
+        side(
+          explodeGeoTargeting(withFinals, allIds),
+          explodeGeoTargeting(df, idCols),
+          svc.expandColumnsTargetingLocation
+        )
     if (hasPath(df, "targeting.inventoryTargeting.targetedAdUnits"))
-      sides += s"${svc.alias}_targetted_ad_unit" -> explodeTargetedAdUnits(df, idCols)
+      sides += s"${svc.alias}_targetted_ad_unit" ->
+        side(
+          explodeTargetedAdUnits(withFinals, allIds),
+          explodeTargetedAdUnits(df, idCols),
+          svc.expandColumns
+        )
     if (df.columns.contains("customFieldValues"))
-      sides += s"${svc.alias}_custom_field" -> explodeCustomFields(df, idCols)
+      sides += s"${svc.alias}_custom_field" ->
+        side(
+          explodeCustomFields(withFinals, allIds),
+          explodeCustomFields(df, idCols),
+          svc.expandColumnsCustomField
+        )
 
     var main = applyRules(df, svc.transformationRules)
     if (svc.transformationColumns.nonEmpty) main = subset(main, svc.transformationColumns)

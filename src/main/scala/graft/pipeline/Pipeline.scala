@@ -82,8 +82,13 @@ object Pipeline {
     }
     val main = Transform.addGenericAndTimestamp(Transform.floatColumnsToLong(withDeltas), run.now)
     IO.writePipeCsv(main, run.path(svc.alias, "transformation", "csv"))
-    sides.foreach { case (name, df) => IO.writePipeCsv(df, run.path(name, "transformation", "csv")) }
-    (main, sides)
+    // side outputs get the same generic-spares + float->long treatment as
+    // the main table (transformation.py:339-341, 363-365, 385-387)
+    val treatedSides = sides.map { case (name, df) =>
+      name -> Transform.addGenericAndTimestamp(Transform.floatColumnsToLong(df), run.now)
+    }
+    treatedSides.foreach { case (name, df) => IO.writePipeCsv(df, run.path(name, "transformation", "csv")) }
+    (main, treatedSides)
   }
 
   /** Loading stage (loading.py:25-133 shape): staged pipe-CSV -> SCD-2

@@ -65,6 +65,32 @@ class TransformSpec extends AnyFunSuite {
     assert(cf.head().getString(3) == "tier-1")
   }
 
+  test("side outputs subset to configured expand_columns (reference reindex semantics)") {
+    import graft.core.ServiceConfig
+    // configs migrated from the reference use FINAL column names — the side
+    // frame is the rule-transformed copy plus the derived explode columns
+    // (transformation.py:325-389)
+    val svc = ServiceConfig(
+      alias = "line_item",
+      transformationRules = Seq(TransformationRule("id", "line_item_id"), TransformationRule("orderId", "order_id")),
+      expandColumns = Seq("order_id", "line_item_id", "adunit_id", "targetting_type", "ghost_col"),
+      expandColumnsCustomField = Seq("line_item_id", "custom_field_value")
+    )
+    val (_, sides) = Transform.forService(raw, svc, applyYearFilter = false)
+    val au = sides("line_item_targetted_ad_unit")
+    assert(au.columns.toSeq == Seq("order_id", "line_item_id", "adunit_id", "targetting_type", "ghost_col"))
+    val row = au.orderBy($"adunit_id").head()
+    assert(row.getLong(0) == 1001L && row.getLong(1) == 5001L) // final-named ids resolve
+    assert(au.filter($"ghost_col".isNull).count() == au.count()) // missing configured col -> typed nulls
+    assert(sides("line_item_custom_field").columns.toSeq == Seq("line_item_id", "custom_field_value"))
+    // geo side has no configured list -> compact (raw ids + derived) shape
+    assert(sides("line_item_targeting_locations").columns.contains("location_name"))
+    // the null-padded frame must survive a CSV write (typed nulls, no VoidType)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-side").toString
+    graft.sources.IO.writePipeCsv(au, s"$tmp/au")
+    assert(graft.sources.IO.readPipeCsv(spark, s"$tmp/au").count() == au.count())
+  }
+
   test("P6: year filter keeps only >= 2019 (applied per configured service)") {
     val rules = Seq(
       TransformationRule("id", "line_item_id"),
