@@ -95,6 +95,16 @@ object Config {
     )
   )
 
+  /** Load the bundled registry resource (the reference's service registry,
+    * re-expressed; src/main/resources/ad_manager_config.json).
+    */
+  def loadResource(name: String = "/ad_manager_config.json")(implicit spark: org.apache.spark.sql.SparkSession): SourceConfig = {
+    val in = getClass.getResourceAsStream(name)
+    require(in != null, s"config resource $name not found")
+    val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    parse(json)
+  }
+
   /** Parse a SourceConfig from a JSON string (driver-side, tiny). */
   def parse(json: String)(implicit spark: org.apache.spark.sql.SparkSession): SourceConfig = {
     import spark.implicits._

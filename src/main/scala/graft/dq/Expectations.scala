@@ -108,7 +108,12 @@ object DqSuite {
         case "not_null" => Some(NotNull(r.colName))
         case "unique"   => Some(Unique(r.colName))
         case m if m.startsWith("matches:") => Some(Matches(r.colName, m.stripPrefix("matches:")))
-        case _          => None
+        case m if m.startsWith("between:") =>
+          m.stripPrefix("between:").split(':') match {
+            case Array(lo, hi) => Some(Between(r.colName, lo.toDouble, hi.toDouble))
+            case _             => None
+          }
+        case _ => None
       }
     }
 }

@@ -49,11 +49,13 @@ class DqSpec extends AnyFunSuite {
     val rules = Seq(
       DqRule("p1", "order_id", "unique", active = true),
       DqRule("p1", "ship_date", "not_null", active = true),
+      DqRule("p1", "amount", "between:0:100", active = true),
       DqRule("p1", "amount", "matches:\\d+", active = false) // inactive -> dropped
     )
     val suite = DqSuite.fromConfig(rules)
-    assert(suite.size == 2)
+    assert(suite.size == 3)
     assert(suite.collect { case u: Unique => u.columnName } == Seq("order_id"))
+    assert(suite.collect { case b: Between => (b.lo, b.hi) } == Seq((0.0, 100.0)))
   }
 
   test("all-pass suite reports success") {

@@ -113,6 +113,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(whFull).count() == 2) // overwritten, not appended
   }
 
+  test("bundled registry config drives the full line_item transformation") {
+    implicit val s = spark
+    val cfg = graft.core.Config.loadResource()
+    val svc = cfg.service("line_item").get
+    assert(svc.transformationRules.size == 29)
+    assert(svc.expandColumnsTargetingLocation.contains("location_name"))
+
+    val rawDir = java.nio.file.Files.createTempDirectory("graft-cfg").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$rawDir/li.json"), rawDoc)
+    val raw = IO.readJsonDocs(spark, s"$rawDir/li.json")
+    val (main, sides) = graft.operators.Transform.forService(raw, svc, applyYearFilter = true)
+    assert(main.columns.toSeq == svc.transformationColumns)
+    assert(main.count() == 2) // both docs >= 2019
+    val a = main.filter($"line_item_id" === 5001).head()
+    assert(a.getAs[Long]("costperunit_microamount") == 1500000L)
+    assert(a.getAs[String]("start_datetime_timezoneid") == "Asia/Kuala_Lumpur")
+    val geo = sides("line_item_targeting_locations")
+    assert(geo.columns.toSeq == svc.expandColumnsTargetingLocation)
+    assert(geo.head().getAs[String]("location_name") == "Malaysia")
+    assert(geo.head().getAs[Long]("order_id") == 1001L) // final-named id resolved
+  }
+
   test("P12: blank-input short-circuit (empty raw document array)") {
     val root = Files.createTempDirectory("graft-pipe-empty").toString
     val run = PipelineRun(root, "ad-manager", java.time.LocalDate.of(2024, 6, 1),
