@@ -127,7 +127,10 @@ object Oracles {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q16_float_to_long" ->
-      """SELECT CAST(TRUNC(COALESCE(l_quantity, 0)) AS BIGINT) AS qty_int, count(*) AS n
+      // mirrors the Spark side's full contract: NaN -> 0 (nanvl) as well as
+      // NULL -> 0, then truncate
+      """SELECT CAST(TRUNC(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 0 ELSE l_quantity END) AS BIGINT) AS qty_int,
+        | count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q17_year_filter" ->
@@ -374,7 +377,9 @@ object Oracles {
         |  FROM orders GROUP BY o_orderstatus)""".stripMargin,
 
     // independent algorithm on the oracle side: DuckDB's native ASOF JOIN vs
-    // the engine's carry-forward window formulation
+    // the engine's carry-forward window formulation. ASOF's choice among
+    // equal-ts right rows is unspecified — safe here because (user_id, ts)
+    // is verified duplicate-free in the testdata; revisit if data changes.
     "q49_asof_join" ->
       """WITH clicks AS (SELECT user_id, ts, event_id click_id FROM events WHERE event_type='click'),
         | purchases AS (SELECT user_id, ts, event_id purchase_id FROM events WHERE event_type='purchase')

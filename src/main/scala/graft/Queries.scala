@@ -387,10 +387,12 @@ object Queries {
     */
   def q54(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
+    // no broadcast hint: perPart has one row per distinct part — unbounded
+    // cardinality at scale, so Catalyst/AQE must pick the strategy
     val perPart = li
       .groupBy(col("l_partkey").as("pk"))
       .agg((sum(col("l_quantity").cast("decimal(18,2)")) / count(lit(1))).cast("double").as("avg_qty"))
-    li.join(broadcast(perPart), col("l_partkey") === col("pk"))
+    li.join(perPart, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < col("avg_qty") * 0.2)
       .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_small"), dsum(col("l_extendedprice")).as("sum_price"))
@@ -592,7 +594,11 @@ object Queries {
     val name = s"q45_sink_${System.nanoTime()}"
     val q = agg.writeStream.format("memory").queryName(name).outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    val finished = q.awaitTermination(300000)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException("q45 streaming pass did not finish — refusing to return a partial snapshot")
+    }
     s.table(name)
   }
 
@@ -622,17 +628,12 @@ object Queries {
     * combine).
     */
   def q61(s: SparkSession, dir: String): DataFrame =
+    // one scan + one tokenize: doc_freq as a distinct-count over the same
+    // exploded postings that feed term_freq (no second pass, no join)
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy(col("token"))
-      .agg(count(lit(1)).as("doc_freq"))
-      .join(
-        t(s, dir, "documents")
-          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-          .groupBy(col("token"))
-          .agg(count(lit(1)).as("term_freq")),
-        Seq("token")
-      )
+      .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("term_freq"))
 
   /** q62: deterministic stratified sampling — hash-mod bucketing per
     * language stratum (the reproducible train/val/test split primitive; no

@@ -39,7 +39,9 @@ object Ingest {
         .write
         .mode(if (n == 0) "overwrite" else "append")
         .json(landingDir)
-      offset += pageSize
+      // advance by what was actually returned: a short non-final page (API
+      // response-size truncation) must not skip records
+      offset += page.size
       n += 1
       page = fetchPage(offset)
     }

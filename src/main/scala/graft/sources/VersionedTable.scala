@@ -49,9 +49,19 @@ object VersionedTable {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val v = latestVersion(spark, path).getOrElse(0L) + 1
-    val tmp = new Path(s"$path/.v=$v.tmp")
+    // unique tmp per writer: two racing writers must never share a staging
+    // dir (mode=overwrite on a shared path would interleave their files)
+    val tmp = new Path(s"$path/.v=$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     df.write.mode("overwrite").parquet(tmp.toString)
     val finalDir = new Path(s"$path/v=$v")
+    // an orphaned uncommitted v-dir (writer died between rename and commit
+    // file) is dead data — remove it, else Hadoop rename would move the new
+    // data INSIDE it instead of replacing it
+    if (f.exists(finalDir)) {
+      if (f.exists(new Path(s"$path/_commits/$v.json")))
+        throw new IllegalStateException(s"version $v of $path already committed (concurrent writer)")
+      f.delete(finalDir, true)
+    }
     if (!f.rename(tmp, finalDir))
       throw new IllegalStateException(s"concurrent commit detected for version $v of $path")
     val commitsDir = new Path(s"$path/_commits")

@@ -34,11 +34,13 @@ object Streaming {
       .outputMode("append")
       .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val rs = DqSuite.run(df, expectations, batchId.toString, fileIdentifier)
+        // schema evolution happens at READ time (IO.readWarehouse sets
+        // mergeSchema) — a write-side mergeSchema option is silently ignored
+        // by the parquet sink
         DqSuite
           .resultsDf(spark, rs)
           .write
           .mode("append")
-          .option("mergeSchema", "true")
           .parquet(resultsPath)
         ()
       }
@@ -58,7 +60,9 @@ object Streaming {
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[CounterEvent], state: GroupState[Map[String, Long]]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          // total order: equal-timestamp events within a batch need a
+          // deterministic tiebreak or deltas/state depend on shuffle order
+          val sorted = it.toSeq.sortBy(ev => (ev.ts.getTime, ev.ts.getNanos, ev.counters.toSeq.sorted.mkString(",")))
           var last = state.getOption
           val out = sorted.map { ev =>
             val deltas = ev.counters.map { case (k, cur) =>
