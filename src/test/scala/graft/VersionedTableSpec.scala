@@ -26,6 +26,18 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, path).count() == 1) // v3 content
   }
 
+  test("commit recovers from a crash-orphaned version directory") {
+    val path = Files.createTempDirectory("graft-vt3").toString + "/t"
+    VersionedTable.commit(Seq((1, "a")).toDF("id", "v"), path)
+    // crash orphan: v=2 data exists, no commit file
+    Seq((99, "dead")).toDF("id", "v").write.parquet(s"$path/v=2")
+    val v = VersionedTable.commit(Seq((2, "b"), (3, "c")).toDF("id", "v"), path)
+    assert(v == 2L)
+    // the dead run's data must NOT survive inside the published v=2
+    val got = VersionedTable.read(spark, path, Some(2)).collect().map(_.getInt(0)).sorted
+    assert(got.toSeq == Seq(2, 3))
+  }
+
   test("uncommitted versions are invisible") {
     val path = Files.createTempDirectory("graft-vt2").toString + "/t"
     VersionedTable.commit(Seq((1, "a")).toDF("id", "v"), path)
