@@ -410,6 +410,19 @@ object Oracles {
         |FROM (SELECT lang, CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b FROM documents)
         |GROUP BY lang""".stripMargin,
 
+    "q66_pii_redact" -> {
+      // same pattern constants as TextAnalysis (conservative, RE2-safe)
+      val em = TextAnalysis.EmailRe
+      val ph = TextAnalysis.PhoneRe
+      val ssn = TextAnalysis.SsnRe
+      s"""SELECT doc_id,
+         | md5(regexp_replace(regexp_replace(regexp_replace(text, '$ssn', '[SSN]', 'g'), '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g')) AS redacted_md5,
+         | CAST(len(regexp_extract_all(text, '$em')) AS INTEGER) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '$ph')) AS INTEGER) AS n_phones,
+         | CAST(len(regexp_extract_all(text, '$ssn')) AS INTEGER) AS n_ssns
+         |FROM documents""".stripMargin
+    },
+
     "q46_lsh_buckets" -> {
       val masks = (0 until 8)
         .map(b => s"($b, '${graft.operators.Similarity.hyperplaneMask(0, b, 64)}')")

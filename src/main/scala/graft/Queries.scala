@@ -652,6 +652,21 @@ object Queries {
       )
   }
 
+  /** q66: PII redaction sweep — redacted-text fingerprints + per-category
+    * hit counts over the corpus (a no-op on this synthetic corpus, which the
+    * oracle verifies exactly; planted-PII behavior is spec-tested).
+    */
+  def q66(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .piiCounts(t(s, dir, "documents"))
+      .select(
+        col("doc_id"),
+        md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"),
+        col("n_emails"),
+        col("n_phones"),
+        col("n_ssns")
+      )
+
   /** q65: SimHash near-dup pairs within a Hamming budget (pigeonhole-banded
     * chunks + bit_count verify; rows-only xxhash64 path).
     */

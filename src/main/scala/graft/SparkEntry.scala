@@ -74,6 +74,7 @@ object SparkEntry {
     "q62_stratified_sample" -> (Queries.q62 _),
     "q63_approx_stats" -> (Queries.q63 _),
     "q65_simhash_neardup" -> (Queries.q65 _),
+    "q66_pii_redact" -> (Queries.q66 _),
     "q64_tfidf" -> (Queries.q64 _),
     "q44_media_decode" -> (Queries.q44 _)
   )

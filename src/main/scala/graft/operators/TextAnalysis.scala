@@ -101,6 +101,27 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L), (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(4294967296L)), ring))
   }
 
+  /** PII redaction for training corpora: regex-scrub emails, international
+    * phone-ish numbers, and SSN-shaped ids. Patterns are conservative
+    * (no lookarounds/backrefs) so they behave identically under Java regex
+    * and RE2 — the Spark expression and a SQL oracle agree byte-for-byte.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+  val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  def redactPii(text: Column): Column = {
+    val noSsn = regexp_replace(text, SsnRe, "[SSN]")
+    val noEmail = regexp_replace(noSsn, EmailRe, "[EMAIL]")
+    regexp_replace(noEmail, PhoneRe, "[PHONE]")
+  }
+
+  /** Count of PII hits per category (the audit side of redaction). */
+  def piiCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_emails", size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))))
+      .withColumn("n_ssns", size(regexp_extract_all(col(textCol), lit(SsnRe), lit(0))))
+
   /** Within-document repetition ratio: 1 - distinct/total word n-grams — a
     * standard training-data quality signal (template/boilerplate detector).
     * 0 = no repeated n-grams; -> 1 for highly repetitive text.

@@ -48,6 +48,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Double]("punct_ratio") - 2.0 / 7) < 1e-12)
   }
 
+  test("PII redaction scrubs planted emails/phones/SSNs and counts hits") {
+    val df = Seq(
+      "contact john.doe+x@example.co.uk or call +1 (555) 123-4567 now",
+      "ssn 123-45-6789 on file",
+      "totally clean text"
+    ).toDF("text")
+    val out = TextAnalysis.piiCounts(df)
+      .withColumn("redacted", TextAnalysis.redactPii($"text"))
+      .collect()
+    assert(out(0).getAs[String]("redacted") == "contact [EMAIL] or call [PHONE] now")
+    assert(out(0).getAs[Int]("n_emails") == 1 && out(0).getAs[Int]("n_phones") == 1)
+    assert(out(1).getAs[String]("redacted") == "ssn [SSN] on file")
+    assert(out(1).getAs[Int]("n_ssns") == 1)
+    assert(out(2).getAs[String]("redacted") == "totally clean text")
+    assert(out(2).getAs[Int]("n_emails") + out(2).getAs[Int]("n_phones") + out(2).getAs[Int]("n_ssns") == 0)
+  }
+
   test("approxBpeCount splits words and punctuation runs") {
     val df = Seq("hello, world").toDF("text")
     assert(df.select(TextAnalysis.approxBpeCount($"text")).head().getInt(0) == 3) // hello , world
