@@ -410,6 +410,11 @@ object Oracles {
         |FROM (SELECT lang, CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b FROM documents)
         |GROUP BY lang""".stripMargin,
 
+    "q67_unicode_canon" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+        | md5(strip_accents(lower(text))) AS folded_md5
+        |FROM documents""".stripMargin,
+
     "q66_pii_redact" -> {
       // same pattern constants as TextAnalysis (conservative, RE2-safe)
       val em = TextAnalysis.EmailRe

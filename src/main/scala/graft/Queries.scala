@@ -667,6 +667,18 @@ object Queries {
         col("n_ssns")
       )
 
+  /** q67: unicode canonicalization sweep — NFC + accent-folded fingerprints
+    * per document (trivially stable on this ASCII corpus; the oracle
+    * verifies the machinery, the specs verify accented behavior).
+    */
+  def q67(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(TextAnalysis.nfc(col("text"))).as("nfc_md5"),
+        md5(TextAnalysis.stripAccents(lower(col("text")))).as("folded_md5")
+      )
+
   /** q65: SimHash near-dup pairs within a Hamming budget (pigeonhole-banded
     * chunks + bit_count verify; rows-only xxhash64 path).
     */

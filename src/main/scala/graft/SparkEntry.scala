@@ -75,6 +75,7 @@ object SparkEntry {
     "q63_approx_stats" -> (Queries.q63 _),
     "q65_simhash_neardup" -> (Queries.q65 _),
     "q66_pii_redact" -> (Queries.q66 _),
+    "q67_unicode_canon" -> (Queries.q67 _),
     "q64_tfidf" -> (Queries.q64 _),
     "q44_media_decode" -> (Queries.q44 _)
   )

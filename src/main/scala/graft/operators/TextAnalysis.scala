@@ -101,6 +101,17 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L), (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(4294967296L)), ring))
   }
 
+  /** Unicode-canonical text: NFC normalization (codegen'd expression) so
+    * visually identical strings hash/dedup/join identically across sources.
+    */
+  def nfc(text: Column): Column = graft.plans.HashExpressions.unicodeNormalize(text, "NFC")
+
+  /** Accent folding: NFD-decompose then strip combining marks — the
+    * search/dedup-key form ("café" -> "cafe"). DuckDB twin: strip_accents.
+    */
+  def stripAccents(text: Column): Column =
+    regexp_replace(graft.plans.HashExpressions.unicodeNormalize(text, "NFD"), "\\p{Mn}", "")
+
   /** PII redaction for training corpora: regex-scrub emails, international
     * phone-ish numbers, and SSN-shaped ids. Patterns are conservative
     * (no lookarounds/backrefs) so they behave identically under Java regex

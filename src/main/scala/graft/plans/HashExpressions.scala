@@ -130,8 +130,53 @@ object MinHashSig {
   }
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) via java.text.Normalizer —
+  * the text-cleaning primitive for multi-source corpora where visually
+  * identical strings differ in codepoint composition (and so in every hash,
+  * dedup fingerprint, and join key). Codegen'd; DuckDB twin: nfc_normalize.
+  */
+case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && UnicodeNormalize.forms.contains(form))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"UnicodeNormalize requires a string input and form in ${UnicodeNormalize.forms.keys}, got ${child.dataType}/$form"
+      )
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(UnicodeNormalize.normalize(v.asInstanceOf[UTF8String].toString, form))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c =>
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"""graft.plans.UnicodeNormalize$$.MODULE$$.normalize($c.toString(), "$form"))"""
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  val forms: Map[String, java.text.Normalizer.Form] = Map(
+    "NFC" -> java.text.Normalizer.Form.NFC,
+    "NFD" -> java.text.Normalizer.Form.NFD,
+    "NFKC" -> java.text.Normalizer.Form.NFKC,
+    "NFKD" -> java.text.Normalizer.Form.NFKD
+  )
+  def normalize(s: String, form: String): String =
+    java.text.Normalizer.normalize(s, forms(form))
+}
+
 object HashExpressions {
   def md5Prefix60(c: Column): Column = ColumnShim.column(Md5Prefix60(ColumnShim.expression(c)))
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    ColumnShim.column(UnicodeNormalize(ColumnShim.expression(c), form))
   def minhashSig(c: Column, numHashes: Int): Column =
     ColumnShim.column(MinHashSig(ColumnShim.expression(c), numHashes))
 }

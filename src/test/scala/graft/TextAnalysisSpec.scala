@@ -65,6 +65,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2).getAs[Int]("n_emails") + out(2).getAs[Int]("n_phones") + out(2).getAs[Int]("n_ssns") == 0)
   }
 
+  test("unicode canonicalization: NFC unifies composed/decomposed, accent fold strips marks") {
+    val composed = "caf\u00e9"   // e-acute as one codepoint
+    val decomposed = "cafe\u0301" // e + combining acute
+    val df = Seq((composed, decomposed)).toDF("a", "b")
+    val r = df.select(
+      (TextAnalysis.nfc($"a") === TextAnalysis.nfc($"b")).as("nfc_eq"),
+      ($"a" === $"b").as("raw_eq"),
+      TextAnalysis.stripAccents($"a").as("folded")
+    ).head()
+    assert(r.getBoolean(0))  // NFC-equal
+    assert(!r.getBoolean(1)) // but not byte-equal raw
+    assert(r.getString(2) == "cafe")
+  }
+
   test("approxBpeCount splits words and punctuation runs") {
     val df = Seq("hello, world").toDF("text")
     assert(df.select(TextAnalysis.approxBpeCount($"text")).head().getInt(0) == 3) // hello , world
