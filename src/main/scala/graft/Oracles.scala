@@ -410,6 +410,17 @@ object Oracles {
         |FROM (SELECT lang, CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b FROM documents)
         |GROUP BY lang""".stripMargin,
 
+    "q68_quality_filter" ->
+      s"""WITH feats AS (SELECT doc_id, lang,
+         |   CASE WHEN nt>0 THEN CAST(sw AS DOUBLE)/nt ELSE 0.0 END stopword_ratio
+         | FROM (SELECT doc_id, lang, len(ws) nt,
+         |     len(list_filter(ws, w -> list_contains(${sqlList(TextAnalysis.stopwordLists("en"))}, lower(w)))) sw
+         |   FROM (SELECT doc_id, lang, $tokensExpr ws FROM documents))),
+         | ranked AS (SELECT *, percent_rank() OVER (ORDER BY stopword_ratio DESC, doc_id ASC) pr FROM feats)
+         |SELECT lang, count(*) AS n_kept,
+         | CAST(FLOOR(min(stopword_ratio)*10000) AS BIGINT) AS worst_kept_e4
+         |FROM ranked WHERE pr < CAST(0.9 AS DOUBLE) GROUP BY lang""".stripMargin,
+
     "q67_unicode_canon" ->
       """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
         | md5(strip_accents(lower(text))) AS folded_md5

@@ -667,6 +667,23 @@ object Queries {
         col("n_ssns")
       )
 
+  /** q68: quality-percentile filtering — drop the worst decile by stopword
+    * ratio (the scoring -> corpus-filtering step of a training pipeline).
+    * percent_rank over a totally-ordered window is engine-portable.
+    */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    val feats = TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+    val w = Window.orderBy(col("stopword_ratio").desc, col("doc_id").asc)
+    feats
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") < 0.9) // keep the best 90% (high stopword ratio ~ natural language)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        floor(min(col("stopword_ratio")) * 10000).cast("long").as("worst_kept_e4")
+      )
+  }
+
   /** q67: unicode canonicalization sweep — NFC + accent-folded fingerprints
     * per document (trivially stable on this ASCII corpus; the oracle
     * verifies the machinery, the specs verify accented behavior).

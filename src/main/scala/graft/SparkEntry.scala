@@ -76,6 +76,7 @@ object SparkEntry {
     "q65_simhash_neardup" -> (Queries.q65 _),
     "q66_pii_redact" -> (Queries.q66 _),
     "q67_unicode_canon" -> (Queries.q67 _),
+    "q68_quality_filter" -> (Queries.q68 _),
     "q64_tfidf" -> (Queries.q64 _),
     "q44_media_decode" -> (Queries.q44 _)
   )

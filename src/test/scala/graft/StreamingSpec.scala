@@ -87,6 +87,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) == 6L)
   }
 
+  test("streaming dedup within watermark (exactly-once event semantics)") {
+    val tmp = Files.createTempDirectory("graft-sdedup").toString
+    Seq(
+      ("e1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("e1", java.sql.Timestamp.valueOf("2024-01-01 10:00:05")), // duplicate delivery
+      ("e2", java.sql.Timestamp.valueOf("2024-01-01 10:01:00"))
+    ).toDF("event_id", "ts").write.parquet(s"$tmp/src")
+
+    val deduped = spark.readStream
+      .schema("event_id STRING, ts TIMESTAMP")
+      .parquet(s"$tmp/src")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val ids = spark.table("sdedup").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("e1", "e2")) // the duplicate delivery is dropped
+  }
+
   test("windowed event aggregation (engine-native streaming surface)") {
     val df = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
