@@ -101,7 +101,8 @@ object Config {
   def loadResource(name: String = "/ad_manager_config.json")(implicit spark: org.apache.spark.sql.SparkSession): SourceConfig = {
     val in = getClass.getResourceAsStream(name)
     require(in != null, s"config resource $name not found")
-    val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val json = try src.mkString finally { src.close(); in.close() }
     parse(json)
   }
 

@@ -46,12 +46,26 @@ final case class DqResult(
 
 object DqSuite {
 
-  /** Run a suite in (at most) two passes: one global agg for row-scoped
-    * expectations, one grouped agg for uniqueness.
+  /** Run a suite: one global agg for row-scoped expectations plus one
+    * grouped agg per uniqueness check; when the suite needs multiple passes
+    * the batch is cached so each pass doesn't recompute the source.
     */
-  def run(df: DataFrame, expectations: Seq[Expectation], batchId: String, fileIdentifier: String): Seq[DqResult] = {
+  def run(df0: DataFrame, expectations: Seq[Expectation], batchId: String, fileIdentifier: String): Seq[DqResult] = {
     val rowScoped = expectations.filter(!_.isInstanceOf[Unique])
     val uniques = expectations.collect { case u: Unique => u }
+    val passes = (if (rowScoped.nonEmpty) 1 else 0) + uniques.size
+    val df = if (passes > 1) df0.cache() else df0
+    try runOn(df, rowScoped, uniques, batchId, fileIdentifier)
+    finally if (passes > 1) { df.unpersist(); () }
+  }
+
+  private def runOn(
+      df: DataFrame,
+      rowScoped: Seq[Expectation],
+      uniques: Seq[Unique],
+      batchId: String,
+      fileIdentifier: String
+  ): Seq[DqResult] = {
 
     val rowResults: Seq[DqResult] =
       if (rowScoped.isEmpty) Nil
@@ -74,12 +88,14 @@ object DqSuite {
       }
 
     val uniqueResults: Seq[DqResult] = uniques.map { u =>
+      // GX column_map semantics: nulls are not "duplicates" — only repeated
+      // NON-NULL values count as unexpected; element_count stays total rows
       val agg = df
         .groupBy(col(u.columnName))
         .agg(count(lit(1)).as("c"))
         .agg(
           coalesce(sum("c"), lit(0L)).as("n"),
-          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dups")
+          coalesce(sum(when(col(u.columnName).isNotNull && col("c") > 1, col("c"))), lit(0L)).as("dups")
         )
         .head()
       val n = agg.getLong(0)

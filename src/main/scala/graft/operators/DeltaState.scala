@@ -42,6 +42,10 @@ object DeltaState {
       coalesceCurrent: Boolean,
       broadcastSnapshot: Boolean = false
   ): DataFrame = {
+    counters.foreach { case (cur, prev) =>
+      require(cur != prev, s"counter '$cur' must use a distinct snapshot column name (got '$prev')")
+      require(!batch.columns.contains(prev), s"batch already has a column named '$prev' — the join would be ambiguous")
+    }
     val snapCols = keyCols ++ counters.map(_._2)
     val snap = snapshot
       .select(snapCols.head, snapCols.tail: _*)

@@ -37,17 +37,22 @@ object Flatten {
   /** Flatten all nested structs into `a_b_c` columns (one `select`). Arrays
     * are kept as-is unless `listIndexBound > 0`, in which case arrays of
     * scalars/structs are expanded to `name_0..name_{bound-1}` columns
-    * (flatten_json parity; missing indices are null).
+    * (flatten_json parity; missing indices are null; elements BEYOND the
+    * bound are dropped — pick the bound from the data, e.g. via
+    * [[observedMaxListLength]], when lossless expansion is required).
+    *
+    * Columns are navigated by getField chaining (never dotted col() strings),
+    * so field names containing '.' flatten correctly.
     */
   def flattenAll(df: DataFrame, sep: String = "_", listIndexBound: Int = 0): DataFrame = {
-    def expand(path: String, flat: String, dt: DataType): Seq[Column] = dt match {
+    def expandCol(c: Column, flat: String, dt: DataType): Seq[Column] = dt match {
       case s: StructType =>
-        s.fields.flatMap(f => expand(s"$path.${f.name}", s"$flat$sep${f.name}", f.dataType)).toSeq
+        s.fields.toSeq.flatMap(f => expandCol(c.getField(f.name), s"$flat$sep${f.name}", f.dataType))
       case ArrayType(elem, _) if listIndexBound > 0 =>
         (0 until listIndexBound).flatMap { i =>
           // try_element_at: out-of-bound indices yield null (flatten_json
           // parity for ragged lists) instead of ANSI errors
-          val itemCol = try_element_at(col(path), lit(i + 1))
+          val itemCol = try_element_at(c, lit(i + 1))
           elem match {
             case es: StructType =>
               es.fields.toSeq.flatMap { f =>
@@ -56,29 +61,50 @@ object Flatten {
             case _ => Seq(itemCol.as(s"$flat$sep$i"))
           }
         }
-      case _ => Seq(col(path).as(flat))
-    }
-    def expandCol(c: Column, flat: String, dt: DataType): Seq[Column] = dt match {
-      case s: StructType =>
-        s.fields.toSeq.flatMap(f => expandCol(c.getField(f.name), s"$flat$sep${f.name}", f.dataType))
       case _ => Seq(c.as(flat))
     }
-    val cols = df.schema.fields.flatMap(f => expand(f.name, f.name, f.dataType))
+    val cols = df.schema.fields.flatMap(f => expandCol(df(s"`${f.name}`"), f.name, f.dataType))
     df.select(cols.toSeq: _*)
   }
 
-  /** P2: one-level nested extraction with `old_` prefix — parse-a-JSON-string
-    * column (or use an existing struct) and pull `mapping_column_name`.
-    * Missing fields resolve to null, matching the reference's
-    * `json_normalize` + reindex behavior (transformation.py:262-280).
+  /** Largest array length present for each top-level array column — the
+    * lossless `listIndexBound` for [[flattenAll]] (one aggregation pass).
     */
-  def extractField(df: DataFrame, structCol: String, dottedField: String): Column = {
-    val parts = dottedField.split('.')
-    parts.foldLeft(col(structCol))((c, f) => c.getField(f))
+  def observedMaxListLength(df: DataFrame): Int = {
+    import org.apache.spark.sql.types._
+    val arrayCols = df.schema.fields.collect { case StructField(n, _: ArrayType, _, _) => n }.toSeq
+    if (arrayCols.isEmpty) 0
+    else {
+      val sizes = arrayCols.map(c => coalesce(max(size(col(s"`$c`"))), lit(0)))
+      val m = df.agg(if (sizes.length == 1) sizes.head else greatest(sizes: _*)).head().getInt(0)
+      math.max(0, m)
+    }
   }
 
-  /** P4: deep get with default — null-safe struct navigation with a fallback
-    * (reference deep_get, transformation.py:243-244).
+  /** P2: one-level nested extraction with `old_` prefix — pull a dotted
+    * field path out of a struct column. Schema-checked: paths absent from
+    * this batch's schema resolve to a typed null column instead of failing
+    * analysis, matching the reference's `json_normalize` + reindex behavior
+    * (transformation.py:262-280).
+    */
+  def extractField(df: DataFrame, structCol: String, dottedField: String): Column = {
+    import org.apache.spark.sql.types._
+    def walk(dt: DataType, c: Column, parts: List[String]): Option[Column] = (dt, parts) match {
+      case (_, Nil) => Some(c)
+      case (s: StructType, h :: t) =>
+        s.fields.find(_.name == h).flatMap(f => walk(f.dataType, c.getField(h), t))
+      case _ => None
+    }
+    df.schema.fields
+      .find(_.name == structCol)
+      .flatMap(f => walk(f.dataType, df(s"`$structCol`"), dottedField.split('.').toList))
+      .getOrElse(lit(null).cast("string"))
+  }
+
+  /** P4: deep get with default — null-VALUE-safe struct navigation with a
+    * fallback (reference deep_get, transformation.py:243-244). The path must
+    * exist in the schema (it's Column-based); for schema-missing paths use
+    * [[extractField]], which degrades to null instead of failing analysis.
     */
   def deepGetOrElse(structCol: Column, path: Seq[String], default: Column): Column =
     coalesce(path.foldLeft(structCol)((c, f) => c.getField(f)), default)

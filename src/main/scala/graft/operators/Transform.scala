@@ -45,29 +45,32 @@ object Transform {
     else lit(null).cast("string")
   }
 
-  /** Resolve `a_b_c`-style flattened names onto the real nested schema:
-    * greedily match field names (which may themselves contain underscores).
+  /** Resolve `a_b_c`-style flattened names onto the real nested schema.
+    * Field names may themselves contain underscores, so candidate prefixes
+    * are tried longest-first WITH backtracking: a longer sibling name that
+    * dead-ends must not shadow a shorter prefix whose subtree resolves.
+    * Unresolvable paths yield a typed null (VoidType would crash the CSV
+    * sink downstream).
     */
   private def structPath(df: DataFrame, topCol: String, flatRest: String): Column = {
     import org.apache.spark.sql.types._
-    def walk(dt: DataType, c: Column, rest: String): Column =
-      if (rest.isEmpty) c
+    def walk(dt: DataType, c: Column, rest: String): Option[Column] =
+      if (rest.isEmpty) Some(c)
       else
         dt match {
           case s: StructType =>
-            // longest field-name prefix match of rest (fields can contain '_')
             s.fields
               .filter(f => rest == f.name || rest.startsWith(f.name + "_"))
               .sortBy(-_.name.length)
-              .headOption match {
-              case Some(f) =>
-                walk(f.dataType, c.getField(f.name), rest.stripPrefix(f.name).stripPrefix("_"))
-              case None => lit(null)
-            }
-          case _ => lit(null)
+              .iterator
+              .map(f => walk(f.dataType, c.getField(f.name), rest.stripPrefix(f.name).stripPrefix("_")))
+              .collectFirst { case Some(resolved) => resolved }
+          case _ => None
         }
-    val field = df.schema.fields.find(_.name == topCol)
-    field.map(f => walk(f.dataType, col(topCol), flatRest)).getOrElse(lit(null))
+    df.schema.fields
+      .find(_.name == topCol)
+      .flatMap(f => walk(f.dataType, col(topCol), flatRest))
+      .getOrElse(lit(null).cast("string"))
   }
 
   /** P5: ordered column subset; names absent from df become (string-typed)
@@ -189,10 +192,11 @@ object Transform {
     // 325-389: df_expand = df_new.copy(); ...; df_expand[expand_columns]).
     // So the subset must resolve against raw + final + derived names.
     val withFinals = {
-      val rawCols = df.columns.toSeq
-      val finalCols = svc.transformationRules
-        .filterNot(r => df.columns.contains(r.finalColumnName))
-        .map(r => ruleExpr(df, r).as(r.finalColumnName))
+      // on name collision the RULE value wins (the reference's df_new always
+      // holds transformed values) — the colliding raw column is replaced
+      val finalNames = svc.transformationRules.map(_.finalColumnName).toSet
+      val rawCols = df.columns.toSeq.filterNot(finalNames.contains)
+      val finalCols = svc.transformationRules.map(r => ruleExpr(df, r).as(r.finalColumnName))
       df.select(rawCols.map(col) ++ finalCols: _*)
     }
     // With a configured list: subset the final-named frame + derived cols.
