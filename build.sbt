@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through unprefixed: the bench/verify mains print
+// machine-readable JSON lines that the driver parses from stdout, and sbt's
+// default LoggedOutput would wrap them as "[info] {...}" (round 1's
+// BENCH_r01.json had parsed:null for exactly this reason).
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -239,6 +239,86 @@ object Oracles {
          |SELECT d.doc_id, COALESCE(sk.simhash60, 0) AS simhash60
          |FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id""".stripMargin,
 
+    // q38: dedup groups over the same portable 60-bit sketch as q39
+    "q38_simhash" ->
+      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | th AS (SELECT doc_id, unnest(list_transform(ws, w -> CAST(('0x'||substr(md5(w),1,15)) AS BIGINT))) h FROM base),
+         | votes AS (SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) c
+         |   FROM th CROSS JOIN (SELECT unnest(range(60)) j) js GROUP BY doc_id, j),
+         | sk AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) simhash60
+         |   FROM votes GROUP BY doc_id),
+         | s AS (SELECT d.doc_id, COALESCE(sk.simhash60, 0) simhash60 FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id)
+         |SELECT simhash60, CAST(min(doc_id) AS BIGINT) AS keeper_id, count(*) AS copies
+         |FROM s GROUP BY simhash60""".stripMargin,
+
+    // q65: the pigeonhole banding has exact recall, so the output set equals
+    // {pairs : hamming(sk_a, sk_b) <= 10} — verified here with a plain
+    // all-pairs bit_count over q39's sketch (fine at test scale).
+    "q65_simhash_neardup" ->
+      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | th AS (SELECT doc_id, unnest(list_transform(ws, w -> CAST(('0x'||substr(md5(w),1,15)) AS BIGINT))) h FROM base),
+         | votes AS (SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) c
+         |   FROM th CROSS JOIN (SELECT unnest(range(60)) j) js GROUP BY doc_id, j),
+         | sk AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) simhash60
+         |   FROM votes GROUP BY doc_id),
+         | s AS (SELECT d.doc_id, COALESCE(sk.simhash60, 0) sk60 FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.sk60, b.sk60)) AS INTEGER) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sk60, b.sk60)) <= 10""".stripMargin,
+
+    // q37: full MinHash+LSH replication — md5-prefix shingle hashes (q35
+    // machinery), the SAME MinHashSig constants, hash-free band keys
+    // "b:sig[2b],sig[2b+1]", candidate distinct, exact-Jaccard verify >= 0.5.
+    "q37_minhash_lsh" -> {
+      import graft.plans.MinHashSig.{P, a, b}
+      val sigList = (0 until 16)
+        .map(i => s"list_min(list_transform(sh, h -> (${a(i)}*(h%$P)+${b(i)})%$P))")
+        .mkString("[", ",\n   ", "]")
+      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | sh AS (SELECT doc_id,
+         |   list_distinct(list_transform(
+         |     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
+         |     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) sh
+         |  FROM base),
+         | sig AS (SELECT doc_id, $sigList sig FROM sh WHERE len(sh) > 0),
+         | banded AS (SELECT doc_id, unnest(list_transform(range(0, 8),
+         |    b -> CAST(b AS VARCHAR)||':'||CAST(sig[CAST(2*b+1 AS INTEGER)] AS VARCHAR)||','||CAST(sig[CAST(2*b+2 AS INTEGER)] AS VARCHAR))) bucket
+         |  FROM sig),
+         | cand AS (SELECT DISTINCT x.doc_id id_a, y.doc_id id_b
+         |  FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         | ver AS (SELECT id_a, id_b, len(list_intersect(p.sh, q.sh)) inter, len(p.sh) la, len(q.sh) lb
+         |  FROM cand JOIN sh p ON id_a = p.doc_id JOIN sh q ON id_b = q.doc_id),
+         | j AS (SELECT id_a, id_b,
+         |    CASE WHEN la+lb-inter = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE)/(la+lb-inter) END jac FROM ver)
+         |SELECT id_a, id_b, CAST(FLOOR(jac*10000) AS BIGINT) AS jaccard_e4
+         |FROM j WHERE jac >= CAST(0.5 AS DOUBLE)""".stripMargin
+    },
+
+    // q64: quantized-idf TF-IDF — integer ranking contract (see Queries.q64)
+    "q64_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | total AS (SELECT count(*) n_docs FROM documents),
+         | postings AS (SELECT doc_id, token, count(*) tf
+         |   FROM (SELECT doc_id, unnest(ws) token FROM toks) GROUP BY doc_id, token),
+         | dfreq AS (SELECT token, count(*) df FROM postings GROUP BY token),
+         | scored AS (SELECT p.doc_id, p.token,
+         |    CAST(p.tf AS BIGINT) * CAST(FLOOR(10000.0 * ln(CAST(n_docs AS DOUBLE)/df)) AS BIGINT) score
+         |  FROM postings p JOIN dfreq d ON p.token = d.token CROSS JOIN total),
+         | ranked AS (SELECT doc_id, token, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) rn FROM scored)
+         |SELECT doc_id, token AS top_term, CAST(score AS BIGINT) AS tfidf_q
+         |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // q44: stub decoder twin — md5-prefix-60 of the UTF-8 payload drives the
+    // deterministic fake decode outputs
+    "q44_media_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS fmt,
+        | CAST(h % 1920 + 1 AS INTEGER) AS width, CAST(h % 1080 + 1 AS INTEGER) AS height,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, h AS feature_hash
+        |FROM (SELECT doc_id, text, CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) h FROM documents)""".stripMargin,
+
     "q50_multi_join" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -450,6 +530,61 @@ object Oracles {
          |  FROM e CROSS JOIN m GROUP BY vec_id, bit)
          |SELECT vec_id, CAST(sum(CASE WHEN dt > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS bucket
          |FROM d GROUP BY vec_id""".stripMargin
+    },
+
+    // q41: multi-table LSH ANN — all 8 hyperplane families (5 bits each)
+    // embedded as sign masks; candidate = bucket match vs the vec_id=0 query
+    // in ANY table; then the q40 cosine machinery over candidates only.
+    "q41_ann_lsh" -> {
+      val masks = (for { t <- 0 until 8; b <- 0 until 5 } yield
+        s"($t, $b, '${graft.operators.Similarity.hyperplaneMask(t, b, 64)}')").mkString(", ")
+      s"""WITH m(tbl, bit, mask) AS (VALUES $masks),
+         | e AS (SELECT vec_id, unnest(embedding) x, unnest(range(64)) i FROM embeddings),
+         | d AS (SELECT vec_id, tbl, bit,
+         |    sum(CAST(x AS DOUBLE) * (CASE substr(mask, CAST(i+1 AS INTEGER), 1) WHEN '1' THEN 1.0 ELSE -1.0 END) ORDER BY i) dt
+         |  FROM e CROSS JOIN m GROUP BY vec_id, tbl, bit),
+         | bk AS (SELECT vec_id, tbl, CAST(sum(CASE WHEN dt > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) bucket
+         |  FROM d GROUP BY vec_id, tbl),
+         | qb AS (SELECT tbl, bucket FROM bk WHERE vec_id = 0),
+         | cand AS (SELECT DISTINCT bk.vec_id FROM bk JOIN qb ON bk.tbl = qb.tbl AND bk.bucket = qb.bucket WHERE bk.vec_id <> 0),
+         | q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0),
+         | pairs AS (SELECT e2.vec_id, unnest(e2.embedding) x, unnest(q.qe) y, unnest(range(64)) i
+         |   FROM embeddings e2, q WHERE e2.vec_id IN (SELECT vec_id FROM cand)),
+         | dots AS (SELECT vec_id,
+         |    sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d,
+         |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) nx,
+         |    sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) ny
+         |  FROM pairs GROUP BY vec_id),
+         | cos AS (SELECT vec_id, CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END c FROM dots)
+         |SELECT vec_id, CAST(FLOOR(c*1000000) AS BIGINT) AS cosine_e6
+         |FROM cos ORDER BY c DESC, vec_id ASC LIMIT 20""".stripMargin
+    },
+
+    // q47: LSH-blocked embedding near-dup — table-0 3-bit bucket masks, pair
+    // join within buckets, bit-exact cosine, floor-e6, threshold 0.35
+    "q47_embedding_neardup" -> {
+      val masks = (0 until 3)
+        .map(b => s"($b, '${graft.operators.Similarity.hyperplaneMask(0, b, 64)}')")
+        .mkString(", ")
+      s"""WITH m(bit, mask) AS (VALUES $masks),
+         | e AS (SELECT vec_id, unnest(embedding) x, unnest(range(64)) i FROM embeddings),
+         | d AS (SELECT vec_id, bit,
+         |    sum(CAST(x AS DOUBLE) * (CASE substr(mask, CAST(i+1 AS INTEGER), 1) WHEN '1' THEN 1.0 ELSE -1.0 END) ORDER BY i) dt
+         |  FROM e CROSS JOIN m GROUP BY vec_id, bit),
+         | bk AS (SELECT vec_id, CAST(sum(CASE WHEN dt > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) bucket
+         |  FROM d GROUP BY vec_id),
+         | cand AS (SELECT a.vec_id id_a, b.vec_id id_b
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         | pairs AS (SELECT id_a, id_b, unnest(ea.embedding) x, unnest(eb.embedding) y, unnest(range(64)) i
+         |   FROM cand JOIN embeddings ea ON id_a = ea.vec_id JOIN embeddings eb ON id_b = eb.vec_id),
+         | dots AS (SELECT id_a, id_b,
+         |    sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d,
+         |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) nx,
+         |    sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) ny
+         |  FROM pairs GROUP BY id_a, id_b),
+         | cos AS (SELECT id_a, id_b, CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END c FROM dots)
+         |SELECT id_a, id_b, CAST(FLOOR(c*1000000) AS BIGINT) AS cosine_e6
+         |FROM cos WHERE c >= CAST(0.35 AS DOUBLE)""".stripMargin
     },
 
     "q40_ann_bruteforce" ->

@@ -507,16 +507,24 @@ object Queries {
       .jaccardPairsWithinBlocks(t(s, dir, "documents"), "doc_id", "text", Seq("source"), shingleSize = 3, minJaccard = 0.3)
       .select(col("source"), col("id_a"), col("id_b"), floor(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
 
-  /** q37: MinHash+LSH candidate pairs (banded buckets; xxhash64 fast path,
-    * not SQL-expressible -> rows-only check; exact-verified by q36's oracle
-    * on the overlapping pair set).
+  /** q37: MinHash+LSH near-dup pairs, full pipeline oracle-checked: portable
+    * md5-prefix shingle hashes (q35-proven), the same MinHashSig constants in
+    * both engines, hash-free band keys (band index + signature slice), and
+    * exact-Jaccard verification. The xxhash64 fast path (same algorithm,
+    * cheaper hash family) stays available via `portable=false` and is
+    * spec-tested.
     */
   def q37(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2, minJaccard = 0.5)
+    Dedup
+      .minhashLsh(t(s, dir, "documents"), "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2, minJaccard = 0.5, portable = true)
+      .select(col("id_a"), col("id_b"), floor(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
 
-  /** q38: SimHash sketch dedup groups (xxhash64 fast path, rows-only). */
+  /** q38: SimHash sketch dedup groups over the portable 60-bit sketch
+    * (oracle shares q39's sketch SQL; the xxhash64 64-bit fast path is
+    * spec-tested in DedupSpec).
+    */
   def q38(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashDuplicates(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.simhashDuplicates60(t(s, dir, "documents"), "doc_id", "text")
 
   /** q39: portable 60-bit SimHash sketches with duplicate grouping — the
     * oracle-checked twin of q38's xxhash64 fast path.
@@ -536,8 +544,11 @@ object Queries {
       .select(col("vec_id"), floor(col("cosine") * 1000000).cast("long").as("cosine_e6"))
   }
 
-  /** q41: LSH-bucketed ANN top-k (multi-probe) — the 100 TB scale path;
-    * rows-only (hyperplane plan literals; recall checked in tests vs q40).
+  /** q41: LSH-bucketed ANN top-k (multi-probe, 8 tables x 5 bits) — the
+    * 100 TB scale path. Oracle-checked: the deterministic hyperplanes are
+    * embedded in the SQL as sign masks (q46-proven pattern, extended to all
+    * 8 tables), so DuckDB reproduces the bucket filter and the cosine
+    * ranking bit-for-bit.
     */
   def q41(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -669,14 +680,39 @@ object Queries {
 
   /** q68: quality-percentile filtering — drop the worst decile by stopword
     * ratio (the scoring -> corpus-filtering step of a training pipeline).
-    * percent_rank over a totally-ordered window is engine-portable.
+    *
+    * Scale-safe EXACT formulation (round 1 used a single global
+    * `Window.orderBy` — a single-partition sort of the whole corpus, the one
+    * flagged scale-killer): the only global sort is over the per-VALUE count
+    * table (bounded by #distinct ratios, tiny relative to the corpus); the
+    * corpus-sized relation is only touched by a hash aggregation, a
+    * broadcast join, and a PARTITIONED window (partitionBy ratio). The kept
+    * set is identical to `percent_rank() < 0.9` over (ratio desc, doc_id
+    * asc) including tie-splitting at the cut boundary: global rank =
+    * (#rows with strictly better ratio) + (rank by doc_id within the tied
+    * group), keep rank <= K where K = |{pr < 0.9}| computed with exact
+    * integer arithmetic (x = 9*(N-1); K = x/10 if 10|x else x/10+1; K=1 when
+    * N=1 since percent_rank of a single row is 0).
     */
   def q68(s: SparkSession, dir: String): DataFrame = {
     val feats = TextAnalysis.qualityFeatures(t(s, dir, "documents"))
-    val w = Window.orderBy(col("stopword_ratio").desc, col("doc_id").asc)
+    // per-distinct-ratio counts: the ONLY relation that gets globally sorted
+    val counts = feats.groupBy(col("stopword_ratio").as("r")).agg(count(lit(1)).as("c"))
+    val wAll = Window.orderBy(col("r").desc)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("c")).over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_total", sum(col("c")).over(wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // integer K (long `/` in Spark is double division, so floor explicitly;
+    // 9*(N-1) stays double-exact far beyond any real corpus size)
+    val x = lit(9L) * (col("n_total") - 1)
+    val k = when(col("n_total") === 1, lit(1L))
+      .otherwise(when(x % 10 === 0, floor(x / 10)).otherwise(floor(x / 10) + 1))
+      .cast("long")
+    val wTie = Window.partitionBy(col("stopword_ratio")).orderBy(col("doc_id").asc)
     feats
-      .withColumn("pr", percent_rank().over(w))
-      .filter(col("pr") < 0.9) // keep the best 90% (high stopword ratio ~ natural language)
+      .join(broadcast(offsets.withColumn("k", k).select(col("r"), col("offset"), col("k"))), col("stopword_ratio") === col("r"))
+      .withColumn("grank", col("offset") + row_number().over(wTie))
+      .filter(col("grank") <= col("k"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_kept"),
@@ -696,11 +732,15 @@ object Queries {
         md5(TextAnalysis.stripAccents(lower(col("text")))).as("folded_md5")
       )
 
-  /** q65: SimHash near-dup pairs within a Hamming budget (pigeonhole-banded
-    * chunks + bit_count verify; rows-only xxhash64 path).
+  /** q65: SimHash near-dup pairs within a Hamming budget, portable 60-bit
+    * sketch. The pigeonhole banding has exact recall (any pair within budget
+    * shares a chunk), so the output equals {pairs: hamming <= 10} and the
+    * oracle verifies it with an all-pairs bit_count over q39's sketch SQL —
+    * no banding replication needed. The 64-bit xxhash64 path stays
+    * spec-tested (DedupSpec).
     */
   def q65(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDup(t(s, dir, "documents"), "doc_id", "text", maxHamming = 10)
+    Dedup.simhashNearDup60(t(s, dir, "documents"), "doc_id", "text", maxHamming = 10)
 
   /** q63: sketch-based approximate statistics — HLL distinct counts and
     * approximate quantiles (rows-only: approximation algorithms are
@@ -717,12 +757,22 @@ object Queries {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price")
       )
 
-  /** q64: TF-IDF scoring — top term per document by tf * ln(N/df)
-    * (rows-only: ln() is not bit-portable across math libraries).
+  /** q64: TF-IDF scoring — top term per document by tf * idf, where
+    * idf_e4 = floor(1e4 * ln(N/df)) is an integer-quantized idf: once
+    * quantized, the per-document ranking is pure integer arithmetic, so it is
+    * bit-portable across engines (ties — including mathematically-equal
+    * scores like 2*ln(10) vs ln(100) — compare as equal integers and break
+    * deterministically on token order). The quantization boundary itself is
+    * verified safe: floor(1e4*ln(N/df)) agrees between java.lang.Math.log
+    * and DuckDB's ln for every df in 1..N at N up to 5000 (min distance to
+    * an integer boundary is 4.4e-5, checked exhaustively).
+    *
+    * Single job: N comes from a 1-row aggregate cross-joined in (broadcast),
+    * not a driver-side count.
     */
   def q64(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val n = docs.count()
+    val total = docs.agg(count(lit(1)).as("n_docs"))
     val postings = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
@@ -730,19 +780,28 @@ object Queries {
     val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = postings
       .join(dfreq, "token")
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token").asc)
+      .crossJoin(broadcast(total))
+      .withColumn("idf_e4", floor(lit(10000.0) * log(col("n_docs").cast("double") / col("df"))).cast("long"))
+      .withColumn("score", col("tf") * col("idf_e4"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
     scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("token").as("top_term"), floor(col("tfidf") * 10000).cast("long").as("tfidf_e4"))
+      .select(col("doc_id"), col("token").as("top_term"), col("score").as("tfidf_q"))
   }
 
-  /** q47: embedding cosine near-dup pairs, LSH-blocked (composition of the
-    * q46-verified buckets and the q40-verified cosine; rows-only).
+  /** q47: embedding cosine near-dup pairs, LSH-blocked — the composition of
+    * the q46-verified buckets and the q40-verified cosine, now fully
+    * oracle-checked (hyperplane sign masks embedded in the SQL). The
+    * synthetic embeddings are random (max pairwise cosine ~0.51 at sf0.01),
+    * so the threshold/bucket width are sized to actually exercise the
+    * operator: nBits=3, minCosine=0.35 -> 70 verified pairs at sf0.01,
+    * ~1000 at sf0.1 (was 0 rows with 0.9/8 bits — a vacuous test).
     */
   def q47(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", nBits = 8, minCosine = 0.9)
+    Dedup
+      .embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", nBits = 3, minCosine = 0.35)
+      .select(col("id_a"), col("id_b"), floor(col("cosine") * 1000000).cast("long").as("cosine_e6"))
 
   /** q48: one-pass column profiler — count/nulls/min/max plus exact variance
     * from decimal sum/sum-of-squares (engine-native stddev is an
@@ -792,13 +851,26 @@ object Queries {
   }
 
   /** q44: multimodal decode plumbing (mapPartitions batched stub decoder) —
-    * deterministic fake features; rows-only (JVM hash not SQL-portable).
+    * deterministic fake features derived from the portable md5-prefix hash
+    * of the payload bytes, so the DuckDB oracle reproduces the decode
+    * outputs exactly (md5 of the UTF-8 text equals md5 of the binary
+    * payload).
     */
   def q44(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.toMediaTable(
       t(s, dir, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
       "doc_id", "payload", "text/plain"
     )
-    Multimodal.decodeFeatures(s, media).toDF()
+    Multimodal
+      .decodeFeatures(s, media)
+      .toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("format").as("fmt"),
+        col("width"),
+        col("height"),
+        col("byteLen").as("byte_len"),
+        col("featureHash").as("feature_hash")
+      )
   }
 }

@@ -68,9 +68,16 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 2,
-      minJaccard: Double = 0.5
+      minJaccard: Double = 0.5,
+      portable: Boolean = false
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // Shingle-hash choice: xxhash64 is ~10x cheaper per shingle, but has no
+    // cross-engine SQL twin; `portable=true` switches to the md5-prefix hash
+    // so the whole pipeline (and its banding) can be verified by the DuckDB
+    // oracle. Same algorithm either way — only the hash family differs.
+    val hashShingle: Column => Column =
+      if (portable) shingleHash64 else (s => xxhash64(s))
     // hashed shingle sets: small long arrays instead of wide varchar arrays.
     // Tokens and shingles are bound as real columns between the HOF stages —
     // interpreted lambdas re-evaluate their subtrees per element, so chaining
@@ -78,9 +85,7 @@ object Dedup {
     val withSig = df
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .withColumn("__sh_str", TextAnalysis.wordShinglesFromTokens(col("__toks"), shingleSize))
-      // xxhash64 (not the md5-based portable hash): this path has no SQL
-      // oracle to mirror, and xxhash64 is ~10x cheaper per shingle
-      .select(col("doc_id"), array_distinct(transform(col("__sh_str"), s => xxhash64(s))).as("shingles"))
+      .select(col("doc_id"), array_distinct(transform(col("__sh_str"), hashShingle)).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", minhashSignatureFromHashes(col("shingles"), numHashes))
       // the signature table feeds three plan branches (banding + both sides
@@ -90,17 +95,17 @@ object Dedup {
       .cache()
 
     // band table carries only (doc_id, band-key): the 8x explode must not
-    // replicate the shingle payload through the shuffle. The bucket hash is
-    // seeded by the band index, so it alone is the join key (a plain long —
-    // no struct comparison in the join).
+    // replicate the shingle payload through the shuffle. Fast path: the
+    // bucket hash is seeded by the band index, so it alone is the join key
+    // (a plain long — no struct comparison in the join). Portable path: the
+    // band index + slice values joined as a string key — hash-free, so the
+    // oracle can reproduce the key with string concatenation.
+    val bandKey: Int => Column =
+      if (portable) b => concat_ws(":", lit(b), concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+      else b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
     val banded = withSig.select(
       col("doc_id"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)
-        )
-      ).as("bucket")
+      explode(array((0 until bands).map(bandKey): _*)).as("bucket")
     )
 
     val a = banded.select(col("bucket").as("ba"), col("doc_id").as("id_a"))
@@ -118,7 +123,8 @@ object Dedup {
       .join(shB, "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      // raw (unrounded) jaccard: callers floor-scale for hash-stable output
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** MinHash over pre-hashed shingles: hash_i(h) = (a_i * (h mod p) + b_i)
@@ -198,6 +204,14 @@ object Dedup {
       .groupBy("simhash")
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("copies"))
 
+  /** [[simhashDuplicates]] over the portable 60-bit sketch — identical
+    * grouping semantics, oracle-replicable hash family.
+    */
+  def simhashDuplicates60(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), simhash60(col(textCol)).as("simhash60"))
+      .groupBy("simhash60")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("copies"))
+
   /** SimHash near-dups within Hamming distance <= maxHamming, at scale:
     * band the 64 bits into (maxHamming+1) chunks — by pigeonhole, any pair
     * within the distance agrees exactly on at least one chunk — join on
@@ -205,11 +219,32 @@ object Dedup {
     * Shuffle is linear in corpus x chunks; quadratic work only inside
     * identical-chunk groups.
     */
-  def simhashNearDup(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+    simhashNearDupImpl(df, idCol, textCol, maxHamming, simhash(col(textCol)), 64)
+
+  /** [[simhashNearDup]] over the portable 60-bit sketch. The pigeonhole
+    * banding is an exact-recall filter (any pair within the Hamming budget
+    * agrees on >=1 of the maxHamming+1 chunks), so the OUTPUT is exactly
+    * {pairs : hamming(sk_a, sk_b) <= maxHamming} — which is why the DuckDB
+    * oracle can verify it with a plain all-pairs bit_count at test scale
+    * without replicating the banding.
+    */
+  def simhashNearDup60(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+    simhashNearDupImpl(df, idCol, textCol, maxHamming, simhash60(col(textCol)), 60)
+
+  private def simhashNearDupImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      sketch: Column,
+      sketchBits: Int
+  ): DataFrame = {
     val chunks = maxHamming + 1
-    val bitsPer = 64 / chunks
+    val bitsPer = sketchBits / chunks
+    require(bitsPer > 0, s"maxHamming=$maxHamming too large for a $sketchBits-bit sketch")
     val sketched = df
-      .select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sk"))
+      .select(col(idCol).as("doc_id"), sketch.as("sk"))
       .cache()
     val banded = sketched.select(
       col("doc_id"),
@@ -303,6 +338,7 @@ object Dedup {
     a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
       .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= minCosine)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      // raw (bit-exact index-order fold) cosine: callers floor-scale
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

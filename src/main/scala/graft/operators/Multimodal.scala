@@ -32,13 +32,16 @@ object Multimodal {
       ).as("meta")
     )
 
-  /** STUB decoder: derives deterministic fake (width,height,duration) from a
-    * hash of the bytes. A production build replaces `decodeOne` with a real
-    * codec call; everything around it (batching, schema, partitioning) stays.
+  /** STUB decoder: derives deterministic fake (width,height) from the first
+    * 60 bits of md5(payload) — the same portable hash as
+    * [[graft.plans.Md5Prefix60]], so the DuckDB oracle reproduces it as
+    * CAST(('0x'||substr(md5(payload),1,15)) AS BIGINT). A production build
+    * replaces `decodeOne` with a real codec call; everything around it
+    * (batching, schema, partitioning) stays.
     */
   private def decodeOne(id: Long, bytes: Array[Byte], format: String): DecodedFeatures = {
     // ??? <- real codec goes here; deterministic fake below
-    val h = java.util.Arrays.hashCode(bytes).toLong & 0x7FFFFFFFL
+    val h = graft.plans.Md5Prefix60.hash(bytes)
     DecodedFeatures(id, format, (h % 1920 + 1).toInt, (h % 1080 + 1).toInt, bytes.length.toLong, h)
   }
 

@@ -47,4 +47,32 @@ class PlanQualitySpec extends AnyFunSuite {
     val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
     assert(!scans.contains("l_orderkey"), "scan reads columns the aggregation never touches")
   }
+
+  test("q68: no single-partition sort over the corpus (global windows only above aggregates)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val df = SparkEntry.queries("q68_quality_filter")(spark, dir)
+    // sparkPlan (pre-AQE): AdaptiveSparkPlanExec hides its subtree from collect
+    val globalWindows = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.nonEmpty, "expected the distinct-value cumulative window to exist")
+    globalWindows.foreach { w =>
+      val aggBelow = w.child.collect {
+        case a: HashAggregateExec => a
+        case a: ObjectHashAggregateExec => a
+        case a: SortAggregateExec => a
+      }
+      assert(
+        aggBelow.nonEmpty,
+        "a global (single-partition) window runs directly over a corpus-sized input — " +
+          "the round-1 scale-killer this formulation removed"
+      )
+    }
+    // and the corpus-sized window is partitioned (by ratio), never global
+    val partitioned = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.nonEmpty => w
+    }
+    assert(partitioned.nonEmpty, "expected the per-ratio tie-splitting window")
+  }
 }
