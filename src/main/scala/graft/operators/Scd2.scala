@@ -110,4 +110,59 @@ object Scd2 {
     */
   def fullRefresh(batch: DataFrame, path: String): Unit =
     batch.write.mode("overwrite").parquet(path)
+
+  /** Deterministic key-bucket for partition-scoped storage: a key's rows
+    * (all its SCD-2 versions) always land in the same bucket, so an upsert
+    * touches exactly the buckets its batch keys hash to.
+    */
+  def keyBucket(keyCols: Seq[String], nBuckets: Int): Column =
+    pmod(
+      graft.plans.HashExpressions.md5Prefix60(concat_ws("", keyCols.map(c => col(c).cast("string")): _*)),
+      lit(nBuckets.toLong)
+    )
+
+  /** Partition-scoped SCD-2 load against a delta-committed
+    * [[graft.sources.VersionedTable]]: reads ONLY the key-bucket partitions
+    * the batch touches, upserts within them, and commits just those
+    * partitions — untouched partitions carry forward by manifest reference
+    * with zero data movement. This is the load shape that survives a 100 TB
+    * target (the round-1 full-snapshot `Pipeline.load` copies the whole
+    * table per run; reference semantics per loading.py:25-133 are
+    * unchanged).
+    *
+    * Correctness of the scoping: `actv_flg` flips only for rows whose key
+    * appears in the batch, and a key's rows live in exactly one bucket
+    * ([[keyBucket]] is a pure key function), so rows outside the touched
+    * buckets are provably unchanged by [[upsert]].
+    *
+    * @return the committed version
+    */
+  def upsertPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      warehousePath: String,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      nBuckets: Int,
+      now: Column,
+      bucketCol: String = "key_bucket"
+  ): Long = {
+    import graft.sources.VersionedTable
+    val b = batch.withColumn(bucketCol, keyBucket(keyCols, nBuckets))
+    // bounded driver-side list: at most nBuckets values
+    val touched = b.select(bucketCol).distinct().collect().map(_.getLong(0)).sorted
+    val targetTouched = VersionedTable.latestVersion(spark, warehousePath) match {
+      case Some(v) =>
+        val existing = touched.toSeq.flatMap(p => VersionedTable.readPartition(spark, warehousePath, p.toString, Some(v)))
+        existing.reduceOption(_.unionByName(_)).getOrElse(emptyTarget(b, bucketCol))
+      case None => emptyTarget(b, bucketCol)
+    }
+    val result = upsert(targetTouched, b, keyCols, now)
+    VersionedTable.commitDelta(spark, warehousePath, result, bucketCol)
+  }
+
+  private def emptyTarget(batchWithBucket: DataFrame, bucketCol: String): DataFrame =
+    batchWithBucket
+      .limit(0)
+      .withColumn("actv_flg", lit("Y"))
+      .withColumn("record_to", lit(null).cast("timestamp"))
 }

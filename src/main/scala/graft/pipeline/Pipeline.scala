@@ -120,6 +120,27 @@ object Pipeline {
     VersionedTable.read(spark, warehousePath)
   }
 
+  /** Partition-scoped loading stage — same reference semantics as [[load]]
+    * (loading.py:25-133), but against a delta-committed warehouse table:
+    * only the key-bucket partitions touched by this batch are rewritten;
+    * the rest carry forward by manifest reference. Use this shape for big
+    * fact targets ([[load]]'s full snapshot is fine for small dimensions —
+    * at 100 TB a full-table copy per daily load is not).
+    */
+  def loadPartitioned(
+      spark: SparkSession,
+      run: PipelineRun,
+      alias: String,
+      warehousePath: String,
+      keyCols: Seq[String],
+      nBuckets: Int = 64
+  ): DataFrame = {
+    import graft.sources.VersionedTable
+    val staged = IO.readPipeCsv(spark, run.path(alias, "transformation", "csv"))
+    Scd2.upsertPartitioned(spark, warehousePath, staged, keyCols, nBuckets, run.now)
+    VersionedTable.read(spark, warehousePath)
+  }
+
   /** Full-refresh loader (O-FULL, loading.py:1937-1956). */
   def loadFullRefresh(spark: SparkSession, run: PipelineRun, alias: String, warehousePath: String): Unit = {
     val staged = IO.readPipeCsv(spark, run.path(alias, "transformation", "csv"))

@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Minimal transactional table layout: versioned snapshots with an atomic
   * commit log — the engine's stand-in for a Delta/Iceberg table format
@@ -10,8 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout:
   * {{{
   *   table/
-  *     v=1/  v=2/ ...        # immutable parquet snapshot directories
-  *     _commits/1.json ...   # commit metadata, written AFTER the data
+  *     v=1/  v=2/ ...           # immutable parquet snapshot directories
+  *       p=<part>/ ...          # (delta commits) per-partition data dirs
+  *     _commits/1.json ...      # commit metadata, written AFTER the data
+  *     _commits/1.reserved ...  # version reservations (writer lock files)
   * }}}
   *
   * Guarantees:
@@ -19,15 +22,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    atomic publish: data is invisible until its rename completes)
   *  - time travel: `read(spark, path, Some(v))`
   *  - writers never mutate a published snapshot (rollback = read older v)
+  *  - concurrent writers are safe: each writer RESERVES its version number
+  *    with an exclusive create of `_commits/N.reserved` before touching any
+  *    data path, so no two writers ever share a v-dir and no writer ever
+  *    deletes another writer's data (the round-1 protocol deleted
+  *    "orphan" v-dirs and could silently drop a concurrent writer's commit).
+  *    A writer that dies after reserving leaves a version-number gap —
+  *    harmless, readers only follow `*.json`. Exclusive create is atomic on
+  *    local/HDFS filesystems; an object store without atomic create (raw
+  *    S3) needs a catalog/lock service here, exactly as Delta does.
   *
-  * At 100 TB the copy-on-write snapshot model is the standard trade: full
-  * snapshots per version for small dimension/state tables (this use case —
-  * SCD-2 targets, config, snapshots), delta logs for the big fact tables
-  * (where a real Delta/Iceberg dependency earns its keep).
+  * Two commit flavors:
+  *  - [[commit]]: full copy-on-write snapshot — the standard trade for
+  *    small dimension/state tables (SCD-2 targets, config, snapshots).
+  *  - [[commitDelta]]: partition-scoped rewrite for big fact tables — only
+  *    the partitions present in the written DataFrame get new data; every
+  *    other partition is carried forward BY REFERENCE in the commit
+  *    manifest (`"partitions": {"<part>": <version holding its data>}`).
+  *    A daily SCD-2 load over a 100 TB table rewrites the few key-bucket
+  *    partitions its batch touches instead of copying the table.
   */
 object VersionedTable {
 
-  private def fs(spark: SparkSession, path: String) =
+  private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def latestVersion(spark: SparkSession, path: String): Option[Long] = {
@@ -40,40 +57,136 @@ object VersionedTable {
     }
   }
 
-  /** Commit a new snapshot; returns the version number. The data directory
-    * is written under a temp name and renamed in, then the commit file is
-    * written last — a reader enumerating `_commits` never sees a
-    * half-written version.
+  /** Reserve the next free version number with an exclusive create of
+    * `_commits/N.reserved`. The reservation IS the write lock: losing the
+    * create race just means trying N+1. Reserved-but-never-published
+    * numbers (writer crash) stay burned — readers never see them.
     */
-  def commit(df: DataFrame, path: String): Long = {
-    val spark = df.sparkSession
-    val f = fs(spark, path)
-    val v = latestVersion(spark, path).getOrElse(0L) + 1
-    // unique tmp per writer: two racing writers must never share a staging
-    // dir (mode=overwrite on a shared path would interleave their files)
-    val tmp = new Path(s"$path/.v=$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    val finalDir = new Path(s"$path/v=$v")
-    // an orphaned uncommitted v-dir (writer died between rename and commit
-    // file) is dead data — remove it, else Hadoop rename would move the new
-    // data INSIDE it instead of replacing it
-    if (f.exists(finalDir)) {
-      if (f.exists(new Path(s"$path/_commits/$v.json")))
-        throw new IllegalStateException(s"version $v of $path already committed (concurrent writer)")
-      f.delete(finalDir, true)
-    }
-    if (!f.rename(tmp, finalDir))
-      throw new IllegalStateException(s"concurrent commit detected for version $v of $path")
+  private def reserveVersion(f: FileSystem, path: String): Long = {
     val commitsDir = new Path(s"$path/_commits")
     f.mkdirs(commitsDir)
-    val meta =
-      s"""{"version": $v, "schema": ${jsonStr(df.schema.json)}, "committed_at": ${System.currentTimeMillis()}}"""
+    val taken = f.listStatus(commitsDir).map(_.getPath.getName).flatMap { n =>
+      if (n.endsWith(".json")) Some(n.stripSuffix(".json").toLong)
+      else if (n.endsWith(".reserved")) Some(n.stripSuffix(".reserved").toLong)
+      else None
+    }
+    var v = if (taken.isEmpty) 1L else taken.max + 1
+    var attempts = 0
+    while (attempts < 1000) {
+      try {
+        val out = f.create(new Path(commitsDir, s"$v.reserved"), false) // exclusive
+        out.close()
+        return v
+      } catch {
+        case _: java.io.IOException => v += 1; attempts += 1 // lost the race; next number
+      }
+    }
+    throw new IllegalStateException(s"could not reserve a version at $path after 1000 attempts")
+  }
+
+  /** A pre-existing uncommitted `v=N` dir while WE hold the reservation for
+    * N can only be dead data (tampering or pre-reservation-protocol
+    * leftovers — a live writer can't share our number). Remove it so the
+    * rename replaces it instead of nesting inside it. Never touches
+    * committed versions.
+    */
+  private def clearStaleDir(f: FileSystem, path: String, v: Long): Path = {
+    val finalDir = new Path(s"$path/v=$v")
+    if (f.exists(finalDir)) {
+      if (f.exists(new Path(s"$path/_commits/$v.json")))
+        throw new IllegalStateException(s"version $v of $path already committed")
+      f.delete(finalDir, true)
+    }
+    finalDir
+  }
+
+  /** Atomically publish version `v`: metadata to a tmp file, rename to
+    * `N.json`, drop the reservation marker.
+    */
+  private def publish(f: FileSystem, path: String, v: Long, meta: String): Unit = {
     val tmpCommit = new Path(s"$path/_commits/.$v.json.tmp")
     val out = f.create(tmpCommit, false)
     out.write(meta.getBytes("UTF-8")); out.close()
     if (!f.rename(tmpCommit, new Path(s"$path/_commits/$v.json")))
       throw new IllegalStateException(s"commit race on version $v of $path")
+    f.delete(new Path(s"$path/_commits/$v.reserved"), false)
+  }
+
+  /** Commit a new FULL snapshot; returns the version number. */
+  def commit(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    val v = reserveVersion(f, path)
+    // v is exclusively ours: the data dir cannot collide with any other
+    // writer, so no deletion of foreign dirs is ever needed
+    val tmp = new Path(s"$path/.v=$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val finalDir = clearStaleDir(f, path, v)
+    if (!f.rename(tmp, finalDir))
+      throw new IllegalStateException(s"failed to move snapshot into place for version $v of $path")
+    publish(f, path, v,
+      s"""{"version": $v, "schema": ${jsonStr(df.schema.json)}, "committed_at": ${System.currentTimeMillis()}}""")
     v
+  }
+
+  /** Commit a DELTA: only the partitions present in `updated` (by the
+    * string form of `partCol`) get new data under `v=N/p=<part>/`; all
+    * other partitions carry forward by reference. The partition column
+    * stays a real data column in the files (the `p=` layout is additional,
+    * for pruned single-partition reads).
+    *
+    * The table must have been created by commitDelta (or be empty): mixing
+    * full-snapshot and delta commits on one table is rejected.
+    */
+  def commitDelta(spark: SparkSession, path: String, updated: DataFrame, partCol: String): Long = {
+    val f = fs(spark, path)
+    val prev = latestVersion(spark, path).map { pv =>
+      partitionMap(spark, path, pv).getOrElse(
+        throw new IllegalStateException(
+          s"table at $path version $pv is a full snapshot; commitDelta requires a delta-style table"))
+    }.getOrElse(Map.empty[String, Long])
+
+    val v = reserveVersion(f, path)
+    val tmp = new Path(s"$path/.v=$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    // duplicate the partition column: partitionBy strips __part from the
+    // files, the original column survives as data
+    updated
+      .withColumn("__part", col(partCol).cast("string"))
+      .write.partitionBy("__part").mode("overwrite").parquet(tmp.toString)
+    val written = f.listStatus(tmp).map(_.getPath.getName).filter(_.startsWith("__part=")).map(_.stripPrefix("__part="))
+    written.foreach { p =>
+      require(p.matches("[A-Za-z0-9_.-]+"), s"partition value '$p' needs escaping; use simple bucket ids")
+    }
+    val finalDir = clearStaleDir(f, path, v)
+    f.mkdirs(finalDir)
+    written.foreach { p =>
+      if (!f.rename(new Path(tmp, s"__part=$p"), new Path(finalDir, s"p=$p")))
+        throw new IllegalStateException(s"failed to move partition $p into place for version $v of $path")
+    }
+    f.delete(tmp, true)
+    val parts = prev ++ written.map(_ -> v)
+    val partsJson = parts.toSeq.sortBy(_._1).map { case (p, pv) => s"${jsonStr(p)}: $pv" }.mkString("{", ", ", "}")
+    publish(f, path, v,
+      s"""{"version": $v, "schema": ${jsonStr(updated.schema.json)}, "committed_at": ${System.currentTimeMillis()}, "partitions": $partsJson}""")
+    v
+  }
+
+  /** The partition->version manifest of a delta commit; None for full
+    * snapshots.
+    */
+  def partitionMap(spark: SparkSession, path: String, version: Long): Option[Map[String, Long]] = {
+    val f = fs(spark, path)
+    val p = new Path(s"$path/_commits/$version.json")
+    require(f.exists(p), s"version $version of $path is not committed")
+    val in = f.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    val parts = root.path("partitions")
+    if (!parts.isObject) None
+    else Some(
+      scala.jdk.CollectionConverters.IteratorHasAsScala(parts.fields()).asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap
+    )
   }
 
   private def jsonStr(s: String): String =
@@ -84,13 +197,31 @@ object VersionedTable {
       case c => c.toString
     } + "\""
 
-  /** Read a specific version, or the latest committed one. */
+  /** Read a specific version, or the latest committed one. Delta-committed
+    * tables resolve each partition to the version dir that last rewrote it.
+    */
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path")
     )
-    val f = fs(spark, path)
-    require(f.exists(new Path(s"$path/_commits/$v.json")), s"version $v of $path is not committed")
-    spark.read.parquet(s"$path/v=$v")
+    partitionMap(spark, path, v) match {
+      case None => spark.read.parquet(s"$path/v=$v")
+      case Some(parts) =>
+        val dirs = parts.toSeq.sortBy(_._1).map { case (p, pv) => s"$path/v=$pv/p=$p" }
+        spark.read.parquet(dirs: _*)
+    }
+  }
+
+  /** Pruned read of ONE partition of a delta-committed table — the scan a
+    * point query / per-bucket job does instead of touching the whole table.
+    * Empty (0-row, schema-less caller handles) partitions return None.
+    */
+  def readPartition(spark: SparkSession, path: String, part: String, version: Option[Long] = None): Option[DataFrame] = {
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path")
+    )
+    val parts = partitionMap(spark, path, v).getOrElse(
+      throw new IllegalStateException(s"table at $path is not delta-committed; read the snapshot instead"))
+    parts.get(part).map(pv => spark.read.parquet(s"$path/v=$pv/p=$part"))
   }
 }

@@ -47,4 +47,75 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, path).count() == 1)
     assertThrows[IllegalArgumentException](VersionedTable.read(spark, path, Some(2)))
   }
+
+  test("a concurrent writer's reservation is never reused or deleted") {
+    val path = Files.createTempDirectory("graft-vt4").toString + "/t"
+    VersionedTable.commit(Seq((1, "a")).toDF("id", "v"), path)
+    // another writer holds version 2 (reservation file, data not yet
+    // published) — round 1's protocol would have deleted its data dir
+    Files.createDirectories(java.nio.file.Paths.get(s"$path/_commits"))
+    Files.writeString(java.nio.file.Paths.get(s"$path/_commits/2.reserved"), "")
+    Seq((99, "other-writer")).toDF("id", "v").write.parquet(s"$path/v=2")
+    val v = VersionedTable.commit(Seq((2, "b")).toDF("id", "v"), path)
+    assert(v == 3L) // skipped the reserved number
+    // the other writer's in-flight data is untouched
+    assert(spark.read.parquet(s"$path/v=2").head().getInt(0) == 99)
+    assert(VersionedTable.read(spark, path).head().getInt(0) == 2)
+  }
+
+  test("delta commits rewrite only touched partitions; rest carry forward by reference") {
+    val path = Files.createTempDirectory("graft-vt5").toString + "/t"
+    val full = Seq((0L, 1, "a"), (1L, 2, "b"), (2L, 3, "c")).toDF("bucket", "id", "v")
+    val v1 = VersionedTable.commitDelta(spark, path, full, "bucket")
+    assert(v1 == 1L)
+    assert(VersionedTable.read(spark, path).count() == 3)
+
+    // second commit touches ONLY bucket 1
+    val delta = Seq((1L, 2, "b2")).toDF("bucket", "id", "v")
+    val v2 = VersionedTable.commitDelta(spark, path, delta, "bucket")
+    assert(v2 == 2L)
+    // physical check: v=2 holds exactly one partition dir; buckets 0/2 were
+    // NOT copied
+    val v2dirs = new java.io.File(s"$path/v=2").listFiles().map(_.getName).filter(_.startsWith("p=")).sorted
+    assert(v2dirs.toSeq == Seq("p=1"))
+    // manifest: buckets 0/2 still reference v=1
+    val m = VersionedTable.partitionMap(spark, path, 2L).get
+    assert(m == Map("0" -> 1L, "1" -> 2L, "2" -> 1L))
+    // logical read resolves across versions
+    val rows = VersionedTable.read(spark, path).collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((0L, "a"), (1L, "b2"), (2L, "c")))
+    // pruned single-partition read
+    assert(VersionedTable.readPartition(spark, path, "0").get.head().getString(2) == "a")
+    assert(VersionedTable.readPartition(spark, path, "9").isEmpty)
+    // time travel still works on the delta table
+    assert(VersionedTable.read(spark, path, Some(1L)).collect().map(_.getString(2)).sorted.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("partition-scoped SCD-2 load rewrites only the buckets its batch touches") {
+    import org.apache.spark.sql.functions.lit
+    import graft.operators.Scd2
+    val path = Files.createTempDirectory("graft-vt6").toString + "/t"
+    val ts1 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val ts2 = lit("2024-02-01 00:00:00").cast("timestamp")
+    // initial load: keys spread over 4 buckets
+    val batch1 = (1 to 40).map(k => (k.toLong, s"v$k")).toDF("k", "payload")
+    Scd2.upsertPartitioned(spark, path, batch1, Seq("k"), nBuckets = 4, now = ts1)
+    val v1Buckets = new java.io.File(s"$path/v=1").listFiles().map(_.getName).filter(_.startsWith("p=")).toSet
+    assert(v1Buckets.size > 1, "fixture should span several buckets")
+
+    // second load: ONE key -> exactly one bucket rewritten
+    val batch2 = Seq((7L, "v7-new")).toDF("k", "payload")
+    Scd2.upsertPartitioned(spark, path, batch2, Seq("k"), nBuckets = 4, now = ts2)
+    val v2Buckets = new java.io.File(s"$path/v=2").listFiles().map(_.getName).filter(_.startsWith("p=")).toSet
+    assert(v2Buckets.size == 1, s"expected 1 rewritten bucket, got $v2Buckets")
+
+    // SCD-2 semantics across the partitioned table
+    val t = VersionedTable.read(spark, path)
+    assert(t.count() == 41) // 40 original + 1 new version of key 7
+    val k7 = t.filter($"k" === 7L).collect().map(r => (r.getAs[String]("payload"), r.getAs[String]("actv_flg"))).sortBy(_._1)
+    assert(k7.toSeq == Seq(("v7", "N"), ("v7-new", "Y")))
+    // every other key: single active row, never closed
+    assert(t.filter($"k" =!= 7L && $"actv_flg" === "Y").count() == 39)
+    assert(t.filter($"k" =!= 7L && $"actv_flg" =!= "Y").count() == 0)
+  }
 }
