@@ -600,6 +600,45 @@ object Oracles {
         |SELECT vec_id, CAST(FLOOR(c*1000000) AS BIGINT) AS cosine_e6
         |FROM cos ORDER BY c DESC, vec_id ASC LIMIT 20""".stripMargin,
 
+    // q70: the pipeline-golden probes recomputed straight from `orders` —
+    // matching rows proves flatten naming, rule/path resolution, explode
+    // semantics (empty list drops the row), F1/F2 conversions, the pipe-CSV
+    // dialect, and the SCD-2 flip in one hash
+    "q70_pipeline_golden" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2000),
+        | flat AS (SELECT 'flat' component, o_orderkey k1, 'geo0' k2,
+        |   concat_ws(':',
+        |     CASE WHEN o_orderkey % 3 >= 1 THEN o_orderpriority ELSE '-' END,
+        |     CASE WHEN o_orderkey % 3 = 2 THEN 'REGION' ELSE '-' END,
+        |     CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_orderkey*100 AS VARCHAR) ELSE '-' END,
+        |     CAST(year(o_orderdate) AS VARCHAR)) v
+        |  FROM o),
+        | geo AS (SELECT 'geo' component, o_orderkey k1, CAST(o_orderkey*10 + i AS VARCHAR) k2,
+        |   concat_ws(':', CASE WHEN i = 0 THEN 'COUNTRY' ELSE 'REGION' END,
+        |     CAST(o_orderkey AS VARCHAR), o_orderpriority) v
+        |  FROM o CROSS JOIN (SELECT unnest([0, 1]) i) js WHERE i < o_orderkey % 3),
+        | au AS (SELECT 'adunit' component, o_orderkey k1, CAST(o_orderkey*100 AS VARCHAR) k2,
+        |   concat_ws(':', CASE WHEN o_orderstatus = 'O' THEN 'true' ELSE 'false' END, 'targetted') v
+        |  FROM o WHERE o_orderkey % 2 = 1),
+        | cf AS (SELECT 'cf' component, o_orderkey k1, '7' k2, o_orderpriority v FROM o),
+        | base AS (SELECT o_orderkey, o_orderstatus, CAST(TRUNC(o_totalprice) AS BIGINT) tp,
+        |    CAST(year(o_orderdate) AS VARCHAR) yr, CAST(month(o_orderdate) AS VARCHAR) mo,
+        |    (o_orderkey % 7 = 0) in_batch FROM o),
+        | scd AS (
+        |  SELECT 'scd' component, o_orderkey k1, 'N:2024-06-02 00:00:00' k2,
+        |    concat_ws(':', 'OLD', CAST(tp AS VARCHAR), yr, mo, '-', '2024-06-01 00:00:01') v
+        |  FROM base WHERE in_batch
+        |  UNION ALL
+        |  SELECT 'scd', o_orderkey, 'Y:-',
+        |    concat_ws(':', 'OLD', CAST(tp AS VARCHAR), yr, mo, '-', '2024-06-01 00:00:01')
+        |  FROM base WHERE NOT in_batch
+        |  UNION ALL
+        |  SELECT 'scd', o_orderkey, 'Y:-',
+        |    concat_ws(':', o_orderstatus, CAST(tp AS VARCHAR), yr, mo, '-', '2024-06-01 00:00:01')
+        |  FROM base WHERE in_batch)
+        |SELECT * FROM flat UNION ALL SELECT * FROM geo UNION ALL SELECT * FROM au
+        |UNION ALL SELECT * FROM cf UNION ALL SELECT * FROM scd""".stripMargin,
+
     "q42_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS fmt,
         | CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.core.{ServiceConfig, TransformationRule}
 import graft.operators._
 import graft.sources.IO
 
@@ -802,6 +803,152 @@ object Queries {
     Dedup
       .embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", nBits = 3, minCosine = 0.35)
       .select(col("id_a"), col("id_b"), floor(col("cosine") * 1000000).cast("long").as("cosine_e6"))
+
+  /** q70: PIPELINE GOLDEN — the full reference pipeline shape as ONE
+    * oracle-checked query, closing the §2 operators that previously had only
+    * spec coverage (R2/R3/R4 explodes, R6 recursive flatten, P1 rules
+    * projection, F1 generic spares + insrt_ts, F2 float->long, S9/S10
+    * sinks):
+    *
+    *   deterministic nested raw docs (from `orders`) -> JSON sink ->
+    *   JSON source -> Flatten.flattenAll (list-index naming) ->
+    *   Transform.forService (rules + 3 explode side outputs) ->
+    *   addGenericAndTimestamp + floatColumnsToLong -> pipe-CSV roundtrip ->
+    *   Scd2.upsert
+    *
+    * Every stage's observable output is probed into one tall
+    * (component, k1, k2, v) frame; the DuckDB oracle recomputes the same
+    * rows straight from `orders` — so a hash match proves the flatten
+    * naming, the rule/path resolution, the explode semantics (empty lists
+    * DROP rows), the conversions, the CSV dialect, and the SCD-2 flip all
+    * at once.
+    */
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+
+    // --- deterministic nested documents (schema shaped like the reference's
+    // line_item service: transformation.py:323-393)
+    def geoElem(i: Int) = struct(
+      (col("o_orderkey") * 10 + i).as("id"),
+      lit(if (i == 0) "COUNTRY" else "REGION").as("type"),
+      col("o_orderkey").as("canonicalParentId"),
+      col("o_orderpriority").as("displayName")
+    )
+    val docs = orders.select(
+      col("o_orderkey").as("id"),
+      col("o_custkey").as("orderId"),
+      col("o_orderstatus").as("status"),
+      struct(
+        struct(
+          year(col("o_orderdate")).as("year"),
+          month(col("o_orderdate")).as("month"),
+          dayofmonth(col("o_orderdate")).as("day")
+        ).as("date")
+      ).as("startDateTime"),
+      struct(
+        struct(
+          slice(array(geoElem(0), geoElem(1)), lit(1), (col("o_orderkey") % 3).cast("int")).as("targetedLocations")
+        ).as("geoTargeting"),
+        struct(
+          slice(
+            array(struct((col("o_orderkey") * 100).as("adUnitId"), (col("o_orderstatus") === "O").as("includeDescendants"))),
+            lit(1),
+            (col("o_orderkey") % 2).cast("int")
+          ).as("targetedAdUnits")
+        ).as("inventoryTargeting")
+      ).as("targeting"),
+      array(struct(lit(7L).as("customFieldId"), struct(col("o_orderpriority").as("value")).as("value"))).as("customFieldValues"),
+      col("o_totalprice").as("totalprice")
+    )
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-golden").toString
+    IO.writeJson(docs, s"$tmp/raw") // S10 sink
+    val raw = s.read.json(s"$tmp/raw") // standard JSON source, schema inferred
+
+    // --- R6: recursive flatten with flatten_json-style list-index naming
+    val flat = Flatten.flattenAll(raw, listIndexBound = 2)
+    val flatProbe = flat.select(
+      lit("flat").as("component"),
+      col("id").cast("long").as("k1"),
+      lit("geo0").as("k2"),
+      concat_ws(
+        ":",
+        coalesce(col("targeting_geoTargeting_targetedLocations_0_displayName"), lit("-")),
+        coalesce(col("targeting_geoTargeting_targetedLocations_1_type"), lit("-")),
+        coalesce(col("targeting_inventoryTargeting_targetedAdUnits_0_adUnitId").cast("string"), lit("-")),
+        col("startDateTime_date_year").cast("string")
+      ).as("v")
+    )
+
+    // --- P1/P2/P3 rules + R2/R3/R4 side outputs
+    val svc = ServiceConfig(
+      alias = "golden",
+      transformationRules = Seq(
+        TransformationRule("id", "order_id"),
+        TransformationRule("orderId", "parent_order_id"),
+        TransformationRule("status", "order_status"),
+        TransformationRule("totalprice", "total_price"),
+        TransformationRule("startDateTime", "start_datetime_date_year", Some("startDateTime_date_year"), "dict"),
+        TransformationRule("startDateTime", "start_datetime_date_month", Some("startDateTime_date_month"), "dict")
+      ),
+      transformationColumns =
+        Seq("order_id", "parent_order_id", "order_status", "total_price", "start_datetime_date_year", "start_datetime_date_month"),
+      expandColumns = Seq("order_id", "adunit_id", "include_descendants", "targetting_type"),
+      expandColumnsTargetingLocation = Seq("order_id", "location_id", "location_type", "canonical_parent_id", "location_name"),
+      expandColumnsCustomField = Seq("order_id", "custom_field_id", "custom_field_value")
+    )
+    val (main0, sides) = Transform.forService(raw, svc, applyYearFilter = false)
+
+    val geoProbe = sides("golden_targeting_locations").select(
+      lit("geo").as("component"),
+      col("order_id").cast("long").as("k1"),
+      col("location_id").cast("string").as("k2"),
+      concat_ws(":", col("location_type"), col("canonical_parent_id").cast("string"), col("location_name")).as("v")
+    )
+    val auProbe = sides("golden_targetted_ad_unit").select(
+      lit("adunit").as("component"),
+      col("order_id").cast("long").as("k1"),
+      col("adunit_id").cast("string").as("k2"),
+      concat_ws(":", col("include_descendants").cast("string"), col("targetting_type")).as("v")
+    )
+    val cfProbe = sides("golden_custom_field").select(
+      lit("cf").as("component"),
+      col("order_id").cast("long").as("k1"),
+      col("custom_field_id").cast("string").as("k2"),
+      col("custom_field_value").as("v")
+    )
+
+    // --- F1 (string-formatted insrt_ts, injected clock) + F2, then the S9
+    // pipe-CSV roundtrip the stages hand off through
+    val main = Transform.addGenericAndTimestamp(Transform.floatColumnsToLong(main0), lit("2024-06-01 00:00:01"))
+    IO.writePipeCsv(main, s"$tmp/staged")
+    val staged = IO.readPipeCsv(s, s"$tmp/staged")
+
+    // --- SCD-2: yesterday's warehouse (same keys, OLD payload) + today's
+    // batch (keys divisible by 7) -> close/untouched/insert
+    val target = staged
+      .withColumn("order_status", lit("OLD"))
+      .withColumn("actv_flg", lit("Y"))
+      .withColumn("record_to", lit(null).cast("timestamp"))
+    val batch = staged.filter(col("order_id") % 7 === 0)
+    val upserted = Scd2.upsert(target, batch, Seq("order_id"), lit("2024-06-02 00:00:00").cast("timestamp"))
+    val scdProbe = upserted.select(
+      lit("scd").as("component"),
+      col("order_id").cast("long").as("k1"),
+      concat_ws(":", col("actv_flg"), coalesce(col("record_to").cast("string"), lit("-"))).as("k2"),
+      concat_ws(
+        ":",
+        col("order_status"),
+        col("total_price").cast("string"),
+        col("start_datetime_date_year").cast("string"),
+        col("start_datetime_date_month").cast("string"),
+        coalesce(col("generic1"), lit("-")),
+        col("insrt_ts").cast("string")
+      ).as("v")
+    )
+
+    flatProbe.unionByName(geoProbe).unionByName(auProbe).unionByName(cfProbe).unionByName(scdProbe)
+  }
 
   /** q48: one-pass column profiler — count/nulls/min/max plus exact variance
     * from decimal sum/sum-of-squares (engine-native stddev is an
