@@ -165,6 +165,9 @@ object Oracles {
         | CAST(sum(l_suppkey) AS BIGINT) AS sum_suppkey, count(record_to) AS n_closed
         |FROM scd GROUP BY actv_flg""".stripMargin,
 
+    // run identifiers/kwargs mirror DqSuite's deterministic GX-shaped fields
+    // (great_expectations.py:313-335); doubles in kwargs print in Scala
+    // Double notation
     "q21_dq_suite" ->
       """WITH m AS (SELECT count(*) n, count(*)-count(o_orderstatus) u_status, count(*)-count(o_totalprice) u_total,
         |   count(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < CAST(0 AS DOUBLE) OR o_totalprice > CAST(1e9 AS DOUBLE)) THEN 1 END) u_between
@@ -173,10 +176,15 @@ object Oracles {
         |   FROM (SELECT count(*) c FROM orders GROUP BY o_orderkey))
         |SELECT 'orders' AS file_identifier, 'b1' AS "batchID", 'o_orderstatus' AS column_name,
         |  'expect_column_values_to_not_be_null' AS expectation_type, u_status=0 AS success,
-        |  n AS element_count, CAST(u_status AS BIGINT) AS unexpected_count FROM m
-        |UNION ALL SELECT 'orders','b1','o_totalprice','expect_column_values_to_not_be_null', u_total=0, n, CAST(u_total AS BIGINT) FROM m
-        |UNION ALL SELECT 'orders','b1','o_totalprice','expect_column_values_to_be_between', u_between=0, n, CAST(u_between AS BIGINT) FROM m
-        |UNION ALL SELECT 'orders','b1','o_orderkey','expect_column_values_to_be_unique', dups=0, n, dups FROM d""".stripMargin,
+        |  n AS element_count, CAST(u_status AS BIGINT) AS unexpected_count,
+        |  'graft-orders-b1' AS great_exp_id, '{"column": "o_orderstatus"}' AS expectation_kwargs,
+        |  'graft-checkpoint-b1' AS run_name FROM m
+        |UNION ALL SELECT 'orders','b1','o_totalprice','expect_column_values_to_not_be_null', u_total=0, n, CAST(u_total AS BIGINT),
+        |  'graft-orders-b1', '{"column": "o_totalprice"}', 'graft-checkpoint-b1' FROM m
+        |UNION ALL SELECT 'orders','b1','o_totalprice','expect_column_values_to_be_between', u_between=0, n, CAST(u_between AS BIGINT),
+        |  'graft-orders-b1', '{"column": "o_totalprice", "min_value": 0.0, "max_value": 1.0E9}', 'graft-checkpoint-b1' FROM m
+        |UNION ALL SELECT 'orders','b1','o_orderkey','expect_column_values_to_be_unique', dups=0, n, dups,
+        |  'graft-orders-b1', '{"column": "o_orderkey"}', 'graft-checkpoint-b1' FROM d""".stripMargin,
 
     "q22_unique_check" ->
       """SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1""".stripMargin,

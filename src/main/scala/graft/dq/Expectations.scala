@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
 sealed trait Expectation {
   def columnName: String
   def name: String
+
+  /** The expectation's kwargs as a canonical JSON string — the reference
+    * persists `expectation_config.kwargs` into its results table
+    * (great_expectations.py:313-335); doubles print in Scala's Double
+    * notation, mirrored by the oracle SQL.
+    */
+  def kwargsJson: String = s"""{"column": "$columnName"}"""
 }
 final case class NotNull(columnName: String) extends Expectation {
   val name = "expect_column_values_to_not_be_null"
@@ -29,11 +36,22 @@ final case class Unique(columnName: String) extends Expectation {
 }
 final case class Matches(columnName: String, regex: String) extends Expectation {
   val name = "expect_column_values_to_match_regex"
+  override def kwargsJson: String =
+    s"""{"column": "$columnName", "regex": "${regex.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
 }
 final case class Between(columnName: String, lo: Double, hi: Double) extends Expectation {
   val name = "expect_column_values_to_be_between"
+  override def kwargsJson: String =
+    s"""{"column": "$columnName", "min_value": $lo, "max_value": $hi}"""
 }
 
+/** One expectation outcome, matching the reference's persisted shape
+  * (great_expectations.py:313-335): the seven core fields plus
+  * `great_exp_id` (the GX-internal batch id carried in expectation kwargs),
+  * the expectation kwargs themselves, and the checkpoint run name. All
+  * identifiers are deterministic functions of (fileIdentifier, batchId) so
+  * result tables stay replayable/hash-comparable.
+  */
 final case class DqResult(
     fileIdentifier: String,
     batchId: String,
@@ -41,7 +59,10 @@ final case class DqResult(
     expectationType: String,
     success: Boolean,
     elementCount: Long,
-    unexpectedCount: Long
+    unexpectedCount: Long,
+    greatExpId: String,
+    expectationKwargs: String,
+    runName: String
 )
 
 object DqSuite {
@@ -58,6 +79,19 @@ object DqSuite {
     try runOn(df, rowScoped, uniques, batchId, fileIdentifier)
     finally if (passes > 1) { df.unpersist(); () }
   }
+
+  /** Deterministic GX-style identifiers (reference: opaque GX batch ids /
+    * checkpoint run names; here pure functions of the inputs so replays
+    * produce identical result rows).
+    */
+  private def greatExpId(fileIdentifier: String, batchId: String) = s"graft-$fileIdentifier-$batchId"
+  private def runName(batchId: String) = s"graft-checkpoint-$batchId"
+
+  private def result(e: Expectation, batchId: String, fileIdentifier: String, n: Long, u: Long): DqResult =
+    DqResult(
+      fileIdentifier, batchId, e.columnName, e.name, u == 0, n, u,
+      greatExpId(fileIdentifier, batchId), e.kwargsJson, runName(batchId)
+    )
 
   private def runOn(
       df: DataFrame,
@@ -82,8 +116,7 @@ object DqSuite {
         val row = df.agg(aggs.head, aggs.tail: _*).head()
         val n = row.getLong(0)
         rowScoped.zipWithIndex.map { case (e, i) =>
-          val u = row.getLong(i + 1)
-          DqResult(fileIdentifier, batchId, e.columnName, e.name, u == 0, n, u)
+          result(e, batchId, fileIdentifier, n, row.getLong(i + 1))
         }
       }
 
@@ -98,9 +131,7 @@ object DqSuite {
           coalesce(sum(when(col(u.columnName).isNotNull && col("c") > 1, col("c"))), lit(0L)).as("dups")
         )
         .head()
-      val n = agg.getLong(0)
-      val dups = agg.getLong(1)
-      DqResult(fileIdentifier, batchId, u.columnName, u.name, dups == 0, n, dups)
+      result(u, batchId, fileIdentifier, agg.getLong(0), agg.getLong(1))
     }
 
     rowResults ++ uniqueResults
@@ -113,7 +144,8 @@ object DqSuite {
     import spark.implicits._
     rs.toDF(
       "file_identifier", "batchID", "column_name", "expectation_type",
-      "success", "element_count", "unexpected_count"
+      "success", "element_count", "unexpected_count",
+      "great_exp_id", "expectation_kwargs", "run_name"
     )
   }
 

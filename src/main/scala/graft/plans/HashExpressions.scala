@@ -60,6 +60,14 @@ object Md5Prefix60 {
   * for each permutation i — one fused primitive loop instead of numHashes
   * interpreted array passes. Constants derive from the same splitmix formula
   * as Dedup.minhashSignatureFromHashes.
+  *
+  * Value-identical to the HOF formulation FOR NON-EMPTY inputs with at least
+  * one non-null element (every caller filters `size(shingles) > 0` first).
+  * Documented divergence on the degenerate cases: empty / all-null-element
+  * arrays yield NULL here ("signature of nothing is undefined"), where the
+  * HOF's array_min form yields an array of NULL elements; element
+  * nullability also differs (containsNull=false here). Asserted in
+  * VectorExprSpec.
   */
 case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

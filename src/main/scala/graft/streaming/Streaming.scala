@@ -22,7 +22,13 @@ import graft.dq.{DqSuite, Expectation}
   */
 object Streaming {
 
-  /** ST1/ST2: stream with per-micro-batch DQ validation, results appended. */
+  /** ST1/ST2: stream with per-micro-batch DQ validation, results appended.
+    *
+    * foreachBatch batches can be RE-EXECUTED on failure/retry, so the sink
+    * must be idempotent: results are partitioned by batch id and written
+    * with dynamic partition overwrite — a retried batch replaces its own
+    * partition instead of appending duplicate result rows.
+    */
   def validatedStream(
       spark: SparkSession,
       source: DataFrame,
@@ -39,8 +45,11 @@ object Streaming {
         // by the parquet sink
         DqSuite
           .resultsDf(spark, rs)
+          .withColumn("batch_part", lit(batchId))
           .write
-          .mode("append")
+          .partitionBy("batch_part")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
           .parquet(resultsPath)
         ()
       }

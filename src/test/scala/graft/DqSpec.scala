@@ -63,4 +63,28 @@ class DqSpec extends AnyFunSuite {
     val rs = DqSuite.run(clean, Seq(NotNull("id"), Unique("id"), Between("v", 0, 10)), "b", "f")
     assert(rs.forall(_.success))
   }
+
+  test("GX result fidelity: kwargs + run identifiers round-trip through the append sink") {
+    val rs = DqSuite.run(df, Seq(NotNull("ship_date"), Between("amount", 0, 100), Unique("order_id")), "b9", "orders_file")
+    // reference shape (great_expectations.py:313-335): per-result kwargs and
+    // run-level identifiers, deterministic for replayability
+    assert(rs.forall(_.greatExpId == "graft-orders_file-b9"))
+    assert(rs.forall(_.runName == "graft-checkpoint-b9"))
+    val kw = rs.map(r => r.expectationType -> r.expectationKwargs).toMap
+    assert(kw("expect_column_values_to_not_be_null") == """{"column": "ship_date"}""")
+    assert(kw("expect_column_values_to_be_between") == """{"column": "amount", "min_value": 0.0, "max_value": 100.0}""")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    val out = DqSuite.resultsDf(spark, rs)
+    out.write.mode("append").parquet(tmp)
+    out.write.mode("append").parquet(tmp) // S12 append semantics
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == 6)
+    assert(
+      back.columns.sorted.toSeq ==
+        Seq("batchID", "column_name", "element_count", "expectation_kwargs", "expectation_type",
+          "file_identifier", "great_exp_id", "run_name", "success", "unexpected_count")
+    )
+    assert(back.select("run_name").distinct().head().getString(0) == "graft-checkpoint-b9")
+  }
 }

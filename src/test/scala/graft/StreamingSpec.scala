@@ -30,6 +30,13 @@ class StreamingSpec extends AnyFunSuite {
     val uq = results.filter($"expectation_type" === "expect_column_values_to_be_unique").head()
     assert(!uq.getAs[Boolean]("success"))
     assert(uq.getAs[Long]("unexpected_count") == 2L)
+
+    // idempotent sink: re-executing the same micro-batch (fresh query, no
+    // checkpoint -> batch 0 runs again, foreachBatch's documented retry
+    // case) must REPLACE its batch partition, not append duplicates
+    val q2 = Streaming.validatedStream(spark, stream, Seq(NotNull("order_id"), Unique("order_id")), resDir, "t1")
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(resDir).count() == 2)
   }
 
   test("ST5: streaming cumulative->delta with flatMapGroupsWithState") {

@@ -50,6 +50,17 @@ class VectorExprSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("MinHashSig degenerate inputs: empty array yields NULL (documented HOF divergence)") {
+    import graft.operators.Dedup
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+    // codegen expression: signature of nothing is NULL
+    assert(empty.select(Dedup.minhashSignatureFromHashes(col("hs"), 4)).head().isNullAt(0))
+    // HOF formulation: array of NULL elements — the divergence the scaladoc
+    // narrows its identity claim around (all callers filter size > 0 first)
+    val hof = empty.select(Dedup.minhashSignatureFromHashesHof(col("hs"), 4)).head().getSeq[Any](0)
+    assert(hof.length == 4 && hof.forall(_ == null))
+  }
+
   test("null array yields null; SQL registration works") {
     val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")
     val r = df.select(VectorExpressions.dotNative($"a", $"b")).head()
