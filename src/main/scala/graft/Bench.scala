@@ -73,7 +73,10 @@ object Bench {
       "q13_explode_tokens", "q21_dq_suite",
       "q30_dedup_exact", "q32_text_quality", "q36_jaccard_pairs",
       "q37_minhash_lsh", "q40_ann_bruteforce", "q41_ann_lsh",
-      "q43_event_windows", "q24_sessions", "q49_asof_join", "q50_multi_join"
+      "q43_event_windows", "q24_sessions", "q49_asof_join", "q50_multi_join",
+      // round-2 formulations under watch: LSH-blocked embedding near-dup,
+      // quantized-idf TF-IDF (single job), two-level exact percentile cut
+      "q47_embedding_neardup", "q64_tfidf", "q68_quality_filter"
     )
 
     // warm-up: every headline query once at the target SF (see scaladoc).

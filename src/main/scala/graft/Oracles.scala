@@ -647,6 +647,14 @@ object Oracles {
         |SELECT * FROM flat UNION ALL SELECT * FROM geo UNION ALL SELECT * FROM au
         |UNION ALL SELECT * FROM cf UNION ALL SELECT * FROM scd""".stripMargin,
 
+    // q71: report-ingest golden — aligned ingest output recomputed from part
+    "q71_report_ingest" ->
+      """SELECT p_partkey,
+        | CASE WHEN p_partkey % 5 = 0 THEN NULL
+        |      ELSE CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) END AS retail_cents,
+        | CAST(p_size AS INTEGER) AS size, '-' AS legacy_flag
+        |FROM part""".stripMargin,
+
     "q42_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS fmt,
         | CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -950,6 +950,37 @@ object Queries {
     flatProbe.unionByName(geoProbe).unionByName(auProbe).unionByName(cfProbe).unionByName(scdProbe)
   }
 
+  /** q71: REPORT-INGEST GOLDEN — the report-file ingest path as one
+    * oracle-checked query (closing the spec-only ingest operators): a gzip
+    * report CSV with messy headers and `-` null sentinels is written, read
+    * back through the S2 report source (gzip auto-codec, header,
+    * nullValue `-`), headers normalized (F3: lowercase, spaces->underscore,
+    * dotted prefix strip, ingestion.py:89-91), and the frame reconciled
+    * against a drifted registry (missing `legacy_flag` column null-padded,
+    * ingestion.py:92-123). The oracle recomputes the expected aligned rows
+    * straight from `part`.
+    */
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val report = part.select(
+      col("p_partkey").cast("string").as("P Partkey"),
+      when(col("p_partkey") % 5 === 0, lit("-")).otherwise(col("p_retailprice").cast("string")).as("Retail Price"),
+      col("p_size").cast("string").as("Part.Size")
+    )
+    val tmp = java.nio.file.Files.createTempDirectory("graft-report").toString
+    report.write.option("header", "true").option("compression", "gzip").csv(s"$tmp/report")
+    val back = IO.readReportCsv(s, s"$tmp/report") // S2: gzip + header + '-' -> null
+    val normalized = Flatten.normalizeHeaders(back) // F3
+    val (aligned, newCols) = Flatten.reconcileSchema(normalized, Seq("p_partkey", "retail_price", "size", "legacy_flag"))
+    require(newCols.isEmpty, s"unexpected drift columns: $newCols")
+    aligned.select(
+      col("p_partkey").cast("long"),
+      (col("retail_price").cast("decimal(18,2)") * 100).cast("long").as("retail_cents"),
+      col("size").cast("int"),
+      coalesce(col("legacy_flag"), lit("-")).as("legacy_flag")
+    )
+  }
+
   /** q48: one-pass column profiler — count/nulls/min/max plus exact variance
     * from decimal sum/sum-of-squares (engine-native stddev is an
     * order-dependent double fold; this is the portable formulation).

@@ -79,7 +79,8 @@ object SparkEntry {
     "q68_quality_filter" -> (Queries.q68 _),
     "q64_tfidf" -> (Queries.q64 _),
     "q44_media_decode" -> (Queries.q44 _),
-    "q70_pipeline_golden" -> (Queries.q70 _)
+    "q70_pipeline_golden" -> (Queries.q70 _),
+    "q71_report_ingest" -> (Queries.q71 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -33,9 +33,13 @@ object TextAnalysis {
     */
   def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
     val stop = stopwords("en")
-    df.withColumn("n_chars_q", length(t))
+    // bind tokens to a real column ONCE: three feature expressions consume
+    // the array, and an inline `tokens(t)` Column would re-tokenize the
+    // document per expression (the engine's measured-10x HOF/binding rule)
+    val toks = col("__toks")
+    df.withColumn("__toks", tokens(t))
+      .withColumn("n_chars_q", length(t))
       .withColumn("n_tokens", size(toks))
       .withColumn(
         "avg_token_len",
@@ -52,6 +56,7 @@ object TextAnalysis {
         when(size(toks) > 0, size(filter(toks, x => array_contains(stop, lower(x)))).cast("double") / size(toks))
           .otherwise(lit(0.0))
       )
+      .drop("__toks")
   }
 
   /** Shared with the oracle-SQL generator so both engines score identically. */
