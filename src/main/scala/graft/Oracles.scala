@@ -304,6 +304,27 @@ object Oracles {
          |FROM j WHERE jac >= CAST(0.5 AS DOUBLE)""".stripMargin
     },
 
+    // q73: union-MinHash per source — sig_i(union) == min_i over ALL member
+    // shingle hashes (mergeable-sketch identity), so the oracle is a plain
+    // grouped MIN per permutation
+    "q73_group_minhash" -> {
+      import graft.plans.MinHashSig.{P, a, b}
+      val mins = (0 until 16)
+        .map(i => s"CAST(min((${a(i)}*(h%$P)+${b(i)})%$P) AS BIGINT) AS sig_$i")
+        .mkString(",\n ")
+      s"""WITH base AS (SELECT source, doc_id, $tokensExpr ws FROM documents),
+         | sh AS (SELECT source, doc_id,
+         |   list_distinct(list_transform(
+         |     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
+         |     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) sh
+         |  FROM base),
+         | u AS (SELECT source, unnest(sh) h FROM sh)
+         |SELECT source,
+         | $mins
+         |FROM u GROUP BY source""".stripMargin
+    },
+
     // q64: quantized-idf TF-IDF — integer ranking contract (see Queries.q64)
     "q64_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, $tokensExpr ws FROM documents),
@@ -594,6 +615,34 @@ object Oracles {
          |SELECT id_a, id_b, CAST(FLOOR(c*1000000) AS BIGINT) AS cosine_e6
          |FROM cos WHERE c >= CAST(0.35 AS DOUBLE)""".stripMargin
     },
+
+    // q72: IVF ANN — centroids are rows vec_id<8; assignment/probe/ranking
+    // recomputed with ordered folds; ties break on centroid id
+    "q72_ann_ivf" ->
+      """WITH c AS (SELECT vec_id cid, embedding ce FROM embeddings WHERE vec_id < 8),
+        | cn AS (SELECT cid, sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) c2
+        |   FROM (SELECT cid, unnest(ce) y, unnest(range(64)) i FROM c) GROUP BY cid),
+        | ev AS (SELECT vec_id, unnest(embedding) x, unnest(range(64)) i FROM embeddings),
+        | cv AS (SELECT cid, unnest(ce) y, unnest(range(64)) i FROM c),
+        | vd AS (SELECT vec_id, cid, sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d
+        |   FROM ev JOIN cv USING (i) GROUP BY vec_id, cid),
+        | scorev AS (SELECT vec_id, vd.cid, -2*d + c2 score FROM vd JOIN cn ON vd.cid = cn.cid),
+        | assign AS (SELECT vec_id, cid FROM (
+        |   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) rn FROM scorev) WHERE rn = 1),
+        | qprobe AS (SELECT cid FROM (
+        |   SELECT cid, row_number() OVER (ORDER BY score, cid) rn FROM scorev WHERE vec_id = 0) WHERE rn <= 3),
+        | cand AS (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM qprobe) AND vec_id <> 0),
+        | q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0),
+        | pairs AS (SELECT e2.vec_id, unnest(e2.embedding) x, unnest(q.qe) y, unnest(range(64)) i
+        |   FROM embeddings e2, q WHERE e2.vec_id IN (SELECT vec_id FROM cand)),
+        | dots AS (SELECT vec_id,
+        |    sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d,
+        |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) nx,
+        |    sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) ny
+        |  FROM pairs GROUP BY vec_id),
+        | cos AS (SELECT vec_id, CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END c FROM dots)
+        |SELECT vec_id, CAST(FLOOR(c*1000000) AS BIGINT) AS cosine_e6
+        |FROM cos ORDER BY c DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     "q40_ann_bruteforce" ->
       """WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id=0),

@@ -981,6 +981,53 @@ object Queries {
     )
   }
 
+  /** q72: IVF ANN top-k — the inverted-file scale path beside q41's LSH:
+    * 8 deterministic coarse centroids (the first 8 vectors by id), argmin
+    * squared-L2 cell assignment with plan-literal centroids, probe the 3
+    * cells nearest the query, cosine top-20 among their members. Fully
+    * oracle-checked: the SQL recomputes assignment, probe set, and ranking
+    * with the same ordered folds.
+    */
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    // bounded driver-side fetch: nCentroids rows (the deterministic
+    // training-free quantizer) + the query vector
+    val centroids = emb
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .sortBy(_._1)
+      .toSeq
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    Similarity
+      .ivfTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qvec, 20, centroids, nprobe = 3)
+      .select(col("vec_id"), floor(col("cosine") * 1000000).cast("long").as("cosine_e6"))
+  }
+
+  /** q73: GROUP-LEVEL UNION MINHASH — one signature per source via the
+    * typed [[graft.plans.MinHashUnionAgg]] Aggregator (mergeable sketch:
+    * sig(A ∪ B) = elementwise-min — which is exactly what makes map-side
+    * partial aggregation work, so the shuffle carries one 16-slot array per
+    * (source, map partition) at any corpus size). Oracle identity: the
+    * union signature equals per-hash MIN over ALL member shingle hashes, a
+    * plain grouped aggregation in SQL.
+    */
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    val sigUdaf = udaf(
+      new graft.plans.MinHashUnionAgg(16),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    )
+    val perDoc = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .withColumn("__sh_str", TextAnalysis.wordShinglesFromTokens(col("__toks"), 3))
+      .select(col("source"), array_distinct(transform(col("__sh_str"), Dedup.shingleHash64 _)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", Dedup.minhashSignatureFromHashes(col("sh"), 16))
+    val grouped = perDoc.groupBy(col("source")).agg(sigUdaf(col("sig")).as("gsig"))
+    grouped.select(col("source") +: (0 until 16).map(i => element_at(col("gsig"), i + 1).as(s"sig_$i")): _*)
+  }
+
   /** q48: one-pass column profiler — count/nulls/min/max plus exact variance
     * from decimal sum/sum-of-squares (engine-native stddev is an
     * order-dependent double fold; this is the portable formulation).

@@ -80,7 +80,9 @@ object SparkEntry {
     "q64_tfidf" -> (Queries.q64 _),
     "q44_media_decode" -> (Queries.q44 _),
     "q70_pipeline_golden" -> (Queries.q70 _),
-    "q71_report_ingest" -> (Queries.q71 _)
+    "q71_report_ingest" -> (Queries.q71 _),
+    "q72_ann_ivf" -> (Queries.q72 _),
+    "q73_group_minhash" -> (Queries.q73 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

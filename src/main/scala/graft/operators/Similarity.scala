@@ -121,4 +121,64 @@ object Similarity {
   /** All-vectors pairwise top-k join via LSH blocking (ANN join). */
   def annJoin(df: DataFrame, idCol: String, vecCol: String, dim: Int = 64, nBits: Int = 10, minCosine: Double = 0.9): DataFrame =
     Dedup.embeddingNearDup(df, idCol, vecCol, nBits, minCosine)
+
+  // ------------------------------------------------------------------- IVF
+
+  /** IVF (inverted-file) coarse quantization: assign each vector to its
+    * nearest centroid cell by squared L2 distance. argmin(||v-c||^2) =
+    * argmin(-2 v·c + ||c||^2) — the ||v||^2 term is common to every cell and
+    * dropped. Centroid payloads fold into the plan as literals (no executor
+    * side state); ties break on the lower centroid id. At rest the table is
+    * stored partitioned by cell, so a probe prunes to nprobe partitions —
+    * the IVF counterpart of the sign-LSH bucket layout.
+    *
+    * Centroids here are a deterministic "training-free" quantizer (caller
+    * passes sample vectors, e.g. the first-k by id); a k-means trainer
+    * would converge engine/run-specifically and break replay/oracle
+    * determinism, so it is deliberately out of the deterministic core.
+    */
+  def ivfCell(vec: Column, centroids: Seq[(Long, Seq[Float])]): Column = {
+    val scored = centroids.map { case (cid, c) =>
+      val cArr = array(c.map(v => lit(v.toDouble)): _*)
+      // index-order fold, matching the oracle's sum(... ORDER BY i)
+      val c2 = c.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble)
+      struct((lit(-2.0) * dot(vec, cArr) + lit(c2)).as("score"), lit(cid).as("cid"))
+    }
+    element_at(array_sort(array(scored: _*)), 1).getField("cid")
+  }
+
+  /** Driver-side mirror of [[ivfCell]] scoring for a literal query vector:
+    * the nprobe nearest cells, in (score, cid) order.
+    */
+  def ivfProbeCells(query: Seq[Float], centroids: Seq[(Long, Seq[Float])], nprobe: Int): Seq[Long] =
+    centroids.map { case (cid, c) =>
+      var d = 0.0
+      var i = 0
+      val n = math.min(query.length, c.length)
+      while (i < n) { d += query(i).toDouble * c(i).toDouble; i += 1 }
+      val c2 = c.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble)
+      (-2.0 * d + c2, cid)
+    }.sorted.take(nprobe).map(_._2)
+
+  /** IVF ANN top-k: score only vectors assigned to the query's nprobe
+    * nearest cells. One scan with a codegen'd cell filter — no shuffle
+    * before the final top-k; with cell-partitioned storage the scan itself
+    * prunes to nprobe/nCentroids of the data. Recall lever: nprobe.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      centroids: Seq[(Long, Seq[Float])],
+      nprobe: Int = 3
+  ): DataFrame = {
+    val probe = ivfProbeCells(query, centroids, nprobe)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    df.filter(ivfCell(col(vecCol), centroids).isin(probe: _*))
+      .select(col(idCol), cosine(transform(col(vecCol), _.cast("double")), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -45,6 +45,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("ivfCell partitions every vector into exactly one cell; probe recall is sane") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = emb.filter($"vec_id" < 8).select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1).toSeq
+    // total partition: every vector lands in exactly one valid cell
+    val cells = emb.select(Similarity.ivfCell($"embedding", centroids).as("cell"))
+    assert(cells.filter($"cell".isNull || $"cell" < 0 || $"cell" >= 8).count() == 0)
+    assert(cells.count() == emb.count())
+    // a centroid's own vector is assigned to its own cell (distance 0)
+    val own = emb.filter($"vec_id" < 8)
+      .select($"vec_id", Similarity.ivfCell($"embedding", centroids).as("cell"))
+      .collect()
+    own.foreach(r => assert(r.getLong(0) == r.getLong(1), s"centroid ${r.getLong(0)} assigned to ${r.getLong(1)}"))
+    // probing ALL cells degenerates to exact brute-force ranking
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(emb.filter($"vec_id" =!= 0), "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val allProbe = Similarity.ivfTopK(emb.filter($"vec_id" =!= 0), "vec_id", "embedding", q, 10, centroids, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(allProbe == exact)
+  }
+
   test("lshBucket is deterministic and balanced-ish") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val buckets = emb.select(Similarity.lshBucket($"embedding", 64, 8).as("b"))
