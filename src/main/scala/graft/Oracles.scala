@@ -717,6 +717,35 @@ object Oracles {
         | CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // identical oracle to q24: the streaming sessionizer must reproduce the
+    // batch gap-session semantics exactly
+    "q74_stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts FROM events),
+        | f AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000 THEN 1 ELSE 0 END new_session FROM e),
+        | g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) session_id FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        | CAST(min(ts) AS TIMESTAMP) AS session_start, CAST(max(ts) AS TIMESTAMP) AS session_end,
+        | CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS session_value_cents
+        |FROM g GROUP BY user_id, session_id""".stripMargin,
+
+    // q75: the oracle sees decrypt∘encrypt as the identity
+    "q75_crypto_roundtrip" ->
+      "SELECT c_custkey, c_name AS name_rt, c_nationkey FROM customer",
+
+    // q76: salted join must equal the plain inner join
+    "q76_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_lines,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
+
+    // q77: paged landing must preserve exactly the source rows
+    "q77_paged_ingest" ->
+      """SELECT o_orderstatus, count(*) AS n_orders, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders WHERE o_orderkey <= 1200 GROUP BY o_orderstatus""".stripMargin,
+
     // identical oracle: the streaming execution must match the batch plan
     "q45_stream_windows" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,

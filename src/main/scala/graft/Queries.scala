@@ -1028,6 +1028,134 @@ object Queries {
     grouped.select(col("source") +: (0 until 16).map(i => element_at(col("gsig"), i + 1).as(s"sig_$i")): _*)
   }
 
+  /** Per-session output row of the streaming sessionizer (q74). */
+  final case class Q74Session(
+      user_id: Long,
+      session_id: Long,
+      n_events: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      session_value_cents: Long
+  )
+
+  /** q74: STREAMING SESSIONIZATION — the q24 gap-based sessionizer executed
+    * through the streaming engine (`flatMapGroupsWithState` over the
+    * event-file stream, one AvailableNow pass) and hash-matched against the
+    * SAME DuckDB oracle as batch q24. Per-user state lives in Spark's state
+    * store; in continuous operation the state would carry open sessions
+    * across micro-batches — with one batch the result is exactly the batch
+    * semantics, which is what makes it oracle-checkable.
+    */
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events = stream
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Option[Double])]
+
+    val sessions = events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout
+      ) { (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp, Option[Double])], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+        def micros(t: java.sql.Timestamp): Long = t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+        // decimal(18,2) HALF_UP cents — the exact arithmetic q24's SQL uses
+        def cents(v: Double): Long =
+          new java.math.BigDecimal(v).setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+        val sorted = it.toVector.sortBy(e => (micros(e._3), e._2))
+        val out = Vector.newBuilder[Q74Session]
+        var sid = 0L
+        var n = 0L
+        var sum = 0L
+        var start: java.sql.Timestamp = null
+        var end: java.sql.Timestamp = null
+        var prev = Long.MinValue
+        def close(): Unit = if (n > 0) out += Q74Session(uid, sid, n, start, end, sum)
+        sorted.foreach { case (_, _, ts, v) =>
+          val m = micros(ts)
+          if (prev == Long.MinValue || m - prev > 3600000000L) { close(); sid += 1; n = 0; sum = 0; start = ts }
+          n += 1; v.foreach(x => sum += cents(x)); end = ts; prev = m
+        }
+        close()
+        out.result().iterator
+      }
+
+    val name = s"q74_sink_${System.nanoTime()}"
+    val q = sessions.writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("q74 streaming pass did not finish — refusing to return a partial snapshot")
+    }
+    s.table(name)
+  }
+
+  /** q75: COLUMN-CRYPTO ROUNDTRIP — Fernet encrypt→decrypt through the
+    * broadcast-key UDFs (U1/F8/F9) as a full engine pass over customer;
+    * the oracle sees the identity (decrypt∘encrypt = id), proving the
+    * crypto layer preserves every value at scale. Token internals
+    * (timestamp+IV) are nondeterministic by spec and never surface in the
+    * output. Key is a fixed literal: roundtrip correctness is
+    * key-independent.
+    */
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    val key = java.util.Base64.getUrlEncoder.encodeToString(Array.tabulate(32)(_.toByte))
+    val enc = graft.functions.Crypto.encryptCol(s, key)
+    val dec = graft.functions.Crypto.decryptCol(s, key)
+    t(s, dir, "customer")
+      .select(col("c_custkey"), dec(enc(col("c_name"))).as("name_rt"), col("c_nationkey"))
+  }
+
+  /** q76: SALTED SKEW JOIN — `SkewJoin.saltedInnerJoin` result-parity as an
+    * oracle row: the n-way salt must produce EXACTLY the plain inner join
+    * (every big-side row meets each matching small-side row once, whatever
+    * salt it drew), checked via decimal-exact aggregates of the joined
+    * relation.
+    */
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    val supp = t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    SkewJoin
+      .saltedInnerJoin(t(s, dir, "lineitem"), supp, "l_suppkey", nSalts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** q77: PAGED EXTERNAL SCAN (S8/S16) — the offset/limit page loop lands
+    * every page as JSON (bounded driver memory: one page in flight) and the
+    * landed prefix is then read back distributed; includes a SHORT non-final
+    * page (the API-truncation case: advance by actual rows returned, never
+    * by page size). Oracle recomputes the aggregate from the source rows.
+    */
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 1200)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .toJSON
+      .collect() // bounded fixture (~300 rows) standing in for the remote API
+      .toSeq
+    val pageSize = 100
+    def fetchPage(offset: Int): Seq[String] = {
+      if (offset >= rows.size) Seq.empty
+      // inject one short page at the start (25 rows) — the truncation case
+      else if (offset == 0) rows.slice(0, 25)
+      else rows.slice(offset, math.min(offset + pageSize, rows.size))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-paged").toString
+    val landed = graft.sources.Ingest.pagedJsonIngest(s, fetchPage, s"$tmp/landing", pageSize)
+    landed
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"),
+        dsum(col("o_totalprice")).as("sum_total")
+      )
+  }
+
   /** q48: one-pass column profiler — count/nulls/min/max plus exact variance
     * from decimal sum/sum-of-squares (engine-native stddev is an
     * order-dependent double fold; this is the portable formulation).

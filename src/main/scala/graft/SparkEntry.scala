@@ -82,7 +82,11 @@ object SparkEntry {
     "q70_pipeline_golden" -> (Queries.q70 _),
     "q71_report_ingest" -> (Queries.q71 _),
     "q72_ann_ivf" -> (Queries.q72 _),
-    "q73_group_minhash" -> (Queries.q73 _)
+    "q73_group_minhash" -> (Queries.q73 _),
+    "q74_stream_sessions" -> (Queries.q74 _),
+    "q75_crypto_roundtrip" -> (Queries.q75 _),
+    "q76_salted_join" -> (Queries.q76 _),
+    "q77_paged_ingest" -> (Queries.q77 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
