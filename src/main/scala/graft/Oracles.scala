@@ -325,6 +325,24 @@ object Oracles {
          |FROM u GROUP BY source""".stripMargin
     },
 
+    // q78: decontamination — shared-distinct-shingle counts via the same
+    // md5-prefix hashes (hash-join semantics identical to string equality
+    // at 60-bit collision odds)
+    "q78_decontamination" ->
+      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | sh AS (SELECT doc_id,
+         |   list_distinct(list_transform(
+         |     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
+         |     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) sh
+         |  FROM base),
+         | cp AS (SELECT doc_id, unnest(sh) s FROM sh WHERE doc_id % 10 <> 0),
+         | bp AS (SELECT doc_id bench_id, unnest(sh) s FROM sh WHERE doc_id % 10 = 0)
+         |SELECT cp.doc_id, bp.bench_id, count(*) AS n_shared
+         |FROM cp JOIN bp USING (s)
+         |GROUP BY cp.doc_id, bp.bench_id
+         |HAVING count(*) >= 3""".stripMargin,
+
     // q64: quantized-idf TF-IDF — integer ranking contract (see Queries.q64)
     "q64_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, $tokensExpr ws FROM documents),

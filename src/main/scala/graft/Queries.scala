@@ -1156,6 +1156,21 @@ object Queries {
       )
   }
 
+  /** q78: BENCHMARK DECONTAMINATION — corpus docs sharing >= 3 distinct
+    * word 3-grams with any "benchmark" doc (stand-in eval set: doc_id % 10
+    * == 0). Inverted-index join with the benchmark postings broadcast — the
+    * contamination sweep shape that runs over a full training corpus with
+    * zero corpus-side shuffle.
+    */
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.crossCorpusOverlap(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", shingleSize = 3, minOverlap = 3
+    )
+  }
+
   /** q48: one-pass column profiler — count/nulls/min/max plus exact variance
     * from decimal sum/sum-of-squares (engine-native stddev is an
     * order-dependent double fold; this is the portable formulation).

@@ -86,7 +86,8 @@ object SparkEntry {
     "q74_stream_sessions" -> (Queries.q74 _),
     "q75_crypto_roundtrip" -> (Queries.q75 _),
     "q76_salted_join" -> (Queries.q76 _),
-    "q77_paged_ingest" -> (Queries.q77 _)
+    "q77_paged_ingest" -> (Queries.q77 _),
+    "q78_decontamination" -> (Queries.q78 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -316,6 +316,34 @@ object Dedup {
       .select((blockCols.map(col) :+ col("id_a")) :+ col("id_b") :+ col("jaccard"): _*)
   }
 
+  /** Benchmark decontamination: corpus documents sharing >= minOverlap
+    * distinct word n-grams with ANY benchmark document (the
+    * train/eval-contamination sweep every serious training pipeline runs).
+    * Inverted-index formulation: explode both sides to (doc, shingle-hash)
+    * postings and join on the hash, so only genuinely-overlapping pairs
+    * materialize. At 100 TB the benchmark side is small (eval sets) — its
+    * postings broadcast, making this one map-side join over the corpus
+    * postings with no corpus shuffle at all.
+    */
+  def crossCorpusOverlap(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      minOverlap: Int = 3
+  ): DataFrame = {
+    def postings(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId), TextAnalysis.tokens(col(textCol)).as("__toks"))
+        .withColumn("__sh_str", TextAnalysis.wordShinglesFromTokens(col("__toks"), shingleSize))
+        .select(col(outId), explode(array_distinct(transform(col("__sh_str"), shingleHash64 _))).as("s"))
+    postings(corpus, "doc_id")
+      .join(broadcast(postings(benchmark, "bench_id")), "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   /** Embedding cosine near-dup: pairs above a cosine threshold, blocked by
     * LSH bucket (see Similarity.lshBucket) so the pair join never goes
     * all-pairs.

@@ -48,6 +48,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!scans.contains("l_orderkey"), "scan reads columns the aggregation never touches")
   }
 
+  test("q78: benchmark postings broadcast — no corpus-side shuffle for the overlap join") {
+    val p = plan("q78_decontamination")
+    assert(p.contains("BroadcastHashJoin"), "decontamination join must broadcast the benchmark side")
+  }
+
+  test("q64: corpus count enters the plan as a broadcast, not a driver-side action") {
+    val p = plan("q64_tfidf")
+    assert(
+      p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row total should cross-join via broadcast"
+    )
+  }
+
   test("q68: no single-partition sort over the corpus (global windows only above aggregates)") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
