@@ -46,9 +46,11 @@ object Bench {
     */
   private def loadBaseline(): (String, Map[String, Double]) = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // numeric round sort: lexicographic name order would rank BENCH_r9
+    // above BENCH_r10
     val candidates = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(_.getName).reverse
+      .sortBy(f => f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toLong).reverse
     candidates.iterator.flatMap { f =>
       try {
         val root = mapper.readTree(f)
@@ -100,11 +102,7 @@ object Bench {
     }
 
     val (baselineName, baseline) = loadBaseline()
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
+    def jstr(s: String): String = graft.core.Json.str(s)
 
     val qs = timed.map { case (k, t, _) => jstr(k) + ":" + t.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")

@@ -1028,14 +1028,17 @@ object Queries {
     grouped.select(col("source") +: (0 until 16).map(i => element_at(col("gsig"), i + 1).as(s"sig_$i")): _*)
   }
 
-  /** Per-session output row of the streaming sessionizer (q74). */
+  /** Per-session output row of the streaming sessionizer (q74);
+    * session_value_cents is None when every event value in the session is
+    * null (SQL sum semantics).
+    */
   final case class Q74Session(
       user_id: Long,
       session_id: Long,
       n_events: Long,
       session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp,
-      session_value_cents: Long
+      session_value_cents: Option[Long]
   )
 
   /** q74: STREAMING SESSIONIZATION — the q24 gap-based sessionizer executed
@@ -1063,22 +1066,25 @@ object Queries {
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout
       ) { (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp, Option[Double])], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
         def micros(t: java.sql.Timestamp): Long = t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
-        // decimal(18,2) HALF_UP cents — the exact arithmetic q24's SQL uses
+        // decimal(18,2) HALF_UP cents over the SHORTEST DECIMAL form of the
+        // double (BigDecimal.valueOf == Double.toString == what Spark's
+        // cast-to-decimal and DuckDB's CAST round from; `new BigDecimal(v)`
+        // would expand the exact binary value and round 2.675 the other way)
         def cents(v: Double): Long =
-          new java.math.BigDecimal(v).setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+          java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
         val sorted = it.toVector.sortBy(e => (micros(e._3), e._2))
         val out = Vector.newBuilder[Q74Session]
         var sid = 0L
         var n = 0L
-        var sum = 0L
+        var sum = Option.empty[Long] // None until a non-null value (SQL sum)
         var start: java.sql.Timestamp = null
         var end: java.sql.Timestamp = null
         var prev = Long.MinValue
         def close(): Unit = if (n > 0) out += Q74Session(uid, sid, n, start, end, sum)
         sorted.foreach { case (_, _, ts, v) =>
           val m = micros(ts)
-          if (prev == Long.MinValue || m - prev > 3600000000L) { close(); sid += 1; n = 0; sum = 0; start = ts }
-          n += 1; v.foreach(x => sum += cents(x)); end = ts; prev = m
+          if (prev == Long.MinValue || m - prev > 3600000000L) { close(); sid += 1; n = 0; sum = None; start = ts }
+          n += 1; v.foreach(x => sum = Some(sum.getOrElse(0L) + cents(x))); end = ts; prev = m
         }
         close()
         out.result().iterator

@@ -24,9 +24,11 @@ sealed trait Expectation {
   /** The expectation's kwargs as a canonical JSON string — the reference
     * persists `expectation_config.kwargs` into its results table
     * (great_expectations.py:313-335); doubles print in Scala's Double
-    * notation, mirrored by the oracle SQL.
+    * notation, mirrored by the oracle SQL. All string fields go through the
+    * shared [[graft.core.Json]] escaper (column names and regexes may
+    * contain quotes/control characters).
     */
-  def kwargsJson: String = s"""{"column": "$columnName"}"""
+  def kwargsJson: String = s"""{"column": ${graft.core.Json.str(columnName)}}"""
 }
 final case class NotNull(columnName: String) extends Expectation {
   val name = "expect_column_values_to_not_be_null"
@@ -37,12 +39,12 @@ final case class Unique(columnName: String) extends Expectation {
 final case class Matches(columnName: String, regex: String) extends Expectation {
   val name = "expect_column_values_to_match_regex"
   override def kwargsJson: String =
-    s"""{"column": "$columnName", "regex": "${regex.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+    s"""{"column": ${graft.core.Json.str(columnName)}, "regex": ${graft.core.Json.str(regex)}}"""
 }
 final case class Between(columnName: String, lo: Double, hi: Double) extends Expectation {
   val name = "expect_column_values_to_be_between"
   override def kwargsJson: String =
-    s"""{"column": "$columnName", "min_value": $lo, "max_value": $hi}"""
+    s"""{"column": ${graft.core.Json.str(columnName)}, "min_value": $lo, "max_value": $hi}"""
 }
 
 /** One expectation outcome, matching the reference's persisted shape

@@ -152,7 +152,8 @@ object Scd2 {
     val touched = b.select(bucketCol).distinct().collect().map(_.getLong(0)).sorted
     val targetTouched = VersionedTable.latestVersion(spark, warehousePath) match {
       case Some(v) =>
-        val existing = touched.toSeq.flatMap(p => VersionedTable.readPartition(spark, warehousePath, p.toString, Some(v)))
+        // one manifest read resolves every touched bucket
+        val existing = VersionedTable.readPartitions(spark, warehousePath, touched.map(_.toString).toSeq, Some(v)).flatten
         existing.reduceOption(_.unionByName(_)).getOrElse(emptyTarget(b, bucketCol))
       case None => emptyTarget(b, bucketCol)
     }

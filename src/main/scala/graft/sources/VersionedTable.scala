@@ -140,13 +140,17 @@ object VersionedTable {
     */
   def commitDelta(spark: SparkSession, path: String, updated: DataFrame, partCol: String): Long = {
     val f = fs(spark, path)
-    val prev = latestVersion(spark, path).map { pv =>
+    val v = reserveVersion(f, path)
+    // base version read AFTER reserving; re-checked at publish time so a
+    // concurrent delta commit can't be silently reverted by our stale
+    // carry-forward manifest (optimistic concurrency: the loser aborts and
+    // retries on a fresh base)
+    val base = latestVersion(spark, path)
+    val prev = base.map { pv =>
       partitionMap(spark, path, pv).getOrElse(
         throw new IllegalStateException(
           s"table at $path version $pv is a full snapshot; commitDelta requires a delta-style table"))
     }.getOrElse(Map.empty[String, Long])
-
-    val v = reserveVersion(f, path)
     val tmp = new Path(s"$path/.v=$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     // duplicate the partition column: partitionBy strips __part from the
     // files, the original column survives as data
@@ -164,24 +168,72 @@ object VersionedTable {
         throw new IllegalStateException(s"failed to move partition $p into place for version $v of $path")
     }
     f.delete(tmp, true)
+    // publish-time conflict check: if anyone published since `base`, our
+    // carry-forward map is stale — abort (data dir stays orphaned under the
+    // burned version number; reservation marks it dead). Caller retries the
+    // whole upsert against the new latest.
+    if (latestVersion(spark, path) != base) {
+      f.delete(finalDir, true)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit on $path (base was $base); retry the delta against the new latest version")
+    }
     val parts = prev ++ written.map(_ -> v)
     val partsJson = parts.toSeq.sortBy(_._1).map { case (p, pv) => s"${jsonStr(p)}: $pv" }.mkString("{", ", ", "}")
     publish(f, path, v,
-      s"""{"version": $v, "schema": ${jsonStr(updated.schema.json)}, "committed_at": ${System.currentTimeMillis()}, "partitions": $partsJson}""")
+      s"""{"version": $v, "base": ${base.getOrElse(0L)}, "schema": ${jsonStr(updated.schema.json)}, "committed_at": ${System.currentTimeMillis()}, "partitions": $partsJson}""")
+    // Close the remaining check-then-publish window. Conflict shapes:
+    //  (a) a commit landed BETWEEN our base and v — its partitions are
+    //      missing from our carry-forward manifest;
+    //  (b) a HIGHER version published whose recorded `base` < v — it never
+    //      saw us (a higher version with base >= v legitimately built ON us
+    //      and must NOT trigger a demote, or we would delete data dirs its
+    //      manifest references).
+    // Either conflict: demote our own commit (delete the json; the version
+    // becomes a dead orphan) and abort — the caller retries on a fresh
+    // base, rebasing both updates. The demoted version is only transiently
+    // visible to a racing reader, never durably.
+    val conflict = committedVersions(f, path).filter { w =>
+      (w > base.getOrElse(0L) && w < v) || (w > v && commitBase(spark, path, w).forall(_ < v))
+    }
+    if (conflict.nonEmpty) {
+      f.delete(new Path(s"$path/_commits/$v.json"), false)
+      f.delete(finalDir, true)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit(s) ${conflict.sorted.mkString(",")} on $path conflict with base $base; retry the delta")
+    }
     v
+  }
+
+  private def committedVersions(f: FileSystem, path: String): Seq[Long] = {
+    val commits = new Path(s"$path/_commits")
+    if (!f.exists(commits)) Nil
+    else f.listStatus(commits).map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).toSeq
+  }
+
+  /** The `base` a delta commit was built on (None for pre-base-field or
+    * full-snapshot commits — treated as "did not see us" conservatively).
+    */
+  private def commitBase(spark: SparkSession, path: String, version: Long): Option[Long] = {
+    val root = readCommitJson(spark, path, version)
+    val b = root.path("base")
+    if (b.isNumber) Some(b.asLong()) else None
+  }
+
+  private def readCommitJson(spark: SparkSession, path: String, version: Long): com.fasterxml.jackson.databind.JsonNode = {
+    val f = fs(spark, path)
+    val p = new Path(s"$path/_commits/$version.json")
+    require(f.exists(p), s"version $version of $path is not committed")
+    val in = f.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
   }
 
   /** The partition->version manifest of a delta commit; None for full
     * snapshots.
     */
   def partitionMap(spark: SparkSession, path: String, version: Long): Option[Map[String, Long]] = {
-    val f = fs(spark, path)
-    val p = new Path(s"$path/_commits/$version.json")
-    require(f.exists(p), s"version $version of $path is not committed")
-    val in = f.open(p)
-    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-    val parts = root.path("partitions")
+    val parts = readCommitJson(spark, path, version).path("partitions")
     if (!parts.isObject) None
     else Some(
       scala.jdk.CollectionConverters.IteratorHasAsScala(parts.fields()).asScala
@@ -189,13 +241,7 @@ object VersionedTable {
     )
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jsonStr(s: String): String = graft.core.Json.str(s)
 
   /** Read a specific version, or the latest committed one. Delta-committed
     * tables resolve each partition to the version dir that last rewrote it.
@@ -214,14 +260,22 @@ object VersionedTable {
 
   /** Pruned read of ONE partition of a delta-committed table — the scan a
     * point query / per-bucket job does instead of touching the whole table.
-    * Empty (0-row, schema-less caller handles) partitions return None.
+    * Partitions the table has never written return None.
     */
-  def readPartition(spark: SparkSession, path: String, part: String, version: Option[Long] = None): Option[DataFrame] = {
+  def readPartition(spark: SparkSession, path: String, part: String, version: Option[Long] = None): Option[DataFrame] =
+    readPartitions(spark, path, Seq(part), version).headOption.flatten
+
+  /** Pruned read of several partitions with ONE manifest read (a per-
+    * partition readPartition loop would re-open and re-parse the commit
+    * json per call — O(n) driver metadata round-trips on an object store).
+    * Result aligns with `parts`; never-written partitions are None.
+    */
+  def readPartitions(spark: SparkSession, path: String, parts: Seq[String], version: Option[Long] = None): Seq[Option[DataFrame]] = {
     val v = version.orElse(latestVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path")
     )
-    val parts = partitionMap(spark, path, v).getOrElse(
+    val m = partitionMap(spark, path, v).getOrElse(
       throw new IllegalStateException(s"table at $path is not delta-committed; read the snapshot instead"))
-    parts.get(part).map(pv => spark.read.parquet(s"$path/v=$pv/p=$part"))
+    parts.map(p => m.get(p).map(pv => spark.read.parquet(s"$path/v=$pv/p=$p")))
   }
 }

@@ -25,9 +25,14 @@ object Streaming {
   /** ST1/ST2: stream with per-micro-batch DQ validation, results appended.
     *
     * foreachBatch batches can be RE-EXECUTED on failure/retry, so the sink
-    * must be idempotent: results are partitioned by batch id and written
-    * with dynamic partition overwrite — a retried batch replaces its own
-    * partition instead of appending duplicate result rows.
+    * must be idempotent: results are partitioned by (file_identifier,
+    * batch id) and written with dynamic partition overwrite — a retried
+    * batch replaces ITS OWN partition instead of appending duplicate rows,
+    * and distinct streams sharing one resultsPath (distinct
+    * fileIdentifiers) never clobber each other. Idempotency is per
+    * (fileIdentifier, batchId): restarting a stream WITHOUT its checkpoint
+    * restarts batch numbering and intentionally replaces the prior run's
+    * rows — keep the checkpoint to keep history.
     */
   def validatedStream(
       spark: SparkSession,
@@ -45,9 +50,10 @@ object Streaming {
         // by the parquet sink
         DqSuite
           .resultsDf(spark, rs)
+          .withColumn("stream_part", lit(fileIdentifier))
           .withColumn("batch_part", lit(batchId))
           .write
-          .partitionBy("batch_part")
+          .partitionBy("stream_part", "batch_part")
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite")
           .parquet(resultsPath)

@@ -89,6 +89,10 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readPartition(spark, path, "9").isEmpty)
     // time travel still works on the delta table
     assert(VersionedTable.read(spark, path, Some(1L)).collect().map(_.getString(2)).sorted.toSeq == Seq("a", "b", "c"))
+    // the commit records its base version — the field the optimistic
+    // conflict check uses to tell "built on us" from "never saw us"
+    val meta2 = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$path/_commits/2.json")), "UTF-8")
+    assert(meta2.contains("\"base\": 1"))
   }
 
   test("partition-scoped SCD-2 load rewrites only the buckets its batch touches") {
