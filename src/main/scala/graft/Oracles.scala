@@ -747,6 +747,49 @@ object Oracles {
         | CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS session_value_cents
         |FROM g GROUP BY user_id, session_id""".stripMargin,
 
+    // q79: streaming delta-state — identical semantics to q12's oracle
+    // (snapshot-miss passthrough preserved); only n_events is added
+    "q79_stream_delta" ->
+      """WITH cur AS (SELECT user_id,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) total_cents,
+        |    count(*) n_events
+        |  FROM events GROUP BY user_id),
+        | snap AS (SELECT user_id,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) prev_total_cents
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id)
+        |SELECT c.user_id, c.n_events,
+        | CASE WHEN s.user_id IS NOT NULL THEN c.total_cents - COALESCE(s.prev_total_cents, 0)
+        |      ELSE c.total_cents END AS delta_total_cents
+        |FROM cur c LEFT JOIN snap s ON c.user_id = s.user_id""".stripMargin,
+
+    // q80: partitioned SCD-2 load — final table recomputed relationally,
+    // including the md5-prefix key bucket
+    "q80_scd2_partitioned" ->
+      """WITH w1 AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        | b1 AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM w1 WHERE rn = 1),
+        | w2 AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+        | b2 AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM w2 WHERE rn = 1),
+        | kb AS (SELECT DISTINCT o_custkey,
+        |    CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15)) AS BIGINT) % 16 key_bucket
+        |  FROM orders)
+        |SELECT b1.o_custkey, o_orderkey, o_orderdate, o_totalprice, key_bucket,
+        |  'N' AS actv_flg, TIMESTAMP '2002-01-01 00:00:00' AS record_to
+        |FROM b1 JOIN kb ON b1.o_custkey = kb.o_custkey
+        |WHERE b1.o_custkey IN (SELECT o_custkey FROM b2)
+        |UNION ALL
+        |SELECT b1.o_custkey, o_orderkey, o_orderdate, o_totalprice, key_bucket,
+        |  'Y', CAST(NULL AS TIMESTAMP)
+        |FROM b1 JOIN kb ON b1.o_custkey = kb.o_custkey
+        |WHERE b1.o_custkey NOT IN (SELECT o_custkey FROM b2)
+        |UNION ALL
+        |SELECT b2.o_custkey, o_orderkey, o_orderdate, o_totalprice, key_bucket,
+        |  'Y', CAST(NULL AS TIMESTAMP)
+        |FROM b2 JOIN kb ON b2.o_custkey = kb.o_custkey""".stripMargin,
+
     // q75: the oracle sees decrypt∘encrypt as the identity
     "q75_crypto_roundtrip" ->
       "SELECT c_custkey, c_name AS name_rt, c_nationkey FROM customer",

@@ -1177,6 +1177,100 @@ object Queries {
     )
   }
 
+  /** Per-user output row of the streaming delta-state twin (q79). */
+  final case class Q79Delta(user_id: Long, n_events: Long, delta_total_cents: Option[Long])
+
+  /** q79: STREAMING DELTA-STATE — q12's cumulative→delta semantics executed
+    * through the streaming engine and hash-matched against q12's oracle.
+    * Per-user state logic inside `flatMapGroupsWithState`: users with any
+    * pre-cutoff event get delta = post-cutoff sum (total − snapshot);
+    * first-seen-after-cutoff users pass their raw total through (the
+    * reference's no-snapshot asymmetry, transformation.py:93-98).
+    */
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events = stream
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Option[Double])]
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+
+    val deltas = events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout
+      ) { (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Option[Double])], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+        def cents(v: Double): Long =
+          java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+        var n = 0L
+        var hasPre = false
+        var preSum = Option.empty[Long]
+        var postSum = Option.empty[Long]
+        it.foreach { case (_, ts, v) =>
+          n += 1
+          val pre = ts.before(cutoff)
+          if (pre) hasPre = true
+          v.foreach { x =>
+            if (pre) preSum = Some(preSum.getOrElse(0L) + cents(x))
+            else postSum = Some(postSum.getOrElse(0L) + cents(x))
+          }
+        }
+        // snapshot exists (user seen pre-cutoff): delta = total - snapshot
+        // = post-cutoff sum (SQL: NULL-preserving when all values null);
+        // else raw total passthrough
+        val delta =
+          if (hasPre) (preSum, postSum) match {
+            case (None, None) => None // total NULL - coalesce(snapshot,0)... both sums null -> total null
+            case (pre_, post) => Some(post.getOrElse(0L)) // total - snapshot, exact integer cents
+          }
+          else (preSum, postSum) match {
+            case (None, None) => None
+            case (a, b) => Some(a.getOrElse(0L) + b.getOrElse(0L))
+          }
+        Iterator.single(Q79Delta(uid, n, delta))
+      }
+
+    val name = s"q79_sink_${System.nanoTime()}"
+    val q = deltas.writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("q79 streaming pass did not finish — refusing to return a partial snapshot")
+    }
+    s.table(name)
+  }
+
+  /** q80: PARTITION-SCOPED SCD-2 LOAD as an oracle row — two consecutive
+    * loads through [[Scd2.upsertPartitioned]] into a delta-committed
+    * [[graft.sources.VersionedTable]] (16 key buckets), then the final
+    * table read back through the manifest. Proves the bucketed storage
+    * path end-to-end: bucket assignment, touched-only rewrite, manifest
+    * carry-forward resolution, and the SCD close/insert semantics — all
+    * recomputed by the oracle from `orders`, including the key_bucket
+    * column (md5-prefix % 16).
+    */
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    def latest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val batch1 = latest(orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
+    val batch2 = latest(orders.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scdpart").toString + "/warehouse"
+    Scd2.upsertPartitioned(s, tmp, batch1, Seq("o_custkey"), nBuckets = 16, now = lit("2001-01-01 00:00:00").cast("timestamp"))
+    Scd2.upsertPartitioned(s, tmp, batch2, Seq("o_custkey"), nBuckets = 16, now = lit("2002-01-01 00:00:00").cast("timestamp"))
+    graft.sources.VersionedTable.read(s, tmp)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        col("key_bucket"), col("actv_flg"), col("record_to")
+      )
+  }
+
   /** q48: one-pass column profiler — count/nulls/min/max plus exact variance
     * from decimal sum/sum-of-squares (engine-native stddev is an
     * order-dependent double fold; this is the portable formulation).

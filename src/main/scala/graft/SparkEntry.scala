@@ -87,7 +87,9 @@ object SparkEntry {
     "q75_crypto_roundtrip" -> (Queries.q75 _),
     "q76_salted_join" -> (Queries.q76 _),
     "q77_paged_ingest" -> (Queries.q77 _),
-    "q78_decontamination" -> (Queries.q78 _)
+    "q78_decontamination" -> (Queries.q78 _),
+    "q79_stream_delta" -> (Queries.q79 _),
+    "q80_scd2_partitioned" -> (Queries.q80 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

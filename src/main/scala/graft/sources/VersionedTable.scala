@@ -278,4 +278,36 @@ object VersionedTable {
       throw new IllegalStateException(s"table at $path is not delta-committed; read the snapshot instead"))
     parts.map(p => m.get(p).map(pv => spark.read.parquet(s"$path/v=$pv/p=$p")))
   }
+
+  /** VACUUM: delete version data no commit at-or-above `retainVersions`-ago
+    * can reference — dead orphans (reserved-but-never-published, demoted
+    * conflicts) and snapshots older than the retention window that no
+    * RETAINED delta manifest points into. Time travel keeps working for the
+    * newest `retainVersions` commits; older reads fail (their data may be
+    * gone), exactly Delta VACUUM's contract.
+    *
+    * @return the version directories removed
+    */
+  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 2): Seq[Long] = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val f = fs(spark, path)
+    val committed = committedVersions(f, path).sorted
+    if (committed.isEmpty) return Nil
+    val retained = committed.takeRight(retainVersions)
+    // every v-dir any retained manifest references stays (delta commits
+    // reference OLDER version dirs for carried-forward partitions)
+    val referenced: Set[Long] = retained.toSet ++ retained.flatMap { v =>
+      partitionMap(spark, path, v).map(_.values.toSeq).getOrElse(Nil)
+    }
+    val root = new Path(path)
+    val vdirs = Option(f.listStatus(root)).getOrElse(Array.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+    val removable = vdirs.filter(!referenced.contains(_)).sorted.toSeq
+    removable.foreach { v =>
+      f.delete(new Path(s"$path/v=$v"), true)
+      f.delete(new Path(s"$path/_commits/$v.json"), false) // expired commit (if published)
+    }
+    removable
+  }
 }

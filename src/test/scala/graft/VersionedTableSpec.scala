@@ -95,6 +95,30 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(meta2.contains("\"base\": 1"))
   }
 
+  test("vacuum removes dead orphans and expired snapshots, keeps referenced delta dirs") {
+    val path = Files.createTempDirectory("graft-vt7").toString + "/t"
+    // delta table: v1 writes buckets 0/1/2; v2 rewrites only bucket 1
+    VersionedTable.commitDelta(spark, path, Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("bucket", "v"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq((1L, "b2")).toDF("bucket", "v"), "bucket")
+    // dead orphan: reserved + data, never published
+    Files.writeString(java.nio.file.Paths.get(s"$path/_commits/3.reserved"), "")
+    Seq((9L, "dead")).toDF("bucket", "v").write.parquet(s"$path/v=3")
+    val removed = VersionedTable.vacuum(spark, path, retainVersions = 1)
+    assert(removed == Seq(3L)) // v1 still referenced by v2's manifest; orphan v3 goes
+    assert(!new java.io.File(s"$path/v=3").exists())
+    val rows = VersionedTable.read(spark, path).collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((0L, "a"), (1L, "b2"), (2L, "c")))
+
+    // full-snapshot table: old versions actually get reclaimed
+    val p2 = Files.createTempDirectory("graft-vt8").toString + "/t"
+    VersionedTable.commit(Seq((1, "x")).toDF("id", "v"), p2)
+    VersionedTable.commit(Seq((2, "y")).toDF("id", "v"), p2)
+    VersionedTable.commit(Seq((3, "z")).toDF("id", "v"), p2)
+    assert(VersionedTable.vacuum(spark, p2, retainVersions = 1) == Seq(1L, 2L))
+    assert(VersionedTable.read(spark, p2).head().getInt(0) == 3)
+    assertThrows[IllegalArgumentException](VersionedTable.read(spark, p2, Some(1L))) // expired
+  }
+
   test("partition-scoped SCD-2 load rewrites only the buckets its batch touches") {
     import org.apache.spark.sql.functions.lit
     import graft.operators.Scd2
