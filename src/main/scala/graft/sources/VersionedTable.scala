@@ -279,6 +279,21 @@ object VersionedTable {
     parts.map(p => m.get(p).map(pv => spark.read.parquet(s"$path/v=$pv/p=$p")))
   }
 
+  /** COMPACT (the OPTIMIZE analogue): rewrite the CURRENT state of a
+    * delta-committed table as one fresh delta commit touching every live
+    * partition, with `filesPerPartition` output files each. Daily
+    * touched-bucket loads accumulate small files per partition across
+    * versions; compaction folds them into full-size files and (followed by
+    * [[vacuum]]) releases the old dirs. Readers never block: the compacted
+    * version publishes atomically like any commit.
+    */
+  def compact(spark: SparkSession, path: String, partCol: String): Long = {
+    // hash-repartition by the partition column: each partition value lands
+    // wholly in one task -> exactly one output file per partition dir
+    val current = read(spark, path).repartition(col(partCol))
+    commitDelta(spark, path, current, partCol)
+  }
+
   /** VACUUM: delete version data no commit at-or-above `retainVersions`-ago
     * can reference — dead orphans (reserved-but-never-published, demoted
     * conflicts) and snapshots older than the retention window that no

@@ -95,6 +95,29 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(meta2.contains("\"base\": 1"))
   }
 
+  test("compact folds accumulated small files into one file per partition; vacuum then reclaims") {
+    val path = Files.createTempDirectory("graft-vt9").toString + "/t"
+    VersionedTable.commitDelta(spark, path, Seq((0L, 1, "a"), (1L, 2, "b")).toDF("bucket", "id", "v"), "bucket")
+    // second load rewrites bucket 0 from a 3-task dataframe -> 3 small
+    // files land in its partition dir
+    VersionedTable.commitDelta(
+      spark, path,
+      Seq((0L, 3, "c"), (0L, 4, "d"), (0L, 5, "e")).toDF("bucket", "id", "v").repartition(3),
+      "bucket"
+    )
+    def files(p: String) = new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files(s"$path/v=2/p=0") > 1, "fixture should produce multiple small files")
+    val cv = VersionedTable.compact(spark, path, "bucket")
+    val m = VersionedTable.partitionMap(spark, path, cv).get
+    assert(m.values.toSet == Set(cv)) // every partition now lives in the compacted version
+    assert(files(s"$path/v=$cv/p=0") == 1 && files(s"$path/v=$cv/p=1") == 1)
+    val rows = VersionedTable.read(spark, path).collect().map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((2, "b"), (3, "c"), (4, "d"), (5, "e"))) // bucket 0 was REPLACED by load 2
+    // old version dirs are now unreferenced -> vacuum reclaims them
+    assert(VersionedTable.vacuum(spark, path, retainVersions = 1).toSet == Set(1L, 2L))
+    assert(VersionedTable.read(spark, path).collect().map(_.getInt(1)).sorted.toSeq == Seq(2, 3, 4, 5))
+  }
+
   test("vacuum removes dead orphans and expired snapshots, keeps referenced delta dirs") {
     val path = Files.createTempDirectory("graft-vt7").toString + "/t"
     // delta table: v1 writes buckets 0/1/2; v2 rewrites only bucket 1
