@@ -343,6 +343,16 @@ object Oracles {
          |GROUP BY cp.doc_id, bp.bench_id
          |HAVING count(*) >= 3""".stripMargin,
 
+    // q81: chunking — 50-token windows, stride 40; short final window
+    "q81_chunking" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | st AS (SELECT doc_id, ws, unnest(range(0, ((len(ws)-1)//40)+1)) ci FROM toks WHERE len(ws) > 0),
+         | ch AS (SELECT doc_id, ci, list_slice(ws, CAST(ci*40+1 AS INTEGER), CAST(least(ci*40+50, len(ws)) AS INTEGER)) ck FROM st)
+         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_id, CAST(ci*40 AS INTEGER) AS chunk_start,
+         | CAST(len(ck) AS INTEGER) AS n_chunk_tokens,
+         | md5(array_to_string(ck, ' ')) AS chunk_md5
+         |FROM ch""".stripMargin,
+
     // q64: quantized-idf TF-IDF — integer ranking contract (see Queries.q64)
     "q64_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, $tokensExpr ws FROM documents),

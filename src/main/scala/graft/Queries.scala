@@ -1271,6 +1271,22 @@ object Queries {
       )
   }
 
+  /** q81: CONTEXT-WINDOW CHUNKING — documents split into 50-token windows
+    * with stride 40 (10-token overlap), the corpus→training-examples
+    * transform. Chunk content fingerprinted by md5 for a compact oracle
+    * comparison.
+    */
+  def q81(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .chunkTokens(t(s, dir, "documents"), "doc_id", "text", chunkSize = 50, stride = 40)
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        col("chunk_start"),
+        col("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk_tokens"))).as("chunk_md5")
+      )
+
   /** q48: one-pass column profiler — count/nulls/min/max plus exact variance
     * from decimal sum/sum-of-squares (engine-native stddev is an
     * order-dependent double fold; this is the portable formulation).

@@ -89,7 +89,8 @@ object SparkEntry {
     "q77_paged_ingest" -> (Queries.q77 _),
     "q78_decontamination" -> (Queries.q78 _),
     "q79_stream_delta" -> (Queries.q79 _),
-    "q80_scd2_partitioned" -> (Queries.q80 _)
+    "q80_scd2_partitioned" -> (Queries.q80 _),
+    "q81_chunking" -> (Queries.q81 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -161,6 +161,36 @@ object Scd2 {
     VersionedTable.commitDelta(spark, warehousePath, result, bucketCol)
   }
 
+  /** GDPR / takedown deletion on a bucketed SCD-2 warehouse: removes EVERY
+    * version (active and history) of the given business keys, rewriting
+    * only the buckets those keys hash to — the other partitions carry
+    * forward untouched. A bucket whose rows are all removed becomes an
+    * empty partition (explicitly cleared from the manifest, never silently
+    * resurrected).
+    *
+    * @return the committed version (current version if no bucket exists)
+    */
+  def deleteKeys(
+      spark: org.apache.spark.sql.SparkSession,
+      warehousePath: String,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      nBuckets: Int,
+      bucketCol: String = "key_bucket"
+  ): Long = {
+    import graft.sources.VersionedTable
+    val doomed = keys.select(keyCols.map(col): _*).distinct()
+    val touched = doomed
+      .withColumn(bucketCol, keyBucket(keyCols, nBuckets))
+      .select(bucketCol).distinct().collect().map(_.getLong(0)).sorted.map(_.toString).toSeq
+    val existing = VersionedTable.readPartitions(spark, warehousePath, touched).flatten
+    if (existing.isEmpty)
+      return VersionedTable.latestVersion(spark, warehousePath)
+        .getOrElse(throw new IllegalArgumentException(s"no committed versions at $warehousePath"))
+    val kept = existing.map(_.join(broadcast(doomed), keyCols, "left_anti")).reduce(_.unionByName(_))
+    VersionedTable.commitDelta(spark, warehousePath, kept, bucketCol, clearedParts = touched)
+  }
+
   private def emptyTarget(batchWithBucket: DataFrame, bucketCol: String): DataFrame =
     batchWithBucket
       .limit(0)

@@ -167,4 +167,33 @@ object TextAnalysis {
     */
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(text), n)
+
+  /** Context-window chunking: split each document's token stream into
+    * windows of `chunkSize` tokens advancing by `stride` (overlap =
+    * chunkSize − stride) — the training-example splitter that turns a
+    * document corpus into fixed-budget model inputs. One narrow pass:
+    * tokenize once, generate chunk starts, posexplode. Documents with no
+    * tokens produce no chunks; the final chunk is short rather than padded.
+    *
+    * Output: (idCol, chunk_id, chunk_start, n_chunk_tokens, chunk_tokens).
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize, "need 0 < stride <= chunkSize")
+    val toks = col("__toks")
+    val lastStart = (size(toks) - 1) - ((size(toks) - 1) % stride)
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn(
+        "__starts",
+        when(size(toks) === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), lastStart, lit(stride)))
+      )
+      .select(col(idCol), col("__toks"), posexplode(col("__starts")).as(Seq("chunk_id", "chunk_start")))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        col("chunk_start"),
+        slice(col("__toks"), col("chunk_start") + 1, lit(chunkSize)).as("chunk_tokens")
+      )
+      .withColumn("n_chunk_tokens", size(col("chunk_tokens")))
+  }
 }

@@ -137,8 +137,20 @@ object VersionedTable {
     *
     * The table must have been created by commitDelta (or be empty): mixing
     * full-snapshot and delta commits on one table is rejected.
+    *
+    * `clearedParts`: partitions this commit intends to touch even if the
+    * written DataFrame holds NO rows for them — they are dropped from the
+    * carried-forward manifest (an empty partition), instead of silently
+    * resurrecting their previous contents. Required for deletions that
+    * empty a partition; harmless to over-state.
     */
-  def commitDelta(spark: SparkSession, path: String, updated: DataFrame, partCol: String): Long = {
+  def commitDelta(
+      spark: SparkSession,
+      path: String,
+      updated: DataFrame,
+      partCol: String,
+      clearedParts: Seq[String] = Nil
+  ): Long = {
     val f = fs(spark, path)
     val v = reserveVersion(f, path)
     // base version read AFTER reserving; re-checked at publish time so a
@@ -177,7 +189,7 @@ object VersionedTable {
       throw new java.util.ConcurrentModificationException(
         s"concurrent commit on $path (base was $base); retry the delta against the new latest version")
     }
-    val parts = prev ++ written.map(_ -> v)
+    val parts = (prev -- clearedParts.filterNot(written.contains)) ++ written.map(_ -> v)
     val partsJson = parts.toSeq.sortBy(_._1).map { case (p, pv) => s"${jsonStr(p)}: $pv" }.mkString("{", ", ", "}")
     publish(f, path, v,
       s"""{"version": $v, "base": ${base.getOrElse(0L)}, "schema": ${jsonStr(updated.schema.json)}, "committed_at": ${System.currentTimeMillis()}, "partitions": $partsJson}""")
@@ -254,7 +266,10 @@ object VersionedTable {
       case None => spark.read.parquet(s"$path/v=$v")
       case Some(parts) =>
         val dirs = parts.toSeq.sortBy(_._1).map { case (p, pv) => s"$path/v=$pv/p=$p" }
-        spark.read.parquet(dirs: _*)
+        // partitions carried forward from older versions may predate a
+        // schema-widening commit (the reference's drift story) — merge
+        // schemas so old partitions surface the new columns as nulls
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     }
   }
 
@@ -277,6 +292,32 @@ object VersionedTable {
     val m = partitionMap(spark, path, v).getOrElse(
       throw new IllegalStateException(s"table at $path is not delta-committed; read the snapshot instead"))
     parts.map(p => m.get(p).map(pv => spark.read.parquet(s"$path/v=$pv/p=$p")))
+  }
+
+  /** Targeted row deletion (the right-to-be-forgotten / takedown sweep a
+    * training-data lake must support): rewrite ONLY the partitions that
+    * contain matching rows, dropping them; every other partition carries
+    * forward untouched. `touchedParts` bounds the rewrite (for key-bucketed
+    * tables: the buckets the doomed keys hash to — computable from the keys
+    * alone); the predicate is re-applied inside, so over-approximating
+    * touchedParts is safe, under-approximating is not.
+    *
+    * @return the committed version
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      touchedParts: Seq[String],
+      predicate: org.apache.spark.sql.Column
+  ): Long = {
+    val existing = readPartitions(spark, path, touchedParts).flatten
+    require(existing.nonEmpty, s"none of ${touchedParts.mkString(",")} exist at $path — nothing to delete")
+    val kept = existing.map(_.filter(!predicate)).reduce(_.unionByName(_))
+    // clearedParts: a bucket whose rows ALL matched writes no data — without
+    // the explicit clear its old contents would carry forward (resurrected
+    // deletes)
+    commitDelta(spark, path, kept, partCol, clearedParts = touchedParts)
   }
 
   /** COMPACT (the OPTIMIZE analogue): rewrite the CURRENT state of a

@@ -95,6 +95,49 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(meta2.contains("\"base\": 1"))
   }
 
+  test("deleteKeys removes every version of the keys, rewrites only their buckets, never resurrects") {
+    import org.apache.spark.sql.functions.lit
+    import graft.operators.Scd2
+    val path = Files.createTempDirectory("graft-vt10").toString + "/t"
+    val ts1 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val ts2 = lit("2024-02-01 00:00:00").cast("timestamp")
+    Scd2.upsertPartitioned(spark, path, (1 to 40).map(k => (k.toLong, s"v$k")).toDF("k", "payload"), Seq("k"), 4, ts1)
+    // key 7 gets a second version (history row) before deletion
+    Scd2.upsertPartitioned(spark, path, Seq((7L, "v7-new")).toDF("k", "payload"), Seq("k"), 4, ts2)
+
+    val before = VersionedTable.latestVersion(spark, path).get
+    Scd2.deleteKeys(spark, path, Seq(Tuple1(7L)).toDF("k"), Seq("k"), 4)
+    val after = VersionedTable.latestVersion(spark, path).get
+    assert(after == before + 1)
+    // only key 7's bucket was rewritten in the delete commit
+    val rewritten = new java.io.File(s"$path/v=$after").listFiles().map(_.getName).filter(_.startsWith("p=")).toSet
+    assert(rewritten.size == 1)
+    val t = VersionedTable.read(spark, path)
+    assert(t.filter($"k" === 7L).count() == 0) // both versions gone
+    assert(t.count() == 39)
+
+    // bucket-emptying deletion: remove ALL keys of one bucket -> partition
+    // cleared from the manifest, nothing resurrected
+    val bucketOfK = t.select($"k", Scd2.keyBucket(Seq("k"), 4).as("b")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val someBucket = bucketOfK.values.head
+    val doomed = bucketOfK.collect { case (k, b) if b == someBucket => k }.toSeq
+    Scd2.deleteKeys(spark, path, doomed.map(Tuple1(_)).toDF("k"), Seq("k"), 4)
+    val t2 = VersionedTable.read(spark, path)
+    assert(t2.count() == 39 - doomed.size)
+    assert(VersionedTable.readPartition(spark, path, someBucket.toString).isEmpty)
+  }
+
+  test("delta read merges schemas across versions (drift: old partitions surface new columns as null)") {
+    val path = Files.createTempDirectory("graft-vt11").toString + "/t"
+    VersionedTable.commitDelta(spark, path, Seq((0L, 1), (1L, 2)).toDF("bucket", "id"), "bucket")
+    // widened schema rewrite of bucket 1 only
+    VersionedTable.commitDelta(spark, path, Seq((1L, 2, "extra")).toDF("bucket", "id", "note"), "bucket")
+    val t = VersionedTable.read(spark, path)
+    assert(t.columns.sorted.toSeq == Seq("bucket", "id", "note"))
+    val rows = t.collect().map(r => (r.getLong(0), Option(r.getAs[String]("note")))).toMap
+    assert(rows(0L).isEmpty && rows(1L).contains("extra"))
+  }
+
   test("compact folds accumulated small files into one file per partition; vacuum then reclaims") {
     val path = Files.createTempDirectory("graft-vt9").toString + "/t"
     VersionedTable.commitDelta(spark, path, Seq((0L, 1, "a"), (1L, 2, "b")).toDF("bucket", "id", "v"), "bucket")
