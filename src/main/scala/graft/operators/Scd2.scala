@@ -144,21 +144,37 @@ object Scd2 {
       keyCols: Seq[String],
       nBuckets: Int,
       now: Column,
-      bucketCol: String = "key_bucket"
+      bucketCol: String = "key_bucket",
+      maxRetries: Int = 3
   ): Long = {
     import graft.sources.VersionedTable
-    val b = batch.withColumn(bucketCol, keyBucket(keyCols, nBuckets))
-    // bounded driver-side list: at most nBuckets values
-    val touched = b.select(bucketCol).distinct().collect().map(_.getLong(0)).sorted
-    val targetTouched = VersionedTable.latestVersion(spark, warehousePath) match {
-      case Some(v) =>
-        // one manifest read resolves every touched bucket
-        val existing = VersionedTable.readPartitions(spark, warehousePath, touched.map(_.toString).toSeq, Some(v)).flatten
-        existing.reduceOption(_.unionByName(_)).getOrElse(emptyTarget(b, bucketCol))
-      case None => emptyTarget(b, bucketCol)
+    def attempt(): Long = {
+      val b = batch.withColumn(bucketCol, keyBucket(keyCols, nBuckets))
+      // bounded driver-side list: at most nBuckets values
+      val touched = b.select(bucketCol).distinct().collect().map(_.getLong(0)).sorted
+      val targetTouched = VersionedTable.latestVersion(spark, warehousePath) match {
+        case Some(v) =>
+          // one manifest read resolves every touched bucket
+          val existing = VersionedTable.readPartitions(spark, warehousePath, touched.map(_.toString).toSeq, Some(v)).flatten
+          existing.reduceOption(_.unionByName(_)).getOrElse(emptyTarget(b, bucketCol))
+        case None => emptyTarget(b, bucketCol)
+      }
+      val result = upsert(targetTouched, b, keyCols, now)
+      VersionedTable.commitDelta(spark, warehousePath, result, bucketCol)
     }
-    val result = upsert(targetTouched, b, keyCols, now)
-    VersionedTable.commitDelta(spark, warehousePath, result, bucketCol)
+    // a losing concurrent writer aborts with ConcurrentModificationException;
+    // the whole attempt (target read + upsert + commit) rebases on the new
+    // latest version and retries — the optimistic-concurrency loop
+    var tries = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          tries += 1
+          if (tries > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** GDPR / takedown deletion on a bucketed SCD-2 warehouse: removes EVERY

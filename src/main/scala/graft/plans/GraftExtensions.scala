@@ -18,5 +18,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))
       )
     )
+    e.injectFunction(
+      (
+        new FunctionIdentifier("md5_prefix60"),
+        new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+        (exprs: Seq[Expression]) => Md5Prefix60(exprs(0))
+      )
+    )
+    e.injectFunction(
+      (
+        new FunctionIdentifier("unicode_normalize"),
+        new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+        (exprs: Seq[Expression]) =>
+          UnicodeNormalize(
+            exprs(0),
+            exprs.lift(1).map(_.eval().toString).getOrElse("NFC")
+          )
+      )
+    )
+    e.injectFunction(
+      (
+        new FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+        (exprs: Seq[Expression]) =>
+          MinHashSig(exprs(0), exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue()).getOrElse(16))
+      )
+    )
   }
 }

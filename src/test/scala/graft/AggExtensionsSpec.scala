@@ -63,6 +63,13 @@ class AggExtensionsSpec extends AnyFunSuite {
         .getOrCreate()
       val r = s2.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
       assert(r.getDouble(0) == 11.0)
+      // the whole native-function family is SQL-reachable
+      val h = s2.sql("SELECT md5_prefix60('abc') AS h").head().getLong(0)
+      assert(h == java.lang.Long.parseLong("900150983cd24fb", 16)) // first 15 hex digits of md5('abc')
+      val nfc = s2.sql("SELECT unicode_normalize('café', 'NFC') AS s").head().getString(0)
+      assert(nfc == "café")
+      val sig = s2.sql("SELECT minhash_sig(array(5L, 42L), 4) AS s").head().getSeq[Long](0)
+      assert(sig.length == 4 && sig.forall(_ >= 0))
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
