@@ -108,11 +108,18 @@ object Similarity {
     // Size nBits to the corpus: candidates/table ~ N/2^nBits; aim for
     // ~50-100x k candidates overall. At 100 TB you would also persist the
     // table partitioned by bucket so the filter prunes partitions.
+    //
+    // All tables' buckets come from ONE fused pass over the vector
+    // (plans.LshBuckets): the per-table DotProduct formulation re-read
+    // every element tables*nBits times. Bit-identical per plane (same
+    // index-ascending accumulation), so the q41 oracle stays green.
+    val buckets = graft.plans.VectorExpressions.lshBucketsNative(col(vecCol), dim, nBits, tables)
     val anyMatch = (0 until tables)
-      .map(t => lshBucket(col(vecCol), dim, nBits, t) === lit(lshBucketLocal(query, dim, nBits, t)))
+      .map(t => element_at(col("__lshb"), t + 1) === lit(lshBucketLocal(query, dim, nBits, t)))
       .reduce(_ || _)
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    df.filter(anyMatch)
+    df.withColumn("__lshb", buckets)
+      .filter(anyMatch)
       .select(col(idCol), cosine(transform(col(vecCol), _.cast("double")), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnShim
@@ -93,11 +93,124 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** All LSH bucket ids for a vector in ONE pass: `tables` independent
+  * sign-random-projection families of `nBits` hyperplanes each. The
+  * per-bucket formulation evaluates tables*nBits separate DotProducts —
+  * each traversing the vector — so an 8-table/5-bit probe reads every
+  * element 40 times; this expression reads it once, accumulating all 40
+  * dots in a flat register array (per-plane accumulation stays strictly
+  * index-ascending, so each dot is bit-identical to the single-plane
+  * [[DotProduct]] fold and to the oracle's ordered sums).
+  *
+  * Hyperplane signs come from the same deterministic closed form as
+  * [[graft.operators.Similarity.hyperplaneSign]] (plane id = table*1024 +
+  * bit), precomputed once driver-side and shipped as a reference object.
+  */
+case class LshBuckets(child: Expression, dim: Int, nBits: Int, tables: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"LshBuckets requires array<float|double>, got $dt"
+        )
+    }
+
+  /** signs(plane * dim + i), plane = t * nBits + b — row-major, one flat
+    * array so the generated loop is a pure linear scan.
+    */
+  @transient lazy val signs: Array[Double] = LshBuckets.signTable(dim, nBits, tables)
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    new GenericArrayData(LshBuckets.buckets(arr, signs, dim, nBits, tables, isFloat))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "double[]")
+    val fl = if (isFloat) "true" else "false"
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"""
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        |  graft.plans.LshBuckets$$.MODULE$$.buckets($c, $signsRef, $dim, $nBits, $tables, $fl));
+       """.stripMargin
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object LshBuckets {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def signTable(dim: Int, nBits: Int, tables: Int): Array[Double] = {
+    val out = new Array[Double](tables * nBits * dim)
+    var t = 0
+    while (t < tables) {
+      var b = 0
+      while (b < nBits) {
+        var i = 0
+        while (i < dim) {
+          out((t * nBits + b) * dim + i) = graft.operators.Similarity.hyperplaneSign(t * 1024 + b, i)
+          i += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  /** One pass over the vector; per-plane accumulation in ascending index
+    * order (bit-compatible with the single-plane fold).
+    */
+  def buckets(arr: ArrayData, signs: Array[Double], dim: Int, nBits: Int, tables: Int, isFloat: Boolean): Array[Long] = {
+    val planes = tables * nBits
+    val acc = new Array[Double](planes)
+    val n = math.min(arr.numElements(), dim)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        var p = 0
+        while (p < planes) { acc(p) += x * signs(p * dim + i); p += 1 }
+      }
+      i += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < nBits) {
+        if (acc(t * nBits + b) > 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+}
+
 object VectorExpressions {
 
   /** Column API for the codegen'd dot product. */
   def dotNative(a: Column, b: Column): Column =
     ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column API for the fused multi-table LSH bucket expression. */
+  def lshBucketsNative(vec: Column, dim: Int, nBits: Int, tables: Int): Column =
+    ColumnShim.column(LshBuckets(ColumnShim.expression(vec), dim, nBits, tables))
 
   /** Register `dot_product` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

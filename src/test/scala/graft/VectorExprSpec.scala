@@ -61,6 +61,19 @@ class VectorExprSpec extends AnyFunSuite {
     assert(hof.length == 4 && hof.forall(_ == null))
   }
 
+  test("LshBuckets fused expression == per-table lshBucket formulation, bit for bit") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fused = emb
+      .select($"vec_id", VectorExpressions.lshBucketsNative($"embedding", 64, 5, 8).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val perTable = emb
+      .select($"vec_id" +: (0 until 8).map(t => Similarity.lshBucket($"embedding", 64, 5, t).as(s"b$t")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_)).toSeq).toMap
+    assert(fused.keySet == perTable.keySet)
+    fused.foreach { case (id, bs) => assert(bs == perTable(id), s"vec $id") }
+  }
+
   test("null array yields null; SQL registration works") {
     val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")
     val r = df.select(VectorExpressions.dotNative($"a", $"b")).head()
