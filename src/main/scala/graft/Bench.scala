@@ -77,8 +77,10 @@ object Bench {
       "q37_minhash_lsh", "q40_ann_bruteforce", "q41_ann_lsh",
       "q43_event_windows", "q24_sessions", "q49_asof_join", "q50_multi_join",
       // round-2 formulations under watch: LSH-blocked embedding near-dup,
-      // quantized-idf TF-IDF (single job), two-level exact percentile cut
-      "q47_embedding_neardup", "q64_tfidf", "q68_quality_filter"
+      // quantized-idf TF-IDF (single job), two-level exact percentile cut,
+      // fused-codegen SimHash sketching
+      "q47_embedding_neardup", "q64_tfidf", "q68_quality_filter",
+      "q39_simhash_portable"
     )
 
     // warm-up: every headline query once at the target SF (see scaladoc).

@@ -176,9 +176,17 @@ object Dedup {
 
   /** Portable 60-bit SimHash (md5-prefix token hashes) — same construction
     * as [[simhash]] but fully replicable in the SQL oracle. Empty docs
-    * sketch to 0.
+    * sketch to 0. Backed by the fused codegen [[graft.plans.SimHash60]]
+    * (the interpreted HOF evaluated a 60-branch lambda per token — see
+    * [[simhash60Hof]], kept as the parity regression baseline).
     */
-  def simhash60(text: Column): Column = {
+  def simhash60(text: Column): Column =
+    graft.plans.HashExpressions.simhash60(TextAnalysis.tokens(text))
+
+  /** HOF formulation of [[simhash60]] (regression baseline for the codegen
+    * expression — value-identical).
+    */
+  def simhash60Hof(text: Column): Column = {
     val hashes = transform(TextAnalysis.tokens(text), w => shingleHash64(w))
     val counters = aggregate(
       hashes,

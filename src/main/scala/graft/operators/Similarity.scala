@@ -70,7 +70,13 @@ object Similarity {
   /** Sign-random-projection LSH bucket id (0 .. 2^nBits-1) for a vector.
     * `table` selects an independent hyperplane family (multi-table LSH).
     */
-  def lshBucket(vec: Column, dim: Int, nBits: Int, table: Int = 0): Column = {
+  def lshBucket(vec: Column, dim: Int, nBits: Int, table: Int = 0): Column =
+    element_at(graft.plans.VectorExpressions.lshBucketsNative(vec, dim, nBits, tables = 1, tableOffset = table), 1)
+
+  /** Per-bit DotProduct formulation of [[lshBucket]] (parity baseline for
+    * the fused codegen expression — bit-identical).
+    */
+  def lshBucketPerBit(vec: Column, dim: Int, nBits: Int, table: Int = 0): Column = {
     val bits = (0 until nBits).map { b =>
       val plane = array((0 until dim).map(i => lit(hyperplaneSign(table * 1024 + b, i))): _*)
       when(dot(vec, plane) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))

@@ -181,10 +181,64 @@ object UnicodeNormalize {
     java.text.Normalizer.normalize(s, forms(form))
 }
 
+/** SimHash60(tokens) == the HOF formulation in Dedup.simhash60 (md5-prefix
+  * token hashes, 60 bit-vote counters, positive votes set bits), fused into
+  * one loop: the interpreted `aggregate`/`zip_with` evaluates a 60-branch
+  * lambda per token with a fresh 60-element array per step. Pure integer
+  * arithmetic — value-identical by construction (parity-tested), so the
+  * q38/q39/q65 oracles are unaffected. Empty/all-null token arrays sketch
+  * to 0 (matching the HOF's zero-counter outcome).
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"SimHash60 requires array<string>, got $dt"
+        )
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash60.sketch(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHash60$$.MODULE$$.sketch($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object SimHash60 {
+  def sketch(arr: ArrayData): Long = {
+    val counters = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Md5Prefix60.hash(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 60) {
+          if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (counters(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+}
+
 object HashExpressions {
   def md5Prefix60(c: Column): Column = ColumnShim.column(Md5Prefix60(ColumnShim.expression(c)))
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =
     ColumnShim.column(UnicodeNormalize(ColumnShim.expression(c), form))
   def minhashSig(c: Column, numHashes: Int): Column =
     ColumnShim.column(MinHashSig(ColumnShim.expression(c), numHashes))
+  def simhash60(tokens: Column): Column = ColumnShim.column(SimHash60(ColumnShim.expression(tokens)))
 }

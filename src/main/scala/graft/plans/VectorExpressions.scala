@@ -106,7 +106,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * [[graft.operators.Similarity.hyperplaneSign]] (plane id = table*1024 +
   * bit), precomputed once driver-side and shipped as a reference object.
   */
-case class LshBuckets(child: Expression, dim: Int, nBits: Int, tables: Int) extends UnaryExpression {
+case class LshBuckets(child: Expression, dim: Int, nBits: Int, tables: Int, tableOffset: Int = 0) extends UnaryExpression {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -124,7 +124,7 @@ case class LshBuckets(child: Expression, dim: Int, nBits: Int, tables: Int) exte
   /** signs(plane * dim + i), plane = t * nBits + b — row-major, one flat
     * array so the generated loop is a pure linear scan.
     */
-  @transient lazy val signs: Array[Double] = LshBuckets.signTable(dim, nBits, tables)
+  @transient lazy val signs: Array[Double] = LshBuckets.signTable(dim, nBits, tables, tableOffset)
 
   private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -152,7 +152,7 @@ case class LshBuckets(child: Expression, dim: Int, nBits: Int, tables: Int) exte
 object LshBuckets {
   import org.apache.spark.sql.catalyst.util.ArrayData
 
-  def signTable(dim: Int, nBits: Int, tables: Int): Array[Double] = {
+  def signTable(dim: Int, nBits: Int, tables: Int, tableOffset: Int = 0): Array[Double] = {
     val out = new Array[Double](tables * nBits * dim)
     var t = 0
     while (t < tables) {
@@ -160,7 +160,7 @@ object LshBuckets {
       while (b < nBits) {
         var i = 0
         while (i < dim) {
-          out((t * nBits + b) * dim + i) = graft.operators.Similarity.hyperplaneSign(t * 1024 + b, i)
+          out((t * nBits + b) * dim + i) = graft.operators.Similarity.hyperplaneSign((tableOffset + t) * 1024 + b, i)
           i += 1
         }
         b += 1
@@ -209,8 +209,8 @@ object VectorExpressions {
     ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
 
   /** Column API for the fused multi-table LSH bucket expression. */
-  def lshBucketsNative(vec: Column, dim: Int, nBits: Int, tables: Int): Column =
-    ColumnShim.column(LshBuckets(ColumnShim.expression(vec), dim, nBits, tables))
+  def lshBucketsNative(vec: Column, dim: Int, nBits: Int, tables: Int, tableOffset: Int = 0): Column =
+    ColumnShim.column(LshBuckets(ColumnShim.expression(vec), dim, nBits, tables, tableOffset))
 
   /** Register `dot_product` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

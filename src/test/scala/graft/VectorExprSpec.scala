@@ -68,10 +68,20 @@ class VectorExprSpec extends AnyFunSuite {
       .select($"vec_id", VectorExpressions.lshBucketsNative($"embedding", 64, 5, 8).as("bs"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val perTable = emb
-      .select($"vec_id" +: (0 until 8).map(t => Similarity.lshBucket($"embedding", 64, 5, t).as(s"b$t")): _*)
+      .select($"vec_id" +: (0 until 8).map(t => Similarity.lshBucketPerBit($"embedding", 64, 5, t).as(s"b$t")): _*)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_)).toSeq).toMap
     assert(fused.keySet == perTable.keySet)
     fused.foreach { case (id, bs) => assert(bs == perTable(id), s"vec $id") }
+  }
+
+  test("SimHash60 codegen == HOF formulation (incl. empty docs)") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val cmp = docs.select(Dedup.simhash60($"text").as("a"), Dedup.simhash60Hof($"text").as("b")).collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val empty = Seq("", "   ").toDF("text")
+    empty.select(Dedup.simhash60($"text")).collect().foreach(r => assert(r.getLong(0) == 0L))
   }
 
   test("null array yields null; SQL registration works") {
