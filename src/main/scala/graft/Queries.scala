@@ -493,8 +493,7 @@ object Queries {
   def q35(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
-      .withColumn("__sh_str", TextAnalysis.wordShinglesFromTokens(col("__toks"), 3))
-      .select(col("doc_id"), array_distinct(transform(col("__sh_str"), Dedup.shingleHash64 _)).as("sh"))
+      .select(col("doc_id"), array_distinct(graft.plans.HashExpressions.shingleHash60(col("__toks"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", Dedup.minhashSignatureFromHashes(col("sh"), 8))
     base.select(col("doc_id") +: (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"sig_$i")): _*)
@@ -1020,8 +1019,7 @@ object Queries {
     )
     val perDoc = t(s, dir, "documents")
       .select(col("source"), col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
-      .withColumn("__sh_str", TextAnalysis.wordShinglesFromTokens(col("__toks"), 3))
-      .select(col("source"), array_distinct(transform(col("__sh_str"), Dedup.shingleHash64 _)).as("sh"))
+      .select(col("source"), array_distinct(graft.plans.HashExpressions.shingleHash60(col("__toks"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", Dedup.minhashSignatureFromHashes(col("sh"), 16))
     val grouped = perDoc.groupBy(col("source")).agg(sigUdaf(col("sig")).as("gsig"))

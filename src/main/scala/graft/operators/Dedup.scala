@@ -72,20 +72,22 @@ object Dedup {
       portable: Boolean = false
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Shingle-hash choice: xxhash64 is ~10x cheaper per shingle, but has no
-    // cross-engine SQL twin; `portable=true` switches to the md5-prefix hash
-    // so the whole pipeline (and its banding) can be verified by the DuckDB
-    // oracle. Same algorithm either way — only the hash family differs.
-    val hashShingle: Column => Column =
-      if (portable) shingleHash64 else (s => xxhash64(s))
-    // hashed shingle sets: small long arrays instead of wide varchar arrays.
-    // Tokens and shingles are bound as real columns between the HOF stages —
-    // interpreted lambdas re-evaluate their subtrees per element, so chaining
-    // the expressions inline would re-tokenize per shingle (measured ~10x).
+    // Shingle-hash choice: xxhash64 is cheap but has no cross-engine SQL
+    // twin; `portable=true` switches to the fused md5-prefix shingle hasher
+    // (plans.ShingleHash60 — tokens stream straight into the digest, no
+    // shingle strings materialized) so the whole pipeline including its
+    // banding is verifiable by the DuckDB oracle. Same algorithm either
+    // way — only the hash family differs.
+    //
+    // Tokens are bound as a real column before any HOF stage — interpreted
+    // lambdas re-evaluate their subtrees per element, so chaining the
+    // expressions inline would re-tokenize per shingle (measured ~10x).
+    def hashedShingles(toks: Column): Column =
+      if (portable) graft.plans.HashExpressions.shingleHash60(toks, shingleSize)
+      else transform(TextAnalysis.wordShinglesFromTokens(toks, shingleSize), s => xxhash64(s))
     val withSig = df
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .withColumn("__sh_str", TextAnalysis.wordShinglesFromTokens(col("__toks"), shingleSize))
-      .select(col("doc_id"), array_distinct(transform(col("__sh_str"), hashShingle)).as("shingles"))
+      .select(col("doc_id"), array_distinct(hashedShingles(col("__toks"))).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", minhashSignatureFromHashes(col("shingles"), numHashes))
       // the signature table feeds three plan branches (banding + both sides
@@ -298,10 +300,9 @@ object Dedup {
     require(minJaccard > 0, "inverted-index Jaccard requires a positive threshold")
     val base = df
       .select(blockCols.map(col) :+ col(idCol).as("doc_id") :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
-      .withColumn("__sh_str", TextAnalysis.wordShinglesFromTokens(col("__toks"), shingleSize))
       .select(
         blockCols.map(col) :+ col("doc_id") :+
-          array_distinct(transform(col("__sh_str"), shingleHash64 _)).as("sh"): _*
+          array_distinct(graft.plans.HashExpressions.shingleHash60(col("__toks"), shingleSize)).as("sh"): _*
       )
       // feeds postings (twice) + sizes (twice): cache beats 4x recompute
       .cache()
@@ -343,8 +344,7 @@ object Dedup {
   ): DataFrame = {
     def postings(df: DataFrame, outId: String): DataFrame =
       df.select(col(idCol).as(outId), TextAnalysis.tokens(col(textCol)).as("__toks"))
-        .withColumn("__sh_str", TextAnalysis.wordShinglesFromTokens(col("__toks"), shingleSize))
-        .select(col(outId), explode(array_distinct(transform(col("__sh_str"), shingleHash64 _))).as("s"))
+        .select(col(outId), explode(array_distinct(graft.plans.HashExpressions.shingleHash60(col("__toks"), shingleSize))).as("s"))
     postings(corpus, "doc_id")
       .join(broadcast(postings(benchmark, "bench_id")), "s")
       .groupBy(col("doc_id"), col("bench_id"))

@@ -234,8 +234,92 @@ object SimHash60 {
   }
 }
 
+/** ShingleHash60(tokens, n) ==
+  * transform(wordShinglesFromTokens(tokens, n), s -> Md5Prefix60(s)) —
+  * the tokenize→shingle→hash chain fused into one expression that streams
+  * each n-token window's bytes (tokens joined by a single space, exactly
+  * concat_ws's output for non-null tokens) straight into the MD5 digest:
+  * no shingle strings are ever materialized, no interpreted lambda runs
+  * per window. Fewer than n tokens → empty array. Null token elements are
+  * skipped by concat_ws in the HOF formulation; token arrays here never
+  * contain nulls (split output) — parity is asserted on real corpora.
+  */
+case class ShingleHash60(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) if n > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ShingleHash60 requires array<string> and n > 0, got $dt / n=$n"
+        )
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(ShingleHash60.hashes(v.asInstanceOf[ArrayData], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c =>
+        s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.plans.ShingleHash60$$.MODULE$$.hashes($c, $n))"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object ShingleHash60 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val SPACE = Array[Byte](' ')
+
+  def hashes(arr: ArrayData, n: Int): Array[Long] = {
+    val len = arr.numElements()
+    if (len < n) return Array.emptyLongArray
+    // pre-fetch token bytes once: each token participates in up to n windows
+    val toks = new Array[Array[Byte]](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val d = md.get()
+    val out = new Array[Long](len - n + 1)
+    var s = 0
+    while (s <= len - n) {
+      d.reset()
+      var j = 0
+      var first = true
+      while (j < n) {
+        val t = toks(s + j)
+        if (t != null) { // concat_ws skips null elements
+          if (!first) d.update(SPACE)
+          d.update(t)
+          first = false
+        }
+        j += 1
+      }
+      val dig = d.digest()
+      var acc = 0L
+      var k = 0
+      while (k < 8) { acc = (acc << 8) | (dig(k) & 0xffL); k += 1 }
+      out(s) = acc >>> 4
+      s += 1
+    }
+    out
+  }
+}
+
 object HashExpressions {
   def md5Prefix60(c: Column): Column = ColumnShim.column(Md5Prefix60(ColumnShim.expression(c)))
+  def shingleHash60(tokens: Column, n: Int): Column =
+    ColumnShim.column(ShingleHash60(ColumnShim.expression(tokens), n))
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =
     ColumnShim.column(UnicodeNormalize(ColumnShim.expression(c), form))
   def minhashSig(c: Column, numHashes: Int): Column =

@@ -74,6 +74,21 @@ class VectorExprSpec extends AnyFunSuite {
     fused.foreach { case (id, bs) => assert(bs == perTable(id), s"vec $id") }
   }
 
+  test("ShingleHash60 fused == wordShingles + Md5Prefix60 chain") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val toks = docs.select(TextAnalysis.tokens($"text").as("t"))
+    val cmp = toks.select(
+      graft.plans.HashExpressions.shingleHash60($"t", 3).as("fused"),
+      transform(TextAnalysis.wordShinglesFromTokens($"t", 3), s => Dedup.shingleHash64(s)).as("chain")
+    ).collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // short docs -> empty
+    val short = Seq(Seq("one", "two")).toDF("t")
+    assert(short.select(graft.plans.HashExpressions.shingleHash60($"t", 3)).head().getSeq[Long](0).isEmpty)
+  }
+
   test("SimHash60 codegen == HOF formulation (incl. empty docs)") {
     import graft.operators.Dedup
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
