@@ -165,16 +165,7 @@ object Scd2 {
     // a losing concurrent writer aborts with ConcurrentModificationException;
     // the whole attempt (target read + upsert + commit) rebases on the new
     // latest version and retries — the optimistic-concurrency loop
-    var tries = 0
-    while (true) {
-      try return attempt()
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          tries += 1
-          if (tries > maxRetries) throw e
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    VersionedTable.withCommitRetry(maxRetries)(attempt())
   }
 
   /** GDPR / takedown deletion on a bucketed SCD-2 warehouse: removes EVERY
@@ -193,7 +184,7 @@ object Scd2 {
       keyCols: Seq[String],
       nBuckets: Int,
       bucketCol: String = "key_bucket"
-  ): Long = {
+  ): Long = graft.sources.VersionedTable.withCommitRetry() {
     import graft.sources.VersionedTable
     val doomed = keys.select(keyCols.map(col): _*).distinct()
     val touched = doomed
@@ -201,10 +192,19 @@ object Scd2 {
       .select(bucketCol).distinct().collect().map(_.getLong(0)).sorted.map(_.toString).toSeq
     val existing = VersionedTable.readPartitions(spark, warehousePath, touched).flatten
     if (existing.isEmpty)
-      return VersionedTable.latestVersion(spark, warehousePath)
+      VersionedTable.latestVersion(spark, warehousePath)
         .getOrElse(throw new IllegalArgumentException(s"no committed versions at $warehousePath"))
-    val kept = existing.map(_.join(broadcast(doomed), keyCols, "left_anti")).reduce(_.unionByName(_))
-    VersionedTable.commitDelta(spark, warehousePath, kept, bucketCol, clearedParts = touched)
+    else {
+      // NULL-SAFE anti join: a doomed key with NULL components must still
+      // match NULL-keyed target rows (plain left_anti equality never
+      // matches NULL, which would silently survive a takedown)
+      val kept = existing.map { part =>
+        val d = doomed.toDF(keyCols.map(c => s"__del_$c"): _*)
+        val cond = keyCols.map(c => part(c) <=> d(s"__del_$c")).reduce(_ && _)
+        part.join(broadcast(d), cond, "left_anti")
+      }.reduce(_.unionByName(_))
+      VersionedTable.commitDelta(spark, warehousePath, kept, bucketCol, clearedParts = touched)
+    }
   }
 
   private def emptyTarget(batchWithBucket: DataFrame, bucketCol: String): DataFrame =

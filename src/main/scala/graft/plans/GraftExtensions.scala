@@ -30,10 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier("unicode_normalize"),
         new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
         (exprs: Seq[Expression]) =>
-          UnicodeNormalize(
-            exprs(0),
-            exprs.lift(1).map(_.eval().toString).getOrElse("NFC")
-          )
+          UnicodeNormalize(exprs(0), GraftExtensions.literalArg("unicode_normalize", exprs.lift(1), "NFC").toString)
       )
     )
     e.injectFunction(
@@ -41,8 +38,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier("minhash_sig"),
         new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
         (exprs: Seq[Expression]) =>
-          MinHashSig(exprs(0), exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue()).getOrElse(16))
+          MinHashSig(
+            exprs(0),
+            GraftExtensions.literalArg("minhash_sig", exprs.lift(1), 16).asInstanceOf[Number].intValue()
+          )
       )
     )
   }
+}
+
+object GraftExtensions {
+  /** Config-style arguments must be non-null literals — a column reference
+    * would otherwise blow up inside the analyzer with an opaque eval error.
+    */
+  private[plans] def literalArg(fn: String, e: Option[Expression], default: Any): Any =
+    e match {
+      case None => default
+      case Some(expr) =>
+        if (!expr.foldable)
+          throw new IllegalArgumentException(s"$fn: second argument must be a literal, got $expr")
+        val v = expr.eval()
+        if (v == null) throw new IllegalArgumentException(s"$fn: second argument must not be NULL")
+        v
+    }
 }

@@ -48,10 +48,17 @@ object Md5Prefix60 {
   def hash(bytes: Array[Byte]): Long = {
     val d = md.get()
     d.reset()
-    val dig = d.digest(bytes)
+    fold(d.digest(bytes))
+  }
+
+  /** The single home of the "first 60 bits" contract: (first 8 digest
+    * bytes, big-endian) >>> 4 == the first 15 hex digits as an integer.
+    * Shared by [[Md5Prefix60]] and [[ShingleHash60]].
+    */
+  def fold(digest: Array[Byte]): Long = {
     var acc = 0L
     var i = 0
-    while (i < 8) { acc = (acc << 8) | (dig(i) & 0xffL); i += 1 }
+    while (i < 8) { acc = (acc << 8) | (digest(i) & 0xffL); i += 1 }
     acc >>> 4
   }
 }
@@ -305,11 +312,7 @@ object ShingleHash60 {
         }
         j += 1
       }
-      val dig = d.digest()
-      var acc = 0L
-      var k = 0
-      while (k < 8) { acc = (acc << 8) | (dig(k) & 0xffL); k += 1 }
-      out(s) = acc >>> 4
+      out(s) = Md5Prefix60.fold(d.digest())
       s += 1
     }
     out

@@ -198,22 +198,49 @@ object VersionedTable {
     //      missing from our carry-forward manifest;
     //  (b) a HIGHER version published whose recorded `base` < v — it never
     //      saw us (a higher version with base >= v legitimately built ON us
-    //      and must NOT trigger a demote, or we would delete data dirs its
-    //      manifest references).
-    // Either conflict: demote our own commit (delete the json; the version
-    // becomes a dead orphan) and abort — the caller retries on a fresh
-    // base, rebasing both updates. The demoted version is only transiently
-    // visible to a racing reader, never durably.
+    //      and must NOT trigger a demote). A higher version whose json has
+    //      meanwhile VANISHED was itself demoted — not a conflict.
+    // Either conflict: demote our own commit and abort — the caller retries
+    // on a fresh base, rebasing both updates. Demote protocol:
+    //  1. re-create our reservation marker FIRST, so the version number can
+    //     never be reused while our v-dir exists (a reuser's stale-dir
+    //     clearing could otherwise delete data a successor's manifest
+    //     references);
+    //  2. delete the json (un-publish);
+    //  3. leave the DATA in place — a successor that transiently saw our
+    //     commit may reference our partition dirs from its manifest;
+    //     reclamation is vacuum's job, which honors such references.
+    def conflictingSuccessor(w: Long): Boolean =
+      try commitBase(spark, path, w).forall(_ < v)
+      catch { case _: IllegalArgumentException => false } // demoted concurrently
     val conflict = committedVersions(f, path).filter { w =>
-      (w > base.getOrElse(0L) && w < v) || (w > v && commitBase(spark, path, w).forall(_ < v))
+      (w > base.getOrElse(0L) && w < v) || (w > v && conflictingSuccessor(w))
     }
     if (conflict.nonEmpty) {
+      try { val out = f.create(new Path(s"$path/_commits/$v.reserved"), false); out.close() }
+      catch { case _: java.io.IOException => () } // marker already present
       f.delete(new Path(s"$path/_commits/$v.json"), false)
-      f.delete(finalDir, true)
       throw new java.util.ConcurrentModificationException(
         s"concurrent commit(s) ${conflict.sorted.mkString(",")} on $path conflict with base $base; retry the delta")
     }
     v
+  }
+
+  /** Run `body`, retrying on the optimistic-concurrency abort
+    * (ConcurrentModificationException) so each attempt rebases on the new
+    * latest version.
+    */
+  def withCommitRetry[T](maxRetries: Int = 3)(body: => T): T = {
+    var tries = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          tries += 1
+          if (tries > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def committedVersions(f: FileSystem, path: String): Seq[Long] = {
@@ -310,10 +337,14 @@ object VersionedTable {
       partCol: String,
       touchedParts: Seq[String],
       predicate: org.apache.spark.sql.Column
-  ): Long = {
+  ): Long = withCommitRetry() {
+    // the WHOLE attempt re-runs on a commit conflict so the re-read rebases
+    // on the new latest version
     val existing = readPartitions(spark, path, touchedParts).flatten
     require(existing.nonEmpty, s"none of ${touchedParts.mkString(",")} exist at $path — nothing to delete")
-    val kept = existing.map(_.filter(!predicate)).reduce(_.unionByName(_))
+    // SQL DELETE semantics: remove rows where the predicate is TRUE; rows
+    // where it evaluates NULL are KEPT (a bare !predicate would drop them)
+    val kept = existing.map(_.filter(!coalesce(predicate, lit(false)))).reduce(_.unionByName(_))
     // clearedParts: a bucket whose rows ALL matched writes no data — without
     // the explicit clear its old contents would carry forward (resurrected
     // deletes)
@@ -328,9 +359,10 @@ object VersionedTable {
     * [[vacuum]]) releases the old dirs. Readers never block: the compacted
     * version publishes atomically like any commit.
     */
-  def compact(spark: SparkSession, path: String, partCol: String): Long = {
+  def compact(spark: SparkSession, path: String, partCol: String): Long = withCommitRetry() {
     // hash-repartition by the partition column: each partition value lands
-    // wholly in one task -> exactly one output file per partition dir
+    // wholly in one task -> exactly one output file per partition dir.
+    // The read+commit attempt re-runs whole on a commit conflict.
     val current = read(spark, path).repartition(col(partCol))
     commitDelta(spark, path, current, partCol)
   }
@@ -344,7 +376,7 @@ object VersionedTable {
     *
     * @return the version directories removed
     */
-  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 2): Seq[Long] = {
+  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 2, orphanGraceMs: Long = 24L * 3600 * 1000): Seq[Long] = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val f = fs(spark, path)
     val committed = committedVersions(f, path).sorted
@@ -355,14 +387,25 @@ object VersionedTable {
     val referenced: Set[Long] = retained.toSet ++ retained.flatMap { v =>
       partitionMap(spark, path, v).map(_.values.toSeq).getOrElse(Nil)
     }
+    // a version with a live reservation marker may belong to an IN-FLIGHT
+    // writer (reserved, data staged, publish not yet run) — deleting it
+    // would corrupt the commit that then publishes. Only reclaim reserved
+    // versions whose marker is older than the grace window (crashed or
+    // demoted writers); pass orphanGraceMs=0 to force.
+    def reservedRecently(v: Long): Boolean = {
+      val marker = new Path(s"$path/_commits/$v.reserved")
+      f.exists(marker) &&
+      (System.currentTimeMillis() - f.getFileStatus(marker).getModificationTime) < orphanGraceMs
+    }
     val root = new Path(path)
     val vdirs = Option(f.listStatus(root)).getOrElse(Array.empty)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .map(_.getPath.getName.stripPrefix("v=").toLong)
-    val removable = vdirs.filter(!referenced.contains(_)).sorted.toSeq
+    val removable = vdirs.filter(v => !referenced.contains(v) && !reservedRecently(v)).sorted.toSeq
     removable.foreach { v =>
       f.delete(new Path(s"$path/v=$v"), true)
       f.delete(new Path(s"$path/_commits/$v.json"), false) // expired commit (if published)
+      f.delete(new Path(s"$path/_commits/$v.reserved"), false) // stale marker (if any)
     }
     removable
   }

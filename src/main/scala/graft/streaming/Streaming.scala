@@ -33,6 +33,11 @@ object Streaming {
     * (fileIdentifier, batchId): restarting a stream WITHOUT its checkpoint
     * restarts batch numbering and intentionally replaces the prior run's
     * rows — keep the checkpoint to keep history.
+    *
+    * LAYOUT NOTE: the partitioning is stream_part=/batch_part= — a
+    * resultsPath written by the earlier batch_part-only layout cannot be
+    * mixed under the same root (Spark rejects conflicting partition
+    * depths); point upgraded deployments at a fresh resultsPath.
     */
   def validatedStream(
       spark: SparkSession,

@@ -127,6 +127,20 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readPartition(spark, path, someBucket.toString).isEmpty)
   }
 
+  test("deleteKeys removes NULL-keyed rows (null-safe takedown)") {
+    import org.apache.spark.sql.functions.lit
+    import graft.operators.Scd2
+    val path = Files.createTempDirectory("graft-vt12").toString + "/t"
+    val ts = lit("2024-01-01 00:00:00").cast("timestamp")
+    val batch = Seq(Option(1L), Option(2L), Option.empty[Long]).map(k => (k, "p")).toDF("k", "payload")
+    Scd2.upsertPartitioned(spark, path, batch, Seq("k"), 4, ts)
+    assert(VersionedTable.read(spark, path).count() == 3)
+    Scd2.deleteKeys(spark, path, Seq(Option.empty[Long]).map(Tuple1(_)).toDF("k"), Seq("k"), 4)
+    val t = VersionedTable.read(spark, path)
+    assert(t.filter($"k".isNull).count() == 0, "NULL-keyed row must not survive the takedown")
+    assert(t.count() == 2)
+  }
+
   test("delta read merges schemas across versions (drift: old partitions surface new columns as null)") {
     val path = Files.createTempDirectory("graft-vt11").toString + "/t"
     VersionedTable.commitDelta(spark, path, Seq((0L, 1), (1L, 2)).toDF("bucket", "id"), "bucket")
@@ -169,7 +183,12 @@ class VersionedTableSpec extends AnyFunSuite {
     // dead orphan: reserved + data, never published
     Files.writeString(java.nio.file.Paths.get(s"$path/_commits/3.reserved"), "")
     Seq((9L, "dead")).toDF("bucket", "v").write.parquet(s"$path/v=3")
-    val removed = VersionedTable.vacuum(spark, path, retainVersions = 1)
+    // a FRESH reservation may belong to an in-flight writer mid-commit:
+    // the default grace window protects its staged data
+    assert(VersionedTable.vacuum(spark, path, retainVersions = 1) == Nil)
+    assert(new java.io.File(s"$path/v=3").exists())
+    // past the grace window (forced to 0) the orphan is reclaimed
+    val removed = VersionedTable.vacuum(spark, path, retainVersions = 1, orphanGraceMs = 0)
     assert(removed == Seq(3L)) // v1 still referenced by v2's manifest; orphan v3 goes
     assert(!new java.io.File(s"$path/v=3").exists())
     val rows = VersionedTable.read(spark, path).collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
