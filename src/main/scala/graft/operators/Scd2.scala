@@ -145,7 +145,8 @@ object Scd2 {
       nBuckets: Int,
       now: Column,
       bucketCol: String = "key_bucket",
-      maxRetries: Int = 3
+      maxRetries: Int = 3,
+      commitMeta: Map[String, String] = Map.empty
   ): Long = {
     import graft.sources.VersionedTable
     def attempt(): Long = {
@@ -160,7 +161,7 @@ object Scd2 {
         case None => emptyTarget(b, bucketCol)
       }
       val result = upsert(targetTouched, b, keyCols, now)
-      VersionedTable.commitDelta(spark, warehousePath, result, bucketCol)
+      VersionedTable.commitDelta(spark, warehousePath, result, bucketCol, extraMeta = commitMeta)
     }
     // a losing concurrent writer aborts with ConcurrentModificationException;
     // the whole attempt (target read + upsert + commit) rebases on the new

@@ -149,7 +149,8 @@ object VersionedTable {
       path: String,
       updated: DataFrame,
       partCol: String,
-      clearedParts: Seq[String] = Nil
+      clearedParts: Seq[String] = Nil,
+      extraMeta: Map[String, String] = Map.empty
   ): Long = {
     val f = fs(spark, path)
     val v = reserveVersion(f, path)
@@ -191,8 +192,9 @@ object VersionedTable {
     }
     val parts = (prev -- clearedParts.filterNot(written.contains)) ++ written.map(_ -> v)
     val partsJson = parts.toSeq.sortBy(_._1).map { case (p, pv) => s"${jsonStr(p)}: $pv" }.mkString("{", ", ", "}")
+    val extraJson = extraMeta.toSeq.sortBy(_._1).map { case (k, x) => s", ${jsonStr(k)}: ${jsonStr(x)}" }.mkString
     publish(f, path, v,
-      s"""{"version": $v, "base": ${base.getOrElse(0L)}, "schema": ${jsonStr(updated.schema.json)}, "committed_at": ${System.currentTimeMillis()}, "partitions": $partsJson}""")
+      s"""{"version": $v, "base": ${base.getOrElse(0L)}, "schema": ${jsonStr(updated.schema.json)}, "committed_at": ${System.currentTimeMillis()}, "partitions": $partsJson$extraJson}""")
     // Close the remaining check-then-publish window. Conflict shapes:
     //  (a) a commit landed BETWEEN our base and v — its partitions are
     //      missing from our carry-forward manifest;
@@ -266,6 +268,14 @@ object VersionedTable {
     val in = f.open(p)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+  }
+
+  /** A string field of a commit's metadata json (e.g. an exactly-once
+    * stream batch marker written via commitDelta's extraMeta).
+    */
+  def commitField(spark: SparkSession, path: String, version: Long, name: String): Option[String] = {
+    val node = readCommitJson(spark, path, version).path(name)
+    if (node.isTextual) Some(node.asText()) else None
   }
 
   /** The partition->version manifest of a delta commit; None for full

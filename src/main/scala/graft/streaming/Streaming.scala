@@ -67,6 +67,41 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Continuous SCD-2 warehouse loading: each micro-batch runs a
+    * partition-scoped upsert into the delta-committed warehouse. EXACTLY
+    * ONCE: the batch id is recorded atomically INSIDE the commit manifest
+    * (`stream_batch`), so a re-executed micro-batch (foreachBatch's
+    * documented retry case) is detected and skipped — no duplicate SCD
+    * versions, no marker-file race (the marker publishes with the data or
+    * not at all).
+    */
+  def scd2WarehouseSink(
+      spark: SparkSession,
+      source: DataFrame,
+      warehousePath: String,
+      keyCols: Seq[String],
+      nBuckets: Int,
+      now: Long => org.apache.spark.sql.Column // batchId -> insrt/close timestamp (injectable clock)
+  ): StreamingQuery = {
+    import graft.sources.VersionedTable
+    source.writeStream
+      .outputMode("append")
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val alreadyApplied = VersionedTable.latestVersion(spark, warehousePath).exists { v =>
+          VersionedTable.commitField(spark, warehousePath, v, "stream_batch").exists(_.toLong >= batchId)
+        }
+        if (!alreadyApplied) {
+          graft.operators.Scd2.upsertPartitioned(
+            spark, warehousePath, df.toDF(), keyCols, nBuckets, now(batchId),
+            commitMeta = Map("stream_batch" -> batchId.toString)
+          )
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   final case class CounterEvent(key: String, counters: Map[String, Long], ts: java.sql.Timestamp)
   final case class CounterDelta(key: String, deltas: Map[String, Long], ts: java.sql.Timestamp)
 

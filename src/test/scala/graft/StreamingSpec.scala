@@ -39,6 +39,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(resDir).count() == 2)
   }
 
+  test("streaming SCD-2 warehouse sink is exactly-once across micro-batch retries") {
+    import graft.sources.VersionedTable
+    val tmp = Files.createTempDirectory("graft-scd2sink").toString
+    val srcDir = s"$tmp/src"; val wh = s"$tmp/warehouse"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "payload").write.parquet(srcDir)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema("k BIGINT, payload STRING").parquet(srcDir)
+      val q = Streaming.scd2WarehouseSink(
+        spark, stream, wh, Seq("k"), nBuckets = 4,
+        now = id => org.apache.spark.sql.functions.lit(s"2024-01-01 00:00:0$id").cast("timestamp")
+      )
+      q.awaitTermination(60000)
+      ()
+    }
+    runOnce()
+    assert(VersionedTable.read(spark, wh).count() == 2)
+    val v1 = VersionedTable.latestVersion(spark, wh).get
+    // retry simulation: fresh query, no checkpoint -> batch 0 re-executes;
+    // the in-manifest stream_batch marker must suppress the re-apply
+    runOnce()
+    assert(VersionedTable.latestVersion(spark, wh).get == v1, "retried batch must not commit again")
+    val t = VersionedTable.read(spark, wh)
+    assert(t.count() == 2 && t.filter($"actv_flg" === "Y").count() == 2)
+  }
+
   test("ST5: streaming cumulative->delta with flatMapGroupsWithState") {
     implicit val s = spark
     val tmp = Files.createTempDirectory("graft-stream2").toString
