@@ -444,6 +444,70 @@ object Queries {
       .select(col("s_nationkey"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
   }
 
+  /** q82: returned-item revenue report (TPC-H Q10 shape) — customer x
+    * nation join with a quarter filter and return-flag restriction; the
+    * canonical "who returned what" revenue attribution.
+    */
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp") && col("o_orderdate") < lit("1997-07-01").cast("timestamp")
+    )
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val n = t(s, dir, "nation")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines")
+      )
+  }
+
+  /** q83: volume shipping (TPC-H Q7 shape) — revenue flow between two
+    * nations by ship year, both directions.
+    */
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("sk_n"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").select(col("n_nationkey").as("ck_n"), col("n_name").as("cust_nation"))
+    val pair = (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+      (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+    t(s, dir, "supplier")
+      .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk_n"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck_n"))
+      .filter(pair)
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("ship_year"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue")
+      )
+  }
+
+  /** q84: disjunctive predicate revenue (TPC-H Q19 shape) — OR-of-ANDs over
+    * part attributes and line quantities; exercises CNF conversion and
+    * partial pushdown of a disjunction.
+    */
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 21)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 30) && col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 45) && col("l_quantity").between(20, 40))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines")
+      )
+  }
+
   // ------------------------------------------------------- LLM pipeline ops
 
   /** q30: exact dedup by normalized-content fingerprint (hash groupBy). */

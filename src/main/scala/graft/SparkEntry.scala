@@ -90,7 +90,10 @@ object SparkEntry {
     "q78_decontamination" -> (Queries.q78 _),
     "q79_stream_delta" -> (Queries.q79 _),
     "q80_scd2_partitioned" -> (Queries.q80 _),
-    "q81_chunking" -> (Queries.q81 _)
+    "q81_chunking" -> (Queries.q81 _),
+    "q82_returned_items" -> (Queries.q82 _),
+    "q83_volume_shipping" -> (Queries.q83 _),
+    "q84_disjunctive_pred" -> (Queries.q84 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

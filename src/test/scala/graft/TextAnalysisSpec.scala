@@ -6,6 +6,29 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends AnyFunSuite {
+
+  test("chunkTokens: full coverage, stride spacing, short final chunk, empty docs drop") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, (1 to 123).map(i => s"t$i").mkString(" ")),
+      (2L, ""),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.chunkTokens(df, "doc_id", "text", 50, 40).collect()
+    val d1 = out.filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
+    assert(d1.map(_.getInt(2)).toSeq == Seq(0, 40, 80, 120)) // starts advance by stride
+    assert(d1.map(_.getInt(4)).toSeq == Seq(50, 50, 43, 3)) // short final chunk, no padding
+    // full coverage: the union of windows is exactly [0, 123)
+    val covered = d1.flatMap(r => r.getInt(2) until (r.getInt(2) + r.getInt(4))).toSet
+    assert(covered == (0 until 123).toSet)
+    // chunk content round-trips the token stream
+    val c0 = d1.head.getSeq[String](3)
+    assert(c0.head == "t1" && c0.last == "t50")
+    assert(out.count(_.getLong(0) == 2L) == 0) // empty doc -> no chunks
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.length == 1 && d3.head.getInt(4) == 2) // shorter than one window
+  }
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
