@@ -422,7 +422,7 @@ object Oracles {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
-        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 45 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 45 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
 
     "q51_conditional_agg" ->
       """SELECT l_linestatus,

@@ -25,6 +25,15 @@ object Queries {
   /** decimal-exact sum of a 2-decimal double column, exposed as double */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** The load-bearing cross-engine revenue aggregate:
+    * sum(decimal(price) * (1 - decimal(discount))) exposed as double —
+    * exact decimal arithmetic inside the sum, single final cast (the
+    * pattern every oracle mirrors; keep ONE copy).
+    */
+  private def drevenue: Column =
+    sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("double")
+
   // ---------------------------------------------------------------- relational
 
   /** q01: pricing summary (TPC-H Q1 shape): scan + filter + hash agg with
@@ -38,8 +47,7 @@ object Queries {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("sum_disc_price"),
+        drevenue.as("sum_disc_price"),
         count(lit(1)).as("count_order")
       )
 
@@ -68,8 +76,7 @@ object Queries {
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(
-        sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("revenue")
+        drevenue.as("revenue")
       )
   }
 
@@ -350,8 +357,7 @@ object Queries {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("revenue"),
+        drevenue.as("revenue"),
         count(lit(1)).as("n_lines")
       )
   }
@@ -460,8 +466,7 @@ object Queries {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(
-        sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("revenue"),
+        drevenue.as("revenue"),
         count(lit(1)).as("n_lines")
       )
   }
@@ -483,8 +488,7 @@ object Queries {
       .filter(pair)
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("ship_year"))
       .agg(
-        sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("revenue")
+        drevenue.as("revenue")
       )
   }
 
@@ -498,12 +502,11 @@ object Queries {
     val cond =
       (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 21)) ||
         (col("p_brand") === "Brand#23" && col("p_size").between(1, 30) && col("l_quantity").between(10, 30)) ||
-        (col("p_brand") === "Brand#34" && col("p_size").between(1, 45) && col("l_quantity").between(20, 40))
+        (col("p_brand") === "Brand#24" && col("p_size").between(1, 45) && col("l_quantity").between(20, 40))
     l.join(p, col("l_partkey") === col("p_partkey"))
       .filter(cond)
       .agg(
-        sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("revenue"),
+        drevenue.as("revenue"),
         count(lit(1)).as("n_lines")
       )
   }

@@ -152,6 +152,11 @@ object VersionedTable {
       clearedParts: Seq[String] = Nil,
       extraMeta: Map[String, String] = Map.empty
   ): Long = {
+    val reserved = Set("version", "base", "schema", "committed_at", "partitions")
+    require(
+      extraMeta.keySet.intersect(reserved).isEmpty,
+      s"extraMeta must not use reserved manifest fields: ${extraMeta.keySet.intersect(reserved).mkString(",")}"
+    )
     val f = fs(spark, path)
     val v = reserveVersion(f, path)
     // base version read AFTER reserving; re-checked at publish time so a
@@ -244,6 +249,10 @@ object VersionedTable {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Committed (published) versions of the table, any order. */
+  def committedVersionsPublic(spark: SparkSession, path: String): Seq[Long] =
+    committedVersions(fs(spark, path), path)
 
   private def committedVersions(f: FileSystem, path: String): Seq[Long] = {
     val commits = new Path(s"$path/_commits")

@@ -70,10 +70,19 @@ object Streaming {
   /** Continuous SCD-2 warehouse loading: each micro-batch runs a
     * partition-scoped upsert into the delta-committed warehouse. EXACTLY
     * ONCE: the batch id is recorded atomically INSIDE the commit manifest
-    * (`stream_batch`), so a re-executed micro-batch (foreachBatch's
+    * (`stream_batch`), so a re-delivered micro-batch (foreachBatch's
     * documented retry case) is detected and skipped — no duplicate SCD
     * versions, no marker-file race (the marker publishes with the data or
-    * not at all).
+    * not at all). Three subtleties the implementation covers:
+    *  - `checkpointLocation` is REQUIRED: batch ids are only monotone under
+    *    a durable checkpoint; without one a restart renumbers from 0 and
+    *    the marker would silently suppress genuinely new data;
+    *  - the marker lookup scans commits newest-first until it finds one
+    *    carrying `stream_batch`, so interleaved non-stream commits
+    *    (compaction, deletions, ad-hoc loads) can't hide it;
+    *  - the check runs INSIDE the commit-retry loop: a zombie driver racing
+    *    the failed-over one loses the reservation race, re-checks, sees the
+    *    winner's marker, and skips instead of re-applying.
     */
   def scd2WarehouseSink(
       spark: SparkSession,
@@ -81,25 +90,41 @@ object Streaming {
       warehousePath: String,
       keyCols: Seq[String],
       nBuckets: Int,
-      now: Long => org.apache.spark.sql.Column // batchId -> insrt/close timestamp (injectable clock)
+      now: Long => org.apache.spark.sql.Column, // batchId -> insrt/close timestamp (injectable clock)
+      checkpointLocation: String
   ): StreamingQuery = {
     import graft.sources.VersionedTable
     source.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val alreadyApplied = VersionedTable.latestVersion(spark, warehousePath).exists { v =>
-          VersionedTable.commitField(spark, warehousePath, v, "stream_batch").exists(_.toLong >= batchId)
-        }
-        if (!alreadyApplied) {
-          graft.operators.Scd2.upsertPartitioned(
-            spark, warehousePath, df.toDF(), keyCols, nBuckets, now(batchId),
-            commitMeta = Map("stream_batch" -> batchId.toString)
-          )
+        VersionedTable.withCommitRetry() {
+          val alreadyApplied = lastStreamBatch(spark, warehousePath).exists(_ >= batchId)
+          if (!alreadyApplied) {
+            // maxRetries=0: a commit conflict must bubble to THIS loop so the
+            // marker is re-checked before any re-attempt
+            graft.operators.Scd2.upsertPartitioned(
+              spark, warehousePath, df.toDF(), keyCols, nBuckets, now(batchId),
+              maxRetries = 0,
+              commitMeta = Map("stream_batch" -> batchId.toString)
+            )
+          }
         }
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Newest `stream_batch` marker across committed versions (scanning
+    * newest-first past commits that don't carry one).
+    */
+  private def lastStreamBatch(spark: SparkSession, warehousePath: String): Option[Long] = {
+    import graft.sources.VersionedTable
+    VersionedTable.committedVersionsPublic(spark, warehousePath).sorted.reverse.iterator
+      .flatMap(v => VersionedTable.commitField(spark, warehousePath, v, "stream_batch"))
+      .map(_.toLong)
+      .nextOption()
   }
 
   final case class CounterEvent(key: String, counters: Map[String, Long], ts: java.sql.Timestamp)

@@ -44,24 +44,39 @@ class StreamingSpec extends AnyFunSuite {
     val tmp = Files.createTempDirectory("graft-scd2sink").toString
     val srcDir = s"$tmp/src"; val wh = s"$tmp/warehouse"
     Seq((1L, "a"), (2L, "b")).toDF("k", "payload").write.parquet(srcDir)
-    def runOnce(): Unit = {
+    // id-robust injectable clock (digit concatenation would break at id>=10)
+    val clock = (id: Long) =>
+      org.apache.spark.sql.functions.expr(s"timestamp '2024-01-01 00:00:00' + INTERVAL '$id' SECOND")
+    def runOnce(ckpt: String): Unit = {
       val stream = spark.readStream.schema("k BIGINT, payload STRING").parquet(srcDir)
-      val q = Streaming.scd2WarehouseSink(
-        spark, stream, wh, Seq("k"), nBuckets = 4,
-        now = id => org.apache.spark.sql.functions.lit(s"2024-01-01 00:00:0$id").cast("timestamp")
-      )
+      val q = Streaming.scd2WarehouseSink(spark, stream, wh, Seq("k"), nBuckets = 4, now = clock, checkpointLocation = ckpt)
       q.awaitTermination(60000)
       ()
     }
-    runOnce()
+    runOnce(s"$tmp/ckpt1")
     assert(VersionedTable.read(spark, wh).count() == 2)
     val v1 = VersionedTable.latestVersion(spark, wh).get
-    // retry simulation: fresh query, no checkpoint -> batch 0 re-executes;
-    // the in-manifest stream_batch marker must suppress the re-apply
-    runOnce()
-    assert(VersionedTable.latestVersion(spark, wh).get == v1, "retried batch must not commit again")
+    // re-delivery simulation: a SECOND checkpoint re-delivers the same files
+    // as batch 0 — the in-manifest stream_batch marker must suppress the
+    // re-apply (the crash-between-commit-and-offset retry case)
+    runOnce(s"$tmp/ckpt2")
+    assert(VersionedTable.latestVersion(spark, wh).get == v1, "re-delivered batch must not commit again")
     val t = VersionedTable.read(spark, wh)
     assert(t.count() == 2 && t.filter($"actv_flg" === "Y").count() == 2)
+
+    // interleaved NON-stream commit must not hide the marker
+    VersionedTable.compact(spark, wh, "key_bucket")
+    runOnce(s"$tmp/ckpt3")
+    val t2 = VersionedTable.read(spark, wh)
+    assert(t2.count() == 2 && t2.filter($"actv_flg" === "Y").count() == 2,
+      "marker lookup must scan past non-stream commits")
+
+    // new data under the ORIGINAL checkpoint -> batch 1 applies exactly once
+    Seq((1L, "a2")).toDF("k", "payload").write.mode("append").parquet(srcDir)
+    runOnce(s"$tmp/ckpt1")
+    val t3 = VersionedTable.read(spark, wh)
+    assert(t3.filter($"k" === 1L).count() == 2) // closed v1 + new active
+    assert(t3.filter($"k" === 1L && $"actv_flg" === "Y").collect().head.getAs[String]("payload") == "a2")
   }
 
   test("ST5: streaming cumulative->delta with flatMapGroupsWithState") {
