@@ -273,7 +273,7 @@ object Oracles {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          | CAST(bit_count(xor(a.sk60, b.sk60)) AS INTEGER) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sk60, b.sk60)) <= 10""".stripMargin,
+         |WHERE bit_count(xor(a.sk60, b.sk60)) <= 4""".stripMargin,
 
     // q37: full MinHash+LSH replication — md5-prefix shingle hashes (q35
     // machinery), the SAME MinHashSig constants, hash-free band keys
@@ -581,6 +581,19 @@ object Oracles {
         | CAST(sum(CASE WHEN b >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
         |FROM (SELECT lang, CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b FROM documents)
         |GROUP BY lang""".stripMargin,
+
+    // q63: the sketch values are engine-specific, so the oracle recomputes
+    // the EXACT side and the expected bound-check TRUEs (the Spark side
+    // computes the booleans from its own sketches; they are deterministically
+    // TRUE because HLL merge is a register-wise max and the quantile check
+    // runs in rank space with 20x the GK guarantee's margin).
+    "q63_approx_stats" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        | count(*) AS n_rows,
+        | TRUE AS parts_ok, TRUE AS orders_ok, TRUE AS median_ok, TRUE AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q68_quality_filter" ->
       s"""WITH feats AS (SELECT doc_id, lang,

@@ -22,6 +22,28 @@ object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = IO.table(s, dir, name)
 
+  /** Run-scoped scratch root for the queries that exercise sinks+sources
+    * (q70/q71/q77/q80): one temp tree per JVM, removed on exit, so repeated
+    * verify/bench runs don't accumulate /tmp garbage.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }))
+    p
+  }
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def scratchDir(prefix: String): String =
+    java.nio.file.Files.createDirectory(scratchRoot.resolve(s"$prefix-${scratchSeq.getAndIncrement()}")).toString
+
   /** decimal-exact sum of a 2-decimal double column, exposed as double */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
@@ -801,28 +823,75 @@ object Queries {
 
   /** q65: SimHash near-dup pairs within a Hamming budget, portable 60-bit
     * sketch. The pigeonhole banding has exact recall (any pair within budget
-    * shares a chunk), so the output equals {pairs: hamming <= 10} and the
+    * shares a chunk), so the output equals {pairs: hamming <= 4} and the
     * oracle verifies it with an all-pairs bit_count over q39's sketch SQL —
     * no banding replication needed. The 64-bit xxhash64 path stays
     * spec-tested (DedupSpec).
+    *
+    * maxHamming=4 on 60 bits -> 5 chunks of 12 bits: each chunk position has
+    * 2^12 values, so banding cuts candidate pairs by ~4096x vs all-pairs —
+    * the scale-sane setting (the round-2 budget of 10 gave 5-bit chunks,
+    * only a 32x cut; [[Dedup.simhashNearDup60]] now rejects such budgets
+    * unless explicitly overridden).
     */
   def q65(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDup60(t(s, dir, "documents"), "doc_id", "text", maxHamming = 10)
+    Dedup.simhashNearDup60(t(s, dir, "documents"), "doc_id", "text", maxHamming = 4)
 
   /** q63: sketch-based approximate statistics — HLL distinct counts and
-    * approximate quantiles (rows-only: approximation algorithms are
-    * engine-specific by design; the exact twins are oracle-checked in
-    * q26/q48).
+    * approximate quantiles, emitted as ORACLE-CHECKABLE bound checks. The
+    * sketch values themselves are engine-specific (the exact twins are
+    * oracle-checked in q26/q48), so the output carries (a) the exact
+    * statistics, recomputable by any SQL engine, and (b) booleans asserting
+    * the sketches landed within their documented error bounds:
+    *  - HLL (rsd 0.05 default / 0.01 explicit): |approx-exact| within
+    *    3*rsd*exact — HLL register-merge is a pointwise max, so the estimate
+    *    is partitioning-invariant and the boolean deterministic;
+    *  - approx quantiles (accuracy=1000 => rank error <= n/1000): checked in
+    *    RANK space — count of rows <= the approximate quantile must sit
+    *    within n/50 (+1 for discreteness) of the target rank, a bound 20x the
+    *    guarantee so it holds under any partition-merge order of the GK
+    *    summaries.
+    * The oracle recomputes the exact side and emits the expected TRUEs.
     */
-  def q63(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val approx = li
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price")
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("a99")
       )
+    val exact = li
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        count(lit(1)).as("n_rows")
+      )
+    // rank-space check: one extra corpus pass with the 3-row sketch table broadcast
+    val ranks = li
+      .join(broadcast(approx), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_extendedprice") <= col("am"), 1L).otherwise(0L)).as("le_med"),
+        sum(when(col("l_extendedprice") <= col("a99"), 1L).otherwise(0L)).as("le_p99")
+      )
+    exact
+      .join(approx, "l_returnflag")
+      .join(ranks, "l_returnflag")
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        col("exact_orders"),
+        col("n_rows"),
+        (abs(col("ap") - col("exact_parts")) <= lit(0.15) * col("exact_parts")).as("parts_ok"),
+        (abs(col("ao") - col("exact_orders")) <= lit(0.03) * col("exact_orders")).as("orders_ok"),
+        (abs(col("le_med").cast("double") - lit(0.5) * col("n_rows")) <= lit(0.02) * col("n_rows") + 1).as("median_ok"),
+        (abs(col("le_p99").cast("double") - lit(0.99) * col("n_rows")) <= lit(0.02) * col("n_rows") + 1).as("p99_ok")
+      )
+  }
 
   /** q64: TF-IDF scoring — top term per document by tf * idf, where
     * idf_e4 = floor(1e4 * ln(N/df)) is an integer-quantized idf: once
@@ -927,7 +996,7 @@ object Queries {
       col("o_totalprice").as("totalprice")
     )
 
-    val tmp = java.nio.file.Files.createTempDirectory("graft-golden").toString
+    val tmp = scratchDir("golden")
     IO.writeJson(docs, s"$tmp/raw") // S10 sink
     val raw = s.read.json(s"$tmp/raw") // standard JSON source, schema inferred
 
@@ -1033,7 +1102,7 @@ object Queries {
       when(col("p_partkey") % 5 === 0, lit("-")).otherwise(col("p_retailprice").cast("string")).as("Retail Price"),
       col("p_size").cast("string").as("Part.Size")
     )
-    val tmp = java.nio.file.Files.createTempDirectory("graft-report").toString
+    val tmp = scratchDir("report")
     report.write.option("header", "true").option("compression", "gzip").csv(s"$tmp/report")
     val back = IO.readReportCsv(s, s"$tmp/report") // S2: gzip + header + '-' -> null
     val normalized = Flatten.normalizeHeaders(back) // F3
@@ -1216,7 +1285,7 @@ object Queries {
       else if (offset == 0) rows.slice(0, 25)
       else rows.slice(offset, math.min(offset + pageSize, rows.size))
     }
-    val tmp = java.nio.file.Files.createTempDirectory("graft-paged").toString
+    val tmp = scratchDir("paged")
     val landed = graft.sources.Ingest.pagedJsonIngest(s, fetchPage, s"$tmp/landing", pageSize)
     landed
       .groupBy(col("o_orderstatus"))
@@ -1326,7 +1395,7 @@ object Queries {
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
     val batch1 = latest(orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
     val batch2 = latest(orders.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-scdpart").toString + "/warehouse"
+    val tmp = scratchDir("scdpart") + "/warehouse"
     Scd2.upsertPartitioned(s, tmp, batch1, Seq("o_custkey"), nBuckets = 16, now = lit("2001-01-01 00:00:00").cast("timestamp"))
     Scd2.upsertPartitioned(s, tmp, batch2, Seq("o_custkey"), nBuckets = 16, now = lit("2002-01-01 00:00:00").cast("timestamp"))
     graft.sources.VersionedTable.read(s, tmp)

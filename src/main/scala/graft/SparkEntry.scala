@@ -11,8 +11,10 @@ object SparkEntry {
     Queries.q01(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 (+ the LLM-pipeline
-    * operator set). Names ending without an oracle entry are rows-only
-    * checked (non-SQL-expressible fast paths).
+    * operator set). Every entry has a DuckDB oracle in [[Oracles.all]] —
+    * including the sketch/LSH queries (q37/q38/q41/q44 replicate the banding
+    * and hash families in SQL; q63 emits exact stats + deterministic
+    * bound-check booleans the oracle recomputes).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (Queries.q01 _),
@@ -97,8 +99,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omitted for non-SQL-expressible ops (q37/q38/q41/
-    * q44) -> driver records a weaker rows-only check.
+    * same parquet tables. As of round 3 every query key has an oracle entry.
     */
   def oracleSql: Map[String, String] = Oracles.all
 }

@@ -229,8 +229,14 @@ object Dedup {
     * Shuffle is linear in corpus x chunks; quadratic work only inside
     * identical-chunk groups.
     */
-  def simhashNearDup(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
-    simhashNearDupImpl(df, idCol, textCol, maxHamming, simhash(col(textCol)), 64)
+  def simhashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      minChunkBits: Int = MinChunkBits
+  ): DataFrame =
+    simhashNearDupImpl(df, idCol, textCol, maxHamming, simhash(col(textCol)), 64, minChunkBits)
 
   /** [[simhashNearDup]] over the portable 60-bit sketch. The pigeonhole
     * banding is an exact-recall filter (any pair within the Hamming budget
@@ -239,8 +245,26 @@ object Dedup {
     * oracle can verify it with a plain all-pairs bit_count at test scale
     * without replicating the banding.
     */
-  def simhashNearDup60(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
-    simhashNearDupImpl(df, idCol, textCol, maxHamming, simhash60(col(textCol)), 60)
+  def simhashNearDup60(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      minChunkBits: Int = MinChunkBits
+  ): DataFrame =
+    simhashNearDupImpl(df, idCol, textCol, maxHamming, simhash60(col(textCol)), 60, minChunkBits)
+
+  /** Scale guard for the pigeonhole banding: expected candidate pairs are
+    * ~ chunks * n^2 / 2^bitsPer (uniform sketches), so the chunk width is
+    * the whole fight against the quadratic term. 12-bit chunks cut the
+    * all-pairs volume by 4096x — at n = 10^9 docs that is still ~10^14
+    * candidates, so large corpora must ALSO pre-block (e.g. by language or
+    * length bucket) before banding; below 12 bits the cut (<= 1024x at 10,
+    * 32x at 5) makes the join effectively all-pairs at any interesting n.
+    * Callers that knowingly run small fixtures can lower [[MinChunkBits]]
+    * explicitly; the default refuses budgets that shrink chunks below it.
+    */
+  val MinChunkBits = 12
 
   private def simhashNearDupImpl(
       df: DataFrame,
@@ -248,11 +272,18 @@ object Dedup {
       textCol: String,
       maxHamming: Int,
       sketch: Column,
-      sketchBits: Int
+      sketchBits: Int,
+      minChunkBits: Int
   ): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = sketchBits / chunks
     require(bitsPer > 0, s"maxHamming=$maxHamming too large for a $sketchBits-bit sketch")
+    require(
+      bitsPer >= minChunkBits,
+      s"maxHamming=$maxHamming on a $sketchBits-bit sketch gives ${chunks} chunks of $bitsPer bits — " +
+        s"candidate pairs ~ n^2/${1L << bitsPer} per chunk position, effectively all-pairs at scale. " +
+        s"Use maxHamming <= ${sketchBits / minChunkBits - 1}, or pass minChunkBits explicitly for small corpora."
+    )
     val sketched = df
       .select(col(idCol).as("doc_id"), sketch.as("sk"))
       .cache()

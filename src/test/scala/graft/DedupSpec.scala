@@ -51,10 +51,41 @@ class DedupSpec extends AnyFunSuite {
       (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"), // 1 word swapped
       (3L, "totally different content with other words entirely unrelated here now")
     ).toDF("doc_id", "text")
-    val pairs = Dedup.simhashNearDup(near, "doc_id", "text", maxHamming = 16)
+    // big-budget exact-recall property: 17 chunks of 3 bits is a test-only
+    // setting (quadratic at scale), so the guard must be explicitly lowered
+    val pairs = Dedup.simhashNearDup(near, "doc_id", "text", maxHamming = 16, minChunkBits = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhashNearDup rejects Hamming budgets whose chunks go sub-scale") {
+    val near = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // 60-bit sketch, maxHamming=10 -> 11 chunks of 5 bits: the round-2
+    // parameterization the scale guard now refuses by default
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup60(near, "doc_id", "text", maxHamming = 10)
+    }
+    assert(e.getMessage.contains("all-pairs"))
+    // the boundary setting passes: 5 chunks of 12 bits
+    Dedup.simhashNearDup60(near, "doc_id", "text", maxHamming = 4).collect()
+  }
+
+  test("simhashNearDup exact recall: banded output equals all-pairs filter") {
+    val docs = (1L to 40L).map { i =>
+      val base = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota", "kappa")
+      val words = base.updated((i % 10).toInt, s"w$i") ++ Seq(s"x${i % 7}", s"y${i % 3}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val banded = Dedup.simhashNearDup60(docs, "doc_id", "text", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sk = docs.select($"doc_id", Dedup.simhash60($"text").as("sk")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = (for {
+      a <- sk.keys; b <- sk.keys if a < b
+      h = java.lang.Long.bitCount(sk(a) ^ sk(b)) if h <= 4
+    } yield (a, b, h)).toSet
+    assert(banded == exact)
   }
 
   test("jaccard: exact values on known sets") {
