@@ -50,11 +50,14 @@ object Scd2 {
       .withColumn("actv_flg", lit("Y"))
       .withColumn("record_to", lit(null).cast("timestamp"))
 
-    val cols = target.columns
+    // allowMissingColumns: schema drift between target and batch (a widened
+    // batch against a pre-widening target, or the reverse after reading a
+    // mix of old/new buckets) null-pads instead of throwing — the write-path
+    // mirror of VersionedTable.read's mergeSchema story
     inactive
       .unionByName(closed)
       .unionByName(untouched)
-      .unionByName(inserted.select(cols.map(col): _*))
+      .unionByName(inserted, allowMissingColumns = true)
   }
 
   /** Two-key close variant (J2): the reference closes `line_item_creative`
@@ -89,11 +92,10 @@ object Scd2 {
       .withColumn("actv_flg", lit("Y"))
       .withColumn("record_to", lit(null).cast("timestamp"))
 
-    val cols = target.columns
     inactive
       .unionByName(closed)
       .unionByName(untouched)
-      .unionByName(inserted.select(cols.map(col): _*))
+      .unionByName(inserted, allowMissingColumns = true)
   }
 
   /** Latest-version view: one row per key, the most recent by `insrt_ts`
@@ -157,7 +159,9 @@ object Scd2 {
         case Some(v) =>
           // one manifest read resolves every touched bucket
           val existing = VersionedTable.readPartitions(spark, warehousePath, touched.map(_.toString).toSeq, Some(v)).flatten
-          existing.reduceOption(_.unionByName(_)).getOrElse(emptyTarget(b, bucketCol))
+          // buckets last rewritten before a schema-widening load have the old
+          // schema — null-pad across buckets like read()'s mergeSchema does
+          existing.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse(emptyTarget(b, bucketCol))
         case None => emptyTarget(b, bucketCol)
       }
       val result = upsert(targetTouched, b, keyCols, now)
@@ -203,7 +207,7 @@ object Scd2 {
         val d = doomed.toDF(keyCols.map(c => s"__del_$c"): _*)
         val cond = keyCols.map(c => part(c) <=> d(s"__del_$c")).reduce(_ && _)
         part.join(broadcast(d), cond, "left_anti")
-      }.reduce(_.unionByName(_))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
       VersionedTable.commitDelta(spark, warehousePath, kept, bucketCol, clearedParts = touched)
     }
   }

@@ -169,23 +169,54 @@ object VersionedTable {
         throw new IllegalStateException(
           s"table at $path version $pv is a full snapshot; commitDelta requires a delta-style table"))
     }.getOrElse(Map.empty[String, Long])
+    // exactly-once stream markers ride ALONG THE LINEAGE: every delta commit
+    // (loads, deletions, compaction) inherits the base manifest's
+    // `stream_batch:*` fields, so the NEWEST commit always carries them and
+    // compact+vacuum can never erase a marker a re-delivered micro-batch
+    // needs to see (own extraMeta wins on key collision)
+    val meta = base.map(streamMarkers(spark, path, _)).getOrElse(Map.empty) ++ extraMeta
     val tmp = new Path(s"$path/.v=$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     // duplicate the partition column: partitionBy strips __part from the
-    // files, the original column survives as data
-    updated
-      .withColumn("__part", col(partCol).cast("string"))
-      .write.partitionBy("__part").mode("overwrite").parquet(tmp.toString)
-    val written = f.listStatus(tmp).map(_.getPath.getName).filter(_.startsWith("__part=")).map(_.stripPrefix("__part="))
-    written.foreach { p =>
-      require(p.matches("[A-Za-z0-9_.-]+"), s"partition value '$p' needs escaping; use simple bucket ids")
-    }
-    val finalDir = clearStaleDir(f, path, v)
-    f.mkdirs(finalDir)
-    written.foreach { p =>
-      if (!f.rename(new Path(tmp, s"__part=$p"), new Path(finalDir, s"p=$p")))
-        throw new IllegalStateException(s"failed to move partition $p into place for version $v of $path")
-    }
-    f.delete(tmp, true)
+    // files, the original column survives as data. Values are validated
+    // INSIDE the write job (before anything is renamed into place): a NULL
+    // or escape-needing value fails the stage, not the manifest — the p=
+    // dir name must stay equal to the data column's value (NULL would land
+    // as __HIVE_DEFAULT_PARTITION__, committed under a name no
+    // readPartition of the real key can reach).
+    val partStr = col(partCol).cast("string")
+    val validatedPart = when(
+      partStr.isNull,
+      raise_error(lit(s"partition column '$partCol' must not be NULL for delta commits")).cast("string")
+    ).when(
+      !partStr.rlike("^[A-Za-z0-9_.-]+$"),
+      raise_error(concat(lit("partition value '"), partStr, lit("' needs escaping; use simple bucket ids"))).cast("string")
+    ).otherwise(partStr)
+    // stage + move, cleaning the tmp dir on EVERY abort path (a rejected
+    // value or failed rename must not leave staged garbage; the burned
+    // reservation is harmless — readers only follow *.json)
+    val (written, finalDir) =
+      try {
+        updated
+          .withColumn("__part", validatedPart)
+          .write.partitionBy("__part").mode("overwrite").parquet(tmp.toString)
+        val w = f.listStatus(tmp).map(_.getPath.getName).filter(_.startsWith("__part=")).map(_.stripPrefix("__part="))
+        w.foreach { p => // defense in depth; the write-side validation already enforced this
+          require(p.matches("[A-Za-z0-9_.-]+"), s"partition value '$p' needs escaping; use simple bucket ids")
+        }
+        val fd = clearStaleDir(f, path, v)
+        f.mkdirs(fd)
+        w.foreach { p =>
+          if (!f.rename(new Path(tmp, s"__part=$p"), new Path(fd, s"p=$p")))
+            throw new IllegalStateException(s"failed to move partition $p into place for version $v of $path")
+        }
+        f.delete(tmp, true)
+        (w, fd)
+      } catch {
+        case e: Throwable =>
+          f.delete(tmp, true)
+          f.delete(new Path(s"$path/v=$v"), true) // partially-moved stage (never published)
+          throw e
+      }
     // publish-time conflict check: if anyone published since `base`, our
     // carry-forward map is stale — abort (data dir stays orphaned under the
     // burned version number; reservation marks it dead). Caller retries the
@@ -197,7 +228,7 @@ object VersionedTable {
     }
     val parts = (prev -- clearedParts.filterNot(written.contains)) ++ written.map(_ -> v)
     val partsJson = parts.toSeq.sortBy(_._1).map { case (p, pv) => s"${jsonStr(p)}: $pv" }.mkString("{", ", ", "}")
-    val extraJson = extraMeta.toSeq.sortBy(_._1).map { case (k, x) => s", ${jsonStr(k)}: ${jsonStr(x)}" }.mkString
+    val extraJson = meta.toSeq.sortBy(_._1).map { case (k, x) => s", ${jsonStr(k)}: ${jsonStr(x)}" }.mkString
     publish(f, path, v,
       s"""{"version": $v, "base": ${base.getOrElse(0L)}, "schema": ${jsonStr(updated.schema.json)}, "committed_at": ${System.currentTimeMillis()}, "partitions": $partsJson$extraJson}""")
     // Close the remaining check-then-publish window. Conflict shapes:
@@ -223,7 +254,7 @@ object VersionedTable {
     val conflict = committedVersions(f, path).filter { w =>
       (w > base.getOrElse(0L) && w < v) || (w > v && conflictingSuccessor(w))
     }
-    if (conflict.nonEmpty) {
+    if (conflict.nonEmpty && !durableThroughSuccessor(spark, f, path, v)) {
       try { val out = f.create(new Path(s"$path/_commits/$v.reserved"), false); out.close() }
       catch { case _: java.io.IOException => () } // marker already present
       f.delete(new Path(s"$path/_commits/$v.json"), false)
@@ -232,6 +263,28 @@ object VersionedTable {
     }
     v
   }
+
+  /** Demote fence: once a committed SUCCESSOR has recorded `base >= v`, a
+    * writer that detects a conflict on its own version v must NOT retract
+    * it — the successor read v's published state, so v's effects are
+    * durably embedded in the successor's lineage. Retracting would (a)
+    * leave the successor's carried partition references pointing at a
+    * version readers can no longer justify, and (b) make the caller's
+    * retry RE-APPLY the same batch on top of state that already contains
+    * it — for SCD-2, closing the just-inserted rows and inserting duplicate
+    * versions. The commit is instead treated as durable (the OTHER
+    * conflicting writer's own post-publish check demotes/retries it).
+    * Residual window (documented, not closed): a racer that published and
+    * passed its check between our base read and our publish, combined with
+    * a successor landing inside our post-publish check — microseconds wide,
+    * needs three writers; a pre-publish fence (pending->seal two-phase
+    * commit) would close it at the cost of a second atomic op per commit.
+    */
+  private[graft] def durableThroughSuccessor(spark: SparkSession, f: FileSystem, path: String, v: Long): Boolean =
+    committedVersions(f, path).exists { w =>
+      w > v && (try commitBase(spark, path, w).exists(_ >= v)
+      catch { case _: IllegalArgumentException => false }) // successor demoted concurrently
+    }
 
   /** Run `body`, retrying on the optimistic-concurrency abort
     * (ConcurrentModificationException) so each attempt rebases on the new
@@ -285,6 +338,19 @@ object VersionedTable {
   def commitField(spark: SparkSession, path: String, version: Long, name: String): Option[String] = {
     val node = readCommitJson(spark, path, version).path(name)
     if (node.isTextual) Some(node.asText()) else None
+  }
+
+  /** All exactly-once stream markers (`stream_batch*` fields) in a commit's
+    * manifest. Every delta commit carries its base's markers forward (see
+    * [[commitDelta]]), so the newest commit's markers are the complete,
+    * vacuum-proof set.
+    */
+  def streamMarkers(spark: SparkSession, path: String, version: Long): Map[String, String] = {
+    val root = readCommitJson(spark, path, version)
+    scala.jdk.CollectionConverters.IteratorHasAsScala(root.fields()).asScala
+      .filter(e => e.getKey.startsWith("stream_batch") && e.getValue.isTextual)
+      .map(e => e.getKey -> e.getValue.asText())
+      .toMap
   }
 
   /** The partition->version manifest of a delta commit; None for full
@@ -363,7 +429,10 @@ object VersionedTable {
     require(existing.nonEmpty, s"none of ${touchedParts.mkString(",")} exist at $path — nothing to delete")
     // SQL DELETE semantics: remove rows where the predicate is TRUE; rows
     // where it evaluates NULL are KEPT (a bare !predicate would drop them)
-    val kept = existing.map(_.filter(!coalesce(predicate, lit(false)))).reduce(_.unionByName(_))
+    // allowMissingColumns: partitions last rewritten before a schema-widening
+    // commit still have the old schema — null-pad, mirroring read()'s
+    // mergeSchema drift story
+    val kept = existing.map(_.filter(!coalesce(predicate, lit(false)))).reduce(_.unionByName(_, allowMissingColumns = true))
     // clearedParts: a bucket whose rows ALL matched writes no data — without
     // the explicit clear its old contents would carry forward (resurrected
     // deletes)

@@ -77,8 +77,19 @@ object Streaming {
     *  - `checkpointLocation` is REQUIRED: batch ids are only monotone under
     *    a durable checkpoint; without one a restart renumbers from 0 and
     *    the marker would silently suppress genuinely new data;
+    *  - the marker is NAMESPACED by `streamId` (`stream_batch:<id>`) and
+    *    compared only against markers of the SAME stream — two streams (or a
+    *    re-pointed sink) sharing one warehouse can't suppress each other's
+    *    batches just because the other's batch id is numerically ahead. One
+    *    sink per (warehouse, streamId): two sinks sharing BOTH is the same
+    *    checkpoint misconfiguration as two Spark streams sharing one
+    *    checkpoint dir;
+    *  - the marker survives table maintenance: every delta commit (loads,
+    *    deletions, compact) carries its base's `stream_batch:*` fields
+    *    forward in the manifest, so the newest commit always holds them
+    *    even after compact+vacuum expires the stream commit's own json;
     *  - the marker lookup scans commits newest-first until it finds one
-    *    carrying `stream_batch`, so interleaved non-stream commits
+    *    carrying the stream's marker, so interleaved non-stream commits
     *    (compaction, deletions, ad-hoc loads) can't hide it;
     *  - the check runs INSIDE the commit-retry loop: a zombie driver racing
     *    the failed-over one loses the reservation race, re-checks, sees the
@@ -91,7 +102,8 @@ object Streaming {
       keyCols: Seq[String],
       nBuckets: Int,
       now: Long => org.apache.spark.sql.Column, // batchId -> insrt/close timestamp (injectable clock)
-      checkpointLocation: String
+      checkpointLocation: String,
+      streamId: String = "default"
   ): StreamingQuery = {
     import graft.sources.VersionedTable
     source.writeStream
@@ -99,14 +111,14 @@ object Streaming {
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         VersionedTable.withCommitRetry() {
-          val alreadyApplied = lastStreamBatch(spark, warehousePath).exists(_ >= batchId)
+          val alreadyApplied = lastStreamBatch(spark, warehousePath, streamId).exists(_ >= batchId)
           if (!alreadyApplied) {
             // maxRetries=0: a commit conflict must bubble to THIS loop so the
             // marker is re-checked before any re-attempt
             graft.operators.Scd2.upsertPartitioned(
               spark, warehousePath, df.toDF(), keyCols, nBuckets, now(batchId),
               maxRetries = 0,
-              commitMeta = Map("stream_batch" -> batchId.toString)
+              commitMeta = Map(s"stream_batch:$streamId" -> batchId.toString)
             )
           }
         }
@@ -116,13 +128,14 @@ object Streaming {
       .start()
   }
 
-  /** Newest `stream_batch` marker across committed versions (scanning
-    * newest-first past commits that don't carry one).
+  /** Newest `stream_batch:<streamId>` marker across committed versions
+    * (scanning newest-first past commits that don't carry one — normally
+    * the NEWEST commit already has it via manifest carry-forward).
     */
-  private def lastStreamBatch(spark: SparkSession, warehousePath: String): Option[Long] = {
+  private def lastStreamBatch(spark: SparkSession, warehousePath: String, streamId: String): Option[Long] = {
     import graft.sources.VersionedTable
     VersionedTable.committedVersionsPublic(spark, warehousePath).sorted.reverse.iterator
-      .flatMap(v => VersionedTable.commitField(spark, warehousePath, v, "stream_batch"))
+      .flatMap(v => VersionedTable.commitField(spark, warehousePath, v, s"stream_batch:$streamId"))
       .map(_.toLong)
       .nextOption()
   }

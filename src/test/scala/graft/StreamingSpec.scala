@@ -64,12 +64,17 @@ class StreamingSpec extends AnyFunSuite {
     val t = VersionedTable.read(spark, wh)
     assert(t.count() == 2 && t.filter($"actv_flg" === "Y").count() == 2)
 
-    // interleaved NON-stream commit must not hide the marker
+    // interleaved NON-stream commit must not hide the marker — and table
+    // MAINTENANCE must not erase it: compact supersedes the stream commit's
+    // own json and vacuum deletes it, so suppression relies on the marker
+    // being carried forward into the compacted manifest
     VersionedTable.compact(spark, wh, "key_bucket")
+    val vacuumed = VersionedTable.vacuum(spark, wh, retainVersions = 1, orphanGraceMs = 0)
+    assert(vacuumed.nonEmpty, "fixture should actually expire the stream commit's json")
     runOnce(s"$tmp/ckpt3")
     val t2 = VersionedTable.read(spark, wh)
     assert(t2.count() == 2 && t2.filter($"actv_flg" === "Y").count() == 2,
-      "marker lookup must scan past non-stream commits")
+      "marker must survive compact+vacuum (re-delivery after maintenance)")
 
     // new data under the ORIGINAL checkpoint -> batch 1 applies exactly once
     Seq((1L, "a2")).toDF("k", "payload").write.mode("append").parquet(srcDir)
@@ -77,6 +82,37 @@ class StreamingSpec extends AnyFunSuite {
     val t3 = VersionedTable.read(spark, wh)
     assert(t3.filter($"k" === 1L).count() == 2) // closed v1 + new active
     assert(t3.filter($"k" === 1L && $"actv_flg" === "Y").collect().head.getAs[String]("payload") == "a2")
+  }
+
+  test("two streams sharing a warehouse keep independent exactly-once markers") {
+    import graft.sources.VersionedTable
+    val tmp = Files.createTempDirectory("graft-scd2multi").toString
+    val wh = s"$tmp/warehouse"
+    val clock = (id: Long) =>
+      org.apache.spark.sql.functions.expr(s"timestamp '2024-01-01 00:00:00' + INTERVAL '$id' SECOND")
+    def runStream(srcDir: String, ckpt: String, streamId: String): Unit = {
+      val stream = spark.readStream.schema("k BIGINT, payload STRING").parquet(srcDir)
+      val q = Streaming.scd2WarehouseSink(spark, stream, wh, Seq("k"), nBuckets = 4, now = clock,
+        checkpointLocation = ckpt, streamId = streamId)
+      q.awaitTermination(60000)
+      ()
+    }
+    // stream A applies its batch 0
+    Seq((1L, "a")).toDF("k", "payload").write.parquet(s"$tmp/srcA")
+    runStream(s"$tmp/srcA", s"$tmp/ckptA", "A")
+    // stream B's batch 0 must STILL apply: without per-stream namespacing,
+    // A's marker (batch 0 >= 0) would silently suppress it — data loss
+    Seq((2L, "b")).toDF("k", "payload").write.parquet(s"$tmp/srcB")
+    runStream(s"$tmp/srcB", s"$tmp/ckptB", "B")
+    val t = VersionedTable.read(spark, wh)
+    assert(t.count() == 2, "each stream's first batch must land")
+    // re-delivery within each stream is still suppressed
+    runStream(s"$tmp/srcA", s"$tmp/ckptA2", "A")
+    runStream(s"$tmp/srcB", s"$tmp/ckptB2", "B")
+    assert(VersionedTable.read(spark, wh).count() == 2)
+    val latest = VersionedTable.latestVersion(spark, wh).get
+    assert(VersionedTable.streamMarkers(spark, wh, latest).keySet ==
+      Set("stream_batch:A", "stream_batch:B"))
   }
 
   test("ST5: streaming cumulative->delta with flatMapGroupsWithState") {

@@ -231,4 +231,92 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.filter($"k" =!= 7L && $"actv_flg" === "Y").count() == 39)
     assert(t.filter($"k" =!= 7L && $"actv_flg" =!= "Y").count() == 0)
   }
+
+  test("stream markers carry forward through loads, compact, and vacuum") {
+    val path = Files.createTempDirectory("graft-vt11").toString + "/t"
+    val df = Seq((0L, 1, "a"), (1L, 2, "b")).toDF("bucket", "id", "v")
+    VersionedTable.commitDelta(spark, path, df, "bucket", extraMeta = Map("stream_batch:s1" -> "5"))
+    // maintenance/ad-hoc commits inherit the marker from their base
+    VersionedTable.commitDelta(spark, path, Seq((1L, 2, "b2")).toDF("bucket", "id", "v"), "bucket")
+    VersionedTable.compact(spark, path, "bucket")
+    val latest = VersionedTable.latestVersion(spark, path).get
+    assert(VersionedTable.streamMarkers(spark, path, latest) == Map("stream_batch:s1" -> "5"))
+    // vacuum away every older version INCLUDING the marker-bearing commit's
+    // own json — the carried copy in the newest manifest must survive (the
+    // re-delivered-after-maintenance exactly-once case)
+    val removed = VersionedTable.vacuum(spark, path, retainVersions = 1, orphanGraceMs = 0)
+    assert(removed.contains(1L), s"expected the original commit to be vacuumed, removed=$removed")
+    assert(VersionedTable.commitField(spark, path, latest, "stream_batch:s1").contains("5"))
+    // a second stream's marker coexists; each overrides only its own key
+    VersionedTable.commitDelta(
+      spark, path, Seq((0L, 1, "a3")).toDF("bucket", "id", "v"), "bucket",
+      extraMeta = Map("stream_batch:s2" -> "1"))
+    val l2 = VersionedTable.latestVersion(spark, path).get
+    assert(VersionedTable.streamMarkers(spark, path, l2) == Map("stream_batch:s1" -> "5", "stream_batch:s2" -> "1"))
+  }
+
+  test("commitDelta validates partition values during staging and cleans up on abort") {
+    val path = Files.createTempDirectory("graft-vt12").toString + "/t"
+    VersionedTable.commitDelta(spark, path, Seq(("b1", 1)).toDF("part", "id"), "part")
+    def noStagedGarbage(): Unit = {
+      val names = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty).map(_.getName)
+      assert(!names.exists(_.endsWith(".tmp")), s"staged tmp dirs must be cleaned: ${names.mkString(",")}")
+    }
+    // NULL partition value: rejected inside the write job (would otherwise
+    // land as __HIVE_DEFAULT_PARTITION__ — a manifest name unreachable via
+    // readPartition of the real key), stage cleaned, nothing published
+    intercept[Exception](
+      VersionedTable.commitDelta(spark, path, Seq((null.asInstanceOf[String], 2)).toDF("part", "id"), "part"))
+    noStagedGarbage()
+    assert(VersionedTable.latestVersion(spark, path).contains(1L))
+    assert(!new java.io.File(s"$path/v=2").exists(), "aborted stage must not leave a v-dir")
+    // escape-needing value: same abort path
+    intercept[Exception](
+      VersionedTable.commitDelta(spark, path, Seq(("a b", 3)).toDF("part", "id"), "part"))
+    noStagedGarbage()
+    // table stays fully writable after the aborts (burned numbers are fine)
+    VersionedTable.commitDelta(spark, path, Seq(("b2", 4)).toDF("part", "id"), "part")
+    assert(VersionedTable.read(spark, path).count() == 2)
+  }
+
+  test("demote fence: a commit is durable once a successor records base >= v") {
+    val path = Files.createTempDirectory("graft-vt13").toString + "/t"
+    VersionedTable.commitDelta(spark, path, Seq((0L, 1, "a")).toDF("bucket", "id", "v"), "bucket") // v1
+    VersionedTable.commitDelta(spark, path, Seq((0L, 1, "a2")).toDF("bucket", "id", "v"), "bucket") // v2, base 1
+    val f = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // v2 recorded base=1: v1's effects are embedded in v2's lineage -> v1 durable
+    assert(VersionedTable.durableThroughSuccessor(spark, f, path, 1L))
+    // nothing built on v2 yet -> v2 may still be demoted on conflict
+    assert(!VersionedTable.durableThroughSuccessor(spark, f, path, 2L))
+    // a successor that never saw v2 (base < 2) does NOT make v2 durable
+    Files.writeString(java.nio.file.Paths.get(s"$path/_commits/3.json"),
+      """{"version": 3, "base": 1, "schema": "{}", "committed_at": 0, "partitions": {}}""")
+    assert(!VersionedTable.durableThroughSuccessor(spark, f, path, 2L))
+    // one that DID build on v2 fences its demote
+    Files.writeString(java.nio.file.Paths.get(s"$path/_commits/4.json"),
+      """{"version": 4, "base": 2, "schema": "{}", "committed_at": 0, "partitions": {}}""")
+    assert(VersionedTable.durableThroughSuccessor(spark, f, path, 2L))
+  }
+
+  test("partitioned SCD-2 load tolerates schema drift across buckets (write-path null-padding)") {
+    import org.apache.spark.sql.functions.lit
+    import graft.operators.Scd2
+    val path = Files.createTempDirectory("graft-vt14").toString + "/t"
+    val ts1 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val ts2 = lit("2024-02-01 00:00:00").cast("timestamp")
+    val ts3 = lit("2024-03-01 00:00:00").cast("timestamp")
+    // initial load: all buckets on the old (2-column) schema
+    Scd2.upsertPartitioned(spark, path, (1 to 20).map(k => (k.toLong, s"v$k")).toDF("k", "payload"), Seq("k"), 4, ts1)
+    // widened batch (new `extra` column) touching ONE bucket
+    Scd2.upsertPartitioned(spark, path, Seq((1L, "v1n", "x1")).toDF("k", "payload", "extra"), Seq("k"), 4, ts2)
+    // load touching a MIX of pre- and post-widening buckets — previously an
+    // AnalysisException from unionByName without allowMissingColumns
+    Scd2.upsertPartitioned(spark, path, (1 to 20).map(k => (k.toLong, s"w$k", s"e$k")).toDF("k", "payload", "extra"), Seq("k"), 4, ts3)
+    val t = VersionedTable.read(spark, path)
+    assert(t.columns.contains("extra"))
+    assert(t.filter($"actv_flg" === "Y").count() == 20)
+    assert(t.filter($"actv_flg" === "Y" && $"extra".isNull).count() === 0)
+    // pre-widening history rows surface extra as null
+    assert(t.filter($"extra".isNull).count() > 0)
+  }
 }
