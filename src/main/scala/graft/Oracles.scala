@@ -22,6 +22,49 @@ object Oracles {
   private val tokensExpr =
     """CASE WHEN len(trim(text))=0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text),'\s+') END"""
 
+  /** q85: replay [[graft.operators.Similarity.trainIvfCentroids]] in SQL —
+    * `iters` generated k-means iteration CTEs (assignment by the same
+    * ordered-fold argmin, per-(cell,dim) sums over `floor(x*2^20 + 0.5)`
+    * bigints, means via the same two IEEE divisions), then q72's
+    * probe-and-rank tail against the trained centroids. Training is
+    * deterministic in BOTH engines because every non-associative step is
+    * either exactly representable (power-of-two scaling) or an explicitly
+    * ordered fold.
+    */
+  private def q85Sql(iters: Int): String = {
+    val b = new StringBuilder
+    b ++= "WITH ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) x, unnest(range(64)) i FROM embeddings),\n"
+    b ++= " c0 AS (SELECT vec_id cid, i, x y FROM ev WHERE vec_id < 8),\n"
+    for (t <- 0 to iters) {
+      // scores of every vector against iteration-t centroids (same ordered
+      // folds as Spark's DotProduct + driver-side c2 fold)
+      b ++= s" s$t AS (SELECT ev.vec_id, c.cid, sum(ev.x*c.y ORDER BY i) d, sum(c.y*c.y ORDER BY i) c2\n"
+      b ++= s"   FROM ev JOIN c$t c USING (i) GROUP BY ev.vec_id, c.cid),\n"
+      b ++= s" a$t AS (SELECT vec_id, cid FROM (\n"
+      b ++= s"   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY -2.0*d + c2, cid) rn FROM s$t) WHERE rn = 1),\n"
+      if (t < iters) {
+        b ++= s" n$t AS (SELECT a.cid, ev.i, CAST(sum(CAST(FLOOR(ev.x*1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)/count(*)/1048576.0 y\n"
+        b ++= s"   FROM a$t a JOIN ev ON a.vec_id = ev.vec_id GROUP BY a.cid, ev.i),\n"
+        b ++= s" c${t + 1} AS (SELECT p.cid, p.i, COALESCE(n.y, p.y) y FROM c$t p LEFT JOIN n$t n ON p.cid = n.cid AND p.i = n.i),\n"
+      }
+    }
+    b ++= s""" qprobe AS (SELECT cid FROM (
+             |   SELECT cid, row_number() OVER (ORDER BY -2.0*d + c2, cid) rn FROM s$iters WHERE vec_id = 0) WHERE rn <= 3),
+             | cand AS (SELECT vec_id FROM a$iters WHERE cid IN (SELECT cid FROM qprobe) AND vec_id <> 0),
+             | q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0),
+             | pairs AS (SELECT e2.vec_id, unnest(e2.embedding) x, unnest(q.qe) y, unnest(range(64)) i
+             |   FROM embeddings e2, q WHERE e2.vec_id IN (SELECT vec_id FROM cand)),
+             | dots AS (SELECT vec_id,
+             |    sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d,
+             |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) nx,
+             |    sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) ny
+             |  FROM pairs GROUP BY vec_id),
+             | cos AS (SELECT vec_id, CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END c FROM dots)
+             |SELECT vec_id, CAST(FLOOR(c*1000000) AS BIGINT) AS cosine_e6
+             |FROM cos ORDER BY c DESC, vec_id ASC LIMIT 20""".stripMargin
+    b.toString
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -719,6 +762,8 @@ object Oracles {
         | cos AS (SELECT vec_id, CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END c FROM dots)
         |SELECT vec_id, CAST(FLOOR(c*1000000) AS BIGINT) AS cosine_e6
         |FROM cos ORDER BY c DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "q85_ann_ivf_trained" -> q85Sql(3),
 
     "q40_ann_bruteforce" ->
       """WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id=0),

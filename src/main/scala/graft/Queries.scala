@@ -1131,9 +1131,36 @@ object Queries {
       .filter(col("vec_id") < 8)
       .select(col("vec_id"), col("embedding"))
       .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
       .sortBy(_._1)
       .toSeq
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    Similarity
+      .ivfTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qvec, 20, centroids, nprobe = 3)
+      .select(col("vec_id"), floor(col("cosine") * 1000000).cast("long").as("cosine_e6"))
+  }
+
+  /** q85: IVF ANN top-k with a TRAINED coarse quantizer — q72's twin, with
+    * the first-8-by-id seed centroids refined by 3 deterministic k-means
+    * iterations ([[Similarity.trainIvfCentroids]]: quantized-long
+    * accumulation, IEEE-exact means), then the same argmin assignment /
+    * probe-3 / cosine top-20 tail. The oracle replays the full training
+    * loop in SQL — iteration CTEs with the identical ordered folds,
+    * quantized sums, and divisions — so the trained centroids themselves
+    * are hash-checked, not just the final ranking.
+    */
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    // bounded driver-side fetch: 8 seed rows + the query vector; training
+    // fetches k*dim (sum,count) rows per iteration — never data-sized
+    val init = emb
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .sortBy(_._1)
+      .toSeq
+    val centroids = Similarity.trainIvfCentroids(emb, "embedding", init, iters = 3)
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
     Similarity
       .ivfTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qvec, 20, centroids, nprobe = 3)

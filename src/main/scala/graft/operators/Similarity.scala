@@ -145,16 +145,15 @@ object Similarity {
     * stored partitioned by cell, so a probe prunes to nprobe partitions —
     * the IVF counterpart of the sign-LSH bucket layout.
     *
-    * Centroids here are a deterministic "training-free" quantizer (caller
-    * passes sample vectors, e.g. the first-k by id); a k-means trainer
-    * would converge engine/run-specifically and break replay/oracle
-    * determinism, so it is deliberately out of the deterministic core.
+    * Centroids are doubles: either a deterministic "training-free"
+    * quantizer (caller passes sample vectors, e.g. the first-k by id,
+    * exact float→double) or the output of [[trainIvfCentroids]].
     */
-  def ivfCell(vec: Column, centroids: Seq[(Long, Seq[Float])]): Column = {
+  def ivfCell(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
     val scored = centroids.map { case (cid, c) =>
-      val cArr = array(c.map(v => lit(v.toDouble)): _*)
+      val cArr = array(c.map(v => lit(v)): _*)
       // index-order fold, matching the oracle's sum(... ORDER BY i)
-      val c2 = c.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble)
+      val c2 = c.foldLeft(0.0)((acc, v) => acc + v * v)
       struct((lit(-2.0) * dot(vec, cArr) + lit(c2)).as("score"), lit(cid).as("cid"))
     }
     element_at(array_sort(array(scored: _*)), 1).getField("cid")
@@ -163,15 +162,70 @@ object Similarity {
   /** Driver-side mirror of [[ivfCell]] scoring for a literal query vector:
     * the nprobe nearest cells, in (score, cid) order.
     */
-  def ivfProbeCells(query: Seq[Float], centroids: Seq[(Long, Seq[Float])], nprobe: Int): Seq[Long] =
+  def ivfProbeCells(query: Seq[Float], centroids: Seq[(Long, Seq[Double])], nprobe: Int): Seq[Long] =
     centroids.map { case (cid, c) =>
       var d = 0.0
       var i = 0
       val n = math.min(query.length, c.length)
-      while (i < n) { d += query(i).toDouble * c(i).toDouble; i += 1 }
-      val c2 = c.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble)
+      while (i < n) { d += query(i).toDouble * c(i); i += 1 }
+      val c2 = c.foldLeft(0.0)((acc, v) => acc + v * v)
       (-2.0 * d + c2, cid)
     }.sorted.take(nprobe).map(_._2)
+
+  /** Deterministic TRAINED coarse quantizer: Lloyd's k-means with a fixed
+    * iteration count, deterministic regardless of partitioning or task
+    * order — the property that makes the result replayable and oracle-
+    * checkable across engines. Three ingredients:
+    *
+    *  - assignment is [[ivfCell]] (ties → lower cid), so the partition of
+    *    the data is a pure function of the current centroids;
+    *  - per-(cell, dim) accumulation is over QUANTIZED LONGS,
+    *    `floor(x·2^20 + 0.5)` — the multiply by a power of two is exact in
+    *    IEEE 754 and long addition is associative+commutative, so the sums
+    *    are independent of Spark's reduction order (a plain double sum
+    *    would drift with partitioning);
+    *  - the new centroid value `(sumq / cnt) / 2^20` uses two IEEE double
+    *    divisions (the second exact — power of two), bit-identical in any
+    *    IEEE-754 engine, so a SQL oracle replays training exactly.
+    *
+    * Empty cells keep their previous centroid. The per-iteration driver
+    * fetch is k·dim (sum, count) rows — bounded, not data-sized. At 100 TB
+    * train on a deterministic hash-sample (pass `sample`, e.g.
+    * `pmod(xxhash64(col("id")), lit(1000)) === 0`): each iteration is then
+    * one scan of the sample with a map-side-combined hash aggregation.
+    */
+  def trainIvfCentroids(
+      df: DataFrame,
+      vecCol: String,
+      init: Seq[(Long, Seq[Double])],
+      iters: Int,
+      sample: Option[Column] = None
+  ): Seq[(Long, Seq[Double])] = {
+    val scale = 1048576.0 // 2^20 — exact scaling in IEEE 754
+    val base = sample.map(df.filter).getOrElse(df)
+    var cur = init
+    for (_ <- 0 until iters) {
+      val stats = base
+        .select(ivfCell(col(vecCol), cur).as("cell"), posexplode(col(vecCol)).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(
+          sum(floor(col("x").cast("double") * lit(scale) + lit(0.5))).as("sumq"),
+          count(lit(1)).as("cnt")
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      cur = cur.map { case (cid, c) =>
+        cid -> c.indices.map { i =>
+          stats.get((cid, i)) match {
+            case Some((sumq, cnt)) => (sumq.toDouble / cnt) / scale
+            case None              => c(i) // empty cell: centroid unchanged
+          }
+        }
+      }
+    }
+    cur
+  }
 
   /** IVF ANN top-k: score only vectors assigned to the query's nprobe
     * nearest cells. One scan with a codegen'd cell filter — no shuffle
@@ -184,7 +238,7 @@ object Similarity {
       vecCol: String,
       query: Seq[Float],
       k: Int,
-      centroids: Seq[(Long, Seq[Float])],
+      centroids: Seq[(Long, Seq[Double])],
       nprobe: Int = 3
   ): DataFrame = {
     val probe = ivfProbeCells(query, centroids, nprobe)

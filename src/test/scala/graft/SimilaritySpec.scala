@@ -48,7 +48,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("ivfCell partitions every vector into exactly one cell; probe recall is sane") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = emb.filter($"vec_id" < 8).select($"vec_id", $"embedding")
-      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1).toSeq
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).sortBy(_._1).toSeq
     // total partition: every vector lands in exactly one valid cell
     val cells = emb.select(Similarity.ivfCell($"embedding", centroids).as("cell"))
     assert(cells.filter($"cell".isNull || $"cell" < 0 || $"cell" >= 8).count() == 0)
@@ -65,6 +65,51 @@ class SimilaritySpec extends AnyFunSuite {
     val allProbe = Similarity.ivfTopK(emb.filter($"vec_id" =!= 0), "vec_id", "embedding", q, 10, centroids, nprobe = 8)
       .collect().map(_.getLong(0)).toSeq
     assert(allProbe == exact)
+  }
+
+  test("trainIvfCentroids: deterministic, SSE non-increasing, balance and recall not worse than untrained") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val init = emb.filter($"vec_id" < 8).select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).sortBy(_._1).toSeq
+    val trained = Similarity.trainIvfCentroids(emb, "embedding", init, iters = 3)
+    // bit-exact determinism: retrain (different plan instance, same data)
+    val trained2 = Similarity.trainIvfCentroids(emb.repartition(7), "embedding", init, iters = 3)
+    assert(trained == trained2, "k-means result depends on partitioning — quantized accumulation broken")
+
+    // SSE(trained) <= SSE(init): Lloyd's iterations never increase the objective
+    val all = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def sse(cs: Seq[(Long, Seq[Double])]): Double =
+      all.map { case (_, v) =>
+        cs.map { case (_, c) => v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum }.min
+      }.sum
+    val sseInit = sse(init)
+    val sseTrained = sse(trained)
+    assert(sseTrained <= sseInit * (1.0 + 1e-9), s"SSE rose under training: $sseInit -> $sseTrained")
+
+    // cell balance: k-means minimizes SSE, not balance, so the largest cell
+    // may wobble by a row or two — but training must not *degrade* balance
+    // materially vs the untrained seed (the 100 TB failure mode the trainer
+    // exists to prevent is pathological concentration)
+    def maxCell(cs: Seq[(Long, Seq[Double])]): Long =
+      emb.select(Similarity.ivfCell($"embedding", cs).as("cell"))
+        .groupBy($"cell").count().agg(max($"count")).head().getLong(0)
+    val (mcT, mcI) = (maxCell(trained), maxCell(init))
+    assert(mcT <= math.ceil(mcI * 1.10).toLong, s"trained max cell $mcT vs untrained $mcI — balance degraded >10%")
+
+    // recall vs brute force at nprobe=3 must not drop below the untrained quantizer's
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val rest = emb.filter($"vec_id" =!= 0)
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    def recall(cs: Seq[(Long, Seq[Double])]): Double = {
+      val got = Similarity.ivfTopK(rest, "vec_id", "embedding", q, 10, cs, nprobe = 3)
+        .collect().map(_.getLong(0)).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val rTrained = recall(trained)
+    val rInit = recall(init)
+    assert(rTrained >= rInit, s"trained recall $rTrained below untrained $rInit")
   }
 
   test("lshBucket is deterministic and balanced-ish") {
