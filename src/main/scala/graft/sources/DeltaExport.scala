@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Json
+
+/** Export a [[VersionedTable]] commit history as a Delta Lake transaction
+  * log (`_delta_log/NNNNNNNNNNNNNNNNNNNN.json`), making the engine's
+  * stand-in table format explicitly convertible to the open format the
+  * reference deploys on (Delta `saveAsTable`, great_expectations.py:337-338
+  * / BASELINE "Spark + Delta/Iceberg over S3").
+  *
+  * Mapping (see INTEROP.md for the full design note):
+  *
+  *  - committed version N (ascending) -> log entry i (0-based, gap-free —
+  *    burned reservations leave version-number gaps that Delta's contiguous
+  *    log cannot represent, so versions are renumbered in commit order)
+  *  - entry 0 additionally carries `protocol` + `metaData` actions;
+  *    `metaData.schemaString` IS the manifest's `schema` field verbatim —
+  *    both formats serialize Spark's `StructType.json`
+  *  - a schema-changing commit emits a fresh `metaData` action (Delta's
+  *    schema-evolution story)
+  *  - each commit emits `add` actions for every parquet file in the
+  *    version dirs it NEWLY references, and `remove` actions for files it
+  *    no longer references vs its parent: full-snapshot commits swap the
+  *    whole file set; delta commits swap exactly the rewritten/cleared
+  *    partitions (the carried-forward partitions' files stay live without
+  *    re-adding — Delta state is cumulative, same as the manifest's
+  *    by-reference carry-forward)
+  *  - `partitionValues` is `{}`: the engine keeps the partition column IN
+  *    the data files (the `p=` layout is pure path convention), so the
+  *    exported table is an unpartitioned Delta table whose files happen to
+  *    live under partition-shaped paths — every reader sees the column as
+  *    data, no reconstruction-from-path needed. A consumer wanting Delta-
+  *    side partition pruning would instead declare `partitionColumns` and
+  *    strip the column from the files at export time (a rewrite, not a
+  *    metadata export — out of scope, documented in INTEROP.md).
+  *
+  * The export is metadata-only: data files are NOT copied, the log's
+  * `add.path`s are relative to the table root (exactly Delta's contract),
+  * so writing `_delta_log/` INTO the table root yields a readable Delta
+  * table in place once a delta-spark jar is on the classpath.
+  */
+object DeltaExport {
+
+  /** One exported commit: Delta log line strings, in action order. */
+  final case class LogEntry(deltaVersion: Long, sourceVersion: Long, actions: Seq[String])
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All parquet files (path relative to table root, size, mtime) a given
+    * source version's manifest references, sorted by path.
+    */
+  private def referencedFiles(spark: SparkSession, path: String, v: Long): Seq[(String, Long, Long)] = {
+    val f = fs(spark, path)
+    val dirs: Seq[String] = VersionedTable.partitionMap(spark, path, v) match {
+      case None        => Seq(s"v=$v")
+      case Some(parts) => parts.toSeq.sortBy(_._1).map { case (p, pv) => s"v=$pv/p=$p" }
+    }
+    dirs.flatMap { d =>
+      val dp = new Path(s"$path/$d")
+      if (!f.exists(dp)) Nil
+      else
+        f.listStatus(dp).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => (s"$d/${s.getPath.getName}", s.getLen, s.getModificationTime))
+    }.sortBy(_._1)
+  }
+
+  private def commitSchema(spark: SparkSession, path: String, v: Long): String =
+    VersionedTable.commitField(spark, path, v, "schema").getOrElse(
+      throw new IllegalStateException(s"commit $v of $path has no schema field")
+    )
+
+  /** Build the Delta log entries for every committed version, oldest first.
+    * Pure metadata transform — no data is read or moved.
+    */
+  def buildLog(spark: SparkSession, path: String): Seq[LogEntry] = {
+    val versions = VersionedTable.committedVersionsPublic(spark, path).sorted
+    require(versions.nonEmpty, s"no committed versions at $path — nothing to export")
+    val tableId = java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8")).toString
+    var prevFiles = Map.empty[String, (Long, Long)]
+    var prevSchema: Option[String] = None
+    versions.zipWithIndex.map { case (v, i) =>
+      val files = referencedFiles(spark, path, v).map { case (p, sz, mt) => p -> (sz, mt) }.toMap
+      val schema = commitSchema(spark, path, v)
+      val now = System.currentTimeMillis()
+      val header = Seq(
+        if (i == 0)
+          Some("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+        else None,
+        if (i == 0 || !prevSchema.contains(schema))
+          Some(
+            s"""{"metaData":{"id":${Json.str(tableId)},"format":{"provider":"parquet","options":{}},""" +
+              s""""schemaString":${Json.str(schema)},"partitionColumns":[],"configuration":{},"createdTime":$now}}"""
+          )
+        else None
+      ).flatten
+      val adds = (files.keySet -- prevFiles.keySet).toSeq.sorted.map { p =>
+        val (sz, mt) = files(p)
+        s"""{"add":{"path":${Json.str(p)},"partitionValues":{},"size":$sz,"modificationTime":$mt,"dataChange":true}}"""
+      }
+      val removes = (prevFiles.keySet -- files.keySet).toSeq.sorted.map { p =>
+        s"""{"remove":{"path":${Json.str(p)},"deletionTimestamp":$now,"dataChange":true}}"""
+      }
+      val info =
+        s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE","operationParameters":{},""" +
+          s""""engineInfo":"graft VersionedTable export","sourceVersion":$v}}"""
+      prevFiles = files
+      prevSchema = Some(schema)
+      LogEntry(i.toLong, v, header ++ adds ++ removes :+ info)
+    }
+  }
+
+  /** Write the log under `<path>/_delta_log/` (or an alternate root for a
+    * dry-run export). Returns the written entries.
+    */
+  def export(spark: SparkSession, path: String, logRoot: Option[String] = None): Seq[LogEntry] = {
+    val entries = buildLog(spark, path)
+    val root = logRoot.getOrElse(path)
+    val f = fs(spark, root)
+    f.mkdirs(new Path(s"$root/_delta_log"))
+    entries.foreach { e =>
+      val name = f"${e.deltaVersion}%020d.json"
+      val out = f.create(new Path(s"$root/_delta_log/$name"), true)
+      out.write((e.actions.mkString("\n") + "\n").getBytes("UTF-8"))
+      out.close()
+    }
+    entries
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DeltaExport, VersionedTable}
+
+/** The manifest->Delta-log mapping documented in INTEROP.md, proven by
+  * replay: folding the exported add/remove actions must reconstruct exactly
+  * the file set (and therefore the rows) the newest VersionedTable manifest
+  * resolves to.
+  */
+class DeltaExportSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  private def replayLiveFiles(entries: Seq[DeltaExport.LogEntry]): Set[String] = {
+    var live = Set.empty[String]
+    entries.foreach { e =>
+      e.actions.foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.has("add")) live += n.path("add").path("path").asText()
+        if (n.has("remove")) live -= n.path("remove").path("path").asText()
+      }
+    }
+    live
+  }
+
+  test("exported Delta log replays to the same state as the newest manifest") {
+    val path = Files.createTempDirectory("graft-dexp").toString + "/t"
+    // v1: partitions a,b; v2: rewrite b only (a carries forward by
+    // reference); v3: delete everything in a (cleared partition)
+    VersionedTable.commitDelta(spark, path,
+      Seq(("a", 1), ("a", 2), ("b", 3)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path,
+      Seq(("b", 30), ("b", 31)).toDF("bucket", "x"), "bucket")
+    VersionedTable.deleteWhere(spark, path, "bucket", Seq("a"), col("bucket") === "a")
+
+    val entries = DeltaExport.export(spark, path)
+
+    // gap-free 0-based numbering in commit order
+    assert(entries.map(_.deltaVersion) == Seq(0L, 1L, 2L))
+    assert(entries.map(_.sourceVersion) == VersionedTable.committedVersionsPublic(spark, path).sorted)
+
+    // entry 0 leads with protocol + metaData; schemaString is the manifest
+    // schema verbatim (both serialize StructType.json)
+    val first = entries.head.actions.map(mapper.readTree)
+    assert(first.head.has("protocol"))
+    assert(first(1).has("metaData"))
+    val schemaString = first(1).path("metaData").path("schemaString").asText()
+    assert(schemaString == VersionedTable.commitField(spark, path, entries.head.sourceVersion, "schema").get)
+    org.apache.spark.sql.types.DataType.fromJson(schemaString) // parses as a Spark schema
+
+    // log files on disk: one per entry, Delta's zero-padded naming
+    val logDir = new java.io.File(s"$path/_delta_log")
+    assert(logDir.listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq ==
+      Seq("00000000000000000000.json", "00000000000000000001.json", "00000000000000000002.json"))
+
+    // the carried-forward partition's files are NOT re-added by entry 1
+    // (cumulative state, like the manifest's by-reference carry-forward)
+    val entry1 = entries(1).actions.map(mapper.readTree)
+    assert(entry1.filter(_.has("add")).forall(_.path("add").path("path").asText().contains("/p=b/")))
+
+    // REPLAY: fold add/remove -> live set == files the newest manifest
+    // references == the rows VersionedTable.read returns
+    val live = replayLiveFiles(entries)
+    val viaDelta = spark.read.parquet(live.toSeq.sorted.map(p => s"$path/$p"): _*)
+      .select($"bucket", $"x").collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    val viaManifest = VersionedTable.read(spark, path)
+      .select($"bucket", $"x").collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(viaDelta == viaManifest)
+    assert(viaDelta.forall(_._1 == "b")) // the deleteWhere took partition a with it
+
+    // every live path exists; every removed path belonged to an earlier add
+    live.foreach(p => assert(new java.io.File(s"$path/$p").isFile, s"live file missing: $p"))
+  }
+
+  test("full-snapshot tables export as whole-set swaps with schema evolution") {
+    val path = Files.createTempDirectory("graft-dexp2").toString + "/t"
+    VersionedTable.commit(Seq((1, "a")).toDF("id", "v"), path)
+    VersionedTable.commit(Seq((1, "a", true), (2, "b", false)).toDF("id", "v", "flag"), path)
+
+    val entries = DeltaExport.export(spark, path)
+    assert(entries.size == 2)
+
+    // v2 swaps the file set: adds its own files, removes ALL of v1's
+    val e1 = entries(1).actions.map(mapper.readTree)
+    assert(e1.exists(_.has("add")) && e1.exists(_.has("remove")))
+    e1.filter(_.has("add")).foreach(n => assert(n.path("add").path("path").asText().startsWith("v=2/")))
+    e1.filter(_.has("remove")).foreach(n => assert(n.path("remove").path("path").asText().startsWith("v=1/")))
+
+    // widened schema ⇒ a fresh metaData action on the second entry
+    assert(e1.exists(_.has("metaData")))
+
+    val live = replayLiveFiles(entries)
+    val viaDelta = spark.read.parquet(live.toSeq.sorted.map(p => s"$path/$p"): _*)
+    assert(viaDelta.columns.sorted.toSeq == Seq("flag", "id", "v"))
+    assert(viaDelta.count() == 2)
+  }
+}
