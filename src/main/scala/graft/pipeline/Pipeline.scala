@@ -97,15 +97,44 @@ object Pipeline {
     * and rollback = read the previous version. Staging "truncate" is the
     * overwrite of the staged file on the next run.
     */
+  /** Warehouse-side drift check shared by the loaders: the staged batch's
+    * columns vs the existing warehouse payload columns (SCD-2 bookkeeping
+    * excluded). The load itself absorbs drift (unionByName null-padding /
+    * mergeSchema reads); this surfaces the diff to `notifier` so it is
+    * observed, not just absorbed — the reference's `Completedwitherrors`
+    * notification (ingestion.py:99-122).
+    */
+  private def emitWarehouseDrift(
+      spark: SparkSession,
+      warehousePath: String,
+      staged: DataFrame,
+      notifier: graft.core.Drift.Notifier
+  ): Unit = {
+    import graft.sources.VersionedTable
+    VersionedTable.latestVersion(spark, warehousePath).foreach { _ =>
+      val bookkeeping = Set("actv_flg", "record_to", "key_bucket")
+      val existing = VersionedTable.read(spark, warehousePath).columns.filterNot(bookkeeping).toSeq
+      val incoming = staged.columns.toSeq
+      graft.core.Drift.emit(
+        notifier,
+        warehousePath,
+        newColumns = incoming.filterNot(existing.contains),
+        missingColumns = existing.filterNot(incoming.contains)
+      )
+    }
+  }
+
   def load(
       spark: SparkSession,
       run: PipelineRun,
       alias: String,
       warehousePath: String,
-      keyCols: Seq[String]
+      keyCols: Seq[String],
+      notifier: graft.core.Drift.Notifier = graft.core.Drift.noop
   ): DataFrame = {
     import graft.sources.VersionedTable
     val staged = IO.readPipeCsv(spark, run.path(alias, "transformation", "csv"))
+    emitWarehouseDrift(spark, warehousePath, staged, notifier)
     val target = VersionedTable.latestVersion(spark, warehousePath) match {
       case Some(_) => VersionedTable.read(spark, warehousePath)
       case None =>
@@ -133,10 +162,12 @@ object Pipeline {
       alias: String,
       warehousePath: String,
       keyCols: Seq[String],
-      nBuckets: Int = 64
+      nBuckets: Int = 64,
+      notifier: graft.core.Drift.Notifier = graft.core.Drift.noop
   ): DataFrame = {
     import graft.sources.VersionedTable
     val staged = IO.readPipeCsv(spark, run.path(alias, "transformation", "csv"))
+    emitWarehouseDrift(spark, warehousePath, staged, notifier)
     Scd2.upsertPartitioned(spark, warehousePath, staged, keyCols, nBuckets, run.now)
     VersionedTable.read(spark, warehousePath)
   }

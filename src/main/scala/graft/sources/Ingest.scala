@@ -54,16 +54,24 @@ object Ingest {
     * appended), `-` -> null, floats -> zero-defaulted longs, land as
     * pipe-CSV. Returns (landed df, updated registry) — the updated registry
     * is the config-writeback the reference stores to DynamoDB (S16).
+    *
+    * Drift does not fail the run, but it is not silent either: when the
+    * incoming report adds or drops columns vs the registry, `notifier`
+    * receives the column diff (the reference flags such runs
+    * `Completedwitherrors` and notifies, ingestion.py:99-122).
     */
   def reportIngest(
       spark: SparkSession,
       reportCsvPath: String,
       registry: Seq[String],
-      landingDir: String
+      landingDir: String,
+      notifier: graft.core.Drift.Notifier = graft.core.Drift.noop
   ): (DataFrame, Seq[String]) = {
     val raw = IO.readReportCsv(spark, reportCsvPath)
     val normalized = Flatten.normalizeHeaders(raw)
     val (aligned, newCols) = Flatten.reconcileSchema(normalized, registry)
+    val missingCols = registry.filterNot(normalized.columns.contains)
+    graft.core.Drift.emit(notifier, reportCsvPath, newCols, missingCols)
     val repaired = Transform.floatColumnsToLong(aligned)
     IO.writePipeCsv(repaired, landingDir)
     (repaired, registry ++ newCols)

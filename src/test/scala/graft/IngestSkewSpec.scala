@@ -41,6 +41,59 @@ class IngestSkewSpec extends AnyFunSuite {
     assert(updated == registry :+ "surprise_col") // S16 writeback payload
   }
 
+  test("drift notifier fires with the exact column diff; clean ingest stays silent") {
+    val tmp = Files.createTempDirectory("graft-drift").toString
+    val csv = "Dimension.AD_UNIT_ID,Total Impressions,surprise_col\nau1,100.5,x\n"
+    val gz = s"$tmp/report.csv.gz"
+    val out = new GZIPOutputStream(new java.io.FileOutputStream(gz))
+    out.write(csv.getBytes("UTF-8")); out.close()
+
+    // drifted report: one new column, one registry column missing
+    val registry = Seq("ad_unit_id", "total_impressions", "clicks")
+    val collector = new graft.core.Drift.Collecting
+    Ingest.reportIngest(spark, gz, registry, s"$tmp/landed", notifier = collector)
+    assert(collector.events.size == 1)
+    val e = collector.events.head
+    assert(e.source == gz)
+    assert(e.newColumns == Seq("surprise_col"))
+    assert(e.missingColumns == Seq("clicks"))
+    assert(e.status == "CompletedWithDrift") // ingestion.py:99-122 'Completedwitherrors' analogue
+
+    // aligned report: no event (alerting must not cry wolf)
+    val clean = new graft.core.Drift.Collecting
+    Ingest.reportIngest(spark, gz, registry :+ "surprise_col", s"$tmp/landed2", notifier = clean)
+    assert(clean.events.map(_.newColumns).flatten.isEmpty)
+    assert(clean.events.isEmpty || clean.events.forall(_.missingColumns == Seq("clicks")))
+
+    // a throwing notifier must never fail the ingest (alert channel down !=
+    // data loss; the reference swallows notification errors the same way)
+    val bomb = new graft.core.Drift.Notifier {
+      override def notify(event: graft.core.Drift.DriftEvent): Unit = sys.error("SNS down")
+    }
+    val (df, _) = Ingest.reportIngest(spark, gz, registry, s"$tmp/landed3", notifier = bomb)
+    assert(df.count() == 1)
+  }
+
+  test("warehouse load surfaces staged-vs-warehouse schema drift") {
+    val tmp = Files.createTempDirectory("graft-wdrift").toString
+    val run = graft.pipeline.PipelineRun(tmp, "svc", java.time.LocalDate.of(2024, 1, 2), lit("2024-01-02 00:00:01").cast("timestamp"))
+    val stagedPath = run.path("t", "transformation", "csv")
+
+    // first load: no existing warehouse, no drift possible, no event
+    graft.sources.IO.writePipeCsv(Seq((1L, "a")).toDF("id", "v"), stagedPath)
+    val c0 = new graft.core.Drift.Collecting
+    graft.pipeline.Pipeline.load(spark, run, "t", s"$tmp/wh", Seq("id"), notifier = c0)
+    assert(c0.events.isEmpty)
+
+    // second load widens the batch by one column: event carries the diff
+    graft.sources.IO.writePipeCsv(Seq((1L, "a", true)).toDF("id", "v", "flag"), stagedPath)
+    val c1 = new graft.core.Drift.Collecting
+    graft.pipeline.Pipeline.load(spark, run, "t", s"$tmp/wh", Seq("id"), notifier = c1)
+    assert(c1.events.size == 1)
+    assert(c1.events.head.newColumns == Seq("flag"))
+    assert(c1.events.head.missingColumns.isEmpty)
+  }
+
   test("salted join result-identical to plain join under skew") {
     val big = (1 to 1000).map(i => (if (i % 10 == 0) "rare" + i else "hot", i)).toDF("k", "v")
     val small = Seq(("hot", 1.0), ("rare20", 2.0), ("rare30", 3.0)).toDF("k", "w")
