@@ -311,13 +311,25 @@ object Dedup {
     * the exact-verification / small-block strategy. Blocks bound the
     * quadratic term; at 100 TB the blocking key must keep groups << 10^5.
     */
+  /** `hotShingleCap`: the degenerate-corpus guard promised in SCALE.md —
+    * a shingle occurring in k documents of a block contributes k^2 rows to
+    * the postings self-join, so one boilerplate phrase shared by 1% of a
+    * 10^8-doc block is a 10^12-row join all by itself. With a cap, shingles
+    * whose per-block document frequency exceeds it are dropped from the
+    * POSTINGS (set sizes stay exact), making the reported jaccard a LOWER
+    * BOUND and the join linear again. Recall trade, stated precisely: a
+    * pair is missed only if its overlap above `minJaccard` depends on
+    * capped shingles — near-universal shingles carry no dedup signal, which
+    * is why dropping them is the standard play. None (default) = exact.
+    */
   def jaccardPairsWithinBlocks(
       df: DataFrame,
       idCol: String,
       textCol: String,
       blockCols: Seq[String],
       shingleSize: Int = 3,
-      minJaccard: Double = 0.3
+      minJaccard: Double = 0.3,
+      hotShingleCap: Option[Int] = None
   ): DataFrame = {
     // Inverted-index formulation: explode (block, doc, shingle) postings,
     // self-join on (block, shingle) so ONLY pairs sharing >=1 shingle ever
@@ -338,7 +350,20 @@ object Dedup {
       // feeds postings (twice) + sizes (twice): cache beats 4x recompute
       .cache()
     val sizes = base.select(blockCols.map(col) :+ col("doc_id") :+ size(col("sh")).as("sz"): _*)
-    val postings = base.select(blockCols.map(col) :+ col("doc_id") :+ explode(col("sh")).as("s"): _*)
+    val allPostings = base.select(blockCols.map(col) :+ col("doc_id") :+ explode(col("sh")).as("s"): _*)
+    // stop-shingle cap: one linear aggregation over the postings finds the
+    // hot shingles; an anti join drops them BEFORE the quadratic self-join
+    val postings = hotShingleCap match {
+      case None => allPostings
+      case Some(cap) =>
+        require(cap >= 1, "hotShingleCap must be >= 1")
+        val hot = allPostings
+          .groupBy(blockCols.map(col) :+ col("s"): _*)
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap)
+          .select(blockCols.map(col) :+ col("s"): _*)
+        allPostings.join(hot, blockCols :+ "s", "left_anti")
+    }
     val pa = postings.toDF(postings.columns.map(c => if (c == "doc_id") "id_a" else c).toIndexedSeq: _*)
     val pb = postings.toDF(postings.columns.map(c => if (c == "doc_id") "id_b" else c).toIndexedSeq: _*)
     val inter = pa

@@ -88,6 +88,37 @@ class DedupSpec extends AnyFunSuite {
     assert(banded == exact)
   }
 
+  test("hotShingleCap: drops degenerate shingles, keeps true near-dups, no-op when slack") {
+    // every doc opens with the same boilerplate (its interior shingles have
+    // df=4 — the hot ones); docs 1-2 are true near-dups through a long run
+    // of rare shingles, differing only in the final token
+    val boiler = "standard legal disclaimer text here"
+    val blocked = Seq(
+      (1L, s"$boiler quick brown fox jumps over lazy dog near river bank alpha", "en"),
+      (2L, s"$boiler quick brown fox jumps over lazy dog near river bank beta", "en"),
+      (3L, s"$boiler unrelated topic one two three four five six seven eight", "en"),
+      (4L, s"$boiler another thing nine ten eleven twelve thirteen fourteen fifteen sixteen", "en")
+    ).toDF("doc_id", "text", "lang")
+    def pairs(cap: Option[Int]) =
+      Dedup.jaccardPairsWithinBlocks(blocked, "doc_id", "text", Seq("lang"), shingleSize = 3, minJaccard = 0.5, hotShingleCap = cap)
+        .select($"id_a", $"id_b", $"jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val exact = pairs(None)
+    assert(exact.contains((1L, 2L)), "true near-dup pair missing from the exact run")
+
+    // cap below the block size: the boilerplate shingles (df=4) are dropped;
+    // the true pair survives on its rare shingles with jaccard a lower bound
+    val capped = pairs(Some(3))
+    assert(capped.contains((1L, 2L)), "true near-dup lost to the stop-shingle cap")
+    assert(capped((1L, 2L)) <= exact((1L, 2L)) + 1e-12, "capped jaccard must be a lower bound")
+    // pairs related ONLY through boilerplate fall below the threshold
+    assert(!capped.contains((3L, 4L)))
+
+    // cap with slack (>= block size): bit-identical to the exact run
+    assert(pairs(Some(4)) == exact)
+  }
+
   test("jaccard: exact values on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.jaccard($"x", $"y")).head().getDouble(0)

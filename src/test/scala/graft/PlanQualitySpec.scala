@@ -61,6 +61,14 @@ class PlanQualitySpec extends AnyFunSuite {
     )
   }
 
+  test("q72/q85: IVF probe is one scan with a codegen filter into a top-k — no global sort") {
+    for (q <- Seq("q72_ann_ivf", "q85_ann_ivf_trained")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: top-k must be per-partition heaps (TakeOrderedAndProject), not sort+limit")
+      assert(!p.contains("rangepartitioning"), s"$q: a global range-partitioned sort leaked into the probe")
+    }
+  }
+
   test("q68: no single-partition sort over the corpus (global windows only above aggregates)") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}

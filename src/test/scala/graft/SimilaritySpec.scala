@@ -112,6 +112,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rTrained >= rInit, s"trained recall $rTrained below untrained $rInit")
   }
 
+  test("IVF cell-partitioned storage: a probe reads only its nprobe partitions") {
+    // the at-rest layout SCALE.md claims for IVF: store the table
+    // delta-committed partitioned by cell id, so a probe is a pruned
+    // readPartitions of nprobe dirs — never a full scan
+    import graft.sources.VersionedTable
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val init = emb.filter($"vec_id" < 8).select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).sortBy(_._1).toSeq
+    val centroids = Similarity.trainIvfCentroids(emb, "embedding", init, iters = 2)
+
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfstore").toString + "/t"
+    val celled = emb.withColumn("cell", Similarity.ivfCell($"embedding", centroids).cast("string"))
+    VersionedTable.commitDelta(spark, path, celled, "cell")
+
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val probe = Similarity.ivfProbeCells(q, centroids, nprobe = 3)
+    val pruned = VersionedTable.readPartitions(spark, path, probe.map(_.toString)).flatten
+    assert(pruned.nonEmpty)
+    val prunedRows = pruned.map(_.count()).sum
+    val cellSizes = celled.groupBy($"cell").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the pruned read returns exactly the probed cells' rows — nothing else
+    assert(prunedRows == probe.map(c => cellSizes.getOrElse(c.toString, 0L)).sum)
+    assert(prunedRows < emb.count(), "probe read the whole table — pruning is not happening")
+
+    // and ranking over the pruned read == ivfTopK over the full table
+    val fromStore = pruned.reduce(_.unionByName(_))
+    val qArr = array(q.map(v => lit(v.toDouble)): _*)
+    val viaStore = fromStore.filter($"vec_id" =!= 0)
+      .select($"vec_id", Similarity.cosine(transform($"embedding", _.cast("double")), qArr).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id".asc).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val viaScan = Similarity.ivfTopK(emb.filter($"vec_id" =!= 0), "vec_id", "embedding", q, 10, centroids, nprobe = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaStore == viaScan)
+  }
+
   test("lshBucket is deterministic and balanced-ish") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val buckets = emb.select(Similarity.lshBucket($"embedding", 64, 8).as("b"))
