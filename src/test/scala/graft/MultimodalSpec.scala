@@ -1,0 +1,79 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Real image decode/resize through the JDK codecs — actual pixels, not the
+  * md5 stub (which remains, documented, for audio/video).
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val buf = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, buf)
+    buf.toByteArray
+  }
+
+  /** Horizontal black→white gradient: known dims, known mean luma (~127.5). */
+  private def gradient(w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255) / math.max(1, w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private lazy val media = {
+    val rows = Seq(
+      (1L, encode(gradient(200, 100), "png"), "png"),
+      (2L, encode(gradient(64, 64), "jpg"), "jpg"),
+      (3L, Array[Byte](1, 2, 3, 4, 5), "png"), // corrupt payload
+      (4L, encode(gradient(40, 20), "png"), "png") // already small
+    ).toDF("id", "payload", "fmt")
+    // canonical (media_id, content, meta) shape
+    rows
+      .select(
+        $"id".as("media_id"),
+        $"payload".as("content"),
+        struct($"fmt".as("format"), octet_length($"payload").as("byte_len")).as("meta")
+      )
+  }
+
+  test("decodeImages: true dimensions and luma from real JDK codecs; corrupt rows degrade, never throw") {
+    val out = Multimodal.decodeImages(spark, media).collect().map(f => f.mediaId -> f).toMap
+    assert(out(1L).ok && out(1L).width == 200 && out(1L).height == 100)
+    assert(out(2L).ok && out(2L).width == 64 && out(2L).height == 64)
+    // linear gradient: mean luma near mid-gray (jpeg adds compression noise)
+    assert(math.abs(out(1L).meanLuma - 127.5) < 10.0, s"png luma ${out(1L).meanLuma}")
+    assert(math.abs(out(2L).meanLuma - 127.5) < 15.0, s"jpg luma ${out(2L).meanLuma}")
+    // corrupt payload: flagged, not thrown
+    assert(!out(3L).ok && out(3L).width == -1 && out(3L).byteLen == 5)
+  }
+
+  test("resizeImages: aspect-preserving downscale to maxDim, small images pass through untouched") {
+    val resized = Multimodal.resizeImages(spark, media, maxDim = 64)
+    val back = Multimodal.decodeImages(spark, resized).collect().map(f => f.mediaId -> f).toMap
+    assert(back(1L).ok && back(1L).width == 64 && back(1L).height == 32) // 200x100 -> 64x32
+    assert(back(2L).ok && back(2L).width == 64 && back(2L).height == 64) // at bound: untouched
+    assert(back(4L).ok && back(4L).width == 40 && back(4L).height == 20) // small: untouched
+    // pass-through rows keep their exact original bytes (no re-encode)
+    val originalBytes = media.filter($"media_id" === 4L).select($"content").head().getAs[Array[Byte]](0)
+    val resizedBytes = resized.filter($"media_id" === 4L).select($"content").head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(originalBytes, resizedBytes))
+    // resized rows are re-encoded PNG and carry updated meta
+    val fmt1 = resized.filter($"media_id" === 1L).select($"meta.format").head().getString(0)
+    assert(fmt1 == "png")
+    // resized gradient keeps its luma character (bilinear, not garbage)
+    assert(math.abs(back(1L).meanLuma - 127.5) < 12.0)
+    // corrupt payload passes through unchanged rather than failing the job
+    assert(resized.count() == 4)
+  }
+}
