@@ -765,6 +765,32 @@ object Oracles {
 
     "q85_ann_ivf_trained" -> q85Sql(3),
 
+    // q86: SemDeDup replay — q72's assignment CTEs, then within-cell pair
+    // cosines with the same ordered folds and the lower-id drop rule
+    "q86_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id cid, embedding ce FROM embeddings WHERE vec_id < 8),
+        | cn AS (SELECT cid, sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) c2
+        |   FROM (SELECT cid, unnest(ce) y, unnest(range(64)) i FROM c) GROUP BY cid),
+        | ev AS (SELECT vec_id, unnest(embedding) x, unnest(range(64)) i FROM embeddings),
+        | cv AS (SELECT cid, unnest(ce) y, unnest(range(64)) i FROM c),
+        | vd AS (SELECT vec_id, cid, sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d
+        |   FROM ev JOIN cv USING (i) GROUP BY vec_id, cid),
+        | scorev AS (SELECT vec_id, vd.cid, -2*d + c2 score FROM vd JOIN cn ON vd.cid = cn.cid),
+        | assign AS (SELECT vec_id, cid FROM (
+        |   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) rn FROM scorev) WHERE rn = 1),
+        | p AS (SELECT a.vec_id ia, b.vec_id ib FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        | pe AS (SELECT ia, ib, unnest(e1.embedding) x, unnest(e2.embedding) y, unnest(range(64)) i
+        |   FROM p JOIN embeddings e1 ON e1.vec_id = p.ia JOIN embeddings e2 ON e2.vec_id = p.ib),
+        | pd AS (SELECT ia, ib, sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d,
+        |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) nx,
+        |    sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) ny
+        |  FROM pe GROUP BY ia, ib),
+        | drops AS (SELECT DISTINCT ib FROM pd
+        |   WHERE (CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END) >= 0.3)
+        |SELECT e.vec_id, a.cid AS cell_id
+        |FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+        |WHERE e.vec_id NOT IN (SELECT ib FROM drops)""".stripMargin,
+
     "q40_ann_bruteforce" ->
       """WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id=0),
         | pairs AS (SELECT e.vec_id, unnest(e.embedding) x, unnest(q.qe) y, unnest(range(64)) i

@@ -1167,6 +1167,25 @@ object Queries {
       .select(col("vec_id"), floor(col("cosine") * 1000000).cast("long").as("cosine_e6"))
   }
 
+  /** q86: SEMANTIC DEDUP (SemDeDup shape): assign every embedding to its
+    * coarse quantizer cell, then within each cell drop any vector with a
+    * more-similar-than-0.3-cosine neighbor of lower id — quadratic work
+    * bounded by the cell, one deterministic pass. The oracle replays
+    * assignment, within-cell pair cosines (ordered folds), and the drop
+    * rule in SQL.
+    */
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val centroids = emb
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .sortBy(_._1)
+      .toSeq
+    Similarity.semanticDedup(emb, "vec_id", "embedding", centroids, minCosine = 0.3)
+  }
+
   /** q73: GROUP-LEVEL UNION MINHASH — one signature per source via the
     * typed [[graft.plans.MinHashUnionAgg]] Aggregator (mergeable sketch:
     * sig(A ∪ B) = elementwise-min — which is exactly what makes map-side

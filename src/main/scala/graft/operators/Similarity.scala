@@ -227,6 +227,42 @@ object Similarity {
     cur
   }
 
+  /** SEMANTIC DEDUP (the SemDeDup shape — Abbas et al. 2023, public): coarse
+    * k-means cells bound the quadratic term, then within each cell drop
+    * every vector that has a more-similar-than-threshold neighbor with a
+    * LOWER id (deterministic single pass — the standard approximation of
+    * per-cluster representative selection; no iterative connected
+    * components). Returns the KEPT rows with their cell id.
+    *
+    * Scale shape: the pairwise join is blocked on the cell — quadratic only
+    * within cells, and cell size is the k lever ([[trainIvfCentroids]] on a
+    * hash-sample sizes k so n/k fits the pair budget). The cell join is one
+    * shuffle on the cell id; at rest, cell-partitioned storage makes it a
+    * per-partition local join.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Long, Seq[Double])],
+      minCosine: Double
+  ): DataFrame = {
+    val celled = df.withColumn("__cell", ivfCell(col(vecCol), centroids))
+    val a = celled.select(col("__cell"), col(idCol).as("__id_a"), col(vecCol).as("__va"))
+    val b = celled.select(col("__cell"), col(idCol).as("__id_b"), col(vecCol).as("__vb"))
+    val drops = a
+      .join(b, "__cell")
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(
+        cosine(transform(col("__va"), _.cast("double")), transform(col("__vb"), _.cast("double"))) >= minCosine
+      )
+      .select(col("__id_b").as("__drop_id"))
+      .distinct()
+    celled
+      .join(drops, celled(idCol) === drops("__drop_id"), "left_anti")
+      .select(col(idCol), col("__cell").as("cell_id"))
+  }
+
   /** IVF ANN top-k: score only vectors assigned to the query's nprobe
     * nearest cells. One scan with a codegen'd cell filter — no shuffle
     * before the final top-k; with cell-partitioned storage the scan itself

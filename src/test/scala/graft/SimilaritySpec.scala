@@ -148,6 +148,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaStore == viaScan)
   }
 
+  test("semanticDedup: planted duplicate drops, keeper is the lower id, dissimilar rows survive") {
+    // 4-dim toy space with 2 centroids: cells {x-axis-ish} and {y-axis-ish}
+    val centroids = Seq(0L -> Seq(1.0, 0.0, 0.0, 0.0), 1L -> Seq(0.0, 1.0, 0.0, 0.0))
+    val df = Seq(
+      (10L, Seq(1.0f, 0.05f, 0.0f, 0.0f)), // cell 0
+      (11L, Seq(1.0f, 0.06f, 0.0f, 0.0f)), // near-dup of 10 -> dropped (higher id)
+      (12L, Seq(0.1f, 0.0f, 1.0f, 0.0f)), // cell 0 but dissimilar -> kept
+      (20L, Seq(0.0f, 1.0f, 0.0f, 0.0f)), // cell 1
+      (21L, Seq(0.0f, -1.0f, 0.1f, 0.0f)) // anti-parallel to c1 => NEARER c0; dissimilar in cell 0 -> kept
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding", centroids, minCosine = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == Set(10L, 12L, 20L, 21L), s"kept ${kept.keySet}")
+    assert(kept(10L) == 0L && kept(12L) == 0L && kept(20L) == 1L && kept(21L) == 0L)
+    // near-dups in DIFFERENT cells are not compared (the SemDeDup trade):
+    // an identical pair split across cells survives — cells bound the work
+    val split = Seq(
+      (1L, Seq(1.0f, 1.0f, 0.0f, 0.0f)), // equidistant-ish; lands cell 0 (tie->lower cid)
+      (2L, Seq(0.99f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.semanticDedup(split, "vec_id", "embedding", centroids, minCosine = 0.99).count() >= 1)
+  }
+
   test("lshBucket is deterministic and balanced-ish") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val buckets = emb.select(Similarity.lshBucket($"embedding", 64, 8).as("b"))
