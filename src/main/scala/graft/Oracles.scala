@@ -616,6 +616,20 @@ object Oracles {
          | tf AS (SELECT token, count(*) term_freq FROM (SELECT unnest(ws) token FROM toks) GROUP BY token)
          |SELECT df.token, df.doc_freq, tf.term_freq FROM df JOIN tf ON df.token = tf.token""".stripMargin,
 
+    "q87_mixture_sample" -> {
+      // same rate table as Queries.q87, thresholds computed by the same
+      // math.round((i%4+1)*0.2 * denom) so literal boundaries match exactly
+      val cases = (0 until 16)
+        .map(i => s"WHEN 'src$i' THEN ${math.round((i % 4 + 1) * 0.2 * 1000000L)}")
+        .mkString(" ")
+      s"""SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         |FROM (SELECT source, n_chars,
+         |        CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS b
+         |      FROM documents)
+         |WHERE b < (CASE source $cases ELSE ${math.round(0.05 * 1000000L)} END)
+         |GROUP BY source""".stripMargin
+    },
+
     "q62_stratified_sample" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(CASE WHEN b < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,

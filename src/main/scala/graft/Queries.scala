@@ -752,6 +752,19 @@ object Queries {
       )
   }
 
+  /** q87: source-weighted mixture sampling — the data-mixing step of a
+    * training pipeline: each source kept at its own deterministic rate
+    * (srcN at (N mod 4 + 1)·0.2, unlisted sources at the 0.05 default),
+    * reported as per-source kept counts. Pure hash filter, no rand().
+    */
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val rates = (0 until 16).map(i => s"src$i" -> (i % 4 + 1) * 0.2).toMap
+    graft.operators.Sampling
+      .mixtureSample(t(s, dir, "documents"), "doc_id", "source", rates, defaultRate = 0.05)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+  }
+
   /** q66: PII redaction sweep — redacted-text fingerprints + per-category
     * hit counts over the corpus (a no-op on this synthetic corpus, which the
     * oracle verifies exactly; planted-PII behavior is spec-tested).

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = (1L to 4000L)
+    .map(i => (i, s"grp${i % 4}"))
+    .toDF("id", "grp")
+
+  test("mixtureSample: per-group rates hit within tolerance, deterministically") {
+    val rates = Map("grp0" -> 0.8, "grp1" -> 0.2, "grp2" -> 0.0)
+    def run() = Sampling.mixtureSample(corpus, "id", "grp", rates, defaultRate = 0.5)
+      .groupBy($"grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run()
+    assert(got == run(), "sampling must be deterministic across runs")
+    assert(!got.contains("grp2"), "rate 0.0 must drop the whole group")
+    // 1000 ids per group; md5 buckets are uniform so ±10% absolute slack is generous
+    assert(math.abs(got("grp0") - 800) < 100, s"grp0 kept ${got("grp0")}")
+    assert(math.abs(got("grp1") - 200) < 100, s"grp1 kept ${got("grp1")}")
+    assert(math.abs(got("grp3") - 500) < 100, s"default-rate grp3 kept ${got("grp3")}")
+  }
+
+  test("mixtureSample: raising a rate only ADDS rows (nested samples share the keep set)") {
+    val low = Sampling.mixtureSample(corpus, "id", "grp", Map.empty, defaultRate = 0.2)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val high = Sampling.mixtureSample(corpus, "id", "grp", Map.empty, defaultRate = 0.6)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high), "a higher rate must be a superset — threshold moves, bucket does not")
+  }
+
+  test("mixtureSample: salt decorrelates draws; overlap is proportional, not identical") {
+    val a = Sampling.mixtureSample(corpus, "id", "grp", Map.empty, defaultRate = 0.5, salt = "runA")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixtureSample(corpus, "id", "grp", Map.empty, defaultRate = 0.5, salt = "runB")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(a != b, "different salts must draw different samples")
+    // independent 50% draws overlap on ~25% of the corpus
+    val overlap = (a & b).size.toDouble / corpus.count()
+    assert(overlap > 0.15 && overlap < 0.35, s"overlap $overlap not ~0.25")
+  }
+
+  test("mixtureSample: rejects rates outside [0,1]") {
+    assertThrows[IllegalArgumentException](
+      Sampling.mixtureSample(corpus, "id", "grp", Map("grp0" -> 1.5))
+    )
+  }
+}
