@@ -22,6 +22,18 @@ object Oracles {
   private val tokensExpr =
     """CASE WHEN len(trim(text))=0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text),'\s+') END"""
 
+  /** Shared CTE body computing the portable 60-bit SimHash sketch per doc
+    * (q65 pair query and q88 component query build on the same `s`).
+    */
+  private lazy val simhash60Ctes: String =
+    s"""base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+       | th AS (SELECT doc_id, unnest(list_transform(ws, w -> CAST(('0x'||substr(md5(w),1,15)) AS BIGINT))) h FROM base),
+       | votes AS (SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) c
+       |   FROM th CROSS JOIN (SELECT unnest(range(60)) j) js GROUP BY doc_id, j),
+       | sk AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) simhash60
+       |   FROM votes GROUP BY doc_id),
+       | s AS (SELECT d.doc_id, COALESCE(sk.simhash60, 0) sk60 FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id)""".stripMargin
+
   /** q85: replay [[graft.operators.Similarity.trainIvfCentroids]] in SQL —
     * `iters` generated k-means iteration CTEs (assignment by the same
     * ordered-fold argmin, per-(cell,dim) sums over `floor(x*2^20 + 0.5)`
@@ -306,17 +318,27 @@ object Oracles {
     // {pairs : hamming(sk_a, sk_b) <= 10} — verified here with a plain
     // all-pairs bit_count over q39's sketch (fine at test scale).
     "q65_simhash_neardup" ->
-      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
-         | th AS (SELECT doc_id, unnest(list_transform(ws, w -> CAST(('0x'||substr(md5(w),1,15)) AS BIGINT))) h FROM base),
-         | votes AS (SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) c
-         |   FROM th CROSS JOIN (SELECT unnest(range(60)) j) js GROUP BY doc_id, j),
-         | sk AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) simhash60
-         |   FROM votes GROUP BY doc_id),
-         | s AS (SELECT d.doc_id, COALESCE(sk.simhash60, 0) sk60 FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id)
+      s"""WITH $simhash60Ctes
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          | CAST(bit_count(xor(a.sk60, b.sk60)) AS INTEGER) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sk60, b.sk60)) <= 4""".stripMargin,
+
+    // q88: same pair graph as q65, then connected components by recursive
+    // transitive closure — group_id = min reachable doc id, exactly the
+    // min-label-propagation fixpoint the Spark side converges to
+    "q88_dup_groups" ->
+      s"""WITH RECURSIVE $simhash60Ctes,
+         | e AS (SELECT a.doc_id ia, b.doc_id ib
+         |   FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |   WHERE bit_count(xor(a.sk60, b.sk60)) <= 4),
+         | sym AS (SELECT ia a, ib b FROM e UNION SELECT ib, ia FROM e),
+         | reach(id, r) AS (
+         |   SELECT a, a FROM sym
+         |   UNION
+         |   SELECT sym.a, reach.r FROM sym JOIN reach ON reach.id = sym.b
+         | )
+         |SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id""".stripMargin,
 
     // q37: full MinHash+LSH replication — md5-prefix shingle hashes (q35
     // machinery), the SAME MinHashSig constants, hash-free band keys

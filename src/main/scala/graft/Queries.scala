@@ -850,6 +850,14 @@ object Queries {
   def q65(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup60(t(s, dir, "documents"), "doc_id", "text", maxHamming = 4)
 
+  /** q88: DUPLICATE GROUPS — connected components over q65's SimHash
+    * near-dup pair graph: every doc in a component labeled with the
+    * component's min doc id. The oracle computes the same components via a
+    * recursive transitive closure over the identical pair list.
+    */
+  def q88(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateGroups(q65(s, dir), "id_a", "id_b")
+
   /** q63: sketch-based approximate statistics — HLL distinct counts and
     * approximate quantiles, emitted as ORACLE-CHECKABLE bound checks. The
     * sketch values themselves are engine-specific (the exact twins are

@@ -307,6 +307,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** DUPLICATE GROUPS from a near-dup PAIR list: connected components by
+    * iterative min-label propagation — every document in a component gets
+    * the component's smallest doc id as `group_id` (the canonical-keeper
+    * convention exact dedup already uses). Pairs are what the banding
+    * operators emit; transitive chains (A~B, B~C, A!~C) only become
+    * droppable groups once components are materialized.
+    *
+    * Scale shape: each round is one join + one aggregation on the
+    * symmetric edge list; rounds = component diameter (near-dup clusters
+    * are shallow — a handful of rounds), each round's lineage truncated
+    * with an eager localCheckpoint so the plan doesn't grow with rounds.
+    * The alternating large-star/small-star formulation (Kiveris et al.)
+    * halves rounds on adversarial chains; plain min-propagation is chosen
+    * for determinism-by-construction and because banding output has
+    * bounded-diameter components by design.
+    */
+  def duplicateGroups(pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct().withColumn("lbl", col("id"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = sym
+        .join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val updated = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = updated
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old"))
+        .count()
+      labels = updated
+      it += 1
+    }
+    require(changed == 0, s"component labeling did not converge in $maxIters rounds — raise maxIters")
+    labels.select(col("id").as("doc_id"), col("lbl").as("group_id"))
+  }
+
   /** Pairwise n-gram Jaccard within explicit blocks (e.g. same source+lang) —
     * the exact-verification / small-block strategy. Blocks bound the
     * quadratic term; at 100 TB the blocking key must keep groups << 10^5.

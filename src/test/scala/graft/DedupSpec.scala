@@ -88,6 +88,16 @@ class DedupSpec extends AnyFunSuite {
     assert(banded == exact)
   }
 
+  test("duplicateGroups: transitive chains collapse to min-id components; long paths converge") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L)).toDF("id_a", "id_b")
+    val g = Dedup.duplicateGroups(pairs, "id_a", "id_b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // a 20-node path needs multiple propagation rounds (diameter >> 1)
+    val path = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.duplicateGroups(path, "id_a", "id_b").collect().map(_.getLong(1)).distinct.toSeq
+    assert(labels == Seq(1L), "path graph must collapse to one component labeled by its min id")
+  }
+
   test("hotShingleCap: drops degenerate shingles, keeps true near-dups, no-op when slack") {
     // every doc opens with the same boilerplate (its interior shingles have
     // df=4 — the hot ones); docs 1-2 are true near-dups through a long run
