@@ -88,8 +88,10 @@ object Bench {
       "q47_embedding_neardup", "q64_tfidf", "q68_quality_filter",
       "q39_simhash_portable",
       // round-3 formulations under watch: trained-IVF ANN (k-means in the
-      // query path), partitioned SCD-2 warehouse load
-      "q85_ann_ivf_trained", "q80_scd2_partitioned"
+      // query path), partitioned SCD-2 warehouse load, cell-blocked
+      // semantic dedup, mixture sampling, iterative dup-group components
+      "q85_ann_ivf_trained", "q80_scd2_partitioned",
+      "q86_semantic_dedup", "q87_mixture_sample", "q88_dup_groups"
     )
 
     // warm-up: every headline query once at the target SF (see scaladoc).

@@ -44,6 +44,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           )
       )
     )
+    e.injectFunction(
+      (
+        new FunctionIdentifier("simhash60"),
+        new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+        (exprs: Seq[Expression]) => SimHash60(exprs(0))
+      )
+    )
+    e.injectFunction(
+      (
+        new FunctionIdentifier("shingle_hash60"),
+        new ExpressionInfo(classOf[ShingleHash60].getName, "shingle_hash60"),
+        (exprs: Seq[Expression]) =>
+          ShingleHash60(
+            exprs(0),
+            GraftExtensions.literalArg("shingle_hash60", exprs.lift(1), 3).asInstanceOf[Number].intValue()
+          )
+      )
+    )
   }
 }
 

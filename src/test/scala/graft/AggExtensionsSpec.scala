@@ -70,6 +70,12 @@ class AggExtensionsSpec extends AnyFunSuite {
       assert(nfc == "café")
       val sig = s2.sql("SELECT minhash_sig(array(5L, 42L), 4) AS s").head().getSeq[Long](0)
       assert(sig.length == 4 && sig.forall(_ >= 0))
+      // simhash60/shingle_hash60 match their Column-API twins exactly
+      val sk = s2.sql("SELECT simhash60(array('quick', 'brown', 'fox')) AS sk").head().getLong(0)
+      val skCol = Seq(Seq("quick", "brown", "fox")).toDF("t").select(graft.plans.HashExpressions.simhash60(org.apache.spark.sql.functions.col("t"))).head().getLong(0)
+      assert(sk == skCol && sk >= 0 && sk < (1L << 60))
+      val shn = s2.sql("SELECT shingle_hash60(array('a','b','c','d'), 3) AS sh").head().getSeq[Long](0)
+      assert(shn.length == 2) // 4 tokens, 3-shingles -> 2 hashes
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
