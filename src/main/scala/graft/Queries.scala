@@ -858,6 +858,16 @@ object Queries {
   def q88(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicateGroups(q65(s, dir), "id_a", "id_b")
 
+  /** q89: GOPHER QUALITY GATES — the published rule-of-thumb corpus filters
+    * (word-count / mean-word-length / top-bigram-fraction / duplicate-token
+    * bounds) as per-doc measured stats + pass booleans
+    * ([[TextAnalysis.gopherQualityGates]]). The oracle recomputes every
+    * stat — including the lexicographically tie-broken mode bigram — in
+    * DuckDB list SQL.
+    */
+  def q89(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherQualityGates(t(s, dir, "documents"))
+
   /** q63: sketch-based approximate statistics — HLL distinct counts and
     * approximate quantiles, emitted as ORACLE-CHECKABLE bound checks. The
     * sketch values themselves are engine-specific (the exact twins are

@@ -196,4 +196,79 @@ object TextAnalysis {
       )
       .withColumn("n_chunk_tokens", size(col("chunk_tokens")))
   }
+
+  /** Gopher-style heuristic quality gates (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1 — the published rule-of-thumb corpus filters),
+    * adapted to token-level signals:
+    *
+    *  - word count within [50, 100000]
+    *  - mean word length within [3, 10] characters
+    *  - fraction of characters in the single most frequent word 2-gram
+    *    <= 0.20 (mode bigram; ties broken lexicographically so both engines
+    *    agree)
+    *  - duplicate-token fraction (1 - distinct/total) <= 0.30 — the
+    *    token-level analogue of Gopher's duplicate line/paragraph fractions
+    *    (this corpus has no line structure)
+    *
+    * All ratios exported as FLOOR(x*1e4) BIGINTs per the cross-engine
+    * determinism rules. The per-doc mode bigram is computed distributed —
+    * explode → partial-agg count → window partitioned BY DOCUMENT — so no
+    * single-partition stage exists; every shuffle key is (doc) or
+    * (doc,bigram), linear in the corpus at 100 TB.
+    *
+    * Output: (idCol, n_words, mean_word_len_e4, top_bigram_frac_e4,
+    * dup_unigram_frac_e4, pass_word_count, pass_mean_word_len,
+    * pass_repetition, pass_gopher).
+    */
+  def gopherQualityGates(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = col("__toks")
+    val base = df
+      .select(col(idCol), col(textCol).as("__text"))
+      .withColumn("__toks", tokens(col("__text")))
+      .withColumn("n_words", size(toks))
+      .withColumn("__sumlen", aggregate(toks, lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("__ndup", (size(toks) - size(array_distinct(toks))).cast("long"))
+    val topBigram = base
+      .select(col(idCol), explode(wordShinglesFromTokens(toks, 2)).as("__bg"))
+      .groupBy(col(idCol), col("__bg"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("__bg").asc)))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__bg"), col("__c"))
+    val meanLenE4 =
+      when(col("n_words") === 0, lit(0L))
+        .otherwise(floor(col("__sumlen") * lit(10000.0) / col("n_words")))
+        .cast("long")
+    val topBgFracE4 =
+      when(length(col("__text")) === 0, lit(0L))
+        .otherwise(coalesce(floor(col("__c") * length(col("__bg")) * lit(10000.0) / length(col("__text"))), lit(0L)))
+        .cast("long")
+    val dupFracE4 =
+      when(col("n_words") === 0, lit(0L))
+        .otherwise(floor(col("__ndup") * lit(10000.0) / col("n_words")))
+        .cast("long")
+    base
+      .join(topBigram, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_words"),
+        meanLenE4.as("mean_word_len_e4"),
+        topBgFracE4.as("top_bigram_frac_e4"),
+        dupFracE4.as("dup_unigram_frac_e4")
+      )
+      .withColumn("pass_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn(
+        "pass_mean_word_len",
+        col("mean_word_len_e4") >= 30000L && col("mean_word_len_e4") <= 100000L
+      )
+      .withColumn(
+        "pass_repetition",
+        col("top_bigram_frac_e4") <= 2000L && col("dup_unigram_frac_e4") <= 3000L
+      )
+      .withColumn(
+        "pass_gopher",
+        col("pass_word_count") && col("pass_mean_word_len") && col("pass_repetition")
+      )
+  }
 }
