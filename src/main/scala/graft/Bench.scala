@@ -125,24 +125,29 @@ object Bench {
 
     val (baselineName, baseline) = loadBaseline()
     def jstr(s: String): String = graft.core.Json.str(s)
+    // The driver recovers this line from a BOUNDED TAIL of the build log
+    // (r04 lesson: a 12-entry verbose regression block pushed the line's
+    // start past the window and the round parsed as null), so every field
+    // is kept compact: 4-decimal times, regressions as now/baseline RATIOS.
+    def num(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
 
-    val qs = timed.map { case (k, t, _) => jstr(k) + ":" + t.map(_.toString).getOrElse("null") }
+    val qs = timed.map { case (k, t, _) => jstr(k) + ":" + t.map(num).getOrElse("null") }
       .mkString("{", ",", "}")
-    val errors = timed.collect { case (k, None, Some(m)) => jstr(k) + ":" + jstr(m) }
+    val errors = timed.collect { case (k, None, Some(m)) => jstr(k) + ":" + jstr(m.take(80)) }
       .mkString("{", ",", "}")
     val regressions = timed.collect {
       case (k, Some(t), _) if baseline.get(k).exists(b => b > 0 && t > 2 * b) =>
-        jstr(k) + ":" + s"""{"now":$t,"baseline":${baseline(k)}}"""
+        jstr(k) + ":" + num(t / baseline(k))
     }.mkString("{", ",", "}")
     val total = timed.flatMap(_._2).sum
     val nErr = timed.count(_._3.isDefined)
 
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},""" +
-        s""""errors":$errors,"n_errors":$nErr,"regressions":$regressions,""" +
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},""" +
+        s""""errors":$errors,"n_errors":$nErr,"regressions_x":$regressions,""" +
         s""""baseline":${jstr(baselineName)},""" +
         s""""runs_per_query":$runsPerQuery,"aggregation":"min",""" +
-        s""""cache_policy":"warm steady-state: warm-up pass pre-runs all headline queries, so operator caches (persisted-signature stand-ins) are populated when timing starts; per-query time is the min of $runsPerQuery runs (shared-machine contention makes single runs noisy)"}"""
+        s""""cache_policy":"warm steady-state; min of $runsPerQuery runs per query"}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     println(line)
     spark.stop()

@@ -77,9 +77,11 @@ object DqSuite {
     val rowScoped = expectations.filter(!_.isInstanceOf[Unique])
     val uniques = expectations.collect { case u: Unique => u }
     val passes = (if (rowScoped.nonEmpty) 1 else 0) + uniques.size
-    val df = if (passes > 1) df0.cache() else df0
+    // own the cache only if the caller hasn't already cached this plan
+    val needCache = passes > 1 && df0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val df = if (needCache) df0.cache() else df0
     try runOn(df, rowScoped, uniques, batchId, fileIdentifier)
-    finally if (passes > 1) { df.unpersist(); () }
+    finally if (needCache) { df.unpersist(); () }
   }
 
   /** Deterministic GX-style identifiers (reference: opaque GX batch ids /

@@ -85,16 +85,17 @@ object Dedup {
     def hashedShingles(toks: Column): Column =
       if (portable) graft.plans.HashExpressions.shingleHash60(toks, shingleSize)
       else transform(TextAnalysis.wordShinglesFromTokens(toks, shingleSize), s => xxhash64(s))
-    val withSig = df
-      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), array_distinct(hashedShingles(col("__toks"))).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minhashSignatureFromHashes(col("shingles"), numHashes))
+    val withSig = graft.core.Caching.cached(
+      df
+        .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+        .select(col("doc_id"), array_distinct(hashedShingles(col("__toks"))).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+        .withColumn("sig", minhashSignatureFromHashes(col("shingles"), numHashes))
       // the signature table feeds three plan branches (banding + both sides
       // of the candidate verify); cache it instead of recomputing the
       // tokenize/shingle/hash subtree per branch. At production scale this
       // table is persisted to storage once and reused across dedup runs.
-      .cache()
+    )
 
     // band table carries only (doc_id, band-key): the 8x explode must not
     // replicate the shingle payload through the shuffle. Fast path: the
@@ -284,9 +285,9 @@ object Dedup {
         s"candidate pairs ~ n^2/${1L << bitsPer} per chunk position, effectively all-pairs at scale. " +
         s"Use maxHamming <= ${sketchBits / minChunkBits - 1}, or pass minChunkBits explicitly for small corpora."
     )
-    val sketched = df
-      .select(col(idCol).as("doc_id"), sketch.as("sk"))
-      .cache()
+    val sketched = graft.core.Caching.cached(
+      df.select(col(idCol).as("doc_id"), sketch.as("sk"))
+    )
     val banded = sketched.select(
       col("doc_id"),
       col("sk"),
@@ -386,14 +387,15 @@ object Dedup {
     // since the shuffle is linear in total postings, not quadratic in block
     // size.
     require(minJaccard > 0, "inverted-index Jaccard requires a positive threshold")
-    val base = df
-      .select(blockCols.map(col) :+ col(idCol).as("doc_id") :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
-      .select(
-        blockCols.map(col) :+ col("doc_id") :+
-          array_distinct(graft.plans.HashExpressions.shingleHash60(col("__toks"), shingleSize)).as("sh"): _*
-      )
+    val base = graft.core.Caching.cached(
+      df
+        .select(blockCols.map(col) :+ col(idCol).as("doc_id") :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
+        .select(
+          blockCols.map(col) :+ col("doc_id") :+
+            array_distinct(graft.plans.HashExpressions.shingleHash60(col("__toks"), shingleSize)).as("sh"): _*
+        )
       // feeds postings (twice) + sizes (twice): cache beats 4x recompute
-      .cache()
+    )
     val sizes = base.select(blockCols.map(col) :+ col("doc_id") :+ size(col("sh")).as("sz"): _*)
     val allPostings = base.select(blockCols.map(col) :+ col("doc_id") :+ explode(col("sh")).as("s"): _*)
     // stop-shingle cap: one linear aggregation over the postings finds the
