@@ -638,6 +638,36 @@ object Oracles {
          | tf AS (SELECT token, count(*) term_freq FROM (SELECT unnest(ws) token FROM toks) GROUP BY token)
          |SELECT df.token, df.doc_freq, tf.term_freq FROM df JOIN tf ON df.token = tf.token""".stripMargin,
 
+    // replays TextAnalysis.gopherQualityGates: same tokenization, the mode
+    // bigram tie-broken (count DESC, bigram ASC — UTF-8 binary order in both
+    // engines), every ratio FLOOR(x*1e4) with the engine's exact operand
+    // order (multiply by 10000.0 BEFORE the divide) so the doubles agree
+    // bit-for-bit.
+    "q89_gopher_gates" ->
+      s"""WITH base AS (SELECT doc_id, text, $tokensExpr ws FROM documents),
+         | st AS (SELECT doc_id, text, len(ws) nw,
+         |     coalesce(list_sum(list_transform(ws, w -> len(w))), 0) sl,
+         |     len(ws) - len(list_distinct(ws)) nd,
+         |     CASE WHEN len(ws)<2 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(ws)), i -> ws[i]||' '||ws[i+1]) END bgs
+         |   FROM base),
+         | bc AS (SELECT doc_id, bg, count(*) c FROM (SELECT doc_id, unnest(bgs) bg FROM st) GROUP BY doc_id, bg),
+         | top AS (SELECT doc_id, bg, c FROM (
+         |     SELECT doc_id, bg, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg ASC) rn FROM bc) WHERE rn = 1),
+         | m AS (SELECT st.doc_id, CAST(st.nw AS INTEGER) n_words,
+         |     CAST(CASE WHEN st.nw=0 THEN 0 ELSE FLOOR(CAST(st.sl AS DOUBLE)*10000.0/st.nw) END AS BIGINT) mean_word_len_e4,
+         |     CAST(CASE WHEN length(st.text)=0 THEN 0
+         |       ELSE coalesce(FLOOR((top.c*length(top.bg))*10000.0/length(st.text)), 0) END AS BIGINT) top_bigram_frac_e4,
+         |     CAST(CASE WHEN st.nw=0 THEN 0 ELSE FLOOR(st.nd*10000.0/st.nw) END AS BIGINT) dup_unigram_frac_e4
+         |   FROM st LEFT JOIN top ON st.doc_id = top.doc_id)
+         |SELECT doc_id, n_words, mean_word_len_e4, top_bigram_frac_e4, dup_unigram_frac_e4,
+         | (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+         | (mean_word_len_e4 >= 30000 AND mean_word_len_e4 <= 100000) AS pass_mean_word_len,
+         | (top_bigram_frac_e4 <= 2000 AND dup_unigram_frac_e4 <= 3000) AS pass_repetition,
+         | (n_words >= 50 AND n_words <= 100000 AND mean_word_len_e4 >= 30000 AND mean_word_len_e4 <= 100000
+         |   AND top_bigram_frac_e4 <= 2000 AND dup_unigram_frac_e4 <= 3000) AS pass_gopher
+         |FROM m""".stripMargin,
+
     "q87_mixture_sample" -> {
       // same rate table as Queries.q87, thresholds computed by the same
       // math.round((i%4+1)*0.2 * denom) so literal boundaries match exactly

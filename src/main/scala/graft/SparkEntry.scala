@@ -88,6 +88,7 @@ object SparkEntry {
     "q86_semantic_dedup" -> (Queries.q86 _),
     "q87_mixture_sample" -> (Queries.q87 _),
     "q88_dup_groups" -> (Queries.q88 _),
+    "q89_gopher_gates" -> (Queries.q89 _),
     "q73_group_minhash" -> (Queries.q73 _),
     "q74_stream_sessions" -> (Queries.q74 _),
     "q75_crypto_roundtrip" -> (Queries.q75 _),

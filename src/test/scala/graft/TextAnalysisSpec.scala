@@ -106,4 +106,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     val df = Seq("hello, world").toDF("text")
     assert(df.select(TextAnalysis.approxBpeCount($"text")).head().getInt(0) == 3) // hello , world
   }
+
+  test("gopher gates: empty doc zeroes every ratio and fails the word-count gate") {
+    val df = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityGates(df).collect().sortBy(_.getLong(0))
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_words") == 0)
+      assert(r.getAs[Long]("mean_word_len_e4") == 0L)
+      assert(r.getAs[Long]("top_bigram_frac_e4") == 0L)
+      assert(r.getAs[Long]("dup_unigram_frac_e4") == 0L)
+      assert(!r.getAs[Boolean]("pass_word_count"))
+      assert(!r.getAs[Boolean]("pass_gopher"))
+      // zero-length denominators must not poison the repetition gate
+      assert(r.getAs[Boolean]("pass_repetition"))
+    }
+  }
+
+  test("gopher gates: mode-bigram tie breaks lexicographically") {
+    // "x y z": bigrams "x y" and "y z" both count 1 -> tie -> "x y" wins.
+    // frac = 1 * len("x y")=3 * 1e4 / len("x y z")=5 = 6000
+    val df = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQualityGates(df).head()
+    assert(r.getAs[Long]("top_bigram_frac_e4") == 6000L)
+    // single-token doc: no bigram at all -> left-join null -> 0, not null
+    val r1 = TextAnalysis.gopherQualityGates(Seq((1L, "lonely")).toDF("doc_id", "text")).head()
+    assert(r1.getAs[Long]("top_bigram_frac_e4") == 0L)
+  }
+
+  test("gopher gates: a well-formed 60-word doc passes all gates") {
+    // 60 distinct 7-char words: mean len 7 in [3,10]; all bigrams distinct so
+    // top frac = 15e4/479 = 313 <= 2000; dup frac 0 <= 3000; 60 in [50,1e5]
+    val text = (1 to 60).map(i => f"word$i%03d").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQualityGates(df).head()
+    assert(r.getAs[Int]("n_words") == 60)
+    assert(r.getAs[Long]("mean_word_len_e4") == 70000L)
+    assert(r.getAs[Long]("top_bigram_frac_e4") == 313L)
+    assert(r.getAs[Long]("dup_unigram_frac_e4") == 0L)
+    assert(r.getAs[Boolean]("pass_gopher"))
+    // repeat the same word 60 times: dup frac = 59/60 -> fails repetition,
+    // and the mode bigram covers nearly the whole doc
+    val rep = Seq((2L, Seq.fill(60)("abcdefg").mkString(" "))).toDF("doc_id", "text")
+    val r2 = TextAnalysis.gopherQualityGates(rep).head()
+    assert(r2.getAs[Long]("dup_unigram_frac_e4") == 9833L) // floor(59/60*1e4)
+    assert(!r2.getAs[Boolean]("pass_repetition"))
+    assert(!r2.getAs[Boolean]("pass_gopher"))
+  }
 }
