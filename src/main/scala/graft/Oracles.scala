@@ -34,48 +34,80 @@ object Oracles {
        |   FROM votes GROUP BY doc_id),
        | s AS (SELECT d.doc_id, COALESCE(sk.simhash60, 0) sk60 FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id)""".stripMargin
 
-  /** q85: replay [[graft.operators.Similarity.trainIvfCentroids]] in SQL —
+  /** Replay [[graft.operators.Similarity.trainIvfCentroids]] in SQL —
     * `iters` generated k-means iteration CTEs (assignment by the same
     * ordered-fold argmin, per-(cell,dim) sums over `floor(x*2^20 + 0.5)`
-    * bigints, means via the same two IEEE divisions), then q72's
-    * probe-and-rank tail against the trained centroids. Training is
-    * deterministic in BOTH engines because every non-associative step is
-    * either exactly representable (power-of-two scaling) or an explicitly
-    * ordered fold.
+    * bigints, means via the same two IEEE divisions), then `tail` against
+    * the trained centroids' FINAL all-vector assignment (CTEs `sF`/`aF`).
+    * Training is deterministic in BOTH engines because every
+    * non-associative step is either exactly representable (power-of-two
+    * scaling) or an explicitly ordered fold. `samplePred` restricts the
+    * TRAINING set (CTE `tv`) — the sampled 100 TB path; the final
+    * assignment always covers every vector.
     */
-  private def q85Sql(iters: Int): String = {
+  private def ivfTrainedSql(iters: Int, samplePred: Option[String], tail: String): String = {
     val b = new StringBuilder
     b ++= "WITH ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) x, unnest(range(64)) i FROM embeddings),\n"
+    b ++= s" tv AS (SELECT * FROM ev${samplePred.map(p => s" WHERE $p").getOrElse("")}),\n"
     b ++= " c0 AS (SELECT vec_id cid, i, x y FROM ev WHERE vec_id < 8),\n"
-    for (t <- 0 to iters) {
-      // scores of every vector against iteration-t centroids (same ordered
-      // folds as Spark's DotProduct + driver-side c2 fold)
-      b ++= s" s$t AS (SELECT ev.vec_id, c.cid, sum(ev.x*c.y ORDER BY i) d, sum(c.y*c.y ORDER BY i) c2\n"
-      b ++= s"   FROM ev JOIN c$t c USING (i) GROUP BY ev.vec_id, c.cid),\n"
+    for (t <- 0 until iters) {
+      // scores of the TRAINING vectors against iteration-t centroids (same
+      // ordered folds as Spark's DotProduct + driver-side c2 fold)
+      b ++= s" s$t AS (SELECT tv.vec_id, c.cid, sum(tv.x*c.y ORDER BY i) d, sum(c.y*c.y ORDER BY i) c2\n"
+      b ++= s"   FROM tv JOIN c$t c USING (i) GROUP BY tv.vec_id, c.cid),\n"
       b ++= s" a$t AS (SELECT vec_id, cid FROM (\n"
       b ++= s"   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY -2.0*d + c2, cid) rn FROM s$t) WHERE rn = 1),\n"
-      if (t < iters) {
-        b ++= s" n$t AS (SELECT a.cid, ev.i, CAST(sum(CAST(FLOOR(ev.x*1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)/count(*)/1048576.0 y\n"
-        b ++= s"   FROM a$t a JOIN ev ON a.vec_id = ev.vec_id GROUP BY a.cid, ev.i),\n"
-        b ++= s" c${t + 1} AS (SELECT p.cid, p.i, COALESCE(n.y, p.y) y FROM c$t p LEFT JOIN n$t n ON p.cid = n.cid AND p.i = n.i),\n"
-      }
+      b ++= s" n$t AS (SELECT a.cid, tv.i, CAST(sum(CAST(FLOOR(tv.x*1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)/count(*)/1048576.0 y\n"
+      b ++= s"   FROM a$t a JOIN tv ON a.vec_id = tv.vec_id GROUP BY a.cid, tv.i),\n"
+      b ++= s" c${t + 1} AS (SELECT p.cid, p.i, COALESCE(n.y, p.y) y FROM c$t p LEFT JOIN n$t n ON p.cid = n.cid AND p.i = n.i),\n"
     }
-    b ++= s""" qprobe AS (SELECT cid FROM (
-             |   SELECT cid, row_number() OVER (ORDER BY -2.0*d + c2, cid) rn FROM s$iters WHERE vec_id = 0) WHERE rn <= 3),
-             | cand AS (SELECT vec_id FROM a$iters WHERE cid IN (SELECT cid FROM qprobe) AND vec_id <> 0),
-             | q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0),
-             | pairs AS (SELECT e2.vec_id, unnest(e2.embedding) x, unnest(q.qe) y, unnest(range(64)) i
-             |   FROM embeddings e2, q WHERE e2.vec_id IN (SELECT vec_id FROM cand)),
-             | dots AS (SELECT vec_id,
-             |    sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d,
-             |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) nx,
-             |    sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) ny
-             |  FROM pairs GROUP BY vec_id),
-             | cos AS (SELECT vec_id, CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END c FROM dots)
-             |SELECT vec_id, CAST(FLOOR(c*1000000) AS BIGINT) AS cosine_e6
-             |FROM cos ORDER BY c DESC, vec_id ASC LIMIT 20""".stripMargin
+    b ++= s" sF AS (SELECT ev.vec_id, c.cid, sum(ev.x*c.y ORDER BY i) d, sum(c.y*c.y ORDER BY i) c2\n"
+    b ++= s"   FROM ev JOIN c$iters c USING (i) GROUP BY ev.vec_id, c.cid),\n"
+    b ++= " aF AS (SELECT vec_id, cid FROM (\n"
+    b ++= "   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY -2.0*d + c2, cid) rn FROM sF) WHERE rn = 1),\n"
+    b ++= tail
     b.toString
   }
+
+  /** q72's probe-3 / cosine-top-20 tail over the final assignment. */
+  private val ivfRankTail: String =
+    """ qprobe AS (SELECT cid FROM (
+      |   SELECT cid, row_number() OVER (ORDER BY -2.0*d + c2, cid) rn FROM sF WHERE vec_id = 0) WHERE rn <= 3),
+      | cand AS (SELECT vec_id FROM aF WHERE cid IN (SELECT cid FROM qprobe) AND vec_id <> 0),
+      | q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0),
+      | pairs AS (SELECT e2.vec_id, unnest(e2.embedding) x, unnest(q.qe) y, unnest(range(64)) i
+      |   FROM embeddings e2, q WHERE e2.vec_id IN (SELECT vec_id FROM cand)),
+      | dots AS (SELECT vec_id,
+      |    sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d,
+      |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) nx,
+      |    sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) ny
+      |  FROM pairs GROUP BY vec_id),
+      | cos AS (SELECT vec_id, CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END c FROM dots)
+      |SELECT vec_id, CAST(FLOOR(c*1000000) AS BIGINT) AS cosine_e6
+      |FROM cos ORDER BY c DESC, vec_id ASC LIMIT 20""".stripMargin
+
+  /** SemDeDup tail: within-cell pair cosines (ordered folds) + the
+    * lower-id drop rule, over the final assignment.
+    */
+  private val ivfSemDedupTail: String =
+    """ p AS (SELECT a.vec_id ia, b.vec_id ib FROM aF a JOIN aF b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      | pe AS (SELECT ia, ib, unnest(e1.embedding) x, unnest(e2.embedding) y, unnest(range(64)) i
+      |   FROM p JOIN embeddings e1 ON e1.vec_id = p.ia JOIN embeddings e2 ON e2.vec_id = p.ib),
+      | pd AS (SELECT ia, ib, sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d,
+      |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) nx,
+      |    sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) ny
+      |  FROM pe GROUP BY ia, ib),
+      | drops AS (SELECT DISTINCT ib FROM pd
+      |   WHERE (CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END) >= 0.3)
+      |SELECT e.vec_id, a.cid AS cell_id
+      |FROM embeddings e JOIN aF a ON a.vec_id = e.vec_id
+      |WHERE e.vec_id NOT IN (SELECT ib FROM drops)""".stripMargin
+
+  /** The 1-in-4 md5 hash-sample predicate — DuckDB replay of
+    * `Sampling.hashBucket(col("vec_id"), 4) === 0`.
+    */
+  private val vecIdSample4: String =
+    "(CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % 4) = 0"
 
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -829,33 +861,17 @@ object Oracles {
         |SELECT vec_id, CAST(FLOOR(c*1000000) AS BIGINT) AS cosine_e6
         |FROM cos ORDER BY c DESC, vec_id ASC LIMIT 20""".stripMargin,
 
-    "q85_ann_ivf_trained" -> q85Sql(3),
+    "q85_ann_ivf_trained" -> ivfTrainedSql(3, None, ivfRankTail),
 
-    // q86: SemDeDup replay — q72's assignment CTEs, then within-cell pair
-    // cosines with the same ordered folds and the lower-id drop rule
-    "q86_semantic_dedup" ->
-      """WITH c AS (SELECT vec_id cid, embedding ce FROM embeddings WHERE vec_id < 8),
-        | cn AS (SELECT cid, sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) c2
-        |   FROM (SELECT cid, unnest(ce) y, unnest(range(64)) i FROM c) GROUP BY cid),
-        | ev AS (SELECT vec_id, unnest(embedding) x, unnest(range(64)) i FROM embeddings),
-        | cv AS (SELECT cid, unnest(ce) y, unnest(range(64)) i FROM c),
-        | vd AS (SELECT vec_id, cid, sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d
-        |   FROM ev JOIN cv USING (i) GROUP BY vec_id, cid),
-        | scorev AS (SELECT vec_id, vd.cid, -2*d + c2 score FROM vd JOIN cn ON vd.cid = cn.cid),
-        | assign AS (SELECT vec_id, cid FROM (
-        |   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) rn FROM scorev) WHERE rn = 1),
-        | p AS (SELECT a.vec_id ia, b.vec_id ib FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id),
-        | pe AS (SELECT ia, ib, unnest(e1.embedding) x, unnest(e2.embedding) y, unnest(range(64)) i
-        |   FROM p JOIN embeddings e1 ON e1.vec_id = p.ia JOIN embeddings e2 ON e2.vec_id = p.ib),
-        | pd AS (SELECT ia, ib, sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d,
-        |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) nx,
-        |    sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) ny
-        |  FROM pe GROUP BY ia, ib),
-        | drops AS (SELECT DISTINCT ib FROM pd
-        |   WHERE (CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END) >= 0.3)
-        |SELECT e.vec_id, a.cid AS cell_id
-        |FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
-        |WHERE e.vec_id NOT IN (SELECT ib FROM drops)""".stripMargin,
+    // q90: the sampled-training path — identical replay, but the k-means
+    // iterations see only the 1-in-4 md5 hash sample (matching the Spark
+    // side's trainIvfCentroids(sample=...)); assignment/probe/rank cover all
+    "q90_ann_ivf_sampled" -> ivfTrainedSql(3, Some(vecIdSample4), ivfRankTail),
+
+    // q86: SemDeDup replay — sampled 2-iteration training CTEs, final
+    // assignment, then within-cell pair cosines with the same ordered folds
+    // and the lower-id drop rule
+    "q86_semantic_dedup" -> ivfTrainedSql(2, Some(vecIdSample4), ivfSemDedupTail),
 
     "q40_ann_bruteforce" ->
       """WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id=0),

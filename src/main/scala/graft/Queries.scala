@@ -1201,20 +1201,54 @@ object Queries {
   /** q86: SEMANTIC DEDUP (SemDeDup shape): assign every embedding to its
     * coarse quantizer cell, then within each cell drop any vector with a
     * more-similar-than-0.3-cosine neighbor of lower id — quadratic work
-    * bounded by the cell, one deterministic pass. The oracle replays
-    * assignment, within-cell pair cosines (ordered folds), and the drop
-    * rule in SQL.
+    * bounded by the cell, one deterministic pass. The cells come from the
+    * 100 TB recipe end to end: seed centroids refined by 2 deterministic
+    * k-means iterations over a 1-in-4 md5 hash sample
+    * ([[Similarity.trainIvfCentroids]] with `sample`), and
+    * [[Similarity.semanticDedup]]'s cell-size guard active at its default
+    * budget. In production k scales as n/maxCellRows; at test scale 8 cells
+    * already satisfy the budget. The oracle replays training (sampled
+    * iteration CTEs), assignment, within-cell pair cosines (ordered folds),
+    * and the drop rule in SQL.
     */
   def q86(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val centroids = emb
+    val init = emb
       .filter(col("vec_id") < 8)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
       .sortBy(_._1)
       .toSeq
+    val trainSample = Sampling.hashBucket(col("vec_id"), 4) === 0
+    val centroids =
+      Similarity.trainIvfCentroids(emb, "embedding", init, iters = 2, sample = Some(trainSample))
     Similarity.semanticDedup(emb, "vec_id", "embedding", centroids, minCosine = 0.3)
+  }
+
+  /** q90: q85's trained-IVF top-k with the training restricted to a
+    * deterministic 1-in-4 md5 hash sample (`hashBucket(vec_id, 4) === 0`) —
+    * the documented 100 TB lever of [[Similarity.trainIvfCentroids]]: each
+    * k-means iteration scans the sample, not the corpus, and the oracle
+    * replays the SAME sample in its training CTEs, so the sampled path is
+    * hash-checked end to end, not just asserted.
+    */
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val init = emb
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .sortBy(_._1)
+      .toSeq
+    val trainSample = Sampling.hashBucket(col("vec_id"), 4) === 0
+    val centroids =
+      Similarity.trainIvfCentroids(emb, "embedding", init, iters = 3, sample = Some(trainSample))
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    Similarity
+      .ivfTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qvec, 20, centroids, nprobe = 3)
+      .select(col("vec_id"), floor(col("cosine") * 1000000).cast("long").as("cosine_e6"))
   }
 
   /** q73: GROUP-LEVEL UNION MINHASH — one signature per source via the

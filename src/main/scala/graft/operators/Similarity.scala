@@ -227,6 +227,16 @@ object Similarity {
     cur
   }
 
+  /** Cell-size budget for [[semanticDedup]]'s within-cell pair join: the
+    * largest cell drives the quadratic term (~rows²/2 cosine pairs), so the
+    * default refuses any cell past 20k rows (~2·10^8 pairs — one fat but
+    * finite task). The fix is always MORE CENTROIDS, k ≳ n/maxCellRows,
+    * which [[trainIvfCentroids]] on a hash-sample makes cheap; callers that
+    * knowingly run tiny fixtures can raise `maxCellRows` explicitly — the
+    * SemDeDup analogue of [[Dedup.MinChunkBits]].
+    */
+  val MaxCellRows = 20000L
+
   /** SEMANTIC DEDUP (the SemDeDup shape — Abbas et al. 2023, public): coarse
     * k-means cells bound the quadratic term, then within each cell drop
     * every vector that has a more-similar-than-threshold neighbor with a
@@ -239,15 +249,36 @@ object Similarity {
     * hash-sample sizes k so n/k fits the pair budget). The cell join is one
     * shuffle on the cell id; at rest, cell-partitioned storage makes it a
     * per-partition local join.
+    *
+    * EAGER (runs one bounded-output job before returning): the cell
+    * assignment is cached and its size histogram checked against
+    * `maxCellRows`, refusing parameterizations whose largest cell would make
+    * the pair join effectively all-pairs. The cache is also a win on its
+    * own — the assignment feeds both join sides and the final anti-join.
     */
   def semanticDedup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: Seq[(Long, Seq[Double])],
-      minCosine: Double
+      minCosine: Double,
+      maxCellRows: Long = MaxCellRows
   ): DataFrame = {
-    val celled = df.withColumn("__cell", ivfCell(col(vecCol), centroids))
+    val celled = graft.core.Caching.cached(df.withColumn("__cell", ivfCell(col(vecCol), centroids)))
+    // bounded driver fetch: one row — the size of the fattest cell
+    val worst = celled
+      .groupBy(col("__cell"))
+      .count()
+      .agg(coalesce(max("count"), lit(0L)))
+      .head()
+      .getLong(0)
+    require(
+      worst <= maxCellRows,
+      s"largest SemDeDup cell holds $worst rows (budget $maxCellRows) — the within-cell pair join is " +
+        s"quadratic, ~${worst / 1000}k² /2 cosine pairs in that cell alone, effectively all-pairs at scale. " +
+        s"Train more centroids (k >= n/maxCellRows via trainIvfCentroids on a hash sample), " +
+        s"or pass maxCellRows explicitly for small corpora."
+    )
     val a = celled.select(col("__cell"), col(idCol).as("__id_a"), col(vecCol).as("__va"))
     val b = celled.select(col("__cell"), col(idCol).as("__id_b"), col(vecCol).as("__vb"))
     val drops = a

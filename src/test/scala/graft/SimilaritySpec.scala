@@ -171,6 +171,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.semanticDedup(split, "vec_id", "embedding", centroids, minCosine = 0.99).count() >= 1)
   }
 
+  test("semanticDedup: cell-size guard refuses a quadratic parameterization, override allows it") {
+    // one centroid -> everything lands in a single cell of 6 rows
+    val centroids = Seq(0L -> Seq(1.0, 0.0, 0.0, 0.0))
+    val df = (1 to 6).map(i => (i.toLong, Seq(1.0f, i * 0.01f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(df, "vec_id", "embedding", centroids, minCosine = 0.9, maxCellRows = 5L)
+    }
+    assert(e.getMessage.contains("maxCellRows"), s"guard message unhelpful: ${e.getMessage}")
+    // explicit budget >= the fattest cell runs fine (small-fixture override)
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding", centroids, minCosine = 0.9, maxCellRows = 6L)
+    assert(kept.count() >= 1)
+  }
+
   test("lshBucket is deterministic and balanced-ish") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val buckets = emb.select(Similarity.lshBucket($"embedding", 64, 8).as("b"))
