@@ -473,6 +473,27 @@ object Oracles {
         | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, h AS feature_hash
         |FROM (SELECT doc_id, text, CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) h FROM documents)""".stripMargin,
 
+    // q91: the REAL javax.imageio decode/resize path — every column
+    // predicted from the PNG-generating arithmetic (lossless round-trip:
+    // decode returns the generated dims and gray exactly; resize dims are
+    // the same IEEE double expression `w * (16.0/greatest(w,h))` truncated;
+    // every 17th payload is truncated so ok=false, -1 dims, luma 0)
+    "q91_image_decode" ->
+      """WITH s AS (SELECT CAST(p_partkey AS BIGINT) id,
+        |   CAST(p_partkey % 40 + 8 AS INTEGER) w, CAST(p_partkey % 30 + 8 AS INTEGER) h,
+        |   CAST(p_partkey % 256 AS INTEGER) g, (p_partkey % 17 = 0) corrupt
+        | FROM part WHERE p_partkey <= 200)
+        |SELECT id AS media_id,
+        | CASE WHEN corrupt THEN -1 ELSE w END AS width,
+        | CASE WHEN corrupt THEN -1 ELSE h END AS height,
+        | CASE WHEN corrupt THEN 0 ELSE g END AS gray_rt,
+        | NOT corrupt AS ok,
+        | CASE WHEN corrupt THEN -1 WHEN greatest(w, h) <= 16 THEN w
+        |   ELSE greatest(1, CAST(FLOOR(w * (CAST(16 AS DOUBLE)/greatest(w, h))) AS INTEGER)) END AS r_width,
+        | CASE WHEN corrupt THEN -1 WHEN greatest(w, h) <= 16 THEN h
+        |   ELSE greatest(1, CAST(FLOOR(h * (CAST(16 AS DOUBLE)/greatest(w, h))) AS INTEGER)) END AS r_height
+        |FROM s""".stripMargin,
+
     "q50_multi_join" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

@@ -1602,4 +1602,56 @@ object Queries {
         col("featureHash").as("feature_hash")
       )
   }
+
+  /** q91: the REAL image decode + resize path under an oracle — q44 proves
+    * the plumbing with the a/v stub; this proves `javax.imageio` pixel
+    * work. Solid-gray PNGs are generated per part row with dimensions and
+    * gray level derived arithmetically from `p_partkey`
+    * ([[Multimodal.encodeSolidPng]]; every 17th payload truncated to 10
+    * bytes to plant corruption), then [[Multimodal.decodeImages]] recovers
+    * true (width, height) and mean luma — PNG is lossless, a constant image
+    * averages to its own gray, and `floor(luma+0.5)` absorbs the ~1e-12
+    * accumulation noise — and [[Multimodal.resizeImages]](maxDim=16)
+    * re-encodes through the same codec, its output dims replayable as
+    * IEEE double arithmetic (`w * (16.0 / greatest(w,h))`, truncated). The
+    * DuckDB oracle predicts every column from the generating arithmetic —
+    * no image bytes cross the comparison.
+    */
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val specs = t(s, dir, "part")
+      .filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey").cast("long"),
+        (col("p_partkey") % 40 + 8).cast("int"),
+        (col("p_partkey") % 30 + 8).cast("int"),
+        (col("p_partkey") % 256).cast("int")
+      )
+      .as[(Long, Int, Int, Int)]
+    val payloads = specs
+      .mapPartitions { it =>
+        it.map { case (id, w, h, g) =>
+          val png = Multimodal.encodeSolidPng(w, h, g)
+          (id, if (id % 17 == 0) png.take(10) else png) // planted corruption
+        }
+      }
+      .toDF("media_id", "payload")
+    val media = Multimodal.toMediaTable(payloads, "media_id", "payload", "png")
+    val decoded = Multimodal.decodeImages(s, media).toDF()
+    val redecoded = Multimodal
+      .decodeImages(s, Multimodal.resizeImages(s, media, maxDim = 16))
+      .toDF()
+      .select(col("mediaId").as("__rid"), col("width").as("r_width"), col("height").as("r_height"))
+    decoded
+      .join(redecoded, col("mediaId") === col("__rid"))
+      .select(
+        col("mediaId").as("media_id"),
+        col("width"),
+        col("height"),
+        floor(col("meanLuma") + lit(0.5)).cast("int").as("gray_rt"),
+        col("ok"),
+        col("r_width"),
+        col("r_height")
+      )
+  }
 }

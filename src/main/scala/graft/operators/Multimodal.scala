@@ -173,6 +173,26 @@ object Multimodal {
     )
   }
 
+  /** Deterministic solid-gray PNG via the JDK encoder — the synthetic-image
+    * fixture for oracle-checking the REAL decode path: PNG is lossless, so
+    * [[decodeImages]] on this payload must return exactly (w, h) and a mean
+    * luma of exactly `gray` (every pixel identical), all predictable by a
+    * SQL oracle from the generating arithmetic alone.
+    */
+  def encodeSolidPng(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
   /** Frame-sample plumbing: N deterministic sample offsets per media row
     * (a video decoder would seek to these). Pure expression.
     */

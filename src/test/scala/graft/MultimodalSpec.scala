@@ -76,4 +76,21 @@ class MultimodalSpec extends AnyFunSuite {
     // corrupt payload passes through unchanged rather than failing the job
     assert(resized.count() == 4)
   }
+
+  test("encodeSolidPng: lossless round-trip — decode recovers exact dims and gray level") {
+    val rows = Seq(
+      (1L, Multimodal.encodeSolidPng(33, 21, 0)), // black, odd dims
+      (2L, Multimodal.encodeSolidPng(8, 8, 255)), // white, minimum fixture size
+      (3L, Multimodal.encodeSolidPng(47, 37, 130)) // mid gray, the q91 max dims
+    ).toDF("media_id", "payload")
+    val media = Multimodal.toMediaTable(rows, "media_id", "payload", "png")
+    val out = Multimodal.decodeImages(spark, media).collect().map(f => f.mediaId -> f).toMap
+    assert(out(1L).ok && out(1L).width == 33 && out(1L).height == 21)
+    assert(out(2L).ok && out(2L).width == 8 && out(2L).height == 8)
+    assert(out(3L).ok && out(3L).width == 47 && out(3L).height == 37)
+    // constant image: mean luma rounds to the exact gray level
+    assert(math.floor(out(1L).meanLuma + 0.5).toInt == 0)
+    assert(math.floor(out(2L).meanLuma + 0.5).toInt == 255)
+    assert(math.floor(out(3L).meanLuma + 0.5).toInt == 130)
+  }
 }
