@@ -11,9 +11,9 @@ import java.nio.file.{Files, Paths}
   * Failure-honest: a query that throws is recorded with `null` time plus an
   * entry in `errors` (never folded into the headline total as a fake-fast
   * time). Round-over-round guard: per-query times are compared against the
-  * newest parseable BENCH_r*.json (fallback: the round-1 numbers, inlined
-  * below from BENCH_r01.json's tail) and >2x slowdowns are listed in
-  * `regressions`.
+  * newest parseable BENCH_r*.json (fallback: the round-2 numbers, inlined
+  * below) and >2x slowdowns are listed in `regressions_x`, keyed by query
+  * name with the slowdown RATIO (now/baseline) as the value.
   *
   * Methodology note, stated here and in the JSON (`cache_policy`): the
   * warm-up pass runs every headline query once at the target SF before

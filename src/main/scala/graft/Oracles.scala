@@ -488,10 +488,10 @@ object Oracles {
         | CASE WHEN corrupt THEN -1 ELSE h END AS height,
         | CASE WHEN corrupt THEN 0 ELSE g END AS gray_rt,
         | NOT corrupt AS ok,
-        | CASE WHEN corrupt THEN -1 WHEN greatest(w, h) <= 16 THEN w
-        |   ELSE greatest(1, CAST(FLOOR(w * (CAST(16 AS DOUBLE)/greatest(w, h))) AS INTEGER)) END AS r_width,
-        | CASE WHEN corrupt THEN -1 WHEN greatest(w, h) <= 16 THEN h
-        |   ELSE greatest(1, CAST(FLOOR(h * (CAST(16 AS DOUBLE)/greatest(w, h))) AS INTEGER)) END AS r_height
+        | CAST(CASE WHEN corrupt THEN -1 WHEN greatest(w, h) <= 16 THEN w
+        |   ELSE greatest(1, CAST(FLOOR(w * (CAST(16 AS DOUBLE)/greatest(w, h))) AS INTEGER)) END AS INTEGER) AS r_width,
+        | CAST(CASE WHEN corrupt THEN -1 WHEN greatest(w, h) <= 16 THEN h
+        |   ELSE greatest(1, CAST(FLOOR(h * (CAST(16 AS DOUBLE)/greatest(w, h))) AS INTEGER)) END AS INTEGER) AS r_height
         |FROM s""".stripMargin,
 
     "q50_multi_join" ->

@@ -13,6 +13,25 @@ import org.apache.spark.storage.StorageLevel
   * and re-registers nothing.
   */
 object Caching {
+
+  /** Cache `df` unless its canonical plan is already cached.
+    *
+    * RETENTION CONTRACT: entries created here live for the session (or
+    * until the caller unpersists). That is deliberate for the dedup/ANN
+    * family, whose cached signature tables are exactly the artifacts a
+    * repeated caller wants warm; callers invoking an operator over many
+    * DISTINCT inputs in one session should use [[cachedOwned]] and
+    * unpersist the frames they own at operator exit.
+    */
   def cached(df: DataFrame): DataFrame =
     if (df.storageLevel == StorageLevel.NONE) df.cache() else df
+
+  /** Like [[cached]], but reports ownership: `owned = true` iff THIS call
+    * created the cache entry (the caller should then unpersist when done);
+    * `false` means someone upstream already cached the same plan and keeps
+    * responsibility for it. Shares the single storageLevel==NONE idempotence
+    * test so call sites can't drift.
+    */
+  def cachedOwned(df: DataFrame): (DataFrame, Boolean) =
+    if (df.storageLevel == StorageLevel.NONE) (df.cache(), true) else (df, false)
 }

@@ -78,10 +78,10 @@ object DqSuite {
     val uniques = expectations.collect { case u: Unique => u }
     val passes = (if (rowScoped.nonEmpty) 1 else 0) + uniques.size
     // own the cache only if the caller hasn't already cached this plan
-    val needCache = passes > 1 && df0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    val df = if (needCache) df0.cache() else df0
+    val (df, owned) =
+      if (passes > 1) graft.core.Caching.cachedOwned(df0) else (df0, false)
     try runOn(df, rowScoped, uniques, batchId, fileIdentifier)
-    finally if (needCache) { df.unpersist(); () }
+    finally if (owned) { df.unpersist(); () }
   }
 
   /** Deterministic GX-style identifiers (reference: opaque GX batch ids /

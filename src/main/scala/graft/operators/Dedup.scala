@@ -315,41 +315,73 @@ object Dedup {
     * operators emit; transitive chains (A~B, B~C, A!~C) only become
     * droppable groups once components are materialized.
     *
-    * Scale shape: each round is one join + one aggregation on the
-    * symmetric edge list; rounds = component diameter (near-dup clusters
-    * are shallow — a handful of rounds), each round's lineage truncated
-    * with an eager localCheckpoint so the plan doesn't grow with rounds.
-    * The alternating large-star/small-star formulation (Kiveris et al.)
-    * halves rounds on adversarial chains; plain min-propagation is chosen
-    * for determinism-by-construction and because banding output has
-    * bounded-diameter components by design.
+    * Scale shape: each round is neighbor-min propagation (one join + one
+    * aggregation on the symmetric edge list) followed by one pointer-jump
+    * (lbl := lbl(lbl), the path-doubling step of hash-to-min / Kiveris et
+    * al.), so rounds grow with log(diameter), not diameter — a 100-node
+    * chain converges in ~8 rounds instead of 99. Each round's lineage is
+    * truncated with an eager checkpoint so the plan doesn't grow with
+    * rounds; pass `checkpointDir` to use RELIABLE checkpoints (survive
+    * executor loss — the right choice for an hours-long run) instead of
+    * the default executor-memory `localCheckpoint`. Convergence is
+    * detected by a LongAccumulator bumped during the checkpoint's own
+    * materializing action, so a round costs exactly ONE job — no separate
+    * driver-blocking count(). (Task retries can only inflate the counter
+    * on rounds that genuinely changed labels; a converged round adds
+    * exactly zero from every attempt, so the zero-test is retry-safe.)
     */
-  def duplicateGroups(pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
+  def duplicateGroups(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 50,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val sym = edges
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    val sym = materialize(
+      edges.union(edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    )
     var labels = sym.select(col("src").as("id")).distinct().withColumn("lbl", col("id"))
-    var changed = 1L
+    val changedAcc = spark.sparkContext.longAccumulator("graft.duplicateGroups.changed")
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    var converged = false
+    while (!converged && it < maxIters) {
       val nbrMin = sym
         .join(labels, sym("dst") === labels("id"))
         .groupBy(col("src"))
         .agg(min(col("lbl")).as("nlbl"))
-      val updated = labels
+      val prop = labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      changed = updated
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old"))
-        .count()
-      labels = updated
+        .select(
+          labels("id"),
+          labels("lbl").as("old"),
+          least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("l1")
+        )
+      // pointer-jump: l2(v) = l1(l1(v)). Every min-label is itself a node id
+      // present in `prop`, so the inner join preserves all rows.
+      val hop = prop.select(col("id").as("jid"), col("l1").as("jlbl"))
+      val jumped = prop
+        .join(hop, prop("l1") === hop("jid"))
+        .select(prop("id"), prop("old"), hop("jlbl").as("lbl"))
+      val before = changedAcc.value
+      val tracked = jumped
+        .as[(Long, Long, Long)]
+        .map { case (id, old, lbl) =>
+          if (lbl != old) changedAcc.add(1L)
+          (id, lbl)
+        }
+        .toDF("id", "lbl")
+      labels = materialize(tracked) // the eager checkpoint IS the round's only job
+      converged = changedAcc.value == before
       it += 1
     }
-    require(changed == 0, s"component labeling did not converge in $maxIters rounds — raise maxIters")
+    require(converged, s"component labeling did not converge in $maxIters rounds — raise maxIters")
     labels.select(col("id").as("doc_id"), col("lbl").as("group_id"))
   }
 

@@ -98,6 +98,29 @@ class DedupSpec extends AnyFunSuite {
     assert(labels == Seq(1L), "path graph must collapse to one component labeled by its min id")
   }
 
+  test("duplicateGroups: 100-node chain converges in log-diameter rounds (pointer jumping)") {
+    // diameter 99 — plain min-propagation would need 99 rounds; the
+    // pointer-jump step must collapse it well inside maxIters = 10
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val g = Dedup.duplicateGroups(chain, "id_a", "id_b", maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(g.length == 100)
+    assert(g.forall(_._2 == 0L), "every chain node must label to the min id 0")
+  }
+
+  test("duplicateGroups: reliable checkpoint dir produces identical components") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val pairs = Seq((5L, 6L), (6L, 7L), (30L, 31L)).toDF("id_a", "id_b")
+      val g = Dedup.duplicateGroups(pairs, "id_a", "id_b", checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(g == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 30L -> 30L, 31L -> 30L))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("hotShingleCap: drops degenerate shingles, keeps true near-dups, no-op when slack") {
     // every doc opens with the same boilerplate (its interior shingles have
     // df=4 — the hot ones); docs 1-2 are true near-dups through a long run
