@@ -1,0 +1,211 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Read a Delta Lake table by replaying its `_delta_log` JSON commits —
+  * the import half of the interop story ([[DeltaExport]] is the export
+  * half; INTEROP.md documents the mapping). No delta-spark jar needed:
+  * the transaction log is newline-delimited JSON and the data files are
+  * plain parquet, so log replay + a schema-pinned parquet scan is the
+  * whole protocol (reference deploys on "Spark + Delta/Iceberg over S3",
+  * BASELINE.md; great_expectations.py:337-338 saveAsTable).
+  *
+  * Supported: add/remove reconciliation, schema from the newest `metaData`
+  * action at-or-before the target version, time travel (`versionAsOf`),
+  * hive-style partitioned tables (partition columns reconstructed from
+  * `partitionValues`), and an append-only change feed ([[readChanges]]).
+  *
+  * Not supported, by explicit error rather than silent wrongness:
+  * checkpoint-compacted logs (version 0 JSON vacuumed away — parsing
+  * `NNN.checkpoint.parquet` is a straightforward extension, out of scope
+  * in the jar-less sandbox) and deletion vectors (minReaderVersion >= 3).
+  *
+  * Scale notes: the log is METADATA-sized — parsing it on the driver is
+  * bounded by commit count × files per commit, the same order as Delta's
+  * own snapshot reconstruction. The data scan is a single schema-pinned
+  * reader over the live files when paths are hive-style-consistent with
+  * their `partitionValues` (one scan node, partition columns recovered by
+  * Spark's own discovery against `basePath`); only inconsistent writers
+  * fall back to one scan per distinct partition tuple.
+  */
+object DeltaImport {
+
+  /** Reconstructed snapshot: live files are (path relative to table root,
+    * partitionValues) in first-added order.
+    */
+  final case class TableState(
+      version: Long,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      liveFiles: Seq[(String, Map[String, String])]
+  )
+
+  private final case class Commit(
+      version: Long,
+      adds: Seq[(String, Map[String, String])],
+      removes: Seq[String],
+      schemaString: Option[String],
+      partitionColumns: Option[Seq[String]],
+      minReaderVersion: Option[Int]
+  )
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def parseLog(spark: SparkSession, root: String, upTo: Option[Long]): Seq[Commit] = {
+    val f = fs(spark, root)
+    val logDir = new Path(s"$root/_delta_log")
+    require(f.exists(logDir), s"$root has no _delta_log — not a Delta table")
+    val versions = f
+      .listStatus(logDir)
+      .toSeq
+      .filter(_.isFile)
+      .map(_.getPath.getName)
+      .collect { case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>
+        n.stripSuffix(".json").toLong
+      }
+      .sorted
+    require(versions.nonEmpty, s"$root/_delta_log contains no commit JSON files")
+    require(
+      versions.head == 0L,
+      s"log starts at version ${versions.head}, not 0 — checkpoint-compacted logs are not supported"
+    )
+    val target = upTo.getOrElse(versions.last)
+    require(
+      versions.contains(target),
+      s"versionAsOf $target not in log (have ${versions.head}..${versions.last})"
+    )
+    val mapper = new ObjectMapper()
+    versions.filter(_ <= target).map { v =>
+      val in = f.open(new Path(logDir, f"$v%020d.json"))
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toVector
+        finally in.close()
+      val nodes = lines.map(mapper.readTree)
+      val meta = nodes.find(_.has("metaData")).map(_.path("metaData"))
+      Commit(
+        version = v,
+        adds = nodes.filter(_.has("add")).map { n =>
+          val a = n.path("add")
+          val pv = a
+            .path("partitionValues")
+            .fields()
+            .asScala
+            .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText()))
+            .toMap
+          a.path("path").asText() -> pv
+        },
+        removes = nodes.filter(_.has("remove")).map(_.path("remove").path("path").asText()),
+        schemaString = meta.map(_.path("schemaString").asText()),
+        partitionColumns = meta.map(_.path("partitionColumns").elements().asScala.map(_.asText()).toSeq),
+        minReaderVersion =
+          nodes.find(_.has("protocol")).map(_.path("protocol").path("minReaderVersion").asInt())
+      )
+    }
+  }
+
+  /** Replay the log to the snapshot at `versionAsOf` (default: newest). */
+  def state(spark: SparkSession, root: String, versionAsOf: Option[Long] = None): TableState = {
+    val commits = parseLog(spark, root, versionAsOf)
+    commits.flatMap(_.minReaderVersion).foreach { v =>
+      require(v <= 2, s"minReaderVersion $v requires deletion-vector support — not implemented")
+    }
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+    commits.foreach { c =>
+      // removes before adds: a path in both within one commit is a rewrite
+      c.removes.foreach(live -= _)
+      c.adds.foreach { case (p, pv) => live(p) = pv }
+    }
+    val schemaString = commits.flatMap(_.schemaString).lastOption.getOrElse(
+      throw new IllegalStateException(s"no metaData action in $root/_delta_log")
+    )
+    TableState(
+      version = commits.last.version,
+      schema = DataType.fromJson(schemaString).asInstanceOf[StructType],
+      partitionColumns = commits.flatMap(_.partitionColumns).lastOption.getOrElse(Nil),
+      liveFiles = live.toSeq
+    )
+  }
+
+  /** The table's rows at `versionAsOf` (default newest), partition columns
+    * reconstructed for partitioned tables.
+    */
+  def read(spark: SparkSession, root: String, versionAsOf: Option[Long] = None): DataFrame = {
+    val st = state(spark, root, versionAsOf)
+    readFiles(spark, root, st, st.liveFiles)
+  }
+
+  /** Append-only change feed: rows ADDED in versions (sinceVersion, upTo],
+    * tagged with `_commit_version`. Removes are ignored by design — without
+    * row-level deletion vectors a removed FILE means a rewrite, and
+    * append-only ingestion (the streaming-tail use case) never removes.
+    */
+  def readChanges(
+      spark: SparkSession,
+      root: String,
+      sinceVersion: Long,
+      upTo: Option[Long] = None
+  ): DataFrame = {
+    val commits = parseLog(spark, root, upTo)
+    val st = state(spark, root, upTo)
+    val batches = commits.filter(_.version > sinceVersion).filter(_.adds.nonEmpty).map { c =>
+      readFiles(spark, root, st, c.adds).withColumn("_commit_version", lit(c.version))
+    }
+    batches.reduceOption(_.unionByName(_)).getOrElse {
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        st.schema.add("_commit_version", "long")
+      )
+      empty
+    }
+  }
+
+  private def readFiles(
+      spark: SparkSession,
+      root: String,
+      st: TableState,
+      files: Seq[(String, Map[String, String])]
+  ): DataFrame = {
+    val dataSchema = StructType(st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
+    val paths = files.map { case (p, _) => s"$root/$p" }
+    if (st.partitionColumns.isEmpty)
+      return spark.read.schema(dataSchema).parquet(paths: _*)
+    // Fast path: compliant writers put files under hive-style partition
+    // dirs matching partitionValues — one scan node, Spark's own partition
+    // discovery against basePath recovers the columns (and prunes on them).
+    val hiveConsistent = files.forall { case (p, pv) =>
+      st.partitionColumns.forall(c => pv.get(c).forall(v => v == null || p.contains(s"$c=$v")))
+    }
+    if (hiveConsistent) {
+      spark.read
+        .option("basePath", root)
+        .schema(st.schema)
+        .parquet(paths: _*)
+        .select(st.schema.fieldNames.map(col).toIndexedSeq: _*)
+    } else {
+      // Fallback: one scan per distinct partition tuple, values from the
+      // authoritative partitionValues map. Group count = touched partition
+      // tuples (metadata-scale).
+      files
+        .groupBy(_._2)
+        .toSeq
+        .sortBy(_._1.toSeq.sorted.mkString(" "))
+        .map { case (pv, fl) =>
+          var df = spark.read.schema(dataSchema).parquet(fl.map { case (p, _) => s"$root/$p" }: _*)
+          st.partitionColumns.foreach { c =>
+            df = df.withColumn(c, lit(pv.getOrElse(c, null)).cast(st.schema(c).dataType))
+          }
+          df.select(st.schema.fieldNames.map(col).toIndexedSeq: _*)
+        }
+        .reduce(_.unionByName(_))
+    }
+  }
+}

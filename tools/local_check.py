@@ -16,11 +16,48 @@ import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# --scale swaps these in: result-identical twins of oracles whose DEFAULT
+# formulation is deliberately naive-independent (all-pairs) and therefore
+# quadratic — fine at the sf0.01 driver gate, infeasible at sf1. The twin
+# below is the inverted-index formulation: for minJaccard > 0 it is
+# result-identical to the naive join (a pair with empty shingle
+# intersection has J = 0 < threshold and appears in neither), verified by
+# running BOTH at sf0.01 before first use. Everything else about the
+# comparison (schema, row, value strictness) is unchanged.
+_TOKENS = r"""CASE WHEN len(trim(text))=0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text),'\s+') END"""
+SCALE_ORACLES = {
+    "q36_jaccard_pairs": f"""
+WITH base AS (SELECT source, doc_id, {_TOKENS} ws FROM documents),
+ sh AS (SELECT source, doc_id,
+   list_distinct(list_transform(
+     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
+     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) sh
+  FROM base),
+ sizes AS (SELECT source, doc_id, len(sh) n FROM sh),
+ post AS (SELECT source, doc_id, unnest(sh) s FROM sh),
+ co AS (SELECT a.source source, a.doc_id id_a, b.doc_id id_b, count(*) inter
+        FROM post a JOIN post b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3),
+ j AS (SELECT co.source, id_a, id_b,
+       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) jac
+       FROM co JOIN sizes sa ON co.source = sa.source AND co.id_a = sa.doc_id
+               JOIN sizes sb ON co.source = sb.source AND co.id_b = sb.doc_id)
+SELECT source, id_a, id_b, CAST(FLOOR(jac*10000) AS BIGINT) AS jaccard_e4
+FROM j WHERE jac >= CAST(0.3 AS DOUBLE)"""
+}
+
 
 def load(sf_dir, out_dir):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata = single parquet file; ScaleGen output = a Spark
+        # parquet DIRECTORY of part files — glob in that case
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     return con, oracles
@@ -43,20 +80,34 @@ def normalize(df):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # usage: local_check.py SF_DIR OUT_DIR [JSON_ARTIFACT] [--scale]
+    # Queries with no parquet dump under OUT_DIR are skipped (Verify's
+    # optional name-filter dumps a subset; oracle_sql.json is always full).
+    args = [a for a in sys.argv[1:] if a != "--scale"]
+    scale = "--scale" in sys.argv
+    sf_dir, out_dir = args[0], args[1]
+    artifact = args[2] if len(args) > 2 else None
     con, oracles = load(sf_dir, out_dir)
+    if scale:
+        oracles = {**oracles, **SCALE_ORACLES}
     n_pass = n_fail = 0
+    results = {}
     for name, sql in sorted(oracles.items()):
+        import os
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             want = con.sql(sql).df()
             g, w = normalize(got), normalize(want)
             if list(g.columns) != list(w.columns):
                 print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+                results[name] = {"pass": False, "why": "schema"}
                 n_fail += 1
                 continue
             if len(g) != len(w):
                 print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+                results[name] = {"pass": False, "why": "rows"}
                 n_fail += 1
                 continue
             if not g.equals(w):
@@ -66,13 +117,19 @@ def main():
                 for c in bad_cols[:2]:
                     idx = neq[c].idxmax()
                     print(f"  {c}[{idx}]: got={g[c][idx]!r} want={w[c][idx]!r}")
+                results[name] = {"pass": False, "why": f"values:{bad_cols}"}
                 n_fail += 1
                 continue
             print(f"PASS {name} ({len(g)} rows)")
+            results[name] = {"pass": True, "rows": int(len(g))}
             n_pass += 1
         except Exception as e:
             print(f"ERROR {name}: {str(e).splitlines()[0][:200]}")
+            results[name] = {"pass": False, "why": f"error:{str(e).splitlines()[0][:120]}"}
             n_fail += 1
+    if artifact:
+        with open(artifact, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1, sort_keys=True)
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
