@@ -94,10 +94,15 @@ object Bench {
       "q86_semantic_dedup", "q87_mixture_sample", "q88_dup_groups"
     )
 
+    // Round-6 additions, timed but reported SEPARATELY (`extras`) and
+    // excluded from `total`: the headline set is held fixed since round 3
+    // so round-over-round totals stay like-for-like.
+    val extras: Seq[String] = Seq("q89_gopher_gates", "q90_ann_ivf_sampled", "q91_image_decode")
+
     // warm-up: every headline query once at the target SF (see scaladoc).
     // Errors here are not swallowed silently — they will recur in the timed
     // loop and be reported there.
-    headline.foreach { name =>
+    (headline ++ extras).foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => }
     }
@@ -142,9 +147,20 @@ object Bench {
     val total = timed.flatMap(_._2).sum
     val nErr = timed.count(_._3.isDefined)
 
+    // extras: min-of-3 like the headline set, but outside `total`
+    val extraTimes = extras.map { name =>
+      val fn = SparkEntry.queries(name)
+      val oks = (1 to runsPerQuery).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      jstr(name) + ":" + (if (oks.nonEmpty) num(oks.min) else "null")
+    }.mkString("{", ",", "}")
+
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},""" +
-        s""""errors":$errors,"n_errors":$nErr,"regressions_x":$regressions,""" +
+        s""""errors":$errors,"n_errors":$nErr,"regressions_x":$regressions,"extras":$extraTimes,""" +
         s""""baseline":${jstr(baselineName)},""" +
         s""""runs_per_query":$runsPerQuery,"aggregation":"min",""" +
         s""""cache_policy":"warm steady-state; min of $runsPerQuery runs per query"}"""

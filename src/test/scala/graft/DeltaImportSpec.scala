@@ -65,6 +65,19 @@ class DeltaImportSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSet
     assert(got == Set((1, "a"), (2, "a"), (3, "b")))
     assert(DeltaImport.read(spark, root).columns.toSeq == Seq("x", "p"))
+
+    // the 100 TB property: a filter on the partition column must prune at
+    // PLAN time (PartitionFilters on the scan), not post-scan — i.e. the
+    // basePath read kept p a real partition column, and only p=a's file is
+    // touched
+    val filtered = DeltaImport.read(spark, root).filter(col("p") === "a")
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    // the p = a predicate must appear under PartitionFilters (plan-time
+    // pruning), NOT under PushedFilters/data filters (post-scan)
+    assert(scan.contains("PartitionFilters: [isnotnull(p#"),
+      s"expected partition-time pruning on p, got:\n$scan")
+    assert(scan.replaceAll("(?s)PushedFilters.*", "").contains(" = a)"),
+      s"expected (p = a) inside PartitionFilters, got:\n$scan")
   }
 
   test("non-hive layout falls back to authoritative partitionValues") {
@@ -84,6 +97,47 @@ class DeltaImportSpec extends AnyFunSuite {
       ).mkString("", "\n", "\n"))
     val got = DeltaImport.read(spark, root).collect().map(r => (r.getInt(0), r.getString(1))).toSet
     assert(got == Set((7, "z")))
+  }
+
+  test("randomized commit sequences round-trip through export+import at every version") {
+    // deterministic pseudo-random op sequences: each op commits a delta to
+    // 1-2 of 3 buckets or deletes a bucket's evens; after export, the
+    // import must match the manifest read, and time travel must replay
+    // every intermediate state exactly
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 0 until 3) {
+      val path = Files.createTempDirectory(s"graft-dimp-prop$trial").toString + "/t"
+      val buckets = Vector("a", "b", "c")
+      var expectedAt = Vector.empty[Set[(String, Int)]] // snapshot after each commit
+      var live = Map.empty[String, Map[Int, Int]]       // bucket -> (key -> value)
+      var nextKey = 0
+      val nOps = 4 + rnd.nextInt(3)
+      for (_ <- 0 until nOps) {
+        if (live.nonEmpty && rnd.nextInt(4) == 0) {
+          val b = live.keys.toSeq.sorted(Ordering.String)(rnd.nextInt(live.size))
+          VersionedTable.deleteWhere(spark, path, "bucket", Seq(b), col("x") % 2 === 0)
+          live += b -> live(b).filter { case (_, v) => v % 2 != 0 }
+        } else {
+          val bs = rnd.shuffle(buckets).take(1 + rnd.nextInt(2))
+          val rows = bs.flatMap { b =>
+            (0 until 1 + rnd.nextInt(3)).map { _ => nextKey += 1; (b, nextKey, rnd.nextInt(100)) }
+          }
+          // a delta commit REPLACES the touched buckets' contents
+          VersionedTable.commitDelta(spark, path, rows.toDF("bucket", "k", "x"), "bucket")
+          live = live -- bs ++ bs.map(b => b -> rows.filter(_._1 == b).map(r => r._2 -> r._3).toMap)
+        }
+        expectedAt :+= live.values.flatten.map { case (k, v) => (k.toString, v) }.toSet
+      }
+      DeltaExport.export(spark, path)
+      def got(df: org.apache.spark.sql.DataFrame): Set[(String, Int)] =
+        df.select(col("k").cast("string"), col("x")).collect()
+          .map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(got(DeltaImport.read(spark, path)) == expectedAt.last, s"trial $trial newest")
+      expectedAt.zipWithIndex.foreach { case (exp, i) =>
+        assert(got(DeltaImport.read(spark, path, versionAsOf = Some(i.toLong))) == exp,
+          s"trial $trial version $i")
+      }
+    }
   }
 
   test("explicit errors: checkpoint-compacted log and deletion vectors") {

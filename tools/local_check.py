@@ -44,13 +44,80 @@ WITH base AS (SELECT source, doc_id, {_TOKENS} ws FROM documents),
        FROM co JOIN sizes sa ON co.source = sa.source AND co.id_a = sa.doc_id
                JOIN sizes sb ON co.source = sb.source AND co.id_b = sb.doc_id)
 SELECT source, id_a, id_b, CAST(FLOOR(jac*10000) AS BIGINT) AS jaccard_e4
-FROM j WHERE jac >= CAST(0.3 AS DOUBLE)"""
+FROM j WHERE jac >= CAST(0.3 AS DOUBLE)""",
+    # Same quadratic story, different axis: the naive q47 oracle unnests 64
+    # dims PER CANDIDATE PAIR (candidate pairs are quadratic within LSH
+    # buckets -> 1.6e9 intermediate rows at sf1). list_dot_product on
+    # DOUBLE[] folds sequentially in index order — verified bit-identical
+    # to sum(x*y ORDER BY i) — so the twin keeps IEEE-exact results with a
+    # per-pair (not per-pair-per-dim) intermediate.
+    "q47_embedding_neardup": None,  # filled below (needs the hyperplane masks from oracle_sql.json)
 }
 
+# q47/q86 twins are REWRITES of the dumped oracle text (the mask literals /
+# k-means training CTEs are generated Scala-side and must stay verbatim):
+# cut at the marker, splice the list-based tail.
+SCALE_REWRITES = {
+    "q47_embedding_neardup": (
+        " cand AS (",
+        """ ed AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) ev FROM embeddings),
+ cand AS (SELECT a.vec_id id_a, b.vec_id id_b
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+ dots AS (SELECT id_a, id_b, list_dot_product(ea.ev, eb.ev) d,
+    list_dot_product(ea.ev, ea.ev) nx, list_dot_product(eb.ev, eb.ev) ny
+   FROM cand JOIN ed ea ON id_a = ea.vec_id JOIN ed eb ON id_b = eb.vec_id),
+ cos AS (SELECT id_a, id_b, CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END c FROM dots)
+SELECT id_a, id_b, CAST(FLOOR(c*1000000) AS BIGINT) AS cosine_e6
+FROM cos WHERE c >= CAST(0.35 AS DOUBLE)""",
+    ),
+    "q86_semantic_dedup": (
+        " p AS (",
+        """ ed AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) ev FROM embeddings),
+ p AS (SELECT a.vec_id ia, b.vec_id ib FROM aF a JOIN aF b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+ pd AS (SELECT ia, ib, list_dot_product(e1.ev, e2.ev) d,
+    list_dot_product(e1.ev, e1.ev) nx, list_dot_product(e2.ev, e2.ev) ny
+   FROM p JOIN ed e1 ON e1.vec_id = p.ia JOIN ed e2 ON e2.vec_id = p.ib),
+ drops AS (SELECT DISTINCT ib FROM pd
+   WHERE (CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END) >= 0.3)
+SELECT e.vec_id, a.cid AS cell_id
+FROM embeddings e JOIN aF a ON a.vec_id = e.vec_id
+WHERE e.vec_id NOT IN (SELECT ib FROM drops)""",
+    ),
+}
+del SCALE_ORACLES["q47_embedding_neardup"]
 
-def load(sf_dir, out_dir):
+
+def apply_scale(oracles):
+    import re
+    out = dict(oracles)
+    out.update(SCALE_ORACLES)
+    for name, (marker, tail) in SCALE_REWRITES.items():
+        base = oracles[name]
+        cut = base.index(marker)  # raises if the generated SQL drifts — good
+        out[name] = base[:cut] + tail
+    # DuckDB 1.0 INLINES every CTE reference; the chained k-means iteration
+    # CTEs (c1 <- c0 twice, c2 <- c1 twice, ...) therefore re-evaluate
+    # exponentially — irrelevant at the sf0.01 gate, an 80GB OOM at sf1.
+    # Forcing MATERIALIZED on each CTE restores the evaluate-once semantics
+    # the SQL was written with. Result-identical by definition.
+    for name in ("q72_ann_ivf", "q85_ann_ivf_trained", "q86_semantic_dedup",
+                 "q90_ann_ivf_sampled", "q65_simhash_neardup", "q88_dup_groups"):
+        if name in out:
+            out[name] = re.sub(r"\b(AS)\s*\(\s*SELECT", r"AS MATERIALIZED (SELECT",
+                               out[name], flags=re.IGNORECASE)
+    return out
+
+
+def connect(sf_dir, scale=False):
     con = duckdb.connect()
     import os
+    if scale:
+        # big-SF runs: bound the allocator and spill to disk instead of
+        # dying; one fresh connection per query (a DuckDB OOM poisons the
+        # connection for every later query)
+        os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+        con.sql("SET memory_limit='80GB'")
+        con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # driver testdata = single parquet file; ScaleGen output = a Spark
         # parquet DIRECTORY of part files — glob in that case
@@ -58,6 +125,11 @@ def load(sf_dir, out_dir):
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def load(sf_dir, out_dir, scale=False):
+    con = connect(sf_dir, scale)
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     return con, oracles
@@ -80,23 +152,40 @@ def normalize(df):
 
 
 def main():
-    # usage: local_check.py SF_DIR OUT_DIR [JSON_ARTIFACT] [--scale]
+    # usage: local_check.py SF_DIR OUT_DIR [JSON_ARTIFACT] [--scale] [--only REGEX]
     # Queries with no parquet dump under OUT_DIR are skipped (Verify's
     # optional name-filter dumps a subset; oracle_sql.json is always full).
-    args = [a for a in sys.argv[1:] if a != "--scale"]
-    scale = "--scale" in sys.argv
+    # With an existing JSON_ARTIFACT and --only, untouched results are kept
+    # (incremental re-runs after a fix).
+    import re
+    argv = sys.argv[1:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = re.compile(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--scale"]
+    scale = "--scale" in argv
     sf_dir, out_dir = args[0], args[1]
     artifact = args[2] if len(args) > 2 else None
-    con, oracles = load(sf_dir, out_dir)
+    con, oracles = load(sf_dir, out_dir, scale)
     if scale:
-        oracles = {**oracles, **SCALE_ORACLES}
+        oracles = apply_scale(oracles)
     n_pass = n_fail = 0
     results = {}
+    import os
+    if artifact and only and os.path.isfile(artifact):
+        with open(artifact) as f:
+            results = json.load(f).get("results", {})
     for name, sql in sorted(oracles.items()):
-        import os
         if not os.path.isdir(f"{out_dir}/{name}"):
             continue
+        if only and not only.search(name):
+            continue
         try:
+            if scale:
+                con.close()
+                con = connect(sf_dir, scale)
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             want = con.sql(sql).df()
             g, w = normalize(got), normalize(want)
