@@ -166,6 +166,55 @@ object DeltaImport {
     }
   }
 
+  /** Checkpointed incremental consumption of a Delta table's commits: every
+    * version AFTER the durable offset at `checkpointLocation` is handed to
+    * `onBatch` (rows added by that commit, one call per version, ascending),
+    * and the offset advances only after the callback returns. Semantics are
+    * therefore at-least-once per commit; pair with an idempotent sink (e.g.
+    * [[graft.streaming.Streaming.scd2WarehouseSink]]'s `stream_batch`
+    * marker, keyed here by the source version) for exactly-once end to end —
+    * the same recipe the engine's own streaming loads use.
+    *
+    * This is the migration shadow-read: a Delta writer keeps committing,
+    * the engine tails it commit-by-commit. Offset persistence is a
+    * write-temp-then-rename of a one-line file via the Hadoop FS (atomic on
+    * HDFS/local; on S3 the rename is copy+delete — still safe here because
+    * re-processing a version is idempotent by contract).
+    *
+    * @return the new offset (newest processed version; -1 if log empty of
+    *         new work and no offset existed)
+    */
+  def tail(
+      spark: SparkSession,
+      root: String,
+      checkpointLocation: String,
+      onBatch: (DataFrame, Long) => Unit
+  ): Long = {
+    val f = fs(spark, checkpointLocation)
+    val offPath = new Path(s"$checkpointLocation/offset")
+    val last: Long =
+      if (f.exists(offPath)) {
+        val in = f.open(offPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      } else -1L
+    val newest = state(spark, root).version
+    var processed = last
+    (last + 1 to newest).foreach { v =>
+      val batch = readChanges(spark, root, sinceVersion = v - 1, upTo = Some(v))
+      onBatch(batch.drop("_commit_version"), v)
+      val tmp = new Path(s"$checkpointLocation/.offset.tmp")
+      val out = f.create(tmp, true)
+      out.write(v.toString.getBytes("UTF-8"))
+      out.close()
+      if (f.exists(offPath)) f.delete(offPath, false)
+      if (!f.rename(tmp, offPath))
+        throw new IllegalStateException(s"failed to persist tail offset $v at $checkpointLocation")
+      processed = v
+    }
+    processed
+  }
+
   private def readFiles(
       spark: SparkSession,
       root: String,

@@ -39,6 +39,33 @@ class DeltaImportSpec extends AnyFunSuite {
     assert(ch == Set(("b", 30, 1L), ("b", 31, 1L)))
   }
 
+  test("tail: checkpointed per-commit consumption, restart-safe, no re-delivery") {
+    val base = Files.createTempDirectory("graft-dtail").toString
+    val path = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    VersionedTable.commitDelta(spark, path, Seq(("a", 1)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("b", 2)).toDF("bucket", "x"), "bucket")
+    DeltaExport.export(spark, path)
+
+    var seen = Vector.empty[(Long, Set[(String, Int)])]
+    def collect(df: org.apache.spark.sql.DataFrame, v: Long): Unit =
+      seen :+= (v, rows(df))
+    assert(DeltaImport.tail(spark, path, ckpt, collect) == 1L)
+    assert(seen == Vector((0L, Set(("a", 1))), (1L, Set(("b", 2)))))
+
+    // no new commits: offset holds, nothing re-delivered
+    seen = Vector.empty
+    assert(DeltaImport.tail(spark, path, ckpt, collect) == 1L)
+    assert(seen.isEmpty)
+
+    // a third commit appears (writer keeps writing, log re-exported):
+    // exactly the new version is delivered
+    VersionedTable.commitDelta(spark, path, Seq(("a", 10), ("c", 3)).toDF("bucket", "x"), "bucket")
+    DeltaExport.export(spark, path)
+    assert(DeltaImport.tail(spark, path, ckpt, collect) == 2L)
+    assert(seen == Vector((2L, Set(("a", 10), ("c", 3)))))
+  }
+
   test("hive-style partitioned table: partition column reconstructed, one discovery scan") {
     val root = Files.createTempDirectory("graft-dimp-part").toString
     def writePart(dir: String, xs: Seq[Int]): String = {
