@@ -1579,6 +1579,14 @@ object Queries {
       .select(col("user_id"), col("purchase_id"), col("ts").as("purchase_ts"), col("last_click_id"))
   }
 
+  /** q92: BOILERPLATE SPAN MINING — 5-token spans shared by >= 3 distinct
+    * documents ([[TextAnalysis.hotSpans]]): one distinct-spans explode + one
+    * hash agg, the C4 repeated-substring screen at corpus level. Oracle
+    * recomputes postings + HAVING in DuckDB.
+    */
+  def q92(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hotSpans(t(s, dir, "documents"), "doc_id", "text", n = 5, minDf = 3)
+
   /** q44: multimodal decode plumbing (mapPartitions batched stub decoder) —
     * deterministic fake features derived from the portable md5-prefix hash
     * of the payload bytes, so the DuckDB oracle reproduces the decode

@@ -168,6 +168,34 @@ object TextAnalysis {
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(text), n)
 
+  /** BOILERPLATE / HOT-SPAN MINING: the n-token spans occurring in at least
+    * `minDf` DISTINCT documents — C4's repeated-substring filter and a
+    * memorization-risk audit in one pass (reference tie-in: the quality
+    * screens GX encodes, great_expectations.py:99; this is the corpus-level
+    * twin of the per-doc `repetitionRatio`).
+    *
+    * Shape: explode each document's DISTINCT spans (internal repetition
+    * must not inflate document frequency), then ONE hash aggregation on the
+    * span — count(*) IS the distinct-doc count by construction, no
+    * count(distinct) shuffle. Linear in total postings, never pairwise; the
+    * same inverted-index discipline as `jaccardPairsWithinBlocks`. At
+    * 100 TB, span strings in the shuffle can be swapped for their 60-bit
+    * hashes (`Md5Prefix60`) with the representative string carried by
+    * min-by; kept as strings here so the output is directly actionable.
+    *
+    * Output: (span, df, first_doc_id).
+    */
+  def hotSpans(df: DataFrame, idCol: String, textCol: String, n: Int, minDf: Int): DataFrame = {
+    require(n > 0 && minDf > 0, "need n > 0 and minDf > 0")
+    df.select(
+        col(idCol).as("__doc_id"),
+        explode(array_distinct(wordShingles(col(textCol), n))).as("span")
+      )
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("df"), min(col("__doc_id")).as("first_doc_id"))
+      .filter(col("df") >= minDf)
+  }
+
   /** Context-window chunking: split each document's token stream into
     * windows of `chunkSize` tokens advancing by `stride` (overlap =
     * chunkSize − stride) — the training-example splitter that turns a

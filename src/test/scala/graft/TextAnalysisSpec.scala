@@ -152,4 +152,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!r2.getAs[Boolean]("pass_repetition"))
     assert(!r2.getAs[Boolean]("pass_gopher"))
   }
+
+  test("hotSpans: df counts DISTINCT docs, internal repetition ignored, short docs span-free") {
+    val boiler = "all rights reserved by the"
+    val docs = Seq(
+      (1L, s"$boiler publisher alpha content one"),
+      (2L, s"$boiler publisher beta content two"),
+      (3L, s"$boiler $boiler doubled internally"), // repeats the span INSIDE one doc
+      (4L, "completely unrelated text with no shared spans here"),
+      (5L, "too short")                            // < n tokens -> no spans at all
+    ).toDF("doc_id", "text")
+    val hot = TextAnalysis.hotSpans(docs, "doc_id", "text", n = 5, minDf = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the boilerplate 5-gram appears in docs 1,2,3 -> df=3 (doc 3 counted ONCE)
+    assert(hot.contains((boiler, 3L, 1L)))
+    // nothing else reaches df=3
+    assert(hot.forall(_._1 == boiler))
+    // minDf=2 additionally surfaces the "rights reserved by the publisher"
+    // continuation shared by docs 1 and 2 only
+    val hot2 = TextAnalysis.hotSpans(docs, "doc_id", "text", n = 5, minDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(hot2("rights reserved by the publisher") == 2L)
+  }
 }
