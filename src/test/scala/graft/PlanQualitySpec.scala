@@ -96,4 +96,26 @@ class PlanQualitySpec extends AnyFunSuite {
     }
     assert(partitioned.nonEmpty, "expected the per-ratio tie-splitting window")
   }
+
+  test("q89: Gopher gates — scalar gates per row, mode-bigram rejoin stays broadcast") {
+    val p = plan("q89_gopher_gates")
+    // the only join is the per-doc mode-bigram result joined back to the
+    // doc row: it must be broadcast, never a corpus-wide sort-merge
+    assert(p.contains("BroadcastHashJoin"), "mode-bigram rejoin should broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus-side sort-merge join crept into q89")
+    // scan pruned to exactly the two columns the gates need
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "q89 scan must read only doc_id+text")
+  }
+
+  test("q92: hot-span mining is postings + ONE shuffle (partial-then-final agg), no count-distinct expansion") {
+    val df = SparkEntry.queries("q92_hot_spans")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("ShuffleExchange|Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle (the span aggregation), got:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial aggregation missing")
+    // count(*) formulation: the distinct-doc df must NOT appear as a
+    // count(distinct) expand (the explode already deduplicated per doc)
+    assert(!p.contains("Expand"), "count-distinct Expand crept into the hot-span plan")
+  }
 }
