@@ -97,7 +97,9 @@ object Bench {
     // Round-6 additions, timed but reported SEPARATELY (`extras`) and
     // excluded from `total`: the headline set is held fixed since round 3
     // so round-over-round totals stay like-for-like.
-    val extras: Seq[String] = Seq("q89_gopher_gates", "q90_ann_ivf_sampled", "q91_image_decode")
+    val extras: Seq[String] =
+      Seq("q89_gopher_gates", "q90_ann_ivf_sampled", "q91_image_decode", "q92_hot_spans",
+        "q93_url_screen")
 
     // warm-up: every headline query once at the target SF (see scaladoc).
     // Errors here are not swallowed silently — they will recur in the timed

@@ -478,6 +478,34 @@ object Oracles {
     // decode returns the generated dims and gray exactly; resize dims are
     // the same IEEE double expression `w * (16.0/greatest(w,h))` truncated;
     // every 17th payload is truncated so ok=false, -1 dims, luma 0)
+    // q93: URL screen — the same synthetic-url CASE, the same regexps
+    // (both engines return '' on no-match, NULL on NULL input), the same
+    // blocklist verdict
+    "q93_url_screen" ->
+      raw"""WITH u AS (SELECT doc_id,
+           |  CASE
+           |    WHEN doc_id % 7 = 0 THEN 'https://www.' || source || '.example.com/page/' || doc_id
+           |    WHEN doc_id % 7 = 1 THEN 'http://' || source || '.co.uk:8080/a?b=1'
+           |    WHEN doc_id % 7 = 2 THEN 'https://cdn.' || source || '.net/x#frag'
+           |    WHEN doc_id % 7 = 3 THEN 'ftp://files.' || source || '.org'
+           |    WHEN doc_id % 7 = 4 THEN 'https://' || source || '.io'
+           |    WHEN doc_id % 7 = 5 THEN 'not a url at all'
+           |    ELSE 'https://blocked.example.com/' || doc_id
+           |  END url FROM documents),
+           | hh AS (SELECT doc_id, url,
+           |   NULLIF(regexp_extract(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), '^([^:]+)', 1), '') host
+           |  FROM u),
+           | dd AS (SELECT doc_id, url, host,
+           |   COALESCE(NULLIF(regexp_extract(host, '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.[a-z][a-z])$$', 1), ''),
+           |            NULLIF(regexp_extract(host, '([^.]+\.[^.]+)$$', 1), '')) AS "domain",
+           |   NULLIF(regexp_extract(host, '\.([^.]+)$$', 1), '') tld,
+           |   regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1) p0
+           |  FROM hh)
+           |SELECT doc_id, host, "domain", tld,
+           |  CASE WHEN host IS NULL THEN NULL WHEN p0 = '' THEN '/' ELSE p0 END AS path,
+           |  ("domain" IS NOT NULL AND "domain" <> 'example.com') AS kept
+           |FROM dd""".stripMargin,
+
     // q92: hot-span mining — postings of DISTINCT 5-token spans per doc,
     // then plain GROUP BY + HAVING; count(*) = distinct-doc df because the
     // explode already deduplicated within each document

@@ -1587,6 +1587,37 @@ object Queries {
   def q92(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.hotSpans(t(s, dir, "documents"), "doc_id", "text", n = 5, minDf = 3)
 
+  /** q93: URL/DOMAIN SCREEN — deterministic synthetic URLs per document
+    * (the corpus has none; same fixture discipline as q91's generated
+    * PNGs), decomposed by [[TextAnalysis.urlParts]] (pure codegen'd regexp
+    * columns, no UDF) and screened against a domain blocklist. `kept`
+    * states the [[TextAnalysis.domainFilter]] verdict row-by-row so the
+    * oracle checks the screen itself, not just the parse. Covers: ports,
+    * cc-second-level domains (co.uk), missing paths, fragments/queries,
+    * unparseable urls (NULL columns, dropped by the screen).
+    */
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    val url =
+      when(col("doc_id") % 7 === 0, concat(lit("https://www."), col("source"), lit(".example.com/page/"), col("doc_id")))
+        .when(col("doc_id") % 7 === 1, concat(lit("http://"), col("source"), lit(".co.uk:8080/a?b=1")))
+        .when(col("doc_id") % 7 === 2, concat(lit("https://cdn."), col("source"), lit(".net/x#frag")))
+        .when(col("doc_id") % 7 === 3, concat(lit("ftp://files."), col("source"), lit(".org")))
+        .when(col("doc_id") % 7 === 4, concat(lit("https://"), col("source"), lit(".io")))
+        .when(col("doc_id") % 7 === 5, lit("not a url at all"))
+        .otherwise(concat(lit("https://blocked.example.com/"), col("doc_id")))
+    val p = TextAnalysis.urlParts(col("__url"))
+    t(s, dir, "documents")
+      .withColumn("__url", url)
+      .select(
+        col("doc_id"),
+        p.getField("host").as("host"),
+        p.getField("domain").as("domain"),
+        p.getField("tld").as("tld"),
+        p.getField("path").as("path"),
+        (p.getField("domain").isNotNull && !p.getField("domain").isin("example.com")).as("kept")
+      )
+  }
+
   /** q44: multimodal decode plumbing (mapPartitions batched stub decoder) —
     * deterministic fake features derived from the portable md5-prefix hash
     * of the payload bytes, so the DuckDB oracle reproduces the decode

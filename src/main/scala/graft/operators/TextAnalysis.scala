@@ -168,6 +168,43 @@ object TextAnalysis {
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(text), n)
 
+  /** URL decomposition for domain-level corpus screens (pretraining
+    * blocklists, per-domain mixing weights, dedup-by-page): pure codegen'd
+    * regexp columns, no UDF. `domain` is the REGISTRABLE domain
+    * approximated as the last two host labels (last three when the
+    * second-level label is a country-code second-level like `co.uk` —
+    * the common-suffix subset that needs no public-suffix list).
+    * Unparseable urls yield NULL columns (filter on `host IS NULL` to
+    * quarantine).
+    */
+  def urlParts(url: Column): Column = {
+    val host = lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    val hostNoPort = regexp_extract(host, "^([^:]+)", 1)
+    val h = when(hostNoPort === "", lit(null).cast("string")).otherwise(hostNoPort)
+    val ccSld = "(?:co|com|org|net|ac|gov|edu)"
+    val ccMatch = regexp_extract(h, s"([^.]+\\.$ccSld\\.[a-z][a-z])$$", 1)
+    val twoLabel = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    val domain = coalesce(
+      when(ccMatch === "", lit(null).cast("string")).otherwise(ccMatch),
+      when(twoLabel === "", lit(null).cast("string")).otherwise(twoLabel)
+    )
+    val tld = when(regexp_extract(h, "\\.([^.]+)$", 1) === "", null)
+      .otherwise(regexp_extract(h, "\\.([^.]+)$", 1))
+    val rawPath = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1)
+    val path = when(h.isNull, lit(null).cast("string"))
+      .otherwise(when(rawPath === "", "/").otherwise(rawPath))
+    struct(h.as("host"), domain.as("domain"), tld.as("tld"), path.as("path"))
+  }
+
+  /** Domain blocklist screen: keep rows whose registrable domain is NOT on
+    * the (broadcast) blocklist. NULL domains (unparseable urls) are DROPPED
+    * — an unattributable page fails a provenance screen by default.
+    */
+  def domainFilter(df: DataFrame, urlCol: String, blocked: Seq[String]): DataFrame = {
+    val d = urlParts(col(urlCol)).getField("domain")
+    df.filter(d.isNotNull && !d.isin(blocked: _*))
+  }
+
   /** BOILERPLATE / HOT-SPAN MINING: the n-token spans occurring in at least
     * `minDf` DISTINCT documents — C4's repeated-substring filter and a
     * memorization-risk audit in one pass (reference tie-in: the quality

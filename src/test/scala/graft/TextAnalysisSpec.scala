@@ -153,6 +153,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!r2.getAs[Boolean]("pass_gopher"))
   }
 
+  test("urlParts: host/domain/tld/path decomposition incl. ports, co.uk, bare hosts, garbage") {
+    val df = Seq(
+      "https://www.sub.example.com/a/b?q=1#f",
+      "http://bbc.co.uk:8080/news",
+      "https://host.io",
+      "nonsense"
+    ).toDF("url").select(TextAnalysis.urlParts($"url").as("p")).select("p.*")
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got(0) == (("www.sub.example.com", "example.com", "com", "/a/b")))
+    assert(got(1) == (("bbc.co.uk", "bbc.co.uk", "uk", "/news"))) // port stripped, cc-SLD kept
+    assert(got(2) == (("host.io", "host.io", "io", "/")))          // missing path -> "/"
+    assert(got(3) == ((null, null, null, null)))                   // unparseable -> NULLs
+  }
+
+  test("domainFilter: blocklist drops by registrable domain; unparseable urls quarantined") {
+    val df = Seq(
+      (1L, "https://keep.net/x"),
+      (2L, "https://www.spam.com/y"),  // blocked via registrable domain
+      (3L, "https://cdn.spam.com/z"),  // any subdomain of a blocked domain
+      (4L, "garbage")
+    ).toDF("id", "url")
+    val kept = TextAnalysis.domainFilter(df, "url", Seq("spam.com")).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("hotSpans: df counts DISTINCT docs, internal repetition ignored, short docs span-free") {
     val boiler = "all rights reserved by the"
     val docs = Seq(
