@@ -19,12 +19,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Supported: add/remove reconciliation, schema from the newest `metaData`
   * action at-or-before the target version, time travel (`versionAsOf`),
   * hive-style partitioned tables (partition columns reconstructed from
-  * `partitionValues`), and an append-only change feed ([[readChanges]]).
+  * `partitionValues`), an append-only change feed ([[readChanges]]), and
+  * checkpoint-compacted logs (old JSON vacuumed away: pre-history is
+  * recovered from the newest single-part `NNN.checkpoint.parquet` — a
+  * checkpoint is reconciled state, so it enters replay as a pseudo-commit
+  * of adds; time travel BELOW the checkpoint errors as vacuumed).
   *
   * Not supported, by explicit error rather than silent wrongness:
-  * checkpoint-compacted logs (version 0 JSON vacuumed away — parsing
-  * `NNN.checkpoint.parquet` is a straightforward extension, out of scope
-  * in the jar-less sandbox) and deletion vectors (minReaderVersion >= 3).
+  * multi-part checkpoints and deletion vectors (minReaderVersion >= 3).
   *
   * Scale notes: the log is METADATA-sized — parsing it on the driver is
   * bounded by commit count × files per commit, the same order as Delta's
@@ -62,52 +64,112 @@ object DeltaImport {
     val f = fs(spark, root)
     val logDir = new Path(s"$root/_delta_log")
     require(f.exists(logDir), s"$root has no _delta_log — not a Delta table")
-    val versions = f
-      .listStatus(logDir)
-      .toSeq
-      .filter(_.isFile)
-      .map(_.getPath.getName)
+    val names = f.listStatus(logDir).toSeq.filter(_.isFile).map(_.getPath.getName)
+    val versions = names
       .collect { case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>
         n.stripSuffix(".json").toLong
       }
       .sorted
     require(versions.nonEmpty, s"$root/_delta_log contains no commit JSON files")
-    require(
-      versions.head == 0L,
-      s"log starts at version ${versions.head}, not 0 — checkpoint-compacted logs are not supported"
-    )
+    // A long-lived table checkpoints and vacuums old JSON: recover the
+    // pre-history from the newest single-part checkpoint parquet at or
+    // below the first surviving JSON, then replay JSON from there.
+    val ckpt: Option[Long] =
+      if (versions.head == 0L) None
+      else {
+        val cands = names.collect {
+          case n if n.endsWith(".checkpoint.parquet") &&
+            n.stripSuffix(".checkpoint.parquet").forall(_.isDigit) =>
+            n.stripSuffix(".checkpoint.parquet").toLong
+        }.sorted
+        val usable = cands.filter(c => c + 1 >= versions.head)
+        require(
+          usable.nonEmpty,
+          s"log starts at version ${versions.head}, not 0, and no usable " +
+            s"single-part checkpoint parquet covers the gap (have: ${cands.mkString(",")})"
+        )
+        Some(usable.max)
+      }
     val target = upTo.getOrElse(versions.last)
     require(
-      versions.contains(target),
+      ckpt.forall(_ <= target),
+      s"versionAsOf $target predates the checkpoint at ${ckpt.getOrElse(-1L)} — that history was vacuumed"
+    )
+    require(
+      versions.contains(target) || ckpt.contains(target),
       s"versionAsOf $target not in log (have ${versions.head}..${versions.last})"
     )
     val mapper = new ObjectMapper()
-    versions.filter(_ <= target).map { v =>
-      val in = f.open(new Path(logDir, f"$v%020d.json"))
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toVector
-        finally in.close()
-      val nodes = lines.map(mapper.readTree)
-      val meta = nodes.find(_.has("metaData")).map(_.path("metaData"))
+    val ckptCommit: Option[Commit] = ckpt.map { cv =>
+      // checkpoint parquet rows = one action each, same fields as the JSON
+      // actions; state-sized, but parsed through a distributed scan with
+      // only the action columns collected (bounded by live-file count)
+      val cp = spark.read.parquet(s"$root/_delta_log/" + f"$cv%020d.checkpoint.parquet")
+      val cols = cp.columns.toSet
+      val adds =
+        if (!cols.contains("add")) Nil
+        else
+          cp.filter(col("add").isNotNull)
+            .select(col("add.path"), col("add.partitionValues"))
+            .collect()
+            .toSeq
+            .map { r =>
+              val pv = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty[String, String])
+              r.getString(0) -> pv
+            }
+      val meta =
+        if (!cols.contains("metaData")) None
+        else
+          cp.filter(col("metaData").isNotNull)
+            .select(col("metaData.schemaString"), col("metaData.partitionColumns"))
+            .collect()
+            .headOption
+      val proto =
+        if (!cols.contains("protocol")) None
+        else
+          cp.filter(col("protocol").isNotNull)
+            .select(col("protocol.minReaderVersion"))
+            .collect()
+            .headOption
+            .map(_.getInt(0))
       Commit(
-        version = v,
-        adds = nodes.filter(_.has("add")).map { n =>
-          val a = n.path("add")
-          val pv = a
-            .path("partitionValues")
-            .fields()
-            .asScala
-            .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText()))
-            .toMap
-          a.path("path").asText() -> pv
-        },
-        removes = nodes.filter(_.has("remove")).map(_.path("remove").path("path").asText()),
-        schemaString = meta.map(_.path("schemaString").asText()),
-        partitionColumns = meta.map(_.path("partitionColumns").elements().asScala.map(_.asText()).toSeq),
-        minReaderVersion =
-          nodes.find(_.has("protocol")).map(_.path("protocol").path("minReaderVersion").asInt())
+        version = cv,
+        adds = adds,
+        removes = Nil, // a checkpoint is reconciled state: no live removes
+        schemaString = meta.map(_.getString(0)),
+        partitionColumns = meta.map(_.getSeq[String](1)),
+        minReaderVersion = proto
       )
     }
+    val jsonCommits = versions
+      .filter(v => v <= target && ckpt.forall(_ < v))
+      .map { v =>
+        val in = f.open(new Path(logDir, f"$v%020d.json"))
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toVector
+          finally in.close()
+        val nodes = lines.map(mapper.readTree)
+        val meta = nodes.find(_.has("metaData")).map(_.path("metaData"))
+        Commit(
+          version = v,
+          adds = nodes.filter(_.has("add")).map { n =>
+            val a = n.path("add")
+            val pv = a
+              .path("partitionValues")
+              .fields()
+              .asScala
+              .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText()))
+              .toMap
+            a.path("path").asText() -> pv
+          },
+          removes = nodes.filter(_.has("remove")).map(_.path("remove").path("path").asText()),
+          schemaString = meta.map(_.path("schemaString").asText()),
+          partitionColumns = meta.map(_.path("partitionColumns").elements().asScala.map(_.asText()).toSeq),
+          minReaderVersion =
+            nodes.find(_.has("protocol")).map(_.path("protocol").path("minReaderVersion").asInt())
+        )
+      }
+    ckptCommit.toSeq ++ jsonCommits
   }
 
   /** Replay the log to the snapshot at `versionAsOf` (default: newest). */

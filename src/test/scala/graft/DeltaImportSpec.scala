@@ -167,13 +167,58 @@ class DeltaImportSpec extends AnyFunSuite {
     }
   }
 
-  test("explicit errors: checkpoint-compacted log and deletion vectors") {
+  test("checkpoint-compacted log: state recovered from checkpoint parquet, pre-history errors as vacuumed") {
+    val path = Files.createTempDirectory("graft-dimp-ckpt").toString + "/t"
+    VersionedTable.commitDelta(spark, path, Seq(("a", 1), ("b", 2)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("b", 20)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("c", 3)).toDF("bucket", "x"), "bucket")
+    DeltaExport.export(spark, path)
+    val expectAll = rows(DeltaImport.read(spark, path))
+    val expectV1 = rows(DeltaImport.read(spark, path, versionAsOf = Some(1L)))
+    val st1 = DeltaImport.state(spark, path, versionAsOf = Some(1L))
+
+    // simulate Delta checkpointing at version 1 + vacuum of JSONs 0..1:
+    // one row per action, the same struct fields the JSON actions carry
+    val adds = st1.liveFiles.map { case (p, pv) =>
+      (Some((p, pv, 1L, 0L, true)), None: Option[(String, String)], None: Option[(Int, Int)])
+    }
+    val metaRow = (None: Option[(String, Map[String, String], Long, Long, Boolean)],
+      Some(("t", st1.schema.json, Seq.empty[String])), None: Option[(Int, Int)])
+    val protoRow = (None: Option[(String, Map[String, String], Long, Long, Boolean)],
+      None: Option[(String, String, Seq[String])], Some((1, 2)))
+    val ck = (adds.map { case (a, _, p) => (a, None: Option[(String, String, Seq[String])], p) }
+        :+ metaRow :+ protoRow)
+      .toDF("add", "metaData", "protocol")
+      .select(
+        col("add").cast(
+          "struct<path:string,partitionValues:map<string,string>,size:bigint,modificationTime:bigint,dataChange:boolean>").as("add"),
+        col("metaData").cast(
+          "struct<id:string,schemaString:string,partitionColumns:array<string>>").as("metaData"),
+        col("protocol").cast("struct<minReaderVersion:int,minWriterVersion:int>").as("protocol"))
+    val stage = Files.createTempDirectory("graft-ckpt-stage").toString
+    ck.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(
+      part.toPath,
+      java.nio.file.Paths.get(s"$path/_delta_log/00000000000000000001.checkpoint.parquet"))
+    new java.io.File(s"$path/_delta_log/00000000000000000000.json").delete()
+    new java.io.File(s"$path/_delta_log/00000000000000000001.json").delete()
+
+    assert(rows(DeltaImport.read(spark, path)) == expectAll)
+    // the checkpoint itself is addressable and replays to the same v1 state
+    assert(rows(DeltaImport.read(spark, path, versionAsOf = Some(1L))) == expectV1)
+    // ...but history below it was vacuumed
+    val e = intercept[IllegalArgumentException](DeltaImport.read(spark, path, versionAsOf = Some(0L)))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("explicit errors: compacted log without a usable checkpoint, deletion vectors") {
     val root = Files.createTempDirectory("graft-dimp-err").toString
     new java.io.File(s"$root/_delta_log").mkdirs()
     Files.writeString(
       java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000005.json"),
       """{"commitInfo":{}}""" + "\n")
     val e = intercept[IllegalArgumentException](DeltaImport.read(spark, root))
-    assert(e.getMessage.contains("checkpoint-compacted"))
+    assert(e.getMessage.contains("checkpoint"))
   }
 }
