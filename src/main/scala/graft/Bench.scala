@@ -62,8 +62,13 @@ object Bench {
         val root = mapper.readTree(f)
         val qs = root.path("parsed").path("queries")
         if (qs.isObject && qs.size() > 0) {
-          val m = scala.jdk.CollectionConverters.IteratorHasAsScala(qs.fields()).asScala
-            .filter(_.getValue.isNumber).map(e => e.getKey -> e.getValue.asDouble()).toMap
+          // fold the prior round's `extras` in too, so extras get the same
+          // >2x regression guard once they have a recorded floor
+          val both = Seq(qs, root.path("parsed").path("extras")).filter(_.isObject)
+          val m = both.flatMap { node =>
+            scala.jdk.CollectionConverters.IteratorHasAsScala(node.fields()).asScala
+              .filter(_.getValue.isNumber).map(e => e.getKey -> e.getValue.asDouble())
+          }.toMap
           Some(f.getName -> m)
         } else None
       } catch { case _: Throwable => None }
@@ -130,6 +135,17 @@ object Bench {
       else (name, None, results.collectFirst { case Left(m) => m })
     }
 
+    // extras: min-of-3 like the headline set, but outside `total`
+    val extraTimed: Seq[(String, Option[Double])] = extras.map { name =>
+      val fn = SparkEntry.queries(name)
+      val oks = (1 to runsPerQuery).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      (name, if (oks.nonEmpty) Some(oks.min) else None)
+    }
+
     val (baselineName, baseline) = loadBaseline()
     def jstr(s: String): String = graft.core.Json.str(s)
     // The driver recovers this line from a BOUNDED TAIL of the build log
@@ -142,23 +158,16 @@ object Bench {
       .mkString("{", ",", "}")
     val errors = timed.collect { case (k, None, Some(m)) => jstr(k) + ":" + jstr(m.take(80)) }
       .mkString("{", ",", "}")
-    val regressions = timed.collect {
-      case (k, Some(t), _) if baseline.get(k).exists(b => b > 0 && t > 2 * b) =>
+    val regressions = (timed.map(t => (t._1, t._2)) ++ extraTimed).collect {
+      case (k, Some(t)) if baseline.get(k).exists(b => b > 0 && t > 2 * b) =>
         jstr(k) + ":" + num(t / baseline(k))
     }.mkString("{", ",", "}")
     val total = timed.flatMap(_._2).sum
     val nErr = timed.count(_._3.isDefined)
 
-    // extras: min-of-3 like the headline set, but outside `total`
-    val extraTimes = extras.map { name =>
-      val fn = SparkEntry.queries(name)
-      val oks = (1 to runsPerQuery).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
-      }
-      jstr(name) + ":" + (if (oks.nonEmpty) num(oks.min) else "null")
-    }.mkString("{", ",", "}")
+    val extraTimes = extraTimed
+      .map { case (k, t) => jstr(k) + ":" + t.map(num).getOrElse("null") }
+      .mkString("{", ",", "}")
 
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},""" +
