@@ -118,4 +118,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // count(distinct) expand (the explode already deduplicated per doc)
     assert(!p.contains("Expand"), "count-distinct Expand crept into the hot-span plan")
   }
+
+  test("q93: url screen is a pure row-wise projection — no shuffle, scan pruned to doc_id+source") {
+    val p = plan("q93_url_screen")
+    assert(!p.contains("Exchange"), "regexp decomposition must not shuffle")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"q93 scan must read only doc_id+source, got:\n$p")
+  }
 }
