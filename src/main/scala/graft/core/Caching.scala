@@ -34,4 +34,12 @@ object Caching {
     */
   def cachedOwned(df: DataFrame): (DataFrame, Boolean) =
     if (df.storageLevel == StorageLevel.NONE) (df.cache(), true) else (df, false)
+
+  /** Unpersist a frame IF this caller owns it (the `owned` flag from
+    * [[cachedOwned]]). Non-blocking: eviction proceeds in the background
+    * while the caller returns. A no-op when `owned` is false — someone
+    * upstream cached the same canonical plan first and keeps the entry.
+    */
+  def releaseOwned(df: DataFrame, owned: Boolean): Unit =
+    if (owned) { df.unpersist(blocking = false); () }
 }

@@ -191,8 +191,14 @@ object Similarity {
     * Empty cells keep their previous centroid. The per-iteration driver
     * fetch is k·dim (sum, count) rows — bounded, not data-sized. At 100 TB
     * train on a deterministic hash-sample (pass `sample`, e.g.
-    * `pmod(xxhash64(col("id")), lit(1000)) === 0`): each iteration is then
-    * one scan of the sample with a map-side-combined hash aggregation.
+    * `pmod(xxhash64(col("id")), lit(1000)) === 0`): the sample is projected
+    * to the vector column, materialized ONCE (memory-and-disk persist,
+    * released before returning), and every iteration is then one scan of
+    * the cached sample with a map-side-combined hash aggregation — the
+    * source parquet is read, and the hash filter evaluated, exactly once
+    * however many iterations run. The full-corpus path deliberately does
+    * NOT cache: the corpus is data-sized, and re-scanning parquet beats
+    * spilling a corpus-sized cache.
     */
   def trainIvfCentroids(
       df: DataFrame,
@@ -202,29 +208,33 @@ object Similarity {
       sample: Option[Column] = None
   ): Seq[(Long, Seq[Double])] = {
     val scale = 1048576.0 // 2^20 — exact scaling in IEEE 754
-    val base = sample.map(df.filter).getOrElse(df)
-    var cur = init
-    for (_ <- 0 until iters) {
-      val stats = base
-        .select(ivfCell(col(vecCol), cur).as("cell"), posexplode(col(vecCol)).as(Seq("i", "x")))
-        .groupBy(col("cell"), col("i"))
-        .agg(
-          sum(floor(col("x").cast("double") * lit(scale) + lit(0.5))).as("sumq"),
-          count(lit(1)).as("cnt")
-        )
-        .collect()
-        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
-        .toMap
-      cur = cur.map { case (cid, c) =>
-        cid -> c.indices.map { i =>
-          stats.get((cid, i)) match {
-            case Some((sumq, cnt)) => (sumq.toDouble / cnt) / scale
-            case None              => c(i) // empty cell: centroid unchanged
+    // sample-sized, not corpus-sized: safe to persist for the loop's scope
+    val cachedSample = sample.map(p => graft.core.Caching.cachedOwned(df.filter(p).select(col(vecCol))))
+    val base = cachedSample.map(_._1).getOrElse(df)
+    try {
+      var cur = init
+      for (_ <- 0 until iters) {
+        val stats = base
+          .select(ivfCell(col(vecCol), cur).as("cell"), posexplode(col(vecCol)).as(Seq("i", "x")))
+          .groupBy(col("cell"), col("i"))
+          .agg(
+            sum(floor(col("x").cast("double") * lit(scale) + lit(0.5))).as("sumq"),
+            count(lit(1)).as("cnt")
+          )
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+        cur = cur.map { case (cid, c) =>
+          cid -> c.indices.map { i =>
+            stats.get((cid, i)) match {
+              case Some((sumq, cnt)) => (sumq.toDouble / cnt) / scale
+              case None              => c(i) // empty cell: centroid unchanged
+            }
           }
         }
       }
-    }
-    cur
+      cur
+    } finally cachedSample.foreach { case (f, owned) => graft.core.Caching.releaseOwned(f, owned) }
   }
 
   /** Cell-size budget for [[semanticDedup]]'s within-cell pair join: the
