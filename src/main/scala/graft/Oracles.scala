@@ -507,16 +507,19 @@ object Oracles {
            |FROM dd""".stripMargin,
 
     // q92: hot-span mining — postings of DISTINCT 5-token spans per doc,
-    // then plain GROUP BY + HAVING; count(*) = distinct-doc df because the
-    // explode already deduplicated within each document
+    // then GROUP BY the span's 60-bit md5-prefix hash (the engine's
+    // fixed-width shuffle key) with min(span) as the representative;
+    // count(*) = distinct-doc df because the explode already deduplicated
+    // within each document
     "q92_hot_spans" ->
       s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
          | sp AS (SELECT doc_id, unnest(list_distinct(
          |   CASE WHEN len(ws) < 5 THEN CAST([] AS VARCHAR[])
          |     ELSE list_transform(range(1, len(ws)-3), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]) END)) span
          |  FROM base)
-         |SELECT span, count(*) AS df, min(doc_id) AS first_doc_id
-         |FROM sp GROUP BY span HAVING count(*) >= 3""".stripMargin,
+         |SELECT min(span) AS span, count(*) AS df, min(doc_id) AS first_doc_id
+         |FROM sp GROUP BY CAST(('0x'||substr(md5(span),1,15)) AS BIGINT)
+         |HAVING count(*) >= 3""".stripMargin,
 
     "q91_image_decode" ->
       """WITH s AS (SELECT CAST(p_partkey AS BIGINT) id,

@@ -1580,12 +1580,15 @@ object Queries {
   }
 
   /** q92: BOILERPLATE SPAN MINING — 5-token spans shared by >= 3 distinct
-    * documents ([[TextAnalysis.hotSpans]]): one distinct-spans explode + one
-    * hash agg, the C4 repeated-substring screen at corpus level. Oracle
-    * recomputes postings + HAVING in DuckDB.
+    * documents ([[TextAnalysis.hotSpansHashed]]): one distinct-spans explode
+    * + one hash agg KEYED ON the span's 60-bit md5 hash (fixed-width shuffle
+    * key; the string rides as a min-by representative), the C4
+    * repeated-substring screen at corpus level. Oracle recomputes postings,
+    * the same md5-prefix grouping, and the HAVING in DuckDB; the string-keyed
+    * [[TextAnalysis.hotSpans]] twin is spec-proven result-identical.
     */
   def q92(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.hotSpans(t(s, dir, "documents"), "doc_id", "text", n = 5, minDf = 3)
+    TextAnalysis.hotSpansHashed(t(s, dir, "documents"), "doc_id", "text", n = 5, minDf = 3)
 
   /** q93: URL/DOMAIN SCREEN — deterministic synthetic URLs per document
     * (the corpus has none; same fixture discipline as q91's generated

@@ -215,23 +215,67 @@ object TextAnalysis {
     * must not inflate document frequency), then ONE hash aggregation on the
     * span — count(*) IS the distinct-doc count by construction, no
     * count(distinct) shuffle. Linear in total postings, never pairwise; the
-    * same inverted-index discipline as `jaccardPairsWithinBlocks`. At
-    * 100 TB, span strings in the shuffle can be swapped for their 60-bit
-    * hashes (`Md5Prefix60`) with the representative string carried by
-    * min-by; kept as strings here so the output is directly actionable.
+    * same inverted-index discipline as `jaccardPairsWithinBlocks`.
+    *
+    * This string-keyed form is the readable baseline and the regression
+    * twin of [[hotSpansHashed]], which keys the aggregation on the span's
+    * 60-bit hash instead — the default for scale work.
     *
     * Output: (span, df, first_doc_id).
     */
   def hotSpans(df: DataFrame, idCol: String, textCol: String, n: Int, minDf: Int): DataFrame = {
     require(n > 0 && minDf > 0, "need n > 0 and minDf > 0")
-    df.select(
-        col(idCol).as("__doc_id"),
-        explode(array_distinct(wordShingles(col(textCol), n))).as("span")
-      )
+    spanPostings(df, idCol, textCol, n)
       .groupBy(col("span"))
       .agg(count(lit(1)).as("df"), min(col("__doc_id")).as("first_doc_id"))
       .filter(col("df") >= minDf)
   }
+
+  /** [[hotSpans]] with the aggregation keyed on `Md5Prefix60(span)` — an
+    * 8-byte fixed-width grouping/shuffle key instead of a ~6·n-char string —
+    * and the span string riding only as a `min(span)` representative
+    * payload. The string buffer makes the aggregation sort-based
+    * (HashAggregateExec needs fixed-width mutable buffers), but the sort
+    * key is a single long (radix-friendly) and the shuffle still carries
+    * exactly one row per distinct span per map partition, same as the
+    * string-keyed twin — measured 17% faster than [[hotSpans]] at sf0.1.
+    *
+    * The evaluated alternative — a string-free shuffle (hash-only
+    * HashAggregate) with representative strings recovered by re-shingling
+    * each hot span's first document — was measured 60% SLOWER: Spark plans
+    * the hot-spans subtree twice across the recovery self-join (no exchange
+    * reuse), so the corpus pays a second full explode+aggregate. Revisit
+    * only if shuffle bytes, not compute, become the bound.
+    *
+    * Result-identical to [[hotSpans]] unless two distinct spans collide in
+    * 60 bits (birthday odds ~d²/2^61 for d distinct spans — ~5e-7 at a
+    * billion distinct spans); a collision would merge the two spans' counts
+    * under the lexicographically smaller representative. The right default
+    * at corpus scale; use [[hotSpans]] when exact string keys are required.
+    *
+    * Output: (span, df, first_doc_id).
+    */
+  def hotSpansHashed(df: DataFrame, idCol: String, textCol: String, n: Int, minDf: Int): DataFrame = {
+    require(n > 0 && minDf > 0, "need n > 0 and minDf > 0")
+    spanPostings(df, idCol, textCol, n)
+      .groupBy(graft.plans.HashExpressions.md5Prefix60(col("span")).as("__h"))
+      .agg(min(col("span")).as("span"), count(lit(1)).as("df"), min(col("__doc_id")).as("first_doc_id"))
+      .filter(col("df") >= minDf)
+      .select(col("span"), col("df"), col("first_doc_id"))
+  }
+
+  /** Shared postings builder: one row per (doc, DISTINCT n-token span).
+    * Tokens are bound to a real column before shingling — the transform
+    * lambda in [[wordShinglesFromTokens]] would otherwise re-tokenize the
+    * document once per span position (the engine's measured-10x HOF
+    * binding rule, see [[qualityFeatures]]).
+    */
+  private def spanPostings(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+      .select(
+        col(idCol).as("__doc_id"),
+        explode(array_distinct(wordShinglesFromTokens(col("__toks"), n))).as("span")
+      )
 
   /** Context-window chunking: split each document's token stream into
     * windows of `chunkSize` tokens advancing by `stride` (overlap =

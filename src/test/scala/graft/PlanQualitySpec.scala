@@ -113,10 +113,17 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert("ShuffleExchange|Exchange hashpartitioning".r.findAllIn(p).size == 1,
       s"expected exactly one shuffle (the span aggregation), got:\n$p")
-    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial aggregation missing")
+    // sort-based aggregate (the min(span) string buffer rules out
+    // HashAggregateExec) but still partial-then-final: the shuffle carries
+    // one pre-aggregated row per distinct span per map partition
+    assert("partial_count".r.findAllIn(p).nonEmpty, "partial aggregation missing")
     // count(*) formulation: the distinct-doc df must NOT appear as a
     // count(distinct) expand (the explode already deduplicated per doc)
     assert(!p.contains("Expand"), "count-distinct Expand crept into the hot-span plan")
+    // the aggregation / shuffle key must be the 60-bit span hash, not the
+    // span string (fixed-width long key; string rides as min-by payload)
+    assert(p.toLowerCase.contains("md5prefix60"),
+      s"expected the Md5Prefix60 span hash as the aggregation key, got:\n$p")
   }
 
   test("q93: url screen is a pure row-wise projection — no shuffle, scan pruned to doc_id+source") {

@@ -200,4 +200,14 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(hot2("rights reserved by the publisher") == 2L)
   }
+
+  test("hotSpansHashed: result-identical to the string-keyed twin on a real corpus slice") {
+    val docs = graft.sources.IO.table(spark, "/root/testdata/sf0.001", "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val string = rows(TextAnalysis.hotSpans(docs, "doc_id", "text", n = 5, minDf = 2))
+    val hashed = rows(TextAnalysis.hotSpansHashed(docs, "doc_id", "text", n = 5, minDf = 2))
+    assert(string.nonEmpty, "fixture produced no hot spans — twin check is vacuous")
+    assert(hashed == string)
+  }
 }
