@@ -99,12 +99,12 @@ object Bench {
       "q86_semantic_dedup", "q87_mixture_sample", "q88_dup_groups"
     )
 
-    // Round-6 additions, timed but reported SEPARATELY (`extras`) and
+    // Round-6/7 additions, timed but reported SEPARATELY (`extras`) and
     // excluded from `total`: the headline set is held fixed since round 3
     // so round-over-round totals stay like-for-like.
     val extras: Seq[String] =
       Seq("q89_gopher_gates", "q90_ann_ivf_sampled", "q91_image_decode", "q92_hot_spans",
-        "q93_url_screen")
+        "q93_url_screen", "q94_audio_decode")
 
     // warm-up: every headline query once at the target SF (see scaladoc).
     // Errors here are not swallowed silently — they will recur in the timed

@@ -537,6 +537,28 @@ object Oracles {
         |   ELSE greatest(1, CAST(FLOOR(h * (CAST(16 AS DOUBLE)/greatest(w, h))) AS INTEGER)) END AS INTEGER) AS r_height
         |FROM s""".stripMargin,
 
+    // q94: real WAV decode — the oracle predicts every column from the
+    // fixture-generating arithmetic (square wave at Nyquist: peak = amp,
+    // RMS = exactly amp, frames = n, integer-truncated duration); the
+    // engine must actually roundtrip the bytes through javax.sound.sampled
+    "q94_audio_decode" ->
+      """WITH s AS (SELECT CAST(p_partkey AS BIGINT) id,
+        |   CAST(8000 + (p_partkey % 3) * 4000 AS INTEGER) rate,
+        |   CAST(400 + (p_partkey % 300) AS BIGINT) n,
+        |   CAST((p_partkey * 37) % 30000 AS INTEGER) amp,
+        |   (p_partkey % 17 = 0) corrupt
+        | FROM part WHERE p_partkey <= 200)
+        |SELECT id AS media_id,
+        | CASE WHEN corrupt THEN -1 ELSE rate END AS sample_rate,
+        | CASE WHEN corrupt THEN -1 ELSE 1 END AS channels,
+        | CASE WHEN corrupt THEN -1 ELSE 16 END AS bits,
+        | CASE WHEN corrupt THEN CAST(-1 AS BIGINT) ELSE n END AS n_frames,
+        | CASE WHEN corrupt THEN CAST(-1 AS BIGINT) ELSE CAST(n * 1000 // rate AS BIGINT) END AS duration_ms,
+        | CASE WHEN corrupt THEN -1 ELSE amp END AS peak,
+        | CASE WHEN corrupt THEN CAST(-1 AS BIGINT) ELSE CAST(amp AS BIGINT) * 100 END AS rms_e2,
+        | NOT corrupt AS ok
+        |FROM s""".stripMargin,
+
     "q50_multi_join" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

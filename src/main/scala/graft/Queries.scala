@@ -1696,4 +1696,53 @@ object Queries {
         col("r_height")
       )
   }
+
+  /** q94: the REAL audio decode path under an oracle — the audio analogue
+    * of q91's javax.imageio move, closing the a/v stub for good. 16-bit
+    * mono PCM WAVs are generated per part row ([[Multimodal.encodePcmWav]];
+    * sample rate, frame count and amplitude derived arithmetically from
+    * `p_partkey`, every 17th payload truncated to 10 bytes to plant
+    * corruption), then [[Multimodal.decodeAudio]] parses the RIFF container
+    * and PCM frames for real via `javax.sound.sampled`. The fixture is a
+    * square wave at Nyquist (samples alternate ±amp), so the DuckDB oracle
+    * predicts every column from the generating arithmetic alone: peak =
+    * amp, RMS = exactly amp (all-integer squares, IEEE-exact), frames = n,
+    * duration = n·1000/rate truncated — no audio bytes cross the
+    * comparison.
+    */
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val specs = t(s, dir, "part")
+      .filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey").cast("long"),
+        (lit(8000) + (col("p_partkey") % 3) * 4000).cast("int"),
+        (lit(400) + col("p_partkey") % 300).cast("int"),
+        ((col("p_partkey") * 37) % 30000).cast("int")
+      )
+      .as[(Long, Int, Int, Int)]
+    val payloads = specs
+      .mapPartitions { it =>
+        it.map { case (id, rate, n, amp) =>
+          val wav = Multimodal.encodePcmWav(rate, n, amp)
+          (id, if (id % 17 == 0) wav.take(10) else wav) // planted corruption
+        }
+      }
+      .toDF("media_id", "payload")
+    val media = Multimodal.toMediaTable(payloads, "media_id", "payload", "wav")
+    Multimodal
+      .decodeAudio(s, media)
+      .toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("sampleRate").as("sample_rate"),
+        col("channels"),
+        col("bits"),
+        col("nFrames").as("n_frames"),
+        col("durationMs").as("duration_ms"),
+        col("peak"),
+        col("rmsE2").as("rms_e2"),
+        col("ok")
+      )
+  }
 }

@@ -93,6 +93,7 @@ object SparkEntry {
     "q91_image_decode" -> (Queries.q91 _),
     "q92_hot_spans" -> (Queries.q92 _),
     "q93_url_screen" -> (Queries.q93 _),
+    "q94_audio_decode" -> (Queries.q94 _),
     "q73_group_minhash" -> (Queries.q73 _),
     "q74_stream_sessions" -> (Queries.q74 _),
     "q75_crypto_roundtrip" -> (Queries.q75 _),

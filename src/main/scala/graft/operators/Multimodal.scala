@@ -14,8 +14,15 @@ import org.apache.spark.sql.functions._
   * instead of failing the job, and the repartition-by-size pattern keeps
   * huge blobs from skewing tasks at 100 TB.
   *
-  * AUDIO/VIDEO decode needs native libraries not in this container, so that
-  * path stays a clearly-marked deterministic STUB ([[decodeFeatures]]) —
+  * AUDIO is decoded for real too: the JDK ships a WAV/PCM codec
+  * (`javax.sound.sampled`, pure Java, headless-safe), so [[decodeAudio]]
+  * parses actual RIFF containers and PCM frames — sample rate, channels,
+  * bit depth, frame count, peak and RMS — with the same corrupt-row
+  * degradation as images (q94 oracles it end to end).
+  *
+  * VIDEO decode needs native codec libraries that have no JDK equivalent
+  * and are not in this container, so that one path stays a clearly-marked
+  * deterministic STUB ([[decodeFeatures]], the format-agnostic fallback) —
   * same schema/batching shape, fake features derived from md5(payload) so
   * the DuckDB oracle can still check the pipeline end to end (q42/q44).
   */
@@ -190,6 +197,101 @@ object Multimodal {
     }
     val buf = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  final case class AudioFeatures(
+      mediaId: Long,
+      format: String,
+      sampleRate: Int,
+      channels: Int,
+      bits: Int,
+      nFrames: Long,
+      durationMs: Long,
+      peak: Int,
+      rmsE2: Long,
+      ok: Boolean
+  )
+
+  /** REAL audio decode + feature extraction for JDK-supported containers
+    * (WAV/AIFF/AU PCM via `javax.sound.sampled` — pure Java, no native
+    * codecs): true header metadata (sample rate, channels, bit depth,
+    * frame count) plus per-sample stats (peak amplitude, RMS scaled to
+    * `floor(rms·100)`). Undecodable payloads — truncated containers,
+    * non-PCM encodings, any bit depth other than 16 — yield `ok=false`
+    * with -1 sentinels; a poisoned blob must never kill a 100 TB sweep.
+    * Same `mapPartitions` batching as [[decodeImages]].
+    */
+  def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    def bad(id: Long, fmt: String) = AudioFeatures(id, fmt, -1, -1, -1, -1L, -1L, -1, -1L, ok = false)
+    media
+      .select(col("media_id"), col("content"), col("meta.format").as("format"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, bytesOrNull, fmt) =>
+          val bytes = Option(bytesOrNull).getOrElse(Array.empty[Byte])
+          try {
+            val ais = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+            try {
+              val af = ais.getFormat
+              val pcm = af.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              if (!pcm || af.getSampleSizeInBits != 16) bad(id, fmt)
+              else {
+                val data = ais.readAllBytes()
+                val nSamples = data.length / 2
+                val nFrames = nSamples / af.getChannels
+                var i = 0
+                var peak = 0
+                var sumSq = 0.0
+                while (i + 1 < data.length) {
+                  val s =
+                    if (af.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort.toInt
+                    else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toInt
+                  val a = math.abs(s)
+                  if (a > peak) peak = a
+                  sumSq += s.toDouble * s
+                  i += 2
+                }
+                val rate = math.round(af.getSampleRate).toInt
+                val rmsE2 =
+                  if (nSamples == 0) 0L
+                  else math.floor(math.sqrt(sumSq / nSamples) * 100.0).toLong
+                AudioFeatures(
+                  id, fmt, rate, af.getChannels, af.getSampleSizeInBits,
+                  nFrames.toLong, nFrames.toLong * 1000L / rate, peak, rmsE2, ok = true
+                )
+              }
+            } finally ais.close()
+          } catch { case scala.util.control.NonFatal(_) => bad(id, fmt) }
+        }
+      }
+  }
+
+  /** Deterministic 16-bit mono PCM WAV via the JDK encoder — the synthetic
+    * fixture for oracle-checking the REAL audio decode path: samples
+    * alternate +amp, -amp (a square wave at Nyquist), so every stat is
+    * integer-predictable — peak = amp, RMS = exactly amp (sum of squares is
+    * n·amp², all exact in IEEE 754 at these magnitudes), frames = n,
+    * duration = n·1000/rate truncated.
+    */
+  def encodePcmWav(sampleRate: Int, nSamples: Int, amp: Int): Array[Byte] = {
+    require(amp >= 0 && amp <= 32767, s"amp $amp outside 16-bit signed range")
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = if (i % 2 == 0) amp else -amp
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val af = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), af, nSamples.toLong
+    )
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
     buf.toByteArray
   }
 

@@ -93,4 +93,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.floor(out(2L).meanLuma + 0.5).toInt == 255)
     assert(math.floor(out(3L).meanLuma + 0.5).toInt == 130)
   }
+
+  test("decodeAudio: real WAV round-trip — header metadata, peak/RMS, corruption flagged not thrown") {
+    val rows = Seq(
+      (1L, Multimodal.encodePcmWav(8000, 400, 1000)),       // even n: clean square wave
+      (2L, Multimodal.encodePcmWav(16000, 401, 30000)),     // odd n, near-full-scale amp
+      (3L, Multimodal.encodePcmWav(12000, 100, 0)),         // silence
+      (4L, Multimodal.encodePcmWav(8000, 50, 7).take(10)),  // truncated container
+      (5L, Array[Byte](1, 2, 3))                            // not audio at all
+    ).toDF("media_id", "payload")
+    val media = Multimodal.toMediaTable(rows, "media_id", "payload", "wav")
+    val out = Multimodal.decodeAudio(spark, media).collect().map(f => f.mediaId -> f).toMap
+    assert(out(1L).ok && out(1L).sampleRate == 8000 && out(1L).channels == 1 && out(1L).bits == 16)
+    assert(out(1L).nFrames == 400 && out(1L).durationMs == 50L)
+    // ±amp square wave: peak = amp, RMS = exactly amp (IEEE-exact squares)
+    assert(out(1L).peak == 1000 && out(1L).rmsE2 == 100000L)
+    assert(out(2L).ok && out(2L).nFrames == 401 && out(2L).peak == 30000 && out(2L).rmsE2 == 3000000L)
+    assert(out(2L).durationMs == 401L * 1000L / 16000L)
+    assert(out(3L).ok && out(3L).peak == 0 && out(3L).rmsE2 == 0L)
+    // corrupt payloads: flagged with -1 sentinels, never thrown
+    assert(!out(4L).ok && out(4L).sampleRate == -1 && out(4L).nFrames == -1L)
+    assert(!out(5L).ok && out(5L).rmsE2 == -1L)
+  }
 }
