@@ -21,12 +21,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * hive-style partitioned tables (partition columns reconstructed from
   * `partitionValues`), an append-only change feed ([[readChanges]]), and
   * checkpoint-compacted logs (old JSON vacuumed away: pre-history is
-  * recovered from the newest single-part `NNN.checkpoint.parquet` — a
-  * checkpoint is reconciled state, so it enters replay as a pseudo-commit
-  * of adds; time travel BELOW the checkpoint errors as vacuumed).
+  * recovered from the newest `NNN.checkpoint.parquet` — single-part or a
+  * complete multi-part `NNN.checkpoint.MMM.NNN.parquet` set, the layout
+  * production writers emit for large tables — a checkpoint is reconciled
+  * state, so it enters replay as a pseudo-commit of adds; time travel
+  * BELOW the checkpoint errors as vacuumed).
   *
-  * Not supported, by explicit error rather than silent wrongness:
-  * multi-part checkpoints and deletion vectors (minReaderVersion >= 3).
+  * Not supported, by explicit error rather than silent wrongness: deletion
+  * vectors (minReaderVersion >= 3) and column mapping
+  * (`delta.columnMapping.mode` = name/id — those tables' parquet files
+  * carry physical `col-<uuid>` names, so a logical-schema-pinned read
+  * would silently return all-NULL columns).
   *
   * Scale notes: the log is METADATA-sized — parsing it on the driver is
   * bounded by commit count × files per commit, the same order as Delta's
@@ -54,8 +59,14 @@ object DeltaImport {
       removes: Seq[String],
       schemaString: Option[String],
       partitionColumns: Option[Seq[String]],
-      minReaderVersion: Option[Int]
+      minReaderVersion: Option[Int],
+      // Some(mode) iff this commit carries a metaData action: the mode is
+      // configuration's delta.columnMapping.mode, defaulted to "none"
+      columnMappingMode: Option[String]
   )
+
+  private val CkptSingleRe = """(\d+)\.checkpoint\.parquet""".r
+  private val CkptPartRe = """(\d+)\.checkpoint\.(\d+)\.(\d+)\.parquet""".r
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -72,21 +83,29 @@ object DeltaImport {
       .sorted
     require(versions.nonEmpty, s"$root/_delta_log contains no commit JSON files")
     // A long-lived table checkpoints and vacuums old JSON: recover the
-    // pre-history from the newest single-part checkpoint parquet at or
-    // below the first surviving JSON, then replay JSON from there.
+    // pre-history from the newest checkpoint parquet (single-part, or a
+    // COMPLETE multi-part set) at or below the first surviving JSON, then
+    // replay JSON from there.
+    val singleCkpts = names.collect { case n @ CkptSingleRe(v) => v.toLong -> Seq(n) }.toMap
+    val multiCkpts: Map[Long, Seq[String]] = names
+      .collect { case n @ CkptPartRe(v, p, np) => (v.toLong, p.toInt, np.toInt, n) }
+      .groupBy(_._1)
+      .flatMap { case (v, parts) =>
+        val np = parts.head._3
+        // usable only when every declared part is present exactly once
+        val complete = parts.forall(_._3 == np) && parts.map(_._2).sorted == (1 to np)
+        if (complete) Some(v -> parts.sortBy(_._2).map(_._4)) else None
+      }
+    val ckptFiles: Map[Long, Seq[String]] = singleCkpts ++ multiCkpts
     val ckpt: Option[Long] =
       if (versions.head == 0L) None
       else {
-        val cands = names.collect {
-          case n if n.endsWith(".checkpoint.parquet") &&
-            n.stripSuffix(".checkpoint.parquet").forall(_.isDigit) =>
-            n.stripSuffix(".checkpoint.parquet").toLong
-        }.sorted
-        val usable = cands.filter(c => c + 1 >= versions.head)
+        val usable = ckptFiles.keys.filter(c => c + 1 >= versions.head)
         require(
           usable.nonEmpty,
           s"log starts at version ${versions.head}, not 0, and no usable " +
-            s"single-part checkpoint parquet covers the gap (have: ${cands.mkString(",")})"
+            s"checkpoint parquet (single-part or complete multi-part set) covers the gap " +
+            s"(have: ${ckptFiles.keys.toSeq.sorted.mkString(",")})"
         )
         Some(usable.max)
       }
@@ -103,9 +122,14 @@ object DeltaImport {
     val ckptCommit: Option[Commit] = ckpt.map { cv =>
       // checkpoint parquet rows = one action each, same fields as the JSON
       // actions; state-sized, but parsed through a distributed scan with
-      // only the action columns collected (bounded by live-file count)
-      val cp = spark.read.parquet(s"$root/_delta_log/" + f"$cv%020d.checkpoint.parquet")
+      // only the action columns collected (bounded by live-file count).
+      // Multi-part sets are one logical checkpoint: actions are disjointly
+      // spread over the parts, so reading them as one scan reconciles fine.
+      val cp = spark.read.parquet(ckptFiles(cv).map(n => s"$root/_delta_log/$n"): _*)
       val cols = cp.columns.toSet
+      def metaField(name: String): Boolean =
+        cols.contains("metaData") && cp.schema("metaData").dataType
+          .asInstanceOf[StructType].fieldNames.contains(name)
       val adds =
         if (!cols.contains("add")) Nil
         else
@@ -119,11 +143,15 @@ object DeltaImport {
             }
       val meta =
         if (!cols.contains("metaData")) None
-        else
+        else {
+          val confCol =
+            if (metaField("configuration")) col("metaData.configuration")
+            else lit(null).cast("map<string,string>")
           cp.filter(col("metaData").isNotNull)
-            .select(col("metaData.schemaString"), col("metaData.partitionColumns"))
+            .select(col("metaData.schemaString"), col("metaData.partitionColumns"), confCol)
             .collect()
             .headOption
+        }
       val proto =
         if (!cols.contains("protocol")) None
         else
@@ -138,7 +166,12 @@ object DeltaImport {
         removes = Nil, // a checkpoint is reconciled state: no live removes
         schemaString = meta.map(_.getString(0)),
         partitionColumns = meta.map(_.getSeq[String](1)),
-        minReaderVersion = proto
+        minReaderVersion = proto,
+        columnMappingMode = meta.map { r =>
+          Option(r.getMap[String, String](2))
+            .flatMap(_.get("delta.columnMapping.mode"))
+            .getOrElse("none")
+        }
       )
     }
     val jsonCommits = versions
@@ -166,7 +199,11 @@ object DeltaImport {
           schemaString = meta.map(_.path("schemaString").asText()),
           partitionColumns = meta.map(_.path("partitionColumns").elements().asScala.map(_.asText()).toSeq),
           minReaderVersion =
-            nodes.find(_.has("protocol")).map(_.path("protocol").path("minReaderVersion").asInt())
+            nodes.find(_.has("protocol")).map(_.path("protocol").path("minReaderVersion").asInt()),
+          columnMappingMode = meta.map { m =>
+            val mode = m.path("configuration").path("delta.columnMapping.mode")
+            if (mode.isMissingNode || mode.isNull) "none" else mode.asText()
+          }
         )
       }
     ckptCommit.toSeq ++ jsonCommits
@@ -177,6 +214,17 @@ object DeltaImport {
     val commits = parseLog(spark, root, versionAsOf)
     commits.flatMap(_.minReaderVersion).foreach { v =>
       require(v <= 2, s"minReaderVersion $v requires deletion-vector support — not implemented")
+    }
+    // minReaderVersion == 2 is Delta's column-mapping reader version: the
+    // data files then carry physical col-<uuid> parquet names, and a read
+    // pinned to the LOGICAL schemaString would silently return all-NULL
+    // columns. The newest metaData's configuration is authoritative.
+    commits.flatMap(_.columnMappingMode).lastOption.foreach { mode =>
+      require(
+        mode == "none",
+        s"delta.columnMapping.mode '$mode' not supported — data files use physical " +
+          "col-<uuid> names, a logical-schema read would return all-NULL columns"
+      )
     }
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
     commits.foreach { c =>
@@ -243,6 +291,17 @@ object DeltaImport {
     * HDFS/local; on S3 the rename is copy+delete — still safe here because
     * re-processing a version is idempotent by contract).
     *
+    * CHECKPOINT-COMPACTED LOGS (Delta writers checkpoint every 10 commits
+    * and vacuum by default): when the next wanted version predates the
+    * surviving history — first call against an already-compacted table, or
+    * the writer checkpointed past a slow consumer's offset — the consumer
+    * re-seeds instead of crashing: the first delivered batch is the
+    * CHECKPOINT SNAPSHOT (the table's cumulative reconciled state, tagged
+    * with the checkpoint version), and per-commit tailing resumes from the
+    * version after it. Rows processed before the offset was overtaken are
+    * re-delivered inside that snapshot — exactly the at-least-once contract
+    * above, absorbed by the same idempotent sink.
+    *
     * @return the new offset (newest processed version; -1 if log empty of
     *         new work and no offset existed)
     */
@@ -260,9 +319,14 @@ object DeltaImport {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
         finally in.close()
       } else -1L
-    val newest = state(spark, root).version
+    val commits = parseLog(spark, root, None)
+    val newest = commits.last.version
+    // earliest replayable version: the checkpoint pseudo-commit (or first
+    // surviving JSON). Below it history is vacuumed — re-seed from the
+    // snapshot instead of crashing (see scaladoc).
+    val floor = commits.head.version
     var processed = last
-    (last + 1 to newest).foreach { v =>
+    (math.max(last + 1, floor) to newest).foreach { v =>
       val batch = readChanges(spark, root, sinceVersion = v - 1, upTo = Some(v))
       onBatch(batch.drop("_commit_version"), v)
       val tmp = new Path(s"$checkpointLocation/.offset.tmp")

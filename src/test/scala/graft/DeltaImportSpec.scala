@@ -167,6 +167,47 @@ class DeltaImportSpec extends AnyFunSuite {
     }
   }
 
+  /** Simulate a Delta writer's checkpoint at `version` + vacuum of the JSON
+    * commits at-or-below it: one parquet row per action (same struct fields
+    * the JSON actions carry), written as a single-part checkpoint or split
+    * into a complete multi-part `NNN.checkpoint.MMM.NNN.parquet` set with
+    * the metaData/protocol actions in part 1.
+    */
+  private def plantCheckpoint(path: String, st: DeltaImport.TableState, version: Long, nParts: Int): Unit = {
+    val addRows = st.liveFiles.map { case (p, pv) =>
+      (Some((p, pv, 1L, 0L, true)), None: Option[(String, String, Seq[String])], None: Option[(Int, Int)])
+    }
+    val metaRow = (None: Option[(String, Map[String, String], Long, Long, Boolean)],
+      Some(("t", st.schema.json, Seq.empty[String])), None: Option[(Int, Int)])
+    val protoRow = (None: Option[(String, Map[String, String], Long, Long, Boolean)],
+      None: Option[(String, String, Seq[String])], Some((1, 2)))
+    def write(rowsPart: Seq[(Option[(String, Map[String, String], Long, Long, Boolean)], Option[(String, String, Seq[String])], Option[(Int, Int)])], name: String): Unit = {
+      val ck = rowsPart
+        .toDF("add", "metaData", "protocol")
+        .select(
+          col("add").cast(
+            "struct<path:string,partitionValues:map<string,string>,size:bigint,modificationTime:bigint,dataChange:boolean>").as("add"),
+          col("metaData").cast(
+            "struct<id:string,schemaString:string,partitionColumns:array<string>>").as("metaData"),
+          col("protocol").cast("struct<minReaderVersion:int,minWriterVersion:int>").as("protocol"))
+      val stage = Files.createTempDirectory("graft-ckpt-stage").toString
+      ck.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$path/_delta_log/$name"))
+    }
+    if (nParts == 1) write(addRows :+ metaRow :+ protoRow, f"$version%020d.checkpoint.parquet")
+    else {
+      val chunks = addRows.grouped(math.max(1, (addRows.size + nParts - 1) / nParts)).toSeq.padTo(nParts, Nil)
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        val withActions = if (i == 0) chunk :+ metaRow :+ protoRow else chunk
+        write(withActions, f"$version%020d.checkpoint.${i + 1}%010d.$nParts%010d.parquet")
+      }
+    }
+    (0L to version).foreach { v =>
+      new java.io.File(s"$path/_delta_log/" + f"$v%020d.json").delete()
+    }
+  }
+
   test("checkpoint-compacted log: state recovered from checkpoint parquet, pre-history errors as vacuumed") {
     val path = Files.createTempDirectory("graft-dimp-ckpt").toString + "/t"
     VersionedTable.commitDelta(spark, path, Seq(("a", 1), ("b", 2)).toDF("bucket", "x"), "bucket")
@@ -175,34 +216,7 @@ class DeltaImportSpec extends AnyFunSuite {
     DeltaExport.export(spark, path)
     val expectAll = rows(DeltaImport.read(spark, path))
     val expectV1 = rows(DeltaImport.read(spark, path, versionAsOf = Some(1L)))
-    val st1 = DeltaImport.state(spark, path, versionAsOf = Some(1L))
-
-    // simulate Delta checkpointing at version 1 + vacuum of JSONs 0..1:
-    // one row per action, the same struct fields the JSON actions carry
-    val adds = st1.liveFiles.map { case (p, pv) =>
-      (Some((p, pv, 1L, 0L, true)), None: Option[(String, String)], None: Option[(Int, Int)])
-    }
-    val metaRow = (None: Option[(String, Map[String, String], Long, Long, Boolean)],
-      Some(("t", st1.schema.json, Seq.empty[String])), None: Option[(Int, Int)])
-    val protoRow = (None: Option[(String, Map[String, String], Long, Long, Boolean)],
-      None: Option[(String, String, Seq[String])], Some((1, 2)))
-    val ck = (adds.map { case (a, _, p) => (a, None: Option[(String, String, Seq[String])], p) }
-        :+ metaRow :+ protoRow)
-      .toDF("add", "metaData", "protocol")
-      .select(
-        col("add").cast(
-          "struct<path:string,partitionValues:map<string,string>,size:bigint,modificationTime:bigint,dataChange:boolean>").as("add"),
-        col("metaData").cast(
-          "struct<id:string,schemaString:string,partitionColumns:array<string>>").as("metaData"),
-        col("protocol").cast("struct<minReaderVersion:int,minWriterVersion:int>").as("protocol"))
-    val stage = Files.createTempDirectory("graft-ckpt-stage").toString
-    ck.coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = new java.io.File(stage).listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-    java.nio.file.Files.move(
-      part.toPath,
-      java.nio.file.Paths.get(s"$path/_delta_log/00000000000000000001.checkpoint.parquet"))
-    new java.io.File(s"$path/_delta_log/00000000000000000000.json").delete()
-    new java.io.File(s"$path/_delta_log/00000000000000000001.json").delete()
+    plantCheckpoint(path, DeltaImport.state(spark, path, versionAsOf = Some(1L)), 1L, nParts = 1)
 
     assert(rows(DeltaImport.read(spark, path)) == expectAll)
     // the checkpoint itself is addressable and replays to the same v1 state
@@ -210,6 +224,81 @@ class DeltaImportSpec extends AnyFunSuite {
     // ...but history below it was vacuumed
     val e = intercept[IllegalArgumentException](DeltaImport.read(spark, path, versionAsOf = Some(0L)))
     assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("multi-part checkpoint set replays like a single-part one; incomplete sets are refused") {
+    val path = Files.createTempDirectory("graft-dimp-ckptmp").toString + "/t"
+    VersionedTable.commitDelta(spark, path, Seq(("a", 1), ("b", 2), ("c", 3)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("b", 20)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("d", 4)).toDF("bucket", "x"), "bucket")
+    DeltaExport.export(spark, path)
+    val expectAll = rows(DeltaImport.read(spark, path))
+    val expectV1 = rows(DeltaImport.read(spark, path, versionAsOf = Some(1L)))
+    plantCheckpoint(path, DeltaImport.state(spark, path, versionAsOf = Some(1L)), 1L, nParts = 2)
+
+    assert(rows(DeltaImport.read(spark, path)) == expectAll)
+    assert(rows(DeltaImport.read(spark, path, versionAsOf = Some(1L))) == expectV1)
+
+    // drop part 2 of 2: the set is incomplete and must be refused loudly,
+    // not replayed from half the actions
+    new java.io.File(s"$path/_delta_log/" + f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet").delete()
+    val e = intercept[IllegalArgumentException](DeltaImport.read(spark, path))
+    assert(e.getMessage.contains("checkpoint"))
+  }
+
+  test("tail re-seeds from the checkpoint snapshot when the offset predates surviving history") {
+    val base = Files.createTempDirectory("graft-dtail-ckpt").toString
+    val path = s"$base/t"
+    VersionedTable.commitDelta(spark, path, Seq(("a", 1)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("b", 2)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("c", 3)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("d", 4)).toDF("bucket", "x"), "bucket")
+    DeltaExport.export(spark, path)
+    // writer checkpointed at v2 and vacuumed JSONs 0..2; commit v3 survives
+    plantCheckpoint(path, DeltaImport.state(spark, path, versionAsOf = Some(2L)), 2L, nParts = 1)
+
+    var seen = Vector.empty[(Long, Set[(String, Int)])]
+    def collect(df: org.apache.spark.sql.DataFrame, v: Long): Unit = seen :+= (v, rows(df))
+
+    // consumer whose offset (0) was overtaken by the vacuum: first batch is
+    // the cumulative snapshot at the checkpoint version, then per-commit
+    val slowCkpt = s"$base/slow"
+    new java.io.File(slowCkpt).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$slowCkpt/offset"), "0")
+    assert(DeltaImport.tail(spark, path, slowCkpt, collect) == 3L)
+    assert(seen == Vector(
+      (2L, Set(("a", 1), ("b", 2), ("c", 3))),
+      (3L, Set(("d", 4)))))
+
+    // brand-new consumer against the already-compacted table: same re-seed
+    seen = Vector.empty
+    assert(DeltaImport.tail(spark, path, s"$base/fresh", collect) == 3L)
+    assert(seen.map(_._1) == Vector(2L, 3L))
+
+    // up-to-date consumer: nothing re-delivered
+    seen = Vector.empty
+    assert(DeltaImport.tail(spark, path, slowCkpt, collect) == 3L)
+    assert(seen.isEmpty)
+  }
+
+  test("column-mapped tables are refused (logical-schema read would be silently all-NULL)") {
+    val root = Files.createTempDirectory("graft-dimp-cm").toString
+    Seq(7).toDF("x").coalesce(1).write.mode("overwrite").parquet(s"$root/flat")
+    val f = new java.io.File(s"$root/flat").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val schema = new StructType().add("x", "integer")
+    val meta =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${graft.core.Json.str(schema.json)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"}}}"""
+    new java.io.File(s"$root/_delta_log").mkdirs()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000000.json"),
+      Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""", meta,
+        s"""{"add":{"path":${graft.core.Json.str(s"flat/${f.getName}")},"partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+      ).mkString("", "\n", "\n"))
+    val e = intercept[IllegalArgumentException](DeltaImport.read(spark, root))
+    assert(e.getMessage.contains("columnMapping"))
   }
 
   test("explicit errors: compacted log without a usable checkpoint, deletion vectors") {
