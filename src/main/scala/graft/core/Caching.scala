@@ -11,26 +11,63 @@ import org.apache.spark.storage.StorageLevel
   * finds the existing entry and we reuse it instead of calling `.cache()`
   * again — which logs "CacheManager: Asked to cache already cached data"
   * and re-registers nothing.
+  *
+  * RETENTION CONTRACT: frames entered through [[cached]] live in a bounded
+  * LRU registry ([[maxEntries]] frames); registering a new frame beyond the
+  * bound unpersists the least-recently-used one (non-blocking — Spark
+  * recomputes it if a concurrent job still needs it). So repeated operator
+  * invocations over the SAME input stay warm (the dedup/ANN signature-table
+  * reuse the bench measures), while a long-lived session sweeping DISTINCT
+  * inputs is bounded at `maxEntries` cached frames instead of accumulating
+  * executor memory forever. Callers with a scoped lifetime (train loops,
+  * DQ multi-pass) should prefer [[cachedOwned]] + [[releaseOwned]], which
+  * bypass the registry entirely and free eagerly at operator exit.
   */
 object Caching {
 
-  /** Cache `df` unless its canonical plan is already cached.
-    *
-    * RETENTION CONTRACT: entries created here live for the session (or
-    * until the caller unpersists). That is deliberate for the dedup/ANN
-    * family, whose cached signature tables are exactly the artifacts a
-    * repeated caller wants warm; callers invoking an operator over many
-    * DISTINCT inputs in one session should use [[cachedOwned]] and
-    * unpersist the frames they own at operator exit.
+  /** Upper bound on distinct frames [[cached]] keeps persisted. 64 frames
+    * of operator-internal intermediates (signature tables, cell
+    * assignments) is far beyond any single pipeline's working set; lower it
+    * for memory-tight deployments before first use.
     */
-  def cached(df: DataFrame): DataFrame =
-    if (df.storageLevel == StorageLevel.NONE) df.cache() else df
+  @volatile var maxEntries: Int = 64
 
-  /** Like [[cached]], but reports ownership: `owned = true` iff THIS call
-    * created the cache entry (the caller should then unpersist when done);
-    * `false` means someone upstream already cached the same plan and keeps
-    * responsibility for it. Shares the single storageLevel==NONE idempotence
-    * test so call sites can't drift.
+  // access-ordered: get() refreshes recency. Keyed by the canonicalized
+  // logical plan (structural equality — the same identity CacheManager
+  // uses), so re-invocations over the same input hit the same entry.
+  private val lru =
+    new java.util.LinkedHashMap[AnyRef, DataFrame](16, 0.75f, true)
+
+  private def key(df: DataFrame): AnyRef = df.queryExecution.logical.canonicalized
+
+  /** Cache `df` unless its canonical plan is already cached (by this
+    * registry or anyone else). See the retention contract above.
+    */
+  def cached(df: DataFrame): DataFrame = synchronized {
+    if (df.storageLevel != StorageLevel.NONE) {
+      lru.get(key(df)) // refresh recency if it is ours; no-op otherwise
+      df
+    } else {
+      df.cache()
+      lru.put(key(df), df)
+      while (lru.size > maxEntries) {
+        val it = lru.entrySet().iterator()
+        val eldest = it.next()
+        it.remove()
+        eldest.getValue.unpersist(blocking = false)
+      }
+      df
+    }
+  }
+
+  /** Number of frames currently tracked (and persisted) by the registry. */
+  def registrySize: Int = synchronized(lru.size)
+
+  /** Like [[cached]], but reports ownership and bypasses the LRU registry:
+    * `owned = true` iff THIS call created the cache entry (the caller must
+    * then [[releaseOwned]] when done); `false` means someone upstream
+    * already cached the same plan and keeps responsibility for it. For
+    * operator-scoped lifetimes where eager release beats LRU retention.
     */
   def cachedOwned(df: DataFrame): (DataFrame, Boolean) =
     if (df.storageLevel == StorageLevel.NONE) (df.cache(), true) else (df, false)
