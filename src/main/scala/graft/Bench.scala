@@ -135,15 +135,21 @@ object Bench {
       else (name, None, results.collectFirst { case Left(m) => m })
     }
 
-    // extras: min-of-3 like the headline set, but outside `total`
-    val extraTimed: Seq[(String, Option[Double])] = extras.map { name =>
+    // extras: min-of-3 like the headline set, but outside `total`; a
+    // permanently-failing extra reports its first error message just like
+    // a headline query (never a silent null)
+    val extraTimed: Seq[(String, Option[Double], Option[String])] = extras.map { name =>
       val fn = SparkEntry.queries(name)
-      val oks = (1 to runsPerQuery).flatMap { _ =>
+      val results = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
       }
-      (name, if (oks.nonEmpty) Some(oks.min) else None)
+      val oks = results.collect { case Right(t) => t }
+      if (oks.nonEmpty) (name, Some(oks.min), None)
+      else (name, None, results.collectFirst { case Left(m) => m })
     }
 
     val (baselineName, baseline) = loadBaseline()
@@ -156,17 +162,18 @@ object Bench {
 
     val qs = timed.map { case (k, t, _) => jstr(k) + ":" + t.map(num).getOrElse("null") }
       .mkString("{", ",", "}")
-    val errors = timed.collect { case (k, None, Some(m)) => jstr(k) + ":" + jstr(m.take(80)) }
+    val errors = (timed ++ extraTimed)
+      .collect { case (k, None, Some(m)) => jstr(k) + ":" + jstr(m.take(80)) }
       .mkString("{", ",", "}")
-    val regressions = (timed.map(t => (t._1, t._2)) ++ extraTimed).collect {
-      case (k, Some(t)) if baseline.get(k).exists(b => b > 0 && t > 2 * b) =>
+    val regressions = (timed ++ extraTimed).collect {
+      case (k, Some(t), _) if baseline.get(k).exists(b => b > 0 && t > 2 * b) =>
         jstr(k) + ":" + num(t / baseline(k))
     }.mkString("{", ",", "}")
     val total = timed.flatMap(_._2).sum
-    val nErr = timed.count(_._3.isDefined)
+    val nErr = timed.count(_._3.isDefined) + extraTimed.count(_._3.isDefined)
 
     val extraTimes = extraTimed
-      .map { case (k, t) => jstr(k) + ":" + t.map(num).getOrElse("null") }
+      .map { case (k, t, _) => jstr(k) + ":" + t.map(num).getOrElse("null") }
       .mkString("{", ",", "}")
 
     val line =

@@ -484,16 +484,17 @@ object Oracles {
     "q93_url_screen" ->
       raw"""WITH u AS (SELECT doc_id,
            |  CASE
-           |    WHEN doc_id % 7 = 0 THEN 'https://www.' || source || '.example.com/page/' || doc_id
-           |    WHEN doc_id % 7 = 1 THEN 'http://' || source || '.co.uk:8080/a?b=1'
-           |    WHEN doc_id % 7 = 2 THEN 'https://cdn.' || source || '.net/x#frag'
-           |    WHEN doc_id % 7 = 3 THEN 'ftp://files.' || source || '.org'
-           |    WHEN doc_id % 7 = 4 THEN 'https://' || source || '.io'
-           |    WHEN doc_id % 7 = 5 THEN 'not a url at all'
+           |    WHEN doc_id % 8 = 0 THEN 'https://www.' || source || '.example.com/page/' || doc_id
+           |    WHEN doc_id % 8 = 1 THEN 'http://' || source || '.co.uk:8080/a?b=1'
+           |    WHEN doc_id % 8 = 2 THEN 'https://cdn.' || source || '.net/x#frag'
+           |    WHEN doc_id % 8 = 3 THEN 'ftp://files.' || source || '.org'
+           |    WHEN doc_id % 8 = 4 THEN 'https://' || source || '.io'
+           |    WHEN doc_id % 8 = 5 THEN 'not a url at all'
+           |    WHEN doc_id % 8 = 6 THEN 'https://u:pw@blocked.' || source || '.example.com:443/private'
            |    ELSE 'https://blocked.example.com/' || doc_id
            |  END url FROM documents),
            | hh AS (SELECT doc_id, url,
-           |   NULLIF(regexp_extract(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), '^([^:]+)', 1), '') host
+           |   NULLIF(regexp_extract(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1)), '^([^:]+)', 1), '') host
            |  FROM u),
            | dd AS (SELECT doc_id, url, host,
            |   COALESCE(NULLIF(regexp_extract(host, '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.[a-z][a-z])$$', 1), ''),

@@ -1601,12 +1601,15 @@ object Queries {
     */
   def q93(s: SparkSession, dir: String): DataFrame = {
     val url =
-      when(col("doc_id") % 7 === 0, concat(lit("https://www."), col("source"), lit(".example.com/page/"), col("doc_id")))
-        .when(col("doc_id") % 7 === 1, concat(lit("http://"), col("source"), lit(".co.uk:8080/a?b=1")))
-        .when(col("doc_id") % 7 === 2, concat(lit("https://cdn."), col("source"), lit(".net/x#frag")))
-        .when(col("doc_id") % 7 === 3, concat(lit("ftp://files."), col("source"), lit(".org")))
-        .when(col("doc_id") % 7 === 4, concat(lit("https://"), col("source"), lit(".io")))
-        .when(col("doc_id") % 7 === 5, lit("not a url at all"))
+      when(col("doc_id") % 8 === 0, concat(lit("https://www."), col("source"), lit(".example.com/page/"), col("doc_id")))
+        .when(col("doc_id") % 8 === 1, concat(lit("http://"), col("source"), lit(".co.uk:8080/a?b=1")))
+        .when(col("doc_id") % 8 === 2, concat(lit("https://cdn."), col("source"), lit(".net/x#frag")))
+        .when(col("doc_id") % 8 === 3, concat(lit("ftp://files."), col("source"), lit(".org")))
+        .when(col("doc_id") % 8 === 4, concat(lit("https://"), col("source"), lit(".io")))
+        .when(col("doc_id") % 8 === 5, lit("not a url at all"))
+        // userinfo + port: the host is what follows the LAST @ — a
+        // credential-bearing url must not smuggle a host past the screen
+        .when(col("doc_id") % 8 === 6, concat(lit("https://u:pw@blocked."), col("source"), lit(".example.com:443/private")))
         .otherwise(concat(lit("https://blocked.example.com/"), col("doc_id")))
     val p = TextAnalysis.urlParts(col("__url"))
     t(s, dir, "documents")

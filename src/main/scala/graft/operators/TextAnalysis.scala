@@ -175,10 +175,15 @@ object TextAnalysis {
     * second-level label is a country-code second-level like `co.uk` —
     * the common-suffix subset that needs no public-suffix list).
     * Unparseable urls yield NULL columns (filter on `host IS NULL` to
-    * quarantine).
+    * quarantine). Userinfo (`user:pw@host`) is stripped BEFORE the port so
+    * credential-bearing urls cannot smuggle a host past [[domainFilter]];
+    * the strip uses last-@ semantics like WHATWG parsers. IPv6 literal
+    * hosts (`[::1]`) are NOT supported — the bracketed form mangles under
+    * the first-colon port strip; screen corpora carrying IPv6 urls need a
+    * real URL parser.
     */
   def urlParts(url: Column): Column = {
-    val host = lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    val host = lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1))
     val hostNoPort = regexp_extract(host, "^([^:]+)", 1)
     val h = when(hostNoPort === "", lit(null).cast("string")).otherwise(hostNoPort)
     val ccSld = "(?:co|com|org|net|ac|gov|edu)"

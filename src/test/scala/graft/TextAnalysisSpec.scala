@@ -167,12 +167,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3) == ((null, null, null, null)))                   // unparseable -> NULLs
   }
 
+  test("urlParts: userinfo stripped before the port — credentials cannot masquerade as the host") {
+    val df = Seq(
+      "https://user@real.com/x",          // plain userinfo
+      "https://a.b:pw@real.com:8080/x",   // colon in credentials AND a port
+      "ftp://u:p@w@real.com/y"            // multiple @: last-@ semantics
+    ).toDF("url").select(TextAnalysis.urlParts($"url").as("p")).select("p.*")
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got(0) == (("real.com", "real.com")))
+    assert(got(1) == (("real.com", "real.com"))) // 'a.b' (the password) must NOT win
+    assert(got(2) == (("real.com", "real.com")))
+  }
+
   test("domainFilter: blocklist drops by registrable domain; unparseable urls quarantined") {
     val df = Seq(
       (1L, "https://keep.net/x"),
       (2L, "https://www.spam.com/y"),  // blocked via registrable domain
       (3L, "https://cdn.spam.com/z"),  // any subdomain of a blocked domain
-      (4L, "garbage")
+      (4L, "garbage"),
+      (5L, "https://a.b:pw@spam.com/x") // userinfo must not bypass the screen
     ).toDF("id", "url")
     val kept = TextAnalysis.domainFilter(df, "url", Seq("spam.com")).select("id")
       .collect().map(_.getLong(0)).toSeq

@@ -178,9 +178,17 @@ def main():
         with open(artifact) as f:
             results = json.load(f).get("results", {})
     for name, sql in sorted(oracles.items()):
-        if not os.path.isdir(f"{out_dir}/{name}"):
-            continue
         if only and not only.search(name):
+            continue
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            if only:
+                # targeted re-runs legitimately dump a subset
+                continue
+            # full run: a query whose dump step failed must be a FAILURE,
+            # not silently neither-pass-nor-fail
+            print(f"FAIL {name}: missing dump under {out_dir}")
+            results[name] = {"pass": False, "why": "missing_dump"}
+            n_fail += 1
             continue
         try:
             if scale:
