@@ -1,0 +1,216 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Read an Apache Iceberg table by parsing its metadata tree directly —
+  * the Iceberg flavor of the interop story beside [[DeltaImport]]
+  * (INTEROP.md documents the mapping; reference deploys on "Spark +
+  * Delta/Iceberg over S3", BASELINE.md). No iceberg-spark jar needed:
+  * table metadata is JSON, manifest lists and manifests are Avro — and the
+  * core Avro library ships with Spark itself — so snapshot resolution is
+  * (1) the newest `.metadata.json` under `metadata/`, (2) the chosen snapshot's
+  * manifest-list Avro, (3) each manifest's data-file entries, (4) one
+  * schema-pinned parquet scan over the live files.
+  *
+  * Scale notes: everything parsed on the driver is METADATA-sized —
+  * manifest lists and manifests are bounded by file counts, the same tree
+  * Iceberg's own planner walks; the data scan is a single distributed
+  * parquet read. Identity-partitioned (and hidden-partitioned) Iceberg
+  * data files retain their source columns in the file, so no
+  * partition-column reconstruction is needed — the schema-pinned read is
+  * complete as-is.
+  *
+  * Supported: format v1 and v2 metadata, snapshot time travel
+  * (`snapshotAsOf` by snapshot id), `manifest-list` indirection and v1's
+  * inline `manifests` array, DELETED manifest entries (excluded from the
+  * live set), schema mapping for all Iceberg primitives plus
+  * struct/list/map.
+  *
+  * Not supported, by explicit error rather than silent wrongness: delete
+  * manifests (v2 row-level position/equality deletes — `content=1` in the
+  * manifest list; applying them requires merge-on-read semantics), and
+  * non-parquet data files (ORC/Avro data would need different readers).
+  */
+object IcebergImport {
+
+  final case class TableState(
+      snapshotId: Long,
+      formatVersion: Int,
+      schema: StructType,
+      liveFiles: Seq[String]
+  )
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readBytes(spark: SparkSession, path: String): Array[Byte] = {
+    val f = fs(spark, path)
+    val in = f.open(new Path(path))
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  /** Driver-side Avro parse of a (metadata-sized) manifest / manifest-list
+    * file, using the file's own writer schema — field access by name, so
+    * spec-compliant files of any writer version work.
+    */
+  private def avroRows(spark: SparkSession, path: String): Seq[GenericRecord] = {
+    val reader = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(readBytes(spark, path)),
+      new GenericDatumReader[GenericRecord]()
+    )
+    try reader.iterator().asScala.toVector
+    finally reader.close()
+  }
+
+  /** Newest `.metadata.json` under `metadata/` by embedded version number —
+    * `vN.metadata.json` (HadoopTables layout) or `NNNNN-uuid.metadata.json`
+    * (catalog layout); `version-hint.text` wins when present.
+    */
+  private def newestMetadataPath(spark: SparkSession, root: String): String = {
+    val f = fs(spark, root)
+    val dir = new Path(s"$root/metadata")
+    require(f.exists(dir), s"$root has no metadata/ directory — not an Iceberg table")
+    val hint = new Path(dir, "version-hint.text")
+    if (f.exists(hint)) {
+      val v = new String(readBytes(spark, s"$root/metadata/version-hint.text"), "UTF-8").trim
+      val p = new Path(dir, s"v$v.metadata.json")
+      require(f.exists(p), s"version-hint points at v$v but ${p.getName} is missing")
+      return p.toString
+    }
+    val cands = f.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filter(_.endsWith(".metadata.json"))
+    require(cands.nonEmpty, s"$root/metadata contains no *.metadata.json")
+    def versionOf(name: String): Long = {
+      val stem = name.stripSuffix(".metadata.json")
+      val digits = stem.stripPrefix("v").takeWhile(_.isDigit)
+      if (digits.nonEmpty) digits.toLong else -1L
+    }
+    s"$root/metadata/${cands.maxBy(versionOf)}"
+  }
+
+  /** Map an Iceberg schema (its own JSON type system) to Spark's. */
+  private[graft] def toSparkType(t: JsonNode): DataType =
+    if (t.isTextual) {
+      val s = t.asText()
+      val Dec = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+      val Fixed = """fixed\[\s*(\d+)\s*\]""".r
+      s match {
+        case "boolean"                     => BooleanType
+        case "int"                         => IntegerType
+        case "long"                        => LongType
+        case "float"                       => FloatType
+        case "double"                      => DoubleType
+        case "date"                        => DateType
+        case "time"                        => LongType // micros since midnight; Spark has no TimeType
+        case "timestamp" | "timestamptz"   => TimestampType
+        case "string" | "uuid"             => StringType
+        case "binary"                      => BinaryType
+        case Dec(p, sc)                    => DecimalType(p.toInt, sc.toInt)
+        case Fixed(_)                      => BinaryType
+        case other => throw new IllegalArgumentException(s"unsupported Iceberg primitive type '$other'")
+      }
+    } else t.path("type").asText() match {
+      case "struct" =>
+        StructType(t.path("fields").elements().asScala.toSeq.map { fld =>
+          StructField(fld.path("name").asText(), toSparkType(fld.path("type")), nullable = !fld.path("required").asBoolean(false))
+        })
+      case "list" =>
+        ArrayType(toSparkType(t.path("element")), containsNull = !t.path("element-required").asBoolean(false))
+      case "map" =>
+        MapType(toSparkType(t.path("key")), toSparkType(t.path("value")), valueContainsNull = !t.path("value-required").asBoolean(false))
+      case other => throw new IllegalArgumentException(s"unsupported Iceberg type '$other'")
+    }
+
+  /** Resolve a path from metadata: absolute URIs kept, else joined to root. */
+  private def resolve(root: String, p: String): String =
+    if (p.contains("://") || p.startsWith("/")) p else s"$root/$p"
+
+  /** Resolve the snapshot (default: current) to its live parquet files. */
+  def state(spark: SparkSession, root: String, snapshotAsOf: Option[Long] = None): TableState = {
+    val mapper = new ObjectMapper()
+    val meta = mapper.readTree(readBytes(spark, newestMetadataPath(spark, root)))
+    val formatVersion = meta.path("format-version").asInt(1)
+    require(formatVersion <= 2, s"format-version $formatVersion not supported (v1/v2 only)")
+
+    // schema: v2 keeps a `schemas` list keyed by current-schema-id; v1 a
+    // single `schema` object (also present in many v2 writers — prefer the
+    // id-addressed form when it exists)
+    val schemaNode =
+      if (meta.has("schemas")) {
+        val id = meta.path("current-schema-id").asInt(0)
+        meta.path("schemas").elements().asScala.toSeq
+          .find(_.path("schema-id").asInt(-1) == id)
+          .getOrElse(throw new IllegalStateException(s"current-schema-id $id not in schemas"))
+      } else meta.path("schema")
+    val schema = toSparkType(schemaNode).asInstanceOf[StructType]
+
+    val snapshots = meta.path("snapshots").elements().asScala.toVector
+    require(snapshots.nonEmpty, s"$root has no snapshots — nothing to read")
+    val snapId = snapshotAsOf.getOrElse {
+      val cur = meta.path("current-snapshot-id").asLong(-1L)
+      require(cur >= 0, "metadata has no current-snapshot-id; pass snapshotAsOf")
+      cur
+    }
+    val snap = snapshots
+      .find(_.path("snapshot-id").asLong(-1L) == snapId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapId not in table (have ${snapshots.map(_.path("snapshot-id").asLong(-1L)).mkString(",")})"))
+
+    // manifests of the snapshot: v2 (and modern v1) via the manifest-list
+    // Avro; old v1 metadata may inline a `manifests` array instead
+    val manifests: Seq[(String, Int)] =
+      if (snap.has("manifest-list")) {
+        avroRows(spark, resolve(root, snap.path("manifest-list").asText())).map { r =>
+          val p = r.get("manifest_path").toString
+          val content = Option(r.get("content")).map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+          (p, content)
+        }
+      } else if (snap.has("manifests")) {
+        snap.path("manifests").elements().asScala.toSeq.map(p => (p.asText(), 0))
+      } else throw new IllegalStateException(s"snapshot $snapId has neither manifest-list nor manifests")
+
+    manifests.filter(_._2 == 1).foreach { case (p, _) =>
+      throw new IllegalArgumentException(
+        s"delete manifest $p (content=1): row-level deletes need merge-on-read — not implemented"
+      )
+    }
+
+    // manifest entries: status 0=EXISTING, 1=ADDED are live; 2=DELETED is
+    // history only. A snapshot's manifest list is COMPLETE state (unlike
+    // Delta's incremental log) — no cross-commit reconciliation needed.
+    val liveFiles = manifests.flatMap { case (mp, _) =>
+      avroRows(spark, resolve(root, mp)).flatMap { entry =>
+        val status = Option(entry.get("status")).map(_.asInstanceOf[Number].intValue()).getOrElse(1)
+        if (status == 2) None
+        else {
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          val fmt = df.get("file_format").toString.toUpperCase
+          require(fmt == "PARQUET", s"data file format $fmt not supported (parquet only)")
+          Some(df.get("file_path").toString)
+        }
+      }
+    }
+    TableState(snapId, formatVersion, schema, liveFiles.map(resolve(root, _)))
+  }
+
+  /** The table's rows at the chosen snapshot (default: current). */
+  def read(spark: SparkSession, root: String, snapshotAsOf: Option[Long] = None): DataFrame = {
+    val st = state(spark, root, snapshotAsOf)
+    if (st.liveFiles.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
+    else spark.read.schema(st.schema).parquet(st.liveFiles: _*)
+  }
+}

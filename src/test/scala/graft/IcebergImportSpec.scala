@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.IcebergImport
+
+/** Iceberg import: the fixture synthesizes a spec-compliant table by hand —
+  * real parquet data files, real Avro manifest lists and manifests (written
+  * with the same Avro library Spark ships), real metadata JSON — because no
+  * Iceberg writer exists in this sandbox. Field names follow the Iceberg
+  * spec exactly (manifest_path/content; status/data_file.file_path/...), so
+  * a real writer's files are a superset of what the reader navigates.
+  */
+class IcebergImportSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val manifestSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int"},
+      |  {"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |    {"name":"file_path","type":"string"},
+      |    {"name":"file_format","type":"string"},
+      |    {"name":"record_count","type":"long"}]}}]}""".stripMargin)
+
+  private val manifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string"},
+      |  {"name":"manifest_length","type":"long"},
+      |  {"name":"content","type":"int"}]}""".stripMargin)
+
+  private def writeAvro(path: String, schema: Schema, rows: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(path))
+    try rows.foreach(w.append)
+    finally w.close()
+  }
+
+  private def manifestEntry(status: Int, filePath: String, n: Long): GenericRecord = {
+    val df = new GenericData.Record(manifestSchema.getField("data_file").schema())
+    df.put("file_path", filePath)
+    df.put("file_format", "PARQUET")
+    df.put("record_count", n)
+    val e = new GenericData.Record(manifestSchema)
+    e.put("status", status)
+    e.put("data_file", df)
+    e
+  }
+
+  private def manifestListRow(path: String, content: Int): GenericRecord = {
+    val r = new GenericData.Record(manifestListSchema)
+    r.put("manifest_path", path)
+    r.put("manifest_length", new java.io.File(path).length())
+    r.put("content", content)
+    r
+  }
+
+  private def writeDataFile(root: String, name: String, rows: Seq[(Int, String)]): String = {
+    val stage = Files.createTempDirectory("graft-ice-stage").toString
+    rows.toDF("x", "p").coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val dest = s"$root/data/$name"
+    new java.io.File(s"$root/data").mkdirs()
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dest))
+    dest
+  }
+
+  private val icebergSchemaJson =
+    """{"type":"struct","schema-id":0,"fields":[
+      |  {"id":1,"name":"x","required":true,"type":"int"},
+      |  {"id":2,"name":"p","required":false,"type":"string"}]}""".stripMargin
+
+  private def metadataJson(snapshots: Seq[(Long, String)], current: Long): String = {
+    val snaps = snapshots.map { case (id, ml) =>
+      s"""{"snapshot-id":$id,"timestamp-ms":0,"manifest-list":${graft.core.Json.str(ml)}}"""
+    }.mkString("[", ",", "]")
+    s"""{"format-version":2,"table-uuid":"t","location":"","last-sequence-number":1,
+       |"last-updated-ms":0,"last-column-id":2,
+       |"schemas":[$icebergSchemaJson],"current-schema-id":0,
+       |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+       |"current-snapshot-id":$current,"snapshots":$snaps}""".stripMargin
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, String)] =
+    df.select(col("x"), col("p")).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+
+  test("v2 snapshot read, time travel by snapshot id, DELETED entries excluded") {
+    val root = Files.createTempDirectory("graft-ice").toString
+    new java.io.File(s"$root/metadata").mkdirs()
+    val f1 = writeDataFile(root, "f1.parquet", Seq((1, "a"), (2, "a")))
+    val f2 = writeDataFile(root, "f2.parquet", Seq((3, "b")))
+    val f3 = writeDataFile(root, "f3.parquet", Seq((4, "c")))
+
+    // snapshot 100: f1 + f2 live
+    val m1 = s"$root/metadata/m1.avro"
+    writeAvro(m1, manifestSchema, Seq(manifestEntry(1, f1, 2), manifestEntry(1, f2, 1)))
+    val ml1 = s"$root/metadata/snap-100.avro"
+    writeAvro(ml1, manifestListSchema, Seq(manifestListRow(m1, 0)))
+
+    // snapshot 200: f2 DELETED (compacted away), f3 added — f1 carried
+    val m2 = s"$root/metadata/m2.avro"
+    writeAvro(m2, manifestSchema,
+      Seq(manifestEntry(0, f1, 2), manifestEntry(2, f2, 1), manifestEntry(1, f3, 1)))
+    val ml2 = s"$root/metadata/snap-200.avro"
+    writeAvro(ml2, manifestListSchema, Seq(manifestListRow(m2, 0)))
+
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      metadataJson(Seq((100L, ml1)), 100L))
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v2.metadata.json"),
+      metadataJson(Seq((100L, ml1), (200L, ml2)), 200L))
+
+    // newest metadata wins; current snapshot = 200 (f2's DELETED entry gone)
+    assert(rows(IcebergImport.read(spark, root)) == Set((1, "a"), (2, "a"), (4, "c")))
+    assert(IcebergImport.read(spark, root).schema.fieldNames.toSeq == Seq("x", "p"))
+    // time travel to snapshot 100
+    assert(rows(IcebergImport.read(spark, root, snapshotAsOf = Some(100L))) ==
+      Set((1, "a"), (2, "a"), (3, "b")))
+    val st = IcebergImport.state(spark, root)
+    assert(st.snapshotId == 200L && st.formatVersion == 2 && st.liveFiles.size == 2)
+    // unknown snapshot: explicit error
+    val e = intercept[IllegalArgumentException](IcebergImport.read(spark, root, snapshotAsOf = Some(9L)))
+    assert(e.getMessage.contains("snapshot"))
+  }
+
+  test("delete manifests (content=1) are refused — merge-on-read, not silent wrong answers") {
+    val root = Files.createTempDirectory("graft-ice-del").toString
+    new java.io.File(s"$root/metadata").mkdirs()
+    val f1 = writeDataFile(root, "f1.parquet", Seq((1, "a")))
+    val m1 = s"$root/metadata/m1.avro"
+    writeAvro(m1, manifestSchema, Seq(manifestEntry(1, f1, 1)))
+    val md = s"$root/metadata/md.avro"
+    writeAvro(md, manifestSchema, Seq(manifestEntry(1, s"$root/data/deletes.parquet", 1)))
+    val ml = s"$root/metadata/snap-1.avro"
+    writeAvro(ml, manifestListSchema, Seq(manifestListRow(m1, 0), manifestListRow(md, 1)))
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      metadataJson(Seq((1L, ml)), 1L))
+    val e = intercept[IllegalArgumentException](IcebergImport.read(spark, root))
+    assert(e.getMessage.contains("delete manifest"))
+  }
+
+  test("version-hint.text pins the metadata version") {
+    val root = Files.createTempDirectory("graft-ice-hint").toString
+    new java.io.File(s"$root/metadata").mkdirs()
+    val f1 = writeDataFile(root, "f1.parquet", Seq((7, "z")))
+    val m1 = s"$root/metadata/m1.avro"
+    writeAvro(m1, manifestSchema, Seq(manifestEntry(1, f1, 1)))
+    val ml = s"$root/metadata/snap-5.avro"
+    writeAvro(ml, manifestListSchema, Seq(manifestListRow(m1, 0)))
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v3.metadata.json"),
+      metadataJson(Seq((5L, ml)), 5L))
+    // a stale newer-looking file that the hint must override
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v4.metadata.json"), "{garbage")
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/version-hint.text"), "3")
+    assert(rows(IcebergImport.read(spark, root)) == Set((7, "z")))
+  }
+
+  test("Iceberg type mapping covers primitives and nested struct/list/map") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def t(json: String) = IcebergImport.toSparkType(mapper.readTree(json))
+    import org.apache.spark.sql.types._
+    assert(t("\"int\"") == IntegerType)
+    assert(t("\"timestamptz\"") == TimestampType)
+    assert(t("\"decimal(18, 2)\"") == DecimalType(18, 2))
+    assert(t("\"fixed[16]\"") == BinaryType)
+    assert(t("\"uuid\"") == StringType)
+    val nested = t(
+      """{"type":"struct","fields":[
+        |  {"id":1,"name":"a","required":true,"type":"long"},
+        |  {"id":2,"name":"b","required":false,"type":{"type":"list","element-id":3,"element":"string","element-required":true}},
+        |  {"id":4,"name":"c","required":false,"type":{"type":"map","key-id":5,"value-id":6,"key":"string","value":"double","value-required":false}}
+        |]}""".stripMargin)
+    assert(nested == StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", ArrayType(StringType, containsNull = false)),
+      StructField("c", MapType(StringType, DoubleType, valueContainsNull = true)))))
+    intercept[IllegalArgumentException](t("\"variant\""))
+  }
+}
