@@ -560,6 +560,29 @@ object Oracles {
         | NOT corrupt AS ok
         |FROM s""".stripMargin,
 
+    // q95: real MP4 box-tree walk — the oracle predicts brand, duration
+    // (integer-truncated ms at the fixed 600 timescale), 16.16 dims, track
+    // count/kinds from the fixture-generating arithmetic; the engine must
+    // actually parse the container bytes
+    "q95_video_meta" ->
+      """WITH s AS (SELECT CAST(p_partkey AS BIGINT) id,
+        |   CAST(p_partkey % 640 + 16 AS INTEGER) w,
+        |   CAST(p_partkey % 360 + 16 AS INTEGER) h,
+        |   CAST((p_partkey * 97) % 100000 + 600 AS BIGINT) dur,
+        |   (p_partkey % 3 = 0) aud,
+        |   (p_partkey % 17 = 0) corrupt
+        | FROM part WHERE p_partkey <= 200)
+        |SELECT id AS media_id,
+        | CASE WHEN corrupt THEN '' ELSE 'isom' END AS brand,
+        | CASE WHEN corrupt THEN CAST(-1 AS BIGINT) ELSE CAST(dur * 1000 // 600 AS BIGINT) END AS duration_ms,
+        | CASE WHEN corrupt THEN -1 ELSE w END AS width,
+        | CASE WHEN corrupt THEN -1 ELSE h END AS height,
+        | CASE WHEN corrupt THEN -1 WHEN aud THEN 2 ELSE 1 END AS n_tracks,
+        | NOT corrupt AS has_video,
+        | (NOT corrupt AND aud) AS has_audio,
+        | NOT corrupt AS ok
+        |FROM s""".stripMargin,
+
     "q50_multi_join" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

@@ -1748,4 +1748,52 @@ object Queries {
         col("ok")
       )
   }
+
+  /** q95: REAL MP4 container-metadata parse under an oracle — the video
+    * half of the multimodal story that needs NO codec: ISO-BMFF is a box
+    * tree, and [[Multimodal.decodeVideoMeta]] walks
+    * ftyp/moov/mvhd/trak/tkhd/hdlr for brand, duration (mvhd
+    * duration/timescale), the video track's 16.16 fixed-point dims, track
+    * count and kinds. Fixture MP4s are generated per part row
+    * ([[Multimodal.encodeMp4]]; dims/duration/audio-presence from
+    * `p_partkey` arithmetic, every 17th payload truncated to 12 bytes),
+    * so the DuckDB oracle predicts every column while the engine must
+    * actually parse the container. Frame decode remains the declared
+    * stub (q44) — it needs native codecs; the metadata walk does not.
+    */
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val specs = t(s, dir, "part")
+      .filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey").cast("long"),
+        (col("p_partkey") % 640 + 16).cast("int"),
+        (col("p_partkey") % 360 + 16).cast("int"),
+        ((col("p_partkey") * 97) % 100000 + 600).cast("long")
+      )
+      .as[(Long, Int, Int, Long)]
+    val payloads = specs
+      .mapPartitions { it =>
+        it.map { case (id, w, h, dur) =>
+          val mp4 = Multimodal.encodeMp4(w, h, timescale = 600, duration = dur, withAudio = id % 3 == 0)
+          (id, if (id % 17 == 0) mp4.take(12) else mp4) // planted corruption
+        }
+      }
+      .toDF("media_id", "payload")
+    val media = Multimodal.toMediaTable(payloads, "media_id", "payload", "mp4")
+    Multimodal
+      .decodeVideoMeta(s, media)
+      .toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("brand"),
+        col("durationMs").as("duration_ms"),
+        col("width"),
+        col("height"),
+        col("nTracks").as("n_tracks"),
+        col("hasVideo").as("has_video"),
+        col("hasAudio").as("has_audio"),
+        col("ok")
+      )
+  }
 }

@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
   * bit depth, frame count, peak and RMS — with the same corrupt-row
   * degradation as images (q94 oracles it end to end).
   *
-  * VIDEO decode needs native codec libraries that have no JDK equivalent
-  * and are not in this container, so that one path stays a clearly-marked
-  * deterministic STUB ([[decodeFeatures]], the format-agnostic fallback) —
-  * same schema/batching shape, fake features derived from md5(payload) so
-  * the DuckDB oracle can still check the pipeline end to end (q42/q44).
+  * VIDEO container METADATA is parsed for real as well: MP4/ISO-BMFF is a
+  * plain box tree (size+type headers), so [[decodeVideoMeta]] walks
+  * ftyp/moov/mvhd/trak/tkhd/hdlr with no codec at all — brand, duration,
+  * track dimensions, track kinds (q95 oracles it end to end). Only video
+  * FRAME decode needs native codec libraries with no JDK equivalent, so
+  * that one path stays a clearly-marked deterministic STUB
+  * ([[decodeFeatures]], the format-agnostic fallback) — same
+  * schema/batching shape, fake features derived from md5(payload) so the
+  * DuckDB oracle can still check the pipeline end to end (q42/q44).
   */
 object Multimodal {
 
@@ -293,6 +297,150 @@ object Multimodal {
     val buf = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
     buf.toByteArray
+  }
+
+  final case class VideoMeta(
+      mediaId: Long,
+      brand: String,
+      durationMs: Long,
+      width: Int,
+      height: Int,
+      nTracks: Int,
+      hasVideo: Boolean,
+      hasAudio: Boolean,
+      ok: Boolean
+  )
+
+  /** REAL MP4/ISO-BMFF container-metadata parse — no codec needed: the
+    * format is a box tree of [u32 size][4cc type] headers, so one walk
+    * over ftyp → moov → { mvhd, trak → { tkhd, mdia → hdlr } } yields the
+    * major brand, presentation duration (mvhd duration/timescale, v0 and
+    * v1 layouts), per-track 16.16 fixed-point dimensions (the video
+    * track's), track count, and track kinds (`vide`/`soun` handlers).
+    * This is the same metadata walk ffprobe does before any codec loads;
+    * only FRAME decode needs native codecs ([[decodeFeatures]] stays the
+    * declared stub for that). Truncated/garbage containers yield
+    * `ok=false` with -1 sentinels — same `mapPartitions` batching and
+    * poisoned-blob discipline as [[decodeImages]]/[[decodeAudio]].
+    */
+  def decodeVideoMeta(spark: SparkSession, media: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytesOrNull) =>
+        val bytes = Option(bytesOrNull).getOrElse(Array.empty[Byte])
+        parseMp4Meta(bytes) match {
+          case Some((brand, durMs, w, h, n, hasV, hasA)) =>
+            VideoMeta(id, brand, durMs, w, h, n, hasV, hasA, ok = true)
+          case None => VideoMeta(id, "", -1L, -1, -1, -1, hasVideo = false, hasAudio = false, ok = false)
+        }
+      })
+  }
+
+  /** Driver-free pure parse; None on any structural violation. */
+  private[graft] def parseMp4Meta(bytes: Array[Byte]): Option[(String, Long, Int, Int, Int, Boolean, Boolean)] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+      def boxes(from: Int, to: Int): Seq[(String, Int, Int)] = {
+        // (type, payloadStart, payloadEnd) of each box in [from, to)
+        var out = Vector.empty[(String, Int, Int)]
+        var p = from
+        while (p < to) {
+          if (p + 8 > to) throw new IllegalArgumentException("truncated box header")
+          val size = bb.getInt(p).toLong & 0xffffffffL
+          val tpe = new String(bytes, p + 4, 4, "ISO-8859-1")
+          val (payload, end) =
+            if (size == 1) { // 64-bit largesize
+              if (p + 16 > to) throw new IllegalArgumentException("truncated largesize")
+              val ls = bb.getLong(p + 8)
+              (p + 16, p + ls)
+            } else if (size == 0) (p + 8, to.toLong) // box extends to EOF
+            else (p + 8, p + size)
+          if (end > to || end <= p) throw new IllegalArgumentException("box overruns container")
+          out :+= ((tpe, payload, end.toInt))
+          p = end.toInt
+        }
+        out
+      }
+      val top = boxes(0, bytes.length)
+      val brand = top.find(_._1 == "ftyp").map { case (_, s, _) =>
+        new String(bytes, s, 4, "ISO-8859-1")
+      }.getOrElse(throw new IllegalArgumentException("no ftyp"))
+      val (moovS, moovE) = top.find(_._1 == "moov").map(b => (b._2, b._3))
+        .getOrElse(throw new IllegalArgumentException("no moov"))
+      val moov = boxes(moovS, moovE)
+      val durMs = moov.find(_._1 == "mvhd").map { case (_, s, _) =>
+        val version = bytes(s) & 0xff
+        if (version == 1) {
+          val timescale = bb.getInt(s + 4 + 16).toLong & 0xffffffffL
+          val duration = bb.getLong(s + 4 + 20)
+          if (timescale == 0) 0L else duration * 1000L / timescale
+        } else {
+          val timescale = bb.getInt(s + 4 + 8).toLong & 0xffffffffL
+          val duration = bb.getInt(s + 4 + 12).toLong & 0xffffffffL
+          if (timescale == 0) 0L else duration * 1000L / timescale
+        }
+      }.getOrElse(throw new IllegalArgumentException("no mvhd"))
+      val traks = moov.filter(_._1 == "trak")
+      var (w, h) = (0, 0)
+      var (hasV, hasA) = (false, false)
+      traks.foreach { case (_, ts, te) =>
+        val trak = boxes(ts, te)
+        val dims = trak.find(_._1 == "tkhd").map { case (_, s, _) =>
+          val version = bytes(s) & 0xff
+          // after ver/flags + times/id/duration: reserved(8) +
+          // layer/alternate/volume/reserved(8) + matrix(36) = 52 to width
+          val fixedAt = s + (if (version == 1) 4 + 32 + 52 else 4 + 20 + 52)
+          (bb.getInt(fixedAt) >>> 16, bb.getInt(fixedAt + 4) >>> 16)
+        }
+        val handler = trak.find(_._1 == "mdia").toSeq.flatMap { case (_, ms, me) =>
+          boxes(ms, me).find(_._1 == "hdlr").map { case (_, s, _) =>
+            new String(bytes, s + 8, 4, "ISO-8859-1")
+          }
+        }.headOption
+        handler match {
+          case Some("vide") =>
+            hasV = true
+            dims.foreach { case (dw, dh) => if (dw > 0) { w = dw; h = dh } }
+          case Some("soun") => hasA = true
+          case _            => ()
+        }
+      }
+      Some((brand, durMs, w, h, traks.size, hasV, hasA))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic minimal-but-spec-compliant MP4 for oracle-checking the
+    * REAL container walk: full-size mvhd/tkhd v0 boxes, identity matrix,
+    * a `vide` track at (w<<16, h<<16) fixed-point dims and optionally a
+    * `soun` track — every field [[parseMp4Meta]] reads is predictable from
+    * the generating arithmetic.
+    */
+  def encodeMp4(w: Int, h: Int, timescale: Int, duration: Long, withAudio: Boolean): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes("ISO-8859-1") ++ payload
+    val identityMatrix =
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000L)
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0) ++ "isom".getBytes("ISO-8859-1"))
+    val mvhd = box("mvhd",
+      be32(0) /* v0 + flags */ ++ be32(0) ++ be32(0) /* ctime mtime */ ++
+        be32(timescale.toLong) ++ be32(duration) ++
+        be32(0x00010000L) /* rate */ ++ Array[Byte](0x01, 0x00) /* volume */ ++
+        new Array[Byte](10) ++ identityMatrix ++ new Array[Byte](24) ++ be32(3) /* next track */)
+    def tkhd(trackId: Int, tw: Int, th: Int) = box("tkhd",
+      be32(7) /* v0, enabled flags */ ++ be32(0) ++ be32(0) ++ be32(trackId.toLong) ++ be32(0) ++
+        be32(duration) ++ new Array[Byte](8) ++ new Array[Byte](8) /* layer..volume */ ++
+        identityMatrix ++ be32(tw.toLong << 16) ++ be32(th.toLong << 16))
+    def hdlr(kind: String) = box("hdlr",
+      be32(0) ++ be32(0) ++ kind.getBytes("ISO-8859-1") ++ new Array[Byte](12) ++ Array[Byte](0))
+    def trak(trackId: Int, tw: Int, th: Int, kind: String) =
+      box("trak", tkhd(trackId, tw, th) ++ box("mdia", hdlr(kind)))
+    val tracks = trak(1, w, h, "vide") ++ (if (withAudio) trak(2, 0, 0, "soun") else Array.empty[Byte])
+    ftyp ++ box("moov", mvhd ++ tracks) ++ box("mdat", Array[Byte](0, 1, 2, 3))
   }
 
   /** Frame-sample plumbing: N deterministic sample offsets per media row

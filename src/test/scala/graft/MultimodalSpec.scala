@@ -115,4 +115,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(4L).ok && out(4L).sampleRate == -1 && out(4L).nFrames == -1L)
     assert(!out(5L).ok && out(5L).rmsE2 == -1L)
   }
+
+  test("decodeVideoMeta: real MP4 box walk — brand/duration/dims/tracks, corruption flagged not thrown") {
+    val rows = Seq(
+      (1L, Multimodal.encodeMp4(640, 360, 600, 1200L, withAudio = false)),
+      (2L, Multimodal.encodeMp4(1920, 1080, 90000, 123456L, withAudio = true)),
+      (3L, Multimodal.encodeMp4(16, 16, 600, 601L, withAudio = false).take(12)), // truncated
+      (4L, Array[Byte](9, 9, 9))                                                  // not a container
+    ).toDF("media_id", "payload")
+    val media = Multimodal.toMediaTable(rows, "media_id", "payload", "mp4")
+    val out = Multimodal.decodeVideoMeta(spark, media).collect().map(f => f.mediaId -> f).toMap
+    assert(out(1L).ok && out(1L).brand == "isom" && out(1L).width == 640 && out(1L).height == 360)
+    assert(out(1L).durationMs == 2000L && out(1L).nTracks == 1 && out(1L).hasVideo && !out(1L).hasAudio)
+    assert(out(2L).ok && out(2L).width == 1920 && out(2L).height == 1080)
+    assert(out(2L).durationMs == 123456L * 1000L / 90000L)
+    assert(out(2L).nTracks == 2 && out(2L).hasVideo && out(2L).hasAudio)
+    assert(!out(3L).ok && out(3L).width == -1 && out(3L).durationMs == -1L)
+    assert(!out(4L).ok && out(4L).nTracks == -1)
+  }
+
+  test("parseMp4Meta: mvhd version 1 (64-bit duration) and largesize box headers") {
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(tpe: String, p: Array[Byte]) = be32(p.length + 8L) ++ tpe.getBytes("ISO-8859-1") ++ p
+    // largesize variant: size field = 1, 64-bit length after the type
+    def bigBox(tpe: String, p: Array[Byte]) =
+      be32(1L) ++ tpe.getBytes("ISO-8859-1") ++ be64(p.length + 16L) ++ p
+    val ftyp = box("ftyp", "mp42".getBytes("ISO-8859-1") ++ be32(0) ++ "mp42".getBytes("ISO-8859-1"))
+    // mvhd v1: ver=1, ctime/mtime u64, timescale u32, duration u64
+    val mvhd = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(90000L) ++ be64(4500000L) ++
+        be32(0x00010000L) ++ Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++ new Array[Byte](36) ++
+        new Array[Byte](24) ++ be32(2))
+    val tkhd = box("tkhd",
+      be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(0) ++
+        new Array[Byte](16) ++ new Array[Byte](36) ++ be32(320L << 16) ++ be32(240L << 16))
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes("ISO-8859-1") ++ new Array[Byte](13))
+    val moov = bigBox("moov", mvhd ++ box("trak", tkhd ++ box("mdia", hdlr)))
+    val parsed = Multimodal.parseMp4Meta(ftyp ++ moov)
+    assert(parsed.contains(("mp42", 4500000L * 1000L / 90000L, 320, 240, 1, true, false)))
+  }
 }
