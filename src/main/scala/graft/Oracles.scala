@@ -983,6 +983,28 @@ object Oracles {
     // and the lower-id drop rule
     "q86_semantic_dedup" -> ivfTrainedSql(2, Some(vecIdSample4), ivfSemDedupTail),
 
+    // q96: SQ8 asymmetric ANN — replay quantization (maxabs, scale =
+    // maxabs/127, round-half-up int8 codes) and the index-ordered
+    // query×codes fold; the engine must produce identical scores from its
+    // packed 1-byte binary codes
+    "q96_ann_sq8" ->
+      """WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id=0),
+        | m AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) ma
+        |  FROM embeddings WHERE vec_id <> 0),
+        | pairs AS (SELECT m.vec_id, m.ma, unnest(m.embedding) x, unnest(q.qe) y, unnest(range(64)) i
+        |   FROM m, q),
+        | dots AS (SELECT vec_id,
+        |    sum(CAST(y AS DOUBLE) *
+        |        (CASE WHEN ma = 0 THEN 0.0
+        |         ELSE CAST(FLOOR(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS DOUBLE) END)
+        |        ORDER BY i) d,
+        |    any_value(ma) ma
+        |  FROM pairs GROUP BY vec_id),
+        | sc AS (SELECT vec_id, d * (ma / 127.0) s FROM dots)
+        |SELECT vec_id, CAST(FLOOR(s*1000000) AS BIGINT) AS score_e6
+        |FROM sc ORDER BY s DESC, vec_id ASC LIMIT 20""".stripMargin,
+
     "q40_ann_bruteforce" ->
       """WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id=0),
         | pairs AS (SELECT e.vec_id, unnest(e.embedding) x, unnest(q.qe) y, unnest(range(64)) i

@@ -1749,6 +1749,23 @@ object Queries {
       )
   }
 
+  /** q96: SQ8-QUANTIZED ANN top-k — the memory/bandwidth lever of the ANN
+    * family: the corpus is scored from 1-byte-per-dim int8 codes (4x
+    * smaller than float32 at rest, [[Similarity.withSq8]]) while the query
+    * stays full precision — FAISS's asymmetric distance computation,
+    * kernel'd by the codegen'd [[graft.plans.DotProductSq8]]. The oracle
+    * replays quantization (maxabs, scale, round-half-up codes) and the
+    * index-ordered asymmetric fold in SQL, so the 1-byte path is
+    * hash-checked end to end, not just asserted.
+    */
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    Similarity
+      .sq8TopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qvec, 20)
+      .select(col("vec_id"), floor(col("score") * 1000000).cast("long").as("score_e6"))
+  }
+
   /** q95: REAL MP4 container-metadata parse under an oracle — the video
     * half of the multimodal story that needs NO codec: ISO-BMFF is a box
     * tree, and [[Multimodal.decodeVideoMeta]] walks

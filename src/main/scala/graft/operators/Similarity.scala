@@ -304,6 +304,55 @@ object Similarity {
       .select(col(idCol), col("__cell").as("cell_id"))
   }
 
+  // ------------------------------------------------------------------ SQ8
+
+  /** 8-bit scalar quantization (the FAISS "SQ8" recipe, public): each
+    * vector becomes one double `sq8_scale` plus a BINARY `sq8_codes`
+    * column of ONE signed byte per dimension — 4x smaller than float32 at
+    * rest, which is the memory/bandwidth lever that makes billion-vector
+    * ANN serving fit a cluster. Codes are symmetric round-half-up:
+    * `code_i = floor(x_i / s + 0.5)` with `s = maxabs/127`, so
+    * `|x_i − code_i·s| ≤ s/2` and the whole transform is IEEE-exact
+    * deterministic (oracle-replayable in SQL). The all-zero vector gets
+    * scale 0 / zero codes.
+    *
+    * The max-abs is bound to a real column before the code lambda — the
+    * engine's HOF binding rule: an inline `array_max(...)` inside the
+    * transform would recompute it per element (O(d²) per row).
+    */
+  def withSq8(df: DataFrame, vecCol: String, scaleCol: String = "sq8_scale", codesCol: String = "sq8_codes"): DataFrame = {
+    val packed = graft.plans.VectorExpressions.packInt8(
+      transform(col(vecCol), x => floor(x.cast("double") / col(scaleCol) + lit(0.5)).cast("int"))
+    )
+    df.withColumn("__maxabs", array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+      .withColumn(scaleCol, col("__maxabs") / lit(127.0))
+      .withColumn(
+        codesCol,
+        when(col("__maxabs") === 0, graft.plans.VectorExpressions.packInt8(transform(col(vecCol), _ => lit(0))))
+          .otherwise(packed)
+      )
+      .drop("__maxabs")
+  }
+
+  /** Asymmetric SQ8 top-k: the query stays full-precision, the corpus is
+    * scored straight off its 1-byte codes — `score = s · Σ q_i·code_i`
+    * (codegen'd [[graft.plans.DotProductSq8]] kernel, index-ascending like
+    * every other fold here). One scan, no shuffle before the final top-k;
+    * at rest the table stores (scale, codes) and never touches the float
+    * vectors. Compose with [[ivfCell]] cell filtering for IVF+SQ8, the
+    * standard billion-scale serving layout.
+    */
+  def sq8TopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    withSq8(df, vecCol)
+      .select(
+        col(idCol),
+        (graft.plans.VectorExpressions.dotSq8(q, col("sq8_codes")) * col("sq8_scale")).as("score")
+      )
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF ANN top-k: score only vectors assigned to the query's nprobe
     * nearest cells. One scan with a codegen'd cell filter — no shuffle
     * before the final top-k; with cell-partitioned storage the scan itself

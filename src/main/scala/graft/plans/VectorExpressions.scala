@@ -202,11 +202,124 @@ object LshBuckets {
   }
 }
 
+/** Pack an int array of SQ8 codes into a BINARY column — ONE byte per
+  * dimension, the at-rest format that makes 8-bit scalar quantization a
+  * 4x storage/bandwidth win over float32 (array<int> in parquet would
+  * spend 4 bytes per code and forfeit the point). Values are clamped to
+  * [-128, 127]; null elements pack as 0.
+  */
+case class PackInt8(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType | LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"PackInt8 requires array<int|long>, got $dt"
+        )
+    }
+
+  private def isLong = child.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  override def nullSafeEval(v: Any): Any =
+    PackInt8.pack(v.asInstanceOf[ArrayData], isLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.PackInt8$$.MODULE$$.pack($c, ${if (isLong) "true" else "false"});")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object PackInt8 {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def pack(arr: ArrayData, isLong: Boolean): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = if (isLong) arr.getLong(i) else arr.getInt(i).toLong
+        out(i) = math.max(-128L, math.min(127L, v)).toByte
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** Asymmetric SQ8 scoring kernel: dot product of a float/double query
+  * vector against BINARY int8 codes (one signed byte per dimension) —
+  * the FAISS-style asymmetric distance computation where the query stays
+  * full-precision and only the corpus is quantized. Accumulation is
+  * strictly index-ascending, bit-identical to [[DotProduct]] over the
+  * unpacked codes and to the oracle's ordered sums. Callers multiply by
+  * the per-vector scale to land in the original value range.
+  */
+case class DotProductSq8(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"DotProductSq8 requires (array<float|double>, binary), got $l / $r"
+        )
+    }
+
+  private def isFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    DotProductSq8.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[Array[Byte]], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.plans.DotProductSq8$$.MODULE$$.dot($l, $r, ${if (isFloat) "true" else "false"});")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductSq8 {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def dot(q: ArrayData, codes: Array[Byte], isFloat: Boolean): Double = {
+    val n = math.min(q.numElements(), codes.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!q.isNullAt(i)) {
+        val x = if (isFloat) q.getFloat(i).toDouble else q.getDouble(i)
+        acc += x * codes(i).toDouble
+      }
+      i += 1
+    }
+    acc
+  }
+}
+
 object VectorExpressions {
 
   /** Column API for the codegen'd dot product. */
   def dotNative(a: Column, b: Column): Column =
     ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column API for int8 code packing (array<int> → 1-byte-per-dim binary). */
+  def packInt8(a: Column): Column =
+    ColumnShim.column(PackInt8(ColumnShim.expression(a)))
+
+  /** Column API for the asymmetric query×int8-codes dot product. */
+  def dotSq8(q: Column, codes: Column): Column =
+    ColumnShim.column(DotProductSq8(ColumnShim.expression(q), ColumnShim.expression(codes)))
 
   /** Column API for the fused multi-table LSH bucket expression. */
   def lshBucketsNative(vec: Column, dim: Int, nBits: Int, tables: Int, tableOffset: Int = 0): Column =
