@@ -40,11 +40,18 @@ import org.apache.spark.sql.types._
   */
 object IcebergImport {
 
+  /** `liveFiles` carries each data file's identity-partition tuple (empty
+    * for unpartitioned tables / non-identity transforms) so callers — and
+    * [[read]]'s `partitionFilter` — can prune FILES from the manifest
+    * alone, before any parquet footer is opened. That is Iceberg's own
+    * planning model: at 100 TB the difference between touching matching
+    * files and touching all of them.
+    */
   final case class TableState(
       snapshotId: Long,
       formatVersion: Int,
       schema: StructType,
-      liveFiles: Seq[String]
+      liveFiles: Seq[(String, Map[String, String])]
   )
 
   private def fs(spark: SparkSession, path: String): FileSystem =
@@ -169,6 +176,23 @@ object IcebergImport {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $snapId not in table (have ${snapshots.map(_.path("snapshot-id").asLong(-1L)).mkString(",")})"))
 
+    // identity-transform partition field names of the default spec: the
+    // subset whose manifest `partition` values equal the column values and
+    // can therefore drive exact file pruning (bucket/truncate/days etc.
+    // are derived values — pruning on them needs transform replay, out of
+    // scope; their files simply carry an empty tuple here)
+    val identityFields: Seq[String] =
+      if (!meta.has("partition-specs")) Nil
+      else {
+        val specId = meta.path("default-spec-id").asInt(0)
+        meta.path("partition-specs").elements().asScala
+          .find(_.path("spec-id").asInt(-1) == specId)
+          .map(_.path("fields").elements().asScala.toSeq
+            .filter(_.path("transform").asText() == "identity")
+            .map(_.path("name").asText()))
+          .getOrElse(Nil)
+      }
+
     // manifests of the snapshot: v2 (and modern v1) via the manifest-list
     // Avro; old v1 metadata may inline a `manifests` array instead
     val manifests: Seq[(String, Int)] =
@@ -199,18 +223,49 @@ object IcebergImport {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val fmt = df.get("file_format").toString.toUpperCase
           require(fmt == "PARQUET", s"data file format $fmt not supported (parquet only)")
-          Some(df.get("file_path").toString)
+          val partition = Option(df.getSchema.getField("partition"))
+            .flatMap(_ => Option(df.get("partition"))).collect { case r: GenericRecord =>
+            identityFields.flatMap { f =>
+              if (r.getSchema.getField(f) == null) None
+              else Option(r.get(f)).map(v => f -> String.valueOf(v))
+            }.toMap
+          }.getOrElse(Map.empty[String, String])
+          Some(df.get("file_path").toString -> partition)
         }
       }
     }
-    TableState(snapId, formatVersion, schema, liveFiles.map(resolve(root, _)))
+    TableState(snapId, formatVersion, schema, liveFiles.map { case (p, pv) => resolve(root, p) -> pv })
   }
 
-  /** The table's rows at the chosen snapshot (default: current). */
-  def read(spark: SparkSession, root: String, snapshotAsOf: Option[Long] = None): DataFrame = {
+  /** The table's rows at the chosen snapshot (default: current).
+    *
+    * `partitionFilter` prunes at the MANIFEST level: only files whose
+    * identity-partition tuple matches every (column → value) entry are
+    * opened — no parquet footer is read for the rest. Values compare as
+    * strings against the manifest's partition struct (Iceberg stores
+    * typed values; `String.valueOf` on both sides). Columns under
+    * non-identity transforms can't drive manifest pruning and are
+    * rejected rather than silently scanning everything.
+    */
+  def read(
+      spark: SparkSession,
+      root: String,
+      snapshotAsOf: Option[Long] = None,
+      partitionFilter: Map[String, String] = Map.empty
+  ): DataFrame = {
     val st = state(spark, root, snapshotAsOf)
-    if (st.liveFiles.isEmpty)
+    partitionFilter.keys.foreach { c =>
+      require(
+        st.liveFiles.isEmpty || st.liveFiles.exists(_._2.contains(c)),
+        s"partitionFilter column '$c' is not an identity partition field of this table — " +
+          "manifest-level pruning would silently scan everything"
+      )
+    }
+    val files = st.liveFiles.collect {
+      case (p, pv) if partitionFilter.forall { case (c, v) => pv.get(c).contains(v) } => p
+    }
+    if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
-    else spark.read.schema(st.schema).parquet(st.liveFiles: _*)
+    else spark.read.schema(st.schema).parquet(files: _*)
   }
 }

@@ -77,14 +77,18 @@ class IcebergImportSpec extends AnyFunSuite {
       |  {"id":1,"name":"x","required":true,"type":"int"},
       |  {"id":2,"name":"p","required":false,"type":"string"}]}""".stripMargin
 
-  private def metadataJson(snapshots: Seq[(Long, String)], current: Long): String = {
+  private def metadataJson(
+      snapshots: Seq[(Long, String)],
+      current: Long,
+      partitionSpecs: String = """[{"spec-id":0,"fields":[]}]"""
+  ): String = {
     val snaps = snapshots.map { case (id, ml) =>
       s"""{"snapshot-id":$id,"timestamp-ms":0,"manifest-list":${graft.core.Json.str(ml)}}"""
     }.mkString("[", ",", "]")
     s"""{"format-version":2,"table-uuid":"t","location":"","last-sequence-number":1,
        |"last-updated-ms":0,"last-column-id":2,
        |"schemas":[$icebergSchemaJson],"current-schema-id":0,
-       |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+       |"partition-specs":$partitionSpecs,"default-spec-id":0,
        |"current-snapshot-id":$current,"snapshots":$snaps}""".stripMargin
   }
 
@@ -159,6 +163,56 @@ class IcebergImportSpec extends AnyFunSuite {
     Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v4.metadata.json"), "{garbage")
     Files.writeString(java.nio.file.Paths.get(s"$root/metadata/version-hint.text"), "3")
     assert(rows(IcebergImport.read(spark, root)) == Set((7, "z")))
+  }
+
+  test("identity-partitioned table: manifest-level file pruning, no parquet opened off-partition") {
+    val root = Files.createTempDirectory("graft-ice-part").toString
+    new java.io.File(s"$root/metadata").mkdirs()
+    val fa = writeDataFile(root, "fa.parquet", Seq((1, "a"), (2, "a")))
+    val fb = writeDataFile(root, "fb.parquet", Seq((3, "b")))
+
+    // manifest whose data_file carries the spec's partition struct
+    val pSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |      {"name":"p","type":"string"}]}},
+        |    {"name":"record_count","type":"long"}]}}]}""".stripMargin)
+    def entry(path: String, p: String, n: Long): GenericRecord = {
+      val part = new GenericData.Record(
+        pSchema.getField("data_file").schema().getField("partition").schema())
+      part.put("p", p)
+      val df = new GenericData.Record(pSchema.getField("data_file").schema())
+      df.put("file_path", path); df.put("file_format", "PARQUET")
+      df.put("partition", part); df.put("record_count", n)
+      val e = new GenericData.Record(pSchema)
+      e.put("status", 1); e.put("data_file", df)
+      e
+    }
+    val m = s"$root/metadata/m1.avro"
+    writeAvro(m, pSchema, Seq(entry(fa, "a", 2), entry(fb, "b", 1)))
+    val ml = s"$root/metadata/snap-1.avro"
+    writeAvro(ml, manifestListSchema, Seq(manifestListRow(m, 0)))
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      metadataJson(Seq((1L, ml)), 1L,
+        """[{"spec-id":0,"fields":[{"name":"p","transform":"identity","source-id":2,"field-id":1000}]}]"""))
+
+    // unfiltered: both files
+    assert(rows(IcebergImport.read(spark, root)) == Set((1, "a"), (2, "a"), (3, "b")))
+    // filtered: only partition a's rows, and only its FILE is opened
+    val pruned = IcebergImport.read(spark, root, partitionFilter = Map("p" -> "a"))
+    assert(rows(pruned) == Set((1, "a"), (2, "a")))
+    assert(pruned.inputFiles.length == 1, "manifest pruning must skip the off-partition file")
+    // the state itself carries the tuples (file-level pruning is manifest-only)
+    assert(IcebergImport.state(spark, root).liveFiles.toMap.values.toSet ==
+      Set(Map("p" -> "a"), Map("p" -> "b")))
+    // a filter on a non-identity column is refused, not silently unpruned
+    val e = intercept[IllegalArgumentException](
+      IcebergImport.read(spark, root, partitionFilter = Map("x" -> "1")))
+    assert(e.getMessage.contains("identity partition"))
   }
 
   test("Iceberg type mapping covers primitives and nested struct/list/map") {
