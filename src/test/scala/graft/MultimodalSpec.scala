@@ -116,6 +116,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(5L).ok && out(5L).rmsE2 == -1L)
   }
 
+  test("decodeAudio: AIFF container parses through the same JDK codec path") {
+    // same PCM payload, AIFF container (big-endian samples): the decoder
+    // keys on AudioFormat, not the file extension
+    val data = new Array[Byte](100 * 2)
+    (0 until 100).foreach { i =>
+      val v = if (i % 2 == 0) 500 else -500
+      data(2 * i) = ((v >> 8) & 0xff).toByte // AIFF is big-endian
+      data(2 * i + 1) = (v & 0xff).toByte
+    }
+    val af = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), af, 100L)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, buf)
+    val media = Multimodal.toMediaTable(
+      Seq((1L, buf.toByteArray)).toDF("media_id", "payload"), "media_id", "payload", "aiff")
+    val f = Multimodal.decodeAudio(spark, media).head()
+    assert(f.ok && f.sampleRate == 8000 && f.channels == 1 && f.bits == 16)
+    assert(f.nFrames == 100L && f.peak == 500 && f.rmsE2 == 50000L)
+  }
+
   test("decodeVideoMeta: real MP4 box walk — brand/duration/dims/tracks, corruption flagged not thrown") {
     val rows = Seq(
       (1L, Multimodal.encodeMp4(640, 360, 600, 1200L, withAudio = false)),

@@ -126,6 +126,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the Md5Prefix60 span hash as the aggregation key, got:\n$p")
   }
 
+  test("q96: SQ8 scoring is one scan + TakeOrdered — quantize/pack/score all inside the scan stage") {
+    val df = SparkEntry.queries("q96_ann_sq8")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be TakeOrderedAndProject, not a global sort")
+    assert(!p.contains("Exchange hashpartitioning"), s"SQ8 scoring must not shuffle, got:\n$p")
+    assert(p.toLowerCase.contains("dotproductsq8"), "scoring must use the binary-codes kernel")
+  }
+
   test("q93: url screen is a pure row-wise projection — no shuffle, scan pruned to doc_id+source") {
     val p = plan("q93_url_screen")
     assert(!p.contains("Exchange"), "regexp decomposition must not shuffle")
