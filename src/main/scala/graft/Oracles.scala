@@ -441,6 +441,37 @@ object Oracles {
          |HAVING count(*) >= 3""".stripMargin,
 
     // q81: chunking — 50-token windows, stride 40; short final window
+    // q97: the full corpus recipe replayed as ONE CTE pipeline — exact
+    // dedup (min doc_id per normalized fingerprint), quality gate (token
+    // count in [10,5000], floor-scaled punct ratio <= 2000), the q87
+    // mixture-rate CASE over md5 hash buckets, then 50/40 chunking with
+    // md5 chunk fingerprints
+    "q97_corpus_pipeline" -> {
+      val cases = (0 until 16)
+        .map(i => s"WHEN 'src$i' THEN ${math.round((i % 4 + 1) * 0.2 * 1000000L)}")
+        .mkString(" ")
+      s"""WITH fp AS (SELECT doc_id, source, text,
+         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) f FROM documents),
+         | keep AS (SELECT f, min(doc_id) kid FROM fp GROUP BY f),
+         | d1 AS (SELECT fp.doc_id, fp.source, fp.text FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.kid),
+         | q AS (SELECT doc_id, source, text, $tokensExpr ws FROM d1),
+         | d2 AS (SELECT doc_id, source, ws FROM (
+         |     SELECT doc_id, source, ws, len(ws) nt, length(text) nc,
+         |            length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) ncp
+         |     FROM q)
+         |   WHERE nt BETWEEN 10 AND 5000
+         |     AND CAST(FLOOR(CASE WHEN nc > 0 THEN (CAST(nc - ncp AS DOUBLE)/nc)*10000 ELSE 0 END) AS BIGINT) <= 2000),
+         | d3 AS (SELECT doc_id, ws FROM d2
+         |   WHERE (CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000)
+         |         < (CASE source $cases ELSE ${math.round(0.05 * 1000000L)} END)),
+         | st AS (SELECT doc_id, ws, unnest(range(0, ((len(ws)-1)//40)+1)) ci FROM d3 WHERE len(ws) > 0),
+         | ch AS (SELECT doc_id, ci, list_slice(ws, CAST(ci*40+1 AS INTEGER), CAST(least(ci*40+50, len(ws)) AS INTEGER)) ck FROM st)
+         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_id, CAST(ci*40 AS INTEGER) AS chunk_start,
+         | CAST(len(ck) AS INTEGER) AS n_chunk_tokens,
+         | md5(array_to_string(ck, ' ')) AS chunk_md5
+         |FROM ch""".stripMargin
+    },
+
     "q81_chunking" ->
       s"""WITH toks AS (SELECT doc_id, $tokensExpr ws FROM documents),
          | st AS (SELECT doc_id, ws, unnest(range(0, ((len(ws)-1)//40)+1)) ci FROM toks WHERE len(ws) > 0),

@@ -1766,6 +1766,42 @@ object Queries {
       .select(col("vec_id"), floor(col("score") * 1000000).cast("long").as("score_e6"))
   }
 
+  /** q97: THE PRETRAINING-DATA RECIPE END TO END, as one declarative plan —
+    * the composition proof that the LLM-pipeline operators chain the way a
+    * real corpus build uses them: exact dedup (keep each fingerprint's
+    * minimum doc_id, [[Dedup.exact]] + semi join) → quality gate
+    * ([[TextAnalysis.qualityFeatures]]: token count in [10, 5000] and
+    * punctuation ratio ≤ 20%, floor-scaled for cross-engine exactness) →
+    * source-weighted mixture sampling ([[Sampling.mixtureSample]], the q87
+    * rate table, no rand()) → context-window chunking
+    * ([[TextAnalysis.chunkTokens]], 50-token windows at stride 40) with
+    * md5-fingerprinted chunk text. Catalyst fuses the narrow stages; the
+    * only shuffles are the dedup aggregation and its semi join. The oracle
+    * replays the entire chain as one CTE pipeline.
+    */
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keepers = Dedup.exact(docs, "doc_id", "text").select(col("keeper_id"))
+    val deduped = docs.join(keepers, docs("doc_id") === keepers("keeper_id"), "left_semi")
+    val gated = TextAnalysis
+      .qualityFeatures(deduped)
+      .filter(
+        col("n_tokens") >= 10 && col("n_tokens") <= 5000 &&
+          floor(col("punct_ratio") * 10000).cast("long") <= 2000L
+      )
+    val rates = (0 until 16).map(i => s"src$i" -> (i % 4 + 1) * 0.2).toMap
+    val sampled = graft.operators.Sampling.mixtureSample(gated, "doc_id", "source", rates, defaultRate = 0.05)
+    TextAnalysis
+      .chunkTokens(sampled, "doc_id", "text", chunkSize = 50, stride = 40)
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        col("chunk_start"),
+        col("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk_tokens"))).as("chunk_md5")
+      )
+  }
+
   /** q95: REAL MP4 container-metadata parse under an oracle — the video
     * half of the multimodal story that needs NO codec: ISO-BMFF is a box
     * tree, and [[Multimodal.decodeVideoMeta]] walks

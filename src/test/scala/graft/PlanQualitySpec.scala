@@ -134,6 +134,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("dotproductsq8"), "scoring must use the binary-codes kernel")
   }
 
+  test("q97: the four-stage corpus pipeline plans as ONE shuffle (dedup agg) + broadcast semi join") {
+    val df = SparkEntry.queries("q97_corpus_pipeline")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"quality gate, sampling and chunking must stay narrow — only the dedup agg may shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "the keeper semi join should broadcast at fixture scale")
+    assert(!p.contains("Expand"), "no count-distinct expansion anywhere in the pipeline")
+  }
+
   test("q93: url screen is a pure row-wise projection — no shuffle, scan pruned to doc_id+source") {
     val p = plan("q93_url_screen")
     assert(!p.contains("Exchange"), "regexp decomposition must not shuffle")
