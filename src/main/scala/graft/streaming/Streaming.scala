@@ -128,6 +128,46 @@ object Streaming {
       .start()
   }
 
+  /** THE MIGRATION SHADOW-READ, shipped as one call: tail a (possibly
+    * still-being-written) Delta table commit-by-commit into the partitioned
+    * SCD-2 warehouse, exactly-once end to end. Composition of the two
+    * at-least-once halves this module already proves separately:
+    * [[graft.sources.DeltaImport.tail]] re-delivers on offset loss or
+    * checkpoint-compaction re-seed, and the `stream_batch:<streamId>`
+    * manifest marker (keyed by the SOURCE COMMIT VERSION, checked inside
+    * the commit-retry loop exactly like [[scd2WarehouseSink]]) makes every
+    * re-delivery a no-op. Crash anywhere — before the upsert, between
+    * upsert and offset persist, zombie driver racing a failover — and the
+    * warehouse still applies each Delta commit once.
+    *
+    * @return the newest processed source version (the tail offset)
+    */
+  def deltaTailIntoWarehouse(
+      spark: SparkSession,
+      deltaRoot: String,
+      checkpointLocation: String,
+      warehousePath: String,
+      keyCols: Seq[String],
+      nBuckets: Int,
+      now: Long => org.apache.spark.sql.Column, // source version -> insrt/close ts (injectable clock)
+      streamId: String = "delta-tail"
+  ): Long = {
+    import graft.sources.VersionedTable
+    graft.sources.DeltaImport.tail(spark, deltaRoot, checkpointLocation, (df, v) =>
+      VersionedTable.withCommitRetry() {
+        val alreadyApplied = lastStreamBatch(spark, warehousePath, streamId).exists(_ >= v)
+        if (!alreadyApplied) {
+          graft.operators.Scd2.upsertPartitioned(
+            spark, warehousePath, df, keyCols, nBuckets, now(v),
+            maxRetries = 0,
+            commitMeta = Map(s"stream_batch:$streamId" -> v.toString)
+          )
+          ()
+        }
+      }
+    )
+  }
+
   /** Newest `stream_batch:<streamId>` marker across committed versions
     * (scanning newest-first past commits that don't carry one — normally
     * the NEWEST commit already has it via manifest carry-forward).

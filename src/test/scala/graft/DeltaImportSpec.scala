@@ -281,6 +281,40 @@ class DeltaImportSpec extends AnyFunSuite {
     assert(seen.isEmpty)
   }
 
+  test("migration shadow-read: deltaTailIntoWarehouse is exactly-once across offset loss and new commits") {
+    val base = Files.createTempDirectory("graft-dtail-wh").toString
+    val src = s"$base/src"; val wh = s"$base/wh"; val ck = s"$base/ck"
+    VersionedTable.commitDelta(spark, src, Seq(("a", 1), ("b", 2)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, src, Seq(("b", 20)).toDF("bucket", "x"), "bucket")
+    DeltaExport.export(spark, src)
+    def ts(v: Long) = lit(s"2024-01-0${v + 1} 00:00:00").cast("timestamp")
+    def run(): Long = graft.streaming.Streaming.deltaTailIntoWarehouse(
+      spark, src, ck, wh, Seq("bucket"), nBuckets = 4, now = ts, streamId = "mig")
+    def latest: Set[(String, Int)] =
+      VersionedTable.read(spark, wh).filter(col("actv_flg") === "Y")
+        .select(col("bucket"), col("x")).collect().map(r => (r.getString(0), r.getInt(1))).toSet
+
+    assert(run() == 1L)
+    // v1 rewrote bucket b: the SCD-2 warehouse closes b=2 and serves b=20
+    assert(latest == Set(("a", 1), ("b", 20)))
+    val commitsAfterFirst = VersionedTable.latestVersion(spark, wh).get
+
+    // crash-replay: the tail offset is lost; both versions re-deliver and
+    // the stream_batch markers (keyed by source version) no-op them — no
+    // new warehouse commits, no duplicate SCD closes
+    new java.io.File(s"$ck/offset").delete()
+    assert(run() == 1L)
+    assert(VersionedTable.latestVersion(spark, wh).get == commitsAfterFirst)
+    assert(latest == Set(("a", 1), ("b", 20)))
+
+    // the Delta writer keeps committing: exactly the new version applies
+    VersionedTable.commitDelta(spark, src, Seq(("c", 3)).toDF("bucket", "x"), "bucket")
+    DeltaExport.export(spark, src)
+    assert(run() == 2L)
+    assert(latest == Set(("a", 1), ("b", 20), ("c", 3)))
+    assert(VersionedTable.latestVersion(spark, wh).get == commitsAfterFirst + 1)
+  }
+
   test("column-mapped tables are refused (logical-schema read would be silently all-NULL)") {
     val root = Files.createTempDirectory("graft-dimp-cm").toString
     Seq(7).toDF("x").coalesce(1).write.mode("overwrite").parquet(s"$root/flat")
