@@ -442,10 +442,11 @@ object Oracles {
 
     // q81: chunking — 50-token windows, stride 40; short final window
     // q97: the full corpus recipe replayed as ONE CTE pipeline — exact
-    // dedup (min doc_id per normalized fingerprint), quality gate (token
-    // count in [10,5000], floor-scaled punct ratio <= 2000), the q87
-    // mixture-rate CASE over md5 hash buckets, then 50/40 chunking with
-    // md5 chunk fingerprints
+    // dedup (min doc_id per normalized fingerprint), SimHash-equality
+    // near-dup (min doc_id per 60-bit sketch, empty docs sketch to 0),
+    // quality gate (token count in [10,5000], floor-scaled punct ratio
+    // <= 2000), the q87 mixture-rate CASE over md5 hash buckets, then
+    // 50/40 chunking with md5 chunk fingerprints
     "q97_corpus_pipeline" -> {
       val cases = (0 until 16)
         .map(i => s"WHEN 'src$i' THEN ${math.round((i % 4 + 1) * 0.2 * 1000000L)}")
@@ -454,11 +455,23 @@ object Oracles {
          |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) f FROM documents),
          | keep AS (SELECT f, min(doc_id) kid FROM fp GROUP BY f),
          | d1 AS (SELECT fp.doc_id, fp.source, fp.text FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.kid),
-         | q AS (SELECT doc_id, source, text, $tokensExpr ws FROM d1),
+         | tw AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | th AS (SELECT doc_id, unnest(list_transform(ws, w -> CAST(('0x'||substr(md5(w),1,15)) AS BIGINT))) h FROM tw),
+         | votes AS (SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) c
+         |   FROM th CROSS JOIN (SELECT unnest(range(60)) j) js GROUP BY doc_id, j),
+         | sk AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) sh
+         |   FROM votes GROUP BY doc_id),
+         | allsh AS (SELECT d.doc_id, COALESCE(sk.sh, 0) sh
+         |   FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id),
+         | keep2 AS (SELECT sh, min(doc_id) kid2 FROM allsh GROUP BY sh),
+         | d1b AS (SELECT d1.doc_id, d1.source, d1.text, tw.ws
+         |   FROM d1 JOIN allsh a ON d1.doc_id = a.doc_id
+         |           JOIN keep2 ON a.sh = keep2.sh AND d1.doc_id = keep2.kid2
+         |           JOIN tw ON d1.doc_id = tw.doc_id),
          | d2 AS (SELECT doc_id, source, ws FROM (
          |     SELECT doc_id, source, ws, len(ws) nt, length(text) nc,
          |            length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) ncp
-         |     FROM q)
+         |     FROM d1b)
          |   WHERE nt BETWEEN 10 AND 5000
          |     AND CAST(FLOOR(CASE WHEN nc > 0 THEN (CAST(nc - ncp AS DOUBLE)/nc)*10000 ELSE 0 END) AS BIGINT) <= 2000),
          | d3 AS (SELECT doc_id, ws FROM d2

@@ -1769,22 +1769,35 @@ object Queries {
   /** q97: THE PRETRAINING-DATA RECIPE END TO END, as one declarative plan —
     * the composition proof that the LLM-pipeline operators chain the way a
     * real corpus build uses them: exact dedup (keep each fingerprint's
-    * minimum doc_id, [[Dedup.exact]] + semi join) → quality gate
+    * minimum doc_id, [[Dedup.exact]] + semi join) → sketch near-dup
+    * ([[Dedup.simhash60]] equality: documents whose 60-bit SimHash
+    * collides keep only the minimum doc_id — the Hamming-0 screen; the
+    * banded Hamming-k variant exists standalone as q65) → quality gate
     * ([[TextAnalysis.qualityFeatures]]: token count in [10, 5000] and
     * punctuation ratio ≤ 20%, floor-scaled for cross-engine exactness) →
     * source-weighted mixture sampling ([[Sampling.mixtureSample]], the q87
     * rate table, no rand()) → context-window chunking
     * ([[TextAnalysis.chunkTokens]], 50-token windows at stride 40) with
     * md5-fingerprinted chunk text. Catalyst fuses the narrow stages; the
-    * only shuffles are the dedup aggregation and its semi join. The oracle
-    * replays the entire chain as one CTE pipeline.
+    * only shuffles are the two dedup aggregations and their semi joins.
+    * The oracle replays the entire chain as one CTE pipeline.
     */
   def q97(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val keepers = Dedup.exact(docs, "doc_id", "text").select(col("keeper_id"))
     val deduped = docs.join(keepers, docs("doc_id") === keepers("keeper_id"), "left_semi")
+    // sketch keepers come from the RAW scan, not from `deduped`: identical
+    // text implies identical sketch, so each sketch group's global min
+    // doc_id is provably also its min among exact-dedup survivors —
+    // result-identical, and it avoids re-planning the fingerprint agg
+    // subtree inside this branch (Spark does not reuse the exchange)
+    val shKeepers = docs
+      .groupBy(Dedup.simhash60(col("text")).as("__sh"))
+      .agg(min(col("doc_id")).as("sh_keeper"))
+      .select(col("sh_keeper"))
+    val nearDeduped = deduped.join(shKeepers, deduped("doc_id") === shKeepers("sh_keeper"), "left_semi")
     val gated = TextAnalysis
-      .qualityFeatures(deduped)
+      .qualityFeatures(nearDeduped)
       .filter(
         col("n_tokens") >= 10 && col("n_tokens") <= 5000 &&
           floor(col("punct_ratio") * 10000).cast("long") <= 2000L

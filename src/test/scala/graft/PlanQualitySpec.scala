@@ -134,13 +134,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("dotproductsq8"), "scoring must use the binary-codes kernel")
   }
 
-  test("q97: the four-stage corpus pipeline plans as ONE shuffle (dedup agg) + broadcast semi join") {
+  test("q97: the five-stage corpus pipeline plans as TWO shuffles (the dedup aggs) + broadcast semi joins") {
     val df = SparkEntry.queries("q97_corpus_pipeline")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"quality gate, sampling and chunking must stay narrow — only the dedup agg may shuffle:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"quality gate, sampling and chunking must stay narrow — only the fingerprint and simhash " +
+        s"dedup aggs may shuffle:\n$p")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
-      "the keeper semi join should broadcast at fixture scale")
+      "the keeper semi joins should broadcast at fixture scale")
     assert(!p.contains("Expand"), "no count-distinct expansion anywhere in the pipeline")
   }
 

@@ -101,7 +101,10 @@ def apply_scale(oracles):
     # Forcing MATERIALIZED on each CTE restores the evaluate-once semantics
     # the SQL was written with. Result-identical by definition.
     for name in ("q72_ann_ivf", "q85_ann_ivf_trained", "q86_semantic_dedup",
-                 "q90_ann_ivf_sampled", "q65_simhash_neardup", "q88_dup_groups"):
+                 "q90_ann_ivf_sampled", "q65_simhash_neardup", "q88_dup_groups",
+                 # q97's pipeline CTEs (fp, q, shd) are each referenced
+                 # twice — inlining re-tokenizes the corpus 4x at sf1
+                 "q97_corpus_pipeline"):
         if name in out:
             out[name] = re.sub(r"\b(AS)\s*\(\s*SELECT", r"AS MATERIALIZED (SELECT",
                                out[name], flags=re.IGNORECASE)
