@@ -538,7 +538,7 @@ object Oracles {
            |    ELSE 'https://blocked.example.com/' || doc_id
            |  END url FROM documents),
            | hh AS (SELECT doc_id, url,
-           |   NULLIF(regexp_extract(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1)), '^([^:]+)', 1), '') host
+           |   NULLIF(regexp_extract(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#@]*)(?:[/?#]|$$)', 1)), '^([^:]+)', 1), '') host
            |  FROM u),
            | dd AS (SELECT doc_id, url, host,
            |   COALESCE(NULLIF(regexp_extract(host, '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.[a-z][a-z])$$', 1), ''),

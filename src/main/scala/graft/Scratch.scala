@@ -1,7 +1,9 @@
 package graft
 
-/** Temporary profiling harness (not shipped): times a named subset of
-  * SparkEntry.queries warm, min-of-3, like Bench but targeted.
+/** Dev profiling harness: times a named subset of SparkEntry.queries
+  * warm, min-of-3 — Bench's methodology without the full suite, for
+  * targeted A/B runs while iterating on one operator (not part of the
+  * driver contract surface; SPARK_GRAFT_SF_DIR overrides the data dir).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {

@@ -33,12 +33,14 @@ object Caching {
   @volatile var maxEntries: Int = 64
 
   // access-ordered: get() refreshes recency. Keyed by the canonicalized
-  // logical plan (structural equality — the same identity CacheManager
-  // uses), so re-invocations over the same input hit the same entry.
+  // ANALYZED plan — CacheManager's storageLevel lookup resolves through
+  // analysis, so keying on the raw logical plan would let two
+  // analysis-equal frames (same view reached via different API paths)
+  // share a cache entry but miss each other's recency refresh.
   private val lru =
     new java.util.LinkedHashMap[AnyRef, DataFrame](16, 0.75f, true)
 
-  private def key(df: DataFrame): AnyRef = df.queryExecution.logical.canonicalized
+  private def key(df: DataFrame): AnyRef = df.queryExecution.analyzed.canonicalized
 
   /** Cache `df` unless its canonical plan is already cached (by this
     * registry or anyone else). See the retention contract above.

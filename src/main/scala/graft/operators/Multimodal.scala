@@ -357,7 +357,10 @@ object Multimodal {
               (p + 16, p + ls)
             } else if (size == 0) (p + 8, to.toLong) // box extends to EOF
             else (p + 8, p + size)
-          if (end > to || end <= p) throw new IllegalArgumentException("box overruns container")
+          // end < payload catches structurally invalid sizes 1..7 (a size
+          // that would put the payload end before its start would silently
+          // read the NEXT box's header bytes as this box's payload)
+          if (end > to || end < payload) throw new IllegalArgumentException("box overruns container")
           out :+= ((tpe, payload, end.toInt))
           p = end.toInt
         }

@@ -334,24 +334,42 @@ object Similarity {
       .drop("__maxabs")
   }
 
-  /** Asymmetric SQ8 top-k: the query stays full-precision, the corpus is
-    * scored straight off its 1-byte codes — `score = s · Σ q_i·code_i`
-    * (codegen'd [[graft.plans.DotProductSq8]] kernel, index-ascending like
-    * every other fold here). One scan, no shuffle before the final top-k;
-    * at rest the table stores (scale, codes) and never touches the float
-    * vectors. Compose with [[ivfCell]] cell filtering for IVF+SQ8, the
-    * standard billion-scale serving layout.
+  /** Asymmetric SQ8 top-k over a PRE-QUANTIZED table: the query stays
+    * full-precision, the corpus is scored straight off its 1-byte codes —
+    * `score = s · Σ q_i·code_i` (codegen'd [[graft.plans.DotProductSq8]]
+    * kernel, index-ascending like every other fold here). One scan, no
+    * shuffle before the final top-k, and the float vectors are never read:
+    * this is the serving path, run against a table that persisted
+    * [[withSq8]]'s (scale, codes) columns once at ingest — where the 4x
+    * at-rest/bandwidth win actually lives. Compose with [[ivfCell]] cell
+    * filtering for IVF+SQ8, the standard billion-scale serving layout.
     */
-  def sq8TopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float], k: Int): DataFrame = {
+  def sq8TopKOnCodes(
+      df: DataFrame,
+      idCol: String,
+      query: Seq[Float],
+      k: Int,
+      scaleCol: String = "sq8_scale",
+      codesCol: String = "sq8_codes"
+  ): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    withSq8(df, vecCol)
-      .select(
+    df.select(
         col(idCol),
-        (graft.plans.VectorExpressions.dotSq8(q, col("sq8_codes")) * col("sq8_scale")).as("score")
+        (graft.plans.VectorExpressions.dotSq8(q, col(codesCol)) * col(scaleCol)).as("score")
       )
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Convenience form over raw float vectors: quantizes inline
+    * ([[withSq8]]) and scores ([[sq8TopKOnCodes]]) in one plan. NOTE this
+    * reads the float column and pays O(rows·dim) quantization per call —
+    * right for one-shot jobs and for oracle-checking the whole transform
+    * (q96); repeated serving should persist `withSq8` output once and use
+    * [[sq8TopKOnCodes]].
+    */
+  def sq8TopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float], k: Int): DataFrame =
+    sq8TopKOnCodes(withSq8(df, vecCol), idCol, query, k)
 
   /** IVF ANN top-k: score only vectors assigned to the query's nprobe
     * nearest cells. One scan with a codegen'd cell filter — no shuffle

@@ -177,13 +177,20 @@ object TextAnalysis {
     * Unparseable urls yield NULL columns (filter on `host IS NULL` to
     * quarantine). Userinfo (`user:pw@host`) is stripped BEFORE the port so
     * credential-bearing urls cannot smuggle a host past [[domainFilter]];
-    * the strip uses last-@ semantics like WHATWG parsers. IPv6 literal
-    * hosts (`[::1]`) are NOT supported — the bracketed form mangles under
-    * the first-colon port strip; screen corpora carrying IPv6 urls need a
-    * real URL parser.
+    * the strip uses last-@ semantics like WHATWG parsers, and the host
+    * capture excludes `@` entirely, so an EMPTY-host url
+    * (`https://spam.com@/x` — all credentials, no host) parses to NULL
+    * and is quarantined rather than backtracking the credentials into the
+    * host. IPv6 literal hosts (`[::1]`) are NOT supported — the bracketed
+    * form mangles under the first-colon port strip; screen corpora
+    * carrying IPv6 urls need a real URL parser.
     */
   def urlParts(url: Column): Column = {
-    val host = lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1))
+    // the capture must run to a delimiter or end-of-string (the trailing
+    // (?:[/?#]|$), RE2-safe — no lookahead): otherwise the engine could
+    // skip the optional userinfo group and stop the host at the '@',
+    // resurrecting the credentials-as-host parse
+    val host = lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#@]*)(?:[/?#]|$)", 1))
     val hostNoPort = regexp_extract(host, "^([^:]+)", 1)
     val h = when(hostNoPort === "", lit(null).cast("string")).otherwise(hostNoPort)
     val ccSld = "(?:co|com|org|net|ac|gov|edu)"

@@ -89,13 +89,19 @@ object DeltaImport {
     val singleCkpts = names.collect { case n @ CkptSingleRe(v) => v.toLong -> Seq(n) }.toMap
     val multiCkpts: Map[Long, Seq[String]] = names
       .collect { case n @ CkptPartRe(v, p, np) => (v.toLong, p.toInt, np.toInt, n) }
-      .groupBy(_._1)
-      .flatMap { case (v, parts) =>
-        val np = parts.head._3
+      // group by (version, declared part count): a stray part from an
+      // abandoned attempt with a DIFFERENT count must not poison a
+      // complete set at the same version
+      .groupBy(e => (e._1, e._3))
+      .flatMap { case ((v, np), parts) =>
         // usable only when every declared part is present exactly once
-        val complete = parts.forall(_._3 == np) && parts.map(_._2).sorted == (1 to np)
-        if (complete) Some(v -> parts.sortBy(_._2).map(_._4)) else None
+        if (parts.map(_._2).sorted == (1 to np)) Some((v, np) -> parts.sortBy(_._2).map(_._4))
+        else None
       }
+      // multiple complete sets for one version replay the same reconciled
+      // state; pick deterministically (largest part count)
+      .groupBy(_._1._1)
+      .map { case (v, sets) => v -> sets.maxBy(_._1._2)._2 }
     val ckptFiles: Map[Long, Seq[String]] = singleCkpts ++ multiCkpts
     val ckpt: Option[Long] =
       if (versions.head == 0L) None

@@ -182,8 +182,7 @@ object IcebergImport {
     // are derived values — pruning on them needs transform replay, out of
     // scope; their files simply carry an empty tuple here)
     val identityFields: Seq[String] =
-      if (!meta.has("partition-specs")) Nil
-      else {
+      if (meta.has("partition-specs")) {
         val specId = meta.path("default-spec-id").asInt(0)
         meta.path("partition-specs").elements().asScala
           .find(_.path("spec-id").asInt(-1) == specId)
@@ -191,7 +190,12 @@ object IcebergImport {
             .filter(_.path("transform").asText() == "identity")
             .map(_.path("name").asText()))
           .getOrElse(Nil)
-      }
+      } else if (meta.has("partition-spec")) {
+        // legacy v1 metadata: a singular flat fields array
+        meta.path("partition-spec").elements().asScala.toSeq
+          .filter(_.path("transform").asText() == "identity")
+          .map(_.path("name").asText())
+      } else Nil
 
     // manifests of the snapshot: v2 (and modern v1) via the manifest-list
     // Avro; old v1 metadata may inline a `manifests` array instead
@@ -245,7 +249,14 @@ object IcebergImport {
     * strings against the manifest's partition struct (Iceberg stores
     * typed values; `String.valueOf` on both sides). Columns under
     * non-identity transforms can't drive manifest pruning and are
-    * rejected rather than silently scanning everything.
+    * rejected rather than silently scanning everything. A file whose
+    * tuple LACKS a filtered field (written before a partition-spec
+    * evolution) cannot be proven non-matching, so it is conservatively
+    * SCANNED — pruning must never drop rows, only skip provably
+    * irrelevant files. `partitionFilter` is therefore a FILE-pruning
+    * hint, not a row predicate: compose it with the same `.filter` on the
+    * returned frame (data files retain their source columns), exactly as
+    * Iceberg's own planner pairs manifest pruning with the row filter.
     */
   def read(
       spark: SparkSession,
@@ -261,8 +272,10 @@ object IcebergImport {
           "manifest-level pruning would silently scan everything"
       )
     }
+    // forall over the OPTIONAL tuple value: a file missing the field
+    // (pre-evolution) stays in — only a present-and-different value prunes
     val files = st.liveFiles.collect {
-      case (p, pv) if partitionFilter.forall { case (c, v) => pv.get(c).contains(v) } => p
+      case (p, pv) if partitionFilter.forall { case (c, v) => pv.get(c).forall(_ == v) } => p
     }
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)

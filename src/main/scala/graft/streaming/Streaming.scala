@@ -130,15 +130,27 @@ object Streaming {
 
   /** THE MIGRATION SHADOW-READ, shipped as one call: tail a (possibly
     * still-being-written) Delta table commit-by-commit into the partitioned
-    * SCD-2 warehouse, exactly-once end to end. Composition of the two
-    * at-least-once halves this module already proves separately:
-    * [[graft.sources.DeltaImport.tail]] re-delivers on offset loss or
-    * checkpoint-compaction re-seed, and the `stream_batch:<streamId>`
-    * manifest marker (keyed by the SOURCE COMMIT VERSION, checked inside
-    * the commit-retry loop exactly like [[scd2WarehouseSink]]) makes every
-    * re-delivery a no-op. Crash anywhere — before the upsert, between
-    * upsert and offset persist, zombie driver racing a failover — and the
-    * warehouse still applies each Delta commit once.
+    * SCD-2 warehouse, exactly-once end to end. Three layers compose:
+    *
+    *  - [[graft.sources.DeltaImport.tail]] re-delivers on offset loss or
+    *    checkpoint-compaction re-seed (at-least-once);
+    *  - the `stream_batch:<streamId>` manifest marker (keyed by the SOURCE
+    *    COMMIT VERSION, checked inside the commit-retry loop exactly like
+    *    [[scd2WarehouseSink]]) no-ops a re-delivery of a version already
+    *    applied;
+    *  - CONTENT-LEVEL change detection absorbs the re-seed case the marker
+    *    cannot: when the writer checkpoints + vacuums past the consumer's
+    *    offset, the re-seed batch is the cumulative snapshot (a SUPERSET of
+    *    already-applied rows under a version id the marker has never seen).
+    *    Rows identical to the warehouse's current active row are dropped
+    *    before the upsert (`exceptAll`, null-safe set semantics), so the
+    *    re-seed closes/reinserts nothing that did not actually change and
+    *    the SCD-2 history stays free of phantom versions. An all-duplicate
+    *    batch commits nothing at all.
+    *
+    * Crash anywhere — before the upsert, between upsert and offset persist,
+    * zombie driver racing a failover, vacuum overtaking the offset — and
+    * the warehouse history records each actual change exactly once.
     *
     * @return the newest processed source version (the tail offset)
     */
@@ -157,12 +169,30 @@ object Streaming {
       VersionedTable.withCommitRetry() {
         val alreadyApplied = lastStreamBatch(spark, warehousePath, streamId).exists(_ >= v)
         if (!alreadyApplied) {
-          graft.operators.Scd2.upsertPartitioned(
-            spark, warehousePath, df, keyCols, nBuckets, now(v),
-            maxRetries = 0,
-            commitMeta = Map(s"stream_batch:$streamId" -> v.toString)
-          )
-          ()
+          // change detection: drop rows whose current active warehouse row
+          // is identical — the idempotent-content half of exactly-once
+          val changed = VersionedTable.latestVersion(spark, warehousePath) match {
+            case None => df
+            case Some(_) =>
+              val wh = VersionedTable.read(spark, warehousePath)
+              // a batch carrying columns the warehouse lacks is schema
+              // drift: nothing can be content-identical, apply it whole
+              if (!df.columns.forall(wh.columns.contains)) df
+              else {
+                val active = wh
+                  .filter(org.apache.spark.sql.functions.col("actv_flg") === "Y")
+                  .select(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+                df.exceptAll(active)
+              }
+          }
+          if (!changed.isEmpty) {
+            graft.operators.Scd2.upsertPartitioned(
+              spark, warehousePath, changed, keyCols, nBuckets, now(v),
+              maxRetries = 0,
+              commitMeta = Map(s"stream_batch:$streamId" -> v.toString)
+            )
+            ()
+          }
         }
       }
     )

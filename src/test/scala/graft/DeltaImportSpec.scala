@@ -235,6 +235,11 @@ class DeltaImportSpec extends AnyFunSuite {
     val expectAll = rows(DeltaImport.read(spark, path))
     val expectV1 = rows(DeltaImport.read(spark, path, versionAsOf = Some(1L)))
     plantCheckpoint(path, DeltaImport.state(spark, path, versionAsOf = Some(1L)), 1L, nParts = 2)
+    // a stray part from an ABANDONED attempt with a different declared
+    // count (1 of 3) must not poison the complete 2-part set
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$path/_delta_log/" + f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet"),
+      java.nio.file.Paths.get(s"$path/_delta_log/" + f"${1L}%020d.checkpoint.${1}%010d.${3}%010d.parquet"))
 
     assert(rows(DeltaImport.read(spark, path)) == expectAll)
     assert(rows(DeltaImport.read(spark, path, versionAsOf = Some(1L))) == expectV1)
@@ -307,12 +312,24 @@ class DeltaImportSpec extends AnyFunSuite {
     assert(VersionedTable.latestVersion(spark, wh).get == commitsAfterFirst)
     assert(latest == Set(("a", 1), ("b", 20)))
 
-    // the Delta writer keeps committing: exactly the new version applies
+    // vacuum overtakes the consumer: the writer commits v2 and v3, then
+    // checkpoints at v2 and vacuums JSONs 0..2 — the consumer (offset 1)
+    // now receives v2 as the CUMULATIVE re-seed snapshot {a,b20,c}, a
+    // superset of what it already applied, under a version the marker has
+    // never seen. Content-level change detection must apply ONLY the new
+    // row: no phantom SCD closes of a/b (history count unchanged), one
+    // warehouse commit for c, then v3 applies normally.
+    val closedBefore = VersionedTable.read(spark, wh).filter(col("actv_flg") === "N").count()
     VersionedTable.commitDelta(spark, src, Seq(("c", 3)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, src, Seq(("d", 4)).toDF("bucket", "x"), "bucket")
     DeltaExport.export(spark, src)
-    assert(run() == 2L)
-    assert(latest == Set(("a", 1), ("b", 20), ("c", 3)))
-    assert(VersionedTable.latestVersion(spark, wh).get == commitsAfterFirst + 1)
+    plantCheckpoint(src, DeltaImport.state(spark, src, versionAsOf = Some(2L)), 2L, nParts = 1)
+    assert(run() == 3L)
+    assert(latest == Set(("a", 1), ("b", 20), ("c", 3), ("d", 4)))
+    // the re-seed superset closed nothing: the only historic row is still
+    // the original b=2 close, and exactly two commits landed (c, then d)
+    assert(VersionedTable.read(spark, wh).filter(col("actv_flg") === "N").count() == closedBefore)
+    assert(VersionedTable.latestVersion(spark, wh).get == commitsAfterFirst + 2)
   }
 
   test("column-mapped tables are refused (logical-schema read would be silently all-NULL)") {

@@ -213,6 +213,22 @@ class IcebergImportSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       IcebergImport.read(spark, root, partitionFilter = Map("x" -> "1")))
     assert(e.getMessage.contains("identity partition"))
+
+    // partition-spec evolution: a file written BEFORE the spec gained p has
+    // no p in its tuple — it cannot be proven non-matching, so pruning must
+    // conservatively SCAN it rather than silently drop its rows
+    val fOld = writeDataFile(root, "fold.parquet", Seq((9, "a")))
+    val mOld = s"$root/metadata/m2.avro"
+    writeAvro(mOld, manifestSchema, Seq(manifestEntry(1, fOld, 1))) // tuple-less schema
+    val ml2 = s"$root/metadata/snap-2.avro"
+    writeAvro(ml2, manifestListSchema, Seq(manifestListRow(m, 0), manifestListRow(mOld, 0)))
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v2.metadata.json"),
+      metadataJson(Seq((1L, ml), (2L, ml2)), 2L,
+        """[{"spec-id":0,"fields":[{"name":"p","transform":"identity","source-id":2,"field-id":1000}]}]"""))
+    val evolved = IcebergImport.read(spark, root, partitionFilter = Map("p" -> "a"))
+    assert(evolved.inputFiles.length == 2, "the pre-evolution file must be scanned, not pruned")
+    // the filter is a pruning hint: compose the row predicate for exactness
+    assert(rows(evolved.filter(col("p") === "a")) == Set((1, "a"), (2, "a"), (9, "a")))
   }
 
   test("Iceberg type mapping covers primitives and nested struct/list/map") {

@@ -171,12 +171,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     val df = Seq(
       "https://user@real.com/x",          // plain userinfo
       "https://a.b:pw@real.com:8080/x",   // colon in credentials AND a port
-      "ftp://u:p@w@real.com/y"            // multiple @: last-@ semantics
+      "ftp://u:p@w@real.com/y",           // multiple @: last-@ semantics
+      "https://spam.com@/x"               // EMPTY host: all credentials, no host
     ).toDF("url").select(TextAnalysis.urlParts($"url").as("p")).select("p.*")
     val got = df.collect().map(r => (r.getString(0), r.getString(1)))
     assert(got(0) == (("real.com", "real.com")))
     assert(got(1) == (("real.com", "real.com"))) // 'a.b' (the password) must NOT win
     assert(got(2) == (("real.com", "real.com")))
+    // credentials must not backtrack into the host: NULL -> quarantined
+    assert(got(3) == ((null, null)))
   }
 
   test("domainFilter: blocklist drops by registrable domain; unparseable urls quarantined") {
