@@ -1049,6 +1049,40 @@ object Oracles {
         |SELECT vec_id, CAST(FLOOR(s*1000000) AS BIGINT) AS score_e6
         |FROM sc ORDER BY s DESC, vec_id ASC LIMIT 20""".stripMargin,
 
+    // q98: IVF + SQ8 composed — q72's cell assignment + probe CTEs select
+    // the candidates, then q96's quantize + int8 asymmetric fold scores
+    // exactly that set
+    "q98_ann_ivf_sq8" ->
+      """WITH c AS (SELECT vec_id cid, embedding ce FROM embeddings WHERE vec_id < 8),
+        | cn AS (SELECT cid, sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) c2
+        |   FROM (SELECT cid, unnest(ce) y, unnest(range(64)) i FROM c) GROUP BY cid),
+        | ev AS (SELECT vec_id, unnest(embedding) x, unnest(range(64)) i FROM embeddings),
+        | cv AS (SELECT cid, unnest(ce) y, unnest(range(64)) i FROM c),
+        | vd AS (SELECT vec_id, cid, sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d
+        |   FROM ev JOIN cv USING (i) GROUP BY vec_id, cid),
+        | scorev AS (SELECT vec_id, vd.cid, -2*d + c2 score FROM vd JOIN cn ON vd.cid = cn.cid),
+        | assign AS (SELECT vec_id, cid FROM (
+        |   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) rn FROM scorev) WHERE rn = 1),
+        | qprobe AS (SELECT cid FROM (
+        |   SELECT cid, row_number() OVER (ORDER BY score, cid) rn FROM scorev WHERE vec_id = 0) WHERE rn <= 3),
+        | cand AS (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM qprobe) AND vec_id <> 0),
+        | q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0),
+        | m AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) ma
+        |  FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)),
+        | pairs2 AS (SELECT m.vec_id, m.ma, unnest(m.embedding) x, unnest(q.qe) y, unnest(range(64)) i
+        |   FROM m, q),
+        | dots2 AS (SELECT vec_id,
+        |    sum(CAST(y AS DOUBLE) *
+        |        (CASE WHEN ma = 0 THEN 0.0
+        |         ELSE CAST(FLOOR(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS DOUBLE) END)
+        |        ORDER BY i) d,
+        |    any_value(ma) ma
+        |  FROM pairs2 GROUP BY vec_id),
+        | sc AS (SELECT vec_id, d * (ma / 127.0) s FROM dots2)
+        |SELECT vec_id, CAST(FLOOR(s*1000000) AS BIGINT) AS score_e6
+        |FROM sc ORDER BY s DESC, vec_id ASC LIMIT 20""".stripMargin,
+
     "q40_ann_bruteforce" ->
       """WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id=0),
         | pairs AS (SELECT e.vec_id, unnest(e.embedding) x, unnest(q.qe) y, unnest(range(64)) i

@@ -1815,6 +1815,29 @@ object Queries {
       )
   }
 
+  /** q98: IVF + SQ8 ANN — the composed billion-scale serving layout under
+    * one oracle: q72's training-free coarse quantizer prunes to the
+    * query's 3 nearest cells ([[Similarity.ivfSq8TopK]]), then the
+    * survivors are scored asymmetrically from their int8 codes (q96's
+    * recipe). The oracle chains both proofs: cell assignment + probe set
+    * replayed with ordered folds, then quantization + the int8 fold over
+    * exactly the candidate set.
+    */
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val centroids = emb
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .sortBy(_._1)
+      .toSeq
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    Similarity
+      .ivfSq8TopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qvec, 20, centroids, nprobe = 3)
+      .select(col("vec_id"), floor(col("score") * 1000000).cast("long").as("score_e6"))
+  }
+
   /** q95: REAL MP4 container-metadata parse under an oracle — the video
     * half of the multimodal story that needs NO codec: ISO-BMFF is a box
     * tree, and [[Multimodal.decodeVideoMeta]] walks

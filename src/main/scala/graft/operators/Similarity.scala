@@ -371,6 +371,33 @@ object Similarity {
   def sq8TopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float], k: Int): DataFrame =
     sq8TopKOnCodes(withSq8(df, vecCol), idCol, query, k)
 
+  /** IVF + SQ8 — the standard billion-scale serving layout, composed from
+    * this module's own pieces: coarse cell pruning ([[ivfCell]] against
+    * the query's nprobe nearest cells — a codegen'd filter; with
+    * cell-partitioned storage, a partition-pruned read) then asymmetric
+    * int8 scoring over the survivors. The at-rest layout this models:
+    * table partitioned by cell storing (id, sq8_scale, sq8_codes) — a
+    * probe touches nprobe/k of the data and reads 1 byte per dimension.
+    * This convenience form quantizes the probed cells inline; serving
+    * over a pre-quantized table composes the cell filter with
+    * [[sq8TopKOnCodes]] directly.
+    */
+  def ivfSq8TopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      centroids: Seq[(Long, Seq[Double])],
+      nprobe: Int = 3
+  ): DataFrame = {
+    val probe = ivfProbeCells(query, centroids, nprobe)
+    sq8TopKOnCodes(
+      withSq8(df.filter(ivfCell(col(vecCol), centroids).isin(probe: _*)), vecCol),
+      idCol, query, k
+    )
+  }
+
   /** IVF ANN top-k: score only vectors assigned to the query's nprobe
     * nearest cells. One scan with a codegen'd cell filter — no shuffle
     * before the final top-k; with cell-partitioned storage the scan itself

@@ -241,4 +241,26 @@ class SimilaritySpec extends AnyFunSuite {
       .collect()
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1), "packed vs unpacked fold diverged"))
   }
+
+  test("ivfSq8TopK: cell pruning composes with int8 scoring; candidates are a strict subset") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = emb.filter($"vec_id" < 8).select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).sortBy(_._1).toSeq
+    val qvec = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val composed = Similarity.ivfSq8TopK(corpus, "vec_id", "embedding", qvec, 20, centroids, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    // every result must come from the probed cells (pruning really applied)
+    val probe = Similarity.ivfProbeCells(qvec, centroids, 3).toSet
+    val cellsOf = corpus
+      .select($"vec_id", Similarity.ivfCell($"embedding", centroids).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(composed.forall(id => probe.contains(cellsOf(id))))
+    // and the scoring half agrees with unpruned SQ8 on the shared candidates:
+    // composed top-k restricted to probed cells == sq8 ranking of that subset
+    val subset = corpus.filter(Similarity.ivfCell($"embedding", centroids).isin(probe.toSeq: _*))
+    val direct = Similarity.sq8TopK(subset, "vec_id", "embedding", qvec, 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(composed == direct)
+  }
 }

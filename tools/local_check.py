@@ -102,6 +102,7 @@ def apply_scale(oracles):
     # the SQL was written with. Result-identical by definition.
     for name in ("q72_ann_ivf", "q85_ann_ivf_trained", "q86_semantic_dedup",
                  "q90_ann_ivf_sampled", "q65_simhash_neardup", "q88_dup_groups",
+                 "q98_ann_ivf_sq8",
                  # q97's pipeline CTEs (fp, q, shd) are each referenced
                  # twice — inlining re-tokenizes the corpus 4x at sf1
                  "q97_corpus_pipeline"):
