@@ -1397,7 +1397,7 @@ object Queries {
       else rows.slice(offset, math.min(offset + pageSize, rows.size))
     }
     val tmp = scratchDir("paged")
-    val landed = graft.sources.Ingest.pagedJsonIngest(s, fetchPage, s"$tmp/landing", pageSize)
+    val landed = graft.sources.Ingest.pagedJsonIngest(s, fetchPage, s"$tmp/landing")
     landed
       .groupBy(col("o_orderstatus"))
       .agg(

@@ -451,10 +451,13 @@ object Dedup {
       .groupBy(blockCols.map(col) :+ col("id_a") :+ col("id_b"): _*)
       .agg(count(lit(1)).as("inter"))
     val sa = sizes.select(blockCols.map(col) :+ col("doc_id").as("id_a") :+ col("sz").as("la"): _*)
-    val sb = sizes.select(col("doc_id").as("id_b"), col("sz").as("lb"))
+    // ids are only guaranteed unique WITHIN a block (blockCols may encode the
+    // source), so the size lookup must carry the block key on BOTH sides —
+    // joining sb on id alone would cross-match same-id docs across blocks
+    val sb = sizes.select(blockCols.map(col) :+ col("doc_id").as("id_b") :+ col("sz").as("lb"): _*)
     inter
       .join(sa, blockCols :+ "id_a")
-      .join(sb, "id_b")
+      .join(sb, blockCols :+ "id_b")
       .withColumn("jaccard", col("inter").cast("double") / (col("la") + col("lb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select((blockCols.map(col) :+ col("id_a")) :+ col("id_b") :+ col("jaccard"): _*)
@@ -496,9 +499,9 @@ object Dedup {
       idCol: String,
       vecCol: String,
       nBits: Int = 12,
-      minCosine: Double = 0.95
+      minCosine: Double = 0.95,
+      dim: Int = 64
   ): DataFrame = {
-    val dim = 64
     val bucketed = df.select(
       col(idCol).as("id"),
       col(vecCol).as("v"),

@@ -18,6 +18,10 @@ class MinHashUnionAgg(numHashes: Int) extends Aggregator[Seq[Long], Array[Long],
   override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+    // MinHashSig yields NULL for empty/all-null shingle arrays (documented
+    // divergence): an empty set contributes nothing to a union, so skip it
+    // rather than NPE the whole group
+    if (sig == null) return buf
     var i = 0
     val n = math.min(buf.length, sig.length)
     while (i < n) { if (sig(i) < buf(i)) buf(i) = sig(i); i += 1 }

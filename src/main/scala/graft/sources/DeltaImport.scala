@@ -103,6 +103,7 @@ object DeltaImport {
       .groupBy(_._1._1)
       .map { case (v, sets) => v -> sets.maxBy(_._1._2)._2 }
     val ckptFiles: Map[Long, Seq[String]] = singleCkpts ++ multiCkpts
+    val target = upTo.getOrElse(versions.last)
     val ckpt: Option[Long] =
       if (versions.head == 0L) None
       else {
@@ -113,13 +114,17 @@ object DeltaImport {
             s"checkpoint parquet (single-part or complete multi-part set) covers the gap " +
             s"(have: ${ckptFiles.keys.toSeq.sorted.mkString(",")})"
         )
-        Some(usable.max)
+        // replay = checkpoint state + JSON commits (ckpt, target]; any usable
+        // checkpoint <= target works, the largest minimizes JSON replay. The
+        // global newest would spuriously fail a versionAsOf that lands
+        // BETWEEN two checkpoints even though the older one covers it.
+        val le = usable.filter(_ <= target)
+        require(
+          le.nonEmpty,
+          s"versionAsOf $target predates the oldest usable checkpoint at ${usable.min} — that history was vacuumed"
+        )
+        Some(le.max)
       }
-    val target = upTo.getOrElse(versions.last)
-    require(
-      ckpt.forall(_ <= target),
-      s"versionAsOf $target predates the checkpoint at ${ckpt.getOrElse(-1L)} — that history was vacuumed"
-    )
     require(
       versions.contains(target) || ckpt.contains(target),
       s"versionAsOf $target not in log (have ${versions.head}..${versions.last})"
@@ -216,8 +221,13 @@ object DeltaImport {
   }
 
   /** Replay the log to the snapshot at `versionAsOf` (default: newest). */
-  def state(spark: SparkSession, root: String, versionAsOf: Option[Long] = None): TableState = {
-    val commits = parseLog(spark, root, versionAsOf)
+  def state(spark: SparkSession, root: String, versionAsOf: Option[Long] = None): TableState =
+    stateFrom(parseLog(spark, root, versionAsOf), root)
+
+  /** Reconcile already-parsed commits into a snapshot — lets callers that
+    * hold a parse (readChanges, tail) avoid re-walking the log.
+    */
+  private def stateFrom(commits: Seq[Commit], root: String): TableState = {
     commits.flatMap(_.minReaderVersion).foreach { v =>
       require(v <= 2, s"minReaderVersion $v requires deletion-vector support — not implemented")
     }
@@ -269,7 +279,7 @@ object DeltaImport {
       upTo: Option[Long] = None
   ): DataFrame = {
     val commits = parseLog(spark, root, upTo)
-    val st = state(spark, root, upTo)
+    val st = stateFrom(commits, root)
     val batches = commits.filter(_.version > sinceVersion).filter(_.adds.nonEmpty).map { c =>
       readFiles(spark, root, st, c.adds).withColumn("_commit_version", lit(c.version))
     }
@@ -325,6 +335,11 @@ object DeltaImport {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
         finally in.close()
       } else -1L
+    // ONE log parse (and at most one checkpoint-parquet scan) for the whole
+    // call: each delivered version's batch is assembled from a prefix of
+    // this parse. Re-calling readChanges per version would re-walk the log
+    // AND re-scan the checkpoint parquet twice per commit — O(V^2) metadata
+    // work on a long tail.
     val commits = parseLog(spark, root, None)
     val newest = commits.last.version
     // earliest replayable version: the checkpoint pseudo-commit (or first
@@ -333,7 +348,17 @@ object DeltaImport {
     val floor = commits.head.version
     var processed = last
     (math.max(last + 1, floor) to newest).foreach { v =>
-      val batch = readChanges(spark, root, sinceVersion = v - 1, upTo = Some(v))
+      val prefix = commits.filter(_.version <= v)
+      val st = stateFrom(prefix, root) // guards + schema AS OF v, like upTo=Some(v)
+      val batch = commits
+        .find(c => c.version == v && c.adds.nonEmpty)
+        .map(c => readFiles(spark, root, st, c.adds).withColumn("_commit_version", lit(v)))
+        .getOrElse(
+          spark.createDataFrame(
+            new java.util.ArrayList[Row](),
+            st.schema.add("_commit_version", "long")
+          )
+        )
       onBatch(batch.drop("_commit_version"), v)
       val tmp = new Path(s"$checkpointLocation/.offset.tmp")
       val out = f.create(tmp, true)

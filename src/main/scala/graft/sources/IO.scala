@@ -70,6 +70,9 @@ object IO {
       .option("header", "true")
       .option("sep", "|")
       .option("quote", "\"")
+      // the pinned wire dialect's null sentinel — readPipeCsv maps it back,
+      // so null survives a write->read round trip instead of decaying to ""
+      .option("nullValue", "-")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).csv(path)
   }

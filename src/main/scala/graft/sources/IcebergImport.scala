@@ -122,7 +122,10 @@ object IcebergImport {
         case "double"                      => DoubleType
         case "date"                        => DateType
         case "time"                        => LongType // micros since midnight; Spark has no TimeType
-        case "timestamp" | "timestamptz"   => TimestampType
+        // Iceberg `timestamp` is WITHOUT zone (parquet isAdjustedToUTC=false):
+        // pin NTZ so wall-clock values don't get reinterpreted as instants
+        case "timestamp"                   => TimestampNTZType
+        case "timestamptz"                 => TimestampType
         case "string" | "uuid"             => StringType
         case "binary"                      => BinaryType
         case Dec(p, sc)                    => DecimalType(p.toInt, sc.toInt)

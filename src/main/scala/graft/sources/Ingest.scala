@@ -26,9 +26,13 @@ object Ingest {
   def pagedJsonIngest(
       spark: SparkSession,
       fetchPage: Int => Seq[String],
-      landingDir: String,
-      pageSize: Int
+      landingDir: String
   ): DataFrame = {
+    // NOTE deliberately no pageSize parameter: a short page does NOT mean
+    // last page (APIs truncate on response size), so the only sound
+    // termination signal is an empty page and the only sound cursor is the
+    // count actually returned. A declared page size would invite the
+    // short-page-skips-records bug this loop exists to avoid.
     import spark.implicits._
     var offset = 0
     var page = fetchPage(offset)

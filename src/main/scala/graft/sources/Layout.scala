@@ -61,7 +61,11 @@ object Layout {
   def zOrderWrite(df: DataFrame, cols: Seq[String], path: String, numFiles: Int, bits: Int = 12): Unit = {
     val aggExprs = cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val stats = df.agg(aggExprs.head, aggExprs.tail: _*).head()
-    val specs = cols.zipWithIndex.map { case (c, i) => (col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1)) }
+    // empty input / all-null column => null min/max; fall back to a 0-width
+    // range (zValue already maps range <= 0 to bucket 0) instead of NPE-ing
+    // a routine rewrite of an empty partition
+    def d(i: Int): Double = if (stats.isNullAt(i)) 0.0 else stats.getDouble(i)
+    val specs = cols.zipWithIndex.map { case (c, i) => (col(c), d(2 * i), d(2 * i + 1)) }
     df.withColumn("__z", zValue(specs, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
@@ -89,7 +93,11 @@ object Layout {
       .agg(min(col(valueCol).cast("double")).as("mn"), max(col(valueCol).cast("double")).as("mx"))
       .collect()
     val total = perFile.length
-    val matching = perFile.count(r => r.getDouble(1) <= hi && r.getDouble(2) >= lo)
+    // a file whose values are all null has null stats: it cannot contain a
+    // row in [lo, hi], count it as non-matching (not NPE)
+    val matching = perFile.count(r =>
+      !r.isNullAt(1) && !r.isNullAt(2) && r.getDouble(1) <= hi && r.getDouble(2) >= lo
+    )
     (matching, total)
   }
 }

@@ -42,6 +42,26 @@ class AggExtensionsSpec extends AnyFunSuite {
     truth.foreach { case (src, tsig) => assert(grouped(src) == tsig, s"group $src") }
   }
 
+  test("MinHashUnionAgg: null signatures (empty docs) are skipped, not NPE") {
+    // MinHashSig yields NULL for empty shingle arrays; a group containing
+    // one must aggregate to the signature of its non-null members
+    val rows = Seq(
+      ("g", Some(Seq(5L, 7L, 9L))),
+      ("g", None: Option[Seq[Long]]),
+      ("g", Some(Seq(6L, 3L, 11L)))
+    ).toDF("k", "sig")
+    val agg = new MinHashUnionAgg(3).toColumn
+    val out = rows
+      .as[(String, Option[Seq[Long]])]
+      .map { case (k, s) => (k, s.orNull) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("gsig"))
+      .collect()
+      .toMap
+    assert(out("g") == Seq(5L, 3L, 9L))
+  }
+
   test("estimatedJaccard of identical signatures is 1, disjoint ~0") {
     assert(MinHashAgg.estimatedJaccard(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == 1.0)
     assert(MinHashAgg.estimatedJaccard(Seq(1L, 2L), Seq(9L, 8L)) == 0.0)

@@ -160,6 +160,36 @@ class DedupSpec extends AnyFunSuite {
     assert(empty.select(Dedup.jaccard($"x", $"y")).head().getDouble(0) == 0.0)
   }
 
+  test("jaccardPairsWithinBlocks: ids unique only within a block don't cross-contaminate") {
+    // doc ids 1 and 2 exist in BOTH blocks (per-source id spaces); the fr
+    // texts are much longer, so a size row leaking across blocks would
+    // visibly corrupt the jaccard denominator (and duplicate output rows)
+    val blocked = Seq(
+      (1L, "quick brown fox jumps over the lazy dog alpha", "en"),
+      (2L, "quick brown fox jumps over the lazy dog beta", "en"),
+      (1L, "entirely different corpus line one two three four five six seven eight nine ten eleven twelve", "fr"),
+      (2L, "entirely different corpus line one two three four five six seven eight nine ten eleven thirteen", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup
+      .jaccardPairsWithinBlocks(blocked, "doc_id", "text", Seq("lang"), shingleSize = 3, minJaccard = 0.3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+    // exactly one row per (block, pair): no cross-block duplication
+    assert(got.map(_._1).toSeq.sorted == Seq(("en", 1L, 2L), ("fr", 1L, 2L)))
+    // ground truth per block from the same shingle pipeline, computed naively
+    val truth = blocked
+      .select(col("lang"), col("doc_id"),
+        array_distinct(graft.plans.HashExpressions.shingleHash60(TextAnalysis.tokens(col("text")), 3)).as("sh"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Long](2).toSet)
+      .toMap
+    got.foreach { case ((lang, a, b), j) =>
+      val (sa, sb) = (truth((lang, a)), truth((lang, b)))
+      val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(j - expect) < 1e-12, s"block $lang pair ($a,$b)")
+    }
+  }
+
   test("wordShingles: n-gram construction and short-doc empty result") {
     val sh = docs
       .filter($"doc_id" === 1L)

@@ -226,6 +226,37 @@ class DeltaImportSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("versionAsOf BETWEEN two surviving checkpoints replays from the older one") {
+    val path = Files.createTempDirectory("graft-dimp-2ckpt").toString + "/t"
+    Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5)).foreach { case (b, x) =>
+      VersionedTable.commitDelta(spark, path, Seq((b, x)).toDF("bucket", "x"), "bucket")
+    }
+    DeltaExport.export(spark, path)
+    val expectV2 = rows(DeltaImport.read(spark, path, versionAsOf = Some(2L)))
+    val expectAll = rows(DeltaImport.read(spark, path))
+    val st1 = DeltaImport.state(spark, path, versionAsOf = Some(1L))
+    val st3 = DeltaImport.state(spark, path, versionAsOf = Some(3L))
+    // plantCheckpoint(3) vacuums JSON 0..3 — back up 2,3 and restore them so
+    // the log ends up: JSON {2,3,4}, checkpoints {1,3}
+    val log = s"$path/_delta_log"
+    val keep = Seq(2L, 3L).map(v => f"$v%020d.json")
+    val backup = keep.map(n => n -> java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$log/$n")))
+    plantCheckpoint(path, st3, 3L, nParts = 1)
+    backup.foreach { case (n, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$log/$n"), bytes)
+    }
+    plantCheckpoint(path, st1, 1L, nParts = 1)
+
+    // a target BETWEEN the checkpoints must replay ckpt1 + JSON 2 — not fail
+    // because the NEWEST checkpoint (3) happens to be later than the target
+    assert(rows(DeltaImport.read(spark, path, versionAsOf = Some(2L))) == expectV2)
+    // newest read picks the later checkpoint + JSON 4
+    assert(rows(DeltaImport.read(spark, path)) == expectAll)
+    // below the OLDEST usable checkpoint is genuinely vacuumed
+    val e = intercept[IllegalArgumentException](DeltaImport.read(spark, path, versionAsOf = Some(0L)))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("multi-part checkpoint set replays like a single-part one; incomplete sets are refused") {
     val path = Files.createTempDirectory("graft-dimp-ckptmp").toString + "/t"
     VersionedTable.commitDelta(spark, path, Seq(("a", 1), ("b", 2), ("c", 3)).toDF("bucket", "x"), "bucket")

@@ -19,6 +19,10 @@ class IOSpec extends AnyFunSuite {
     val back = IO.readPipeCsv(spark, s"$tmp/t1")
     assert(back.count() == 2)
     assert(back.filter($"c1" === "a|b").count() == 1) // quoted field with the delimiter inside
+    // null survives the round trip via the pinned '-' sentinel (the writer
+    // must emit it — a default empty field would decay null to "")
+    assert(back.filter($"c1" === "plain" && $"c2".isNull).count() == 1)
+    assert(back.filter($"c1" === "plain" && $"n".isNull).count() == 1)
   }
 
   test("multiLine JSON array source (ingest landing format)") {

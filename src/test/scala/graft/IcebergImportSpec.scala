@@ -237,6 +237,7 @@ class IcebergImportSpec extends AnyFunSuite {
     import org.apache.spark.sql.types._
     assert(t("\"int\"") == IntegerType)
     assert(t("\"timestamptz\"") == TimestampType)
+    assert(t("\"timestamp\"") == TimestampNTZType) // no-zone => NTZ, not instant
     assert(t("\"decimal(18, 2)\"") == DecimalType(18, 2))
     assert(t("\"fixed[16]\"") == BinaryType)
     assert(t("\"uuid\"") == StringType)

@@ -17,7 +17,7 @@ class IngestSkewSpec extends AnyFunSuite {
     val tmp = Files.createTempDirectory("graft-ingest").toString
     val all = (1 to 25).map(i => s"""{"id": $i, "name": "row$i"}""")
     def fetchPage(offset: Int): Seq[String] = all.slice(offset, offset + 10)
-    val df = Ingest.pagedJsonIngest(spark, fetchPage, s"$tmp/landing", pageSize = 10)
+    val df = Ingest.pagedJsonIngest(spark, fetchPage, s"$tmp/landing")
     assert(df.count() == 25)
     assert(df.agg(sum("id")).head().getLong(0) == 325)
   }

@@ -45,4 +45,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(ly == lTotal, s"x-sorted layout unexpectedly pruned y ($ly/$lTotal)")
     assert(zy <= zTotal / 2, s"z-order pruned too little on y: $zy of $zTotal files")
   }
+
+  test("zOrderWrite: all-null clustering column and empty input don't NPE") {
+    val tmp = Files.createTempDirectory("graft-layout-null").toString
+    // all-null stats: min/max are null, range collapses to bucket 0
+    val nulls = Seq((null: java.lang.Double, 1L), (null: java.lang.Double, 2L)).toDF("x", "id")
+    Layout.zOrderWrite(nulls, Seq("x"), s"$tmp/nulls", numFiles = 2)
+    assert(spark.read.parquet(s"$tmp/nulls").count() == 2)
+    // empty input: the stats row is all-null too — the write must succeed
+    Layout.zOrderWrite(nulls.filter(col("id") < 0), Seq("x"), s"$tmp/empty", numFiles = 2)
+  }
+
+  test("filesPossiblyMatching counts an all-null file as non-matching, not NPE") {
+    val tmp = Files.createTempDirectory("graft-layout-nullfile").toString
+    Seq((null: java.lang.Double, 1L), (null: java.lang.Double, 2L)).toDF("v", "id")
+      .coalesce(1).write.parquet(s"$tmp/t")
+    Seq((5.0: java.lang.Double, 3L)).toDF("v", "id")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/t")
+    val (matching, total) = Layout.filesPossiblyMatching(spark, s"$tmp/t", "v", 0, 10)
+    assert(total == 2)
+    assert(matching == 1) // the all-null file cannot contain a row in range
+  }
 }
