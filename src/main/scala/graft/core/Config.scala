@@ -113,6 +113,10 @@ object Config {
     val df = spark.read.schema(sourceConfigJsonSchema).json(Seq(json).toDS)
     val row = df.head()
     val source = row.getString(0)
+    require(
+      !row.isNullAt(1),
+      "config JSON has no 'services' array — every source config must declare its services"
+    )
     val services = row.getSeq[Row](1).map { s =>
       def str(i: Int): String = Option(s.getString(i)).getOrElse("")
       def strs(i: Int): Seq[String] =

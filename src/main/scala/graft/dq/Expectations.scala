@@ -127,12 +127,15 @@ object DqSuite {
     val uniqueResults: Seq[DqResult] = uniques.map { u =>
       // GX column_map semantics: nulls are not "duplicates" — only repeated
       // NON-NULL values count as unexpected; element_count stays total rows
+      // internal alias is __-prefixed so it can't collide with a validated
+      // column literally named "c" (which would make every reference below
+      // ambiguous and fail the whole suite)
       val agg = df
         .groupBy(col(u.columnName))
-        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("__cnt"))
         .agg(
-          coalesce(sum("c"), lit(0L)).as("n"),
-          coalesce(sum(when(col(u.columnName).isNotNull && col("c") > 1, col("c"))), lit(0L)).as("dups")
+          coalesce(sum("__cnt"), lit(0L)).as("n"),
+          coalesce(sum(when(col(u.columnName).isNotNull && col("__cnt") > 1, col("__cnt"))), lit(0L)).as("dups")
         )
         .head()
       result(u, batchId, fileIdentifier, agg.getLong(0), agg.getLong(1))
@@ -162,8 +165,12 @@ object DqSuite {
         case m if m.startsWith("matches:") => Some(Matches(r.colName, m.stripPrefix("matches:")))
         case m if m.startsWith("between:") =>
           m.stripPrefix("between:").split(':') match {
-            case Array(lo, hi) => Some(Between(r.colName, lo.toDouble, hi.toDouble))
-            case _             => None
+            // non-numeric bounds are malformed config, not a stream-killer:
+            // skip like every other bad rule shape (hot-loaded rows arrive
+            // inside foreachBatch, where a throw fails the whole query)
+            case Array(lo, hi) =>
+              scala.util.Try(Between(r.colName, lo.toDouble, hi.toDouble)).toOption
+            case _ => None
           }
         case _ => None
       }

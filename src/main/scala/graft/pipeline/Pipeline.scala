@@ -113,7 +113,17 @@ object Pipeline {
     import graft.sources.VersionedTable
     VersionedTable.latestVersion(spark, warehousePath).foreach { _ =>
       val bookkeeping = Set("actv_flg", "record_to", "key_bucket")
-      val existing = VersionedTable.read(spark, warehousePath).columns.filterNot(bookkeeping).toSeq
+      // column names come from the commit manifests' schema JSON — commit-
+      // count-sized driver work, no mergeSchema footer scan across the
+      // warehouse. Union over all surviving manifests because a delta
+      // commit records only its TOUCHED partitions' schema: a column that
+      // lives solely in an untouched bucket appears in an older manifest
+      val existing = VersionedTable
+        .committedVersionsPublic(spark, warehousePath)
+        .flatMap(v => VersionedTable.commitField(spark, warehousePath, v, "schema"))
+        .flatMap(s => org.apache.spark.sql.types.DataType.fromJson(s).asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames)
+        .distinct
+        .filterNot(bookkeeping)
       val incoming = staged.columns.toSeq
       graft.core.Drift.emit(
         notifier,
@@ -135,17 +145,25 @@ object Pipeline {
     import graft.sources.VersionedTable
     val staged = IO.readPipeCsv(spark, run.path(alias, "transformation", "csv"))
     emitWarehouseDrift(spark, warehousePath, staged, notifier)
-    val target = VersionedTable.latestVersion(spark, warehousePath) match {
-      case Some(_) => VersionedTable.read(spark, warehousePath)
-      case None =>
-        // empty target with the staged schema + SCD columns
-        staged
-          .limit(0)
-          .withColumn("actv_flg", lit("Y"))
-          .withColumn("record_to", lit(null).cast("timestamp"))
+    // optimistic-concurrency loop: the snapshot is a read-modify-write of
+    // the whole table, so a commit that lands between our read and our
+    // publish would be silently reverted by an unconditional commit. A
+    // checked commit aborts instead; the retry rebases on the fresh read
+    // (the same loop shape as upsertPartitioned/commitDelta).
+    VersionedTable.withCommitRetry() {
+      val base = VersionedTable.latestVersion(spark, warehousePath)
+      val target = base match {
+        case Some(_) => VersionedTable.read(spark, warehousePath)
+        case None =>
+          // empty target with the staged schema + SCD columns
+          staged
+            .limit(0)
+            .withColumn("actv_flg", lit("Y"))
+            .withColumn("record_to", lit(null).cast("timestamp"))
+      }
+      val result = Scd2.upsert(target, staged, keyCols, run.now)
+      VersionedTable.commitChecked(result, warehousePath, base)
     }
-    val result = Scd2.upsert(target, staged, keyCols, run.now)
-    VersionedTable.commit(result, warehousePath)
     VersionedTable.read(spark, warehousePath)
   }
 

@@ -112,8 +112,24 @@ object VersionedTable {
     f.delete(new Path(s"$path/_commits/$v.reserved"), false)
   }
 
-  /** Commit a new FULL snapshot; returns the version number. */
-  def commit(df: DataFrame, path: String): Long = {
+  /** Commit a new FULL snapshot; returns the version number. Unconditional:
+    * the newest commit wins regardless of what it was computed from — right
+    * for full refreshes, wrong for read-modify-write loads (use
+    * [[commitChecked]] there).
+    */
+  def commit(df: DataFrame, path: String): Long = fullCommit(df, path, check = None)
+
+  /** Full-snapshot commit with optimistic concurrency: `base` is the latest
+    * version the caller's snapshot was derived from (None = table was
+    * empty). If anyone published since, this commit aborts with
+    * `ConcurrentModificationException` instead of silently reverting the
+    * concurrent writer's rows — pair with [[withCommitRetry]] and rebuild
+    * the snapshot from a fresh read, mirroring [[commitDelta]]'s loop.
+    */
+  def commitChecked(df: DataFrame, path: String, base: Option[Long]): Long =
+    fullCommit(df, path, check = Some(base))
+
+  private def fullCommit(df: DataFrame, path: String, check: Option[Option[Long]]): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val v = reserveVersion(f, path)
@@ -124,8 +140,36 @@ object VersionedTable {
     val finalDir = clearStaleDir(f, path, v)
     if (!f.rename(tmp, finalDir))
       throw new IllegalStateException(s"failed to move snapshot into place for version $v of $path")
+    check.foreach { base =>
+      if (latestVersion(spark, path) != base) {
+        f.delete(finalDir, true) // burned reservation marks the version dead
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit on $path (base was $base); rebuild the snapshot on the new latest version")
+      }
+    }
+    // a checked commit records its base so later writers' conflict checks
+    // can tell "built on me" from "never saw me" (commitDelta semantics)
+    val baseJson = check.map(b => s""""base": ${b.getOrElse(0L)}, """).getOrElse("")
     publish(f, path, v,
-      s"""{"version": $v, "schema": ${jsonStr(df.schema.json)}, "committed_at": ${System.currentTimeMillis()}}""")
+      s"""{"version": $v, $baseJson"schema": ${jsonStr(df.schema.json)}, "committed_at": ${System.currentTimeMillis()}}""")
+    check.foreach { base =>
+      // close the check-then-publish window exactly like commitDelta: any
+      // commit that landed between base and v, or a higher one that never
+      // saw us, demotes this commit (unless a successor already built on it)
+      def conflictingSuccessor(w: Long): Boolean =
+        try commitBase(spark, path, w).forall(_ < v)
+        catch { case _: IllegalArgumentException => false } // demoted concurrently
+      val conflict = committedVersions(f, path).filter { w =>
+        (w > base.getOrElse(0L) && w < v) || (w > v && conflictingSuccessor(w))
+      }
+      if (conflict.nonEmpty && !durableThroughSuccessor(spark, f, path, v)) {
+        try { val out = f.create(new Path(s"$path/_commits/$v.reserved"), false); out.close() }
+        catch { case _: java.io.IOException => () } // marker already present
+        f.delete(new Path(s"$path/_commits/$v.json"), false)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit(s) ${conflict.sorted.mkString(",")} on $path conflict with base $base; retry the load")
+      }
+    }
     v
   }
 

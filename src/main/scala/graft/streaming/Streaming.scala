@@ -44,9 +44,10 @@ object Streaming {
       source: DataFrame,
       expectations: Seq[Expectation],
       resultsPath: String,
-      fileIdentifier: String = "stream"
-  ): StreamingQuery =
-    source.writeStream
+      fileIdentifier: String = "stream",
+      checkpointLocation: Option[String] = None
+  ): StreamingQuery = {
+    val base = source.writeStream
       .outputMode("append")
       .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val rs = DqSuite.run(df, expectations, batchId.toString, fileIdentifier)
@@ -65,7 +66,11 @@ object Streaming {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    // without a durable checkpoint the documented per-(stream, batch)
+    // idempotency is unsatisfiable: a restart renumbers batches from 0 and
+    // the dynamic overwrite replaces the prior run's partitions
+    checkpointLocation.fold(base)(loc => base.option("checkpointLocation", loc)).start()
+  }
 
   /** Continuous SCD-2 warehouse loading: each micro-batch runs a
     * partition-scoped upsert into the delta-committed warehouse. EXACTLY
@@ -170,27 +175,46 @@ object Streaming {
         val alreadyApplied = lastStreamBatch(spark, warehousePath, streamId).exists(_ >= v)
         if (!alreadyApplied) {
           // change detection: drop rows whose current active warehouse row
-          // is identical — the idempotent-content half of exactly-once
+          // is identical — the idempotent-content half of exactly-once.
+          // Scoped to the key-buckets this batch touches (the same pruning
+          // upsertPartitioned does): a steady tail of small commits must
+          // cost O(batch), not a full-warehouse exceptAll per version
           val changed = VersionedTable.latestVersion(spark, warehousePath) match {
             case None => df
-            case Some(_) =>
-              val wh = VersionedTable.read(spark, warehousePath)
-              // a batch carrying columns the warehouse lacks is schema
-              // drift: nothing can be content-identical, apply it whole
-              if (!df.columns.forall(wh.columns.contains)) df
-              else {
-                val active = wh
-                  .filter(org.apache.spark.sql.functions.col("actv_flg") === "Y")
-                  .select(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-                df.exceptAll(active)
+            case Some(ver) =>
+              import org.apache.spark.sql.functions.col
+              val b = df.withColumn("__kb", graft.operators.Scd2.keyBucket(keyCols, nBuckets))
+              // bounded driver-side list: at most nBuckets values
+              val touched = b.select("__kb").distinct().collect().map(_.getLong(0)).sorted
+              val parts = VersionedTable
+                .readPartitions(spark, warehousePath, touched.map(_.toString).toSeq, Some(ver))
+                .flatten
+              parts.reduceOption(_.unionByName(_, allowMissingColumns = true)) match {
+                case None => df // none of the touched buckets exist yet
+                // a batch carrying columns the warehouse lacks is schema
+                // drift: nothing can be content-identical, apply it whole
+                case Some(wh) if !df.columns.forall(wh.columns.contains) => df
+                case Some(wh) =>
+                  val active = wh
+                    .filter(col("actv_flg") === "Y")
+                    .select(df.columns.map(col).toIndexedSeq: _*)
+                  df.exceptAll(active)
               }
           }
-          if (!changed.isEmpty) {
-            graft.operators.Scd2.upsertPartitioned(
-              spark, warehousePath, changed, keyCols, nBuckets, now(v),
-              maxRetries = 0,
-              commitMeta = Map(s"stream_batch:$streamId" -> v.toString)
-            )
+          // the diff feeds isEmpty AND the upsert's plan: persist so the
+          // bucket-scoped exceptAll runs once, and release on every exit
+          val changedC = changed.persist()
+          try {
+            if (!changedC.isEmpty) {
+              graft.operators.Scd2.upsertPartitioned(
+                spark, warehousePath, changedC, keyCols, nBuckets, now(v),
+                maxRetries = 0,
+                commitMeta = Map(s"stream_batch:$streamId" -> v.toString)
+              )
+              ()
+            }
+          } finally {
+            changedC.unpersist()
             ()
           }
         }
@@ -234,7 +258,12 @@ object Streaming {
                 case None       => cur
               })
             }
-            last = Some(ev.counters)
+            // MERGE into the snapshot, don't replace it: the reference's
+            // update_item SETs only the counters present in the row
+            // (transformation.py:100-116), so a counter absent from this
+            // event keeps its last-seen value — wholesale replacement would
+            // forget it and double-count its next cumulative reading
+            last = Some(last.getOrElse(Map.empty[String, Long]) ++ ev.counters)
             CounterDelta(key, deltas, ev.ts)
           }
           last.foreach(state.update)

@@ -45,6 +45,27 @@ class DqSpec extends AnyFunSuite {
     assert(uq.elementCount == 4 && uq.unexpectedCount == 2 && !uq.success)
   }
 
+  test("Unique works on a column literally named 'c' (no internal-alias collision)") {
+    val cdf = Seq("x", "x", "y").toDF("c")
+    val rs = DqSuite.run(cdf, Seq(Unique("c")), "b1", "f1")
+    assert(rs.head.elementCount == 3 && rs.head.unexpectedCount == 2)
+  }
+
+  test("fromConfig skips non-numeric between bounds like any other malformed rule") {
+    val rules = Seq(
+      DqRule("p1", "amount", "between:low:high", active = true),
+      DqRule("p1", "amount", "between:0:100", active = true)
+    )
+    val suite = DqSuite.fromConfig(rules)
+    assert(suite.collect { case b: Between => (b.lo, b.hi) } == Seq((0.0, 100.0)))
+  }
+
+  test("config parse fails with a clear message when 'services' is missing") {
+    implicit val s = spark
+    val e = intercept[IllegalArgumentException](graft.core.Config.parse("""{"source":"x"}"""))
+    assert(e.getMessage.contains("services"))
+  }
+
   test("suite from hot-loaded config rows (ST3)") {
     val rules = Seq(
       DqRule("p1", "order_id", "unique", active = true),

@@ -115,6 +115,39 @@ class StreamingSpec extends AnyFunSuite {
       Set("stream_batch:A", "stream_batch:B"))
   }
 
+  test("ST5: a counter absent from one event keeps its snapshot (update_item SET semantics)") {
+    implicit val s = spark
+    val tmp = Files.createTempDirectory("graft-stream-merge").toString
+    val srcDir = s"$tmp/src"
+    // k1 reports imp, then ONLY clk, then imp again: the imp snapshot must
+    // survive the clk-only event or the third reading double-counts 100
+    Seq(
+      ("k1", "imp", 100L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("k1", "clk", 5L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      ("k1", "imp", 120L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+    ).toDF("key", "cname", "cval", "ts").write.parquet(srcDir)
+
+    val events = spark.readStream
+      .schema("key STRING, cname STRING, cval BIGINT, ts TIMESTAMP")
+      .parquet(srcDir)
+      .select($"key", map($"cname", $"cval").as("counters"), $"ts")
+      .as[Streaming.CounterEvent]
+
+    val query = Streaming.deltaStream(events)
+      .writeStream.format("memory").queryName("deltas_merge")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+
+    val got = spark.table("deltas_merge").collect()
+      .map(r => (r.getTimestamp(2).toString, r.getAs[Map[String, Long]](1)))
+      .toMap
+    assert(got("2024-01-01 00:00:00.0") == Map("imp" -> 100L)) // first seen -> raw
+    assert(got("2024-01-02 00:00:00.0") == Map("clk" -> 5L))   // first clk -> raw
+    assert(got("2024-01-03 00:00:00.0") == Map("imp" -> 20L))  // 120-100, NOT 120
+  }
+
   test("ST5: streaming cumulative->delta with flatMapGroupsWithState") {
     implicit val s = spark
     val tmp = Files.createTempDirectory("graft-stream2").toString

@@ -26,6 +26,31 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, path).count() == 1) // v3 content
   }
 
+  test("commitChecked aborts a stale full-snapshot commit instead of reverting the winner") {
+    val path = Files.createTempDirectory("graft-vt-cc").toString + "/t"
+    def state: Set[(Int, String)] =
+      VersionedTable.read(spark, path).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+
+    VersionedTable.commit(Seq((1, "a")).toDF("id", "v"), path)
+    val base = VersionedTable.latestVersion(spark, path) // our read-modify-write base
+    // a concurrent writer publishes before we do
+    VersionedTable.commit(Seq((2, "b")).toDF("id", "v"), path)
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.commitChecked(Seq((3, "c")).toDF("id", "v"), path, base)
+    }
+    assert(state == Set((2, "b")), "the concurrent winner must not be reverted")
+    // the retry (fresh base) wins cleanly — the withCommitRetry loop shape
+    VersionedTable.commitChecked(
+      Seq((3, "c")).toDF("id", "v"), path, VersionedTable.latestVersion(spark, path))
+    assert(state == Set((3, "c")))
+    // fresh-table case: base = None means "expected empty"
+    val p2 = Files.createTempDirectory("graft-vt-cc2").toString + "/t"
+    VersionedTable.commit(Seq((9, "z")).toDF("id", "v"), p2)
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.commitChecked(Seq((8, "y")).toDF("id", "v"), p2, None)
+    }
+  }
+
   test("commit recovers from a crash-orphaned version directory") {
     val path = Files.createTempDirectory("graft-vt3").toString + "/t"
     VersionedTable.commit(Seq((1, "a")).toDF("id", "v"), path)
