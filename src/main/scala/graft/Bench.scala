@@ -43,7 +43,19 @@ object Bench {
     "q43_event_windows" -> 0.253241066, "q24_sessions" -> 0.474027218,
     "q49_asof_join" -> 0.196485629, "q50_multi_join" -> 0.932504144,
     "q47_embedding_neardup" -> 0.664460294, "q64_tfidf" -> 0.815248317,
-    "q68_quality_filter" -> 1.026726051, "q39_simhash_portable" -> 0.123807525
+    "q68_quality_filter" -> 1.026726051, "q39_simhash_portable" -> 0.123807525,
+    // the five headline queries added after r02 and the r06/r07 extras,
+    // floored at their first min-of-3 measurements (BENCH_r06 /
+    // round-7 local run) so the fallback guard covers the WHOLE suite —
+    // a missing key here would silently exempt a query from the >2x check
+    "q80_scd2_partitioned" -> 5.2854, "q85_ann_ivf_trained" -> 2.2633,
+    "q86_semantic_dedup" -> 2.6845, "q87_mixture_sample" -> 0.1503,
+    "q88_dup_groups" -> 2.0388,
+    "q89_gopher_gates" -> 0.9794, "q90_ann_ivf_sampled" -> 1.0807,
+    "q91_image_decode" -> 0.2959, "q92_hot_spans" -> 0.8659,
+    "q93_url_screen" -> 0.1364, "q94_audio_decode" -> 0.1838,
+    "q95_video_meta" -> 0.1396, "q96_ann_sq8" -> 0.1809,
+    "q97_corpus_pipeline" -> 0.7346, "q98_ann_ivf_sq8" -> 0.2491
   )
 
   /** Newest BENCH_r*.json in cwd whose `parsed.queries` is a non-empty
@@ -120,38 +132,28 @@ object Bench {
     // contention-free estimate of steady-state cost and makes
     // round-over-round regression comparison meaningful.
     val runsPerQuery = 3
-    val timed: Seq[(String, Option[Double], Option[String])] = headline.map { name =>
-      val fn = SparkEntry.queries(name)
-      val results = (1 to runsPerQuery).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          Right((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+    def timeAll(names: Seq[String]): Seq[(String, Option[Double], Option[String])] =
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val results = (1 to runsPerQuery).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }
         }
+        val oks = results.collect { case Right(t) => t }
+        if (oks.nonEmpty) (name, Some(oks.min), None)
+        else (name, None, results.collectFirst { case Left(m) => m })
       }
-      val oks = results.collect { case Right(t) => t }
-      if (oks.nonEmpty) (name, Some(oks.min), None)
-      else (name, None, results.collectFirst { case Left(m) => m })
-    }
+    val timed = timeAll(headline)
 
     // extras: min-of-3 like the headline set, but outside `total`; a
     // permanently-failing extra reports its first error message just like
     // a headline query (never a silent null)
-    val extraTimed: Seq[(String, Option[Double], Option[String])] = extras.map { name =>
-      val fn = SparkEntry.queries(name)
-      val results = (1 to runsPerQuery).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
-      }
-      val oks = results.collect { case Right(t) => t }
-      if (oks.nonEmpty) (name, Some(oks.min), None)
-      else (name, None, results.collectFirst { case Left(m) => m })
-    }
+    val extraTimed = timeAll(extras)
 
     val (baselineName, baseline) = loadBaseline()
     def jstr(s: String): String = graft.core.Json.str(s)

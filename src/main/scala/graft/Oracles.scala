@@ -347,7 +347,8 @@ object Oracles {
          |FROM s GROUP BY simhash60""".stripMargin,
 
     // q65: the pigeonhole banding has exact recall, so the output set equals
-    // {pairs : hamming(sk_a, sk_b) <= 10} — verified here with a plain
+    // {pairs : hamming(sk_a, sk_b) <= 4} (the maxHamming budget in the two
+    // literals below AND in Queries.q65) — verified here with a plain
     // all-pairs bit_count over q39's sketch (fine at test scale).
     "q65_simhash_neardup" ->
       s"""WITH $simhash60Ctes

@@ -681,12 +681,31 @@ object Queries {
     * streaming engine computes identically to the batch plan (and to the
     * DuckDB oracle).
     */
-  def q45(s: SparkSession, dir: String): DataFrame = {
+  /** Streaming read of the events table, layout-aware: the driver testdata
+    * ships events.parquet as a single FILE (the file-stream source insists
+    * basePath is a directory, so we glob the leaf name from the parent),
+    * while ScaleGen writes a parquet DIRECTORY of part files (where a
+    * leaf-name glob matches nothing and would silently stream zero rows).
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    // file-stream sources take a directory; select just the events table
-    val stream = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
-    val events = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val isDir = hp.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(hp).isDirectory
+    val raw =
+      if (isDir) s.readStream.schema(schema).parquet(path)
+      else s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+    // same ns-long -> us-timestamp normalization as IO.table: the driver
+    // testdata carries int64 nanos, ScaleGen already carries timestamps
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val stream = eventsStream(s, dir)
+    val events = stream
     val agg = events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value").cast("decimal(18,2)") * 100).cast("long").as("sum_value_cents"))
@@ -1296,11 +1315,9 @@ object Queries {
     */
   def q74(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+    // layout-aware events stream (file vs directory), see eventsStream
+    val stream = eventsStream(s, dir)
     val events = stream
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
       .as[(Long, Long, java.sql.Timestamp, Option[Double])]
 
@@ -1434,14 +1451,14 @@ object Queries {
     */
   def q79(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+    // layout-aware events stream (file vs directory), see eventsStream
+    val stream = eventsStream(s, dir)
     val events = stream
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("user_id"), col("ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Option[Double])]
-    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    // UTC-pinned instant: Timestamp.valueOf would parse in the JVM default
+    // timezone and shift the cutoff vs the UTC-session oracle on non-UTC hosts
+    val cutoff = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-15T00:00:00Z"))
 
     val deltas = events
       .groupByKey(_._1)

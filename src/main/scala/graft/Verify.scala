@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -9,18 +8,20 @@ object Verify {
     // optional third arg: regex over query names for fast local iteration
     // (the driver always calls with two args = full dump)
     val nameFilter = args.lift(2).map(_.r)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // one session builder for the whole codebase: dumps must run under the
+    // same planner configuration (AQE, broadcast threshold, UTC, codec) as
+    // the benched plans
+    val spark = graft.core.Sessions.local(cpus, appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, fn) =>
+      // delete the PREVIOUS run's dump BEFORE running: a query that fails
+      // during analysis (before overwrite clears the dir) would otherwise
+      // leave a stale dump for the checker to greenwash as PASS — a
+      // missing dir is an honest missing_dump FAIL
+      new scala.reflect.io.Directory(new java.io.File(s"$outDir/$name")).deleteRecursively()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

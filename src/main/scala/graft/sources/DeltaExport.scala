@@ -78,8 +78,17 @@ object DeltaExport {
     * Pure metadata transform — no data is read or moved.
     */
   def buildLog(spark: SparkSession, path: String): Seq[LogEntry] = {
-    val versions = VersionedTable.committedVersionsPublic(spark, path).sorted
-    require(versions.nonEmpty, s"no committed versions at $path — nothing to export")
+    // vacuumed-history guard: a commit whose referenced dirs were vacuumed
+    // (its own JSON surviving via a newer manifest's carry-forward) would
+    // export as a PARTIAL file set — files flickering out of and back into
+    // the log. Export only fully-servable versions; the newest must be one.
+    val committed = VersionedTable.committedVersionsPublic(spark, path).sorted
+    require(committed.nonEmpty, s"no committed versions at $path — nothing to export")
+    val versions = VersionedTable.servableVersions(spark, path)
+    require(
+      versions.lastOption.contains(committed.last),
+      s"newest commit ${committed.last} of $path references vacuumed data — table is corrupt"
+    )
     val tableId = java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8")).toString
     var prevFiles = Map.empty[String, (Long, Long)]
     var prevSchema: Option[String] = None

@@ -384,6 +384,31 @@ object VersionedTable {
     if (node.isTextual) Some(node.asText()) else None
   }
 
+  /** Committed versions whose FULL referenced file set still exists on
+    * disk, oldest first. Vacuum deletes version dirs referenced only by
+    * non-retained manifests — but an old commit's JSON can survive (its own
+    * dir still carried forward by a newer manifest) while dirs IT references
+    * are gone. Such a version cannot be read or exported faithfully any
+    * more; exporters must skip it rather than emit a silently partial
+    * snapshot.
+    */
+  def servableVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    committedVersions(f, path).sorted.filter { v =>
+      val dirs: Seq[String] = partitionMap(spark, path, v) match {
+        case None        => Seq(s"v=$v")
+        case Some(parts) => parts.values.toSeq.distinct.map(pv => s"v=$pv")
+      }
+      dirs.forall(d => f.exists(new Path(s"$path/$d")))
+    }
+  }
+
+  /** Numeric commit-manifest field (e.g. `committed_at`). */
+  def commitFieldNumber(spark: SparkSession, path: String, version: Long, name: String): Option[Long] = {
+    val node = readCommitJson(spark, path, version).path(name)
+    if (node.isNumber) Some(node.asLong()) else None
+  }
+
   /** All exactly-once stream markers (`stream_batch*` fields) in a commit's
     * manifest. Every delta commit carries its base's markers forward (see
     * [[commitDelta]]), so the newest commit's markers are the complete,

@@ -102,4 +102,22 @@ class DeltaExportSpec extends AnyFunSuite {
     assert(viaDelta.columns.sorted.toSeq == Seq("flag", "id", "v"))
     assert(viaDelta.count() == 2)
   }
+
+  test("vacuumed history is skipped, never exported as a partial file set") {
+    val path = java.nio.file.Files.createTempDirectory("graft-dexp-v").toString + "/t"
+    VersionedTable.commitDelta(spark, path, Seq(("a", 1), ("b", 2)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("b", 20)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("a", 10)).toDF("bucket", "x"), "bucket")
+    // commit 2's JSON survives vacuum (its dir carries forward) but its
+    // manifest references the reclaimed v=1 — it must not export
+    VersionedTable.vacuum(spark, path, retainVersions = 1, orphanGraceMs = 0)
+    val entries = DeltaExport.buildLog(spark, path)
+    assert(entries.map(_.sourceVersion) == Seq(3L))
+    val viaDelta = spark.read.parquet(
+      replayLiveFiles(entries).toSeq.sorted.map(p => s"$path/$p"): _*)
+    assert(viaDelta.select(col("bucket"), col("x")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet ==
+      VersionedTable.read(spark, path).select(col("bucket"), col("x")).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet)
+  }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{IcebergExport, IcebergImport, VersionedTable}
+
+/** Export half of the Iceberg interop story: the emitted metadata tree must
+  * be exactly what IcebergImport (and, by spec-conformance, an
+  * iceberg-enabled reader) resolves — snapshots, manifests, schema ids,
+  * ADDED/EXISTING lineage, and real record counts.
+  */
+class IcebergExportSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Int)] =
+    df.select(col("bucket"), col("x")).collect().map(r => (r.getString(0), r.getInt(1))).toSet
+
+  test("round-trip: full-snapshot commits export as snapshots, import matches at every version") {
+    val path = Files.createTempDirectory("graft-iexp").toString + "/t"
+    VersionedTable.commit(Seq(("a", 1), ("b", 2)).toDF("bucket", "x"), path)
+    VersionedTable.commit(Seq(("a", 1), ("b", 20), ("c", 3)).toDF("bucket", "x"), path)
+    val snaps = IcebergExport.export(spark, path)
+    assert(snaps.map(_.snapshotId) == Seq(1L, 2L))
+    assert(snaps.map(_.sequenceNumber) == Seq(1L, 2L))
+    // full snapshots swap the whole file set: everything ADDED each time
+    assert(snaps.forall(_.existingFiles.isEmpty))
+
+    assert(rows(IcebergImport.read(spark, path)) == rows(VersionedTable.read(spark, path)))
+    assert(rows(IcebergImport.read(spark, path, snapshotAsOf = Some(1L))) ==
+      rows(VersionedTable.read(spark, path, Some(1L))))
+  }
+
+  test("delta-committed table: carried-forward partitions export as EXISTING entries") {
+    val path = Files.createTempDirectory("graft-iexp-d").toString + "/t"
+    VersionedTable.commitDelta(spark, path, Seq(("a", 1), ("b", 2)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("b", 20)).toDF("bucket", "x"), "bucket")
+    val snaps = IcebergExport.export(spark, path)
+    // snapshot 2 rewrites bucket b and carries bucket a forward by reference
+    assert(snaps(1).addedFiles.forall(_.contains("p=b")))
+    assert(snaps(1).existingFiles.nonEmpty)
+    assert(snaps(1).existingFiles.forall(_.contains("p=a")))
+
+    assert(rows(IcebergImport.read(spark, path)) == rows(VersionedTable.read(spark, path)))
+    assert(rows(IcebergImport.read(spark, path, snapshotAsOf = Some(1L))) ==
+      rows(VersionedTable.read(spark, path, Some(1L))))
+  }
+
+  test("schema widening: old snapshots' files null-pad under the current schema") {
+    val path = Files.createTempDirectory("graft-iexp-s").toString + "/t"
+    VersionedTable.commitDelta(spark, path, Seq(("a", 1)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path,
+      Seq(("b", 2, "new")).toDF("bucket", "x", "extra"), "bucket")
+    IcebergExport.export(spark, path)
+    val got = IcebergImport.read(spark, path)
+      .select(col("bucket"), col("x"), col("extra"))
+      .collect().map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)))).toSet
+    assert(got == Set(("a", 1, None), ("b", 2, Some("new"))))
+    // both schemas are registered with distinct ids; current is the wide one
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/metadata/v1.metadata.json")), "UTF-8")
+    assert(meta.contains("\"schema-id\": 0") && meta.contains("\"schema-id\": 1"))
+    assert(meta.contains("\"current-schema-id\": 1"))
+  }
+
+  test("re-export after new commits bumps the metadata version; hint points at the newest") {
+    val path = Files.createTempDirectory("graft-iexp-r").toString + "/t"
+    VersionedTable.commit(Seq(("a", 1)).toDF("bucket", "x"), path)
+    IcebergExport.export(spark, path)
+    VersionedTable.commit(Seq(("a", 1), ("z", 9)).toDF("bucket", "x"), path)
+    IcebergExport.export(spark, path)
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/metadata/version-hint.text")), "UTF-8").trim
+    assert(hint == "2")
+    assert(rows(IcebergImport.read(spark, path)) == Set(("a", 1), ("z", 9)))
+  }
+
+  test("vacuumed history is skipped, never exported as a partial snapshot") {
+    val path = Files.createTempDirectory("graft-iexp-v").toString + "/t"
+    VersionedTable.commitDelta(spark, path, Seq(("a", 1), ("b", 2)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("b", 20)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("a", 10)).toDF("bucket", "x"), "bucket")
+    // retain only the newest manifest: v=1 is unreferenced and reclaimed,
+    // but commit 2's JSON survives (its own dir is carried forward) while
+    // referencing the now-deleted v=1 for bucket a — non-servable history
+    VersionedTable.vacuum(spark, path, retainVersions = 1, orphanGraceMs = 0)
+    val snaps = IcebergExport.export(spark, path)
+    assert(snaps.map(_.snapshotId) == Seq(3L), "only the fully-servable version may export")
+    assert(rows(IcebergImport.read(spark, path)) == rows(VersionedTable.read(spark, path)))
+  }
+
+  test("manifests carry real record counts and spec-shaped lineage fields") {
+    val path = Files.createTempDirectory("graft-iexp-m").toString + "/t"
+    VersionedTable.commit((1 to 57).map(i => (s"k$i", i)).toDF("bucket", "x"), path)
+    IcebergExport.export(spark, path)
+    // read the manifest back through the import side's own avro walk: the
+    // one manifest-list row must account for all 57 rows as ADDED
+    val st = IcebergImport.state(spark, path)
+    assert(st.snapshotId == 1L)
+    val total = st.liveFiles.map { case (p, _) =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+    assert(total == 57L)
+    assert(IcebergImport.read(spark, path).count() == 57L)
+  }
+}
