@@ -35,11 +35,13 @@ import graft.core.Json
   *    widening read correctly under the current schema (Iceberg resolves
   *    columns by id, absent ids read as null — same null-padding the
   *    manifest read performs)
-  *  - the export is UNPARTITIONED on the Iceberg side (spec-id 0, no
-  *    fields): the engine keeps the partition column IN the data files
-  *    (`p=` is path convention, [[DeltaExport]] makes the same call), so
-  *    every reader sees it as a data column; manifest-level pruning for
-  *    exported tables is traded away, documented in INTEROP.md
+  *  - delta-committed tables whose manifests record their partition column
+  *    export with an IDENTITY partition spec: manifest tuples carry the
+  *    typed partition value (the data files retain the source column, as
+  *    Iceberg's identity transform expects), so [[IcebergImport]]'s
+  *    `partitionFilter` — or any Iceberg planner — prunes FILES from the
+  *    manifest alone. Full-snapshot tables (and pre-field commits) export
+  *    unpartitioned, mirroring [[DeltaExport]]'s call
   *  - `record_count`/`file_size_in_bytes` are real (parquet footer /
   *    file-status reads, driver-side, metadata-sized): Iceberg planners
   *    budget scans from these, lying would mis-plan a consumer
@@ -56,10 +58,14 @@ object IcebergExport {
   // ---------------------------------------------------------------- schema
 
   /** Spark -> Iceberg schema JSON with depth-first field-id assignment.
-    * Returns (schema JSON, last assigned column id).
+    * Returns (schema JSON, last assigned column id, top-level field -> id).
+    * Ids are positional: the engine's only evolution shape is append-only
+    * widening (unionByName null-padding), under which ids stay stable
+    * across schema versions — the Iceberg id-resolution contract.
     */
-  private[graft] def icebergSchemaJson(schema: StructType, schemaId: Int): (String, Int) = {
+  private[graft] def icebergSchemaJson(schema: StructType, schemaId: Int): (String, Int, Map[String, Int]) = {
     var nextId = 0
+    val topIds = scala.collection.mutable.Map.empty[String, Int]
     def id(): Int = { nextId += 1; nextId }
     def typ(dt: DataType): String = dt match {
       case BooleanType         => "\"boolean\""
@@ -79,8 +85,10 @@ object IcebergExport {
       case m: MapType =>
         s"""{"type": "map", "key-id": ${id()}, "key": ${typ(m.keyType)}, "value-id": ${id()}, "value": ${typ(m.valueType)}, "value-required": ${!m.valueContainsNull}}"""
       case s: StructType =>
+        val top = s eq schema
         val flds = s.fields.map { f =>
           val fid = id()
+          if (top) topIds(f.name) = fid
           s"""{"id": $fid, "name": ${Json.str(f.name)}, "required": ${!f.nullable}, "type": ${typ(f.dataType)}}"""
         }
         s"""{"type": "struct", "fields": [${flds.mkString(", ")}]}"""
@@ -89,32 +97,37 @@ object IcebergExport {
     val structJson = typ(schema) // assigns ids depth-first from 1
     // splice the schema-id into the top-level struct object
     val json = structJson.replaceFirst("""\{"type": "struct"""", s"""{"type": "struct", "schema-id": $schemaId""")
-    (json, nextId)
+    (json, nextId, topIds.toMap)
   }
 
   // ------------------------------------------------------------- avro shapes
 
   // Field ids follow the Iceberg spec's manifest/manifest-list tables;
   // optional stats columns are omitted (permitted — readers treat absent
-  // stats as unknown). `r102` is the empty partition tuple (unpartitioned).
-  private val dataFileSchemaJson: String =
-    """{"type": "record", "name": "r2", "fields": [
-      |  {"name": "content", "type": "int", "field-id": 134},
-      |  {"name": "file_path", "type": "string", "field-id": 100},
-      |  {"name": "file_format", "type": "string", "field-id": 101},
-      |  {"name": "partition", "type": {"type": "record", "name": "r102", "fields": []}, "field-id": 102},
-      |  {"name": "record_count", "type": "long", "field-id": 103},
-      |  {"name": "file_size_in_bytes", "type": "long", "field-id": 104}
-      |]}""".stripMargin
-
-  private val manifestEntrySchema: Schema = new Schema.Parser().parse(
-    s"""{"type": "record", "name": "manifest_entry", "fields": [
-       |  {"name": "status", "type": "int", "field-id": 0},
-       |  {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
-       |  {"name": "sequence_number", "type": ["null", "long"], "default": null, "field-id": 3},
-       |  {"name": "file_sequence_number", "type": ["null", "long"], "default": null, "field-id": 4},
-       |  {"name": "data_file", "type": $dataFileSchemaJson, "field-id": 2}
-       |]}""".stripMargin)
+  // stats as unknown). `r102` is the partition tuple: one identity field
+  // (field-id 1000) for partitioned delta tables, empty for unpartitioned.
+  private def manifestEntrySchema(partField: Option[(String, String)]): Schema = {
+    val pf = partField.map { case (n, avroType) =>
+      s"""{"name": ${Json.str(n)}, "type": ["null", "$avroType"], "default": null, "field-id": 1000}"""
+    }.getOrElse("")
+    val dataFileSchemaJson =
+      s"""{"type": "record", "name": "r2", "fields": [
+         |  {"name": "content", "type": "int", "field-id": 134},
+         |  {"name": "file_path", "type": "string", "field-id": 100},
+         |  {"name": "file_format", "type": "string", "field-id": 101},
+         |  {"name": "partition", "type": {"type": "record", "name": "r102", "fields": [$pf]}, "field-id": 102},
+         |  {"name": "record_count", "type": "long", "field-id": 103},
+         |  {"name": "file_size_in_bytes", "type": "long", "field-id": 104}
+         |]}""".stripMargin
+    new Schema.Parser().parse(
+      s"""{"type": "record", "name": "manifest_entry", "fields": [
+         |  {"name": "status", "type": "int", "field-id": 0},
+         |  {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
+         |  {"name": "sequence_number", "type": ["null", "long"], "default": null, "field-id": 3},
+         |  {"name": "file_sequence_number", "type": ["null", "long"], "default": null, "field-id": 4},
+         |  {"name": "data_file", "type": $dataFileSchemaJson, "field-id": 2}
+         |]}""".stripMargin)
+  }
 
   private val manifestFileSchema: Schema = new Schema.Parser().parse(
     """{"type": "record", "name": "manifest_file", "fields": [
@@ -207,21 +220,52 @@ object IcebergExport {
     }
     val lastColumnId = icebergSchemas.map(_._2).max
 
-    // files live at each version (relative path -> size), via the same
-    // manifest walk DeltaExport uses; first-referencing snapshot tracked so
-    // carried-forward files export as EXISTING with their adding snapshot
-    def referencedFiles(v: Long): Seq[(String, Long)] = {
-      val dirs: Seq[String] = VersionedTable.partitionMap(spark, path, v) match {
-        case None        => Seq(s"v=$v")
-        case Some(parts) => parts.toSeq.sortBy(_._1).map { case (p, pv) => s"v=$pv/p=$p" }
+    // identity partition spec when every exported commit is delta-style on
+    // ONE recorded partition column of a spec-expressible type: manifest
+    // tuples then carry the typed value and IcebergImport's partitionFilter
+    // (or any Iceberg planner) prunes FILES from the manifest alone. Tables
+    // without the recorded column (pre-field commits, full snapshots, or
+    // exotic types) export unpartitioned — correct, just unpruned.
+    val partColOpt: Option[String] = {
+      val pcs = versions.map(v => VersionedTable.commitField(spark, path, v, "partition_column"))
+      if (pcs.nonEmpty && pcs.forall(_.isDefined) && pcs.flatten.distinct.size == 1) pcs.head else None
+    }
+    val currentSchema = DataType.fromJson(distinctSchemas.last).asInstanceOf[StructType]
+    val partField: Option[(String, String)] = partColOpt.flatMap { pc =>
+      if (!pc.matches("[A-Za-z_][A-Za-z0-9_]*")) None // avro record field name rules
+      else currentSchema.fields.find(_.name == pc).flatMap(_.dataType match {
+        case StringType  => Some(pc -> "string")
+        case LongType    => Some(pc -> "long")
+        case IntegerType => Some(pc -> "int")
+        case _           => None
+      })
+    }
+    val entrySch = manifestEntrySchema(partField)
+    def partValue(part: String): AnyRef = partField.get._2 match {
+      case "string" => part
+      case "long"   => java.lang.Long.valueOf(part)
+      case "int"    => java.lang.Integer.valueOf(part)
+    }
+    val specFieldsJson = partField.map { case (n, _) =>
+      val topIds = icebergSchemas.last._3
+      s"""[{"name": ${Json.str(n)}, "transform": "identity", "source-id": ${topIds(n)}, "field-id": 1000}]"""
+    }.getOrElse("[]")
+
+    // files live at each version (relative path, size, partition value),
+    // via the same manifest walk DeltaExport uses; first-referencing
+    // snapshot tracked so carried-forward files export as EXISTING
+    def referencedFiles(v: Long): Seq[(String, Long, Option[String])] = {
+      val dirs: Seq[(String, Option[String])] = VersionedTable.partitionMap(spark, path, v) match {
+        case None        => Seq((s"v=$v", None))
+        case Some(parts) => parts.toSeq.sortBy(_._1).map { case (p, pv) => (s"v=$pv/p=$p", Some(p)) }
       }
-      dirs.flatMap { d =>
+      dirs.flatMap { case (d, part) =>
         val dp = new Path(s"$path/$d")
         if (!f.exists(dp)) Nil
         else
           f.listStatus(dp).toSeq
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .map(s => (s"$d/${s.getPath.getName}", s.getLen))
+            .map(s => (s"$d/${s.getPath.getName}", s.getLen, part))
       }.sortBy(_._1)
     }
 
@@ -230,24 +274,26 @@ object IcebergExport {
     val snapshots = versions.zipWithIndex.map { case (v, i) =>
       val seq = i + 1L
       val live = referencedFiles(v)
-      live.foreach { case (rel, _) =>
+      live.foreach { case (rel, _, _) =>
         if (!added.contains(rel)) {
           added(rel) = (v, seq)
           counts(rel) = recordCount(spark, s"$path/$rel")
         }
       }
-      val (addedNow, existing) = live.partition { case (rel, _) => added(rel)._1 == v }
+      val (addedNow, existing) = live.partition { case (rel, _, _) => added(rel)._1 == v }
 
-      val entries = live.map { case (rel, size) =>
+      val entries = live.map { case (rel, size, part) =>
         val (sid, sseq) = added(rel)
-        val df = new GenericData.Record(manifestEntrySchema.getField("data_file").schema())
+        val df = new GenericData.Record(entrySch.getField("data_file").schema())
         df.put("content", 0)
         df.put("file_path", rel) // relative: resolved against the table root
         df.put("file_format", "PARQUET")
-        df.put("partition", new GenericData.Record(df.getSchema.getField("partition").schema()))
+        val pr = new GenericData.Record(df.getSchema.getField("partition").schema())
+        partField.foreach { case (n, _) => part.foreach(p => pr.put(n, partValue(p))) }
+        df.put("partition", pr)
         df.put("record_count", counts(rel))
         df.put("file_size_in_bytes", size)
-        val e = new GenericData.Record(manifestEntrySchema)
+        val e = new GenericData.Record(entrySch)
         e.put("status", if (sid == v) 1 else 0) // 1=ADDED, 0=EXISTING
         e.put("snapshot_id", sid)
         e.put("sequence_number", sseq)
@@ -258,10 +304,10 @@ object IcebergExport {
       val schemaJson = icebergSchemas(schemaIdOf(commitSchemas(i)._2))._1
       val manifestPath = s"$metaDir/manifest-$v.avro"
       val manifestLen = writeAvro(
-        f, manifestPath, manifestEntrySchema,
+        f, manifestPath, entrySch,
         Map(
           "schema" -> schemaJson,
-          "partition-spec" -> "[]",
+          "partition-spec" -> specFieldsJson,
           "partition-spec-id" -> "0",
           "format-version" -> "2",
           "content" -> "data"
@@ -275,13 +321,13 @@ object IcebergExport {
       ml.put("partition_spec_id", 0)
       ml.put("content", 0) // data manifest
       ml.put("sequence_number", seq)
-      ml.put("min_sequence_number", live.map { case (rel, _) => added(rel)._2 }.minOption.getOrElse(seq))
+      ml.put("min_sequence_number", live.map { case (rel, _, _) => added(rel)._2 }.minOption.getOrElse(seq))
       ml.put("added_snapshot_id", v)
       ml.put("added_files_count", addedNow.size)
       ml.put("existing_files_count", existing.size)
       ml.put("deleted_files_count", 0)
-      ml.put("added_rows_count", addedNow.map { case (rel, _) => counts(rel) }.sum)
-      ml.put("existing_rows_count", existing.map { case (rel, _) => counts(rel) }.sum)
+      ml.put("added_rows_count", addedNow.map { case (rel, _, _) => counts(rel) }.sum)
+      ml.put("existing_rows_count", existing.map { case (rel, _, _) => counts(rel) }.sum)
       ml.put("deleted_rows_count", 0L)
       writeAvro(f, s"$metaDir/snap-$v-manifest-list.avro", manifestFileSchema, Map.empty, Seq(ml))
 
@@ -311,8 +357,8 @@ object IcebergExport {
          |  "current-schema-id": ${icebergSchemas.size - 1},
          |  "schemas": [${icebergSchemas.map(_._1).mkString(", ")}],
          |  "default-spec-id": 0,
-         |  "partition-specs": [{"spec-id": 0, "fields": []}],
-         |  "last-partition-id": 999,
+         |  "partition-specs": [{"spec-id": 0, "fields": $specFieldsJson}],
+         |  "last-partition-id": ${if (partField.isDefined) 1000 else 999},
          |  "default-sort-order-id": 0,
          |  "sort-orders": [{"order-id": 0, "fields": []}],
          |  "properties": {},

@@ -196,7 +196,7 @@ object VersionedTable {
       clearedParts: Seq[String] = Nil,
       extraMeta: Map[String, String] = Map.empty
   ): Long = {
-    val reserved = Set("version", "base", "schema", "committed_at", "partitions")
+    val reserved = Set("version", "base", "schema", "committed_at", "partitions", "partition_column")
     require(
       extraMeta.keySet.intersect(reserved).isEmpty,
       s"extraMeta must not use reserved manifest fields: ${extraMeta.keySet.intersect(reserved).mkString(",")}"
@@ -274,7 +274,7 @@ object VersionedTable {
     val partsJson = parts.toSeq.sortBy(_._1).map { case (p, pv) => s"${jsonStr(p)}: $pv" }.mkString("{", ", ", "}")
     val extraJson = meta.toSeq.sortBy(_._1).map { case (k, x) => s", ${jsonStr(k)}: ${jsonStr(x)}" }.mkString
     publish(f, path, v,
-      s"""{"version": $v, "base": ${base.getOrElse(0L)}, "schema": ${jsonStr(updated.schema.json)}, "committed_at": ${System.currentTimeMillis()}, "partitions": $partsJson$extraJson}""")
+      s"""{"version": $v, "base": ${base.getOrElse(0L)}, "schema": ${jsonStr(updated.schema.json)}, "committed_at": ${System.currentTimeMillis()}, "partition_column": ${jsonStr(partCol)}, "partitions": $partsJson$extraJson}""")
     // Close the remaining check-then-publish window. Conflict shapes:
     //  (a) a commit landed BETWEEN our base and v — its partitions are
     //      missing from our carry-forward manifest;

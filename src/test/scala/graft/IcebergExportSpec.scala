@@ -49,6 +49,22 @@ class IcebergExportSpec extends AnyFunSuite {
       rows(VersionedTable.read(spark, path, Some(1L))))
   }
 
+  test("delta-committed table exports an identity partition spec: manifest-level pruning works") {
+    val path = Files.createTempDirectory("graft-iexp-p").toString + "/t"
+    VersionedTable.commitDelta(spark, path, Seq(("a", 1), ("b", 2), ("c", 3)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("b", 20)).toDF("bucket", "x"), "bucket")
+    IcebergExport.export(spark, path)
+    // the manifest carries the typed partition tuple per file...
+    val st = IcebergImport.state(spark, path)
+    assert(st.liveFiles.nonEmpty)
+    assert(st.liveFiles.forall { case (_, pv) => pv.keySet == Set("bucket") })
+    // ...so the import side prunes FILES from the manifest alone
+    val pruned = IcebergImport.read(spark, path, partitionFilter = Map("bucket" -> "a"))
+    assert(rows(pruned) == Set(("a", 1)))
+    assert(pruned.inputFiles.length == 1, "expected exactly the one p=a file to be opened")
+    assert(rows(IcebergImport.read(spark, path)) == rows(VersionedTable.read(spark, path)))
+  }
+
   test("schema widening: old snapshots' files null-pad under the current schema") {
     val path = Files.createTempDirectory("graft-iexp-s").toString + "/t"
     VersionedTable.commitDelta(spark, path, Seq(("a", 1)).toDF("bucket", "x"), "bucket")
