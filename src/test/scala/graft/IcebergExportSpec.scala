@@ -94,6 +94,56 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(rows(IcebergImport.read(spark, path)) == Set(("a", 1), ("z", 9)))
   }
 
+  test("randomized commit sequences round-trip through export+import at every snapshot") {
+    // deterministic pseudo-random op sequences over 3 buckets (delta commits
+    // + even-key deletions), mirroring the Delta round-trip property: after
+    // export, the Iceberg read must match the manifest read at EVERY
+    // snapshot, and per-bucket partitionFilter reads must match the
+    // bucket's slice while opening only that bucket's files
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 3) {
+      val path = Files.createTempDirectory(s"graft-iexp-prop$trial").toString + "/t"
+      val buckets = Vector("a", "b", "c")
+      var expectedAt = Vector.empty[(Long, Set[(String, Int)])]
+      var live = Map.empty[String, Map[Int, Int]]
+      var nextKey = 0
+      val nOps = 4 + rnd.nextInt(3)
+      for (_ <- 0 until nOps) {
+        if (live.nonEmpty && rnd.nextInt(4) == 0) {
+          val b = live.keys.toSeq.sorted(Ordering.String)(rnd.nextInt(live.size))
+          VersionedTable.deleteWhere(spark, path, "bucket", Seq(b), col("x") % 2 === 0)
+          live += b -> live(b).filter { case (_, v) => v % 2 != 0 }
+        } else {
+          val bs = rnd.shuffle(buckets).take(1 + rnd.nextInt(2))
+          val newRows = bs.flatMap { b =>
+            (0 until 1 + rnd.nextInt(3)).map { _ => nextKey += 1; (b, nextKey, rnd.nextInt(100)) }
+          }
+          VersionedTable.commitDelta(spark, path, newRows.toDF("bucket", "k", "x"), "bucket")
+          live = live -- bs ++ bs.map(b => b -> newRows.filter(_._1 == b).map(r => r._2 -> r._3).toMap)
+        }
+        val v = VersionedTable.latestVersion(spark, path).get
+        expectedAt :+= (v, live.values.flatten.map { case (k, x) => (k.toString, x) }.toSet)
+      }
+      IcebergExport.export(spark, path)
+      def got(df: org.apache.spark.sql.DataFrame): Set[(String, Int)] =
+        df.select(col("k").cast("string"), col("x")).collect()
+          .map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(got(IcebergImport.read(spark, path)) == expectedAt.last._2, s"trial $trial newest")
+      expectedAt.foreach { case (v, exp) =>
+        assert(got(IcebergImport.read(spark, path, snapshotAsOf = Some(v))) == exp,
+          s"trial $trial snapshot $v")
+      }
+      // partition pruning against the final state, bucket by bucket
+      val finalFiles = IcebergImport.state(spark, path).liveFiles
+      buckets.filter(b => live.contains(b) && live(b).nonEmpty).foreach { b =>
+        val pr = IcebergImport.read(spark, path, partitionFilter = Map("bucket" -> b))
+        assert(got(pr) == live(b).map { case (k, x) => (k.toString, x) }.toSet, s"trial $trial bucket $b")
+        val expectFiles = finalFiles.count(_._2.get("bucket").contains(b))
+        assert(pr.inputFiles.length == expectFiles, s"trial $trial bucket $b pruning")
+      }
+    }
+  }
+
   test("vacuumed history is skipped, never exported as a partial snapshot") {
     val path = Files.createTempDirectory("graft-iexp-v").toString + "/t"
     VersionedTable.commitDelta(spark, path, Seq(("a", 1), ("b", 2)).toDF("bucket", "x"), "bucket")
