@@ -1327,6 +1327,18 @@ object Queries {
         org.apache.spark.sql.streaming.OutputMode.Append,
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout
       ) { (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp, Option[Double])], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+        // BOUNDED-REPLAY sessionizer: correct only when ALL of a user's
+        // events arrive in ONE micro-batch (AvailableNow over a file source
+        // with no maxFilesPerTrigger — the Verify/Bench shape). The state
+        // slot is a re-invocation tripwire: a second batch for the same key
+        // would silently split sessions and reuse session ids, so fail loud.
+        // Continuous sessionization belongs to watermarked designs
+        // (Streaming.windowedEventAgg) — an open session can't be flushed
+        // under NoTimeout when the stream simply stops.
+        if (state.exists)
+          throw new IllegalStateException(
+            s"q74 sessionizer saw user $uid in a second micro-batch — bounded single-batch replay only")
+        state.update(1L)
         def micros(t: java.sql.Timestamp): Long = t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
         // decimal(18,2) HALF_UP cents over the SHORTEST DECIMAL form of the
         // double (BigDecimal.valueOf == Double.toString == what Spark's
@@ -1466,6 +1478,12 @@ object Queries {
         org.apache.spark.sql.streaming.OutputMode.Append,
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout
       ) { (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Option[Double])], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+        // bounded single-batch replay, same tripwire as q74: the pre/post-
+        // cutoff split is computed from ONE batch's full per-user history
+        if (state.exists)
+          throw new IllegalStateException(
+            s"q79 delta saw user $uid in a second micro-batch — bounded single-batch replay only")
+        state.update(1L)
         def cents(v: Double): Long =
           java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
         var n = 0L

@@ -30,7 +30,11 @@ class DedupSpec extends AnyFunSuite {
       .minhashLsh(docs, "doc_id", "text", shingleSize = 2, bands = 8, rowsPerBand = 2, minJaccard = 0.3)
       .collect()
     val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((1L, 3L)) || pairs.contains((1L, 2L)))
+    // the exact-dup pair (1,2) collides in every band trivially (jaccard
+    // 1.0); the RECALL property needs the true near-dup (1,3) specifically —
+    // deterministic under the fixed hash seeds, so pin it
+    assert(pairs.contains((1L, 3L)), s"planted near-dup (1,3) not recovered: $pairs")
+    assert(pairs.contains((1L, 2L)))
     out.foreach(r => assert(r.getDouble(2) >= 0.3 && r.getDouble(2) <= 1.0))
   }
 

@@ -69,10 +69,8 @@ class DeltaImportSpec extends AnyFunSuite {
   test("hive-style partitioned table: partition column reconstructed, one discovery scan") {
     val root = Files.createTempDirectory("graft-dimp-part").toString
     def writePart(dir: String, xs: Seq[Int]): String = {
-      xs.toDF("x").coalesce(1).write.mode("overwrite").parquet(s"$root/$dir")
-      val f = new java.io.File(s"$root/$dir").listFiles()
-        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-      s"$dir/${f.getName}"
+      TableFixtures.writeSinglePartParquet(xs.toDF("x"), s"$root/$dir/part-0.parquet")
+      s"$dir/part-0.parquet"
     }
     val fa = writePart("p=a", Seq(1, 2))
     val fb = writePart("p=b", Seq(3))
@@ -109,9 +107,8 @@ class DeltaImportSpec extends AnyFunSuite {
 
   test("non-hive layout falls back to authoritative partitionValues") {
     val root = Files.createTempDirectory("graft-dimp-flat").toString
-    Seq(7).toDF("x").coalesce(1).write.mode("overwrite").parquet(s"$root/flat")
-    val f = new java.io.File(s"$root/flat").listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    TableFixtures.writeSinglePartParquet(Seq(7).toDF("x"), s"$root/flat/part-0.parquet")
+    val f = new java.io.File(s"$root/flat/part-0.parquet")
     val schema = new StructType().add("x", "integer").add("p", "string")
     val meta =
       s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
@@ -131,36 +128,16 @@ class DeltaImportSpec extends AnyFunSuite {
     // 1-2 of 3 buckets or deletes a bucket's evens; after export, the
     // import must match the manifest read, and time travel must replay
     // every intermediate state exactly
-    val rnd = new scala.util.Random(20260812L)
     for (trial <- 0 until 3) {
       val path = Files.createTempDirectory(s"graft-dimp-prop$trial").toString + "/t"
-      val buckets = Vector("a", "b", "c")
-      var expectedAt = Vector.empty[Set[(String, Int)]] // snapshot after each commit
-      var live = Map.empty[String, Map[Int, Int]]       // bucket -> (key -> value)
-      var nextKey = 0
-      val nOps = 4 + rnd.nextInt(3)
-      for (_ <- 0 until nOps) {
-        if (live.nonEmpty && rnd.nextInt(4) == 0) {
-          val b = live.keys.toSeq.sorted(Ordering.String)(rnd.nextInt(live.size))
-          VersionedTable.deleteWhere(spark, path, "bucket", Seq(b), col("x") % 2 === 0)
-          live += b -> live(b).filter { case (_, v) => v % 2 != 0 }
-        } else {
-          val bs = rnd.shuffle(buckets).take(1 + rnd.nextInt(2))
-          val rows = bs.flatMap { b =>
-            (0 until 1 + rnd.nextInt(3)).map { _ => nextKey += 1; (b, nextKey, rnd.nextInt(100)) }
-          }
-          // a delta commit REPLACES the touched buckets' contents
-          VersionedTable.commitDelta(spark, path, rows.toDF("bucket", "k", "x"), "bucket")
-          live = live -- bs ++ bs.map(b => b -> rows.filter(_._1 == b).map(r => r._2 -> r._3).toMap)
-        }
-        expectedAt :+= live.values.flatten.map { case (k, v) => (k.toString, v) }.toSet
-      }
+      // shared semantics model (TableFixtures): delta commits replace the
+      // touched buckets, deleteWhere drops a bucket's matching rows
+      val expectedAt = TableFixtures.randomCommitSequence(spark, path, seed = 20260812L + trial)
       DeltaExport.export(spark, path)
-      def got(df: org.apache.spark.sql.DataFrame): Set[(String, Int)] =
-        df.select(col("k").cast("string"), col("x")).collect()
-          .map(r => (r.getString(0), r.getInt(1))).toSet
-      assert(got(DeltaImport.read(spark, path)) == expectedAt.last, s"trial $trial newest")
-      expectedAt.zipWithIndex.foreach { case (exp, i) =>
+      import TableFixtures.got
+      assert(got(DeltaImport.read(spark, path)) == expectedAt.last._2, s"trial $trial newest")
+      // exported delta versions are renumbered gap-free in commit order
+      expectedAt.zipWithIndex.foreach { case ((_, exp), i) =>
         assert(got(DeltaImport.read(spark, path, versionAsOf = Some(i.toLong))) == exp,
           s"trial $trial version $i")
       }
@@ -190,10 +167,7 @@ class DeltaImportSpec extends AnyFunSuite {
           col("metaData").cast(
             "struct<id:string,schemaString:string,partitionColumns:array<string>>").as("metaData"),
           col("protocol").cast("struct<minReaderVersion:int,minWriterVersion:int>").as("protocol"))
-      val stage = Files.createTempDirectory("graft-ckpt-stage").toString
-      ck.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$path/_delta_log/$name"))
+      TableFixtures.writeSinglePartParquet(ck, s"$path/_delta_log/$name")
     }
     if (nParts == 1) write(addRows :+ metaRow :+ protoRow, f"$version%020d.checkpoint.parquet")
     else {
@@ -365,9 +339,8 @@ class DeltaImportSpec extends AnyFunSuite {
 
   test("column-mapped tables are refused (logical-schema read would be silently all-NULL)") {
     val root = Files.createTempDirectory("graft-dimp-cm").toString
-    Seq(7).toDF("x").coalesce(1).write.mode("overwrite").parquet(s"$root/flat")
-    val f = new java.io.File(s"$root/flat").listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    TableFixtures.writeSinglePartParquet(Seq(7).toDF("x"), s"$root/flat/part-0.parquet")
+    val f = new java.io.File(s"$root/flat/part-0.parquet")
     val schema = new StructType().add("x", "integer")
     val meta =
       s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
@@ -391,5 +364,20 @@ class DeltaImportSpec extends AnyFunSuite {
       """{"commitInfo":{}}""" + "\n")
     val e = intercept[IllegalArgumentException](DeltaImport.read(spark, root))
     assert(e.getMessage.contains("checkpoint"))
+
+    // deletion vectors (minReaderVersion 3): refused, never silently read
+    // with deleted rows resurrected
+    val dvRoot = Files.createTempDirectory("graft-dimp-dv").toString
+    new java.io.File(s"$dvRoot/_delta_log").mkdirs()
+    val schemaJson = graft.core.Json.str(
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").json)
+    Files.writeString(
+      java.nio.file.Paths.get(s"$dvRoot/_delta_log/00000000000000000000.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}
+         |{"metaData":{"id":"t","schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}
+         |""".stripMargin)
+    val dv = intercept[IllegalArgumentException](DeltaImport.read(spark, dvRoot))
+    assert(dv.getMessage.contains("deletion-vector"))
   }
 }

@@ -95,49 +95,26 @@ class IcebergExportSpec extends AnyFunSuite {
   }
 
   test("randomized commit sequences round-trip through export+import at every snapshot") {
-    // deterministic pseudo-random op sequences over 3 buckets (delta commits
-    // + even-key deletions), mirroring the Delta round-trip property: after
-    // export, the Iceberg read must match the manifest read at EVERY
+    // shared semantics model (TableFixtures, same as the Delta property):
+    // after export, the Iceberg read must match the manifest read at EVERY
     // snapshot, and per-bucket partitionFilter reads must match the
     // bucket's slice while opening only that bucket's files
-    val rnd = new scala.util.Random(20260813L)
     for (trial <- 0 until 3) {
       val path = Files.createTempDirectory(s"graft-iexp-prop$trial").toString + "/t"
-      val buckets = Vector("a", "b", "c")
-      var expectedAt = Vector.empty[(Long, Set[(String, Int)])]
-      var live = Map.empty[String, Map[Int, Int]]
-      var nextKey = 0
-      val nOps = 4 + rnd.nextInt(3)
-      for (_ <- 0 until nOps) {
-        if (live.nonEmpty && rnd.nextInt(4) == 0) {
-          val b = live.keys.toSeq.sorted(Ordering.String)(rnd.nextInt(live.size))
-          VersionedTable.deleteWhere(spark, path, "bucket", Seq(b), col("x") % 2 === 0)
-          live += b -> live(b).filter { case (_, v) => v % 2 != 0 }
-        } else {
-          val bs = rnd.shuffle(buckets).take(1 + rnd.nextInt(2))
-          val newRows = bs.flatMap { b =>
-            (0 until 1 + rnd.nextInt(3)).map { _ => nextKey += 1; (b, nextKey, rnd.nextInt(100)) }
-          }
-          VersionedTable.commitDelta(spark, path, newRows.toDF("bucket", "k", "x"), "bucket")
-          live = live -- bs ++ bs.map(b => b -> newRows.filter(_._1 == b).map(r => r._2 -> r._3).toMap)
-        }
-        val v = VersionedTable.latestVersion(spark, path).get
-        expectedAt :+= (v, live.values.flatten.map { case (k, x) => (k.toString, x) }.toSet)
-      }
+      val expectedAt = TableFixtures.randomCommitSequence(spark, path, seed = 20260813L + trial)
       IcebergExport.export(spark, path)
-      def got(df: org.apache.spark.sql.DataFrame): Set[(String, Int)] =
-        df.select(col("k").cast("string"), col("x")).collect()
-          .map(r => (r.getString(0), r.getInt(1))).toSet
+      import TableFixtures.got
       assert(got(IcebergImport.read(spark, path)) == expectedAt.last._2, s"trial $trial newest")
       expectedAt.foreach { case (v, exp) =>
         assert(got(IcebergImport.read(spark, path, snapshotAsOf = Some(v))) == exp,
           s"trial $trial snapshot $v")
       }
       // partition pruning against the final state, bucket by bucket
+      val finalState = expectedAt.last._2
       val finalFiles = IcebergImport.state(spark, path).liveFiles
-      buckets.filter(b => live.contains(b) && live(b).nonEmpty).foreach { b =>
+      finalState.map(_._1).foreach { b =>
         val pr = IcebergImport.read(spark, path, partitionFilter = Map("bucket" -> b))
-        assert(got(pr) == live(b).map { case (k, x) => (k.toString, x) }.toSet, s"trial $trial bucket $b")
+        assert(got(pr) == finalState.filter(_._1 == b), s"trial $trial bucket $b")
         val expectFiles = finalFiles.count(_._2.get("bucket").contains(b))
         assert(pr.inputFiles.length == expectFiles, s"trial $trial bucket $b pruning")
       }

@@ -62,13 +62,8 @@ class IcebergImportSpec extends AnyFunSuite {
   }
 
   private def writeDataFile(root: String, name: String, rows: Seq[(Int, String)]): String = {
-    val stage = Files.createTempDirectory("graft-ice-stage").toString
-    rows.toDF("x", "p").coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = new java.io.File(stage).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
     val dest = s"$root/data/$name"
-    new java.io.File(s"$root/data").mkdirs()
-    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dest))
+    TableFixtures.writeSinglePartParquet(rows.toDF("x", "p"), dest)
     dest
   }
 
@@ -159,8 +154,17 @@ class IcebergImportSpec extends AnyFunSuite {
     writeAvro(ml, manifestListSchema, Seq(manifestListRow(m1, 0)))
     Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v3.metadata.json"),
       metadataJson(Seq((5L, ml)), 5L))
-    // a stale newer-looking file that the hint must override
-    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v4.metadata.json"), "{garbage")
+    // a PARSEABLE newer-looking metadata pointing at DIFFERENT rows: a
+    // reader that ignores the hint (with or without a parse-failure
+    // fallback) would resolve v4 and return (8,"w") — only genuine
+    // hint-pinning yields v3's rows
+    val f2 = writeDataFile(root, "f2.parquet", Seq((8, "w")))
+    val m2 = s"$root/metadata/m2.avro"
+    writeAvro(m2, manifestSchema, Seq(manifestEntry(1, f2, 1)))
+    val ml2 = s"$root/metadata/snap-6.avro"
+    writeAvro(ml2, manifestListSchema, Seq(manifestListRow(m2, 0)))
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v4.metadata.json"),
+      metadataJson(Seq((6L, ml2)), 6L))
     Files.writeString(java.nio.file.Paths.get(s"$root/metadata/version-hint.text"), "3")
     assert(rows(IcebergImport.read(spark, root)) == Set((7, "z")))
   }

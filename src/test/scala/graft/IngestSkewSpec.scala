@@ -59,11 +59,13 @@ class IngestSkewSpec extends AnyFunSuite {
     assert(e.missingColumns == Seq("clicks"))
     assert(e.status == "CompletedWithDrift") // ingestion.py:99-122 'Completedwitherrors' analogue
 
-    // aligned report: no event (alerting must not cry wolf)
+    // aligned report: no event AT ALL (alerting must not cry wolf) — the
+    // registry must exactly match the report's normalized columns, or the
+    // silence property isn't being tested
     val clean = new graft.core.Drift.Collecting
-    Ingest.reportIngest(spark, gz, registry :+ "surprise_col", s"$tmp/landed2", notifier = clean)
-    assert(clean.events.map(_.newColumns).flatten.isEmpty)
-    assert(clean.events.isEmpty || clean.events.forall(_.missingColumns == Seq("clicks")))
+    Ingest.reportIngest(spark, gz,
+      Seq("ad_unit_id", "total_impressions", "surprise_col"), s"$tmp/landed2", notifier = clean)
+    assert(clean.events.isEmpty, s"clean ingest must stay silent, got ${clean.events}")
 
     // a throwing notifier must never fail the ingest (alert channel down !=
     // data loss; the reference swallows notification errors the same way)

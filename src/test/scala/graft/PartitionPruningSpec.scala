@@ -32,6 +32,6 @@ class PartitionPruningSpec extends AnyFunSuite {
     // pruned scan must not read the 2023 partition's file
     val scanned = read.select(input_file_name()).distinct().collect().map(_.getString(0))
     assert(scanned.forall(_.contains("year=2024")), scanned.mkString(","))
-    assert(scanned.forall(_.contains("month=1")))
+    assert(scanned.forall(_.contains("month=1/")), "substring month=1 would also match month=12")
   }
 }

@@ -23,7 +23,7 @@ class StreamingSpec extends AnyFunSuite {
       .schema("order_id STRING, amount DOUBLE")
       .parquet(srcDir)
     val q = Streaming.validatedStream(spark, stream, Seq(NotNull("order_id"), Unique("order_id")), resDir, "t1")
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not finish in 60s")
 
     val results = spark.read.parquet(resDir)
     assert(results.count() == 2)
@@ -35,7 +35,7 @@ class StreamingSpec extends AnyFunSuite {
     // checkpoint -> batch 0 runs again, foreachBatch's documented retry
     // case) must REPLACE its batch partition, not append duplicates
     val q2 = Streaming.validatedStream(spark, stream, Seq(NotNull("order_id"), Unique("order_id")), resDir, "t1")
-    q2.awaitTermination(60000)
+    assert(q2.awaitTermination(60000), "stream did not finish in 60s")
     assert(spark.read.parquet(resDir).count() == 2)
   }
 
@@ -50,7 +50,7 @@ class StreamingSpec extends AnyFunSuite {
     def runOnce(ckpt: String): Unit = {
       val stream = spark.readStream.schema("k BIGINT, payload STRING").parquet(srcDir)
       val q = Streaming.scd2WarehouseSink(spark, stream, wh, Seq("k"), nBuckets = 4, now = clock, checkpointLocation = ckpt)
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(60000), "stream did not finish in 60s")
       ()
     }
     runOnce(s"$tmp/ckpt1")
@@ -94,7 +94,7 @@ class StreamingSpec extends AnyFunSuite {
       val stream = spark.readStream.schema("k BIGINT, payload STRING").parquet(srcDir)
       val q = Streaming.scd2WarehouseSink(spark, stream, wh, Seq("k"), nBuckets = 4, now = clock,
         checkpointLocation = ckpt, streamId = streamId)
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(60000), "stream did not finish in 60s")
       ()
     }
     // stream A applies its batch 0
@@ -138,7 +138,7 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    query.awaitTermination(60000)
+    assert(query.awaitTermination(60000), "stream did not finish in 60s")
 
     val got = spark.table("deltas_merge").collect()
       .map(r => (r.getTimestamp(2).toString, r.getAs[Map[String, Long]](1)))
@@ -169,7 +169,7 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    query.awaitTermination(60000)
+    assert(query.awaitTermination(60000), "stream did not finish in 60s")
 
     val got = spark.table("deltas").collect()
       .map(r => (r.getString(0), r.getAs[Map[String, Long]](1)("imp"), r.getTimestamp(2).toString))
@@ -190,7 +190,7 @@ class StreamingSpec extends AnyFunSuite {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(60000), "stream did not finish in 60s")
     }
     runOnce()
     assert(spark.read.parquet(outDir).count() == 1)
@@ -220,7 +220,7 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not finish in 60s")
     val ids = spark.table("sdedup").collect().map(_.getString(0)).sorted
     assert(ids.toSeq == Seq("e1", "e2")) // the duplicate delivery is dropped
   }
