@@ -78,7 +78,7 @@ object Bench {
           // >2x regression guard once they have a recorded floor
           val both = Seq(qs, root.path("parsed").path("extras")).filter(_.isObject)
           val m = both.flatMap { node =>
-            scala.jdk.CollectionConverters.IteratorHasAsScala(node.fields()).asScala
+            scala.jdk.CollectionConverters.IterableHasAsScala(node.properties()).asScala.iterator
               .filter(_.getValue.isNumber).map(e => e.getKey -> e.getValue.asDouble())
           }.toMap
           Some(f.getName -> m)

@@ -110,7 +110,7 @@ object Config {
   def parse(json: String)(implicit spark: org.apache.spark.sql.SparkSession): SourceConfig = {
     import spark.implicits._
     import org.apache.spark.sql.Row
-    val df = spark.read.schema(sourceConfigJsonSchema).json(Seq(json).toDS)
+    val df = spark.read.schema(sourceConfigJsonSchema).json(Seq(json).toDS())
     val row = df.head()
     val source = row.getString(0)
     require(

@@ -200,7 +200,7 @@ object DeltaImport {
             val a = n.path("add")
             val pv = a
               .path("partitionValues")
-              .fields()
+              .properties()
               .asScala
               .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText()))
               .toMap

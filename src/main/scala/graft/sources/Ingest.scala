@@ -39,7 +39,7 @@ object Ingest {
     var n = 0
     while (page.nonEmpty) {
       spark.read
-        .json(page.toDS)
+        .json(page.toDS())
         .write
         .mode(if (n == 0) "overwrite" else "append")
         .json(landingDir)

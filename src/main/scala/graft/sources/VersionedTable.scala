@@ -416,7 +416,7 @@ object VersionedTable {
     */
   def streamMarkers(spark: SparkSession, path: String, version: Long): Map[String, String] = {
     val root = readCommitJson(spark, path, version)
-    scala.jdk.CollectionConverters.IteratorHasAsScala(root.fields()).asScala
+    scala.jdk.CollectionConverters.IterableHasAsScala(root.properties()).asScala.iterator
       .filter(e => e.getKey.startsWith("stream_batch") && e.getValue.isTextual)
       .map(e => e.getKey -> e.getValue.asText())
       .toMap
@@ -429,7 +429,7 @@ object VersionedTable {
     val parts = readCommitJson(spark, path, version).path("partitions")
     if (!parts.isObject) None
     else Some(
-      scala.jdk.CollectionConverters.IteratorHasAsScala(parts.fields()).asScala
+      scala.jdk.CollectionConverters.IterableHasAsScala(parts.properties()).asScala.iterator
         .map(e => e.getKey -> e.getValue.asLong()).toMap
     )
   }
