@@ -92,6 +92,7 @@ object DeltaExport {
     val tableId = java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8")).toString
     var prevFiles = Map.empty[String, (Long, Long)]
     var prevSchema: Option[String] = None
+    var prevMarkers = Map.empty[String, String]
     versions.zipWithIndex.map { case (v, i) =>
       val files = referencedFiles(spark, path, v).map { case (p, sz, mt) => p -> (sz, mt) }.toMap
       val schema = commitSchema(spark, path, v)
@@ -107,6 +108,20 @@ object DeltaExport {
           )
         else None
       ).flatten
+      // exactly-once stream markers -> Delta `txn` actions: a commit whose
+      // marker value CHANGED vs its parent is the commit that applied that
+      // stream batch, so Delta consumers get the same appId/version
+      // idempotency contract VersionedTable's manifest lineage provides
+      // (`stream_batch:<id>` -> appId `<id>`). Carried-forward (unchanged)
+      // markers emit nothing — Delta txn state is cumulative.
+      val markers = VersionedTable.streamMarkers(spark, path, v)
+      val txns = markers.toSeq
+        .filter { case (k, value) => !prevMarkers.get(k).contains(value) }
+        .filter(_._2.matches("-?\\d+")) // txn.version is a Delta long
+        .sortBy(_._1)
+        .map { case (k, value) =>
+          s"""{"txn":{"appId":${Json.str(k.stripPrefix("stream_batch:"))},"version":$value,"lastUpdated":$now}}"""
+        }
       val adds = (files.keySet -- prevFiles.keySet).toSeq.sorted.map { p =>
         val (sz, mt) = files(p)
         s"""{"add":{"path":${Json.str(p)},"partitionValues":{},"size":$sz,"modificationTime":$mt,"dataChange":true}}"""
@@ -119,7 +134,8 @@ object DeltaExport {
           s""""engineInfo":"graft VersionedTable export","sourceVersion":$v}}"""
       prevFiles = files
       prevSchema = Some(schema)
-      LogEntry(i.toLong, v, header ++ adds ++ removes :+ info)
+      prevMarkers = markers
+      LogEntry(i.toLong, v, header ++ txns ++ adds ++ removes :+ info)
     }
   }
 

@@ -103,6 +103,24 @@ class DeltaExportSpec extends AnyFunSuite {
     assert(viaDelta.count() == 2)
   }
 
+  test("stream markers export as txn actions exactly when their value changes") {
+    val path = java.nio.file.Files.createTempDirectory("graft-dexp-txn").toString + "/t"
+    VersionedTable.commitDelta(spark, path, Seq(("a", 1)).toDF("bucket", "x"), "bucket",
+      extraMeta = Map("stream_batch:s1" -> "0"))
+    // carries s1 forward unchanged (manifest lineage), adds nothing new
+    VersionedTable.commitDelta(spark, path, Seq(("b", 2)).toDF("bucket", "x"), "bucket")
+    // s1 advances AND a second stream lands its first batch
+    VersionedTable.commitDelta(spark, path, Seq(("a", 10)).toDF("bucket", "x"), "bucket",
+      extraMeta = Map("stream_batch:s1" -> "1", "stream_batch:s2" -> "0"))
+    val entries = DeltaExport.buildLog(spark, path)
+    def txns(e: DeltaExport.LogEntry): Seq[(String, Long)] =
+      e.actions.map(mapper.readTree).filter(_.has("txn"))
+        .map(n => (n.path("txn").path("appId").asText(), n.path("txn").path("version").asLong()))
+    assert(txns(entries(0)) == Seq(("s1", 0L)))
+    assert(txns(entries(1)).isEmpty, "carried-forward marker must not re-emit")
+    assert(txns(entries(2)) == Seq(("s1", 1L), ("s2", 0L)))
+  }
+
   test("vacuumed history is skipped, never exported as a partial file set") {
     val path = java.nio.file.Files.createTempDirectory("graft-dexp-v").toString + "/t"
     VersionedTable.commitDelta(spark, path, Seq(("a", 1), ("b", 2)).toDF("bucket", "x"), "bucket")
