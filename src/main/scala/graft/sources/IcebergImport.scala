@@ -148,8 +148,17 @@ object IcebergImport {
   private def resolve(root: String, p: String): String =
     if (p.contains("://") || p.startsWith("/")) p else s"$root/$p"
 
-  /** Resolve the snapshot (default: current) to its live parquet files. */
-  def state(spark: SparkSession, root: String, snapshotAsOf: Option[Long] = None): TableState = {
+  /** Resolve the snapshot (default: current) to its live parquet files.
+    * `snapshotAsOf` addresses by snapshot id; `asOfTimestampMs` picks the
+    * newest snapshot whose `timestamp-ms` is at-or-before the given epoch
+    * millis (Iceberg's `TIMESTAMP AS OF` semantics) — id wins if both given.
+    */
+  def state(
+      spark: SparkSession,
+      root: String,
+      snapshotAsOf: Option[Long] = None,
+      asOfTimestampMs: Option[Long] = None
+  ): TableState = {
     val mapper = new ObjectMapper()
     val meta = mapper.readTree(readBytes(spark, newestMetadataPath(spark, root)))
     val formatVersion = meta.path("format-version").asInt(1)
@@ -169,7 +178,19 @@ object IcebergImport {
 
     val snapshots = meta.path("snapshots").elements().asScala.toVector
     require(snapshots.nonEmpty, s"$root has no snapshots — nothing to read")
-    val snapId = snapshotAsOf.getOrElse {
+    val byTimestamp: Option[Long] = asOfTimestampMs.map { ts =>
+      val eligible = snapshots.filter(_.path("timestamp-ms").asLong(Long.MaxValue) <= ts)
+      require(
+        eligible.nonEmpty,
+        s"no snapshot at or before timestamp $ts ms (oldest is " +
+          s"${snapshots.map(_.path("timestamp-ms").asLong(Long.MaxValue)).min})"
+      )
+      // ties (same millisecond) break on sequence-number, matching commit order
+      eligible
+        .maxBy(s => (s.path("timestamp-ms").asLong(0), s.path("sequence-number").asLong(0)))
+        .path("snapshot-id").asLong(-1L)
+    }
+    val snapId = snapshotAsOf.orElse(byTimestamp).getOrElse {
       val cur = meta.path("current-snapshot-id").asLong(-1L)
       require(cur >= 0, "metadata has no current-snapshot-id; pass snapshotAsOf")
       cur
@@ -265,9 +286,10 @@ object IcebergImport {
       spark: SparkSession,
       root: String,
       snapshotAsOf: Option[Long] = None,
-      partitionFilter: Map[String, String] = Map.empty
+      partitionFilter: Map[String, String] = Map.empty,
+      asOfTimestampMs: Option[Long] = None
   ): DataFrame = {
-    val st = state(spark, root, snapshotAsOf)
+    val st = state(spark, root, snapshotAsOf, asOfTimestampMs)
     partitionFilter.keys.foreach { c =>
       require(
         st.liveFiles.isEmpty || st.liveFiles.exists(_._2.contains(c)),

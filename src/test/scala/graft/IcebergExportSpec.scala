@@ -94,6 +94,27 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(rows(IcebergImport.read(spark, path)) == Set(("a", 1), ("z", 9)))
   }
 
+  test("time travel by timestamp resolves the newest snapshot at-or-before") {
+    val path = Files.createTempDirectory("graft-iexp-ts").toString + "/t"
+    VersionedTable.commit(Seq(("a", 1)).toDF("bucket", "x"), path)
+    Thread.sleep(10) // distinct committed_at millis for the two snapshots
+    VersionedTable.commit(Seq(("b", 2)).toDF("bucket", "x"), path)
+    IcebergExport.export(spark, path)
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$path/metadata/v1.metadata.json")))
+    val ts = scala.jdk.CollectionConverters.IteratorHasAsScala(meta.path("snapshots").elements())
+      .asScala.map(s => s.path("snapshot-id").asLong() -> s.path("timestamp-ms").asLong()).toMap
+    assert(ts(1L) < ts(2L))
+    // at snapshot 1's instant: snapshot 1; just before 2's: still 1; at 2's: 2
+    assert(rows(IcebergImport.read(spark, path, asOfTimestampMs = Some(ts(1L)))) == Set(("a", 1)))
+    assert(rows(IcebergImport.read(spark, path, asOfTimestampMs = Some(ts(2L) - 1))) == Set(("a", 1)))
+    assert(rows(IcebergImport.read(spark, path, asOfTimestampMs = Some(ts(2L)))) == Set(("b", 2)))
+    // before the oldest snapshot: explicit error, not an empty read
+    val e = intercept[IllegalArgumentException](
+      IcebergImport.read(spark, path, asOfTimestampMs = Some(ts(1L) - 1)))
+    assert(e.getMessage.contains("no snapshot at or before"))
+  }
+
   test("randomized commit sequences round-trip through export+import at every snapshot") {
     // shared semantics model (TableFixtures, same as the Delta property):
     // after export, the Iceberg read must match the manifest read at EVERY
