@@ -897,7 +897,7 @@ object Oracles {
          | FROM (SELECT doc_id, lang, len(ws) nt,
          |     len(list_filter(ws, w -> list_contains(${sqlList(TextAnalysis.stopwordLists("en"))}, lower(w)))) sw
          |   FROM (SELECT doc_id, lang, $tokensExpr ws FROM documents))),
-         | ranked AS (SELECT *, percent_rank() OVER (ORDER BY stopword_ratio DESC, doc_id ASC) pr FROM feats)
+         | ranked AS (SELECT *, percent_rank() OVER (ORDER BY CAST(FLOOR(stopword_ratio*10000) AS BIGINT) DESC, doc_id ASC) pr FROM feats)
          |SELECT lang, count(*) AS n_kept,
          | CAST(FLOOR(min(stopword_ratio)*10000) AS BIGINT) AS worst_kept_e4
          |FROM ranked WHERE pr < CAST(0.9 AS DOUBLE) GROUP BY lang""".stripMargin,

@@ -804,21 +804,28 @@ object Queries {
     *
     * Scale-safe EXACT formulation (round 1 used a single global
     * `Window.orderBy` — a single-partition sort of the whole corpus, the one
-    * flagged scale-killer): the only global sort is over the per-VALUE count
-    * table (bounded by #distinct ratios, tiny relative to the corpus); the
+    * flagged scale-killer): the score is QUANTIZED to e4
+    * (`floor(ratio*10000)`, ≤10001 distinct values) before the cut, so the
+    * only globally-sorted relation — the per-VALUE count table — is bounded
+    * by construction, not by the score's incidental distinct count (a
+    * continuous-valued score would otherwise make it corpus-sized). The
     * corpus-sized relation is only touched by a hash aggregation, a
-    * broadcast join, and a PARTITIONED window (partitionBy ratio). The kept
-    * set is identical to `percent_rank() < 0.9` over (ratio desc, doc_id
-    * asc) including tie-splitting at the cut boundary: global rank =
-    * (#rows with strictly better ratio) + (rank by doc_id within the tied
-    * group), keep rank <= K where K = |{pr < 0.9}| computed with exact
+    * broadcast join, and a PARTITIONED window (partitionBy quantized score).
+    * The kept set is identical to `percent_rank() < 0.9` over
+    * (quantized desc, doc_id asc) — the oracle applies the SAME quantization
+    * — including tie-splitting at the cut boundary: global rank = (#rows
+    * with strictly better quantized score) + (rank by doc_id within the
+    * tied group), keep rank <= K where K = |{pr < 0.9}| computed with exact
     * integer arithmetic (x = 9*(N-1); K = x/10 if 10|x else x/10+1; K=1 when
-    * N=1 since percent_rank of a single row is 0).
+    * N=1 since percent_rank of a single row is 0). `worst_kept_e4` is
+    * unchanged: floor is monotone, so floor(min r · 1e4) = min floor(r·1e4).
     */
   def q68(s: SparkSession, dir: String): DataFrame = {
     val feats = TextAnalysis.qualityFeatures(t(s, dir, "documents"))
-    // per-distinct-ratio counts: the ONLY relation that gets globally sorted
-    val counts = feats.groupBy(col("stopword_ratio").as("r")).agg(count(lit(1)).as("c"))
+      .withColumn("rq", floor(col("stopword_ratio") * 10000).cast("long"))
+    // per-distinct-VALUE counts: the ONLY relation that gets globally
+    // sorted, ≤10001 rows by the e4 quantization
+    val counts = feats.groupBy(col("rq").as("r")).agg(count(lit(1)).as("c"))
     val wAll = Window.orderBy(col("r").desc)
     val offsets = counts
       .withColumn("offset", coalesce(sum(col("c")).over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -829,9 +836,9 @@ object Queries {
     val k = when(col("n_total") === 1, lit(1L))
       .otherwise(when(x % 10 === 0, floor(x / 10)).otherwise(floor(x / 10) + 1))
       .cast("long")
-    val wTie = Window.partitionBy(col("stopword_ratio")).orderBy(col("doc_id").asc)
+    val wTie = Window.partitionBy(col("rq")).orderBy(col("doc_id").asc)
     feats
-      .join(broadcast(offsets.withColumn("k", k).select(col("r"), col("offset"), col("k"))), col("stopword_ratio") === col("r"))
+      .join(broadcast(offsets.withColumn("k", k).select(col("r"), col("offset"), col("k"))), col("rq") === col("r"))
       .withColumn("grank", col("offset") + row_number().over(wTie))
       .filter(col("grank") <= col("k"))
       .groupBy(col("lang"))
@@ -1292,77 +1299,44 @@ object Queries {
     grouped.select(col("source") +: (0 until 16).map(i => element_at(col("gsig"), i + 1).as(s"sig_$i")): _*)
   }
 
-  /** Per-session output row of the streaming sessionizer (q74);
-    * session_value_cents is None when every event value in the session is
-    * null (SQL sum semantics).
+  /** One-row far-future heartbeat stream (the punctuation/idle-source
+    * pattern): advances the watermark past every registered event-time
+    * timeout so end-of-data state flushes. Schema matches the 4-column
+    * event projection; `value` is null so the row could never perturb a
+    * sum even if a bug let it through [[graft.streaming.Streaming]]'s
+    * HeartbeatUser guard.
     */
-  final case class Q74Session(
-      user_id: Long,
-      session_id: Long,
-      n_events: Long,
-      session_start: java.sql.Timestamp,
-      session_end: java.sql.Timestamp,
-      session_value_cents: Option[Long]
-  )
+  private def heartbeatStream(s: SparkSession, hbTs: java.sql.Timestamp): DataFrame = {
+    import s.implicits._
+    val hbDir = scratchDir("heartbeat") + "/data"
+    Seq((graft.streaming.Streaming.HeartbeatUser, 0L, hbTs, Option.empty[Double]))
+      .toDF("user_id", "event_id", "ts", "value")
+      .coalesce(1)
+      .write
+      .parquet(hbDir)
+    s.readStream.schema(s.read.parquet(hbDir).schema).parquet(hbDir)
+  }
 
   /** q74: STREAMING SESSIONIZATION — the q24 gap-based sessionizer executed
-    * through the streaming engine (`flatMapGroupsWithState` over the
-    * event-file stream, one AvailableNow pass) and hash-matched against the
-    * SAME DuckDB oracle as batch q24. Per-user state lives in Spark's state
-    * store; in continuous operation the state would carry open sessions
-    * across micro-batches — with one batch the result is exactly the batch
-    * semantics, which is what makes it oracle-checkable.
+    * through the streaming engine as a CONTINUOUS design
+    * ([[graft.streaming.Streaming.gapSessions]]: open sessions in
+    * `GroupState`, event-time timeout at session_end + gap, watermark) and
+    * hash-matched against the SAME DuckDB oracle as batch q24. State
+    * carries open sessions across micro-batches — StreamingSpec proves the
+    * multi-batch case (maxFilesPerTrigger=1 over time-sliced files, ≥3
+    * batches, boundary-spanning sessions) against the batch semantics; here
+    * the AvailableNow replay lands the file in one data batch and a
+    * far-future heartbeat row flushes the end-of-data open sessions through
+    * the same timeout path a continuous run would use.
     */
   def q74(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     // layout-aware events stream (file vs directory), see eventsStream
-    val stream = eventsStream(s, dir)
-    val events = stream
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-      .as[(Long, Long, java.sql.Timestamp, Option[Double])]
-
-    val sessions = events
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(
-        org.apache.spark.sql.streaming.OutputMode.Append,
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout
-      ) { (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp, Option[Double])], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
-        // BOUNDED-REPLAY sessionizer: correct only when ALL of a user's
-        // events arrive in ONE micro-batch (AvailableNow over a file source
-        // with no maxFilesPerTrigger — the Verify/Bench shape). The state
-        // slot is a re-invocation tripwire: a second batch for the same key
-        // would silently split sessions and reuse session ids, so fail loud.
-        // Continuous sessionization belongs to watermarked designs
-        // (Streaming.windowedEventAgg) — an open session can't be flushed
-        // under NoTimeout when the stream simply stops.
-        if (state.exists)
-          throw new IllegalStateException(
-            s"q74 sessionizer saw user $uid in a second micro-batch — bounded single-batch replay only")
-        state.update(1L)
-        def micros(t: java.sql.Timestamp): Long = t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
-        // decimal(18,2) HALF_UP cents over the SHORTEST DECIMAL form of the
-        // double (BigDecimal.valueOf == Double.toString == what Spark's
-        // cast-to-decimal and DuckDB's CAST round from; `new BigDecimal(v)`
-        // would expand the exact binary value and round 2.675 the other way)
-        def cents(v: Double): Long =
-          java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
-        val sorted = it.toVector.sortBy(e => (micros(e._3), e._2))
-        val out = Vector.newBuilder[Q74Session]
-        var sid = 0L
-        var n = 0L
-        var sum = Option.empty[Long] // None until a non-null value (SQL sum)
-        var start: java.sql.Timestamp = null
-        var end: java.sql.Timestamp = null
-        var prev = Long.MinValue
-        def close(): Unit = if (n > 0) out += Q74Session(uid, sid, n, start, end, sum)
-        sorted.foreach { case (_, _, ts, v) =>
-          val m = micros(ts)
-          if (prev == Long.MinValue || m - prev > 3600000000L) { close(); sid += 1; n = 0; sum = None; start = ts }
-          n += 1; v.foreach(x => sum = Some(sum.getOrElse(0L) + cents(x))); end = ts; prev = m
-        }
-        close()
-        out.result().iterator
-      }
+    val ev = eventsStream(s, dir).select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    // batch-side max event time (parquet stats scan) -> heartbeat 2 days
+    // past it clears every session_end + gap(1h) + watermark delay(10m)
+    val maxTs = t(s, dir, "events").agg(max(col("ts"))).head().getTimestamp(0)
+    val hb = heartbeatStream(s, java.sql.Timestamp.from(maxTs.toInstant.plus(java.time.Duration.ofDays(2))))
+    val sessions = graft.streaming.Streaming.gapSessions(s, ev.unionByName(hb))
 
     val name = s"q74_sink_${System.nanoTime()}"
     val q = sessions.writeStream.format("memory").queryName(name).outputMode("append")
@@ -1451,68 +1425,28 @@ object Queries {
     )
   }
 
-  /** Per-user output row of the streaming delta-state twin (q79). */
-  final case class Q79Delta(user_id: Long, n_events: Long, delta_total_cents: Option[Long])
-
   /** q79: STREAMING DELTA-STATE — q12's cumulative→delta semantics executed
-    * through the streaming engine and hash-matched against q12's oracle.
-    * Per-user state logic inside `flatMapGroupsWithState`: users with any
-    * pre-cutoff event get delta = post-cutoff sum (total − snapshot);
-    * first-seen-after-cutoff users pass their raw total through (the
-    * reference's no-snapshot asymmetry, transformation.py:93-98).
+    * through the streaming engine as a CONTINUOUS design
+    * ([[graft.streaming.Streaming.cutoverDeltas]]: per-user sums accumulate
+    * in `GroupState` across micro-batches, every user flushes once when the
+    * watermark passes the flush instant) and hash-matched against q12's
+    * oracle. Users with any pre-cutoff event get delta = post-cutoff sum
+    * (total − snapshot); first-seen-after-cutoff users pass their raw total
+    * through (the reference's no-snapshot asymmetry,
+    * transformation.py:93-98). The flush instant is 1 minute past the
+    * batch-side max event time; the heartbeat row advances the watermark
+    * past it at end-of-data.
     */
   def q79(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     // layout-aware events stream (file vs directory), see eventsStream
-    val stream = eventsStream(s, dir)
-    val events = stream
-      .select(col("user_id"), col("ts"), col("value"))
-      .as[(Long, java.sql.Timestamp, Option[Double])]
+    val ev = eventsStream(s, dir).select(col("user_id"), lit(0L).as("event_id"), col("ts"), col("value"))
     // UTC-pinned instant: Timestamp.valueOf would parse in the JVM default
     // timezone and shift the cutoff vs the UTC-session oracle on non-UTC hosts
-    val cutoff = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-15T00:00:00Z"))
-
-    val deltas = events
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(
-        org.apache.spark.sql.streaming.OutputMode.Append,
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout
-      ) { (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Option[Double])], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
-        // bounded single-batch replay, same tripwire as q74: the pre/post-
-        // cutoff split is computed from ONE batch's full per-user history
-        if (state.exists)
-          throw new IllegalStateException(
-            s"q79 delta saw user $uid in a second micro-batch — bounded single-batch replay only")
-        state.update(1L)
-        def cents(v: Double): Long =
-          java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
-        var n = 0L
-        var hasPre = false
-        var preSum = Option.empty[Long]
-        var postSum = Option.empty[Long]
-        it.foreach { case (_, ts, v) =>
-          n += 1
-          val pre = ts.before(cutoff)
-          if (pre) hasPre = true
-          v.foreach { x =>
-            if (pre) preSum = Some(preSum.getOrElse(0L) + cents(x))
-            else postSum = Some(postSum.getOrElse(0L) + cents(x))
-          }
-        }
-        // snapshot exists (user seen pre-cutoff): delta = total - snapshot
-        // = post-cutoff sum (SQL: NULL-preserving when all values null);
-        // else raw total passthrough
-        val delta =
-          if (hasPre) (preSum, postSum) match {
-            case (None, None) => None // total NULL - coalesce(snapshot,0)... both sums null -> total null
-            case (pre_, post) => Some(post.getOrElse(0L)) // total - snapshot, exact integer cents
-          }
-          else (preSum, postSum) match {
-            case (None, None) => None
-            case (a, b) => Some(a.getOrElse(0L) + b.getOrElse(0L))
-          }
-        Iterator.single(Q79Delta(uid, n, delta))
-      }
+    val cutoffMicros = java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * 1000000L
+    val maxTs = t(s, dir, "events").agg(max(col("ts"))).head().getTimestamp(0)
+    val flushAtMillis = maxTs.getTime + 60000L
+    val hb = heartbeatStream(s, java.sql.Timestamp.from(maxTs.toInstant.plus(java.time.Duration.ofDays(2))))
+    val deltas = graft.streaming.Streaming.cutoverDeltas(s, ev.unionByName(hb), cutoffMicros, flushAtMillis)
 
     val name = s"q79_sink_${System.nanoTime()}"
     val q = deltas.writeStream.format("memory").queryName(name).outputMode("append")

@@ -280,4 +280,189 @@ object Streaming {
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+
+  // ------------------------------------------------------------------
+  // Continuous (multi-batch) gap sessionization + cumulative cutover
+  // ------------------------------------------------------------------
+
+  /** Reserved user id for watermark-advancing heartbeat rows (the
+    * punctuation/idle-source pattern): a bounded replay appends ONE
+    * far-future heartbeat event so the watermark passes every open
+    * session's timeout and end-of-data state flushes. Heartbeat groups
+    * never emit and never hold state.
+    */
+  val HeartbeatUser: Long = Long.MinValue
+
+  /** Closed gap-session row (column names match q24's batch oracle). */
+  final case class GapSession(
+      user_id: Long,
+      session_id: Long,
+      n_events: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      session_value_cents: Option[Long]
+  )
+
+  /** Per-user open-session state carried across micro-batches. */
+  final case class OpenSession(
+      sessionId: Long,
+      n: Long,
+      startMicros: Long,
+      endMicros: Long,
+      sumCents: Option[Long]
+  )
+
+  private def microsOf(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  private def tsOf(m: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(m, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(m, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** decimal(18,2) HALF_UP cents over the SHORTEST DECIMAL form of the
+    * double (BigDecimal.valueOf == Double.toString == what Spark's
+    * cast-to-decimal and DuckDB's CAST round from).
+    */
+  private[graft] def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+
+  /** CONTINUOUS gap-based sessionization: per-user open sessions live in
+    * `GroupState` and carry across micro-batches; a session closes either
+    * when a later event opens the next one (gap exceeded in event time) or
+    * when the EVENT-TIME TIMEOUT fires — registered at
+    * `session_end + gap` (+1s ceil slack), so once the watermark passes the
+    * point where no in-time event could extend the session, it flushes.
+    * Output mode Append: each session is emitted exactly once, closed.
+    *
+    * Ordering contract: intra-batch disorder is fully repaired (events are
+    * sorted by (ts, event_id) inside each batch); ACROSS batches events must
+    * arrive in event-time order up to the watermark delay — the file-replay
+    * harness guarantees it by time-slicing, and a production feed gets it
+    * from the same watermark that gates every streaming session design.
+    * A late event older than the watermark is dropped by the engine
+    * (standard watermark semantics), never silently mis-sessionized.
+    *
+    * End-of-data flush: a bounded replay appends one [[HeartbeatUser]] row
+    * with a far-future timestamp; the watermark then passes every open
+    * session's timeout and the final no-data micro-batch (which
+    * `Trigger.AvailableNow` runs because the executed plan reports
+    * state-cleanup work outstanding) emits them. In continuous operation
+    * no heartbeat is needed — fresh data advances the watermark.
+    *
+    * `events` needs columns (user_id LONG, event_id LONG, ts TIMESTAMP,
+    * value DOUBLE nullable); value is summed in exact decimal cents with
+    * SQL null semantics (all-null session -> null sum).
+    */
+  def gapSessions(
+      s: SparkSession,
+      events: DataFrame,
+      gapMicros: Long = 3600000000L,
+      watermarkDelay: String = "10 minutes"
+  ): Dataset[GapSession] = {
+    import s.implicits._
+    val gapMs = gapMicros / 1000L
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, java.sql.Timestamp, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp, Option[Double])], state: GroupState[OpenSession]) =>
+          if (uid == HeartbeatUser) Iterator.empty
+          else if (state.hasTimedOut) {
+            // watermark passed session_end + gap: nothing in-time can extend
+            // this session any more -> flush it and clear the state slot
+            val o = state.get
+            state.remove()
+            Iterator.single(GapSession(uid, o.sessionId, o.n, tsOf(o.startMicros), tsOf(o.endMicros), o.sumCents))
+          } else {
+            val sorted = it.toVector.sortBy(e => (microsOf(e._3), e._2))
+            val out = Vector.newBuilder[GapSession]
+            var sid = 0L; var n = 0L; var sum = Option.empty[Long]
+            var start = 0L; var end = 0L; var prev = Long.MinValue
+            state.getOption.foreach { o =>
+              sid = o.sessionId; n = o.n; sum = o.sumCents; start = o.startMicros; end = o.endMicros; prev = o.endMicros
+            }
+            def close(): Unit = if (n > 0) out += GapSession(uid, sid, n, tsOf(start), tsOf(end), sum)
+            sorted.foreach { case (_, _, ts, v) =>
+              val m = microsOf(ts)
+              if (prev == Long.MinValue || m - prev > gapMicros) { close(); sid += 1; n = 0; sum = None; start = m }
+              n += 1; v.foreach(x => sum = Some(sum.getOrElse(0L) + cents(x))); end = m; prev = m
+            }
+            // the newest session stays OPEN in state; timeout registered
+            // just past the last instant an in-time event could extend it
+            // (+1s: setTimeoutTimestamp is millis, end is micros -> ceil)
+            state.update(OpenSession(sid, n, start, end, sum))
+            state.setTimeoutTimestamp(end / 1000L + gapMs + 1000L)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Per-user cutover-delta output row (column names match q12's oracle). */
+  final case class UserDelta(user_id: Long, n_events: Long, delta_total_cents: Option[Long])
+
+  /** Per-user running accumulator for [[cutoverDeltas]]. */
+  final case class DeltaAcc(n: Long, hasPre: Boolean, preSum: Option[Long], postSum: Option[Long])
+
+  /** CONTINUOUS cumulative->delta cutover: per-user sums accumulate in
+    * state across micro-batches (order-insensitive — sums commute, so no
+    * cross-batch ordering contract is needed here), and every user flushes
+    * ONCE when the watermark passes `flushAtMillis` — "snapshot the delta
+    * ledger at time T" semantics. Users first seen before `cutoffMicros`
+    * get delta = post-cutoff sum (total − snapshot); users first seen after
+    * pass their raw total through (the reference's no-snapshot asymmetry).
+    * A bounded replay appends a [[HeartbeatUser]] row past `flushAtMillis`
+    * (+ watermark delay) to force the flush at end-of-data.
+    */
+  def cutoverDeltas(
+      s: SparkSession,
+      events: DataFrame,
+      cutoffMicros: Long,
+      flushAtMillis: Long,
+      watermarkDelay: String = "10 minutes"
+  ): Dataset[UserDelta] = {
+    import s.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Option[Double])], state: GroupState[DeltaAcc]) =>
+          if (uid == HeartbeatUser) Iterator.empty
+          else if (state.hasTimedOut) {
+            val a = state.get
+            state.remove()
+            // snapshot exists (seen pre-cutoff): delta = total - snapshot =
+            // post-cutoff sum (SQL null-preserving); else raw total through
+            val delta =
+              if (a.hasPre) (a.preSum, a.postSum) match {
+                case (None, None) => None
+                case (_, post)    => Some(post.getOrElse(0L))
+              }
+              else (a.preSum, a.postSum) match {
+                case (None, None) => None
+                case (p, q)       => Some(p.getOrElse(0L) + q.getOrElse(0L))
+              }
+            Iterator.single(UserDelta(uid, a.n, delta))
+          } else {
+            var a = state.getOption.getOrElse(DeltaAcc(0L, hasPre = false, None, None))
+            it.foreach { case (_, ts, v) =>
+              val pre = microsOf(ts) < cutoffMicros
+              a = a.copy(
+                n = a.n + 1,
+                hasPre = a.hasPre || pre,
+                preSum = if (pre) v.map(x => a.preSum.getOrElse(0L) + cents(x)).orElse(a.preSum) else a.preSum,
+                postSum = if (!pre) v.map(x => a.postSum.getOrElse(0L) + cents(x)).orElse(a.postSum) else a.postSum
+              )
+            }
+            state.update(a)
+            state.setTimeoutTimestamp(flushAtMillis)
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -89,6 +89,17 @@ class PlanQualitySpec extends AnyFunSuite {
         "a global (single-partition) window runs directly over a corpus-sized input — " +
           "the round-1 scale-killer this formulation removed"
       )
+      // BOUNDED by construction, not by accident: the aggregate feeding the
+      // global window must group on the e4-QUANTIZED score (LongType,
+      // ≤10001 distinct values) — grouping on the raw double ratio would
+      // make this relation corpus-sized for a continuous-valued score
+      aggBelow.foreach { a =>
+        val groupTypes = a.groupingExpressions.map(_.dataType)
+        assert(
+          groupTypes.forall(_ == org.apache.spark.sql.types.LongType),
+          s"global-window input aggregate groups on $groupTypes — expected only the quantized LongType score"
+        )
+      }
     }
     // and the corpus-sized window is partitioned (by ratio), never global
     val partitioned = df.queryExecution.sparkPlan.collect {

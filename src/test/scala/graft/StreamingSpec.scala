@@ -236,4 +236,157 @@ class StreamingSpec extends AnyFunSuite {
     val h10 = out.find(_.getTimestamp(0).toString.startsWith("2024-01-01 10")).get
     assert(h10.getLong(2) == 2L && h10.getDouble(3) == 3.0)
   }
+
+  // ----------------------------------------------------------------
+  // Continuous (multi-batch) sessionization / cutover deltas
+  // ----------------------------------------------------------------
+
+  /** Write each slice as ONE parquet file into `landing` with strictly
+    * increasing mtimes, so the file-stream source (oldest-first) replays
+    * them as separate micro-batches under maxFilesPerTrigger=1 in
+    * event-time order — the multi-batch replay harness.
+    */
+  private def writeSlices(
+      landing: String,
+      slices: Seq[Seq[(Long, Long, java.sql.Timestamp, Option[Double])]]
+  ): Unit = {
+    import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+    JF.createDirectories(Paths.get(landing))
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = JF.createTempDirectory("graft-slice").toString
+      rows.toDF("user_id", "event_id", "ts", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val stream = JF.list(Paths.get(tmp))
+      val part =
+        try stream.filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+        finally stream.close()
+      val dest = Paths.get(landing, f"slice-$i%02d.parquet")
+      JF.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      JF.setLastModifiedTime(dest, java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+      ()
+    }
+  }
+
+  private def runSliced[T](landing: String, build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[T], sink: String): Int = {
+    val stream = spark.readStream
+      .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+    val q = build(stream).writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "sliced stream did not finish in 120s")
+    q.recentProgress.count(_.numInputRows > 0)
+  }
+
+  test("continuous sessionization: open sessions carry across >=3 micro-batches and flush by event-time timeout") {
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val hbUser = Streaming.HeartbeatUser
+    // u1 session1 spans slice A only but CLOSES via the gap to its 13:30
+    // event (slice C, data path); u2 session1 SPANS slices A->B (state
+    // carry); u3 has one all-null-value event and never returns, so its
+    // session can only flush via the event-time TIMEOUT once the watermark
+    // (advanced by slice C) passes 10:20 + gap; u1 s2 flushes in the
+    // heartbeat batch, u2 s2 only in the final no-data batch.
+    val sliceA = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), Some(1.0)),
+      (1L, 2L, ts("2024-01-01 10:10:00"), None),
+      (1L, 3L, ts("2024-01-01 10:30:00"), Some(2.5)),
+      (2L, 4L, ts("2024-01-01 10:05:00"), Some(1.25)),
+      (3L, 5L, ts("2024-01-01 10:20:00"), None)
+    )
+    val sliceB = Seq(
+      (2L, 6L, ts("2024-01-01 11:00:00"), Some(0.5)),
+      (2L, 7L, ts("2024-01-01 11:30:00"), None)
+    )
+    val sliceC = Seq(
+      (1L, 8L, ts("2024-01-01 13:30:00"), Some(3.0)),
+      (2L, 9L, ts("2024-01-01 15:00:00"), Some(4.0))
+    )
+    val heartbeat = Seq((hbUser, 0L, ts("2024-01-03 00:00:00"), Option.empty[Double]))
+    val landing = Files.createTempDirectory("graft-msess").toString
+    writeSlices(landing, Seq(sliceA, sliceB, sliceC, heartbeat))
+
+    val nBatches = runSliced(landing, df => Streaming.gapSessions(spark, df), "msess")
+    assert(nBatches >= 4, s"expected >=4 data micro-batches (3 slices + heartbeat), got $nBatches")
+
+    val got = spark.table("msess").collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3).toString, r.getTimestamp(4).toString,
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    }.toSet
+    val want = Set(
+      (1L, 1L, 3L, "2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0", Some(350L)),
+      (1L, 2L, 1L, "2024-01-01 13:30:00.0", "2024-01-01 13:30:00.0", Some(300L)),
+      (2L, 1L, 3L, "2024-01-01 10:05:00.0", "2024-01-01 11:30:00.0", Some(175L)),
+      (2L, 2L, 1L, "2024-01-01 15:00:00.0", "2024-01-01 15:00:00.0", Some(400L)),
+      (3L, 1L, 1L, "2024-01-01 10:20:00.0", "2024-01-01 10:20:00.0", None)
+    )
+    assert(got == want, s"multi-batch sessions mismatch:\n got=$got\nwant=$want")
+  }
+
+  test("continuous sessionization multi-batch replay matches the single-batch result on real events") {
+    // the SAME sessionizer over the sf0.001 events table, once as a single
+    // data batch and once time-sliced into 3 files + heartbeat with
+    // maxFilesPerTrigger=1 — results must be identical (state carry across
+    // batches is invisible in the output)
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.IO.table(spark, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val rows = ev.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }.toSeq
+    val sortedRows = rows.sortBy(e => (e._3.getTime, e._3.getNanos, e._2))
+    val n = sortedRows.size
+    val maxTs = sortedRows.last._3
+    val hb = Seq((Streaming.HeartbeatUser, 0L,
+      java.sql.Timestamp.from(maxTs.toInstant.plus(java.time.Duration.ofDays(2))), Option.empty[Double]))
+    // slice on event-time order (ties kept together by the sort) -> the
+    // in-order-across-batches contract the harness documents
+    val slices = Seq(sortedRows.slice(0, n / 3), sortedRows.slice(n / 3, 2 * n / 3), sortedRows.slice(2 * n / 3, n), hb)
+    val landing = Files.createTempDirectory("graft-msess-sf").toString
+    writeSlices(landing, slices)
+    val nBatches = runSliced(landing, df => Streaming.gapSessions(spark, df), "msess_sf")
+    assert(nBatches >= 4, s"expected >=4 data micro-batches, got $nBatches")
+
+    val single = Files.createTempDirectory("graft-ssess-sf").toString
+    writeSlices(single, Seq(sortedRows ++ hb))
+    runSliced(single, df => Streaming.gapSessions(spark, df), "ssess_sf")
+
+    val multi = spark.table("msess_sf").collect().map(_.toString).sorted.toSeq
+    val once = spark.table("ssess_sf").collect().map(_.toString).sorted.toSeq
+    assert(multi.nonEmpty && multi == once, s"multi-batch vs single-batch divergence (${multi.size} vs ${once.size} rows)")
+  }
+
+  test("continuous cutover deltas accumulate across micro-batches and flush at the snapshot instant") {
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val cutoffMicros = ts("2024-01-15 00:00:00").getTime * 1000L
+    val sliceA = Seq(
+      (1L, 1L, ts("2024-01-10 09:00:00"), Some(100.0)), // pre-cutoff snapshot
+      (2L, 2L, ts("2024-01-16 09:00:00"), Some(10.0)),  // first seen post-cutoff
+      (3L, 3L, ts("2024-01-11 09:00:00"), Option.empty[Double])
+    )
+    val sliceB = Seq(
+      (1L, 4L, ts("2024-01-20 09:00:00"), Some(30.0)),
+      (2L, 5L, ts("2024-01-21 09:00:00"), Option.empty[Double])
+    )
+    val maxTs = ts("2024-01-21 09:00:00")
+    val heartbeat = Seq((Streaming.HeartbeatUser, 0L,
+      java.sql.Timestamp.from(maxTs.toInstant.plus(java.time.Duration.ofDays(2))), Option.empty[Double]))
+    val landing = Files.createTempDirectory("graft-mdelta").toString
+    writeSlices(landing, Seq(sliceA, sliceB, heartbeat))
+
+    val nBatches = runSliced(
+      landing,
+      df => Streaming.cutoverDeltas(spark, df, cutoffMicros, maxTs.getTime + 60000L),
+      "mdelta")
+    assert(nBatches >= 3, s"expected >=3 data micro-batches, got $nBatches")
+
+    val got = spark.table("mdelta").collect().map { r =>
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }.toSet
+    val want = Set(
+      (1L, 2L, Some(3000L)), // snapshot exists -> delta = post-cutoff sum
+      (2L, 2L, Some(1000L)), // first seen post-cutoff -> raw total through
+      (3L, 1L, None)         // all-null values -> SQL null sum
+    )
+    assert(got == want, s"multi-batch deltas mismatch:\n got=$got\nwant=$want")
+  }
 }
