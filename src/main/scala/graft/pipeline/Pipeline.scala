@@ -104,22 +104,29 @@ object Pipeline {
     * observed, not just absorbed — the reference's `Completedwitherrors`
     * notification (ingestion.py:99-122).
     */
-  private def emitWarehouseDrift(
+  private[graft] def emitWarehouseDrift(
       spark: SparkSession,
       warehousePath: String,
       staged: DataFrame,
       notifier: graft.core.Drift.Notifier
   ): Unit = {
     import graft.sources.VersionedTable
-    VersionedTable.latestVersion(spark, warehousePath).foreach { _ =>
+    VersionedTable.latestVersion(spark, warehousePath).foreach { latest =>
       val bookkeeping = Set("actv_flg", "record_to", "key_bucket")
       // column names come from the commit manifests' schema JSON — commit-
       // count-sized driver work, no mergeSchema footer scan across the
-      // warehouse. Union over all surviving manifests because a delta
-      // commit records only its TOUCHED partitions' schema: a column that
-      // lives solely in an untouched bucket appears in an older manifest
-      val existing = VersionedTable
-        .committedVersionsPublic(spark, warehousePath)
+      // warehouse. A delta commit records only its TOUCHED partitions'
+      // schema, so union over the manifests still CONTRIBUTING live
+      // partitions at the latest version (partition map values + latest) —
+      // not over ALL surviving manifests: a column present only in
+      // superseded history would otherwise count as 'existing' forever,
+      // its removal never reported and its re-introduction silently
+      // suppressed as an added-column event
+      val contributing: Seq[Long] = VersionedTable.partitionMap(spark, warehousePath, latest) match {
+        case None     => Seq(latest) // full snapshot: latest manifest is the whole view
+        case Some(pm) => (pm.values.toSeq :+ latest).distinct.sorted
+      }
+      val existing = contributing
         .flatMap(v => VersionedTable.commitField(spark, warehousePath, v, "schema"))
         .flatMap(s => org.apache.spark.sql.types.DataType.fromJson(s).asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames)
         .distinct

@@ -15,7 +15,7 @@ import graft.core.Json
   * reference deploys on "Spark + Delta/Iceberg over S3", BASELINE.md).
   *
   * Like the Delta export this is METADATA-ONLY: data files are referenced
-  * in place (paths relative to the table root), nothing is copied. The
+  * in place (full location URIs, as the spec requires), nothing is copied. The
   * output is the exact tree [[IcebergImport]] consumes — and follows the
   * public Iceberg table spec (format v2) so an iceberg-enabled reader
   * pointed at the root resolves it as a HadoopTables-layout table:
@@ -54,6 +54,17 @@ object IcebergExport {
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readBytesLocal(f: FileSystem, p: Path): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
 
   // ---------------------------------------------------------------- schema
 
@@ -196,6 +207,33 @@ object IcebergExport {
     val root = metadataRoot.getOrElse(path)
     val metaDir = s"$root/metadata"
     f.mkdirs(new Path(metaDir))
+    // full location URIs, as the spec requires: external readers hand
+    // file_path / manifest_path / manifest-list straight to FileIO, so
+    // table-root-relative strings would only round-trip through graft's
+    // own tolerant resolver
+    def qualifyData(rel: String): String = f.makeQualified(new Path(s"$path/$rel")).toString
+    def qualifyMeta(name: String): String = f.makeQualified(new Path(s"$metaDir/$name")).toString
+
+    // snapshots already referenced by the PUBLISHED metadata (hint-last
+    // protocol): their manifest files are immutable — rewriting them in
+    // place would let a concurrent reader following the previous
+    // vN.metadata.json see a torn Avro file. Orphans from a crashed export
+    // are NOT published and are safely overwritten.
+    val publishedSnapshots: Set[Long] = {
+      val hint = new Path(metaDir, "version-hint.text")
+      if (!f.exists(hint)) Set.empty
+      else
+        try {
+          val v = new String(readBytesLocal(f, hint), "UTF-8").trim
+          val mp = new Path(metaDir, s"v$v.metadata.json")
+          if (!f.exists(mp)) Set.empty
+          else {
+            val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readBytesLocal(f, mp))
+            import scala.jdk.CollectionConverters._
+            meta.path("snapshots").elements().asScala.map(_.path("snapshot-id").asLong(-1L)).filter(_ >= 0).toSet
+          }
+        } catch { case _: Exception => Set.empty } // unreadable hint tree -> treat as unpublished
+    }
 
     // only fully-servable versions export (vacuum can orphan an old commit's
     // JSON while deleting dirs it references — a partial snapshot would be
@@ -282,54 +320,60 @@ object IcebergExport {
       }
       val (addedNow, existing) = live.partition { case (rel, _, _) => added(rel)._1 == v }
 
-      val entries = live.map { case (rel, size, part) =>
-        val (sid, sseq) = added(rel)
-        val df = new GenericData.Record(entrySch.getField("data_file").schema())
-        df.put("content", 0)
-        df.put("file_path", rel) // relative: resolved against the table root
-        df.put("file_format", "PARQUET")
-        val pr = new GenericData.Record(df.getSchema.getField("partition").schema())
-        partField.foreach { case (n, _) => part.foreach(p => pr.put(n, partValue(p))) }
-        df.put("partition", pr)
-        df.put("record_count", counts(rel))
-        df.put("file_size_in_bytes", size)
-        val e = new GenericData.Record(entrySch)
-        e.put("status", if (sid == v) 1 else 0) // 1=ADDED, 0=EXISTING
-        e.put("snapshot_id", sid)
-        e.put("sequence_number", sseq)
-        e.put("file_sequence_number", sseq)
-        e.put("data_file", df)
-        e
-      }
-      val schemaJson = icebergSchemas(schemaIdOf(commitSchemas(i)._2))._1
-      val manifestPath = s"$metaDir/manifest-$v.avro"
-      val manifestLen = writeAvro(
-        f, manifestPath, entrySch,
-        Map(
-          "schema" -> schemaJson,
-          "partition-spec" -> specFieldsJson,
-          "partition-spec-id" -> "0",
-          "format-version" -> "2",
-          "content" -> "data"
-        ),
-        entries
-      )
+      // a snapshot already referenced by published metadata keeps its
+      // manifest files byte-for-byte (immutability: concurrent readers of
+      // the previous vN.metadata.json must never see a torn rewrite);
+      // only unpublished (new or crashed-orphan) snapshots write
+      if (!publishedSnapshots.contains(v)) {
+        val entries = live.map { case (rel, size, part) =>
+          val (sid, sseq) = added(rel)
+          val df = new GenericData.Record(entrySch.getField("data_file").schema())
+          df.put("content", 0)
+          df.put("file_path", qualifyData(rel)) // full location URI per spec
+          df.put("file_format", "PARQUET")
+          val pr = new GenericData.Record(df.getSchema.getField("partition").schema())
+          partField.foreach { case (n, _) => part.foreach(p => pr.put(n, partValue(p))) }
+          df.put("partition", pr)
+          df.put("record_count", counts(rel))
+          df.put("file_size_in_bytes", size)
+          val e = new GenericData.Record(entrySch)
+          e.put("status", if (sid == v) 1 else 0) // 1=ADDED, 0=EXISTING
+          e.put("snapshot_id", sid)
+          e.put("sequence_number", sseq)
+          e.put("file_sequence_number", sseq)
+          e.put("data_file", df)
+          e
+        }
+        val schemaJson = icebergSchemas(schemaIdOf(commitSchemas(i)._2))._1
+        val manifestPath = s"$metaDir/manifest-$v.avro"
+        val manifestLen = writeAvro(
+          f, manifestPath, entrySch,
+          Map(
+            "schema" -> schemaJson,
+            "partition-spec" -> specFieldsJson,
+            "partition-spec-id" -> "0",
+            "format-version" -> "2",
+            "content" -> "data"
+          ),
+          entries
+        )
 
-      val ml = new GenericData.Record(manifestFileSchema)
-      ml.put("manifest_path", s"metadata/manifest-$v.avro")
-      ml.put("manifest_length", manifestLen)
-      ml.put("partition_spec_id", 0)
-      ml.put("content", 0) // data manifest
-      ml.put("sequence_number", seq)
-      ml.put("min_sequence_number", live.map { case (rel, _, _) => added(rel)._2 }.minOption.getOrElse(seq))
-      ml.put("added_snapshot_id", v)
-      ml.put("added_files_count", addedNow.size)
-      ml.put("existing_files_count", existing.size)
-      ml.put("deleted_files_count", 0)
-      ml.put("added_rows_count", addedNow.map { case (rel, _, _) => counts(rel) }.sum)
-      ml.put("existing_rows_count", existing.map { case (rel, _, _) => counts(rel) }.sum)
-      ml.put("deleted_rows_count", 0L)
-      writeAvro(f, s"$metaDir/snap-$v-manifest-list.avro", manifestFileSchema, Map.empty, Seq(ml))
+        val ml = new GenericData.Record(manifestFileSchema)
+        ml.put("manifest_path", qualifyMeta(s"manifest-$v.avro"))
+        ml.put("manifest_length", manifestLen)
+        ml.put("partition_spec_id", 0)
+        ml.put("content", 0) // data manifest
+        ml.put("sequence_number", seq)
+        ml.put("min_sequence_number", live.map { case (rel, _, _) => added(rel)._2 }.minOption.getOrElse(seq))
+        ml.put("added_snapshot_id", v)
+        ml.put("added_files_count", addedNow.size)
+        ml.put("existing_files_count", existing.size)
+        ml.put("deleted_files_count", 0)
+        ml.put("added_rows_count", addedNow.map { case (rel, _, _) => counts(rel) }.sum)
+        ml.put("existing_rows_count", existing.map { case (rel, _, _) => counts(rel) }.sum)
+        ml.put("deleted_rows_count", 0L)
+        writeAvro(f, s"$metaDir/snap-$v-manifest-list.avro", manifestFileSchema, Map.empty, Seq(ml))
+      }
 
       SnapshotEntry(v, seq, addedNow.map(_._1), existing.map(_._1))
     }
@@ -341,7 +385,7 @@ object IcebergExport {
     val snapJson = versions.zipWithIndex.map { case (v, i) =>
       val parent = if (i == 0) "" else s""""parent-snapshot-id": ${versions(i - 1)}, """
       s"""{"snapshot-id": $v, $parent"sequence-number": ${i + 1}, "timestamp-ms": ${committedAt(v)}, """ +
-        s""""summary": {"operation": "append"}, "manifest-list": ${Json.str(s"metadata/snap-$v-manifest-list.avro")}, """ +
+        s""""summary": {"operation": "append"}, "manifest-list": ${Json.str(qualifyMeta(s"snap-$v-manifest-list.avro"))}, """ +
         s""""schema-id": ${schemaIdOf(commitSchemas(i)._2)}}"""
     }
     val snapLog = versions.map(v => s"""{"timestamp-ms": ${committedAt(v)}, "snapshot-id": $v}""")
@@ -350,7 +394,7 @@ object IcebergExport {
       s"""{
          |  "format-version": 2,
          |  "table-uuid": ${Json.str(java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8")).toString)},
-         |  "location": ${Json.str(root)},
+         |  "location": ${Json.str(f.makeQualified(new Path(root)).toString)},
          |  "last-sequence-number": ${versions.size},
          |  "last-updated-ms": ${committedAt(current)},
          |  "last-column-id": $lastColumnId,

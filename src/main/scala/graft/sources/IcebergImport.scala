@@ -51,7 +51,12 @@ object IcebergImport {
       snapshotId: Long,
       formatVersion: Int,
       schema: StructType,
-      liveFiles: Seq[(String, Map[String, String])]
+      liveFiles: Seq[(String, Map[String, String])],
+      /** identity-transform partition field names of the default spec —
+        * the columns eligible for manifest-level pruning (declared in
+        * metadata, independent of which files happen to carry values)
+        */
+      identityFields: Seq[String]
   )
 
   private def fs(spark: SparkSession, path: String): FileSystem =
@@ -144,9 +149,13 @@ object IcebergImport {
       case other => throw new IllegalArgumentException(s"unsupported Iceberg type '$other'")
     }
 
-  /** Resolve a path from metadata: absolute URIs kept, else joined to root. */
+  /** Resolve a path from metadata: absolute URIs kept — including the
+    * single-slash scheme form Hadoop renders for the local fs
+    * (`file:/tmp/...`) — else joined to root (relative paths are not
+    * spec-blessed, but tolerating them keeps old exports readable).
+    */
   private def resolve(root: String, p: String): String =
-    if (p.contains("://") || p.startsWith("/")) p else s"$root/$p"
+    if (p.startsWith("/") || p.matches("[A-Za-z][A-Za-z0-9+.-]*:.*")) p else s"$root/$p"
 
   /** Resolve the snapshot (default: current) to its live parquet files.
     * `snapshotAsOf` addresses by snapshot id; `asOfTimestampMs` picks the
@@ -227,7 +236,13 @@ object IcebergImport {
       if (snap.has("manifest-list")) {
         avroRows(spark, resolve(root, snap.path("manifest-list").asText())).map { r =>
           val p = r.get("manifest_path").toString
-          val content = Option(r.get("content")).map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+          // `content` exists only from format v2 on — probe the writer
+          // SCHEMA first: GenericRecord.get(String) on a missing field
+          // THROWS (AvroRuntimeException), it does not return null, so a
+          // genuine v1 manifest list would crash an Option(get) probe
+          val content =
+            if (r.getSchema.getField("content") == null) 0
+            else Option(r.get("content")).map(_.asInstanceOf[Number].intValue()).getOrElse(0)
           (p, content)
         }
       } else if (snap.has("manifests")) {
@@ -262,7 +277,7 @@ object IcebergImport {
         }
       }
     }
-    TableState(snapId, formatVersion, schema, liveFiles.map { case (p, pv) => resolve(root, p) -> pv })
+    TableState(snapId, formatVersion, schema, liveFiles.map { case (p, pv) => resolve(root, p) -> pv }, identityFields)
   }
 
   /** The table's rows at the chosen snapshot (default: current).
@@ -290,9 +305,14 @@ object IcebergImport {
       asOfTimestampMs: Option[Long] = None
   ): DataFrame = {
     val st = state(spark, root, snapshotAsOf, asOfTimestampMs)
+    // validate against the spec's DECLARED identity fields, not observed
+    // tuple keys: a legitimate identity column whose value is null in every
+    // live file carries no tuple entry, yet filtering on it is valid (null
+    // never equals the filter string, so those files stay in via the
+    // missing-field conservative-scan rule below)
     partitionFilter.keys.foreach { c =>
       require(
-        st.liveFiles.isEmpty || st.liveFiles.exists(_._2.contains(c)),
+        st.identityFields.contains(c),
         s"partitionFilter column '$c' is not an identity partition field of this table — " +
           "manifest-level pruning would silently scan everything"
       )

@@ -86,12 +86,50 @@ class IcebergExportSpec extends AnyFunSuite {
     val path = Files.createTempDirectory("graft-iexp-r").toString + "/t"
     VersionedTable.commit(Seq(("a", 1)).toDF("bucket", "x"), path)
     IcebergExport.export(spark, path)
+    // published snapshots' manifest files are immutable: a concurrent
+    // reader following v1.metadata.json must never see a torn rewrite
+    val m1 = java.nio.file.Paths.get(s"$path/metadata/manifest-1.avro")
+    val ml1 = java.nio.file.Paths.get(s"$path/metadata/snap-1-manifest-list.avro")
+    val before = (Files.getLastModifiedTime(m1), Files.getLastModifiedTime(ml1))
     VersionedTable.commit(Seq(("a", 1), ("z", 9)).toDF("bucket", "x"), path)
     IcebergExport.export(spark, path)
+    assert(
+      (Files.getLastModifiedTime(m1), Files.getLastModifiedTime(ml1)) == before,
+      "re-export rewrote a published snapshot's manifest files in place")
     val hint = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$path/metadata/version-hint.text")), "UTF-8").trim
     assert(hint == "2")
     assert(rows(IcebergImport.read(spark, path)) == Set(("a", 1), ("z", 9)))
+    // time travel through the re-exported tree still resolves snapshot 1
+    assert(rows(IcebergImport.read(spark, path, snapshotAsOf = Some(1L))) == Set(("a", 1)))
+  }
+
+  test("exported metadata carries full location URIs — FileIO consumers get them verbatim") {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    def avroRows(p: String): Seq[GenericRecord] = {
+      val r = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))),
+        new GenericDatumReader[GenericRecord]())
+      try { val b = Vector.newBuilder[GenericRecord]; while (r.hasNext) b += r.next(); b.result() }
+      finally r.close()
+    }
+    val path = Files.createTempDirectory("graft-iexp-uri").toString + "/t"
+    VersionedTable.commit(Seq(("a", 1)).toDF("bucket", "x"), path)
+    IcebergExport.export(spark, path)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/metadata/v1.metadata.json")), "UTF-8")
+    // the spec requires location URIs, not table-root-relative strings: an
+    // external reader passes each straight to FileIO
+    assert(meta.contains("\"manifest-list\": \"file:"), "manifest-list must be a full URI")
+    assert(meta.contains("\"location\": \"file:"), "table location must be a full URI")
+    val mlRows = avroRows(s"$path/metadata/snap-1-manifest-list.avro")
+    assert(mlRows.nonEmpty && mlRows.forall(_.get("manifest_path").toString.startsWith("file:")))
+    val dataPaths = avroRows(s"$path/metadata/manifest-1.avro")
+      .map(_.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+    assert(dataPaths.nonEmpty && dataPaths.forall(_.startsWith("file:")))
+    // and the import side resolves the single-slash scheme form
+    assert(rows(IcebergImport.read(spark, path)) == Set(("a", 1)))
   }
 
   test("time travel by timestamp resolves the newest snapshot at-or-before") {

@@ -75,12 +75,13 @@ class IcebergImportSpec extends AnyFunSuite {
   private def metadataJson(
       snapshots: Seq[(Long, String)],
       current: Long,
-      partitionSpecs: String = """[{"spec-id":0,"fields":[]}]"""
+      partitionSpecs: String = """[{"spec-id":0,"fields":[]}]""",
+      formatVersion: Int = 2
   ): String = {
     val snaps = snapshots.map { case (id, ml) =>
       s"""{"snapshot-id":$id,"timestamp-ms":0,"manifest-list":${graft.core.Json.str(ml)}}"""
     }.mkString("[", ",", "]")
-    s"""{"format-version":2,"table-uuid":"t","location":"","last-sequence-number":1,
+    s"""{"format-version":$formatVersion,"table-uuid":"t","location":"","last-sequence-number":1,
        |"last-updated-ms":0,"last-column-id":2,
        |"schemas":[$icebergSchemaJson],"current-schema-id":0,
        |"partition-specs":$partitionSpecs,"default-spec-id":0,
@@ -142,6 +143,30 @@ class IcebergImportSpec extends AnyFunSuite {
       metadataJson(Seq((1L, ml)), 1L))
     val e = intercept[IllegalArgumentException](IcebergImport.read(spark, root))
     assert(e.getMessage.contains("delete manifest"))
+  }
+
+  test("genuine v1 manifest-list (no content field) imports — schema-probed, not crashed") {
+    // format v1 predates the manifest-list `content` field; avro's
+    // GenericRecord.get(String) THROWS on a missing field, so the reader
+    // must probe the writer schema before touching it
+    val root = Files.createTempDirectory("graft-ice-v1").toString
+    new java.io.File(s"$root/metadata").mkdirs()
+    val f1 = writeDataFile(root, "f1.parquet", Seq((1, "a"), (2, "b")))
+    val m1 = s"$root/metadata/m1.avro"
+    writeAvro(m1, manifestSchema, Seq(manifestEntry(1, f1, 2)))
+    val v1ListSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |  {"name":"manifest_path","type":"string"},
+        |  {"name":"manifest_length","type":"long"}]}""".stripMargin)
+    val row = new GenericData.Record(v1ListSchema)
+    row.put("manifest_path", m1)
+    row.put("manifest_length", new java.io.File(m1).length())
+    val ml = s"$root/metadata/snap-1.avro"
+    writeAvro(ml, v1ListSchema, Seq(row))
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      metadataJson(Seq((1L, ml)), 1L, formatVersion = 1))
+    assert(rows(IcebergImport.read(spark, root)) == Set((1, "a"), (2, "b")))
+    assert(IcebergImport.state(spark, root).formatVersion == 1)
   }
 
   test("version-hint.text pins the metadata version") {
@@ -233,6 +258,48 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(evolved.inputFiles.length == 2, "the pre-evolution file must be scanned, not pruned")
     // the filter is a pruning hint: compose the row predicate for exactness
     assert(rows(evolved.filter(col("p") === "a")) == Set((1, "a"), (2, "a"), (9, "a")))
+  }
+
+  test("identity column null in every live file: filter accepted (declared-field validation), conservative scan") {
+    val root = Files.createTempDirectory("graft-ice-nullpart").toString
+    new java.io.File(s"$root/metadata").mkdirs()
+    val fa = writeDataFile(root, "fa.parquet", Seq((1, "a")))
+    val fb = writeDataFile(root, "fb.parquet", Seq((2, "b")))
+    // nullable partition field, null in EVERY file: the tuple carries no
+    // entry for p, so validating against observed tuples would reject a
+    // legitimate declared identity column
+    val pSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |      {"name":"p","type":["null","string"],"default":null}]}},
+        |    {"name":"record_count","type":"long"}]}}]}""".stripMargin)
+    def entry(path: String, n: Long): GenericRecord = {
+      val part = new GenericData.Record(
+        pSchema.getField("data_file").schema().getField("partition").schema())
+      val df = new GenericData.Record(pSchema.getField("data_file").schema())
+      df.put("file_path", path); df.put("file_format", "PARQUET")
+      df.put("partition", part); df.put("record_count", n)
+      val e = new GenericData.Record(pSchema)
+      e.put("status", 1); e.put("data_file", df)
+      e
+    }
+    val m = s"$root/metadata/m1.avro"
+    writeAvro(m, pSchema, Seq(entry(fa, 1), entry(fb, 1)))
+    val ml = s"$root/metadata/snap-1.avro"
+    writeAvro(ml, manifestListSchema, Seq(manifestListRow(m, 0)))
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      metadataJson(Seq((1L, ml)), 1L,
+        """[{"spec-id":0,"fields":[{"name":"p","transform":"identity","source-id":2,"field-id":1000}]}]"""))
+    assert(IcebergImport.state(spark, root).identityFields == Seq("p"))
+    // null never equals the filter value, but a null-tuple file cannot be
+    // proven non-matching -> conservative scan of both files, no rejection
+    val pruned = IcebergImport.read(spark, root, partitionFilter = Map("p" -> "a"))
+    assert(pruned.inputFiles.length == 2)
+    assert(rows(pruned) == Set((1, "a"), (2, "b")))
   }
 
   test("Iceberg type mapping covers primitives and nested struct/list/map") {

@@ -96,6 +96,39 @@ class IngestSkewSpec extends AnyFunSuite {
     assert(c1.events.head.missingColumns.isEmpty)
   }
 
+  test("drift view follows the LIVE warehouse, not superseded history") {
+    // a column written at v1 but dropped when its only partition was
+    // rewritten at v2 must leave the 'existing' set: unioning ALL surviving
+    // manifests would count it forever — a staged batch without it would
+    // false-alarm 'missing', and its re-introduction would go unreported
+    val tmp = Files.createTempDirectory("graft-livedrift").toString
+    val wh = s"$tmp/wh"
+    graft.sources.VersionedTable.commitDelta(spark, wh,
+      Seq(("a", 1, "x")).toDF("bucket", "v", "flag"), "bucket")
+    graft.sources.VersionedTable.commitDelta(spark, wh,
+      Seq(("a", 2)).toDF("bucket", "v"), "bucket") // rewrites the ONLY partition, flag gone
+
+    // staged without flag: clean — flag is history, not live schema
+    val clean = new graft.core.Drift.Collecting
+    graft.pipeline.Pipeline.emitWarehouseDrift(spark, wh, Seq(("a", 3)).toDF("bucket", "v"), clean)
+    assert(clean.events.isEmpty, s"dropped column must not false-alarm as missing: ${clean.events}")
+
+    // staged WITH flag again: its re-introduction is a NEW column event
+    val reintro = new graft.core.Drift.Collecting
+    graft.pipeline.Pipeline.emitWarehouseDrift(spark, wh, Seq(("a", 3, "y")).toDF("bucket", "v", "flag"), reintro)
+    assert(reintro.events.size == 1 && reintro.events.head.newColumns == Seq("flag"))
+
+    // a column in an UNTOUCHED partition stays existing (the reason the
+    // view is a union over contributing manifests, not just the newest)
+    graft.sources.VersionedTable.commitDelta(spark, wh,
+      Seq(("b", 1, "y")).toDF("bucket", "v", "flag"), "bucket")
+    graft.sources.VersionedTable.commitDelta(spark, wh,
+      Seq(("a", 4)).toDF("bucket", "v"), "bucket") // b untouched, carries flag
+    val carried = new graft.core.Drift.Collecting
+    graft.pipeline.Pipeline.emitWarehouseDrift(spark, wh, Seq(("a", 5, "z")).toDF("bucket", "v", "flag"), carried)
+    assert(carried.events.isEmpty, s"column live in an untouched partition must stay existing: ${carried.events}")
+  }
+
   test("salted join result-identical to plain join under skew") {
     val big = (1 to 1000).map(i => (if (i % 10 == 0) "rare" + i else "hot", i)).toDF("k", "v")
     val small = Seq(("hot", 1.0), ("rare20", 2.0), ("rare30", 3.0)).toDF("k", "w")
