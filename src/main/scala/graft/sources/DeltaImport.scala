@@ -27,11 +27,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * state, so it enters replay as a pseudo-commit of adds; time travel
   * BELOW the checkpoint errors as vacuumed).
   *
+  * Column mapping: NAME mode is supported — the logical schema's field
+  * metadata records each field's `delta.columnMapping.physicalName`, the
+  * scan pins the physical schema the parquet files actually carry, and a
+  * per-column struct cast renames everything (any nesting depth) back to
+  * logical names; modern Delta writers enable name mode by default on new
+  * tables, so refusing it would refuse most fresh tables.
+  *
   * Not supported, by explicit error rather than silent wrongness: deletion
-  * vectors (minReaderVersion >= 3) and column mapping
-  * (`delta.columnMapping.mode` = name/id — those tables' parquet files
-  * carry physical `col-<uuid>` names, so a logical-schema-pinned read
-  * would silently return all-NULL columns).
+  * vectors (minReaderVersion >= 3) and ID-mode column mapping
+  * (`delta.columnMapping.mode` = id resolves columns by parquet field id,
+  * ignoring names entirely — a name-based read would be silent wrongness).
   *
   * Scale notes: the log is METADATA-sized — parsing it on the driver is
   * bounded by commit count × files per commit, the same order as Delta's
@@ -44,13 +50,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object DeltaImport {
 
   /** Reconstructed snapshot: live files are (path relative to table root,
-    * partitionValues) in first-added order.
+    * partitionValues) in first-added order. `schema` is the LOGICAL schema;
+    * under `columnMappingMode = "name"` its fields carry
+    * `delta.columnMapping.physicalName` metadata and the data files store
+    * columns under those physical names.
     */
   final case class TableState(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
-      liveFiles: Seq[(String, Map[String, String])]
+      liveFiles: Seq[(String, Map[String, String])],
+      columnMappingMode: String = "none"
   )
 
   private final case class Commit(
@@ -231,17 +241,19 @@ object DeltaImport {
     commits.flatMap(_.minReaderVersion).foreach { v =>
       require(v <= 2, s"minReaderVersion $v requires deletion-vector support — not implemented")
     }
-    // minReaderVersion == 2 is Delta's column-mapping reader version: the
-    // data files then carry physical col-<uuid> parquet names, and a read
-    // pinned to the LOGICAL schemaString would silently return all-NULL
-    // columns. The newest metaData's configuration is authoritative.
-    commits.flatMap(_.columnMappingMode).lastOption.foreach { mode =>
-      require(
-        mode == "none",
-        s"delta.columnMapping.mode '$mode' not supported — data files use physical " +
-          "col-<uuid> names, a logical-schema read would return all-NULL columns"
-      )
-    }
+    // Column mapping (minReaderVersion 2): data files carry physical
+    // col-<uuid> parquet names. NAME mode is supported — the logical
+    // schemaString's field metadata records each field's physicalName, so
+    // the read pins the physical schema and renames back (readFiles). ID
+    // mode (parquet field-id resolution, ignoring names entirely) stays an
+    // explicit refusal. The newest metaData's configuration is
+    // authoritative.
+    val mappingMode = commits.flatMap(_.columnMappingMode).lastOption.getOrElse("none")
+    require(
+      mappingMode == "none" || mappingMode == "name",
+      s"delta.columnMapping.mode '$mappingMode' not supported — id-mode resolution needs " +
+        "parquet field-id matching; name-mode and unmapped tables are supported"
+    )
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
     commits.foreach { c =>
       // removes before adds: a path in both within one commit is a rewrite
@@ -255,8 +267,33 @@ object DeltaImport {
       version = commits.last.version,
       schema = DataType.fromJson(schemaString).asInstanceOf[StructType],
       partitionColumns = commits.flatMap(_.partitionColumns).lastOption.getOrElse(Nil),
-      liveFiles = live.toSeq
+      liveFiles = live.toSeq,
+      columnMappingMode = mappingMode
     )
+  }
+
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+
+  /** A field's parquet-side name: `physicalName` metadata under name-mode
+    * mapping, else the logical name (upgraded tables record
+    * physicalName = logical name for pre-existing columns; absent metadata
+    * degrades to the same identity).
+    */
+  private def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey) else f.name
+
+  /** Rename every struct field (at any nesting depth) to its physical name
+    * — the schema the parquet files actually carry under name-mode mapping.
+    */
+  private def physicalize(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        f.copy(name = physName(f), dataType = physicalize(f.dataType),
+          metadata = org.apache.spark.sql.types.Metadata.empty)))
+    case a: org.apache.spark.sql.types.ArrayType => a.copy(elementType = physicalize(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = physicalize(m.keyType), valueType = physicalize(m.valueType))
+    case other => other
   }
 
   /** The table's rows at `versionAsOf` (default newest), partition columns
@@ -378,24 +415,47 @@ object DeltaImport {
       st: TableState,
       files: Seq[(String, Map[String, String])]
   ): DataFrame = {
-    val dataSchema = StructType(st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
+    val mapped = st.columnMappingMode == "name"
+    // under name-mode mapping the parquet files (and partition dirs /
+    // partitionValues keys, per the Delta protocol) use PHYSICAL names:
+    // read physically, project back to the logical schema at the end. A
+    // struct cast renames nested fields by position, so one cast per
+    // top-level column logicalizes any nesting depth.
+    val physSchemaAll =
+      if (mapped) physicalize(st.schema).asInstanceOf[StructType] else st.schema
+    val physPartCols = st.partitionColumns.map(c => if (mapped) physName(st.schema(c)) else c)
+    def toLogical(df: DataFrame): DataFrame =
+      if (!mapped) df.select(st.schema.fieldNames.map(col).toIndexedSeq: _*)
+      else df.select(st.schema.fields.map { f =>
+        col(physName(f)).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+    // partitionValues are physically keyed under mapping, logically
+    // otherwise — tolerate both (upgraded tables' physical name IS the
+    // logical name for pre-existing columns)
+    def pvOf(pv: Map[String, String], logical: String, phys: String): Option[String] =
+      pv.get(phys).orElse(pv.get(logical))
+
+    val dataSchema = StructType(physSchemaAll.filterNot(f => physPartCols.contains(f.name)))
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
     val paths = files.map { case (p, _) => s"$root/$p" }
     if (st.partitionColumns.isEmpty)
-      return spark.read.schema(dataSchema).parquet(paths: _*)
+      return toLogical(spark.read.schema(dataSchema).parquet(paths: _*))
     // Fast path: compliant writers put files under hive-style partition
     // dirs matching partitionValues — one scan node, Spark's own partition
     // discovery against basePath recovers the columns (and prunes on them).
     val hiveConsistent = files.forall { case (p, pv) =>
-      st.partitionColumns.forall(c => pv.get(c).forall(v => v == null || p.contains(s"$c=$v")))
+      st.partitionColumns.zip(physPartCols).forall { case (c, pc) =>
+        pvOf(pv, c, pc).forall(v => v == null || p.contains(s"$pc=$v"))
+      }
     }
     if (hiveConsistent) {
-      spark.read
-        .option("basePath", root)
-        .schema(st.schema)
-        .parquet(paths: _*)
-        .select(st.schema.fieldNames.map(col).toIndexedSeq: _*)
+      toLogical(
+        spark.read
+          .option("basePath", root)
+          .schema(physSchemaAll)
+          .parquet(paths: _*)
+      )
     } else {
       // Fallback: one scan per distinct partition tuple, values from the
       // authoritative partitionValues map. Group count = touched partition
@@ -406,10 +466,10 @@ object DeltaImport {
         .sortBy(_._1.toSeq.sorted.mkString(" "))
         .map { case (pv, fl) =>
           var df = spark.read.schema(dataSchema).parquet(fl.map { case (p, _) => s"$root/$p" }: _*)
-          st.partitionColumns.foreach { c =>
-            df = df.withColumn(c, lit(pv.getOrElse(c, null)).cast(st.schema(c).dataType))
+          st.partitionColumns.zip(physPartCols).foreach { case (c, pc) =>
+            df = df.withColumn(pc, lit(pvOf(pv, c, pc).orNull).cast(st.schema(c).dataType))
           }
-          df.select(st.schema.fieldNames.map(col).toIndexedSeq: _*)
+          toLogical(df)
         }
         .reduce(_.unionByName(_))
     }

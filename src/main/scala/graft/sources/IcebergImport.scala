@@ -31,11 +31,13 @@ import org.apache.spark.sql.types._
   * (`snapshotAsOf` by snapshot id), `manifest-list` indirection and v1's
   * inline `manifests` array, DELETED manifest entries (excluded from the
   * live set), schema mapping for all Iceberg primitives plus
-  * struct/list/map.
+  * struct/list/map, and v2 POSITION deletes (merge-on-read: the delete
+  * files anti-join the data scan on (file_path, pos) via the scan's own
+  * `_metadata` provenance columns — what real v2 tables contain after any
+  * row-level operation).
   *
-  * Not supported, by explicit error rather than silent wrongness: delete
-  * manifests (v2 row-level position/equality deletes — `content=1` in the
-  * manifest list; applying them requires merge-on-read semantics), and
+  * Not supported, by explicit error rather than silent wrongness: equality
+  * deletes (content=2 delete files need per-row predicate evaluation), and
   * non-parquet data files (ORC/Avro data would need different readers).
   */
 object IcebergImport {
@@ -56,7 +58,12 @@ object IcebergImport {
         * the columns eligible for manifest-level pruning (declared in
         * metadata, independent of which files happen to carry values)
         */
-      identityFields: Seq[String]
+      identityFields: Seq[String],
+      /** v2 position-delete parquet files live at this snapshot (rows of
+        * (file_path, pos) marking deleted rows — merge-on-read applies
+        * them as an anti-join); empty for v1 / delete-free tables
+        */
+      positionDeleteFiles: Seq[String] = Nil
   )
 
   private def fs(spark: SparkSession, path: String): FileSystem =
@@ -249,35 +256,54 @@ object IcebergImport {
         snap.path("manifests").elements().asScala.toSeq.map(p => (p.asText(), 0))
       } else throw new IllegalStateException(s"snapshot $snapId has neither manifest-list nor manifests")
 
-    manifests.filter(_._2 == 1).foreach { case (p, _) =>
-      throw new IllegalArgumentException(
-        s"delete manifest $p (content=1): row-level deletes need merge-on-read — not implemented"
-      )
-    }
-
     // manifest entries: status 0=EXISTING, 1=ADDED are live; 2=DELETED is
     // history only. A snapshot's manifest list is COMPLETE state (unlike
     // Delta's incremental log) — no cross-commit reconciliation needed.
-    val liveFiles = manifests.flatMap { case (mp, _) =>
-      avroRows(spark, resolve(root, mp)).flatMap { entry =>
-        val status = Option(entry.get("status")).map(_.asInstanceOf[Number].intValue()).getOrElse(1)
-        if (status == 2) None
-        else {
-          val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          val fmt = df.get("file_format").toString.toUpperCase
-          require(fmt == "PARQUET", s"data file format $fmt not supported (parquet only)")
-          val partition = Option(df.getSchema.getField("partition"))
-            .flatMap(_ => Option(df.get("partition"))).collect { case r: GenericRecord =>
-            identityFields.flatMap { f =>
-              if (r.getSchema.getField(f) == null) None
-              else Option(r.get(f)).map(v => f -> String.valueOf(v))
-            }.toMap
-          }.getOrElse(Map.empty[String, String])
-          Some(df.get("file_path").toString -> partition)
-        }
+    // Delete manifests (content=1) list v2 row-level delete files: POSITION
+    // deletes (data_file.content=1, rows of (file_path, pos)) are collected
+    // for merge-on-read application; EQUALITY deletes (content=2) would
+    // need predicate evaluation against every data row and are refused.
+    def liveEntries(mp: String): Seq[GenericRecord] =
+      avroRows(spark, resolve(root, mp)).filter { entry =>
+        Option(entry.get("status")).map(_.asInstanceOf[Number].intValue()).getOrElse(1) != 2
+      }
+    val liveFiles = manifests.filter(_._2 == 0).flatMap { case (mp, _) =>
+      liveEntries(mp).map { entry =>
+        val df = entry.get("data_file").asInstanceOf[GenericRecord]
+        val fmt = df.get("file_format").toString.toUpperCase
+        require(fmt == "PARQUET", s"data file format $fmt not supported (parquet only)")
+        val partition = Option(df.getSchema.getField("partition"))
+          .flatMap(_ => Option(df.get("partition"))).collect { case r: GenericRecord =>
+          identityFields.flatMap { f =>
+            if (r.getSchema.getField(f) == null) None
+            else Option(r.get(f)).map(v => f -> String.valueOf(v))
+          }.toMap
+        }.getOrElse(Map.empty[String, String])
+        df.get("file_path").toString -> partition
       }
     }
-    TableState(snapId, formatVersion, schema, liveFiles.map { case (p, pv) => resolve(root, p) -> pv }, identityFields)
+    val deleteFiles = manifests.filter(_._2 == 1).flatMap { case (mp, _) =>
+      liveEntries(mp).map { entry =>
+        val df = entry.get("data_file").asInstanceOf[GenericRecord]
+        val content =
+          if (df.getSchema.getField("content") == null) 1
+          else Option(df.get("content")).map(_.asInstanceOf[Number].intValue()).getOrElse(1)
+        require(
+          content == 1,
+          s"equality delete file in $mp (content=$content): predicate-based deletes — not implemented; " +
+            "position deletes are supported"
+        )
+        val fmt = df.get("file_format").toString.toUpperCase
+        require(fmt == "PARQUET", s"delete file format $fmt not supported (parquet only)")
+        df.get("file_path").toString
+      }
+    }
+    TableState(
+      snapId, formatVersion, schema,
+      liveFiles.map { case (p, pv) => resolve(root, p) -> pv },
+      identityFields,
+      deleteFiles.map(resolve(root, _))
+    )
   }
 
   /** The table's rows at the chosen snapshot (default: current).
@@ -324,6 +350,46 @@ object IcebergImport {
     }
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
-    else spark.read.schema(st.schema).parquet(files: _*)
+    else {
+      val data = spark.read.schema(st.schema).parquet(files: _*)
+      if (st.positionDeleteFiles.isEmpty) data
+      else applyPositionDeletes(spark, data, st)
+    }
+  }
+
+  /** Normalize a file path/URI to a scheme-free absolute form so the data
+    * scan's `_metadata.file_path` (a qualified URI) and the delete files'
+    * `file_path` strings (whatever form the writer recorded) compare equal:
+    * `file:///tmp/x`, `file:/tmp/x` and `/tmp/x` all become `/tmp/x`
+    * (`s3://bucket/k` -> `/bucket/k`, consistently on both sides).
+    */
+  private def canonPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
+  /** MERGE-ON-READ for v2 position deletes, fully distributed: the delete
+    * files (rows of (file_path, pos), spec field-ids 2147483546/45) stream
+    * through a LEFT ANTI join against the data scan keyed on the scan's
+    * own provenance columns (`_metadata.file_path`, `_metadata.row_index`)
+    * — no driver-side delete materialization, and at 100 TB the delete
+    * side is typically small enough that AQE broadcasts it.
+    *
+    * Applying EVERY snapshot delete to every live file is exact: Iceberg
+    * data files are immutable and never re-added under the same path, so a
+    * (path, pos) pair either hits the exact row it was written against or
+    * nothing (the file was compacted away and the delete is moot).
+    */
+  private def applyPositionDeletes(spark: SparkSession, data: DataFrame, st: TableState): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = st.schema.fieldNames.toIndexedSeq
+    val tagged = data
+      .select((cols.map(col) :+
+        canonPath(col("_metadata.file_path")).as("__graft_fp") :+
+        col("_metadata.row_index").as("__graft_pos")): _*)
+    val dels = spark.read
+      .parquet(st.positionDeleteFiles: _*)
+      .select(canonPath(col("file_path")).as("__del_fp"), col("pos").cast("long").as("__del_pos"))
+    tagged
+      .join(dels, col("__graft_fp") === col("__del_fp") && col("__graft_pos") === col("__del_pos"), "left_anti")
+      .select(cols.map(col): _*)
   }
 }

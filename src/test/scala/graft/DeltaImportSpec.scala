@@ -337,11 +337,26 @@ class DeltaImportSpec extends AnyFunSuite {
     assert(VersionedTable.latestVersion(spark, wh).get == commitsAfterFirst + 2)
   }
 
-  test("column-mapped tables are refused (logical-schema read would be silently all-NULL)") {
+  test("name-mode column mapping: physical col-<uuid> parquet names read back as logical columns") {
+    import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("graft-dimp-cm").toString
-    TableFixtures.writeSinglePartParquet(Seq(7).toDF("x"), s"$root/flat/part-0.parquet")
-    val f = new java.io.File(s"$root/flat/part-0.parquet")
-    val schema = new StructType().add("x", "integer")
+    // data file carries PHYSICAL names, including a nested struct field —
+    // the shape modern Delta writers produce by default on new tables
+    TableFixtures.writeSinglePartParquet(
+      Seq((7, 70), (8, 80)).toDF("v1", "v2")
+        .select(col("v1").as("col-x1"), struct(col("v2").as("col-a9")).as("col-s5")),
+      s"$root/flat/part-0.parquet")
+    // logical schema: field metadata records each physicalName (+ id)
+    def mapMeta(phys: String, id: Long): Metadata = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id)
+      .build()
+    val schema = StructType(Seq(
+      StructField("x", IntegerType, nullable = true, mapMeta("col-x1", 1)),
+      StructField("s",
+        StructType(Seq(StructField("a", IntegerType, nullable = true, mapMeta("col-a9", 3)))),
+        nullable = true, mapMeta("col-s5", 2))
+    ))
     val meta =
       s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":${graft.core.Json.str(schema.json)},"partitionColumns":[],""" +
@@ -350,7 +365,63 @@ class DeltaImportSpec extends AnyFunSuite {
     Files.writeString(
       java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000000.json"),
       Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""", meta,
-        s"""{"add":{"path":${graft.core.Json.str(s"flat/${f.getName}")},"partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+        s"""{"add":{"path":"flat/part-0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+      ).mkString("", "\n", "\n"))
+    val df = DeltaImport.read(spark, root)
+    assert(df.schema.fieldNames.toSeq == Seq("x", "s"))
+    assert(df.schema("s").dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("a"),
+      "nested struct fields must rename back to logical names")
+    val got = df.select(col("x"), col("s.a")).collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == Set((7, 70), (8, 80)))
+  }
+
+  test("name-mode column mapping: partitioned table with physically-keyed partitionValues") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-dimp-cmp").toString
+    // partition dirs and partitionValues keys use the PHYSICAL name, as the
+    // Delta protocol specifies under column mapping
+    TableFixtures.writeSinglePartParquet(
+      Seq(1, 2).toDF("col-x1"), s"$root/col-p7=a/part-0.parquet")
+    TableFixtures.writeSinglePartParquet(
+      Seq(3).toDF("col-x1"), s"$root/col-p7=b/part-0.parquet")
+    def mapMeta(phys: String, id: Long): Metadata = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id)
+      .build()
+    val schema = StructType(Seq(
+      StructField("x", IntegerType, nullable = true, mapMeta("col-x1", 1)),
+      StructField("p", StringType, nullable = true, mapMeta("col-p7", 2))
+    ))
+    val meta =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${graft.core.Json.str(schema.json)},"partitionColumns":["p"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"}}}"""
+    def add(p: String, pv: String) =
+      s"""{"add":{"path":${graft.core.Json.str(p)},"partitionValues":{"col-p7":${graft.core.Json.str(pv)}},"size":1,"modificationTime":0,"dataChange":true}}"""
+    new java.io.File(s"$root/_delta_log").mkdirs()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000000.json"),
+      Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""", meta,
+        add("col-p7=a/part-0.parquet", "a"), add("col-p7=b/part-0.parquet", "b")
+      ).mkString("", "\n", "\n"))
+    val got = DeltaImport.read(spark, root)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "a"), (2, "a"), (3, "b")))
+  }
+
+  test("id-mode column mapping stays refused (parquet field-id resolution, not name-based)") {
+    val root = Files.createTempDirectory("graft-dimp-cmid").toString
+    TableFixtures.writeSinglePartParquet(Seq(7).toDF("x"), s"$root/flat/part-0.parquet")
+    val schema = new StructType().add("x", "integer")
+    val meta =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${graft.core.Json.str(schema.json)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id"}}}"""
+    new java.io.File(s"$root/_delta_log").mkdirs()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000000.json"),
+      Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""", meta,
+        s"""{"add":{"path":"flat/part-0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
       ).mkString("", "\n", "\n"))
     val e = intercept[IllegalArgumentException](DeltaImport.read(spark, root))
     assert(e.getMessage.contains("columnMapping"))

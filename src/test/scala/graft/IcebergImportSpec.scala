@@ -129,20 +129,80 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(e.getMessage.contains("snapshot"))
   }
 
-  test("delete manifests (content=1) are refused — merge-on-read, not silent wrong answers") {
+  // delete-manifest entries: data_file carries the v2 `content`
+  // discriminator (1 = position deletes, 2 = equality deletes)
+  private val deleteManifestSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int"},
+      |  {"name":"data_file","type":{"type":"record","name":"delete_file","fields":[
+      |    {"name":"content","type":"int"},
+      |    {"name":"file_path","type":"string"},
+      |    {"name":"file_format","type":"string"},
+      |    {"name":"record_count","type":"long"}]}}]}""".stripMargin)
+
+  private def deleteEntry(content: Int, filePath: String, n: Long): GenericRecord = {
+    val df = new GenericData.Record(deleteManifestSchema.getField("data_file").schema())
+    df.put("content", content)
+    df.put("file_path", filePath)
+    df.put("file_format", "PARQUET")
+    df.put("record_count", n)
+    val e = new GenericData.Record(deleteManifestSchema)
+    e.put("status", 1)
+    e.put("data_file", df)
+    e
+  }
+
+  test("v2 position deletes apply as merge-on-read: deleted rows vanish, counts match") {
     val root = Files.createTempDirectory("graft-ice-del").toString
+    new java.io.File(s"$root/metadata").mkdirs()
+    val f1 = writeDataFile(root, "f1.parquet", Seq((1, "a"), (2, "a"), (3, "b")))
+    val f2 = writeDataFile(root, "f2.parquet", Seq((4, "c")))
+    val m1 = s"$root/metadata/m1.avro"
+    writeAvro(m1, manifestSchema, Seq(manifestEntry(1, f1, 3), manifestEntry(1, f2, 1)))
+    // position-delete parquet: (file_path, pos) — row 1 of f1 (the (2,a)
+    // row, 0-based) and row 0 of f2
+    val delData = s"$root/data/del-0.parquet"
+    TableFixtures.writeSinglePartParquet(
+      Seq((f1, 1L), (f2, 0L)).toDF("file_path", "pos"), delData)
+    val md = s"$root/metadata/md.avro"
+    writeAvro(md, deleteManifestSchema, Seq(deleteEntry(1, delData, 2)))
+    val ml = s"$root/metadata/snap-1.avro"
+    writeAvro(ml, manifestListSchema, Seq(manifestListRow(m1, 0), manifestListRow(md, 1)))
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      metadataJson(Seq((1L, ml)), 1L))
+
+    val st = IcebergImport.state(spark, root)
+    assert(st.positionDeleteFiles.size == 1)
+    assert(rows(IcebergImport.read(spark, root)) == Set((1, "a"), (3, "b")))
+    assert(IcebergImport.read(spark, root).count() == 2)
+    // a delete entry with DELETED status (compacted away) no longer applies
+    val mdGone = s"$root/metadata/md2.avro"
+    writeAvro(mdGone, deleteManifestSchema, Seq(deleteEntry(1, delData, 2)))
+    val ml2 = s"$root/metadata/snap-2.avro"
+    val entGone = {
+      val e = deleteEntry(1, delData, 2); e.put("status", 2); e
+    }
+    writeAvro(mdGone, deleteManifestSchema, Seq(entGone))
+    writeAvro(ml2, manifestListSchema, Seq(manifestListRow(m1, 0), manifestListRow(mdGone, 1)))
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v2.metadata.json"),
+      metadataJson(Seq((1L, ml), (2L, ml2)), 2L))
+    assert(rows(IcebergImport.read(spark, root)) == Set((1, "a"), (2, "a"), (3, "b"), (4, "c")))
+  }
+
+  test("equality deletes (content=2) are refused — predicate deletes, not silent wrong answers") {
+    val root = Files.createTempDirectory("graft-ice-eqdel").toString
     new java.io.File(s"$root/metadata").mkdirs()
     val f1 = writeDataFile(root, "f1.parquet", Seq((1, "a")))
     val m1 = s"$root/metadata/m1.avro"
     writeAvro(m1, manifestSchema, Seq(manifestEntry(1, f1, 1)))
     val md = s"$root/metadata/md.avro"
-    writeAvro(md, manifestSchema, Seq(manifestEntry(1, s"$root/data/deletes.parquet", 1)))
+    writeAvro(md, deleteManifestSchema, Seq(deleteEntry(2, s"$root/data/eq.parquet", 1)))
     val ml = s"$root/metadata/snap-1.avro"
     writeAvro(ml, manifestListSchema, Seq(manifestListRow(m1, 0), manifestListRow(md, 1)))
     Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
       metadataJson(Seq((1L, ml)), 1L))
     val e = intercept[IllegalArgumentException](IcebergImport.read(spark, root))
-    assert(e.getMessage.contains("delete manifest"))
+    assert(e.getMessage.contains("equality delete"))
   }
 
   test("genuine v1 manifest-list (no content field) imports — schema-probed, not crashed") {
