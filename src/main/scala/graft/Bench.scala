@@ -117,7 +117,7 @@ object Bench {
     val extras: Seq[String] =
       Seq("q89_gopher_gates", "q90_ann_ivf_sampled", "q91_image_decode", "q92_hot_spans",
         "q93_url_screen", "q94_audio_decode", "q95_video_meta", "q96_ann_sq8",
-        "q97_corpus_pipeline", "q98_ann_ivf_sq8")
+        "q97_corpus_pipeline", "q98_ann_ivf_sq8", "q99_bpe_tokens")
 
     // warm-up: every headline query once at the target SF (see scaladoc).
     // Errors here are not swallowed silently — they will recur in the timed

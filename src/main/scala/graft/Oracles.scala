@@ -109,6 +109,38 @@ object Oracles {
   private val vecIdSample4: String =
     "(CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % 4) = 0"
 
+  /** q99's SQL: the merge list comes from [[graft.plans.Bpe.merges]] — ONE
+    * definition feeds both engines, so a vocab edit cannot desync them.
+    * Merge keys use ' ' as the symbol separator: symbols never contain
+    * whitespace (pre-tokens exclude it), so the key is unambiguous.
+    */
+  private lazy val bpeSql: String = {
+    val mlist = graft.plans.Bpe.merges.map { case (l, r) => s"'$l $r'" }.mkString("[", ", ", "]")
+    // adjacent-pair ranks of symbol list `s`: 1-based merge-list position,
+    // 0 = pair is not a merge (DuckDB list_position returns 0, not NULL)
+    def rk(s: String) = s"list_transform(range(1, len($s)), i -> list_position($mlist, $s[i] || ' ' || $s[i+1]))"
+    // leftmost occurrence of the lowest-rank mergeable pair, NULL if none
+    def bi(s: String) =
+      s"""CASE WHEN len(list_filter(${rk(s)}, p -> p > 0)) = 0 THEN NULL
+         | ELSE list_position(${rk(s)}, list_aggregate(list_filter(${rk(s)}, p -> p > 0), 'min')) END""".stripMargin
+    s"""WITH RECURSIVE
+       |pre AS (SELECT doc_id, unnest(regexp_extract_all(text, '${graft.plans.Bpe.PretokenRegex}')) w FROM documents),
+       |words AS (SELECT DISTINCT w FROM pre),
+       |init AS (SELECT w, list_transform(range(1, length(w)+1), i -> w[i:i]) syms FROM words),
+       |bpe(w, syms, bi) AS (
+       |  SELECT w, syms, ${bi("syms")} FROM init
+       |  UNION ALL
+       |  SELECT w, ns, ${bi("ns")} FROM (
+       |    SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:len(syms)] AS ns
+       |    FROM bpe WHERE bi IS NOT NULL) t
+       |),
+       |fin AS (SELECT w, len(syms) n FROM bpe WHERE bi IS NULL),
+       |per_doc AS (SELECT p.doc_id, CAST(sum(f.n) AS BIGINT) n_bpe, CAST(count(*) AS BIGINT) n_pre
+       |            FROM pre p JOIN fin f ON p.w = f.w GROUP BY p.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(pd.n_pre, 0) AS BIGINT) AS n_pre, CAST(COALESCE(pd.n_bpe, 0) AS BIGINT) AS n_bpe
+       |FROM documents d LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1027,6 +1059,14 @@ object Oracles {
     // assignment, then within-cell pair cosines with the same ordered folds
     // and the lower-id drop rule
     "q86_semantic_dedup" -> ivfTrainedSql(2, Some(vecIdSample4), ivfSemDedupTail),
+
+    // q99: REAL BPE — the oracle re-derives every merge decision with a
+    // recursive CTE over DISTINCT pre-tokens: rank = list_position into
+    // the same ordered merge list (0 = not a merge), step = merge the
+    // LEFTMOST occurrence (position-of-min) of the LOWEST-rank adjacent
+    // pair, terminate when no adjacent pair is in the table. Codepoint
+    // symbols (DuckDB w[i:i]) match the engine's codePointAt split.
+    "q99_bpe_tokens" -> bpeSql,
 
     // q96: SQ8 asymmetric ANN — replay quantization (maxabs, scale =
     // maxabs/127, round-half-up int8 codes) and the index-ordered

@@ -1807,6 +1807,25 @@ object Queries {
       .select(col("vec_id"), floor(col("score") * 1000000).cast("long").as("score_e6"))
   }
 
+  /** q99: REAL BPE token counting for training-data budgeting —
+    * [[graft.plans.Bpe]]'s leftmost-lowest-rank merge loop over the
+    * fixture vocab, one codegen'd static call per document. The DuckDB
+    * oracle replays the merge loop with a recursive CTE over DISTINCT
+    * pre-tokens (rank = `list_position` into the same merge list,
+    * leftmost occurrence via position-of-min), so every merge decision is
+    * independently re-derived. `n_pre` is the pre-token count — the
+    * `approxBpeCount` screen, which by construction counts exactly the
+    * runs BPE starts from.
+    */
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(txt, lit(graft.plans.Bpe.PretokenRegex), lit(0))).cast("long").as("n_pre"),
+      TextAnalysis.bpeCount(txt).as("n_bpe")
+    )
+  }
+
   /** q95: REAL MP4 container-metadata parse under an oracle — the video
     * half of the multimodal story that needs NO codec: ISO-BMFF is a box
     * tree, and [[Multimodal.decodeVideoMeta]] walks

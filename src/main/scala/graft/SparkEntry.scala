@@ -98,6 +98,7 @@ object SparkEntry {
     "q96_ann_sq8" -> (Queries.q96 _),
     "q97_corpus_pipeline" -> (Queries.q97 _),
     "q98_ann_ivf_sq8" -> (Queries.q98 _),
+    "q99_bpe_tokens" -> (Queries.q99 _),
     "q73_group_minhash" -> (Queries.q73 _),
     "q74_stream_sessions" -> (Queries.q74 _),
     "q75_crypto_roundtrip" -> (Queries.q75 _),

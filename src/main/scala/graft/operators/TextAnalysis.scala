@@ -26,6 +26,13 @@ object TextAnalysis {
   def approxBpeCount(text: Column): Column =
     size(filter(split(text, "(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])(?=[a-zA-Z0-9])|\\s+"), x => length(x) > 0))
 
+  /** REAL BPE token count over the fixture merge table — the public
+    * byte-pair-merge algorithm as a codegen'd expression
+    * ([[graft.plans.Bpe]]); `approxBpeCount` stays as the cheap screen
+    * (it counts exactly the pre-tokens this tokenizer starts from).
+    */
+  def bpeCount(text: Column): Column = graft.plans.BpeTokenCount.bpeTokens(text)
+
   /** Quality-scoring feature columns (length / punctuation / stopword
     * ratios). Raw doubles — integer numerator/denominator division, so the
     * values are bit-identical across engines; callers scale+floor for

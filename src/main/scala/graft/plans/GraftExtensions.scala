@@ -46,6 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        new FunctionIdentifier("bpe_tokens"),
+        new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_tokens"),
+        (exprs: Seq[Expression]) => BpeTokenCount(exprs(0))
+      )
+    )
+    e.injectFunction(
+      (
         new FunctionIdentifier("simhash60"),
         new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
         (exprs: Seq[Expression]) => SimHash60(exprs(0))

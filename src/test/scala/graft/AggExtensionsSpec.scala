@@ -96,6 +96,8 @@ class AggExtensionsSpec extends AnyFunSuite {
       assert(sk == skCol && sk >= 0 && sk < (1L << 60))
       val shn = s2.sql("SELECT shingle_hash60(array('a','b','c','d'), 3) AS sh").head().getSeq[Long](0)
       assert(shn.length == 2) // 4 tokens, 3-shingles -> 2 hashes
+      // 'the' and 'table' are whole-word merges in the fixture vocab
+      assert(s2.sql("SELECT bpe_tokens('the table') AS n").head().getLong(0) == 2L)
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
