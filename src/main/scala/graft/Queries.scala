@@ -1785,12 +1785,17 @@ object Queries {
   }
 
   /** q98: IVF + SQ8 ANN — the composed billion-scale serving layout under
-    * one oracle: q72's training-free coarse quantizer prunes to the
-    * query's 3 nearest cells ([[Similarity.ivfSq8TopK]]), then the
-    * survivors are scored asymmetrically from their int8 codes (q96's
-    * recipe). The oracle chains both proofs: cell assignment + probe set
-    * replayed with ordered folds, then quantization + the int8 fold over
-    * exactly the candidate set.
+    * one oracle, END-TO-END THROUGH STORAGE: the embeddings are quantized
+    * once and persisted cell-partitioned
+    * ([[Similarity.writeIvfSq8Index]] — codes-only VersionedTable, 1
+    * byte/dim at rest), then the probe opens only the query's 3 nearest
+    * cells' partitions and scores their int8 codes asymmetrically
+    * ([[Similarity.probeIvfSq8Index]], q96's recipe). The oracle chains
+    * both proofs — cell assignment + probe set replayed with ordered
+    * folds, then quantization + the int8 fold over exactly the candidate
+    * set — so any stored/inline divergence fails the gate. SimilaritySpec
+    * additionally proves the probe's file reads stay inside the nprobe
+    * partition dirs.
     */
   def q98(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -1802,8 +1807,15 @@ object Queries {
       .sortBy(_._1)
       .toSeq
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    // served from the PERSISTED layout: quantize once, store codes
+    // cell-partitioned in a VersionedTable, probe opens only nprobe
+    // partition dirs — the oracle replays the inline computation, so a
+    // stored/inline divergence (codes, cells, kernel) fails the gate.
+    // Unique dir per call: Bench times each run against a fresh build.
+    val idx = scratchDir("annidx") + "/idx"
+    Similarity.writeIvfSq8Index(s, emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", idx, centroids)
     Similarity
-      .ivfSq8TopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qvec, 20, centroids, nprobe = 3)
+      .probeIvfSq8Index(s, idx, "vec_id", qvec, 20, centroids, nprobe = 3)
       .select(col("vec_id"), floor(col("score") * 1000000).cast("long").as("score_e6"))
   }
 

@@ -398,6 +398,54 @@ object Similarity {
     )
   }
 
+  /** PERSIST the billion-scale serving layout [[ivfSq8TopK]]'s scaladoc
+    * models: embeddings quantized ONCE ([[withSq8]]) and written
+    * cell-partitioned (partition key = IVF cell id) into a
+    * [[graft.sources.VersionedTable]] delta commit, storing only
+    * `(id, cell, sq8_scale, sq8_codes)` — 1 byte per dimension at rest,
+    * float vectors never stored. A probe then opens ONLY its nprobe
+    * partition directories (manifest-pruned, no file listing of the rest)
+    * and scores codes: nprobe/nCells of the data, 4x less of it.
+    * Incremental loads are commitDelta's normal contract: a batch rewrites
+    * the cells it touches, every other cell carries forward by reference.
+    *
+    * @return the committed table version
+    */
+  def writeIvfSq8Index(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      centroids: Seq[(Long, Seq[Double])]
+  ): Long = {
+    val quantized = withSq8(df, vecCol)
+      .withColumn("cell", ivfCell(col(vecCol), centroids))
+      .select(col(idCol), col("cell"), col("sq8_scale"), col("sq8_codes"))
+    graft.sources.VersionedTable.commitDelta(spark, path, quantized, "cell")
+  }
+
+  /** Serve a top-k probe from a [[writeIvfSq8Index]] table: resolve the
+    * query's nprobe cells driver-side (k·dim work), open exactly those
+    * partitions, score with the asymmetric int8 kernel. Cells the table
+    * never wrote (possible for tiny corpora) are skipped.
+    */
+  def probeIvfSq8Index(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      query: Seq[Float],
+      k: Int,
+      centroids: Seq[(Long, Seq[Double])],
+      nprobe: Int = 3,
+      version: Option[Long] = None
+  ): DataFrame = {
+    val cells = ivfProbeCells(query, centroids, nprobe).map(_.toString)
+    val parts = graft.sources.VersionedTable.readPartitions(spark, path, cells, version).flatten
+    require(parts.nonEmpty, s"none of the probe cells ${cells.mkString(",")} exist in the index at $path")
+    sq8TopKOnCodes(parts.reduce(_.unionByName(_)), idCol, query, k)
+  }
+
   /** IVF ANN top-k: score only vectors assigned to the query's nprobe
     * nearest cells. One scan with a codegen'd cell filter — no shuffle
     * before the final top-k; with cell-partitioned storage the scan itself

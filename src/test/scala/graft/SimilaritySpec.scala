@@ -263,4 +263,48 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(composed == direct)
   }
+
+  test("persisted IVF+SQ8 index: probe reads ONLY nprobe partitions; q98 parity on stored codes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = emb.filter($"vec_id" < 8).select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).sortBy(_._1).toSeq
+    val qvec = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("graft-annidx").toString + "/idx"
+
+    Similarity.writeIvfSq8Index(spark, corpus, "vec_id", "embedding", path, centroids)
+    // the stored layout is codes-only: no float vector column at rest
+    val stored = graft.sources.VersionedTable.read(spark, path)
+    assert(stored.columns.toSet == Set("vec_id", "cell", "sq8_scale", "sq8_codes"))
+    val nCells = stored.select($"cell").distinct().count()
+    assert(nCells > 3, s"fixture must populate more cells than nprobe, got $nCells")
+
+    val probed = Similarity.probeIvfSq8Index(spark, path, "vec_id", qvec, 20, centroids, nprobe = 3)
+    // file-level pruning proof: every file the probe plan reads lives under
+    // one of the nprobe probe-cell partition dirs — the other cells' files
+    // are never opened
+    val probeCells = Similarity.ivfProbeCells(qvec, centroids, 3).toSet
+    val scanned = probed.inputFiles
+    assert(scanned.nonEmpty)
+    assert(
+      scanned.forall(f => probeCells.exists(c => f.contains(s"/p=$c/"))),
+      s"probe opened files outside its ${probeCells.size} cells: ${scanned.mkString(",")}"
+    )
+
+    // q98 parity: the persisted-codes probe returns exactly what the
+    // inline-quantizing ivfSq8TopK computes (same cells, same kernel)
+    val inline = Similarity.ivfSq8TopK(corpus, "vec_id", "embedding", qvec, 20, centroids, nprobe = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val fromIndex = probed.collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(fromIndex == inline, "stored-codes probe diverged from inline IVF+SQ8")
+
+    // incremental contract: a delta load touching ONE cell carries every
+    // other cell forward by reference and the probe still serves
+    val someCell = probeCells.head
+    val oneCell = stored.filter($"cell" === someCell)
+    graft.sources.VersionedTable.commitDelta(spark, path, oneCell, "cell")
+    val after = Similarity.probeIvfSq8Index(spark, path, "vec_id", qvec, 20, centroids, nprobe = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(after == inline, "probe after single-cell delta commit diverged")
+  }
 }
