@@ -478,7 +478,9 @@ object Oracles {
     // dedup (min doc_id per normalized fingerprint), SimHash-equality
     // near-dup (min doc_id per 60-bit sketch, empty docs sketch to 0),
     // quality gate (token count in [10,5000], floor-scaled punct ratio
-    // <= 2000), the q87 mixture-rate CASE over md5 hash buckets, then
+    // <= 2000), q78's decontamination sweep (drop survivors sharing >= 3
+    // distinct 3-gram shingle hashes with any raw %10==0 eval doc),
+    // the q87 mixture-rate CASE over md5 hash buckets, then
     // 50/40 chunking with md5 chunk fingerprints
     "q97_corpus_pipeline" -> {
       val cases = (0 until 16)
@@ -507,7 +509,19 @@ object Oracles {
          |     FROM d1b)
          |   WHERE nt BETWEEN 10 AND 5000
          |     AND CAST(FLOOR(CASE WHEN nc > 0 THEN (CAST(nc - ncp AS DOUBLE)/nc)*10000 ELSE 0 END) AS BIGINT) <= 2000),
-         | d3 AS (SELECT doc_id, ws FROM d2
+         | shg AS (SELECT doc_id,
+         |   list_distinct(list_transform(
+         |     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
+         |     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) g
+         |  FROM tw),
+         | bp AS (SELECT doc_id bench_id, unnest(g) s FROM shg WHERE doc_id % 10 = 0),
+         | cp AS (SELECT d2.doc_id, unnest(shg.g) s FROM d2 JOIN shg ON d2.doc_id = shg.doc_id),
+         | cont AS (SELECT DISTINCT doc_id FROM (
+         |   SELECT cp.doc_id, bp.bench_id FROM cp JOIN bp USING (s)
+         |   GROUP BY cp.doc_id, bp.bench_id HAVING count(*) >= 3)),
+         | d2c AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         | d3 AS (SELECT doc_id, ws FROM d2c
          |   WHERE (CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000)
          |         < (CASE source $cases ELSE ${math.round(0.05 * 1000000L)} END)),
          | st AS (SELECT doc_id, ws, unnest(range(0, ((len(ws)-1)//40)+1)) ci FROM d3 WHERE len(ws) > 0),

@@ -1744,11 +1744,17 @@ object Queries {
     * banded Hamming-k variant exists standalone as q65) → quality gate
     * ([[TextAnalysis.qualityFeatures]]: token count in [10, 5000] and
     * punctuation ratio ≤ 20%, floor-scaled for cross-engine exactness) →
+    * benchmark decontamination ([[Dedup.crossCorpusOverlap]] against the
+    * q78 stand-in eval set `doc_id % 10 == 0`: drop any survivor sharing
+    * ≥ 3 distinct word 3-grams with ANY benchmark doc — eval members
+    * themselves are dropped by self-overlap, which is the point) →
     * source-weighted mixture sampling ([[Sampling.mixtureSample]], the q87
     * rate table, no rand()) → context-window chunking
     * ([[TextAnalysis.chunkTokens]], 50-token windows at stride 40) with
     * md5-fingerprinted chunk text. Catalyst fuses the narrow stages; the
-    * only shuffles are the two dedup aggregations and their semi joins.
+    * only shuffles are the two dedup aggregations plus the (overlap-sized)
+    * contamination pair count — the benchmark postings broadcast, as does
+    * the contaminated-id anti-join side.
     * The oracle replays the entire chain as one CTE pipeline.
     */
   def q97(s: SparkSession, dir: String): DataFrame = {
@@ -1771,8 +1777,24 @@ object Queries {
         col("n_tokens") >= 10 && col("n_tokens") <= 5000 &&
           floor(col("punct_ratio") * 10000).cast("long") <= 2000L
       )
+    // decontamination: the eval set is the RAW %10==0 slice (not the gated
+    // survivors — an eval doc deduped or gated away upstream still
+    // contaminates). Contamination is a doc-level property, so the corpus
+    // side is the RAW scan, not `gated`: reusing the `gated` DataFrame
+    // here would inline a second copy of both dedup-agg subtrees (Spark
+    // re-plans, it does not share common subplans) — two extra
+    // corpus-sized shuffles for nothing. The anti join drops non-survivors
+    // anyway, so the result is identical. No distinct() on the
+    // contaminated ids (anti join semantics don't care, the exchange
+    // would) and the id set broadcasts — it's bench-overlap-sized; a
+    // pathological corpus-wide contamination would swap this hint for a
+    // shuffled anti join.
+    val contaminated = Dedup
+      .crossCorpusOverlap(docs, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", shingleSize = 3, minOverlap = 3)
+      .select(col("doc_id"))
+    val clean = gated.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     val rates = (0 until 16).map(i => s"src$i" -> (i % 4 + 1) * 0.2).toMap
-    val sampled = graft.operators.Sampling.mixtureSample(gated, "doc_id", "source", rates, defaultRate = 0.05)
+    val sampled = graft.operators.Sampling.mixtureSample(clean, "doc_id", "source", rates, defaultRate = 0.05)
     TextAnalysis
       .chunkTokens(sampled, "doc_id", "text", chunkSize = 50, stride = 40)
       .select(

@@ -145,14 +145,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("dotproductsq8"), "scoring must use the binary-codes kernel")
   }
 
-  test("q97: the five-stage corpus pipeline plans as TWO shuffles (the dedup aggs) + broadcast semi joins") {
+  test("q97: the six-stage corpus pipeline plans as THREE shuffles + broadcast semi/anti joins") {
     val df = SparkEntry.queries("q97_corpus_pipeline")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3,
       s"quality gate, sampling and chunking must stay narrow — only the fingerprint and simhash " +
-        s"dedup aggs may shuffle:\n$p")
+        s"dedup aggs and the (overlap-sized) contamination pair count may shuffle:\n$p")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
-      "the keeper semi joins should broadcast at fixture scale")
+      "the keeper semi joins, benchmark postings and contaminated-id anti join should broadcast at fixture scale")
     assert(!p.contains("Expand"), "no count-distinct expansion anywhere in the pipeline")
   }
 
