@@ -34,10 +34,20 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * logical names; modern Delta writers enable name mode by default on new
   * tables, so refusing it would refuse most fresh tables.
   *
-  * Not supported, by explicit error rather than silent wrongness: deletion
-  * vectors (minReaderVersion >= 3) and ID-mode column mapping
-  * (`delta.columnMapping.mode` = id resolves columns by parquet field id,
-  * ignoring names entirely — a name-based read would be silent wrongness).
+  * Deletion vectors (minReaderVersion 3, `deletionVectors` reader
+  * feature) are supported merge-on-read: each live add's DV payload
+  * ([[DeltaDv]] — u/i/p storage, framed + CRC-checked, Base85, portable
+  * 64-bit roaring bitmap) expands to (file, row_index) pairs ON EXECUTORS
+  * and anti-joins the scan's own `_metadata` provenance columns; the
+  * driver holds only the compressed bitmap bytes (metadata-sized). DVs
+  * compose with column mapping and time travel (the replayed add's DV at
+  * that version wins; a rewritten file's DV-less re-add clears it).
+  *
+  * Not supported, by explicit error rather than silent wrongness: reader
+  * features beyond deletionVectors/columnMapping, and ID-mode column
+  * mapping (`delta.columnMapping.mode` = id resolves columns by parquet
+  * field id, ignoring names entirely — a name-based read would be silent
+  * wrongness).
   *
   * Scale notes: the log is METADATA-sized — parsing it on the driver is
   * bounded by commit count × files per commit, the same order as Delta's
@@ -60,7 +70,20 @@ object DeltaImport {
       schema: StructType,
       partitionColumns: Seq[String],
       liveFiles: Seq[(String, Map[String, String])],
-      columnMappingMode: String = "none"
+      columnMappingMode: String = "none",
+      // relative data-file path -> its live deletion vector (adds without
+      // a DV clear any previous one: an add action fully replaces the
+      // path's metadata in the log replay)
+      deletionVectors: Map[String, DvDescriptor] = Map.empty
+  )
+
+  /** One add action's `deletionVector` struct, verbatim from the log. */
+  final case class DvDescriptor(
+      storageType: String,
+      pathOrInlineDv: String,
+      offset: Int,
+      sizeInBytes: Int,
+      cardinality: Long
   )
 
   private final case class Commit(
@@ -72,7 +95,11 @@ object DeltaImport {
       minReaderVersion: Option[Int],
       // Some(mode) iff this commit carries a metaData action: the mode is
       // configuration's delta.columnMapping.mode, defaulted to "none"
-      columnMappingMode: Option[String]
+      columnMappingMode: Option[String],
+      // adds carrying a deletionVector, keyed by path (subset of `adds`)
+      dvs: Map[String, DvDescriptor] = Map.empty,
+      // protocol readerFeatures (reader version 3+)
+      readerFeatures: Option[Seq[String]] = None
   )
 
   private val CkptSingleRe = """(\d+)\.checkpoint\.parquet""".r
@@ -151,17 +178,42 @@ object DeltaImport {
       def metaField(name: String): Boolean =
         cols.contains("metaData") && cp.schema("metaData").dataType
           .asInstanceOf[StructType].fieldNames.contains(name)
-      val adds =
+      val addHasDv = cols.contains("add") && cp.schema("add").dataType
+        .asInstanceOf[StructType].fieldNames.contains("deletionVector")
+      val addRows =
         if (!cols.contains("add")) Nil
-        else
+        else {
+          val dvCols =
+            if (addHasDv)
+              Seq(
+                col("add.deletionVector.storageType"),
+                col("add.deletionVector.pathOrInlineDv"),
+                col("add.deletionVector.offset"),
+                col("add.deletionVector.sizeInBytes"),
+                col("add.deletionVector.cardinality")
+              )
+            else Seq(lit(null).cast("string"), lit(null).cast("string"),
+              lit(null).cast("int"), lit(null).cast("int"), lit(null).cast("long"))
           cp.filter(col("add").isNotNull)
-            .select(col("add.path"), col("add.partitionValues"))
+            .select(col("add.path") +: col("add.partitionValues") +: dvCols: _*)
             .collect()
             .toSeq
-            .map { r =>
-              val pv = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty[String, String])
-              r.getString(0) -> pv
-            }
+        }
+      val adds = addRows.map { r =>
+        val pv = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty[String, String])
+        r.getString(0) -> pv
+      }
+      val ckptDvs = addRows.flatMap { r =>
+        if (r.isNullAt(2)) None
+        else
+          Some(r.getString(0) -> DvDescriptor(
+            storageType = r.getString(2),
+            pathOrInlineDv = r.getString(3),
+            offset = if (r.isNullAt(4)) 0 else r.getInt(4),
+            sizeInBytes = r.getInt(5),
+            cardinality = r.getLong(6)
+          ))
+      }.toMap
       val meta =
         if (!cols.contains("metaData")) None
         else {
@@ -173,26 +225,31 @@ object DeltaImport {
             .collect()
             .headOption
         }
+      val protoHasRf = cols.contains("protocol") && cp.schema("protocol").dataType
+        .asInstanceOf[StructType].fieldNames.contains("readerFeatures")
       val proto =
         if (!cols.contains("protocol")) None
-        else
+        else {
+          val rfCol = if (protoHasRf) col("protocol.readerFeatures") else lit(null).cast("array<string>")
           cp.filter(col("protocol").isNotNull)
-            .select(col("protocol.minReaderVersion"))
+            .select(col("protocol.minReaderVersion"), rfCol)
             .collect()
             .headOption
-            .map(_.getInt(0))
+        }
       Commit(
         version = cv,
         adds = adds,
         removes = Nil, // a checkpoint is reconciled state: no live removes
         schemaString = meta.map(_.getString(0)),
         partitionColumns = meta.map(_.getSeq[String](1)),
-        minReaderVersion = proto,
+        minReaderVersion = proto.map(_.getInt(0)),
         columnMappingMode = meta.map { r =>
           Option(r.getMap[String, String](2))
             .flatMap(_.get("delta.columnMapping.mode"))
             .getOrElse("none")
-        }
+        },
+        dvs = ckptDvs,
+        readerFeatures = proto.flatMap(r => if (r.isNullAt(1)) None else Some(r.getSeq[String](1)))
       )
     }
     val jsonCommits = versions
@@ -224,6 +281,25 @@ object DeltaImport {
           columnMappingMode = meta.map { m =>
             val mode = m.path("configuration").path("delta.columnMapping.mode")
             if (mode.isMissingNode || mode.isNull) "none" else mode.asText()
+          },
+          dvs = nodes
+            .filter(n => n.has("add") && n.path("add").hasNonNull("deletionVector"))
+            .map { n =>
+              val a = n.path("add")
+              val d = a.path("deletionVector")
+              a.path("path").asText() -> DvDescriptor(
+                storageType = d.path("storageType").asText(),
+                pathOrInlineDv = d.path("pathOrInlineDv").asText(),
+                offset = d.path("offset").asInt(0),
+                sizeInBytes = d.path("sizeInBytes").asInt(),
+                cardinality = d.path("cardinality").asLong()
+              )
+            }
+            .toMap,
+          readerFeatures = nodes.find(_.has("protocol")).flatMap { n =>
+            val rf = n.path("protocol").path("readerFeatures")
+            if (rf.isMissingNode || rf.isNull) None
+            else Some(rf.elements().asScala.map(_.asText()).toSeq)
           }
         )
       }
@@ -237,9 +313,23 @@ object DeltaImport {
   /** Reconcile already-parsed commits into a snapshot — lets callers that
     * hold a parse (readChanges, tail) avoid re-walking the log.
     */
+  /** Reader features this import actually implements. Protocol version 3
+    * tables list the features a reader MUST understand; anything outside
+    * this set is an explicit refusal, not silent wrongness.
+    */
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+
   private def stateFrom(commits: Seq[Commit], root: String): TableState = {
     commits.flatMap(_.minReaderVersion).foreach { v =>
-      require(v <= 2, s"minReaderVersion $v requires deletion-vector support — not implemented")
+      require(v <= 3, s"minReaderVersion $v not supported (reader versions 1-3: plain, column mapping, deletion vectors)")
+    }
+    // version-3 tables enumerate required reader features — honor the
+    // contract: read only what we can actually read
+    commits.flatMap(_.readerFeatures).flatten.distinct.sorted.foreach { feat =>
+      require(
+        SupportedReaderFeatures.contains(feat),
+        s"readerFeatures '$feat' not supported (supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")})"
+      )
     }
     // Column mapping (minReaderVersion 2): data files carry physical
     // col-<uuid> parquet names. NAME mode is supported — the logical
@@ -255,10 +345,20 @@ object DeltaImport {
         "parquet field-id matching; name-mode and unmapped tables are supported"
     )
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+    val liveDv = scala.collection.mutable.HashMap.empty[String, DvDescriptor]
     commits.foreach { c =>
       // removes before adds: a path in both within one commit is a rewrite
-      c.removes.foreach(live -= _)
-      c.adds.foreach { case (p, pv) => live(p) = pv }
+      c.removes.foreach { p => live -= p; liveDv -= p }
+      c.adds.foreach { case (p, pv) =>
+        live(p) = pv
+        // an add REPLACES the path's metadata wholesale: carrying a DV
+        // installs it, carrying none clears any previous one (the file was
+        // rewritten without its deleted rows)
+        c.dvs.get(p) match {
+          case Some(d) => liveDv(p) = d
+          case None => liveDv -= p
+        }
+      }
     }
     val schemaString = commits.flatMap(_.schemaString).lastOption.getOrElse(
       throw new IllegalStateException(s"no metaData action in $root/_delta_log")
@@ -268,7 +368,8 @@ object DeltaImport {
       schema = DataType.fromJson(schemaString).asInstanceOf[StructType],
       partitionColumns = commits.flatMap(_.partitionColumns).lastOption.getOrElse(Nil),
       liveFiles = live.toSeq,
-      columnMappingMode = mappingMode
+      columnMappingMode = mappingMode,
+      deletionVectors = liveDv.toMap
     )
   }
 
@@ -438,9 +539,27 @@ object DeltaImport {
     val dataSchema = StructType(physSchemaAll.filterNot(f => physPartCols.contains(f.name)))
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
+    // deletion vectors of the files THIS read touches (readChanges passes
+    // subsets): decoded lazily on executors, anti-joined on the scan's own
+    // (_metadata.file_path, row_index) provenance — merge-on-read, no
+    // driver-side position materialization
+    val dvHere = files.flatMap { case (p, _) => st.deletionVectors.get(p).map(p -> _) }
+    lazy val dvPos = dvPositions(spark, root, dvHere)
+    def withoutDeleted(df: DataFrame): DataFrame =
+      if (dvHere.isEmpty) df
+      else {
+        val keep = df.columns.toSeq
+        df.withColumn("__graft_fp", canonPathCol(col("_metadata.file_path")))
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+          .join(
+            dvPos,
+            col("__graft_fp") === col("__dv_fp") && col("__graft_pos") === col("__dv_pos"),
+            "left_anti")
+          .select(keep.map(col): _*)
+      }
     val paths = files.map { case (p, _) => s"$root/$p" }
     if (st.partitionColumns.isEmpty)
-      return toLogical(spark.read.schema(dataSchema).parquet(paths: _*))
+      return toLogical(withoutDeleted(spark.read.schema(dataSchema).parquet(paths: _*)))
     // Fast path: compliant writers put files under hive-style partition
     // dirs matching partitionValues — one scan node, Spark's own partition
     // discovery against basePath recovers the columns (and prunes on them).
@@ -451,21 +570,26 @@ object DeltaImport {
     }
     if (hiveConsistent) {
       toLogical(
-        spark.read
-          .option("basePath", root)
-          .schema(physSchemaAll)
-          .parquet(paths: _*)
+        withoutDeleted(
+          spark.read
+            .option("basePath", root)
+            .schema(physSchemaAll)
+            .parquet(paths: _*)
+        )
       )
     } else {
       // Fallback: one scan per distinct partition tuple, values from the
       // authoritative partitionValues map. Group count = touched partition
-      // tuples (metadata-scale).
+      // tuples (metadata-scale). DV filtering applies to each group's raw
+      // scan (where _metadata is still resolvable), before partition
+      // columns are attached.
       files
         .groupBy(_._2)
         .toSeq
-        .sortBy(_._1.toSeq.sorted.mkString(" "))
+        .sortBy(_._1.toSeq.sorted.mkString("\u0000"))
         .map { case (pv, fl) =>
-          var df = spark.read.schema(dataSchema).parquet(fl.map { case (p, _) => s"$root/$p" }: _*)
+          var df = withoutDeleted(
+            spark.read.schema(dataSchema).parquet(fl.map { case (p, _) => s"$root/$p" }: _*))
           st.partitionColumns.zip(physPartCols).foreach { case (c, pc) =>
             df = df.withColumn(pc, lit(pvOf(pv, c, pc).orNull).cast(st.schema(c).dataType))
           }
@@ -473,5 +597,54 @@ object DeltaImport {
         }
         .reduce(_.unionByName(_))
     }
+  }
+
+  /** Same scheme-stripping canonicalization as the Iceberg position-delete
+    * join: `file:///x`, `file:/x` and `/x` all compare equal.
+    */
+  private def canonPathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+  private def canonPathStr(s: String): String =
+    s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
+  /** Deleted (file, row-index) pairs of the touched files, as a DataFrame.
+    * The driver fetches only the DV PAYLOADS (compressed bitmaps —
+    * metadata-sized, the same order as the log referencing them); the
+    * positions they expand to are enumerated lazily on executors, so a
+    * million-row DV never materializes driver-side.
+    */
+  private def dvPositions(
+      spark: SparkSession,
+      root: String,
+      dvs: Seq[(String, DvDescriptor)]
+  ): DataFrame = {
+    val f = fs(spark, root)
+    val absRoot = f.makeQualified(new Path(root)).toString
+    def readAll(p: Path): Array[Byte] = {
+      val pf = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val len = pf.getFileStatus(p).getLen
+      require(len <= Int.MaxValue, s"DV file $p too large")
+      val buf = new Array[Byte](len.toInt)
+      val in = pf.open(p)
+      try in.readFully(0, buf)
+      finally in.close()
+      buf
+    }
+    val payloads: Seq[(String, Array[Byte])] = dvs.map { case (rel, d) =>
+      val payload = d.storageType match {
+        case "i" => DeltaDv.base85Decode(d.pathOrInlineDv)
+        case "u" => DeltaDv.unframe(
+          readAll(new Path(s"$absRoot/${DeltaDv.dvFileRelPath(d.pathOrInlineDv)}")), d.offset, d.sizeInBytes)
+        case "p" => DeltaDv.unframe(readAll(new Path(d.pathOrInlineDv)), d.offset, d.sizeInBytes)
+        case other =>
+          throw new IllegalArgumentException(s"deletionVector storageType '$other' not supported (u, i, p)")
+      }
+      canonPathStr(s"$absRoot/$rel") -> payload
+    }
+    import spark.implicits._
+    spark
+      .createDataset(payloads)
+      .flatMap { case (fp, bytes) => DeltaDv.decodePortable(bytes).map(pos => (fp, pos)) }
+      .toDF("__dv_fp", "__dv_pos")
   }
 }

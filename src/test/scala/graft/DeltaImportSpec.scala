@@ -337,6 +337,98 @@ class DeltaImportSpec extends AnyFunSuite {
     assert(VersionedTable.latestVersion(spark, wh).get == commitsAfterFirst + 2)
   }
 
+  // --- deletion vectors (minReaderVersion 3, merge-on-read) ---
+
+  private def dvJson(storage: String, pathOrInline: String, offset: Int, size: Int, card: Long): String =
+    s""""deletionVector":{"storageType":"$storage","pathOrInlineDv":${graft.core.Json.str(pathOrInline)},""" +
+      s""""offset":$offset,"sizeInBytes":$size,"cardinality":$card}"""
+
+  private def addJson(path: String, dv: Option[String] = None): String =
+    s"""{"add":{"path":${graft.core.Json.str(path)},"partitionValues":{},"size":1,"modificationTime":0,""" +
+      s""""dataChange":true${dv.map("," + _).getOrElse("")}}}"""
+
+  private val protoV3 =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""
+
+  private def metaJsonFor(schema: StructType): String =
+    s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${graft.core.Json.str(schema.json)},"partitionColumns":[],"configuration":{}}}"""
+
+  test("deletion vectors: u-storage DV drops exactly its row indexes; time travel restores; rewrite clears") {
+    import graft.sources.DeltaDv
+    val root = Files.createTempDirectory("graft-dimp-dvu").toString
+    TableFixtures.writeSinglePartParquet(
+      (0 until 6).map(i => (i.toLong, s"r$i")).toDF("id", "v").orderBy("id").coalesce(1),
+      s"$root/f0.parquet")
+    TableFixtures.writeSinglePartParquet(
+      Seq((100L, "x")).toDF("id", "v"), s"$root/f1.parquet")
+    // DV for f0: rows 1, 3, 4 deleted; framed .bin under a u-storage path
+    val uuid = java.util.UUID.randomUUID()
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    val enc = DeltaDv.base85Encode(bb.array())
+    val (bin, off, size) = DeltaDv.frameFile(DeltaDv.encodePortable(Seq(1L, 3L, 4L)))
+    Files.write(java.nio.file.Paths.get(s"$root/deletion_vector_$uuid.bin"), bin)
+
+    val schema = new StructType().add("id", "long").add("v", "string")
+    new java.io.File(s"$root/_delta_log").mkdirs()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000000.json"),
+      Seq(protoV3, metaJsonFor(schema), addJson("f0.parquet"), addJson("f1.parquet")).mkString("", "\n", "\n"))
+    // version 1: a DELETE re-adds f0 with its DV (what Delta DML does)
+    Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000001.json"),
+      Seq(addJson("f0.parquet", Some(dvJson("u", enc, off, size, 3)))).mkString("", "\n", "\n"))
+
+    def ids(v: Option[Long]) =
+      DeltaImport.read(spark, root, v).select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids(Some(0L)) == Set(0L, 1L, 2L, 3L, 4L, 5L, 100L), "pre-DV version must see every row")
+    assert(ids(None) == Set(0L, 2L, 5L, 100L), "DV rows must vanish, other files untouched")
+    // version 2: compaction rewrites f0 without a DV -> deletes are baked
+    // in elsewhere; the re-add must CLEAR the stale DV
+    Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000002.json"),
+      Seq(addJson("f0.parquet")).mkString("", "\n", "\n"))
+    assert(ids(None) == Set(0L, 1L, 2L, 3L, 4L, 5L, 100L), "DV-less re-add must clear the DV")
+  }
+
+  test("deletion vectors: inline (i-storage) payload, zero-padded to base85 alignment") {
+    import graft.sources.DeltaDv
+    val root = Files.createTempDirectory("graft-dimp-dvi").toString
+    TableFixtures.writeSinglePartParquet(
+      (0 until 4).map(i => (i.toLong, i * 10)).toDF("id", "x").orderBy("id").coalesce(1),
+      s"$root/f0.parquet")
+    val payload = DeltaDv.encodePortable(Seq(0L, 2L))
+    val padded = payload ++ Array.fill[Byte]((4 - payload.length % 4) % 4)(0)
+    val inline = DeltaDv.base85Encode(padded)
+    val schema = new StructType().add("id", "long").add("x", "integer")
+    new java.io.File(s"$root/_delta_log").mkdirs()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000000.json"),
+      Seq(protoV3, metaJsonFor(schema),
+        addJson("f0.parquet", Some(dvJson("i", inline, 0, payload.length, 2)))).mkString("", "\n", "\n"))
+    val got = DeltaImport.read(spark, root).select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("deletion vectors: readChanges applies the batch's DV to its own adds") {
+    import graft.sources.DeltaDv
+    val root = Files.createTempDirectory("graft-dimp-dvc").toString
+    TableFixtures.writeSinglePartParquet(
+      (0 until 3).map(i => (i.toLong, s"c$i")).toDF("id", "v").orderBy("id").coalesce(1),
+      s"$root/f0.parquet")
+    val payload = DeltaDv.encodePortable(Seq(1L))
+    val padded = payload ++ Array.fill[Byte]((4 - payload.length % 4) % 4)(0)
+    val schema = new StructType().add("id", "long").add("v", "string")
+    new java.io.File(s"$root/_delta_log").mkdirs()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000000.json"),
+      Seq(protoV3, metaJsonFor(schema),
+        addJson("f0.parquet", Some(dvJson("i", DeltaDv.base85Encode(padded), 0, payload.length, 1)))).mkString("", "\n", "\n"))
+    val changed = DeltaImport.readChanges(spark, root, sinceVersion = -1L)
+    assert(changed.select(col("id")).collect().map(_.getLong(0)).toSet == Set(0L, 2L))
+  }
+
   test("name-mode column mapping: physical col-<uuid> parquet names read back as logical columns") {
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("graft-dimp-cm").toString
@@ -427,7 +519,7 @@ class DeltaImportSpec extends AnyFunSuite {
     assert(e.getMessage.contains("columnMapping"))
   }
 
-  test("explicit errors: compacted log without a usable checkpoint, deletion vectors") {
+  test("explicit errors: compacted log without a usable checkpoint, unsupported reader features") {
     val root = Files.createTempDirectory("graft-dimp-err").toString
     new java.io.File(s"$root/_delta_log").mkdirs()
     Files.writeString(
@@ -436,19 +528,19 @@ class DeltaImportSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](DeltaImport.read(spark, root))
     assert(e.getMessage.contains("checkpoint"))
 
-    // deletion vectors (minReaderVersion 3): refused, never silently read
-    // with deleted rows resurrected
-    val dvRoot = Files.createTempDirectory("graft-dimp-dv").toString
+    // reader features we don't implement: refused by name, never silently
+    // misread (v2Checkpoint changes the checkpoint layout itself)
+    val dvRoot = Files.createTempDirectory("graft-dimp-rf").toString
     new java.io.File(s"$dvRoot/_delta_log").mkdirs()
     val schemaJson = graft.core.Json.str(
       new org.apache.spark.sql.types.StructType()
         .add("id", "long").json)
     Files.writeString(
       java.nio.file.Paths.get(s"$dvRoot/_delta_log/00000000000000000000.json"),
-      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}
          |{"metaData":{"id":"t","schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}
          |""".stripMargin)
     val dv = intercept[IllegalArgumentException](DeltaImport.read(spark, dvRoot))
-    assert(dv.getMessage.contains("deletion-vector"))
+    assert(dv.getMessage.contains("v2Checkpoint"))
   }
 }
