@@ -338,11 +338,21 @@ object Streaming {
     *
     * Ordering contract: intra-batch disorder is fully repaired (events are
     * sorted by (ts, event_id) inside each batch); ACROSS batches events must
-    * arrive in event-time order up to the watermark delay — the file-replay
-    * harness guarantees it by time-slicing, and a production feed gets it
-    * from the same watermark that gates every streaming session design.
-    * A late event older than the watermark is dropped by the engine
-    * (standard watermark semantics), never silently mis-sessionized.
+    * arrive in event-time order — the file-replay harness guarantees it by
+    * time-slicing. A late event older than the watermark is dropped by the
+    * engine (standard watermark semantics). An event NEWER than the
+    * watermark but older than the open session's last-seen instant (cross-
+    * batch disorder inside the watermark delay) would silently
+    * mis-sessionize if processed, so it throws IllegalStateException
+    * instead — explicit error, never silent wrongness; a feed with genuine
+    * in-delay disorder needs a watermark-buffered design (Spark's native
+    * session_window), not this state machine.
+    *
+    * Session numbering survives timeout flushes: the flushed slot collapses
+    * to a residual counter (no open session, no timeout — 5 longs per
+    * ever-seen user, the same state order as any per-user aggregation), so
+    * a user who returns continues at the next session_id exactly like the
+    * batch sessionizer.
     *
     * End-of-data flush: a bounded replay appends one [[HeartbeatUser]] row
     * with a far-future timestamp; the watermark then passes every open
@@ -373,10 +383,15 @@ object Streaming {
           if (uid == HeartbeatUser) Iterator.empty
           else if (state.hasTimedOut) {
             // watermark passed session_end + gap: nothing in-time can extend
-            // this session any more -> flush it and clear the state slot
+            // this session any more -> flush it, but RETAIN the counter as a
+            // residual (n = 0) slot so a returning user keeps numbering
+            // where the batch sessionizer would (no timeout registered: the
+            // residual never fires again until an event re-opens it)
             val o = state.get
-            state.remove()
-            Iterator.single(GapSession(uid, o.sessionId, o.n, tsOf(o.startMicros), tsOf(o.endMicros), o.sumCents))
+            state.update(o.copy(n = 0L, startMicros = o.endMicros, sumCents = None))
+            if (o.n > 0)
+              Iterator.single(GapSession(uid, o.sessionId, o.n, tsOf(o.startMicros), tsOf(o.endMicros), o.sumCents))
+            else Iterator.empty
           } else {
             val sorted = it.toVector.sortBy(e => (microsOf(e._3), e._2))
             val out = Vector.newBuilder[GapSession]
@@ -384,6 +399,18 @@ object Streaming {
             var start = 0L; var end = 0L; var prev = Long.MinValue
             state.getOption.foreach { o =>
               sid = o.sessionId; n = o.n; sum = o.sumCents; start = o.startMicros; end = o.endMicros; prev = o.endMicros
+            }
+            sorted.headOption.foreach { case (_, _, ts, _) =>
+              val m = microsOf(ts)
+              // cross-batch disorder INSIDE the watermark delay: processing
+              // it would regress the open session and silently mis-number
+              // everything after — refuse loudly instead (see scaladoc)
+              require(
+                prev == Long.MinValue || m >= prev,
+                s"cross-batch event-time disorder for user $uid: event at $m micros predates the " +
+                  s"session state at $prev micros (within the watermark delay); this state-machine " +
+                  "sessionizer requires cross-batch event-time order — buffer or re-slice the feed"
+              )
             }
             def close(): Unit = if (n > 0) out += GapSession(uid, sid, n, tsOf(start), tsOf(end), sum)
             sorted.foreach { case (_, _, ts, v) =>
@@ -395,7 +422,7 @@ object Streaming {
             // just past the last instant an in-time event could extend it
             // (+1s: setTimeoutTimestamp is millis, end is micros -> ceil)
             state.update(OpenSession(sid, n, start, end, sum))
-            state.setTimeoutTimestamp(end / 1000L + gapMs + 1000L)
+            if (n > 0) state.setTimeoutTimestamp(end / 1000L + gapMs + 1000L)
             out.result().iterator
           }
       }
