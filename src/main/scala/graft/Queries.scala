@@ -1335,6 +1335,9 @@ object Queries {
     // batch-side max event time (parquet stats scan) -> heartbeat 2 days
     // past it clears every session_end + gap(1h) + watermark delay(10m)
     val maxTs = t(s, dir, "events").agg(max(col("ts"))).head().getTimestamp(0)
+    // agg(max) on an empty table yields a null timestamp — fail with the
+    // real cause rather than an opaque NPE before the stream starts
+    require(maxTs != null, s"q74: events table at $dir is empty — no max(ts) to anchor the flush heartbeat")
     val hb = heartbeatStream(s, java.sql.Timestamp.from(maxTs.toInstant.plus(java.time.Duration.ofDays(2))))
     val sessions = graft.streaming.Streaming.gapSessions(s, ev.unionByName(hb))
 
@@ -1444,6 +1447,9 @@ object Queries {
     // timezone and shift the cutoff vs the UTC-session oracle on non-UTC hosts
     val cutoffMicros = java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * 1000000L
     val maxTs = t(s, dir, "events").agg(max(col("ts"))).head().getTimestamp(0)
+    // agg(max) on an empty table yields a null timestamp — fail with the
+    // real cause rather than an opaque NPE before the stream starts
+    require(maxTs != null, s"q79: events table at $dir is empty — no max(ts) to anchor the cutover flush")
     val flushAtMillis = maxTs.getTime + 60000L
     val hb = heartbeatStream(s, java.sql.Timestamp.from(maxTs.toInstant.plus(java.time.Duration.ofDays(2))))
     val deltas = graft.streaming.Streaming.cutoverDeltas(s, ev.unionByName(hb), cutoffMicros, flushAtMillis)
@@ -1820,6 +1826,22 @@ object Queries {
     * partition dirs.
     */
   def q98(s: SparkSession, dir: String): DataFrame = {
+    // served from the PERSISTED layout: quantize once, store codes
+    // cell-partitioned in a VersionedTable, probe opens only nprobe
+    // partition dirs — the oracle replays the inline computation, so a
+    // stored/inline divergence (codes, cells, kernel) fails the gate.
+    // Unique dir per call: each oracle run gates a fresh build.
+    val (idx, centroids, qvec) = q98BuildIndex(s, dir)
+    q98Probe(s, idx, centroids, qvec)
+  }
+
+  /** q98's one-time half: resolve centroids/query driver-side (8 rows +
+    * 1 row — bounded) and persist the IVF+SQ8 serving layout. Split out
+    * so Bench can build ONCE in setup and time only [[q98Probe]] — the
+    * repeated serving op a deployment actually pays per query — without
+    * the build cost masking probe-path regressions (VERDICT r08).
+    */
+  def q98BuildIndex(s: SparkSession, dir: String): (String, Seq[(Long, Seq[Double])], Seq[Float]) = {
     val emb = t(s, dir, "embeddings")
     val centroids = emb
       .filter(col("vec_id") < 8)
@@ -1829,17 +1851,16 @@ object Queries {
       .sortBy(_._1)
       .toSeq
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
-    // served from the PERSISTED layout: quantize once, store codes
-    // cell-partitioned in a VersionedTable, probe opens only nprobe
-    // partition dirs — the oracle replays the inline computation, so a
-    // stored/inline divergence (codes, cells, kernel) fails the gate.
-    // Unique dir per call: Bench times each run against a fresh build.
     val idx = scratchDir("annidx") + "/idx"
     Similarity.writeIvfSq8Index(s, emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", idx, centroids)
+    (idx, centroids, qvec)
+  }
+
+  /** q98's per-query half: serve top-20 from the stored codes. */
+  def q98Probe(s: SparkSession, idx: String, centroids: Seq[(Long, Seq[Double])], qvec: Seq[Float]): DataFrame =
     Similarity
       .probeIvfSq8Index(s, idx, "vec_id", qvec, 20, centroids, nprobe = 3)
       .select(col("vec_id"), floor(col("score") * 1000000).cast("long").as("score_e6"))
-  }
 
   /** q99: REAL BPE token counting for training-data budgeting —
     * [[graft.plans.Bpe]]'s leftmost-lowest-rank merge loop over the

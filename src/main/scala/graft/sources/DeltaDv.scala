@@ -76,6 +76,10 @@ object DeltaDv {
         acc = acc * 85 + v
         j += 1
       }
+      // 85^5 > 2^32: a 5-char group can encode values past 2^32-1 (e.g.
+      // "}}}}}"); RFC 1924 defines none, so refuse rather than silently
+      // keeping the low 32 bits of corrupt input
+      require(acc <= 0xffffffffL, s"invalid base85 group '${s.substring(i, i + 5)}': exceeds 2^32-1")
       val o = i / 5 * 4
       out(o) = (acc >>> 24).toByte; out(o + 1) = (acc >>> 16).toByte
       out(o + 2) = (acc >>> 8).toByte; out(o + 3) = acc.toByte

@@ -209,7 +209,14 @@ object DeltaImport {
           Some(r.getString(0) -> DvDescriptor(
             storageType = r.getString(2),
             pathOrInlineDv = r.getString(3),
-            offset = if (r.isNullAt(4)) 0 else r.getInt(4),
+            // offset is required for on-disk (u/p) storage; defaulting a
+            // missing one to 0 would later trip the frame-size require
+            // with a misleading "DV size mismatch" — name the real problem
+            offset =
+              if (!r.isNullAt(4)) r.getInt(4)
+              else if (r.getString(2) == "i") 0
+              else throw new IllegalArgumentException(
+                s"deletion vector for '${r.getString(0)}': missing offset for ${r.getString(2)}-storage DV (required for u/p storage)"),
             sizeInBytes = r.getInt(5),
             cardinality = r.getLong(6)
           ))

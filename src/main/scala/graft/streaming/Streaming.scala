@@ -443,6 +443,15 @@ object Streaming {
     * pass their raw total through (the reference's no-snapshot asymmetry).
     * A bounded replay appends a [[HeartbeatUser]] row past `flushAtMillis`
     * (+ watermark delay) to force the flush at end-of-data.
+    *
+    * Post-flush stragglers: once the watermark has passed `flushAtMillis`
+    * the snapshot has been emitted; an event for a new key arriving after
+    * that is DROPPED (standard late-data semantics) rather than recreating
+    * state — re-registering a timeout at `flushAtMillis` below the current
+    * watermark would be rejected by Spark and kill the query. Events for a
+    * key whose state still exists in that boundary batch are folded in
+    * (its already-registered timeout fires at batch end with them
+    * included).
     */
   def cutoverDeltas(
       s: SparkSession,
@@ -476,19 +485,31 @@ object Streaming {
               }
             Iterator.single(UserDelta(uid, a.n, delta))
           } else {
-            var a = state.getOption.getOrElse(DeltaAcc(0L, hasPre = false, None, None))
-            it.foreach { case (_, ts, v) =>
-              val pre = microsOf(ts) < cutoffMicros
-              a = a.copy(
-                n = a.n + 1,
-                hasPre = a.hasPre || pre,
-                preSum = if (pre) v.map(x => a.preSum.getOrElse(0L) + cents(x)).orElse(a.preSum) else a.preSum,
-                postSum = if (!pre) v.map(x => a.postSum.getOrElse(0L) + cents(x)).orElse(a.postSum) else a.postSum
-              )
+            val wm = state.getCurrentWatermarkMs()
+            if (!state.exists && wm >= flushAtMillis) {
+              // straggler for an already-flushed key: the snapshot was
+              // emitted when the watermark passed flushAtMillis, and a
+              // timeout re-registered at flushAtMillis would sit below the
+              // watermark (Spark rejects it, killing the query). Drop.
+              Iterator.empty
+            } else {
+              var a = state.getOption.getOrElse(DeltaAcc(0L, hasPre = false, None, None))
+              it.foreach { case (_, ts, v) =>
+                val pre = microsOf(ts) < cutoffMicros
+                a = a.copy(
+                  n = a.n + 1,
+                  hasPre = a.hasPre || pre,
+                  preSum = if (pre) v.map(x => a.preSum.getOrElse(0L) + cents(x)).orElse(a.preSum) else a.preSum,
+                  postSum = if (!pre) v.map(x => a.postSum.getOrElse(0L) + cents(x)).orElse(a.postSum) else a.postSum
+                )
+              }
+              state.update(a)
+              // existing state in the boundary batch (wm just passed
+              // flushAtMillis) keeps its prior registration — its timeout
+              // fires at this batch's end with these events folded in
+              if (flushAtMillis > wm) state.setTimeoutTimestamp(flushAtMillis)
+              Iterator.empty
             }
-            state.update(a)
-            state.setTimeoutTimestamp(flushAtMillis)
-            Iterator.empty
           }
       }
   }
