@@ -1,7 +1,11 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
 
 import graft.core.Json
 
@@ -141,8 +145,21 @@ object DeltaExport {
 
   /** Write the log under `<path>/_delta_log/` (or an alternate root for a
     * dry-run export). Returns the written entries.
+    *
+    * `checkpointEvery` mirrors Delta's `checkpointInterval` (default 10):
+    * every log version divisible by it also gets a classic single-part
+    * parquet checkpoint (`NNN.checkpoint.parquet`) of the RECONCILED state
+    * at that version, and `_last_checkpoint` points at the newest one — so
+    * an external reader of a long-exported log seeks to the checkpoint
+    * instead of replaying every JSON, and JSON commits at-or-below the
+    * checkpoint can be vacuumed without stranding readers. 0 disables.
     */
-  def export(spark: SparkSession, path: String, logRoot: Option[String] = None): Seq[LogEntry] = {
+  def export(
+      spark: SparkSession,
+      path: String,
+      logRoot: Option[String] = None,
+      checkpointEvery: Int = 10
+  ): Seq[LogEntry] = {
     val entries = buildLog(spark, path)
     val root = logRoot.getOrElse(path)
     val f = fs(spark, root)
@@ -153,6 +170,122 @@ object DeltaExport {
       out.write((e.actions.mkString("\n") + "\n").getBytes("UTF-8"))
       out.close()
     }
+    if (checkpointEvery > 0) {
+      val ckptVersions = entries.map(_.deltaVersion)
+        .filter(v => v > 0 && v % checkpointEvery == 0)
+      ckptVersions.foreach(v => writeCheckpoint(spark, root, entries, v))
+      ckptVersions.lastOption.foreach { v =>
+        val n = checkpointRows(entries, v).length
+        val out = f.create(new Path(s"$root/_delta_log/_last_checkpoint"), true)
+        out.write(s"""{"version":$v,"size":$n}""".getBytes("UTF-8"))
+        out.close()
+      }
+    }
     entries
+  }
+
+  /** The classic checkpoint action schema — one nullable struct column per
+    * action kind, exactly the shape [[DeltaImport]]'s checkpoint parser
+    * (and delta-spark's) reads. `remove` is always null in a checkpoint
+    * (reconciled state has no live removes) but stays in the schema for
+    * external-shape fidelity.
+    */
+  private[graft] val checkpointSchema: StructType = StructType(Seq(
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType),
+      StructField("lastUpdated", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType))))
+  ))
+
+  /** Reconcile the exported entries' OWN action JSON up to `at` into
+    * checkpoint rows — replaying the emitted log (rather than recomputing
+    * from the manifests) guarantees the checkpoint can never drift from
+    * what the JSON commits say. Row order: protocol, metaData, txns,
+    * adds (path-sorted) — deterministic.
+    */
+  private def checkpointRows(entries: Seq[LogEntry], at: Long): Seq[Row] = {
+    val mapper = new ObjectMapper()
+    var protocol: Option[Row] = None
+    var metaData: Option[Row] = None
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, (Map[String, String], Long, Long)]
+    entries.filter(_.deltaVersion <= at).foreach { e =>
+      e.actions.map(mapper.readTree).foreach { n =>
+        if (n.has("protocol")) {
+          val p = n.path("protocol")
+          protocol = Some(Row(p.path("minReaderVersion").asInt(1), p.path("minWriterVersion").asInt(2)))
+        }
+        if (n.has("metaData")) {
+          val m = n.path("metaData")
+          metaData = Some(Row(
+            m.path("id").asText(),
+            Row(m.path("format").path("provider").asText("parquet"), Map.empty[String, String]),
+            m.path("schemaString").asText(),
+            m.path("partitionColumns").elements().asScala.map(_.asText()).toSeq,
+            Map.empty[String, String],
+            m.path("createdTime").asLong()))
+        }
+        if (n.has("txn")) {
+          val t = n.path("txn")
+          txns(t.path("appId").asText()) = (t.path("version").asLong(), t.path("lastUpdated").asLong())
+        }
+        if (n.has("add")) {
+          val a = n.path("add")
+          adds(a.path("path").asText()) =
+            (Map.empty[String, String], a.path("size").asLong(), a.path("modificationTime").asLong())
+        }
+        if (n.has("remove")) adds -= n.path("remove").path("path").asText()
+      }
+    }
+    val protoRow = protocol.map(p => Row(null, null, null, null, p)).toSeq
+    val metaRow = metaData.map(m => Row(null, null, null, m, null)).toSeq
+    val txnRows = txns.toSeq.sortBy(_._1).map { case (app, (v, ts)) =>
+      Row(Row(app, v, ts), null, null, null, null)
+    }
+    val addRows = adds.toSeq.sortBy(_._1).map { case (p, (pv, sz, mt)) =>
+      // dataChange=false: checkpoint adds re-state existing data, they are
+      // not new writes (the Delta protocol's checkpoint contract)
+      Row(null, Row(p, pv, sz, mt, false), null, null, null)
+    }
+    protoRow ++ metaRow ++ txnRows ++ addRows
+  }
+
+  /** Write `NNN.checkpoint.parquet` for the reconciled state at `at`. */
+  private def writeCheckpoint(spark: SparkSession, root: String, entries: Seq[LogEntry], at: Long): Unit = {
+    val rows = checkpointRows(entries, at)
+    val df = spark.createDataFrame(rows.asJava, checkpointSchema)
+    val f = fs(spark, root)
+    val stage = new Path(s"$root/_delta_log/.ckpt-stage-$at")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = f.listStatus(stage).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(part.length == 1, s"expected one checkpoint part, got ${part.length}")
+    val dest = new Path(s"$root/_delta_log/" + f"$at%020d.checkpoint.parquet")
+    if (f.exists(dest)) f.delete(dest, false)
+    require(f.rename(part.head.getPath, dest), s"failed to place checkpoint at $dest")
+    f.delete(stage, true)
+    ()
   }
 }

@@ -31,13 +31,19 @@ import org.apache.spark.sql.types._
   * (`snapshotAsOf` by snapshot id), `manifest-list` indirection and v1's
   * inline `manifests` array, DELETED manifest entries (excluded from the
   * live set), schema mapping for all Iceberg primitives plus
-  * struct/list/map, and v2 POSITION deletes (merge-on-read: the delete
+  * struct/list/map, v2 POSITION deletes (merge-on-read: the delete
   * files anti-join the data scan on (file_path, pos) via the scan's own
   * `_metadata` provenance columns — what real v2 tables contain after any
-  * row-level operation).
+  * row-level operation), and v2 EQUALITY deletes (content=2, what Flink
+  * CDC / upsert writers emit: each delete file names its key columns by
+  * schema field id and deletes every matching row in data files with a
+  * STRICTLY OLDER data sequence number — applied as a null-safe-equality
+  * anti-join, sequence-scoped so a same-commit re-insert of the key
+  * survives, partition-scoped when the delete manifest carries an
+  * identity-partition tuple).
   *
   * Not supported, by explicit error rather than silent wrongness: equality
-  * deletes (content=2 delete files need per-row predicate evaluation), and
+  * deletes whose `equality_ids` reference nested or unknown fields, and
   * non-parquet data files (ORC/Avro data would need different readers).
   */
 object IcebergImport {
@@ -63,7 +69,30 @@ object IcebergImport {
         * (file_path, pos) marking deleted rows — merge-on-read applies
         * them as an anti-join); empty for v1 / delete-free tables
         */
-      positionDeleteFiles: Seq[String] = Nil
+      positionDeleteFiles: Seq[String] = Nil,
+      /** v2 equality-delete files live at this snapshot (content=2),
+        * each with its key columns, data sequence number, and identity
+        * partition scope; empty for v1 / Flink-CDC-free tables
+        */
+      equalityDeleteFiles: Seq[EqualityDeleteFile] = Nil,
+      /** resolved data file path -> data sequence number (manifest-list
+        * value, overridden by an explicit manifest-entry value) — the
+        * scoping axis for equality deletes; metadata-sized
+        */
+      dataSequenceNumbers: Map[String, Long] = Map.empty
+  )
+
+  /** One v2 equality-delete parquet file: rows are key tuples over
+    * `equalityColumns` (resolved from the spec's `equality_ids` field ids);
+    * deletes every row whose data file has `sequenceNumber` strictly
+    * greater than the data file's own, within `partitionScope` (empty =
+    * global / unpartitioned spec).
+    */
+  final case class EqualityDeleteFile(
+      path: String,
+      equalityColumns: Seq[String],
+      sequenceNumber: Long,
+      partitionScope: Map[String, String] = Map.empty
   )
 
   private def fs(spark: SparkSession, path: String): FileSystem =
@@ -237,72 +266,108 @@ object IcebergImport {
           .map(_.path("name").asText())
       } else Nil
 
+    // top-level field id -> name, for resolving equality_ids (the spec
+    // addresses equality-delete key columns by schema field id)
+    val fieldIdToName: Map[Int, String] =
+      schemaNode.path("fields").elements().asScala.toSeq.flatMap { fld =>
+        val id = fld.path("id").asInt(-1)
+        if (id >= 0) Some(id -> fld.path("name").asText()) else None
+      }.toMap
+
+    // schema-probed optional-field access: GenericRecord.get(String) on a
+    // missing field THROWS (AvroRuntimeException), it does not return null
+    def probe(r: GenericRecord, f: String): Option[AnyRef] =
+      if (r.getSchema.getField(f) == null) None else Option(r.get(f))
+    def probeLong(r: GenericRecord, f: String): Option[Long] =
+      probe(r, f).map(_.asInstanceOf[Number].longValue())
+
     // manifests of the snapshot: v2 (and modern v1) via the manifest-list
-    // Avro; old v1 metadata may inline a `manifests` array instead
-    val manifests: Seq[(String, Int)] =
+    // Avro; old v1 metadata may inline a `manifests` array instead.
+    // Each carries its v2 `sequence_number` (0 for v1 — v1 has no
+    // sequence numbers and no delete files, so 0 is never consulted).
+    val manifests: Seq[(String, Int, Long)] =
       if (snap.has("manifest-list")) {
         avroRows(spark, resolve(root, snap.path("manifest-list").asText())).map { r =>
           val p = r.get("manifest_path").toString
           // `content` exists only from format v2 on — probe the writer
-          // SCHEMA first: GenericRecord.get(String) on a missing field
-          // THROWS (AvroRuntimeException), it does not return null, so a
-          // genuine v1 manifest list would crash an Option(get) probe
-          val content =
-            if (r.getSchema.getField("content") == null) 0
-            else Option(r.get("content")).map(_.asInstanceOf[Number].intValue()).getOrElse(0)
-          (p, content)
+          // SCHEMA first (see `probe`); a genuine v1 manifest list lacks it
+          val content = probeLong(r, "content").map(_.toInt).getOrElse(0)
+          (p, content, probeLong(r, "sequence_number").getOrElse(0L))
         }
       } else if (snap.has("manifests")) {
-        snap.path("manifests").elements().asScala.toSeq.map(p => (p.asText(), 0))
+        snap.path("manifests").elements().asScala.toSeq.map(p => (p.asText(), 0, 0L))
       } else throw new IllegalStateException(s"snapshot $snapId has neither manifest-list nor manifests")
 
     // manifest entries: status 0=EXISTING, 1=ADDED are live; 2=DELETED is
     // history only. A snapshot's manifest list is COMPLETE state (unlike
     // Delta's incremental log) — no cross-commit reconciliation needed.
-    // Delete manifests (content=1) list v2 row-level delete files: POSITION
-    // deletes (data_file.content=1, rows of (file_path, pos)) are collected
-    // for merge-on-read application; EQUALITY deletes (content=2) would
-    // need predicate evaluation against every data row and are refused.
+    // Each entry's data sequence number is its explicit `sequence_number`
+    // when present, else inherited from the manifest-list entry (the spec's
+    // inheritance rule for ADDED entries; EXISTING entries written by
+    // compliant writers always carry an explicit value).
     def liveEntries(mp: String): Seq[GenericRecord] =
       avroRows(spark, resolve(root, mp)).filter { entry =>
         Option(entry.get("status")).map(_.asInstanceOf[Number].intValue()).getOrElse(1) != 2
       }
-    val liveFiles = manifests.filter(_._2 == 0).flatMap { case (mp, _) =>
+    def entrySeq(entry: GenericRecord, manifestSeq: Long): Long =
+      probeLong(entry, "sequence_number").getOrElse(manifestSeq)
+    def partitionTuple(df: GenericRecord): Map[String, String] =
+      probe(df, "partition").collect { case r: GenericRecord =>
+        identityFields.flatMap { f =>
+          if (r.getSchema.getField(f) == null) None
+          else Option(r.get(f)).map(v => f -> String.valueOf(v))
+        }.toMap
+      }.getOrElse(Map.empty[String, String])
+
+    val liveFiles = manifests.filter(_._2 == 0).flatMap { case (mp, _, mseq) =>
       liveEntries(mp).map { entry =>
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
         val fmt = df.get("file_format").toString.toUpperCase
         require(fmt == "PARQUET", s"data file format $fmt not supported (parquet only)")
-        val partition = Option(df.getSchema.getField("partition"))
-          .flatMap(_ => Option(df.get("partition"))).collect { case r: GenericRecord =>
-          identityFields.flatMap { f =>
-            if (r.getSchema.getField(f) == null) None
-            else Option(r.get(f)).map(v => f -> String.valueOf(v))
-          }.toMap
-        }.getOrElse(Map.empty[String, String])
-        df.get("file_path").toString -> partition
+        (df.get("file_path").toString, partitionTuple(df), entrySeq(entry, mseq))
       }
     }
-    val deleteFiles = manifests.filter(_._2 == 1).flatMap { case (mp, _) =>
-      liveEntries(mp).map { entry =>
+    // Delete manifests (content=1) list v2 row-level delete files: POSITION
+    // deletes (data_file.content=1, rows of (file_path, pos)) and EQUALITY
+    // deletes (content=2, key tuples over the columns named by
+    // `equality_ids`) — both collected for merge-on-read application.
+    var posDeletes = Vector.empty[String]
+    var eqDeletes = Vector.empty[EqualityDeleteFile]
+    manifests.filter(_._2 == 1).foreach { case (mp, _, mseq) =>
+      liveEntries(mp).foreach { entry =>
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
-        val content =
-          if (df.getSchema.getField("content") == null) 1
-          else Option(df.get("content")).map(_.asInstanceOf[Number].intValue()).getOrElse(1)
-        require(
-          content == 1,
-          s"equality delete file in $mp (content=$content): predicate-based deletes — not implemented; " +
-            "position deletes are supported"
-        )
+        val content = probeLong(df, "content").map(_.toInt).getOrElse(1)
         val fmt = df.get("file_format").toString.toUpperCase
         require(fmt == "PARQUET", s"delete file format $fmt not supported (parquet only)")
-        df.get("file_path").toString
+        val path = df.get("file_path").toString
+        content match {
+          case 1 => posDeletes :+= resolve(root, path)
+          case 2 =>
+            val ids = probe(df, "equality_ids") match {
+              case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.asInstanceOf[Number].intValue())
+              case _ => throw new IllegalArgumentException(
+                s"equality delete file $path in $mp carries no equality_ids — cannot resolve its key columns")
+            }
+            require(ids.nonEmpty, s"equality delete file $path has an empty equality_ids list")
+            val cols = ids.map { id =>
+              fieldIdToName.getOrElse(id, throw new IllegalArgumentException(
+                s"equality delete file $path references field id $id, which is not a " +
+                  "top-level schema field — nested equality keys are not supported"))
+            }
+            eqDeletes :+= EqualityDeleteFile(
+              resolve(root, path), cols, entrySeq(entry, mseq), partitionTuple(df))
+          case other => throw new IllegalArgumentException(
+            s"delete file $path in $mp has unknown content=$other (1=position, 2=equality)")
+        }
       }
     }
     TableState(
       snapId, formatVersion, schema,
-      liveFiles.map { case (p, pv) => resolve(root, p) -> pv },
+      liveFiles.map { case (p, pv, _) => resolve(root, p) -> pv },
       identityFields,
-      deleteFiles.map(resolve(root, _))
+      posDeletes,
+      eqDeletes,
+      liveFiles.map { case (p, _, seq) => resolve(root, p) -> seq }.toMap
     )
   }
 
@@ -352,8 +417,8 @@ object IcebergImport {
       spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
     else {
       val data = spark.read.schema(st.schema).parquet(files: _*)
-      if (st.positionDeleteFiles.isEmpty) data
-      else applyPositionDeletes(spark, data, st)
+      if (st.positionDeleteFiles.isEmpty && st.equalityDeleteFiles.isEmpty) data
+      else applyRowLevelDeletes(spark, data, st)
     }
   }
 
@@ -366,30 +431,94 @@ object IcebergImport {
   private def canonPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
 
-  /** MERGE-ON-READ for v2 position deletes, fully distributed: the delete
-    * files (rows of (file_path, pos), spec field-ids 2147483546/45) stream
-    * through a LEFT ANTI join against the data scan keyed on the scan's
-    * own provenance columns (`_metadata.file_path`, `_metadata.row_index`)
-    * — no driver-side delete materialization, and at 100 TB the delete
-    * side is typically small enough that AQE broadcasts it.
+  /** Driver-side twin of [[canonPath]] for manifest-recorded paths. */
+  private def canonPathStr(p: String): String =
+    p.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
+  /** MERGE-ON-READ for v2 row-level deletes, fully distributed.
     *
-    * Applying EVERY snapshot delete to every live file is exact: Iceberg
-    * data files are immutable and never re-added under the same path, so a
-    * (path, pos) pair either hits the exact row it was written against or
-    * nothing (the file was compacted away and the delete is moot).
+    * POSITION deletes (rows of (file_path, pos), spec field-ids
+    * 2147483546/45) stream through a LEFT ANTI join against the data scan
+    * keyed on the scan's own provenance columns (`_metadata.file_path`,
+    * `_metadata.row_index`) — no driver-side delete materialization, and
+    * at 100 TB the delete side is typically small enough that AQE
+    * broadcasts it. Applying EVERY snapshot position delete to every live
+    * file is exact: Iceberg data files are immutable and never re-added
+    * under the same path, so a (path, pos) pair either hits the exact row
+    * it was written against or nothing (the file was compacted away and
+    * the delete is moot).
+    *
+    * EQUALITY deletes (content=2) anti-join on their key columns with
+    * null-safe equality (`<=>` — the spec treats null as a matchable key
+    * value), scoped two ways per spec: (1) by SEQUENCE — a delete applies
+    * only to rows whose data file has a STRICTLY older data sequence
+    * number, so the new rows a Flink upsert commits alongside its delete
+    * survive; per-row sequence numbers come from a broadcast
+    * (file -> seq) map that is manifest metadata, never data-sized;
+    * (2) by PARTITION — a delete written under a partitioned spec applies
+    * only within its identity-partition tuple (identity values equal the
+    * column values, so the scope is a predicate on the data columns
+    * themselves); an unpartitioned delete is global. Delete files sharing
+    * a key-column set are unioned into ONE anti-join, so the plan grows
+    * with the number of distinct key shapes (usually 1), not delete files.
     */
-  private def applyPositionDeletes(spark: SparkSession, data: DataFrame, st: TableState): DataFrame = {
-    import org.apache.spark.sql.functions.col
+  private def applyRowLevelDeletes(spark: SparkSession, data: DataFrame, st: TableState): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val cols = st.schema.fieldNames.toIndexedSeq
+    val needSeq = st.equalityDeleteFiles.nonEmpty
     val tagged = data
       .select((cols.map(col) :+
         canonPath(col("_metadata.file_path")).as("__graft_fp") :+
         col("_metadata.row_index").as("__graft_pos")): _*)
-    val dels = spark.read
-      .parquet(st.positionDeleteFiles: _*)
-      .select(canonPath(col("file_path")).as("__del_fp"), col("pos").cast("long").as("__del_pos"))
-    tagged
-      .join(dels, col("__graft_fp") === col("__del_fp") && col("__graft_pos") === col("__del_pos"), "left_anti")
-      .select(cols.map(col): _*)
+
+    val afterPos =
+      if (st.positionDeleteFiles.isEmpty) tagged
+      else {
+        val dels = spark.read
+          .parquet(st.positionDeleteFiles: _*)
+          .select(canonPath(col("file_path")).as("__del_fp"), col("pos").cast("long").as("__del_pos"))
+        tagged.join(
+          dels,
+          col("__graft_fp") === col("__del_fp") && col("__graft_pos") === col("__del_pos"),
+          "left_anti")
+      }
+
+    val afterEq =
+      if (!needSeq) afterPos
+      else {
+        // per-row data sequence number via file provenance; the map is
+        // manifest-sized, broadcast explicitly
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val seqRows = st.dataSequenceNumbers.toSeq.map { case (p, s) =>
+          Row(canonPathStr(p), s)
+        }
+        val seqDf = spark.createDataFrame(
+          seqRows.asJava,
+          StructType(Seq(StructField("__seq_fp", StringType), StructField("__data_seq", LongType))))
+        val withSeq = afterPos.join(broadcast(seqDf), col("__graft_fp") === col("__seq_fp"), "left")
+        st.equalityDeleteFiles.groupBy(_.equalityColumns).toSeq.sortBy(_._1.mkString(","))
+          .foldLeft(withSeq) { case (acc, (eqCols, files)) =>
+            val delDf = files.map { f =>
+              val base = spark.read.parquet(f.path)
+                .select(eqCols.map(c => col(c).as(s"__del_$c")): _*)
+                .withColumn("__del_seq", lit(f.sequenceNumber))
+              // partition scope as literal columns: null = unconstrained,
+              // so heterogeneous scopes union into one delete relation
+              st.identityFields.foldLeft(base) { (d, pf) =>
+                d.withColumn(s"__scope_$pf", lit(f.partitionScope.get(pf).orNull))
+              }
+            }.reduce(_ unionByName _)
+            val eqCond = eqCols.map(c => acc(c) <=> delDf(s"__del_$c")).reduce(_ && _)
+            val seqCond = acc("__data_seq") < delDf("__del_seq")
+            val scopeCond = st.identityFields
+              .map(pf => delDf(s"__scope_$pf").isNull || acc(pf).cast("string") === delDf(s"__scope_$pf"))
+              .foldLeft(lit(true))(_ && _)
+            // no broadcast hint: accumulated CDC deletes can outgrow the
+            // driver — the equi keys (eqCond) let AQE pick broadcast when
+            // the delete side is actually small
+            acc.join(delDf, eqCond && seqCond && scopeCond, "left_anti")
+          }
+      }
+    afterEq.select(cols.map(col): _*)
   }
 }

@@ -121,6 +121,54 @@ class DeltaExportSpec extends AnyFunSuite {
     assert(txns(entries(2)) == Seq(("s1", 1L), ("s2", 0L)))
   }
 
+  test("checkpoint emission: import reads via the checkpoint after log JSONs are vacuumed") {
+    val path = Files.createTempDirectory("graft-dexp-ckpt").toString + "/t"
+    // 6 commits -> delta versions 0..5; checkpointEvery=2 -> checkpoints at
+    // 2 and 4, _last_checkpoint pointing at 4
+    VersionedTable.commitDelta(spark, path,
+      Seq(("a", 1), ("b", 2)).toDF("bucket", "x"), "bucket",
+      extraMeta = Map("stream_batch:s1" -> "0"))
+    VersionedTable.commitDelta(spark, path, Seq(("b", 20)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("a", 10)).toDF("bucket", "x"), "bucket",
+      extraMeta = Map("stream_batch:s1" -> "1"))
+    VersionedTable.commitDelta(spark, path, Seq(("c", 30)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("b", 21)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("a", 11)).toDF("bucket", "x"), "bucket")
+    DeltaExport.export(spark, path, checkpointEvery = 2)
+
+    val logDir = new java.io.File(s"$path/_delta_log")
+    val names = logDir.listFiles().map(_.getName).toSet
+    assert(names.contains("00000000000000000002.checkpoint.parquet"))
+    assert(names.contains("00000000000000000004.checkpoint.parquet"))
+    assert(names.contains("_last_checkpoint"))
+
+    // _last_checkpoint: external readers' seek pointer — version + action count
+    val lc = mapper.readTree(Files.readString(logDir.toPath.resolve("_last_checkpoint")))
+    assert(lc.path("version").asLong() == 4L)
+    val ckpt = spark.read.parquet(s"$path/_delta_log/00000000000000000004.checkpoint.parquet")
+    assert(lc.path("size").asLong() == ckpt.count())
+    // classic action-column shape; checkpoint adds re-state data, dataChange=false
+    assert(ckpt.columns.sorted.toSeq == Seq("add", "metaData", "protocol", "remove", "txn"))
+    assert(ckpt.filter(col("add").isNotNull).select(col("add.dataChange"))
+      .collect().forall(!_.getBoolean(0)))
+    // cumulative txn state is re-stated (s1 advanced at version 2)
+    assert(ckpt.filter(col("txn").isNotNull).select(col("txn.appId"), col("txn.version"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("s1", 1L)))
+
+    // the import half already reads checkpointed logs: with the covered
+    // JSONs vacuumed away, replay goes checkpoint-4 + JSON-5
+    import graft.sources.DeltaImport
+    (0L to 4L).foreach(v => assert(new java.io.File(s"$path/_delta_log/" + f"$v%020d.json").delete()))
+    val got = DeltaImport.read(spark, path).select(col("bucket"), col("x")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    val want = VersionedTable.read(spark, path).select(col("bucket"), col("x")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == want)
+    // history below the checkpoint is genuinely gone — explicit error
+    val e = intercept[IllegalArgumentException](DeltaImport.read(spark, path, versionAsOf = Some(1L)))
+    assert(e.getMessage.contains("vacuum"))
+  }
+
   test("vacuumed history is skipped, never exported as a partial file set") {
     val path = java.nio.file.Files.createTempDirectory("graft-dexp-v").toString + "/t"
     VersionedTable.commitDelta(spark, path, Seq(("a", 1), ("b", 2)).toDF("bucket", "x"), "bucket")

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -189,12 +191,13 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(rows(IcebergImport.read(spark, root)) == Set((1, "a"), (2, "a"), (3, "b"), (4, "c")))
   }
 
-  test("equality deletes (content=2) are refused — predicate deletes, not silent wrong answers") {
+  test("equality delete without equality_ids, or referencing an unknown field id, is refused") {
     val root = Files.createTempDirectory("graft-ice-eqdel").toString
     new java.io.File(s"$root/metadata").mkdirs()
     val f1 = writeDataFile(root, "f1.parquet", Seq((1, "a")))
     val m1 = s"$root/metadata/m1.avro"
     writeAvro(m1, manifestSchema, Seq(manifestEntry(1, f1, 1)))
+    // no equality_ids field in the writer schema at all -> unresolvable keys
     val md = s"$root/metadata/md.avro"
     writeAvro(md, deleteManifestSchema, Seq(deleteEntry(2, s"$root/data/eq.parquet", 1)))
     val ml = s"$root/metadata/snap-1.avro"
@@ -202,7 +205,133 @@ class IcebergImportSpec extends AnyFunSuite {
     Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
       metadataJson(Seq((1L, ml)), 1L))
     val e = intercept[IllegalArgumentException](IcebergImport.read(spark, root))
-    assert(e.getMessage.contains("equality delete"))
+    assert(e.getMessage.contains("equality_ids"))
+    // equality_ids naming a field id the schema doesn't declare -> refused
+    val md2 = s"$root/metadata/md2.avro"
+    writeAvro(md2, eqDeleteManifestSchema,
+      Seq(eqDeleteEntry(s"$root/data/eq.parquet", Seq(99))))
+    val ml2 = s"$root/metadata/snap-2.avro"
+    writeAvro(ml2, manifestListSchema, Seq(manifestListRow(m1, 0), manifestListRow(md2, 1)))
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v2.metadata.json"),
+      metadataJson(Seq((1L, ml), (2L, ml2)), 2L))
+    val e2 = intercept[IllegalArgumentException](IcebergImport.read(spark, root))
+    assert(e2.getMessage.contains("field id 99"))
+  }
+
+  // equality-delete fixtures: manifest list rows carrying v2
+  // sequence_number, delete entries carrying equality_ids
+  private val seqManifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string"},
+      |  {"name":"manifest_length","type":"long"},
+      |  {"name":"content","type":"int"},
+      |  {"name":"sequence_number","type":"long"}]}""".stripMargin)
+
+  private def seqManifestListRow(path: String, content: Int, seq: Long): GenericRecord = {
+    val r = new GenericData.Record(seqManifestListSchema)
+    r.put("manifest_path", path)
+    r.put("manifest_length", new java.io.File(path).length())
+    r.put("content", content)
+    r.put("sequence_number", seq)
+    r
+  }
+
+  private val eqDeleteManifestSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int"},
+      |  {"name":"data_file","type":{"type":"record","name":"delete_file","fields":[
+      |    {"name":"content","type":"int"},
+      |    {"name":"file_path","type":"string"},
+      |    {"name":"file_format","type":"string"},
+      |    {"name":"record_count","type":"long"},
+      |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
+
+  private def eqDeleteEntry(filePath: String, ids: Seq[Int]): GenericRecord = {
+    val df = new GenericData.Record(eqDeleteManifestSchema.getField("data_file").schema())
+    df.put("content", 2)
+    df.put("file_path", filePath)
+    df.put("file_format", "PARQUET")
+    df.put("record_count", ids.size.toLong)
+    df.put("equality_ids", ids.map(Int.box).asJava)
+    val e = new GenericData.Record(eqDeleteManifestSchema)
+    e.put("status", 1)
+    e.put("data_file", df)
+    e
+  }
+
+  test("equality deletes: key rows vanish; strictly-older sequence scoping spares same-commit re-inserts") {
+    val root = Files.createTempDirectory("graft-ice-eq").toString
+    new java.io.File(s"$root/metadata").mkdirs()
+    // commit 1 (seq 1): f1. commit 2 (seq 2): equality delete on x in
+    // {2,3} PLUS a re-insert of key 2 — the Flink upsert shape. The delete
+    // must erase seq-1 rows with x=2/x=3 and spare the seq-2 (2,"b").
+    val f1 = writeDataFile(root, "f1.parquet", Seq((1, "a"), (2, "a"), (3, "b")))
+    val f2 = writeDataFile(root, "f2.parquet", Seq((2, "b")))
+    val m1 = s"$root/metadata/m1.avro"
+    writeAvro(m1, manifestSchema, Seq(manifestEntry(1, f1, 3)))
+    val m2 = s"$root/metadata/m2.avro"
+    writeAvro(m2, manifestSchema, Seq(manifestEntry(1, f2, 1)))
+    val eqData = s"$root/data/eq-del.parquet"
+    TableFixtures.writeSinglePartParquet(Seq(2, 3).toDF("x"), eqData)
+    val md = s"$root/metadata/md.avro"
+    writeAvro(md, eqDeleteManifestSchema, Seq(eqDeleteEntry(eqData, Seq(1))))
+    val ml = s"$root/metadata/snap-2.avro"
+    writeAvro(ml, seqManifestListSchema, Seq(
+      seqManifestListRow(m1, 0, 1L), seqManifestListRow(m2, 0, 2L), seqManifestListRow(md, 1, 2L)))
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      metadataJson(Seq((2L, ml)), 2L))
+
+    val st = IcebergImport.state(spark, root)
+    assert(st.equalityDeleteFiles.map(d => (d.equalityColumns, d.sequenceNumber)) == Seq((Seq("x"), 2L)))
+    assert(st.dataSequenceNumbers.values.toSet == Set(1L, 2L))
+    assert(rows(IcebergImport.read(spark, root)) == Set((1, "a"), (2, "b")))
+  }
+
+  test("partition-scoped equality delete applies only within its identity-partition tuple") {
+    val root = Files.createTempDirectory("graft-ice-eqpart").toString
+    new java.io.File(s"$root/metadata").mkdirs()
+    val fa = writeDataFile(root, "fa.parquet", Seq((1, "a"), (2, "a")))
+    val fb = writeDataFile(root, "fb.parquet", Seq((2, "b")))
+    val m1 = s"$root/metadata/m1.avro"
+    writeAvro(m1, manifestSchema, Seq(manifestEntry(1, fa, 2), manifestEntry(1, fb, 1)))
+    // delete x=2 scoped to partition p="a": the (2,"b") row must survive
+    val partEqSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"data_file","type":{"type":"record","name":"delete_file","fields":[
+        |    {"name":"content","type":"int"},
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |      {"name":"p","type":["null","string"],"default":null}]}},
+        |    {"name":"record_count","type":"long"},
+        |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
+    val eqData = s"$root/data/eq-del.parquet"
+    TableFixtures.writeSinglePartParquet(Seq(2).toDF("x"), eqData)
+    val delEntry = {
+      val part = new GenericData.Record(
+        partEqSchema.getField("data_file").schema().getField("partition").schema())
+      part.put("p", "a")
+      val df = new GenericData.Record(partEqSchema.getField("data_file").schema())
+      df.put("content", 2); df.put("file_path", eqData); df.put("file_format", "PARQUET")
+      df.put("partition", part); df.put("record_count", 1L)
+      df.put("equality_ids", Seq(Int.box(1)).asJava)
+      val e = new GenericData.Record(partEqSchema)
+      e.put("status", 1); e.put("data_file", df)
+      e
+    }
+    val md = s"$root/metadata/md.avro"
+    writeAvro(md, partEqSchema, Seq(delEntry))
+    val ml = s"$root/metadata/snap-2.avro"
+    writeAvro(ml, seqManifestListSchema, Seq(
+      seqManifestListRow(m1, 0, 1L), seqManifestListRow(md, 1, 2L)))
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      metadataJson(Seq((2L, ml)), 2L,
+        """[{"spec-id":0,"fields":[{"name":"p","transform":"identity","source-id":2,"field-id":1000}]}]"""))
+
+    val st = IcebergImport.state(spark, root)
+    assert(st.equalityDeleteFiles.head.partitionScope == Map("p" -> "a"))
+    assert(rows(IcebergImport.read(spark, root)) == Set((1, "a"), (2, "b")))
   }
 
   test("genuine v1 manifest-list (no content field) imports — schema-probed, not crashed") {
