@@ -32,7 +32,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * scan pins the physical schema the parquet files actually carry, and a
   * per-column struct cast renames everything (any nesting depth) back to
   * logical names; modern Delta writers enable name mode by default on new
-  * tables, so refusing it would refuse most fresh tables.
+  * tables, so refusing it would refuse most fresh tables. ID mode (tables
+  * upgraded from early writer versions) is also supported: each field's
+  * `delta.columnMapping.id` is stamped onto the pinned read schema as
+  * `parquet.field.id` metadata and Spark's own parquet reader —
+  * `spark.sql.parquet.fieldId.read.enabled` — resolves columns by the
+  * field ids in each file's footer, PER FILE and fully distributed; no
+  * driver-side footer reads, and heterogeneous physical names across
+  * files (the reason id mode exists) resolve correctly.
   *
   * Deletion vectors (minReaderVersion 3, `deletionVectors` reader
   * feature) are supported merge-on-read: each live add's DV payload
@@ -44,10 +51,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * that version wins; a rewritten file's DV-less re-add clears it).
   *
   * Not supported, by explicit error rather than silent wrongness: reader
-  * features beyond deletionVectors/columnMapping, and ID-mode column
-  * mapping (`delta.columnMapping.mode` = id resolves columns by parquet
-  * field id, ignoring names entirely — a name-based read would be silent
-  * wrongness).
+  * features beyond deletionVectors/columnMapping, and id-mode fields
+  * missing their `delta.columnMapping.id` (nothing to resolve by).
   *
   * Scale notes: the log is METADATA-sized — parsing it on the driver is
   * bounded by commit count × files per commit, the same order as Delta's
@@ -339,17 +344,14 @@ object DeltaImport {
       )
     }
     // Column mapping (minReaderVersion 2): data files carry physical
-    // col-<uuid> parquet names. NAME mode is supported — the logical
-    // schemaString's field metadata records each field's physicalName, so
-    // the read pins the physical schema and renames back (readFiles). ID
-    // mode (parquet field-id resolution, ignoring names entirely) stays an
-    // explicit refusal. The newest metaData's configuration is
-    // authoritative.
+    // col-<uuid> parquet names. NAME mode reads pin the physical schema
+    // and rename back; ID mode reads resolve by parquet field id through
+    // Spark's own reader (readFiles). The newest metaData's configuration
+    // is authoritative.
     val mappingMode = commits.flatMap(_.columnMappingMode).lastOption.getOrElse("none")
     require(
-      mappingMode == "none" || mappingMode == "name",
-      s"delta.columnMapping.mode '$mappingMode' not supported — id-mode resolution needs " +
-        "parquet field-id matching; name-mode and unmapped tables are supported"
+      Set("none", "name", "id").contains(mappingMode),
+      s"delta.columnMapping.mode '$mappingMode' not supported (none/name/id)"
     )
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
     val liveDv = scala.collection.mutable.HashMap.empty[String, DvDescriptor]
@@ -401,6 +403,37 @@ object DeltaImport {
     case a: org.apache.spark.sql.types.ArrayType => a.copy(elementType = physicalize(a.elementType))
     case m: org.apache.spark.sql.types.MapType =>
       m.copy(keyType = physicalize(m.keyType), valueType = physicalize(m.valueType))
+    case other => other
+  }
+
+  private val MapIdKey = "delta.columnMapping.id"
+  private val ParquetFieldIdKey = "parquet.field.id"
+
+  /** The read schema for ID-mode mapping: names are the physical names
+    * (display only — resolution ignores them), and every struct field
+    * carries `parquet.field.id` metadata copied from its
+    * `delta.columnMapping.id`, which makes Spark's parquet reader match
+    * columns by the ids stamped in each file's footer. A field without an
+    * id is an explicit refusal — a name-based fallback would be the silent
+    * wrongness id mode exists to prevent.
+    */
+  private def physicalizeIds(dt: DataType, at: String): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map { f =>
+        require(
+          f.metadata.contains(MapIdKey),
+          s"id-mode column mapping: field '$at${f.name}' carries no $MapIdKey — nothing to resolve by"
+        )
+        f.copy(
+          name = physName(f),
+          dataType = physicalizeIds(f.dataType, s"$at${f.name}."),
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(ParquetFieldIdKey, f.metadata.getLong(MapIdKey)).build()
+        )
+      })
+    case a: org.apache.spark.sql.types.ArrayType => a.copy(elementType = physicalizeIds(a.elementType, at))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = physicalizeIds(m.keyType, at), valueType = physicalizeIds(m.valueType, at))
     case other => other
   }
 
@@ -523,14 +556,22 @@ object DeltaImport {
       st: TableState,
       files: Seq[(String, Map[String, String])]
   ): DataFrame = {
-    val mapped = st.columnMappingMode == "name"
-    // under name-mode mapping the parquet files (and partition dirs /
+    val mapped = st.columnMappingMode != "none"
+    // under column mapping the parquet files (and partition dirs /
     // partitionValues keys, per the Delta protocol) use PHYSICAL names:
     // read physically, project back to the logical schema at the end. A
     // struct cast renames nested fields by position, so one cast per
-    // top-level column logicalizes any nesting depth.
-    val physSchemaAll =
-      if (mapped) physicalize(st.schema).asInstanceOf[StructType] else st.schema
+    // top-level column logicalizes any nesting depth. ID mode additionally
+    // stamps parquet.field.id onto the read schema and flips Spark's
+    // field-id reader on — a session conf, but inert for any scan whose
+    // schema carries no field ids, so setting it is benign.
+    if (st.columnMappingMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val physSchemaAll = st.columnMappingMode match {
+      case "id"   => physicalizeIds(st.schema, "").asInstanceOf[StructType]
+      case "name" => physicalize(st.schema).asInstanceOf[StructType]
+      case _      => st.schema
+    }
     val physPartCols = st.partitionColumns.map(c => if (mapped) physName(st.schema(c)) else c)
     def toLogical(df: DataFrame): DataFrame =
       if (!mapped) df.select(st.schema.fieldNames.map(col).toIndexedSeq: _*)

@@ -201,8 +201,23 @@ object IcebergExport {
     * Iceberg snapshot; returns the snapshots oldest-first. Metadata lands
     * under `path/metadata/` (HadoopTables layout) unless `metadataRoot`
     * redirects it.
+    *
+    * `partitionTransform` declares the exported spec's transform over the
+    * table's recorded partition column — `day`/`month`/`year`/`hour`,
+    * `bucket[N]`, `truncate[W]`, default identity. The engine's layout
+    * partitions by the RAW value, and any deterministic transform maps
+    * each raw value to one derived value, so every file still has exactly
+    * one partition tuple: the manifest stores the DERIVED value (hidden
+    * partitioning, e.g. `days(ts)` over date-keyed loads) and Iceberg
+    * planners — and [[IcebergImport.read]]'s `partitionFilter`, which
+    * replays the transform — prune files from the manifest alone.
     */
-  def export(spark: SparkSession, path: String, metadataRoot: Option[String] = None): Seq[SnapshotEntry] = {
+  def export(
+      spark: SparkSession,
+      path: String,
+      metadataRoot: Option[String] = None,
+      partitionTransform: Option[String] = None
+  ): Seq[SnapshotEntry] = {
     val f = fs(spark, path)
     val root = metadataRoot.getOrElse(path)
     val metaDir = s"$root/metadata"
@@ -269,24 +284,43 @@ object IcebergExport {
       if (pcs.nonEmpty && pcs.forall(_.isDefined) && pcs.flatten.distinct.size == 1) pcs.head else None
     }
     val currentSchema = DataType.fromJson(distinctSchemas.last).asInstanceOf[StructType]
-    val partField: Option[(String, String)] = partColOpt.flatMap { pc =>
+    // (source column, identity avro type, source Spark type)
+    val partSrc: Option[(String, String, DataType)] = partColOpt.flatMap { pc =>
       if (!pc.matches("[A-Za-z_][A-Za-z0-9_]*")) None // avro record field name rules
-      else currentSchema.fields.find(_.name == pc).flatMap(_.dataType match {
-        case StringType  => Some(pc -> "string")
-        case LongType    => Some(pc -> "long")
-        case IntegerType => Some(pc -> "int")
+      else currentSchema.fields.find(_.name == pc).flatMap(f => f.dataType match {
+        case StringType  => Some((pc, "string", f.dataType))
+        case LongType    => Some((pc, "long", f.dataType))
+        case IntegerType => Some((pc, "int", f.dataType))
         case _           => None
       })
     }
+    val transform = partitionTransform.getOrElse("identity")
+    require(
+      IcebergTransforms.supported(transform),
+      s"partitionTransform '$transform' not supported (identity, year, month, day, hour, bucket[N], truncate[W])"
+    )
+    require(
+      transform == "identity" || partSrc.isDefined,
+      s"partitionTransform '$transform' given, but the table has no spec-expressible partition column"
+    )
+    // tuple field: identity keeps the source name; hidden transforms get
+    // Iceberg's conventional derived name (ts_day, id_bucket, ...)
+    val partField: Option[(String, String)] = partSrc.map { case (pc, avroId, _) =>
+      (IcebergTransforms.fieldName(transform, pc), IcebergTransforms.avroType(transform, avroId))
+    }
     val entrySch = manifestEntrySchema(partField)
-    def partValue(part: String): AnyRef = partField.get._2 match {
-      case "string" => part
-      case "long"   => java.lang.Long.valueOf(part)
-      case "int"    => java.lang.Integer.valueOf(part)
+    def partValue(part: String): AnyRef = {
+      val (_, _, srcType) = partSrc.get
+      val derived = IcebergTransforms.derive(transform, srcType, part)
+      partField.get._2 match {
+        case "string" => derived
+        case "long"   => java.lang.Long.valueOf(derived)
+        case "int"    => java.lang.Integer.valueOf(derived)
+      }
     }
     val specFieldsJson = partField.map { case (n, _) =>
       val topIds = icebergSchemas.last._3
-      s"""[{"name": ${Json.str(n)}, "transform": "identity", "source-id": ${topIds(n)}, "field-id": 1000}]"""
+      s"""[{"name": ${Json.str(n)}, "transform": ${Json.str(transform)}, "source-id": ${topIds(partSrc.get._1)}, "field-id": 1000}]"""
     }.getOrElse("[]")
 
     // files live at each version (relative path, size, partition value),

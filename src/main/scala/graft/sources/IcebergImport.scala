@@ -61,10 +61,15 @@ object IcebergImport {
       schema: StructType,
       liveFiles: Seq[(String, Map[String, String])],
       /** identity-transform partition field names of the default spec —
-        * the columns eligible for manifest-level pruning (declared in
-        * metadata, independent of which files happen to carry values)
+        * the columns whose tuple values equal the source-column values
+        * (declared in metadata, independent of which files carry values)
         */
       identityFields: Seq[String],
+      /** every partition field of the default spec (identity AND hidden
+        * transforms) — `partitionFilter` prunes on any whose transform
+        * [[IcebergTransforms]] can replay
+        */
+      partitionFields: Seq[PartitionField] = Nil,
       /** v2 position-delete parquet files live at this snapshot (rows of
         * (file_path, pos) marking deleted rows — merge-on-read applies
         * them as an anti-join); empty for v1 / delete-free tables
@@ -94,6 +99,12 @@ object IcebergImport {
       sequenceNumber: Long,
       partitionScope: Map[String, String] = Map.empty
   )
+
+  /** One partition field of the default spec: the tuple field's `name`,
+    * its `transform` (identity, day, bucket[N], ...), and the SOURCE
+    * column it derives from (resolved from `source-id`).
+    */
+  final case class PartitionField(name: String, transform: String, source: String)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -245,34 +256,40 @@ object IcebergImport {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $snapId not in table (have ${snapshots.map(_.path("snapshot-id").asLong(-1L)).mkString(",")})"))
 
-    // identity-transform partition field names of the default spec: the
-    // subset whose manifest `partition` values equal the column values and
-    // can therefore drive exact file pruning (bucket/truncate/days etc.
-    // are derived values — pruning on them needs transform replay, out of
-    // scope; their files simply carry an empty tuple here)
-    val identityFields: Seq[String] =
-      if (meta.has("partition-specs")) {
-        val specId = meta.path("default-spec-id").asInt(0)
-        meta.path("partition-specs").elements().asScala
-          .find(_.path("spec-id").asInt(-1) == specId)
-          .map(_.path("fields").elements().asScala.toSeq
-            .filter(_.path("transform").asText() == "identity")
-            .map(_.path("name").asText()))
-          .getOrElse(Nil)
-      } else if (meta.has("partition-spec")) {
-        // legacy v1 metadata: a singular flat fields array
-        meta.path("partition-spec").elements().asScala.toSeq
-          .filter(_.path("transform").asText() == "identity")
-          .map(_.path("name").asText())
-      } else Nil
-
-    // top-level field id -> name, for resolving equality_ids (the spec
-    // addresses equality-delete key columns by schema field id)
+    // top-level field id -> name, for resolving partition-spec source-ids
+    // and equality_ids (both address schema columns by field id)
     val fieldIdToName: Map[Int, String] =
       schemaNode.path("fields").elements().asScala.toSeq.flatMap { fld =>
         val id = fld.path("id").asInt(-1)
         if (id >= 0) Some(id -> fld.path("name").asText()) else None
       }.toMap
+
+    // every partition field of the default spec — identity fields' tuple
+    // values equal the column values; hidden transforms (day, bucket[N],
+    // truncate[W], ...) carry DERIVED values, which partitionFilter prunes
+    // on by replaying the transform ([[IcebergTransforms]])
+    def parseFields(fields: Iterator[JsonNode]): Seq[PartitionField] =
+      fields.map { fld =>
+        val name = fld.path("name").asText()
+        PartitionField(
+          name,
+          fld.path("transform").asText(),
+          fieldIdToName.getOrElse(fld.path("source-id").asInt(-1), name))
+      }.toSeq
+    val partitionFields: Seq[PartitionField] =
+      if (meta.has("partition-specs")) {
+        val specId = meta.path("default-spec-id").asInt(0)
+        meta.path("partition-specs").elements().asScala
+          .find(_.path("spec-id").asInt(-1) == specId)
+          .map(s => parseFields(s.path("fields").elements().asScala))
+          .getOrElse(Nil)
+      } else if (meta.has("partition-spec")) {
+        // legacy v1 metadata: a singular flat fields array
+        parseFields(meta.path("partition-spec").elements().asScala)
+      } else Nil
+    val identityFields: Seq[String] =
+      partitionFields.filter(_.transform == "identity").map(_.name)
+    val allPartFieldNames: Seq[String] = partitionFields.map(_.name)
 
     // schema-probed optional-field access: GenericRecord.get(String) on a
     // missing field THROWS (AvroRuntimeException), it does not return null
@@ -313,7 +330,7 @@ object IcebergImport {
       probeLong(entry, "sequence_number").getOrElse(manifestSeq)
     def partitionTuple(df: GenericRecord): Map[String, String] =
       probe(df, "partition").collect { case r: GenericRecord =>
-        identityFields.flatMap { f =>
+        allPartFieldNames.flatMap { f =>
           if (r.getSchema.getField(f) == null) None
           else Option(r.get(f)).map(v => f -> String.valueOf(v))
         }.toMap
@@ -365,22 +382,29 @@ object IcebergImport {
       snapId, formatVersion, schema,
       liveFiles.map { case (p, pv, _) => resolve(root, p) -> pv },
       identityFields,
-      posDeletes,
-      eqDeletes,
-      liveFiles.map { case (p, _, seq) => resolve(root, p) -> seq }.toMap
+      partitionFields = partitionFields,
+      positionDeleteFiles = posDeletes,
+      equalityDeleteFiles = eqDeletes,
+      dataSequenceNumbers = liveFiles.map { case (p, _, seq) => resolve(root, p) -> seq }.toMap
     )
   }
 
   /** The table's rows at the chosen snapshot (default: current).
     *
-    * `partitionFilter` prunes at the MANIFEST level: only files whose
-    * identity-partition tuple matches every (column → value) entry are
-    * opened — no parquet footer is read for the rest. Values compare as
-    * strings against the manifest's partition struct (Iceberg stores
-    * typed values; `String.valueOf` on both sides). Columns under
-    * non-identity transforms can't drive manifest pruning and are
-    * rejected rather than silently scanning everything. A file whose
-    * tuple LACKS a filtered field (written before a partition-spec
+    * `partitionFilter` prunes at the MANIFEST level: keys are SOURCE
+    * column names, values are source-column values, and only files whose
+    * partition tuple matches every entry are opened — no parquet footer
+    * is read for the rest. For identity fields the tuple value IS the
+    * source value; for hidden transforms (`day(ts)`, `bucket[n](id)`,
+    * `truncate[w](s)`, year/month/hour) the filter value is mapped
+    * through [[IcebergTransforms]] to the derived value the tuple stores
+    * — the same replay Iceberg's own planner performs, so hidden
+    * partitioning prunes exactly like identity partitioning. Values
+    * compare as strings against the manifest's typed partition struct
+    * (`String.valueOf` on both sides). Columns that are no partition
+    * field's source — or sit under a transform this module can't replay
+    * — are rejected rather than silently scanning everything. A file
+    * whose tuple LACKS a filtered field (written before a partition-spec
     * evolution) cannot be proven non-matching, so it is conservatively
     * SCANNED — pruning must never drop rows, only skip provably
     * irrelevant files. `partitionFilter` is therefore a FILE-pruning
@@ -396,22 +420,35 @@ object IcebergImport {
       asOfTimestampMs: Option[Long] = None
   ): DataFrame = {
     val st = state(spark, root, snapshotAsOf, asOfTimestampMs)
-    // validate against the spec's DECLARED identity fields, not observed
-    // tuple keys: a legitimate identity column whose value is null in every
-    // live file carries no tuple entry, yet filtering on it is valid (null
-    // never equals the filter string, so those files stay in via the
+    // validate against the spec's DECLARED partition fields, not observed
+    // tuple keys: a legitimate partition source whose value is null in
+    // every live file carries no tuple entry, yet filtering on it is valid
+    // (null never equals the filter string, so those files stay in via the
     // missing-field conservative-scan rule below)
+    val bySource: Map[String, Seq[PartitionField]] = st.partitionFields.groupBy(_.source)
     partitionFilter.keys.foreach { c =>
+      val pfs = bySource.getOrElse(c, Nil)
       require(
-        st.identityFields.contains(c),
-        s"partitionFilter column '$c' is not an identity partition field of this table — " +
+        pfs.nonEmpty,
+        s"partitionFilter column '$c' is not the source of any partition field of this table — " +
           "manifest-level pruning would silently scan everything"
       )
+      pfs.foreach { pf =>
+        require(
+          IcebergTransforms.supported(pf.transform),
+          s"partition transform '${pf.transform}' on '$c' cannot be replayed for pruning"
+        )
+      }
     }
     // forall over the OPTIONAL tuple value: a file missing the field
     // (pre-evolution) stays in — only a present-and-different value prunes
     val files = st.liveFiles.collect {
-      case (p, pv) if partitionFilter.forall { case (c, v) => pv.get(c).forall(_ == v) } => p
+      case (p, pv) if partitionFilter.forall { case (c, v) =>
+        bySource(c).forall { pf =>
+          val derived = IcebergTransforms.derive(pf.transform, st.schema(c).dataType, v)
+          pv.get(pf.name).forall(_ == derived)
+        }
+      } => p
     }
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)

@@ -501,10 +501,54 @@ class DeltaImportSpec extends AnyFunSuite {
     assert(got == Set((1, "a"), (2, "a"), (3, "b")))
   }
 
-  test("id-mode column mapping stays refused (parquet field-id resolution, not name-based)") {
+  test("id-mode column mapping: columns resolve by parquet field id, not name — heterogeneous files read correctly") {
+    import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("graft-dimp-cmid").toString
-    TableFixtures.writeSinglePartParquet(Seq(7).toDF("x"), s"$root/flat/part-0.parquet")
-    val schema = new StructType().add("x", "integer")
+    // two data files whose PHYSICAL column names differ (the scenario id
+    // mode exists for: renames without rewrites) — only the parquet field
+    // ids line up. Write-side: Spark stamps ids into the footer for schema
+    // fields carrying parquet.field.id metadata.
+    def idMeta(id: Long): Metadata =
+      new MetadataBuilder().putLong("parquet.field.id", id).build()
+    def fileDf(name1: String, name2: String, rows: Seq[(Int, String)]) = {
+      val base = rows.toDF("a", "b")
+      spark.createDataFrame(base.rdd, StructType(Seq(
+        StructField(name1, IntegerType, nullable = true, idMeta(1)),
+        StructField(name2, StringType, nullable = true, idMeta(2)))))
+    }
+    TableFixtures.writeSinglePartParquet(
+      fileDf("old_name", "old_val", Seq((1, "u"))), s"$root/f0.parquet")
+    TableFixtures.writeSinglePartParquet(
+      fileDf("renamed", "v_new", Seq((2, "w"))), s"$root/f1.parquet")
+    // logical schema: ids are authoritative; the recorded physicalName
+    // matches NEITHER file, so any name-based read would return nulls/fail
+    def mapMeta(phys: String, id: Long): Metadata = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id)
+      .build()
+    val schema = StructType(Seq(
+      StructField("x", IntegerType, nullable = true, mapMeta("col-x1", 1)),
+      StructField("v", StringType, nullable = true, mapMeta("col-v2", 2))))
+    val meta =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${graft.core.Json.str(schema.json)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id"}}}"""
+    def add(p: String) =
+      s"""{"add":{"path":${graft.core.Json.str(p)},"partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+    new java.io.File(s"$root/_delta_log").mkdirs()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000000.json"),
+      Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""", meta,
+        add("f0.parquet"), add("f1.parquet")).mkString("", "\n", "\n"))
+    val df = DeltaImport.read(spark, root)
+    assert(df.schema.fieldNames.toSeq == Seq("x", "v"))
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSet == Set((1, "u"), (2, "w")))
+  }
+
+  test("id-mode column mapping: a field without delta.columnMapping.id is refused, not name-matched") {
+    val root = Files.createTempDirectory("graft-dimp-cmid-e").toString
+    TableFixtures.writeSinglePartParquet(Seq(7).toDF("x"), s"$root/f0.parquet")
+    val schema = new StructType().add("x", "integer") // no mapping metadata
     val meta =
       s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":${graft.core.Json.str(schema.json)},"partitionColumns":[],""" +
@@ -513,10 +557,10 @@ class DeltaImportSpec extends AnyFunSuite {
     Files.writeString(
       java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000000.json"),
       Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""", meta,
-        s"""{"add":{"path":"flat/part-0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+        s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
       ).mkString("", "\n", "\n"))
     val e = intercept[IllegalArgumentException](DeltaImport.read(spark, root))
-    assert(e.getMessage.contains("columnMapping"))
+    assert(e.getMessage.contains("delta.columnMapping.id"))
   }
 
   test("explicit errors: compacted log without a usable checkpoint, unsupported reader features") {

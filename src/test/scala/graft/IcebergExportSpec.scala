@@ -65,6 +65,48 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(rows(IcebergImport.read(spark, path)) == rows(VersionedTable.read(spark, path)))
   }
 
+  test("non-identity export: truncate[1] spec stores derived tuples; source-value filter prunes exactly") {
+    val path = Files.createTempDirectory("graft-iexp-tr").toString + "/t"
+    // raw partition values "aa","ab","bz": truncate[1] derives "a","a","b"
+    VersionedTable.commitDelta(spark, path,
+      Seq(("aa", 1), ("ab", 2), ("bz", 3)).toDF("bucket", "x"), "bucket")
+    IcebergExport.export(spark, path, partitionTransform = Some("truncate[1]"))
+    val st = IcebergImport.state(spark, path)
+    assert(st.identityFields.isEmpty)
+    assert(st.partitionFields ==
+      Seq(IcebergImport.PartitionField("bucket_trunc", "truncate[1]", "bucket")))
+    // manifest tuples carry the DERIVED values
+    assert(st.liveFiles.map(_._2("bucket_trunc")).toSet == Set("a", "b"))
+    // filter by SOURCE value: both files deriving "a" stay (conservative —
+    // the row filter composes), the "b" file is never opened
+    val prunedA = IcebergImport.read(spark, path, partitionFilter = Map("bucket" -> "aa"))
+    assert(prunedA.inputFiles.length == 2)
+    assert(rows(prunedA.filter(col("bucket") === "aa")) == Set(("aa", 1)))
+    val prunedB = IcebergImport.read(spark, path, partitionFilter = Map("bucket" -> "bz"))
+    assert(prunedB.inputFiles.length == 1)
+    assert(rows(prunedB) == Set(("bz", 3)))
+    assert(rows(IcebergImport.read(spark, path)) == rows(VersionedTable.read(spark, path)))
+  }
+
+  test("non-identity export: bucket[8] spec round-trips and prunes via hash replay") {
+    val path = Files.createTempDirectory("graft-iexp-bk").toString + "/t"
+    VersionedTable.commitDelta(spark, path,
+      Seq(("k1", 1), ("k2", 2), ("k3", 3), ("k4", 4)).toDF("bucket", "x"), "bucket")
+    IcebergExport.export(spark, path, partitionTransform = Some("bucket[8]"))
+    val st = IcebergImport.state(spark, path)
+    assert(st.partitionFields.map(_.transform) == Seq("bucket[8]"))
+    // every key's file prunes to exactly the files sharing its hash bucket
+    Seq("k1", "k2", "k3", "k4").foreach { k =>
+      val want = graft.sources.IcebergTransforms.derive(
+        "bucket[8]", org.apache.spark.sql.types.StringType, k)
+      val sameBucket = st.liveFiles.count(_._2("bucket_bucket") == want)
+      val pruned = IcebergImport.read(spark, path, partitionFilter = Map("bucket" -> k))
+      assert(pruned.inputFiles.length == sameBucket)
+      assert(rows(pruned.filter(col("bucket") === k)) == rows(
+        VersionedTable.read(spark, path).filter(col("bucket") === k)))
+    }
+  }
+
   test("schema widening: old snapshots' files null-pad under the current schema") {
     val path = Files.createTempDirectory("graft-iexp-s").toString + "/t"
     VersionedTable.commitDelta(spark, path, Seq(("a", 1)).toDF("bucket", "x"), "bucket")

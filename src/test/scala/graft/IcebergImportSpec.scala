@@ -427,10 +427,10 @@ class IcebergImportSpec extends AnyFunSuite {
     // the state itself carries the tuples (file-level pruning is manifest-only)
     assert(IcebergImport.state(spark, root).liveFiles.toMap.values.toSet ==
       Set(Map("p" -> "a"), Map("p" -> "b")))
-    // a filter on a non-identity column is refused, not silently unpruned
+    // a filter on a non-partition column is refused, not silently unpruned
     val e = intercept[IllegalArgumentException](
       IcebergImport.read(spark, root, partitionFilter = Map("x" -> "1")))
-    assert(e.getMessage.contains("identity partition"))
+    assert(e.getMessage.contains("partition field"))
 
     // partition-spec evolution: a file written BEFORE the spec gained p has
     // no p in its tuple — it cannot be proven non-matching, so pruning must
@@ -489,6 +489,72 @@ class IcebergImportSpec extends AnyFunSuite {
     val pruned = IcebergImport.read(spark, root, partitionFilter = Map("p" -> "a"))
     assert(pruned.inputFiles.length == 2)
     assert(rows(pruned) == Set((1, "a"), (2, "b")))
+  }
+
+  test("hidden partitioning: days(ts) filter prunes to exact file counts via transform replay") {
+    val root = Files.createTempDirectory("graft-ice-days").toString
+    new java.io.File(s"$root/metadata").mkdirs()
+    val d1 = java.time.LocalDate.ofEpochDay(19000L) // 2022-01-08
+    val d2 = java.time.LocalDate.ofEpochDay(19005L)
+    def dataFile(name: String, rows: Seq[(Int, java.time.LocalDate)]): String = {
+      val dest = s"$root/data/$name"
+      TableFixtures.writeSinglePartParquet(
+        rows.map { case (x, d) => (x, java.sql.Date.valueOf(d)) }.toDF("x", "ts"), dest)
+      dest
+    }
+    val f1 = dataFile("f1.parquet", Seq((1, d1), (2, d1)))
+    val f2 = dataFile("f2.parquet", Seq((3, d2)))
+    // manifest tuples carry the DERIVED day ints — hand-placed literals,
+    // exactly what a real writer stores under days(ts)
+    val pSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |      {"name":"ts_day","type":["null","int"],"default":null}]}},
+        |    {"name":"record_count","type":"long"}]}}]}""".stripMargin)
+    def entry(path: String, day: Int, n: Long): GenericRecord = {
+      val part = new GenericData.Record(
+        pSchema.getField("data_file").schema().getField("partition").schema())
+      part.put("ts_day", day)
+      val df = new GenericData.Record(pSchema.getField("data_file").schema())
+      df.put("file_path", path); df.put("file_format", "PARQUET")
+      df.put("partition", part); df.put("record_count", n)
+      val e = new GenericData.Record(pSchema)
+      e.put("status", 1); e.put("data_file", df)
+      e
+    }
+    val m = s"$root/metadata/m1.avro"
+    writeAvro(m, pSchema, Seq(entry(f1, 19000, 2), entry(f2, 19005, 1)))
+    val ml = s"$root/metadata/snap-1.avro"
+    writeAvro(ml, manifestListSchema, Seq(manifestListRow(m, 0)))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |  {"id":1,"name":"x","required":true,"type":"int"},
+        |  {"id":2,"name":"ts","required":false,"type":"date"}]}""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"t","location":"","last-sequence-number":1,
+         |"last-updated-ms":0,"last-column-id":2,
+         |"schemas":[$schemaJson],"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |  {"name":"ts_day","transform":"day","source-id":2,"field-id":1000}]}],
+         |"default-spec-id":0,
+         |"current-snapshot-id":1,"snapshots":[
+         |  {"snapshot-id":1,"timestamp-ms":0,"manifest-list":${graft.core.Json.str(ml)}}]}""".stripMargin)
+
+    val st = IcebergImport.state(spark, root)
+    assert(st.identityFields.isEmpty)
+    assert(st.partitionFields == Seq(IcebergImport.PartitionField("ts_day", "day", "ts")))
+    // the filter names the SOURCE column with a source value; replay maps
+    // it to the derived day and prunes to exactly the matching file
+    val pruned = IcebergImport.read(spark, root, partitionFilter = Map("ts" -> d1.toString))
+    assert(pruned.inputFiles.length == 1, "days() pruning must open only the matching file")
+    assert(pruned.select(col("x")).collect().map(_.getInt(0)).toSet == Set(1, 2))
+    val other = IcebergImport.read(spark, root, partitionFilter = Map("ts" -> d2.toString))
+    assert(other.inputFiles.length == 1)
+    assert(other.select(col("x")).collect().map(_.getInt(0)).toSet == Set(3))
   }
 
   test("Iceberg type mapping covers primitives and nested struct/list/map") {
