@@ -248,11 +248,13 @@ class StreamingSpec extends AnyFunSuite {
     */
   private def writeSlices(
       landing: String,
-      slices: Seq[Seq[(Long, Long, java.sql.Timestamp, Option[Double])]]
+      slices: Seq[Seq[(Long, Long, java.sql.Timestamp, Option[Double])]],
+      startIndex: Int = 0 // late-arriving files for restart tests keep mtime order
   ): Unit = {
     import java.nio.file.{Files => JF, Paths, StandardCopyOption}
     JF.createDirectories(Paths.get(landing))
-    slices.zipWithIndex.foreach { case (rows, i) =>
+    slices.zipWithIndex.foreach { case (rows, i0) =>
+      val i = startIndex + i0
       val tmp = JF.createTempDirectory("graft-slice").toString
       rows.toDF("user_id", "event_id", "ts", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
       val stream = JF.list(Paths.get(tmp))
@@ -266,13 +268,19 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  private def runSliced[T](landing: String, build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[T], sink: String): Int = {
+  private def runSliced[T](
+      landing: String,
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[T],
+      sink: String,
+      checkpoint: Option[String] = None
+  ): Int = {
     val stream = spark.readStream
       .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE")
       .option("maxFilesPerTrigger", "1")
       .parquet(landing)
-    val q = build(stream).writeStream.format("memory").queryName(sink).outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val w = build(stream).writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
     assert(q.awaitTermination(120000), "sliced stream did not finish in 120s")
     q.recentProgress.count(_.numInputRows > 0)
   }
@@ -320,6 +328,96 @@ class StreamingSpec extends AnyFunSuite {
       (3L, 1L, 1L, "2024-01-01 10:20:00.0", "2024-01-01 10:20:00.0", None)
     )
     assert(got == want, s"multi-batch sessions mismatch:\n got=$got\nwant=$want")
+  }
+
+  test("sessionization survives kill-and-restart: open sessions restore from the checkpoint, result parity holds") {
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val hbUser = Streaming.HeartbeatUser
+    // same event fixture as the multi-batch test, but the query is KILLED
+    // after slices A-C and a NEW query instance on the SAME checkpoint
+    // finishes the replay — the remaining gap between multi-batch and
+    // fault-tolerant. At the kill point u1/u2's session 2 and u3's
+    // session 1 live only in the state store: if restore failed, the
+    // restart would mis-number or drop them.
+    val sliceA = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), Some(1.0)),
+      (1L, 2L, ts("2024-01-01 10:10:00"), None),
+      (1L, 3L, ts("2024-01-01 10:30:00"), Some(2.5)),
+      (2L, 4L, ts("2024-01-01 10:05:00"), Some(1.25)),
+      (3L, 5L, ts("2024-01-01 10:20:00"), None)
+    )
+    val sliceB = Seq(
+      (2L, 6L, ts("2024-01-01 11:00:00"), Some(0.5)),
+      (2L, 7L, ts("2024-01-01 11:30:00"), None)
+    )
+    val sliceC = Seq(
+      (1L, 8L, ts("2024-01-01 13:30:00"), Some(3.0)),
+      (2L, 9L, ts("2024-01-01 15:00:00"), Some(4.0))
+    )
+    val heartbeat = Seq((hbUser, 0L, ts("2024-01-03 00:00:00"), Option.empty[Double]))
+    val landing = Files.createTempDirectory("graft-rsess").toString
+    val ckpt = Files.createTempDirectory("graft-rsess-ckpt").toString
+    val out = Files.createTempDirectory("graft-rsess-out").toString + "/sessions"
+    writeSlices(landing, Seq(sliceA, sliceB, sliceC))
+
+    // the memory sink can't recover a checkpoint — the restart path needs
+    // a fault-tolerant sink, so the output goes to a parquet FILE sink
+    // (whose _spark_metadata also proves exactly-once output across the
+    // restart: spark.read sees only committed files)
+    def runPhase(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+      val q = Streaming.gapSessions(spark, stream).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "restart-phase stream did not finish in 120s")
+    }
+    def readOut(): Set[(Long, Long, Long, String, String, Option[Long])] =
+      spark.read.parquet(out).collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3).toString, r.getTimestamp(4).toString,
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))
+      }.toSet
+
+    // phase 1: the watermark after slice C (15:00 - 10min) fires every
+    // timeout at or below 14:50 in the final cleanup batch, so sessions
+    // closed by data gaps AND the ripe timeouts (u1 s2 at 14:30:01, u3 s1
+    // at 11:21:01) all emit; only u2's s2 (timeout 16:00:01) stays OPEN in
+    // checkpointed state when AvailableNow exhausts the 3 files
+    runPhase()
+    val phase1 = readOut()
+    assert(phase1 == Set(
+      (1L, 1L, 3L, "2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0", Some(350L)),
+      (1L, 2L, 1L, "2024-01-01 13:30:00.0", "2024-01-01 13:30:00.0", Some(300L)),
+      (2L, 1L, 3L, "2024-01-01 10:05:00.0", "2024-01-01 11:30:00.0", Some(175L)),
+      (3L, 1L, 1L, "2024-01-01 10:20:00.0", "2024-01-01 10:20:00.0", None)
+    ), s"pre-restart flushes wrong: $phase1")
+
+    // the heartbeat lands AFTER the kill; a new query instance resumes
+    // from the checkpoint and processes only it
+    writeSlices(landing, Seq(heartbeat), startIndex = 3)
+    runPhase()
+    val phase2 = readOut() -- phase1
+    // restored state, not re-derivation: u2's open session flushes with
+    // its pre-kill session id and sum — wrong or lost state would number
+    // it 1 or drop it
+    assert(phase2 == Set(
+      (2L, 2L, 1L, "2024-01-01 15:00:00.0", "2024-01-01 15:00:00.0", Some(400L))
+    ), s"post-restart flushes wrong: $phase2")
+
+    // parity with the q24-shaped oracle result: the union across the
+    // restart equals the uninterrupted multi-batch run's output
+    val uninterrupted = Files.createTempDirectory("graft-rsess-once").toString
+    writeSlices(uninterrupted, Seq(sliceA, sliceB, sliceC, heartbeat))
+    runSliced(uninterrupted, df => Streaming.gapSessions(spark, df), "rsess_once")
+    val once = spark.table("rsess_once").collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3).toString, r.getTimestamp(4).toString,
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    }.toSet
+    assert(readOut() == once, "kill-and-restart output diverges from the uninterrupted run")
   }
 
   test("continuous sessionization multi-batch replay matches the single-batch result on real events") {
