@@ -70,8 +70,16 @@ object Bench {
     * adjudication. A min-across-rounds floor is immune: an inflated record
     * never wins the min, and a record stamped `"tainted": true` by the
     * load telemetry below is excluded outright.
+    *
+    * The floor is SF-SCOPED: only records whose `sf` dir matches the
+    * current run contribute, and the r02 inline floor (an sf0.1
+    * measurement) applies only to sf0.1 runs — comparing an sf1 run
+    * against an sf0.1 floor flags every query ~10x "regressed", which is
+    * scale, not regression (the first telemetry-era sf1 refresh hit
+    * exactly this). A run at an SF with no prior record gets an empty
+    * floor and an honest empty `regressions_x`.
     */
-  private def loadBaseline(): (String, Map[String, Double]) = {
+  private def loadBaseline(sfDir: String): (String, Map[String, Double]) = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val candidates = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
@@ -79,7 +87,9 @@ object Bench {
     val perRound = candidates.flatMap { f =>
       try {
         val parsed = mapper.readTree(f).path("parsed")
+        val recSf = parsed.path("sf").asText("")
         if (parsed.path("tainted").asBoolean(false)) None
+        else if (sfName(recSf) != sfName(sfDir)) None
         else {
           val both = Seq(parsed.path("queries"), parsed.path("extras")).filter(_.isObject)
           val m = both.flatMap { node =>
@@ -90,10 +100,19 @@ object Bench {
         }
       } catch { case _: Throwable => None }
     }.flatten
-    val merged = (perRound ++ r02Baseline.toSeq)
+    val inline = if (sfName(sfDir) == "sf0.1") r02Baseline.toSeq else Nil
+    val merged = (perRound ++ inline)
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
-    (s"min_untainted_rounds(n=$used)+r02_inline", merged)
+    val inlineTag = if (inline.nonEmpty) "+r02_inline" else ""
+    (s"min_untainted_rounds(n=$used,sf=${sfName(sfDir)})$inlineTag", merged)
   }
+
+  /** The scale-factor identity of a testdata dir: its basename (the
+    * driver's dirs are named sf0.01/sf0.1/...; ad-hoc dirs like
+    * /tmp/graft_sf1 compare by full basename, never colliding with them).
+    */
+  private def sfName(dir: String): String =
+    dir.stripSuffix("/").split('/').lastOption.getOrElse(dir)
 
   /** Busy CPU ticks (user+nice+system, all cpus) from /proc/stat. */
   private def sysBusyTicks(): Option[Long] =
@@ -213,7 +232,7 @@ object Bench {
     // a headline query (never a silent null)
     val extraTimed = timeAll(extras)
 
-    val (baselineName, baseline) = loadBaseline()
+    val (baselineName, baseline) = loadBaseline(sfDir)
     def jstr(s: String): String = graft.core.Json.str(s)
     // The driver recovers this line from a BOUNDED TAIL of the build log
     // (r04 lesson: a 12-entry verbose regression block pushed the line's
