@@ -1082,6 +1082,50 @@ object Oracles {
     // symbols (DuckDB w[i:i]) match the engine's codePointAt split.
     "q99_bpe_tokens" -> bpeSql,
 
+    // q100: corpus-trained add-one bigram LM — per-bigram NLL quantized
+    // BEFORE any cross-row sum (FLOOR(-1e5·ln p), p = one IEEE division of
+    // exact integer operands), BIGINT sums, BIGINT floor-division mean:
+    // no order-dependent double accumulation in either engine
+    "q100_lm_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | bg AS (SELECT doc_id, ws[i] w1, ws[i+1] w2
+         |   FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) i FROM toks WHERE len(ws) >= 2)),
+         | perdoc AS (SELECT doc_id, w1, w2, count(*) k FROM bg GROUP BY doc_id, w1, w2),
+         | big AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) c12 FROM perdoc GROUP BY w1, w2),
+         | ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) c1 FROM big GROUP BY w1),
+         | voc AS (SELECT count(DISTINCT t) v FROM (SELECT unnest(ws) t FROM toks)),
+         | sc AS (SELECT p.doc_id, p.k,
+         |    CAST(FLOOR(-100000.0 * ln(CAST(c12+1 AS DOUBLE)/CAST(c1+v AS DOUBLE))) AS BIGINT) lp_q
+         |   FROM perdoc p JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc),
+         | agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) n_bigrams,
+         |    CAST(sum(k*lp_q) AS BIGINT) sum_nll_e5 FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, sum_nll_e5, sum_nll_e5 // n_bigrams AS avg_nll_e5,
+         | (sum_nll_e5 // n_bigrams) < 800000 AS kept
+         |FROM agg""".stripMargin,
+
+    // q101: greedy next-fit packing — the recursive CTE replays the
+    // engine's per-shard sequential scan exactly: 8 independent chains
+    // (one per shard) advance one row per iteration, carrying (bin, fill);
+    // overflow closes the open bin only when it is non-empty, so an
+    // over-budget doc keeps a bin of its own
+    "q101_seq_packing" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, CAST(len($tokensExpr) AS INTEGER) n,
+         |    CAST(doc_id % 8 AS INTEGER) shard FROM documents),
+         | ord AS (SELECT doc_id, n, shard, row_number() OVER (PARTITION BY shard ORDER BY doc_id) rn FROM toks),
+         | pack AS (
+         |   SELECT doc_id, n, shard, rn, CAST(0 AS BIGINT) bin_id, CAST(n AS BIGINT) fill
+         |   FROM ord WHERE rn = 1
+         |   UNION ALL
+         |   SELECT o.doc_id, o.n, o.shard, o.rn,
+         |     CASE WHEN p.fill + o.n > 512 AND p.fill > 0 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |     CASE WHEN p.fill + o.n > 512 AND p.fill > 0 THEN CAST(o.n AS BIGINT) ELSE p.fill + o.n END
+         |   FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+         |SELECT doc_id, shard, bin_id, n AS n_tokens FROM pack""".stripMargin,
+
+    // q102: streaming exact dedup converges to the batch DISTINCT
+    "q102_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
     // q96: SQ8 asymmetric ANN — replay quantization (maxabs, scale =
     // maxabs/127, round-half-up int8 codes) and the index-ordered
     // query×codes fold; the engine must produce identical scores from its

@@ -1881,6 +1881,44 @@ object Queries {
     )
   }
 
+  /** q100: corpus-trained bigram LM perplexity filter (CCNet-style) —
+    * every bigram NLL integer-quantized before any cross-row sum, so both
+    * engines agree bit-for-bit (see [[TextAnalysis.bigramLmScore]]).
+    */
+  def q100(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(t(s, dir, "documents"))
+
+  /** q101: greedy next-fit sequence packing into 512-token context
+    * windows across 8 deterministic shards ([[operators.Packing]]); the
+    * oracle replays the same scan with a per-shard recursive CTE.
+    */
+  def q101(s: SparkSession, dir: String): DataFrame =
+    Packing.packGreedy(t(s, dir, "documents"), budget = 512, nShards = 8)
+
+  /** q102: streaming exact dedup — distinct (user_id, event_type) pairs
+    * accumulated in stream state across micro-batches
+    * ([[streaming.Streaming.streamingDistinct]]); oracle is the batch
+    * DISTINCT the stream must converge to. StreamingSpec proves the
+    * cross-batch suppression on a forced multi-batch replay.
+    */
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    val distinctPairs =
+      graft.streaming.Streaming.streamingDistinct(eventsStream(s, dir), Seq("user_id", "event_type"))
+    val name = s"q102_sink_${System.nanoTime()}"
+    val q = distinctPairs.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(300000)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException("q102 streaming pass did not finish — refusing a partial dedup snapshot")
+    }
+    s.table(name)
+  }
+
   /** q95: REAL MP4 container-metadata parse under an oracle — the video
     * half of the multimodal story that needs NO codec: ISO-BMFF is a box
     * tree, and [[Multimodal.decodeVideoMeta]] walks

@@ -99,6 +99,9 @@ object SparkEntry {
     "q97_corpus_pipeline" -> (Queries.q97 _),
     "q98_ann_ivf_sq8" -> (Queries.q98 _),
     "q99_bpe_tokens" -> (Queries.q99 _),
+    "q100_lm_perplexity" -> (Queries.q100 _),
+    "q101_seq_packing" -> (Queries.q101 _),
+    "q102_stream_dedup" -> (Queries.q102 _),
     "q73_group_minhash" -> (Queries.q73 _),
     "q74_stream_sessions" -> (Queries.q74 _),
     "q75_crypto_roundtrip" -> (Queries.q75 _),

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed token-budget context
+  * windows ("bins") — the step that turns a filtered corpus into
+  * training-example batches without wasting budget on padding.
+  *
+  * Packing is inherently ORDER-DEPENDENT (greedy next-fit: a doc that
+  * would overflow the open bin closes it and starts the next), so the
+  * distributed design shards the corpus deterministically (doc_id mod
+  * nShards) and packs each shard as an independent sequential stream:
+  *
+  *  - one shuffle co-locates each shard (`repartition(nShards, shard)`),
+  *  - `sortWithinPartitions(shard, doc_id)` fixes the scan order — no
+  *    global sort, no single-partition stage,
+  *  - a streaming `mapPartitions` scan carries O(1) state (open bin id +
+  *    fill) and resets it on shard boundary, so a partition holding
+  *    several shards (hash collision) packs each correctly.
+  *
+  * At 100 TB the lever is nShards: it bounds per-task sequential work and
+  * scales with the cluster; bin ids are only unique per shard, which is
+  * exactly the contract a downstream per-shard batch writer needs. A doc
+  * longer than the budget gets a bin of its own (it opens a fresh bin and
+  * the next doc always overflows it) — callers wanting truncation chunk
+  * first with [[TextAnalysis.chunkTokens]].
+  */
+object Packing {
+
+  /** Greedy next-fit packing of `df` into `budget`-token bins within
+    * `nShards` deterministic shards. Output: (doc_id, shard, bin_id,
+    * n_tokens) — one row per input doc, bin_id monotone within shard
+    * scan order.
+    */
+  def packGreedy(
+      df: DataFrame,
+      budget: Int,
+      nShards: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import df.sparkSession.implicits._
+    val base = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("int").as("n_tokens"),
+      (col(idCol).cast("long") % nShards).cast("int").as("shard")
+    )
+    base
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        var curShard = Int.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, n, sh) =>
+          if (sh != curShard) { curShard = sh; bin = 0L; fill = 0L }
+          if (fill + n > budget && fill > 0) { bin += 1; fill = 0L }
+          fill += n
+          (id, sh, bin, n)
+        }
+      }
+      .toDF("doc_id", "shard", "bin_id", "n_tokens")
+  }
+}

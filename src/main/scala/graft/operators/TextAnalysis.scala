@@ -399,4 +399,76 @@ object TextAnalysis {
         col("pass_word_count") && col("pass_mean_word_len") && col("pass_repetition")
       )
   }
+
+  /** Word-bigram postings: one row per (doc, bigram occurrence), with the
+    * context word and successor split out for count joins. Tokens bound to
+    * a real column once (HOF binding rule); docs with < 2 tokens emit
+    * nothing.
+    */
+  def bigramOccurrences(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+      .where(size(col("__toks")) >= 2)
+      .select(
+        col(idCol).as("__doc_id"),
+        explode(
+          expr("transform(sequence(0, size(__toks)-2), i -> struct(__toks[i] as w1, __toks[i+1] as w2))")
+        ).as("__bg")
+      )
+      .select(col("__doc_id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+
+  /** Corpus-trained bigram language-model scoring — the CCNet-style
+    * (Wenzek et al. 2020) perplexity quality filter, self-trained so no
+    * external model file is needed: P(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V)
+    * (add-one smoothing, V = unigram vocabulary size), and each document
+    * scores its mean negative log-likelihood over its own bigrams.
+    *
+    * Cross-engine determinism: each bigram's NLL is quantized
+    * independently — FLOOR(scale · −ln p) with p produced by ONE IEEE
+    * division of exact integer operands — then summed as BIGINTs
+    * (order-free), and the per-doc mean is BIGINT floor-division. No
+    * double accumulates across rows.
+    *
+    * Scale shape: counts are built from per-doc partial counts (map-side
+    * combine on (doc,w1,w2) first, so the global (w1,w2) shuffle moves one
+    * row per doc-distinct bigram, not one per occurrence). The count
+    * tables are vocabulary-sized — orders of magnitude smaller than a
+    * 100 TB corpus — and join back against doc-distinct postings on
+    * (w1,w2)/(w1); hot function-word keys stay one-row-per-key on the
+    * build side so there is no skew explosion, and AQE picks
+    * broadcast/shuffle per stats. The vocabulary count crosses in as a
+    * broadcast 1-row relation, never a driver collect.
+    *
+    * Output: (idCol, n_bigrams, sum_nll_e5, avg_nll_e5, kept) for every
+    * doc with ≥ 1 bigram; `kept` = avg_nll_e5 < keepBelowE5.
+    */
+  def bigramLmScore(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      keepBelowE5: Long = 800000L
+  ): DataFrame = {
+    val occ = bigramOccurrences(df, idCol, textCol)
+    // per-doc distinct-bigram counts: the only occurrence-sized shuffle
+    val perDoc = occ.groupBy(col("__doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
+    val bigramCounts = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("c12"))
+    val contextCounts = bigramCounts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(explode(col("__toks")).as("__tok"))
+      .agg(countDistinct(col("__tok")).as("v"))
+    perDoc
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(contextCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn(
+        "lp_q",
+        floor(
+          lit(-100000.0) * log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+        ).cast("long")
+      )
+      .groupBy(col("__doc_id").as(idCol))
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("k") * col("lp_q")).as("sum_nll_e5"))
+      .withColumn("avg_nll_e5", expr("sum_nll_e5 div n_bigrams"))
+      .withColumn("kept", col("avg_nll_e5") < keepBelowE5)
+  }
 }

@@ -281,6 +281,33 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact deduplication: emit each distinct key ONCE across
+    * the whole stream, however many micro-batches its duplicates span.
+    * Spark's streaming `dropDuplicates` keeps the seen-key set in the
+    * state store, so a key that arrived in batch 1 is suppressed when it
+    * reappears in batch 7 — the cross-batch contract a batch `DISTINCT`
+    * can't give an unbounded stream.
+    *
+    * Unbounded streams must bound that state: pass `withinWatermark`
+    * (event-time column must be among `keys`' frame) to switch to
+    * `dropDuplicatesWithinWatermark`, which evicts keys older than the
+    * watermark — the 100 TB/continuous deployment shape, exact as long as
+    * duplicates arrive within the lateness bound. Bounded replays (the
+    * oracle path) omit it and get exact global dedup.
+    */
+  def streamingDistinct(
+      events: DataFrame,
+      keys: Seq[String],
+      withinWatermark: Option[(String, String)] = None
+  ): DataFrame =
+    withinWatermark match {
+      case Some((tsCol, delay)) =>
+        events.withWatermark(tsCol, delay).select((keys :+ tsCol).distinct.map(col): _*)
+          .dropDuplicatesWithinWatermark(keys)
+      case None =>
+        events.select(keys.map(col): _*).dropDuplicates(keys)
+    }
+
   // ------------------------------------------------------------------
   // Continuous (multi-batch) gap sessionization + cumulative cutover
   // ------------------------------------------------------------------

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Packing
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def doc(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+
+  test("packGreedy: next-fit per shard, oversized doc gets its own bin, shard reset") {
+    val df = Seq(
+      // shard 0 (even ids): counts 4, 5, 12, 3
+      (0L, doc(4)), (2L, doc(5)), (4L, doc(12)), (6L, doc(3)),
+      // shard 1 (odd ids): counts 10, 1, 10
+      (1L, doc(10)), (3L, doc(1)), (5L, doc(10))
+    ).toDF("doc_id", "text")
+    val out = Packing
+      .packGreedy(df, budget = 10, nShards = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    // shard 0: 4 -> bin0(4), 5 -> bin0(9), 12 overflows -> bin1 alone, 3 -> bin2
+    assert(out(0L) == ((0, 0L, 4)))
+    assert(out(2L) == ((0, 0L, 5)))
+    assert(out(4L) == ((0, 1L, 12))) // over budget: own bin, not dropped
+    assert(out(6L) == ((0, 2L, 3)))
+    // shard 1: exact fit closes the bin for the NEXT doc, not retroactively
+    assert(out(1L) == ((1, 0L, 10)))
+    assert(out(3L) == ((1, 1L, 1)))
+    assert(out(5L) == ((1, 2L, 10)))
+  }
+
+  test("packGreedy: every bin except possibly the last per shard is within budget; colliding shards stay independent") {
+    // nShards = 3 hashed into fewer partitions than shards forces at least
+    // one partition to hold two shards -> the scan-state reset must hold
+    val df = (0L until 60L).map(i => (i, doc((i % 7).toInt + 1))).toDF("doc_id", "text")
+    val rows = Packing.packGreedy(df, budget = 9, nShards = 3).collect()
+    val byBin = rows.groupBy(r => (r.getInt(1), r.getLong(2)))
+    byBin.foreach { case ((sh, bin), ds) =>
+      val tot = ds.map(_.getInt(3)).sum
+      assert(tot <= 9 || ds.length == 1, s"shard $sh bin $bin holds $tot tokens across ${ds.length} docs")
+    }
+    // each doc appears exactly once, in its own shard
+    assert(rows.length == 60)
+    rows.foreach(r => assert(r.getLong(0) % 3 == r.getInt(1)))
+    // bins are contiguous from 0 within each shard
+    rows.groupBy(_.getInt(1)).foreach { case (_, ds) =>
+      val bins = ds.map(_.getLong(2)).distinct.sorted.toSeq
+      assert(bins == (0L until bins.length))
+    }
+  }
+}

@@ -487,4 +487,40 @@ class StreamingSpec extends AnyFunSuite {
     )
     assert(got == want, s"multi-batch deltas mismatch:\n got=$got\nwant=$want")
   }
+
+  test("streamingDistinct: a key duplicated across micro-batches is emitted exactly once") {
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val sliceA = Seq((1L, 1L, ts("2024-01-10 09:00:00"), Some(1.0)), (2L, 2L, ts("2024-01-10 10:00:00"), Some(1.0)))
+    val sliceB = Seq((2L, 3L, ts("2024-01-10 11:00:00"), Some(1.0)), (3L, 4L, ts("2024-01-10 12:00:00"), Some(1.0)))
+    val sliceC = Seq((1L, 5L, ts("2024-01-10 13:00:00"), Some(1.0)), (4L, 6L, ts("2024-01-10 14:00:00"), Some(1.0)))
+    val landing = Files.createTempDirectory("graft-sdedup").toString
+    writeSlices(landing, Seq(sliceA, sliceB, sliceC))
+    val nBatches = runSliced(landing, df => Streaming.streamingDistinct(df, Seq("user_id")), "sdedup")
+    assert(nBatches >= 3, s"expected >=3 data micro-batches, got $nBatches")
+    val got = spark.table("sdedup").collect().map(_.getLong(0)).toSeq
+    assert(got.sorted == Seq(1L, 2L, 3L, 4L), s"cross-batch dedup broke: $got")
+  }
+
+  test("streamingDistinct withinWatermark: state evicts past the lateness bound (the bounded-state tradeoff)") {
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    // u1 seen at 09:00; slice B advances the watermark hours past
+    // 09:00+10min; eviction runs at END of the batch that SEES that
+    // watermark (one-batch lag: slice C's close removes u1), so u1's
+    // re-arrival in slice D is NOT suppressed — exactness holds only
+    // within the lateness bound, the price of bounded state on an
+    // unbounded stream
+    val sliceA = Seq((1L, 1L, ts("2024-01-10 09:00:00"), Some(1.0)))
+    val sliceB = Seq((99L, 2L, ts("2024-01-10 15:00:00"), Some(1.0)))
+    val sliceC = Seq((98L, 3L, ts("2024-01-10 15:00:10"), Some(1.0)))
+    val sliceD = Seq((1L, 4L, ts("2024-01-10 15:00:30"), Some(1.0)))
+    val landing = Files.createTempDirectory("graft-sdedup-wm").toString
+    writeSlices(landing, Seq(sliceA, sliceB, sliceC, sliceD))
+    runSliced(
+      landing,
+      df => Streaming.streamingDistinct(df, Seq("user_id"), withinWatermark = Some(("ts", "10 minutes"))),
+      "sdedup_wm")
+    val counts = spark.table("sdedup_wm").collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(counts(99L) == 1 && counts(98L) == 1)
+    assert(counts(1L) == 2, s"expected u1 re-emitted after state eviction, got $counts")
+  }
 }

@@ -38,6 +38,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(3, 0, 0, 1))
   }
 
+  test("bigramLmScore: hand-computed add-one bigram NLLs, quantized sums, short docs drop") {
+    val df = Seq(
+      (1L, "a b a b"), // bigrams (a,b)x2 (b,a)x1
+      (2L, "a c"), // (a,c)x1
+      (3L, "x") // no bigrams -> absent from output
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // corpus: c(a,b)=2 c(b,a)=1 c(a,c)=1; c(a,.)=3 c(b,.)=1; V=4 (a,b,c,x)
+    // p(b|a)=3/7 -> floor(1e5*0.847297...) = 84729
+    // p(a|b)=2/5 -> floor(1e5*0.916290...) = 91629
+    // p(c|a)=2/7 -> floor(1e5*1.252763...) = 125276
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 3L) // n_bigrams
+    assert(d1.getLong(2) == 2L * 84729L + 91629L) // sum_nll_e5 = 261087
+    assert(d1.getLong(3) == 261087L / 3L) // avg_nll_e5 = 87029
+    val d2 = out(2L)
+    assert(d2.getLong(1) == 1L && d2.getLong(2) == 125276L && d2.getLong(3) == 125276L)
+    assert(d1.getBoolean(4) && d2.getBoolean(4)) // both far below the keep threshold
+  }
+
   test("langId scores stopword overlap with deterministic tie-break") {
     val df = Seq(
       "the cat sat on the mat with the hat",
