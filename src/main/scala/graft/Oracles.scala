@@ -1126,6 +1126,41 @@ object Oracles {
     "q102_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
+    // q104: stream-stream interval join converges to the batch time-range
+    // join on a bounded replay; µs integer arithmetic, decimal cents
+    "q104_stream_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id click_id, ts cts FROM events WHERE event_type='click'),
+        | p AS (SELECT user_id, event_id purchase_id, ts pts, value FROM events WHERE event_type='purchase')
+        |SELECT c.user_id, click_id, purchase_id,
+        |  epoch_us(pts) - epoch_us(cts) AS delay_us,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS purchase_cents
+        |FROM c JOIN p ON c.user_id = p.user_id
+        | AND pts >= cts AND pts <= cts + INTERVAL 30 MINUTE""".stripMargin,
+
+    // q103: BM25 top-k — every float literal written in e0 notation so
+    // DuckDB parses DOUBLEs (not DECIMALs) and the expression tree is the
+    // engine's IEEE tree verbatim; per-term scores floor-quantized to e6
+    // longs BEFORE the per-doc sum (order-independent), idf and tfn floors
+    // multiplied as exact BIGINTs. k1=1.25, b=0.75, so (k1+1)=2.25e0 and
+    // (1-b)=0.25e0 are binary-exact
+    "q103_bm25_topk" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) dl FROM toks),
+         | stats AS (SELECT count(*) n_docs, CAST(sum(dl) AS BIGINT) sum_dl FROM lens),
+         | postings AS (SELECT doc_id, token, count(*) tf
+         |   FROM (SELECT doc_id, unnest(ws) token FROM toks)
+         |   WHERE token IN ('vector','merge','stream') GROUP BY doc_id, token),
+         | dfreq AS (SELECT token, count(*) df FROM postings GROUP BY token),
+         | scored AS (SELECT p.doc_id,
+         |    CAST(FLOOR(1000000.0e0 * ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)) AS BIGINT)
+         |  * CAST(FLOOR(1000000.0e0 * (CAST(tf AS DOUBLE) * 2.25e0 / (CAST(tf AS DOUBLE) + 1.25e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS BIGINT) term_score_e12
+         |   FROM postings p JOIN dfreq d ON p.token = d.token
+         |   JOIN lens l ON p.doc_id = l.doc_id CROSS JOIN stats),
+         | agg AS (SELECT doc_id, CAST(sum(term_score_e12) AS BIGINT) bm25_e12,
+         |    count(*) n_terms_hit FROM scored GROUP BY doc_id)
+         |SELECT doc_id, bm25_e12, n_terms_hit FROM agg
+         |ORDER BY bm25_e12 DESC, doc_id ASC LIMIT 25""".stripMargin,
+
     // q96: SQ8 asymmetric ANN — replay quantization (maxabs, scale =
     // maxabs/127, round-half-up int8 codes) and the index-ordered
     // query×codes fold; the engine must produce identical scores from its

@@ -696,11 +696,16 @@ object Queries {
     val raw =
       if (isDir) s.readStream.schema(schema).parquet(path)
       else s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
-    // same ns-long -> us-timestamp normalization as IO.table: the driver
-    // testdata carries int64 nanos, ScaleGen already carries timestamps
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // same ts normalization as IO.table: ns-long (old driver data),
+    // TIMESTAMP_NTZ (µs driver data under NTZ inference), or already LTZ
+    // (ScaleGen) — all end as session-TZ TIMESTAMP (session TZ is UTC)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   def q45(s: SparkSession, dir: String): DataFrame = {
@@ -1965,5 +1970,52 @@ object Queries {
         col("hasAudio").as("has_audio"),
         col("ok")
       )
+  }
+
+  /** q103: BM25 top-k retrieval ([[operators.Retrieval.bm25TopK]]) — the
+    * 25 best docs for a 3-term probe query. Per-term scores quantized to
+    * e6 longs before the per-doc sum (order-independent, oracle
+    * bit-exact); constants k1=1.25 / b=0.75 are binary-exact doubles so
+    * the DuckDB literals compute the identical IEEE expression.
+    */
+  def q103(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text", Seq("vector", "merge", "stream"), k = 25)
+
+  /** q104: STREAM-STREAM INTERVAL JOIN — click→purchase attribution as a
+    * real two-stream event-time join ([[streaming.Streaming.intervalJoin]]):
+    * each click pairs with the same user's purchases landing within 30
+    * minutes. The oracle is the equivalent batch time-range join; the
+    * streaming run must converge to it exactly on the bounded replay.
+    * Delay is exact integer µs; purchase cents go through the
+    * decimal(18,2) path (no double rounding).
+    */
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"), col("value"))
+    val joined = graft.streaming.Streaming
+      .intervalJoin(clicks, purchases, "user_id", "click_ts", "purchase_ts", "30 minutes", "1 hour")
+      .select(
+        col("user_id"),
+        col("click_id"),
+        col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("delay_us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("purchase_cents")
+      )
+    val name = s"q104_sink_${System.nanoTime()}"
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("q104 streaming pass did not finish — refusing a partial join snapshot")
+    }
+    s.table(name)
   }
 }

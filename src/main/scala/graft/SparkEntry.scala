@@ -102,6 +102,8 @@ object SparkEntry {
     "q100_lm_perplexity" -> (Queries.q100 _),
     "q101_seq_packing" -> (Queries.q101 _),
     "q102_stream_dedup" -> (Queries.q102 _),
+    "q103_bm25_topk" -> (Queries.q103 _),
+    "q104_stream_interval_join" -> (Queries.q104 _),
     "q73_group_minhash" -> (Queries.q73 _),
     "q74_stream_sessions" -> (Queries.q74 _),
     "q75_crypto_roundtrip" -> (Queries.q75 _),

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over a document corpus: BM25 scoring with a
+  * broadcast query-term list and a bounded top-k tail.
+  *
+  * Reference behavior modeled: the reference's TF-IDF-style term scoring
+  * (aws_datalake's pandas token pipelines) extended to the retrieval
+  * surface a curation pipeline needs — "pull the k most relevant docs for
+  * this probe query" (e.g. targeted decontamination, topical subsetting).
+  *
+  * Scale shape (100 TB story):
+  *   - tokens are exploded ONCE and filtered to the query-term set BEFORE
+  *     any shuffle, so the postings relation entering the aggregation is
+  *     O(matching tokens), not O(corpus tokens);
+  *   - document frequencies aggregate to <= |terms| rows and broadcast
+  *     back;
+  *   - doc lengths + the global (N, sum dl) pair are one partial-agg pass;
+  *   - the final top-k is `orderBy.limit(k)` = TakeOrderedAndProject:
+  *     per-partition heap of k, driver merges k rows per partition —
+  *     never a global sort of the scored relation.
+  *
+  * Determinism: per-term partial scores are quantized to e6 integers and
+  * summed as longs, so the doc score is independent of float summation
+  * order across partitions (and bit-exact reproducible in the DuckDB
+  * oracle). The BM25 constants default to binary-exact doubles
+  * (k1=1.25, b=0.75) so a SQL oracle writing the same decimal literals
+  * computes the identical IEEE value.
+  */
+object Retrieval {
+
+  /** BM25 top-k: returns (doc_id, bm25_e12, n_terms_hit), the k highest
+    * scoring docs for `queryTerms`, ties broken by ascending doc id.
+    *
+    * Score is Lucene-style BM25 with the +1 idf floor:
+    *   idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+    *   tfn(t,d)= tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    * quantized per term as floor(1e6*idf) * floor(1e6*tfn) (a long), then
+    * summed per doc — exact integer arithmetic after the two floors.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.25,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    require(k > 0, "bm25TopK: k must be positive")
+    val terms = queryTerms.distinct
+
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"), TextAnalysis.tokens(col(textCol)).as("ws"))
+    val lens = toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    // One row: corpus size and total token count. Partial-agg pass, broadcast.
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+    // Filter to query terms BEFORE the groupBy shuffle: postings is
+    // O(matching tokens) from here on.
+    val postings = toks
+      .select(col("doc_id"), explode(col("ws")).as("token"))
+      .filter(col("token").isInCollection(terms))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df")) // <= |terms| rows
+
+    val dl = col("dl").cast("double")
+    val tf = col("tf").cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfn = tf * lit(k1 + 1.0) / (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / col("avgdl")))
+
+    postings
+      .join(broadcast(dfreq), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", avgdl)
+      .withColumn("term_score_e12", (floor(lit(1000000.0) * idf).cast("long") * floor(lit(1000000.0) * tfn).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score_e12")).as("bm25_e12"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25_e12").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

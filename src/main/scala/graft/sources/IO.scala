@@ -117,16 +117,27 @@ object IO {
 
   /** Read a named testdata table (driver harness layout, TESTDATA.md).
     *
-    * Spark 4 rejects parquet TIMESTAMP(NANOS) columns (events.ts); we read
-    * them as raw nanos (`nanosAsLong`) and convert to microsecond timestamps
-    * with integer division — lossless for this data (µs-precision values)
-    * and precision-safe (no double arithmetic on epoch-nanos).
+    * The driver's events.ts encoding has varied across rounds; both forms
+    * normalize to a session-TZ TIMESTAMP so every downstream consumer
+    * (unix_micros, Row.getTimestamp, watermarks) sees one type:
+    *   - parquet TIMESTAMP(NANOS): Spark 4 rejects it outright, so read as
+    *     raw nanos (`nanosAsLong`) and integer-divide to µs — lossless for
+    *     this data and precision-safe (no double arithmetic on epoch-nanos);
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaces as
+    *     TIMESTAMP_NTZ under default NTZ inference; cast to TIMESTAMP —
+    *     epoch-exact because the session timezone is pinned to UTC
+    *     (core/Sessions.scala, TestSpark).
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 }

@@ -281,6 +281,49 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream event-time interval join: pair each left row with the
+    * right rows sharing its key whose timestamp lands in
+    * `[leftTs, leftTs + maxDelay]` — the attribution shape (click →
+    * purchase within N minutes) as a real two-stream join, not a batch
+    * self-join.
+    *
+    * Both sides carry a watermark, and the time-range predicate bounds the
+    * join state Spark must buffer: left rows are dropped from state once
+    * the right watermark passes `leftTs + maxDelay + watermarkDelay`,
+    * right rows once the left watermark passes their own ts — so state is
+    * O(events inside the lateness+delay horizon), not O(stream). That is
+    * the property that makes this run indefinitely on a 1000-executor
+    * cluster; an unconstrained stream-stream join is rejected by Spark
+    * for exactly this reason. Inner-join matches emit as soon as both
+    * sides arrive (no watermark wait on the output path).
+    *
+    * The right side's key column is renamed internally to avoid the
+    * ambiguous self-join resolution; all other column names must be
+    * disjoint (caller pre-renames — keeps the operator generic without
+    * guessing a prefixing scheme).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      maxDelay: String,
+      watermarkDelay: String): DataFrame = {
+    require(leftTs != rightTs, "intervalJoin: rename the two event-time columns apart before joining")
+    val overlap = right.columns.toSet.intersect(left.columns.toSet) - keyCol
+    require(overlap.isEmpty, s"intervalJoin: non-key columns overlap: ${overlap.mkString(", ")}")
+    val rKey = keyCol + "__rhs"
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withColumnRenamed(keyCol, rKey).withWatermark(rightTs, watermarkDelay)
+    l.join(
+        r,
+        col(keyCol) === col(rKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+      .drop(rKey)
+  }
+
   /** Streaming exact deduplication: emit each distinct key ONCE across
     * the whole stream, however many micro-batches its duplicates span.
     * Spark's streaming `dropDuplicates` keeps the seen-key set in the

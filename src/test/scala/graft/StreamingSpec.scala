@@ -428,8 +428,16 @@ class StreamingSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.sources.IO.table(spark, dir, "events")
       .select($"user_id", $"event_id", $"ts", $"value")
+    // parquet TIMESTAMP (isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ
+    // (LocalDateTime) under Spark's default NTZ inference — normalize both
+    // external types to java.sql.Timestamp
+    def anyTs(a: Any): java.sql.Timestamp = a match {
+      case t: java.sql.Timestamp     => t
+      case l: java.time.LocalDateTime => java.sql.Timestamp.valueOf(l)
+      case other                     => sys.error(s"unexpected timestamp external type: ${other.getClass}")
+    }
     val rows = ev.collect().map { r =>
-      (r.getLong(0), r.getLong(1), r.getTimestamp(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      (r.getLong(0), r.getLong(1), anyTs(r.get(2)), if (r.isNullAt(3)) None else Some(r.getDouble(3)))
     }.toSeq
     val sortedRows = rows.sortBy(e => (e._3.getTime, e._3.getNanos, e._2))
     val n = sortedRows.size
@@ -522,5 +530,61 @@ class StreamingSpec extends AnyFunSuite {
     val counts = spark.table("sdedup_wm").collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
     assert(counts(99L) == 1 && counts(98L) == 1)
     assert(counts(1L) == 2, s"expected u1 re-emitted after state eviction, got $counts")
+  }
+
+  test("intervalJoin: matches pair across micro-batch boundaries, window bound excludes, no-key-match drops") {
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+    def writeEventSlices(landing: String, slices: Seq[Seq[(Long, Long, java.sql.Timestamp)]]): Unit = {
+      JF.createDirectories(Paths.get(landing))
+      slices.zipWithIndex.foreach { case (rows, i) =>
+        val tmp = JF.createTempDirectory("graft-ij-slice").toString
+        rows.toDF("user_id", "event_id", "ts").coalesce(1).write.mode("overwrite").parquet(tmp)
+        val st = JF.list(Paths.get(tmp))
+        val part =
+          try st.filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+          finally st.close()
+        JF.move(part, Paths.get(landing, f"slice-$i%02d.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+    // click c1(u1)@10:00 matches p1@10:10 (same batch side) AND p2@10:25
+    // arriving in the purchases source's SECOND file — the buffered-state
+    // cross-batch case; p3(u2)@11:00 is outside c2(u2)@10:00's 30-minute
+    // window but inside c3(u2)@10:50's; p4(u3) has no click at all
+    val clicksDir = Files.createTempDirectory("graft-ij-clicks").toString
+    val purchDir = Files.createTempDirectory("graft-ij-purch").toString
+    writeEventSlices(clicksDir, Seq(
+      Seq((1L, 101L, ts("2024-01-01 10:00:00")), (2L, 102L, ts("2024-01-01 10:00:00"))),
+      Seq((2L, 103L, ts("2024-01-01 10:50:00")))))
+    writeEventSlices(purchDir, Seq(
+      Seq((1L, 201L, ts("2024-01-01 10:10:00"))),
+      Seq((1L, 202L, ts("2024-01-01 10:25:00")), (2L, 203L, ts("2024-01-01 11:00:00")), (3L, 204L, ts("2024-01-01 10:05:00")))))
+    def src(dir: String) = spark.readStream
+      .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val clicks = src(clicksDir).select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val purchases = src(purchDir).select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
+    val joined = Streaming
+      .intervalJoin(clicks, purchases, "user_id", "click_ts", "purchase_ts", "30 minutes", "10 minutes")
+      .select($"click_id", $"purchase_id")
+    val q = joined.writeStream.format("memory").queryName("ij_sink").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "interval-join stream did not finish in 120s")
+    val got = spark.table("ij_sink").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((101L, 201L), (101L, 202L), (103L, 203L)), s"unexpected join output: $got")
+  }
+
+  test("intervalJoin: refuses overlapping non-key columns and identical ts names") {
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))).toDF("k", "lts")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))).toDF("k", "lts")
+    intercept[IllegalArgumentException] {
+      Streaming.intervalJoin(l, r, "k", "lts", "lts", "30 minutes", "10 minutes")
+    }
+    val r2 = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "x")).toDF("k", "rts", "lts")
+    intercept[IllegalArgumentException] {
+      Streaming.intervalJoin(l, r2, "k", "lts", "rts", "30 minutes", "10 minutes")
+    }
   }
 }
