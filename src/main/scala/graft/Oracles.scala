@@ -1161,6 +1161,34 @@ object Oracles {
          |SELECT doc_id, bm25_e12, n_terms_hit FROM agg
          |ORDER BY bm25_e12 DESC, doc_id ASC LIMIT 25""".stripMargin,
 
+    // q105: substring-level exact dedup — sliding 8-token windows, grams
+    // occurring >1 time corpus-wide removed, overlapping/touching
+    // occurrences merged into maximal spans per doc, retained text =
+    // surviving tokens joined by ' ' (md5-fingerprinted; md5('') for
+    // fully-removed or empty docs). Engine verifies duplicate grams by
+    // STRING (hash is only a shuffle-narrowing prefilter), so grouping by
+    // the gram string here replays the identical result.
+    "q105_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, CASE WHEN len(trim(text))=0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text),'\s+') END ws FROM documents),
+        | grams AS (SELECT doc_id, x.s AS start_pos, x.g AS gram FROM (
+        |   SELECT doc_id, unnest(list_transform(range(greatest(len(ws) - 8 + 1, 0)), i -> struct_pack(s := i, g := array_to_string(list_slice(ws, i + 1, i + 8), ' ')))) x FROM toks)),
+        | dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+        | occ AS (SELECT doc_id, start_pos, start_pos + 8 AS end_pos FROM grams JOIN dup USING (gram)),
+        | isl AS (SELECT doc_id, start_pos, end_pos, CASE WHEN start_pos > coalesce(max(end_pos) OVER (PARTITION BY doc_id ORDER BY start_pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END brk FROM occ),
+        | isl2 AS (SELECT doc_id, start_pos, end_pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY start_pos ROWS UNBOUNDED PRECEDING) island FROM isl),
+        | spans AS (SELECT doc_id, island, min(start_pos) s, max(end_pos) e FROM isl2 GROUP BY doc_id, island),
+        | spanstats AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_spans, CAST(sum(e - s) AS BIGINT) removed FROM spans GROUP BY doc_id),
+        | pos AS (SELECT doc_id, unnest(ws) tok, unnest(range(len(ws))) p FROM toks),
+        | rem AS (SELECT DISTINCT pos.doc_id, pos.p FROM pos JOIN spans ON pos.doc_id = spans.doc_id AND pos.p >= spans.s AND pos.p < spans.e),
+        | kept AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos ANTI JOIN rem ON pos.doc_id = rem.doc_id AND pos.p = rem.p),
+        | ret AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY p)) retained_md5 FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(ws) AS BIGINT) n_tokens,
+        |  coalesce(n_spans, CAST(0 AS BIGINT)) n_spans,
+        |  coalesce(removed, CAST(0 AS BIGINT)) removed_tokens,
+        |  CAST(len(ws) AS BIGINT) - coalesce(removed, CAST(0 AS BIGINT)) kept_tokens,
+        |  coalesce(retained_md5, md5('')) retained_md5
+        |FROM toks t LEFT JOIN spanstats USING (doc_id) LEFT JOIN ret USING (doc_id)""".stripMargin,
+
     // q96: SQ8 asymmetric ANN — replay quantization (maxabs, scale =
     // maxabs/127, round-half-up int8 codes) and the index-ordered
     // query×codes fold; the engine must produce identical scores from its

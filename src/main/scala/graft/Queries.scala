@@ -2018,4 +2018,13 @@ object Queries {
     }
     s.table(name)
   }
+
+  /** q105: substring-level exact dedup ([[operators.Dedup.dedupSubstrings]])
+    * — remove every 8-token span that occurs more than once anywhere in
+    * the corpus, report per-doc span/token removal stats and the md5 of
+    * the retained text. The Lee et al. ExactSubstr shape as scans +
+    * two-phase (hash, then string-verified) duplicate detection.
+    */
+  def q105(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSubstrings(t(s, dir, "documents"), "doc_id", "text", k = 8)
 }

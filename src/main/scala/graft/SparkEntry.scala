@@ -104,6 +104,7 @@ object SparkEntry {
     "q102_stream_dedup" -> (Queries.q102 _),
     "q103_bm25_topk" -> (Queries.q103 _),
     "q104_stream_interval_join" -> (Queries.q104 _),
+    "q105_substring_dedup" -> (Queries.q105 _),
     "q73_group_minhash" -> (Queries.q73 _),
     "q74_stream_sessions" -> (Queries.q74 _),
     "q75_crypto_roundtrip" -> (Queries.q75 _),

@@ -515,4 +515,116 @@ object Dedup {
       // raw (bit-exact index-order fold) cosine: callers floor-scale
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Substring-level exact dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): any k-token span that appears
+    * MORE THAN ONCE anywhere in the corpus (any doc, any offset, including
+    * within one doc) is removed from every document that contains it.
+    * Unlike doc-level dedup this catches boilerplate (headers, licenses,
+    * navigation chrome) embedded inside otherwise-unique documents.
+    *
+    * The paper builds a suffix array; the Spark-native equivalent is the
+    * sliding k-gram relation — same duplicated-span result for fixed k,
+    * but expressible as scans + aggregations:
+    *   1. explode each doc into its (start, k-gram) windows;
+    *   2. find duplicated grams with a TWO-PHASE shuffle: group the
+    *      8-byte xxhash64 first (O(8B/gram) network), then re-verify the
+    *      gram STRING only for hash-duplicate candidates — the full-string
+    *      shuffle carries just the duplicate mass, so a hash collision can
+    *      never remove a span two docs don't actually share;
+    *   3. per doc, merge overlapping/adjacent duplicate occurrences into
+    *      maximal spans (single window over positions within one doc —
+    *      bounded by doc length, never corpus-wide);
+    *   4. rebuild the retained text from the surviving token positions
+    *      (range anti-join per doc) and fingerprint it.
+    *
+    * Output: one row per input doc —
+    *   (doc_id, n_tokens, n_spans, removed_tokens, kept_tokens,
+    *    retained_md5) where retained_md5 is the md5 of the kept tokens
+    * joined by single spaces ("" for fully-removed or empty docs; the
+    * original inter-token whitespace is not recoverable post-tokenize).
+    */
+  def dedupSubstrings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8
+  ): DataFrame = {
+    require(k >= 2, s"dedupSubstrings: span length k=$k must be >= 2")
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"), TextAnalysis.tokens(col(textCol)).as("ws"))
+    // (doc_id, start, gram): the sliding windows. sequence(0, size-k) is
+    // empty-guarded by the when(); slice is 1-based like the oracle's
+    // list_slice.
+    val grams = toks
+      .select(
+        col("doc_id"),
+        explode(
+          when(size(col("ws")) >= k,
+            expr(s"transform(sequence(0, size(ws) - $k), i -> struct(i as s, array_join(slice(ws, i + 1, $k), ' ') as g))"))
+            .otherwise(expr("array()").cast("array<struct<s:int,g:string>>"))
+        ).as("w")
+      )
+      .select(col("doc_id"), col("w.s").as("start_pos"), col("w.g").as("gram"))
+    // Phase 1: duplicate hashes (8-byte shuffle over every gram).
+    val dupHashes = grams
+      .groupBy(xxhash64(col("gram")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("h"))
+    // Phase 2: string-verify only the candidates; a candidate set contains
+    // ALL occurrences of each surviving hash, so the per-string count here
+    // equals the global count.
+    val candidates = grams
+      .join(dupHashes, xxhash64(col("gram")) === col("h"), "left_semi")
+    val dupGrams = candidates
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("gram"))
+    val occ = candidates
+      .join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("start_pos"), (col("start_pos") + k).as("end_pos"))
+    // Merge overlapping AND touching occurrences into maximal spans:
+    // a new island starts when this occurrence begins past every prior
+    // end. end_pos = start_pos + k is monotone in start_pos, but the
+    // running max keeps the logic shape-independent.
+    val byStart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start_pos"))
+    val prevEnd = max(col("end_pos")).over(byStart.rowsBetween(Long.MinValue, -1))
+    val spans = occ
+      .withColumn("brk", when(col("start_pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byStart.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start_pos")).as("s"), max(col("end_pos")).as("e"))
+    val spanStats = spans
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).cast("long").as("removed"))
+    // Surviving tokens -> canonical retained text. The range predicate
+    // rides on the doc_id equi-join; per-doc span counts are bounded by
+    // doc length so the join never skews.
+    val pos = toks.select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "tok")))
+    val kept = pos.join(
+      spans,
+      pos("doc_id") === spans("doc_id") && col("p") >= col("s") && col("p") < col("e"),
+      "left_anti")
+    val retained = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"), " ").as("kept_text"),
+        count(lit(1)).as("kept_direct"))
+      .select(col("doc_id"), md5(col("kept_text")).as("retained_md5"))
+    toks
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(spanStats, Seq("doc_id"), "left_outer")
+      .join(retained, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed"), lit(0L)).as("removed_tokens"),
+        (col("n_tokens") - coalesce(col("removed"), lit(0L))).as("kept_tokens"),
+        coalesce(col("retained_md5"), md5(lit(""))).as("retained_md5")
+      )
+  }
 }

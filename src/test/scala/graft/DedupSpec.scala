@@ -205,4 +205,41 @@ class DedupSpec extends AnyFunSuite {
     val short = Seq((1L, "one two")).toDF("doc_id", "text")
     assert(short.select(TextAnalysis.wordShingles($"text", 3)).head().getSeq[String](0).isEmpty)
   }
+
+  test("dedupSubstrings removes corpus-duplicated k-spans, merges overlaps, keeps unique text") {
+    // k=4. Docs A and B share the span "w1 w2 w3 w4 w5" (two overlapping
+    // 4-grams -> one merged 5-token span in each); doc C repeats a 4-gram
+    // INSIDE itself; doc D is unique; doc E is shorter than k.
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 ua ub uc"),
+      (2L, "va vb w1 w2 w3 w4 w5 vc"),
+      (3L, "r1 r2 r3 r4 x y z r1 r2 r3 r4"),
+      (4L, "only unique words appear here today friends"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(d, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    assert(out(1L) == ((8L, 1L, 5L, 3L, md5hex("ua ub uc"))))
+    assert(out(2L) == ((8L, 1L, 5L, 3L, md5hex("va vb vc"))))
+    // doc 3: starts 0 and 7 both dup ("r1 r2 r3 r4"), non-touching ->
+    // two spans, 8 tokens removed, "x y z" kept
+    assert(out(3L) == ((11L, 2L, 8L, 3L, md5hex("x y z"))))
+    assert(out(4L) == ((7L, 0L, 0L, 7L, md5hex("only unique words appear here today friends"))))
+    assert(out(5L) == ((2L, 0L, 0L, 2L, md5hex("too short"))))
+  }
+
+  test("dedupSubstrings: adjacent (touching) occurrences merge into one span; k<2 refused") {
+    // "a b a b a b a b" with k=2: every 2-gram dups; all positions covered -> one span
+    val d = Seq((1L, "a b a b a b a b"), (2L, "a b zz")).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(d, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((1L, 8L, 0L)))
+    // doc 2 shares only the "a b" 2-gram -> loses it, keeps "zz"
+    assert(out(2L) == ((1L, 2L, 1L)))
+    intercept[IllegalArgumentException] { Dedup.dedupSubstrings(d, "doc_id", "text", k = 1) }
+  }
 }
