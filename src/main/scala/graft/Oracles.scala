@@ -1189,6 +1189,41 @@ object Oracles {
         |  coalesce(retained_md5, md5('')) retained_md5
         |FROM toks t LEFT JOIN spanstats USING (doc_id) LEFT JOIN ret USING (doc_id)""".stripMargin,
 
+    // q107: hybrid retrieval — BM25 (q103's expression tree, depth 100)
+    // and ordered-fold cosine vs vec 42 (q40's tree, self excluded) fused
+    // by RRF: floor(1e9/(60+rank)) long contributions, exact integer sum
+    "q107_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) dl FROM toks),
+         | stats AS (SELECT count(*) n_docs, CAST(sum(dl) AS BIGINT) sum_dl FROM lens),
+         | postings AS (SELECT doc_id, token, count(*) tf
+         |   FROM (SELECT doc_id, unnest(ws) token FROM toks)
+         |   WHERE token IN ('vector','merge','stream') GROUP BY doc_id, token),
+         | dfreq AS (SELECT token, count(*) df FROM postings GROUP BY token),
+         | scored AS (SELECT p.doc_id,
+         |    CAST(FLOOR(1000000.0e0 * ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)) AS BIGINT)
+         |  * CAST(FLOOR(1000000.0e0 * (CAST(tf AS DOUBLE) * 2.25e0 / (CAST(tf AS DOUBLE) + 1.25e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS BIGINT) term_score_e12
+         |   FROM postings p JOIN dfreq d ON p.token = d.token
+         |   JOIN lens l ON p.doc_id = l.doc_id CROSS JOIN stats),
+         | bm AS (SELECT doc_id, CAST(sum(term_score_e12) AS BIGINT) bm25_e12 FROM scored GROUP BY doc_id),
+         | lexr AS (SELECT * FROM (SELECT doc_id id, CAST(row_number() OVER (ORDER BY bm25_e12 DESC, doc_id ASC) AS BIGINT) r FROM bm) WHERE r <= 100),
+         | q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 42),
+         | pairs AS (SELECT e.vec_id, unnest(e.embedding) x, unnest(q.qe) y, unnest(range(64)) i
+         |   FROM embeddings e, q WHERE e.vec_id <> 42),
+         | dots AS (SELECT vec_id,
+         |    sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d,
+         |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) nx,
+         |    sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) ny
+         |  FROM pairs GROUP BY vec_id),
+         | cos AS (SELECT vec_id, CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END c FROM dots),
+         | semr AS (SELECT * FROM (SELECT vec_id id, CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS BIGINT) r FROM cos) WHERE r <= 100)
+         |SELECT coalesce(l.id, s.id) id,
+         |  coalesce(CAST(FLOOR(1000000000.0e0/(60+l.r)) AS BIGINT), 0) + coalesce(CAST(FLOOR(1000000000.0e0/(60+s.r)) AS BIGINT), 0) AS rrf_e9,
+         |  CAST((CASE WHEN l.id IS NULL THEN 0 ELSE 1 END) + (CASE WHEN s.id IS NULL THEN 0 ELSE 1 END) AS BIGINT) n_systems,
+         |  l.r AS lex_rank, s.r AS sem_rank
+         |FROM lexr l FULL JOIN semr s ON l.id = s.id
+         |ORDER BY rrf_e9 DESC, id ASC LIMIT 25""".stripMargin,
+
     // q96: SQ8 asymmetric ANN — replay quantization (maxabs, scale =
     // maxabs/127, round-half-up int8 codes) and the index-ordered
     // query×codes fold; the engine must produce identical scores from its
@@ -1371,6 +1406,35 @@ object Oracles {
         |UNION ALL
         |SELECT b2.o_custkey, o_orderkey, o_orderdate, o_totalprice, key_bucket,
         |  'Y', CAST(NULL AS TIMESTAMP)
+        |FROM b2 JOIN kb ON b2.o_custkey = kb.o_custkey""".stripMargin,
+
+    // q106: change data feed between the two SCD-2 commits — updated
+    // customers emit a preimage/postimage pair for the closed row plus an
+    // insert of the new active row; new customers insert only; untouched
+    // rows (even in rewritten buckets) emit nothing
+    "q106_change_feed" ->
+      """WITH w1 AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        | b1 AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM w1 WHERE rn = 1),
+        | w2 AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+        | b2 AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM w2 WHERE rn = 1),
+        | kb AS (SELECT DISTINCT o_custkey,
+        |    CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15)) AS BIGINT) % 16 key_bucket
+        |  FROM orders),
+        | upd AS (SELECT * FROM b1 WHERE o_custkey IN (SELECT o_custkey FROM b2))
+        |SELECT upd.o_custkey, o_orderkey, o_orderdate, o_totalprice, key_bucket,
+        |  'Y' AS actv_flg, CAST(NULL AS TIMESTAMP) AS record_to, 'update_preimage' AS change_type
+        |FROM upd JOIN kb ON upd.o_custkey = kb.o_custkey
+        |UNION ALL
+        |SELECT upd.o_custkey, o_orderkey, o_orderdate, o_totalprice, key_bucket,
+        |  'N', TIMESTAMP '2002-01-01 00:00:00', 'update_postimage'
+        |FROM upd JOIN kb ON upd.o_custkey = kb.o_custkey
+        |UNION ALL
+        |SELECT b2.o_custkey, o_orderkey, o_orderdate, o_totalprice, key_bucket,
+        |  'Y', CAST(NULL AS TIMESTAMP), 'insert'
         |FROM b2 JOIN kb ON b2.o_custkey = kb.o_custkey""".stripMargin,
 
     // q75: the oracle sees decrypt∘encrypt as the identity

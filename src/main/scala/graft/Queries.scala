@@ -2027,4 +2027,45 @@ object Queries {
     */
   def q105(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupSubstrings(t(s, dir, "documents"), "doc_id", "text", k = 8)
+
+  /** q106: CHANGE DATA FEED ([[graft.sources.VersionedTable.changeFeed]])
+    * — q80's two-commit SCD-2 warehouse build, then the typed row-level
+    * diff between the post-batch1 and post-batch2 versions: each updated
+    * customer yields an `update_preimage`/`update_postimage` pair for the
+    * closed row plus an `insert` for the new active row; untouched rows
+    * (even inside rewritten buckets) emit nothing. Only manifest-changed
+    * buckets are read on either side. Oracle recomputes all three change
+    * classes relationally from `orders`.
+    */
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    def latest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val batch1 = latest(orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
+    val batch2 = latest(orders.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")))
+    val tmp = scratchDir("cdf") + "/warehouse"
+    val v1 = Scd2.upsertPartitioned(s, tmp, batch1, Seq("o_custkey"), nBuckets = 16, now = lit("2001-01-01 00:00:00").cast("timestamp"))
+    val v2 = Scd2.upsertPartitioned(s, tmp, batch2, Seq("o_custkey"), nBuckets = 16, now = lit("2002-01-01 00:00:00").cast("timestamp"))
+    graft.sources.VersionedTable.changeFeed(s, tmp, v1, v2, Seq("o_custkey", "o_orderkey"))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        col("key_bucket"), col("actv_flg"), col("record_to"),
+        col("_change_type").as("change_type")
+      )
+  }
+
+  /** q107: HYBRID RETRIEVAL ([[operators.Retrieval.hybridTopK]]) — BM25
+    * lexical ranking and brute-force-cosine semantic ranking (query =
+    * vec_id 42's embedding, itself excluded) fused by reciprocal-rank
+    * fusion at depth 100, top 25. RRF contributions are
+    * floor(1e9/(60+rank)) longs, so the fused scores and ordering are
+    * exact integers the oracle replays.
+    */
+  def q107(s: SparkSession, dir: String): DataFrame =
+    Retrieval.hybridTopK(
+      t(s, dir, "documents"), "doc_id", "text", Seq("vector", "merge", "stream"),
+      t(s, dir, "embeddings"), "vec_id", "embedding", queryVecId = 42L,
+      k = 25, depth = 100)
 }

@@ -105,6 +105,8 @@ object SparkEntry {
     "q103_bm25_topk" -> (Queries.q103 _),
     "q104_stream_interval_join" -> (Queries.q104 _),
     "q105_substring_dedup" -> (Queries.q105 _),
+    "q106_change_feed" -> (Queries.q106 _),
+    "q107_hybrid_rrf" -> (Queries.q107 _),
     "q73_group_minhash" -> (Queries.q73 _),
     "q74_stream_sessions" -> (Queries.q74 _),
     "q75_crypto_roundtrip" -> (Queries.q75 _),

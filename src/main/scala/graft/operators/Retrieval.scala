@@ -84,4 +84,78 @@ object Retrieval {
       .orderBy(col("bm25_e12").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion of per-system rankings (Cormack et al. 2009):
+    * fused(d) = Σ_systems 1/(rrfK + rank_s(d)), the standard way to merge
+    * a lexical and a semantic ranking without score calibration.
+    *
+    * Each input is (id, rank) with rank 1-based and ids unique. The
+    * contribution is quantized as floor(1e9 / (rrfK + rank)) and summed in
+    * exact long arithmetic — rank ≤ depth keeps every quotient well inside
+    * the e9 grid, and the fused ordering is then deterministic and
+    * oracle-replayable. All inputs are ≤depth-row relations, so the unions
+    * and the final sort are metadata-sized no matter the corpus size.
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    require(rrfK >= 1, s"rrfFuse: rrfK=$rrfK must be >= 1")
+    val tagged = rankings.map { case (sys, df) =>
+      df.select(
+        col("id"),
+        col("rank"),
+        lit(sys).as("sys"),
+        floor(lit(1000000000.0) / (lit(rrfK) + col("rank"))).cast("long").as("contrib"))
+    }.reduce(_.unionByName(_))
+    // per-system rank pivot columns: null when that system didn't retrieve the doc
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n_systems") +:
+        rankings.map { case (sys, _) => max(when(col("sys") === sys, col("rank"))).as(s"${sys}_rank") }
+    tagged
+      .groupBy(col("id"))
+      .agg(sum(col("contrib")).as("rrf_e9"), aggs: _*)
+      .orderBy(col("rrf_e9").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Hybrid retrieval: BM25 (lexical) + brute-force cosine (semantic)
+    * rankings to `depth`, fused with RRF. The semantic query is a
+    * query-by-example: `queryVecId`'s embedding probes the vector table
+    * (itself excluded from candidates). Both ranked lists are ≤depth rows
+    * before any window/ordering touches them — rank assignment is a
+    * single-partition window over a driver-bounded relation, never over
+    * the corpus.
+    */
+  def hybridTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      vectors: DataFrame,
+      vecIdCol: String,
+      vecCol: String,
+      queryVecId: Long,
+      k: Int,
+      depth: Int = 100,
+      rrfK: Int = 60): DataFrame = {
+    require(depth >= k, s"hybridTopK: depth=$depth must cover k=$k")
+    // one row, dim floats: bounded driver fetch of the probe embedding
+    val qRows = vectors.filter(col(vecIdCol) === queryVecId).select(col(vecCol)).collect()
+    require(qRows.length == 1, s"hybridTopK: query vector id $queryVecId matched ${qRows.length} rows")
+    val queryVec = qRows(0).getSeq[Float](0)
+
+    val byScore = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__score").desc, col("id").asc)
+    def ranked(df: DataFrame): DataFrame =
+      df.withColumn("rank", row_number().over(byScore).cast("long"))
+        .select(col("id"), col("rank"))
+
+    val lexical = ranked(
+      bm25TopK(docs, idCol, textCol, queryTerms, depth)
+        .select(col("doc_id").as("id"), col("bm25_e12").as("__score")))
+    val semantic = ranked(
+      Similarity.bruteForceTopK(
+          vectors.filter(col(vecIdCol) =!= queryVecId), vecIdCol, vecCol, queryVec, depth)
+        .select(col(vecIdCol).cast("long").as("id"), col("cosine").as("__score")))
+    rrfFuse(Seq("lex" -> lexical, "sem" -> semantic), k, rrfK)
+  }
 }

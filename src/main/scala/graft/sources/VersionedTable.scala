@@ -566,4 +566,104 @@ object VersionedTable {
     }
     removable
   }
+
+  /** Change data feed between two committed versions of a delta-style
+    * table: every row-level difference, typed Delta-CDF-style as `insert`,
+    * `delete`, or an `update_preimage`/`update_postimage` pair.
+    *
+    * Scale shape: the two manifests are diffed FIRST (metadata-sized), and
+    * only partitions whose resolved version differs are read on either
+    * side — an incremental consumer of a 100 TB table pays O(changed
+    * partitions), never a two-snapshot scan. Unchanged partitions cannot
+    * contribute diffs (their files are byte-identical by manifest
+    * reference), so pruning them is exact, not approximate.
+    *
+    * `keyCols` is the row identity the diff joins on; it must be unique
+    * per side within the changed partitions — enforced with a loud
+    * per-side count check (O(changed rows) aggregation) because a silent
+    * many-to-many diff would fabricate change rows. Schema drift between
+    * the versions is null-padded (`unionByName`, mirroring `read`'s
+    * mergeSchema behavior); a column added between versions surfaces as
+    * `update_*` pairs with the preimage null.
+    *
+    * Output: the union of both versions' columns plus `_change_type`;
+    * unchanged rows emit nothing.
+    */
+  def changeFeed(
+      spark: SparkSession,
+      path: String,
+      fromVersion: Long,
+      toVersion: Long,
+      keyCols: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion < toVersion, s"changeFeed: fromVersion $fromVersion must precede toVersion $toVersion")
+    require(keyCols.nonEmpty, "changeFeed: keyCols must be non-empty")
+    def manifest(v: Long): Map[String, Long] = partitionMap(spark, path, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"changeFeed: version $v at $path is a full snapshot — the feed needs delta-style (partitioned) commits"))
+    val mOld = manifest(fromVersion)
+    val mNew = manifest(toVersion)
+    val changed = (mOld.keySet ++ mNew.keySet).filter(p => mOld.get(p) != mNew.get(p)).toSeq.sorted
+
+    def side(m: Map[String, Long]): Option[DataFrame] =
+      changed.flatMap(p => m.get(p).map(pv => spark.read.parquet(s"$path/v=$pv/p=$p")))
+        .reduceOption(_.unionByName(_, allowMissingColumns = true))
+
+    (side(mOld), side(mNew)) match {
+      case (None, None) =>
+        // no changed partitions at all: an empty feed with just the keys
+        val empty = read(spark, path, Some(toVersion)).limit(0)
+        empty.select(empty.columns.map(col) :+ lit("insert").as("_change_type"): _*).limit(0)
+      case (oldSide, newSide) =>
+        val oldDf = oldSide
+        val newDf = newSide
+        val allCols: Seq[String] = {
+          val o = oldDf.map(_.columns.toSeq).getOrElse(Nil)
+          val n = newDf.map(_.columns.toSeq).getOrElse(Nil)
+          (o ++ n.filterNot(o.contains)).distinct
+        }
+        keyCols.foreach(kc => require(allCols.contains(kc), s"changeFeed: key column '$kc' not in table schema"))
+        val payload = allCols.filterNot(keyCols.contains)
+        def widen(df: DataFrame): DataFrame = {
+          val missing = allCols.filterNot(df.columns.contains)
+          missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null)))
+        }
+        def packed(df: Option[DataFrame], structName: String): DataFrame = df match {
+          case Some(d) =>
+            val w = widen(d)
+            val keyed = w.select(keyCols.map(col) :+ struct(payload.map(col): _*).as(structName): _*)
+            // loud uniqueness guard: a duplicated key makes the full-outer
+            // diff many-to-many and the change rows meaningless
+            val dup = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1).collect()
+            require(dup.isEmpty, s"changeFeed: key ${keyCols.mkString("(", ",", ")")} is not unique in changed partitions (e.g. ${dup.headOption.map(_.toString).getOrElse("")})")
+            keyed
+          case None =>
+            // absent side: no rows, but the join still needs the shape
+            val w = widen(newDf.orElse(oldDf).get).limit(0)
+            w.select(keyCols.map(col) :+ struct(payload.map(col): _*).as(structName): _*)
+        }
+        val o = packed(oldDf, "__old")
+        val n = packed(newDf, "__new")
+        val joined = o.join(n, keyCols, "full_outer")
+        val changeElem = org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("v", n.schema("__new").dataType))))
+        // typed change rows: insert/delete emit one row, updates a
+        // preimage/postimage pair; identical rows (null-safe struct
+        // equality) emit nothing
+        val changes = joined.select(
+          keyCols.map(col) :+ explode(
+            when(col("__old").isNull, array(struct(lit("insert").as("t"), col("__new").as("v"))))
+              .when(col("__new").isNull, array(struct(lit("delete").as("t"), col("__old").as("v"))))
+              .when(!(col("__old") <=> col("__new")), array(
+                struct(lit("update_preimage").as("t"), col("__old").as("v")),
+                struct(lit("update_postimage").as("t"), col("__new").as("v"))))
+              .otherwise(array().cast(changeElem))
+          ).as("__chg"): _*)
+        changes.select(
+          keyCols.map(col) ++ payload.map(p => col(s"__chg.v.$p").as(p)) :+ col("__chg.t").as("_change_type"): _*)
+    }
+  }
 }

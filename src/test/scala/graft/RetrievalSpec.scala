@@ -46,4 +46,40 @@ class RetrievalSpec extends AnyFunSuite {
     val plan = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("cat"), k = 5).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected bounded top-k, got:\n$plan")
   }
+
+  test("rrfFuse: exact quantized contributions, partial membership, tie-break") {
+    import org.apache.spark.sql.functions._
+    // sys A ranks: d1=1 d2=2; sys B ranks: d2=1 d3=2
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    def c(rank: Long) = math.floor(1e9 / (60.0 + rank)).toLong
+    // d2: both systems (ranks 2,1) beats d1 (rank 1 in A only)
+    assert(out.toSeq == Seq(
+      (2L, c(2) + c(1), 2L, 2L, 1L),
+      (1L, c(1), 1L, 1L, -1L),
+      (3L, c(2), 1L, -1L, 2L)))
+  }
+
+  test("hybridTopK: fused ranking over the sf0.001 corpus is consistent and bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.IO.table(spark, dir, "documents")
+    val vecs = graft.sources.IO.table(spark, dir, "embeddings")
+    val out = Retrieval.hybridTopK(docs, "doc_id", "text", Seq("vector", "merge", "stream"),
+      vecs, "vec_id", "embedding", queryVecId = 0L, k = 10, depth = 20)
+    val rows = out.collect()
+    assert(rows.length == 10)
+    // fused score strictly ordered desc with id asc tie-break
+    val scores = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(scores.sameElements(scores.sortBy(s => (-s._1, s._2))))
+    // the probe vector itself never surfaces on the semantic side
+    assert(rows.forall(r => r.isNullAt(4) || r.getLong(0) != 0L))
+    // every rank respects the retrieval depth
+    assert(rows.forall(r => (r.isNullAt(3) || r.getLong(3) <= 20) && (r.isNullAt(4) || r.getLong(4) <= 20)))
+    intercept[IllegalArgumentException] {
+      Retrieval.hybridTopK(docs, "doc_id", "text", Seq("x"), vecs, "vec_id", "embedding", 0L, k = 30, depth = 20)
+    }
+  }
 }

@@ -344,4 +344,66 @@ class VersionedTableSpec extends AnyFunSuite {
     // pre-widening history rows surface extra as null
     assert(t.filter($"extra".isNull).count() > 0)
   }
+
+  test("changeFeed: typed insert/update/delete diff, reads only manifest-changed partitions") {
+    val path = Files.createTempDirectory("graft-vt-cdf").toString + "/t"
+    // v1: parts a(1,2) b(3) c(4). v2 rewrites ONLY part a (row 1 updated,
+    // row 2 deleted, row 5 inserted) and adds part d(6); b and c carry
+    // forward by manifest reference.
+    val v1 = VersionedTable.commitDelta(spark,
+      path, Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30), (4L, "c", 40)).toDF("id", "p", "x"), "p")
+    val v2 = VersionedTable.commitDelta(spark,
+      path, Seq((1L, "a", 11), (5L, "a", 50), (6L, "d", 60)).toDF("id", "p", "x"), "p")
+
+    val feed = VersionedTable.changeFeed(spark, path, v1, v2, Seq("id"))
+    // pruning: no file read may come from the untouched b/c partitions
+    val files = feed.inputFiles
+    assert(files.nonEmpty && files.forall(f => f.contains("/p=a") || f.contains("/p=d")),
+      s"changeFeed read unchanged partitions: ${files.mkString("\n")}")
+
+    val rows = feed.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    assert(rows == Set(
+      (1L, "a", 10, "update_preimage"),
+      (1L, "a", 11, "update_postimage"),
+      (2L, "a", 20, "delete"),
+      (5L, "a", 50, "insert"),
+      (6L, "d", 60, "insert")
+    ), s"unexpected feed: $rows")
+  }
+
+  test("changeFeed: schema drift surfaces as update pairs with null preimage column; dup keys refused") {
+    val path = Files.createTempDirectory("graft-vt-cdf2").toString + "/t"
+    val v1 = VersionedTable.commitDelta(spark, path, Seq((1L, "a", 10)).toDF("id", "p", "x"), "p")
+    val v2 = VersionedTable.commitDelta(spark, path,
+      Seq((1L, "a", 10, "new")).toDF("id", "p", "x", "extra"), "p")
+    val rows = VersionedTable.changeFeed(spark, path, v1, v2, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(2), Option(r.getString(3)), r.getString(4))).toSet
+    assert(rows == Set(
+      (1L, 10, None, "update_preimage"),
+      (1L, 10, Some("new"), "update_postimage")
+    ), s"unexpected drift feed: $rows")
+
+    val v3 = VersionedTable.commitDelta(spark, path,
+      Seq((7L, "a", 1, "q"), (7L, "a", 2, "r")).toDF("id", "p", "x", "extra"), "p")
+    intercept[IllegalArgumentException] {
+      VersionedTable.changeFeed(spark, path, v2, v3, Seq("id")).collect()
+    }
+  }
+
+  test("changeFeed: identical rewrite emits nothing; version order and snapshot tables refused") {
+    val path = Files.createTempDirectory("graft-vt-cdf3").toString + "/t"
+    val df = Seq((1L, "a", 10)).toDF("id", "p", "x")
+    val v1 = VersionedTable.commitDelta(spark, path, df, "p")
+    val v2 = VersionedTable.commitDelta(spark, path, df, "p") // same content rewrite
+    assert(VersionedTable.changeFeed(spark, path, v1, v2, Seq("id")).count() == 0)
+    intercept[IllegalArgumentException] {
+      VersionedTable.changeFeed(spark, path, v2, v1, Seq("id"))
+    }
+    val snap = Files.createTempDirectory("graft-vt-cdf4").toString + "/t"
+    val s1 = VersionedTable.commit(df, snap)
+    val s2 = VersionedTable.commit(df, snap)
+    intercept[IllegalArgumentException] {
+      VersionedTable.changeFeed(spark, snap, s1, s2, Seq("id"))
+    }
+  }
 }
