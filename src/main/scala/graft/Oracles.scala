@@ -532,6 +532,76 @@ object Oracles {
          |FROM ch""".stripMargin
     },
 
+    // q108: q97's recipe + the substring-dedup stage — after the d2c
+    // decontamination CTE each survivor's token list is replaced by its
+    // substring-deduped form (q105's span CTEs mined on the RAW corpus,
+    // k=8), then the identical mixture-sample + chunk tail runs on the
+    // cleaned tokens. Engine round-trips the kept tokens through a
+    // space-joined text column; tokens contain no whitespace so the
+    // re-tokenize is exact.
+    "q108_recipe_substring" -> {
+      val cases = (0 until 16)
+        .map(i => s"WHEN 'src$i' THEN ${math.round((i % 4 + 1) * 0.2 * 1000000L)}")
+        .mkString(" ")
+      s"""WITH fp AS (SELECT doc_id, source, text,
+         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) f FROM documents),
+         | keep AS (SELECT f, min(doc_id) kid FROM fp GROUP BY f),
+         | d1 AS (SELECT fp.doc_id, fp.source, fp.text FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.kid),
+         | tw AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | th AS (SELECT doc_id, unnest(list_transform(ws, w -> CAST(('0x'||substr(md5(w),1,15)) AS BIGINT))) h FROM tw),
+         | votes AS (SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) c
+         |   FROM th CROSS JOIN (SELECT unnest(range(60)) j) js GROUP BY doc_id, j),
+         | sk AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) sh
+         |   FROM votes GROUP BY doc_id),
+         | allsh AS (SELECT d.doc_id, COALESCE(sk.sh, 0) sh
+         |   FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id),
+         | keep2 AS (SELECT sh, min(doc_id) kid2 FROM allsh GROUP BY sh),
+         | d1b AS (SELECT d1.doc_id, d1.source, d1.text, tw.ws
+         |   FROM d1 JOIN allsh a ON d1.doc_id = a.doc_id
+         |           JOIN keep2 ON a.sh = keep2.sh AND d1.doc_id = keep2.kid2
+         |           JOIN tw ON d1.doc_id = tw.doc_id),
+         | d2 AS (SELECT doc_id, source, ws FROM (
+         |     SELECT doc_id, source, ws, len(ws) nt, length(text) nc,
+         |            length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) ncp
+         |     FROM d1b)
+         |   WHERE nt BETWEEN 10 AND 5000
+         |     AND CAST(FLOOR(CASE WHEN nc > 0 THEN (CAST(nc - ncp AS DOUBLE)/nc)*10000 ELSE 0 END) AS BIGINT) <= 2000),
+         | shg AS (SELECT doc_id,
+         |   list_distinct(list_transform(
+         |     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
+         |     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) g
+         |  FROM tw),
+         | bp AS (SELECT doc_id bench_id, unnest(g) s FROM shg WHERE doc_id % 10 = 0),
+         | cp AS (SELECT d2.doc_id, unnest(shg.g) s FROM d2 JOIN shg ON d2.doc_id = shg.doc_id),
+         | cont AS (SELECT DISTINCT doc_id FROM (
+         |   SELECT cp.doc_id, bp.bench_id FROM cp JOIN bp USING (s)
+         |   GROUP BY cp.doc_id, bp.bench_id HAVING count(*) >= 3)),
+         | d2c AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         | sgrams AS (SELECT doc_id, x.s AS start_pos, x.g AS gram FROM (
+         |   SELECT doc_id, unnest(list_transform(range(greatest(len(ws) - 8 + 1, 0)), i -> struct_pack(s := i, g := array_to_string(list_slice(ws, i + 1, i + 8), ' ')))) x FROM tw)),
+         | sdup AS (SELECT gram FROM sgrams GROUP BY gram HAVING count(*) > 1),
+         | socc AS (SELECT doc_id, start_pos, start_pos + 8 AS end_pos FROM sgrams JOIN sdup USING (gram)),
+         | sisl AS (SELECT doc_id, start_pos, end_pos, CASE WHEN start_pos > coalesce(max(end_pos) OVER (PARTITION BY doc_id ORDER BY start_pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END brk FROM socc),
+         | sisl2 AS (SELECT doc_id, start_pos, end_pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY start_pos ROWS UNBOUNDED PRECEDING) island FROM sisl),
+         | sspans AS (SELECT doc_id, island, min(start_pos) s, max(end_pos) e FROM sisl2 GROUP BY doc_id, island),
+         | spos AS (SELECT doc_id, unnest(ws) tok, unnest(range(len(ws))) p FROM tw),
+         | srem AS (SELECT DISTINCT spos.doc_id, spos.p FROM spos JOIN sspans ON spos.doc_id = sspans.doc_id AND spos.p >= sspans.s AND spos.p < sspans.e),
+         | skept AS (SELECT spos.doc_id, spos.p, spos.tok FROM spos ANTI JOIN srem ON spos.doc_id = srem.doc_id AND spos.p = srem.p),
+         | keptws AS (SELECT doc_id, list(tok ORDER BY p) nws FROM skept GROUP BY doc_id),
+         | d2s AS (SELECT d2c.doc_id, d2c.source, coalesce(k.nws, CAST([] AS VARCHAR[])) ws
+         |   FROM d2c LEFT JOIN keptws k ON d2c.doc_id = k.doc_id),
+         | d3 AS (SELECT doc_id, ws FROM d2s
+         |   WHERE (CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000)
+         |         < (CASE source $cases ELSE ${math.round(0.05 * 1000000L)} END)),
+         | st AS (SELECT doc_id, ws, unnest(range(0, ((len(ws)-1)//40)+1)) ci FROM d3 WHERE len(ws) > 0),
+         | ch AS (SELECT doc_id, ci, list_slice(ws, CAST(ci*40+1 AS INTEGER), CAST(least(ci*40+50, len(ws)) AS INTEGER)) ck FROM st)
+         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_id, CAST(ci*40 AS INTEGER) AS chunk_start,
+         | CAST(len(ck) AS INTEGER) AS n_chunk_tokens,
+         | md5(array_to_string(ck, ' ')) AS chunk_md5
+         |FROM ch""".stripMargin
+    },
+
     "q81_chunking" ->
       s"""WITH toks AS (SELECT doc_id, $tokensExpr ws FROM documents),
          | st AS (SELECT doc_id, ws, unnest(range(0, ((len(ws)-1)//40)+1)) ci FROM toks WHERE len(ws) > 0),

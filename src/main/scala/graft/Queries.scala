@@ -1768,7 +1768,14 @@ object Queries {
     * the contaminated-id anti-join side.
     * The oracle replays the entire chain as one CTE pipeline.
     */
-  def q97(s: SparkSession, dir: String): DataFrame = {
+  def q97(s: SparkSession, dir: String): DataFrame =
+    sampleAndChunk(corpusSurvivors(s, dir))
+
+  /** The survivors chain shared by q97/q108: exact dedup → SimHash
+    * near-dup → quality gate → benchmark decontamination. Returns the
+    * clean survivors carrying (doc_id, source, text, quality features).
+    */
+  private def corpusSurvivors(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val keepers = Dedup.exact(docs, "doc_id", "text").select(col("keeper_id"))
     val deduped = docs.join(keepers, docs("doc_id") === keepers("keeper_id"), "left_semi")
@@ -1803,7 +1810,13 @@ object Queries {
     val contaminated = Dedup
       .crossCorpusOverlap(docs, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", shingleSize = 3, minOverlap = 3)
       .select(col("doc_id"))
-    val clean = gated.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    gated.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+  }
+
+  /** The mixture-sample + chunk tail shared by q97/q108 (input must carry
+    * doc_id, source, text).
+    */
+  private def sampleAndChunk(clean: DataFrame): DataFrame = {
     val rates = (0 until 16).map(i => s"src$i" -> (i % 4 + 1) * 0.2).toMap
     val sampled = graft.operators.Sampling.mixtureSample(clean, "doc_id", "source", rates, defaultRate = 0.05)
     TextAnalysis
@@ -1815,6 +1828,27 @@ object Queries {
         col("n_chunk_tokens"),
         md5(concat_ws(" ", col("chunk_tokens"))).as("chunk_md5")
       )
+  }
+
+  /** q108: q97's corpus recipe WITH the optional boilerplate-strip stage —
+    * after decontamination each survivor's text is replaced by its
+    * substring-deduped form ([[Dedup.dedupSubstringsText]], k=8): every
+    * 8-token span duplicated anywhere in the RAW corpus is removed before
+    * sampling and chunking. Spans are mined on the raw scan, not the
+    * survivor set, for the same reason decontamination is (a span whose
+    * other copies were deduped away upstream is still boilerplate), and
+    * because it avoids re-planning the survivor chain's shuffles under a
+    * second subtree. Docs stripped to nothing chunk to zero rows —
+    * boilerplate-only survivors vanish, which is the point.
+    */
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keptText = Dedup.dedupSubstringsText(docs, "doc_id", "text", k = 8)
+    val cleaned = corpusSurvivors(s, dir)
+      .select(col("doc_id"), col("source"))
+      .join(keptText, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("kept_text").as("text"))
+    sampleAndChunk(cleaned)
   }
 
   /** q98: IVF + SQ8 ANN — the composed billion-scale serving layout under
@@ -2016,7 +2050,13 @@ object Queries {
       q.stop()
       throw new IllegalStateException("q104 streaming pass did not finish — refusing a partial join snapshot")
     }
-    s.table(name)
+    // The memory sink pins the full join output on the driver for as long
+    // as the temp view exists; detach the result and drop the view so
+    // repeated invocations (bench iterations) don't accumulate sinks.
+    val sink = s.table(name)
+    val out = s.createDataFrame(java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    s.catalog.dropTempView(name)
+    out
   }
 
   /** q105: substring-level exact dedup ([[operators.Dedup.dedupSubstrings]])

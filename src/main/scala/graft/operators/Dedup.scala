@@ -526,12 +526,17 @@ object Dedup {
     * The paper builds a suffix array; the Spark-native equivalent is the
     * sliding k-gram relation — same duplicated-span result for fixed k,
     * but expressible as scans + aggregations:
-    *   1. explode each doc into its (start, k-gram) windows;
-    *   2. find duplicated grams with a TWO-PHASE shuffle: group the
-    *      8-byte xxhash64 first (O(8B/gram) network), then re-verify the
-    *      gram STRING only for hash-duplicate candidates — the full-string
-    *      shuffle carries just the duplicate mass, so a hash collision can
-    *      never remove a span two docs don't actually share;
+    *   1. hash each doc's k-token windows with the FUSED digest
+    *      ([[graft.plans.ShingleHash60]]: token bytes stream straight into
+    *      MD5, codegen'd) — no window is ever materialized as a string, so
+    *      phase 1 moves 8 bytes per window instead of ~k tokens of
+    *      transient string mass (the difference between O(corpus) and
+    *      O(k·corpus) bytes feeding the first shuffle at 100 TB);
+    *   2. find duplicated hashes (8-byte shuffle), then re-verify the
+    *      gram STRING only for hash-duplicate candidates — candidate
+    *      starts are regrouped per doc so the string materialization is a
+    *      single doc-aligned join carrying just the duplicate mass, and a
+    *      hash collision can never remove a span two docs don't share;
     *   3. per doc, merge overlapping/adjacent duplicate occurrences into
     *      maximal spans (single window over positions within one doc —
     *      bounded by doc length, never corpus-wide);
@@ -551,68 +556,12 @@ object Dedup {
       k: Int = 8
   ): DataFrame = {
     require(k >= 2, s"dedupSubstrings: span length k=$k must be >= 2")
-    val toks = docs
-      .select(col(idCol).cast("long").as("doc_id"), TextAnalysis.tokens(col(textCol)).as("ws"))
-    // (doc_id, start, gram): the sliding windows. sequence(0, size-k) is
-    // empty-guarded by the when(); slice is 1-based like the oracle's
-    // list_slice.
-    val grams = toks
-      .select(
-        col("doc_id"),
-        explode(
-          when(size(col("ws")) >= k,
-            expr(s"transform(sequence(0, size(ws) - $k), i -> struct(i as s, array_join(slice(ws, i + 1, $k), ' ') as g))"))
-            .otherwise(expr("array()").cast("array<struct<s:int,g:string>>"))
-        ).as("w")
-      )
-      .select(col("doc_id"), col("w.s").as("start_pos"), col("w.g").as("gram"))
-    // Phase 1: duplicate hashes (8-byte shuffle over every gram).
-    val dupHashes = grams
-      .groupBy(xxhash64(col("gram")).as("h"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1)
-      .select(col("h"))
-    // Phase 2: string-verify only the candidates; a candidate set contains
-    // ALL occurrences of each surviving hash, so the per-string count here
-    // equals the global count.
-    val candidates = grams
-      .join(dupHashes, xxhash64(col("gram")) === col("h"), "left_semi")
-    val dupGrams = candidates
-      .groupBy(col("gram"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1)
-      .select(col("gram"))
-    val occ = candidates
-      .join(dupGrams, Seq("gram"), "left_semi")
-      .select(col("doc_id"), col("start_pos"), (col("start_pos") + k).as("end_pos"))
-    // Merge overlapping AND touching occurrences into maximal spans:
-    // a new island starts when this occurrence begins past every prior
-    // end. end_pos = start_pos + k is monotone in start_pos, but the
-    // running max keeps the logic shape-independent.
-    val byStart = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("start_pos"))
-    val prevEnd = max(col("end_pos")).over(byStart.rowsBetween(Long.MinValue, -1))
-    val spans = occ
-      .withColumn("brk", when(col("start_pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
-      .withColumn("island", sum(col("brk")).over(byStart.rowsBetween(Long.MinValue, 0)))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("start_pos")).as("s"), max(col("end_pos")).as("e"))
+    val toks = tokenizedDocs(docs, idCol, textCol)
+    val spans = substringDupSpans(toks, k)
     val spanStats = spans
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).cast("long").as("removed"))
-    // Surviving tokens -> canonical retained text. The range predicate
-    // rides on the doc_id equi-join; per-doc span counts are bounded by
-    // doc length so the join never skews.
-    val pos = toks.select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "tok")))
-    val kept = pos.join(
-      spans,
-      pos("doc_id") === spans("doc_id") && col("p") >= col("s") && col("p") < col("e"),
-      "left_anti")
-    val retained = kept
-      .groupBy(col("doc_id"))
-      .agg(
-        array_join(expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"), " ").as("kept_text"),
-        count(lit(1)).as("kept_direct"))
+    val retained = substringKeptText(toks, spans)
       .select(col("doc_id"), md5(col("kept_text")).as("retained_md5"))
     toks
       .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
@@ -626,5 +575,114 @@ object Dedup {
         (col("n_tokens") - coalesce(col("removed"), lit(0L))).as("kept_tokens"),
         coalesce(col("retained_md5"), md5(lit(""))).as("retained_md5")
       )
+  }
+
+  /** Retained-TEXT variant of [[dedupSubstrings]]: same corpus-wide
+    * duplicated-span removal, but the output carries the surviving tokens
+    * themselves (joined by single spaces) so a downstream recipe stage can
+    * keep processing the cleaned text — the q97 pipeline's optional
+    * boilerplate-strip stage. One row per input doc:
+    * (doc_id, kept_text); a fully-removed or empty doc yields "".
+    */
+  def dedupSubstringsText(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8
+  ): DataFrame = {
+    require(k >= 2, s"dedupSubstringsText: span length k=$k must be >= 2")
+    val toks = tokenizedDocs(docs, idCol, textCol)
+    val kept = substringKeptText(toks, substringDupSpans(toks, k))
+    toks
+      .select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  private def tokenizedDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"), TextAnalysis.tokens(col(textCol)).as("ws"))
+
+  /** Phase 1 of the substring dedup: every k-token window keyed by its
+    * fused 60-bit digest — (doc_id, start_pos, h), one row per window,
+    * NO gram strings anywhere in this subplan ([[graft.plans.ShingleHash60]]
+    * streams token bytes into MD5; fewer than k tokens → no rows, matching
+    * the old sequence(0, size-k) guard). start_pos is 0-based; the digest
+    * covers exactly `array_join(slice(ws, start_pos+1, k), ' ')`.
+    */
+  private[graft] def substringWindowHashes(toks: DataFrame, k: Int): DataFrame =
+    toks.select(
+      col("doc_id"),
+      posexplode(graft.plans.HashExpressions.shingleHash60(col("ws"), k)).as(Seq("start_pos", "h")))
+
+  /** Hash-duplicate candidate windows: all (doc_id, start_pos) whose
+    * window digest occurs more than once corpus-wide. Superset of the true
+    * duplicate set (hash collisions only ADD candidates — phase 2's string
+    * verify removes them), and contains ALL occurrences of every truly
+    * duplicated gram, so downstream per-string counts equal global counts.
+    */
+  private[graft] def substringCandidates(toks: DataFrame, k: Int): DataFrame = {
+    val winHashes = substringWindowHashes(toks, k)
+    val dupHashes = winHashes
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("h"))
+    winHashes.join(dupHashes, Seq("h"), "left_semi").select(col("doc_id"), col("start_pos"))
+  }
+
+  /** Phases 2+3: string-verify the hash candidates, then merge verified
+    * duplicate occurrences into maximal per-doc spans — (doc_id, s, e).
+    * Gram strings are materialized ONLY for candidate windows: candidate
+    * starts regroup per doc (collect_list bounded by doc length) and a
+    * single doc-aligned join re-slices the tokens, so the string mass is
+    * proportional to the duplicate windows, not the corpus.
+    */
+  private[graft] def substringDupSpans(toks: DataFrame, k: Int): DataFrame = {
+    val candByDoc = substringCandidates(toks, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("start_pos")).as("ss"))
+    val candGrams = toks
+      .join(candByDoc, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        explode(expr(s"transform(ss, s -> struct(s as s, array_join(slice(ws, s + 1, $k), ' ') as g))")).as("w"))
+      .select(col("doc_id"), col("w.s").as("start_pos"), col("w.g").as("gram"))
+    val dupGrams = candGrams
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("gram"))
+    val occ = candGrams
+      .join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("start_pos"), (col("start_pos") + k).as("end_pos"))
+    // Merge overlapping AND touching occurrences into maximal spans:
+    // a new island starts when this occurrence begins past every prior
+    // end. end_pos = start_pos + k is monotone in start_pos, but the
+    // running max keeps the logic shape-independent.
+    val byStart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start_pos"))
+    val prevEnd = max(col("end_pos")).over(byStart.rowsBetween(Long.MinValue, -1))
+    occ
+      .withColumn("brk", when(col("start_pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byStart.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start_pos")).as("s"), max(col("end_pos")).as("e"))
+      .select(col("doc_id"), col("s"), col("e"))
+  }
+
+  /** Phase 4: surviving tokens → canonical retained text per doc. The
+    * range predicate rides on the doc_id equi-join; per-doc span counts
+    * are bounded by doc length so the join never skews. Docs with no
+    * surviving token emit no row (callers left-join and default).
+    */
+  private def substringKeptText(toks: DataFrame, spans: DataFrame): DataFrame = {
+    val pos = toks.select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "tok")))
+    pos
+      .join(
+        spans,
+        pos("doc_id") === spans("doc_id") && col("p") >= col("s") && col("p") < col("e"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"), " ").as("kept_text"))
   }
 }

@@ -623,11 +623,25 @@ object VersionedTable {
           val n = newDf.map(_.columns.toSeq).getOrElse(Nil)
           (o ++ n.filterNot(o.contains)).distinct
         }
-        keyCols.foreach(kc => require(allCols.contains(kc), s"changeFeed: key column '$kc' not in table schema"))
+        // Key columns must exist on EVERY present side: padding a key
+        // with nulls would join rows on null keys and misclassify every
+        // update as delete+insert.
+        Seq(oldDf -> "from", newDf -> "to").foreach { case (side, label) =>
+          side.foreach(d =>
+            keyCols.foreach(kc => require(
+              d.columns.contains(kc),
+              s"changeFeed: key column '$kc' missing from the $label version's schema — " +
+                "the row identity must exist on both sides of the diff")))
+        }
         val payload = allCols.filterNot(keyCols.contains)
+        // Null-pad schema drift with TYPED nulls (the drifted column's
+        // type from whichever side carries it) so the packed structs have
+        // identical types and <=> compares without NullType coercion.
+        val colType: Map[String, org.apache.spark.sql.types.DataType] =
+          (oldDf.toSeq ++ newDf.toSeq).flatMap(_.schema.fields.map(f => f.name -> f.dataType)).toMap
         def widen(df: DataFrame): DataFrame = {
           val missing = allCols.filterNot(df.columns.contains)
-          missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null)))
+          missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null).cast(colType(c))))
         }
         def packed(df: Option[DataFrame], structName: String): DataFrame = df match {
           case Some(d) =>

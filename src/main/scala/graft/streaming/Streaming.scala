@@ -301,6 +301,17 @@ object Streaming {
     * ambiguous self-join resolution; all other column names must be
     * disjoint (caller pre-renames — keeps the operator generic without
     * guessing a prefixing scheme).
+    *
+    * PRECONDITION for exact convergence to the batch time-range oracle:
+    * event-time disorder within each stream must not exceed
+    * `watermarkDelay`. Once the replay splits into multiple micro-batches
+    * (maxFilesPerTrigger, multi-file directories), any row arriving more
+    * than `watermarkDelay` behind its stream's max-seen event time is
+    * dropped from the join state and its matches are silently lost —
+    * watermark semantics, not a bug. Callers that need oracle-exact
+    * results on a bounded replay must either keep the replay single-batch
+    * or set `watermarkDelay` comfortably above the data's max disorder
+    * (q104 uses 1 hour against minute-scale disorder in `events`).
     */
   def intervalJoin(
       left: DataFrame,

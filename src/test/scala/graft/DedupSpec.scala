@@ -242,4 +242,60 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 2L, 1L)))
     intercept[IllegalArgumentException] { Dedup.dedupSubstrings(d, "doc_id", "text", k = 1) }
   }
+
+  test("dedupSubstrings phase 1: fused window digests match the explicit string-gram hashes") {
+    // The de-stringified phase 1 keys windows by ShingleHash60 (token
+    // bytes streamed into MD5). Parity oracle: hash the materialized
+    // gram STRING with Md5Prefix60 — every (doc, start) must agree, so
+    // the fused path can never place a window in a different phase-1
+    // group than the old array_join formulation did.
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 ua ub uc"),
+      (2L, "va vb w1 w2 w3 w4 w5 vc"),
+      (3L, "r1 r2 r3 r4 x y z r1 r2 r3 r4"),
+      (4L, ""),
+      (5L, "a b c") // shorter than k -> no windows
+    ).toDF("doc_id", "text")
+    val toks = d.select($"doc_id", TextAnalysis.tokens($"text").as("ws"))
+    val fused = Dedup.substringWindowHashes(toks, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaStrings = toks
+      .select(
+        $"doc_id",
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.size($"ws") >= 4,
+            org.apache.spark.sql.functions.expr(
+              "transform(sequence(0, size(ws) - 4), i -> struct(i as s, array_join(slice(ws, i + 1, 4), ' ') as g))"))
+            .otherwise(org.apache.spark.sql.functions.expr("array()").cast("array<struct<s:int,g:string>>"))
+        ).as("w"))
+      .select($"doc_id", $"w.s".as("s"), graft.plans.HashExpressions.md5Prefix60($"w.g").as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(fused.nonEmpty && fused == viaStrings)
+  }
+
+  test("dedupSubstringsText: retained text matches dedupSubstrings' fingerprints") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 ua ub uc"),
+      (2L, "va vb w1 w2 w3 w4 w5 vc"),
+      (3L, "r1 r2 r3 r4 x y z r1 r2 r3 r4"),
+      (4L, "only unique words appear here today friends"),
+      (5L, "too short"),
+      (6L, "w1 w2 w3 w4 w5") // fully removed -> empty retained text
+    ).toDF("doc_id", "text")
+    val txt = Dedup.dedupSubstringsText(d, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(txt(1L) == "ua ub uc")
+    assert(txt(2L) == "va vb vc")
+    assert(txt(3L) == "x y z")
+    assert(txt(4L) == "only unique words appear here today friends")
+    assert(txt(5L) == "too short")
+    assert(txt(6L) == "")
+    // cross-check against the stats variant's md5s on the same corpus
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val stats = Dedup.dedupSubstrings(d, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    txt.foreach { case (id, t) => assert(stats(id) == md5hex(t)) }
+  }
 }

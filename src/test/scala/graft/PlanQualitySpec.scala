@@ -162,4 +162,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
       s"q93 scan must read only doc_id+source, got:\n$p")
   }
+
+  test("q105 phase 1: no corpus-sized gram string feeds the first shuffle (fused digest only)") {
+    import spark.implicits._
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", graft.operators.TextAnalysis.tokens($"text").as("ws"))
+    val p = graft.operators.Dedup.substringCandidates(toks, 8)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("shinglehash60"),
+      s"phase 1 must hash windows with the fused ShingleHash60 digest, got:\n$p")
+    assert(!p.contains("array_join") && !p.contains("concat_ws"),
+      s"phase 1 must not materialize gram strings before the duplicate-hash shuffle, got:\n$p")
+  }
 }
