@@ -1231,6 +1231,51 @@ object Oracles {
          |SELECT doc_id, bm25_e12, n_terms_hit FROM agg
          |ORDER BY bm25_e12 DESC, doc_id ASC LIMIT 25""".stripMargin,
 
+    // q110: MJPEG-AVI frame decode — the oracle replays the fixture
+    // arithmetic (dims, frame counts, planted truncation) as a structural
+    // per-frame explosion; the engine must actually walk the RIFF and
+    // decode every JPEG to produce the same rows. Luma is spec-only
+    // (JPEG rounding is not SQL-replayable).
+    "q110_video_frames" ->
+      """WITH ids AS (SELECT CAST(p_partkey AS BIGINT) media_id FROM part WHERE p_partkey <= 200),
+        | spec AS (SELECT media_id,
+        |    CAST(16*(media_id % 3 + 1) AS INTEGER) w,
+        |    CAST(16*(media_id % 2 + 1) AS INTEGER) h,
+        |    CAST(media_id % 4 + 1 AS INTEGER) nf FROM ids)
+        |SELECT media_id, CAST(unnest(range(nf)) AS INTEGER) frame_idx, w width, h height, TRUE ok
+        |FROM spec WHERE media_id % 17 <> 0
+        |UNION ALL
+        |SELECT media_id, CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), FALSE
+        |FROM spec WHERE media_id % 17 = 0""".stripMargin,
+
+    // q109: batch BM25 — three probe queries in one pass; per-query scoring
+    // replays q103's expression tree exactly (df per token is independent
+    // of the union term filter), ranked per query_id to depth 25
+    "q109_bm25_batch" ->
+      s"""WITH queries(query_id, token) AS (VALUES
+         |   (0,'vector'),(0,'merge'),(0,'stream'),
+         |   (1,'join'),(1,'hash'),(1,'row'),
+         |   (2,'window'),(2,'spark'),(2,'filter')),
+         | toks AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) dl FROM toks),
+         | stats AS (SELECT count(*) n_docs, CAST(sum(dl) AS BIGINT) sum_dl FROM lens),
+         | postings AS (SELECT doc_id, token, count(*) tf
+         |   FROM (SELECT doc_id, unnest(ws) token FROM toks)
+         |   WHERE token IN (SELECT DISTINCT token FROM queries) GROUP BY doc_id, token),
+         | dfreq AS (SELECT token, count(*) df FROM postings GROUP BY token),
+         | tscore AS (SELECT p.doc_id, p.token,
+         |    CAST(FLOOR(1000000.0e0 * ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)) AS BIGINT)
+         |  * CAST(FLOOR(1000000.0e0 * (CAST(tf AS DOUBLE) * 2.25e0 / (CAST(tf AS DOUBLE) + 1.25e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS BIGINT) term_score_e12
+         |   FROM postings p JOIN dfreq d ON p.token = d.token
+         |   JOIN lens l ON p.doc_id = l.doc_id CROSS JOIN stats),
+         | scored AS (SELECT CAST(q.query_id AS BIGINT) query_id, t.doc_id,
+         |    CAST(sum(term_score_e12) AS BIGINT) bm25_e12, count(*) n_terms_hit
+         |   FROM tscore t JOIN queries q USING (token) GROUP BY 1, 2),
+         | ranked AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY bm25_e12 DESC, doc_id ASC) AS BIGINT) rank FROM scored)
+         |SELECT query_id, doc_id, bm25_e12, n_terms_hit, rank
+         |FROM ranked WHERE rank <= 25""".stripMargin,
+
     // q105: substring-level exact dedup — sliding 8-token windows, grams
     // occurring >1 time corpus-wide removed, overlapping/touching
     // occurrences merged into maximal spans per doc, retained text =

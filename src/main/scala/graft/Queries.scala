@@ -1967,8 +1967,8 @@ object Queries {
     * ([[Multimodal.encodeMp4]]; dims/duration/audio-presence from
     * `p_partkey` arithmetic, every 17th payload truncated to 12 bytes),
     * so the DuckDB oracle predicts every column while the engine must
-    * actually parse the container. Frame decode remains the declared
-    * stub (q44) — it needs native codecs; the metadata walk does not.
+    * actually parse the container. Frame decode is real for MJPEG-AVI
+    * (q110); inter-frame codecs need native decoders the jar can't carry.
     */
   def q95(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2057,6 +2057,69 @@ object Queries {
     val out = s.createDataFrame(java.util.Arrays.asList(sink.collect(): _*), sink.schema)
     s.catalog.dropTempView(name)
     out
+  }
+
+  /** q110: REAL VIDEO FRAME DECODE — the last multimodal stub, delivered
+    * for the codec the JDK can actually carry: MJPEG-in-AVI
+    * ([[Multimodal.decodeVideoFrames]] — RIFF walk + javax.imageio per
+    * frame, no native libs). Fixtures are solid-gray MJPEG AVIs generated
+    * per part row ([[Multimodal.encodeMjpegAvi]]; dims/frame-count from
+    * `p_partkey` arithmetic, every 17th payload truncated to 20 bytes), so
+    * the oracle predicts the per-frame explosion structurally while the
+    * engine must really parse the container and decode every JPEG. Decoded
+    * luma is spec-checked with rounding tolerance (MultimodalSpec) and
+    * deliberately kept out of the hash-exact oracle columns.
+    */
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val specs = t(s, dir, "part")
+      .filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey").cast("long"),
+        (lit(16) * (col("p_partkey") % 3 + 1)).cast("int"),
+        (lit(16) * (col("p_partkey") % 2 + 1)).cast("int"),
+        (col("p_partkey") % 4 + 1).cast("int")
+      )
+      .as[(Long, Int, Int, Int)]
+    val payloads = specs
+      .mapPartitions { it =>
+        it.map { case (id, w, h, nf) =>
+          val grays = (0 until nf).map(fi => ((id * 11 + 17L * fi) % 256).toInt)
+          val avi = Multimodal.encodeMjpegAvi(w, h, grays)
+          (id, if (id % 17 == 0) avi.take(20) else avi) // planted corruption
+        }
+      }
+      .toDF("media_id", "payload")
+    val media = Multimodal.toMediaTable(payloads, "media_id", "payload", "avi")
+    Multimodal
+      .decodeVideoFrames(s, media)
+      .toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("frameIdx").as("frame_idx"),
+        col("width"),
+        col("height"),
+        col("ok")
+      )
+  }
+
+  /** q109: BATCH BM25 — three probe queries scored against the corpus in
+    * ONE pass ([[operators.Retrieval.bm25TopKBatch]]): postings filtered by
+    * a broadcast semi-join on the union term set, per-(doc, term) scores
+    * computed once and fanned out to queries, per-query top-25 by rank
+    * window. Each query's rows are identical to a standalone
+    * [[operators.Retrieval.bm25TopK]] run (q103 is query 0's single-probe
+    * twin) — the decontamination-sweep shape where thousands of probes
+    * must not cost thousands of corpus scans.
+    */
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (0L, "vector"), (0L, "merge"), (0L, "stream"),
+      (1L, "join"), (1L, "hash"), (1L, "row"),
+      (2L, "window"), (2L, "spark"), (2L, "filter")
+    ).toDF("query_id", "term")
+    Retrieval.bm25TopKBatch(t(s, dir, "documents"), "doc_id", "text", queries, "query_id", "term", k = 25)
   }
 
   /** q105: substring-level exact dedup ([[operators.Dedup.dedupSubstrings]])

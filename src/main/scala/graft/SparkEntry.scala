@@ -108,6 +108,8 @@ object SparkEntry {
     "q106_change_feed" -> (Queries.q106 _),
     "q107_hybrid_rrf" -> (Queries.q107 _),
     "q108_recipe_substring" -> (Queries.q108 _),
+    "q109_bm25_batch" -> (Queries.q109 _),
+    "q110_video_frames" -> (Queries.q110 _),
     "q73_group_minhash" -> (Queries.q73 _),
     "q74_stream_sessions" -> (Queries.q74 _),
     "q75_crypto_roundtrip" -> (Queries.q75 _),

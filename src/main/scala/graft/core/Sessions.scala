@@ -25,6 +25,16 @@ object Sessions {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // Streaming state lives in RocksDB, not on the executor heap: the
+      // default HDFS-backed provider holds every state key in JVM memory —
+      // an OOM cliff once sessionization/dedup state reaches 100M+ keys.
+      // RocksDB spills to executor-local disk and changelog checkpointing
+      // ships per-batch deltas instead of full snapshots. Proven equivalent
+      // on the kill-and-restart spec (StreamingSpec, both providers).
+      .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -85,6 +85,84 @@ object Retrieval {
       .limit(k)
   }
 
+  /** BM25 top-k for a BATCH of queries in one pass — the decontamination-
+    * sweep shape: thousands of probe queries against one corpus must not
+    * cost thousands of corpus scans. `queries` is a (query id, term)
+    * relation; the result is each query's top-k by the exact scoring
+    * contract of [[bm25TopK]] (which remains the single-probe special
+    * case — its literal IN-list filter beats a join when the term set is
+    * a driver-side constant).
+    *
+    * One-pass structure:
+    *   - postings are filtered by a BROADCAST SEMI-JOIN against the union
+    *     of all queries' terms (still before the first shuffle — the
+    *     postings relation is O(tokens matching ANY query));
+    *   - per-(doc, term) BM25 partial scores are computed ONCE, shared by
+    *     every query containing the term (df/dl/avgdl are query-independent),
+    *     then fanned out to queries by a broadcast join on term;
+    *   - per-query top-k is a rank window partitioned by query id —
+    *     each query's candidate set (docs sharing >= 1 term) sorts
+    *     independently; no global sort, no cross-query interaction.
+    *
+    * Output: (query_id, doc_id, bm25_e12, n_terms_hit), rank <= k rows per
+    * query, ties broken by ascending doc id. Per-query results are
+    * row-identical to running [[bm25TopK]] with that query's terms:
+    * df(t) counts docs containing t regardless of the filtering term-set,
+    * so batching cannot shift any score (proven in RetrievalSpec).
+    */
+  def bm25TopKBatch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      termCol: String,
+      k: Int,
+      k1: Double = 1.25,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, "bm25TopKBatch: k must be positive")
+    val qterms = queries
+      .select(col(queryIdCol).cast("long").as("query_id"), col(termCol).as("token"))
+      .distinct()
+    val termSet = qterms.select(col("token")).distinct()
+
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"), TextAnalysis.tokens(col(textCol)).as("ws"))
+    val lens = toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+    val postings = toks
+      .select(col("doc_id"), explode(col("ws")).as("token"))
+      .join(broadcast(termSet), Seq("token"), "left_semi")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+
+    val dl = col("dl").cast("double")
+    val tf = col("tf").cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfn = tf * lit(k1 + 1.0) / (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / col("avgdl")))
+
+    val termScores = postings
+      .join(broadcast(dfreq), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", avgdl)
+      .withColumn("term_score_e12", (floor(lit(1000000.0) * idf).cast("long") * floor(lit(1000000.0) * tfn).cast("long")))
+      .select(col("doc_id"), col("token"), col("term_score_e12"))
+
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("bm25_e12").desc, col("doc_id").asc)
+    termScores
+      .join(broadcast(qterms), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score_e12")).as("bm25_e12"), count(lit(1)).as("n_terms_hit"))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("bm25_e12"), col("n_terms_hit"), col("rank"))
+  }
+
   /** Reciprocal-rank fusion of per-system rankings (Cormack et al. 2009):
     * fused(d) = Σ_systems 1/(rrfK + rank_s(d)), the standard way to merge
     * a lexical and a semantic ranking without score calibration.

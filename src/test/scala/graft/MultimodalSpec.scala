@@ -8,8 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Multimodal
 
-/** Real image decode/resize through the JDK codecs — actual pixels, not the
-  * md5 stub (which remains, documented, for audio/video).
+/** Real media decode through the JDK codecs — image pixels
+  * (PNG/JPEG/GIF/BMP), PCM audio (WAV/AIFF), MP4 container metadata, and
+  * MJPEG-AVI video frames. The md5-derived generic path remains only as
+  * the documented schema/batching testbed for formats the JDK can't parse.
   */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -153,6 +155,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L).nTracks == 2 && out(2L).hasVideo && out(2L).hasAudio)
     assert(!out(3L).ok && out(3L).width == -1 && out(3L).durationMs == -1L)
     assert(!out(4L).ok && out(4L).nTracks == -1)
+  }
+
+  test("decodeVideoFrames: real MJPEG-AVI round-trip — per-frame decode, luma within JPEG tolerance") {
+    val grays = Seq(30, 128, 220)
+    val avi = Multimodal.encodeMjpegAvi(48, 32, grays)
+    val rows = Seq(
+      (1L, avi),
+      (2L, avi.take(20)), // truncated header
+      (3L, Array[Byte](82, 73, 70, 70, 4, 0, 0, 0, 87, 65, 86, 69)) // RIFF but WAVE, not AVI
+    ).toDF("media_id", "payload")
+    val media = Multimodal.toMediaTable(rows, "media_id", "payload", "avi")
+    val out = Multimodal.decodeVideoFrames(spark, media).collect()
+    val good = out.filter(f => f.mediaId == 1L).sortBy(_.frameIdx)
+    assert(good.length == 3 && good.forall(f => f.ok && f.width == 48 && f.height == 32))
+    assert(good.map(_.frameIdx).toSeq == Seq(0, 1, 2))
+    // solid-gray JPEG decodes back to (almost exactly) its gray level —
+    // allow +-2 levels of DCT/colorspace rounding on the e2-scaled mean
+    good.zip(grays).foreach { case (f, g) =>
+      assert(math.abs(f.lumaE2 / 100.0 - g) <= 2.0, s"frame ${f.frameIdx}: luma ${f.lumaE2 / 100.0} vs gray $g")
+    }
+    // malformed payloads: one ok=false sentinel row each, never a throw
+    Seq(2L, 3L).foreach { id =>
+      val badRows = out.filter(_.mediaId == id)
+      assert(badRows.length == 1 && !badRows.head.ok && badRows.head.frameIdx == -1)
+    }
+  }
+
+  test("parseAviFrames: chunk-walk edge cases — odd-size padding, non-movi chunks skipped, overrun refused") {
+    // odd-sized JPEG payloads exercise the even-padding rule
+    val avi = Multimodal.encodeMjpegAvi(17, 13, Seq(77))
+    val frames = Multimodal.parseAviFrames(avi)
+    assert(frames.exists(_.length == 1))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames.get.head))
+    assert(img.getWidth == 17 && img.getHeight == 13)
+    // declared RIFF size larger than the actual payload -> refused
+    val lying = avi.clone()
+    lying(4) = 0xff.toByte; lying(5) = 0xff.toByte; lying(6) = 0xff.toByte; lying(7) = 0xff.toByte
+    assert(Multimodal.parseAviFrames(lying).isEmpty)
+    assert(Multimodal.parseAviFrames(Array.empty[Byte]).isEmpty)
+    intercept[IllegalArgumentException] { Multimodal.encodeMjpegAvi(48, 32, Seq(300)) }
+    intercept[IllegalArgumentException] { Multimodal.encodeMjpegAvi(48, 32, Nil) }
   }
 
   test("parseMp4Meta: mvhd version 1 (64-bit duration) and largesize box headers") {

@@ -82,4 +82,44 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.hybridTopK(docs, "doc_id", "text", Seq("x"), vecs, "vec_id", "embedding", 0L, k = 30, depth = 20)
     }
   }
+
+  test("bm25TopKBatch: every query's slice equals its standalone bm25TopK run") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.IO.table(spark, dir, "documents")
+    val querySets = Map(
+      0L -> Seq("vector", "merge", "stream"),
+      1L -> Seq("join", "hash", "row"),
+      2L -> Seq("window", "spark", "filter"))
+    val queries = querySets.toSeq.flatMap { case (qid, ts) => ts.map(qid -> _) }.toDF("query_id", "term")
+    val batch = Retrieval.bm25TopKBatch(docs, "doc_id", "text", queries, "query_id", "term", k = 25)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getLong(4)).map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      }
+    querySets.foreach { case (qid, terms) =>
+      val single = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(batch(qid) == single, s"query $qid batch/single divergence")
+    }
+  }
+
+  test("bm25TopKBatch: union-term filtering cannot shift df — a query unaffected by others' terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat fish cat"),
+      (2L, "cat dog"),
+      (3L, "fish bird dog")
+    ).toDF("doc_id", "text")
+    // query 0 alone vs query 0 batched next to a query whose terms overlap
+    // different docs: rows for query 0 must be identical
+    val alone = Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+      Seq((0L, "cat"), (0L, "fish")).toDF("query_id", "term"), "query_id", "term", k = 10)
+      .filter($"query_id" === 0L).collect().map(_.toSeq).toSet
+    val batched = Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+      Seq((0L, "cat"), (0L, "fish"), (7L, "dog"), (7L, "bird")).toDF("query_id", "term"), "query_id", "term", k = 10)
+      .filter($"query_id" === 0L).collect().map(_.toSeq).toSet
+    assert(alone == batched && alone.nonEmpty)
+  }
 }

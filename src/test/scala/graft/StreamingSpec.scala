@@ -331,6 +331,32 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("sessionization survives kill-and-restart: open sessions restore from the checkpoint, result parity holds") {
+    killAndRestartScenario()
+  }
+
+  test("kill-and-restart on the RocksDB state store: state restores off-heap, results identical") {
+    // The 100M+-key deployment shape: the default HDFS-backed provider
+    // keeps every key on the executor heap (an OOM cliff at corpus-scale
+    // session counts); RocksDB spills state to local disk. Same scenario,
+    // same expected rows — only the provider differs, proving the engine's
+    // stateful operators don't depend on provider-specific semantics.
+    withStateStoreProvider("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      killAndRestartScenario()
+    }
+  }
+
+  private def withStateStoreProvider[T](provider: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  private def killAndRestartScenario(): Unit = {
     def ts(t: String) = java.sql.Timestamp.valueOf(t)
     val hbUser = Streaming.HeartbeatUser
     // same event fixture as the multi-batch test, but the query is KILLED
@@ -411,9 +437,10 @@ class StreamingSpec extends AnyFunSuite {
     // parity with the q24-shaped oracle result: the union across the
     // restart equals the uninterrupted multi-batch run's output
     val uninterrupted = Files.createTempDirectory("graft-rsess-once").toString
+    val onceSink = s"rsess_once_${System.nanoTime()}" // unique per scenario run (default + RocksDB)
     writeSlices(uninterrupted, Seq(sliceA, sliceB, sliceC, heartbeat))
-    runSliced(uninterrupted, df => Streaming.gapSessions(spark, df), "rsess_once")
-    val once = spark.table("rsess_once").collect().map { r =>
+    runSliced(uninterrupted, df => Streaming.gapSessions(spark, df), onceSink)
+    val once = spark.table(onceSink).collect().map { r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3).toString, r.getTimestamp(4).toString,
         if (r.isNullAt(5)) None else Some(r.getLong(5)))
     }.toSet
