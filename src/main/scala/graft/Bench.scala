@@ -196,12 +196,25 @@ object Bench {
         val (idx, cents, qv) = Queries.q98BuildIndex(spark, sfDir)
         Some((idx, cents, qv, (System.nanoTime() - q98SetupT0) / 1e9))
       } catch { case _: Throwable => None }
+    // One-time q106 warehouse build, same rationale: the timed op is the
+    // change-feed read (the per-invocation serving cost), not the two
+    // SCD-2 commit cycles that produce the versions (q80 already times
+    // those). Build cost lands in setup_sec.
+    val q106SetupT0 = System.nanoTime()
+    val q106Built =
+      try {
+        val (path, v1, v2) = Queries.q106Build(spark, sfDir)
+        Some((path, v1, v2, (System.nanoTime() - q106SetupT0) / 1e9))
+      } catch { case _: Throwable => None }
     // benched ops: SparkEntry.queries, with q98 overridden to probe-only
-    // against the prebuilt index (oracle semantics unchanged — Verify
-    // still runs the full build+probe query).
+    // against the prebuilt index and q106 to feed-only against the
+    // prebuilt warehouse (oracle semantics unchanged — Verify still runs
+    // the full build+probe / build+feed queries).
     val benchOp: Map[String, (SparkSession, String) => DataFrame] =
       SparkEntry.queries ++ q98Built.map { case (idx, cents, qv, _) =>
         "q98_ann_ivf_sq8" -> ((s: SparkSession, _: String) => Queries.q98Probe(s, idx, cents, qv))
+      } ++ q106Built.map { case (path, v1, v2, _) =>
+        "q106_change_feed" -> ((s: SparkSession, _: String) => Queries.q106Feed(s, path, v1, v2))
       }
 
     // warm-up: every headline query once at the target SF (see scaladoc).
@@ -301,7 +314,12 @@ object Bench {
     val tainted = loadStart > 1.5 || extShare.exists(_ > 0.30)
     val loadJson =
       s"""{"start":${num(loadStart)},"end":${num(loadEnd)},"ext_cpu_share":${extShare.map(num).getOrElse("null")}}"""
-    val setupJson = q98Built.map { case (_, _, _, t) => s"""{"q98_index_build":${num(t)}}""" }.getOrElse("{}")
+    val setupJson = {
+      val parts =
+        q98Built.map { case (_, _, _, t) => s""""q98_index_build":${num(t)}""" }.toSeq ++
+          q106Built.map { case (_, _, _, t) => s""""q106_warehouse_build":${num(t)}""" }.toSeq
+      parts.mkString("{", ",", "}")
+    }
 
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},""" +
