@@ -1231,6 +1231,32 @@ object Oracles {
          |SELECT doc_id, bm25_e12, n_terms_hit FROM agg
          |ORDER BY bm25_e12 DESC, doc_id ASC LIMIT 25""".stripMargin,
 
+    // q111: stream-static enrichment — batch left join over the bounded
+    // replay (the streaming run must converge to it exactly; stateless,
+    // so no watermark precondition applies)
+    "q111_stream_enrich" ->
+      """SELECT user_id, event_id, event_type, value, c_mktsegment, c_nationkey
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE event_type IN ('click','purchase')""".stripMargin,
+
+    // q112: blocked fuzzy match — same blocking key (second name token)
+    // and the same standard Levenshtein metric on both engines
+    "q112_fuzzy_match" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS pid, p_name AS pname, split_part(p_name, ' ', 2) AS blk FROM part)
+        |SELECT a.pid id_a, b.pid id_b, a.pname name_a, b.pname name_b,
+        |  CAST(levenshtein(a.pname, b.pname) AS INTEGER) dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.pid < b.pid
+        |WHERE levenshtein(a.pname, b.pname) <= 3""".stripMargin,
+
+    // q113: heavy hitters — oracle replays the exact top-20 and pins the
+    // deterministic (fixed-seed) CMS bound check to literal TRUE
+    "q113_heavy_hitters" ->
+      s"""WITH toks AS (SELECT $tokensExpr ws FROM documents),
+         | tok AS (SELECT unnest(ws) token FROM toks),
+         | cnt AS (SELECT token, CAST(count(*) AS BIGINT) exact_cnt FROM tok GROUP BY token)
+         |SELECT token, exact_cnt, TRUE est_ok
+         |FROM cnt ORDER BY exact_cnt DESC, token ASC LIMIT 20""".stripMargin,
+
     // q110: MJPEG-AVI frame decode — the oracle replays the fixture
     // arithmetic (dims, frame counts, planted truncation) as a structural
     // per-frame explosion; the engine must actually walk the RIFF and

@@ -1940,22 +1940,36 @@ object Queries {
     * DISTINCT the stream must converge to. StreamingSpec proves the
     * cross-batch suppression on a forced multi-batch replay.
     */
-  def q102(s: SparkSession, dir: String): DataFrame = {
-    val distinctPairs =
-      graft.streaming.Streaming.streamingDistinct(eventsStream(s, dir), Seq("user_id", "event_type"))
-    val name = s"q102_sink_${System.nanoTime()}"
-    val q = distinctPairs.writeStream
+  def q102(s: SparkSession, dir: String): DataFrame =
+    runBoundedStream(
+      s,
+      graft.streaming.Streaming.streamingDistinct(eventsStream(s, dir), Seq("user_id", "event_type")),
+      "q102")
+
+  /** Run a bounded streaming plan to completion (AvailableNow) through a
+    * memory sink, detach the rows into a local DataFrame, and DROP the
+    * temp view — the memory sink pins its output on the driver for as
+    * long as the view exists, so repeated invocations (bench iterations)
+    * must not accumulate sinks. Bounded-replay only: the memory sink is
+    * the oracle/test harness; production streams write file/warehouse
+    * sinks ([[graft.streaming.Streaming.scd2WarehouseSink]]).
+    */
+  private def runBoundedStream(s: SparkSession, df: DataFrame, tag: String): DataFrame = {
+    val name = s"${tag}_sink_${System.nanoTime()}"
+    val q = df.writeStream
       .format("memory")
       .queryName(name)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    val finished = q.awaitTermination(300000)
-    if (!finished) {
+    if (!q.awaitTermination(300000)) {
       q.stop()
-      throw new IllegalStateException("q102 streaming pass did not finish — refusing a partial dedup snapshot")
+      throw new IllegalStateException(s"$tag streaming pass did not finish — refusing a partial snapshot")
     }
-    s.table(name)
+    val sink = s.table(name)
+    val out = s.createDataFrame(java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    s.catalog.dropTempView(name)
+    out
   }
 
   /** q95: REAL MP4 container-metadata parse under an oracle — the video
@@ -2039,24 +2053,7 @@ object Queries {
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("delay_us"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("purchase_cents")
       )
-    val name = s"q104_sink_${System.nanoTime()}"
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException("q104 streaming pass did not finish — refusing a partial join snapshot")
-    }
-    // The memory sink pins the full join output on the driver for as long
-    // as the temp view exists; detach the result and drop the view so
-    // repeated invocations (bench iterations) don't accumulate sinks.
-    val sink = s.table(name)
-    val out = s.createDataFrame(java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-    s.catalog.dropTempView(name)
-    out
+    runBoundedStream(s, joined, "q104")
   }
 
   /** q110: REAL VIDEO FRAME DECODE — the last multimodal stub, delivered
@@ -2186,4 +2183,45 @@ object Queries {
       t(s, dir, "documents"), "doc_id", "text", Seq("vector", "merge", "stream"),
       t(s, dir, "embeddings"), "vec_id", "embedding", queryVecId = 42L,
       k = 25, depth = 100)
+
+  /** q111: STREAM-STATIC ENRICHMENT JOIN
+    * ([[graft.streaming.Streaming.enrichStream]]) — click/purchase events
+    * stream past the broadcast customer dimension and pick up segment +
+    * nation; left-outer so unmatched users survive with nulls. Stateless
+    * (no watermark, no state store) — the join is a per-micro-batch
+    * broadcast hash probe, the canonical fact-enrichment shape. Oracle is
+    * the equivalent batch left join over the bounded replay.
+    */
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    val joined = graft.streaming.Streaming.enrichStream(
+      ev, t(s, dir, "customer"), "user_id", "c_custkey", Seq("c_mktsegment", "c_nationkey"))
+    runBoundedStream(s, joined, "q111")
+  }
+
+  /** q112: BLOCKED FUZZY MATCH ([[operators.Dedup.fuzzyPairs]]) — entity
+    * resolution over part names: pairs within 3 Levenshtein edits, found
+    * via product-noun blocking (candidates must share the name's second
+    * token) instead of an all-pairs comparison. The block predicate is
+    * part of the operator contract (record-linkage blocking), and the
+    * oracle replays block + verified edit distance exactly — DuckDB and
+    * Spark both implement standard Levenshtein.
+    */
+  def q112(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyPairs(
+      t(s, dir, "part"), "p_partkey", "p_name",
+      name => element_at(split(name, " "), 2), maxDist = 3)
+
+  /** q113: COUNT-MIN HEAVY HITTERS ([[operators.TextAnalysis
+    * .heavyHittersCms]]) — the exact top-20 corpus tokens, each audited
+    * against the mergeable Count-Min Sketch under a fixed seed: `est_ok`
+    * asserts exact <= estimate <= exact + ceil(eps·N). The oracle replays
+    * the exact side and pins est_ok to TRUE — with the seed fixed the
+    * sketch is deterministic, so a bound violation hash-fails instead of
+    * hiding in a tolerance.
+    */
+  def q113(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHittersCms(t(s, dir, "documents"), "doc_id", "text", k = 20)
 }

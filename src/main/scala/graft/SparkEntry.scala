@@ -110,6 +110,9 @@ object SparkEntry {
     "q108_recipe_substring" -> (Queries.q108 _),
     "q109_bm25_batch" -> (Queries.q109 _),
     "q110_video_frames" -> (Queries.q110 _),
+    "q111_stream_enrich" -> (Queries.q111 _),
+    "q112_fuzzy_match" -> (Queries.q112 _),
+    "q113_heavy_hitters" -> (Queries.q113 _),
     "q73_group_minhash" -> (Queries.q73 _),
     "q74_stream_sessions" -> (Queries.q74 _),
     "q75_crypto_roundtrip" -> (Queries.q75 _),

@@ -599,6 +599,40 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Blocked fuzzy self-join (entity resolution / near-identical names):
+    * all pairs whose names are within `maxDist` Levenshtein edits, found
+    * without an all-pairs comparison — candidate pairs must share a
+    * BLOCKING KEY (`blockExpr` over the name), and only within-block
+    * pairs pay the edit-distance verification. The blocking key is part
+    * of the operator's contract, not an approximation knob: a pair whose
+    * names disagree on the block is definitionally not a candidate (the
+    * standard record-linkage formulation — choose blocks that survivable
+    * variants preserve, e.g. the product noun, the phonetic code, the
+    * zip prefix).
+    *
+    * Scale shape: one shuffle on the block key; cost is Σ_blocks |b|²
+    * rather than n² — the classic blocking bound. A skewed block degrades
+    * toward quadratic, so choose keys with bounded selectivity (and salt
+    * or refuse degenerate blocks the way `MaxCellRows` does for semantic
+    * dedup — the guard here is the caller's key choice, kept explicit).
+    * Levenshtein is Spark's codegen'd built-in; id_a < id_b halves the
+    * candidate space and canonicalizes pair order.
+    */
+  def fuzzyPairs(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockExpr: Column => Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"fuzzyPairs: maxDist=$maxDist must be >= 0")
+    val a = df.select(col(idCol).cast("long").as("id_a"), col(nameCol).as("name_a"), blockExpr(col(nameCol)).as("block"))
+    val b = df.select(col(idCol).cast("long").as("id_b"), col(nameCol).as("name_b"), blockExpr(col(nameCol)).as("block_b"))
+    a.join(b, col("block") === col("block_b") && col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
+  }
+
   private def tokenizedDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"), TextAnalysis.tokens(col(textCol)).as("ws"))
 

@@ -471,4 +471,50 @@ object TextAnalysis {
       .withColumn("avg_nll_e5", expr("sum_nll_e5 div n_bigrams"))
       .withColumn("kept", col("avg_nll_e5") < keepBelowE5)
   }
+
+  /** Heavy hitters audited through a Count-Min Sketch (Cormode &
+    * Muthukrishnan 2005) — the mergeable-sketch path for token frequency
+    * at corpus scale: `stat.countMinSketch` aggregates a fixed
+    * O(depth·width) table per partition and merges by cell-wise addition
+    * (one reduction, no token-keyed shuffle), so the frequency structure
+    * of a 100 TB corpus fits in kilobytes regardless of vocabulary size.
+    *
+    * Output: the exact top-k tokens (count desc, token asc — the exact
+    * side is the audit baseline and what the oracle replays) with
+    * `est_ok` asserting the sketch's guarantee held for that token:
+    * exact <= estimate <= exact + ceil(eps·N), N = total token count from
+    * the sketch itself. CMS never under-counts (est >= exact always);
+    * the upper bound holds with the configured confidence per query, and
+    * under a FIXED seed the whole computation is deterministic — so the
+    * oracle pins `est_ok` to literal true and any bound violation fails
+    * the hash gate instead of hiding in a tolerance. Driver work is
+    * bounded: the sketch object plus k collected rows.
+    */
+  def heavyHittersCms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      eps: Double = 0.001,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(k > 0 && eps > 0 && eps < 1, s"heavyHittersCms: bad k=$k / eps=$eps")
+    val spark = docs.sparkSession
+    val toks = docs.select(explode(tokens(col(textCol))).as("token"))
+    val sketch = toks.stat.countMinSketch("token", eps, confidence, seed)
+    val bound = math.ceil(eps * sketch.totalCount()).toLong
+    val top = toks
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token").asc)
+      .limit(k)
+      .collect()
+    val rows = top.map { r =>
+      val (token, exact) = (r.getString(0), r.getLong(1))
+      val est = sketch.estimateCount(token)
+      (token, exact, est >= exact && est <= exact + bound)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("token", "exact_cnt", "est_ok")
+  }
 }

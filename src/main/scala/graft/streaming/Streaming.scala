@@ -335,6 +335,34 @@ object Streaming {
       .drop(rKey)
   }
 
+  /** Stream-static enrichment join: each streaming event picks up the
+    * dimension attributes for its key — the canonical "enrich clicks with
+    * the customer record" shape. The static side is BROADCAST (dimension
+    * tables stay dimension-sized while facts stream past them) and Spark
+    * re-resolves it at every micro-batch, so a dimension file that changes
+    * between batches is picked up without restarting the query — slowly-
+    * changing enrichment for free. Stateless: no watermark, no state
+    * store; the join cost is a per-batch broadcast hash probe, which is
+    * why this scales to any stream rate the executors can scan.
+    *
+    * `dimCols` selects the attributes to carry (pruning the broadcast to
+    * exactly the needed columns); left-outer semantics keep events whose
+    * key has no dimension row (their attributes null), because dropping
+    * unmatched facts silently is how enrichment pipelines lose data.
+    */
+  def enrichStream(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String,
+      dimCols: Seq[String]): DataFrame = {
+    require(dimCols.nonEmpty, "enrichStream: select at least one dimension attribute")
+    val slim = dim.select((dimKey +: dimCols).map(col): _*)
+    events
+      .join(broadcast(slim), col(eventKey) === col(dimKey), "left_outer")
+      .drop(dimKey)
+  }
+
   /** Streaming exact deduplication: emit each distinct key ONCE across
     * the whole stream, however many micro-batches its duplicates span.
     * Spark's streaming `dropDuplicates` keeps the seen-key set in the

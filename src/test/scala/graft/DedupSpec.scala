@@ -243,6 +243,24 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Dedup.dedupSubstrings(d, "doc_id", "text", k = 1) }
   }
 
+  test("fuzzyPairs: within-block Levenshtein pairs only; cross-block near-names never compared") {
+    val parts = Seq(
+      (1L, "red widget"), (2L, "blue widget"), (3L, "rod widget"),
+      (4L, "red gadget"), // 1 edit from "red widget" but different block -> excluded by contract
+      (5L, "enormous widget")
+    ).toDF("id", "name")
+    val block = (name: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.element_at(org.apache.spark.sql.functions.split(name, " "), 2)
+    val out = Dedup.fuzzyPairs(parts, "id", "name", block, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4)).toMap
+    assert(out((1L, 3L)) == 1) // red/rod: one substitution
+    assert(!out.contains((1L, 4L)), "cross-block pair must not be compared")
+    assert(!out.contains((1L, 5L)), "within-block pair past maxDist must be filtered")
+    // red/blue and blue/rod are 4 edits — past maxDist even within the block
+    assert(out.keySet == Set((1L, 3L)))
+    intercept[IllegalArgumentException] { Dedup.fuzzyPairs(parts, "id", "name", block, maxDist = -1) }
+  }
+
   test("dedupSubstrings phase 1: fused window digests match the explicit string-gram hashes") {
     // The de-stringified phase 1 keys windows by ShingleHash60 (token
     // bytes streamed into MD5). Parity oracle: hash the materialized

@@ -603,6 +603,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((101L, 201L), (101L, 202L), (103L, 203L)), s"unexpected join output: $got")
   }
 
+  test("enrichStream: broadcast dimension attributes land per micro-batch; unmatched keys keep nulls") {
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val landing = Files.createTempDirectory("graft-enrich").toString
+    writeSlices(landing, Seq(
+      Seq((1L, 1L, ts("2024-01-01 10:00:00"), Some(1.0)), (2L, 2L, ts("2024-01-01 10:05:00"), None)),
+      Seq((9L, 3L, ts("2024-01-01 11:00:00"), Some(2.0))) // no dimension row for user 9
+    ))
+    val dim = Seq((1L, "BUILDING", 7), (2L, "MACHINERY", 3)).toDF("cust_id", "segment", "nation")
+    val stream = spark.readStream
+      .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+      .select($"user_id", $"event_id")
+    val sink = s"enrich_${System.nanoTime()}"
+    val q = Streaming.enrichStream(stream, dim, "user_id", "cust_id", Seq("segment", "nation"))
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val out = spark.table(sink).collect()
+      .map(r => r.getLong(1) -> ((if (r.isNullAt(2)) null else r.getString(2), if (r.isNullAt(3)) null else r.getInt(3)))).toMap
+    assert(out(1L) == (("BUILDING", 7)) && out(2L) == (("MACHINERY", 3)))
+    assert(out(3L) == ((null, null)), "unmatched key must survive with null attributes")
+    intercept[IllegalArgumentException] { Streaming.enrichStream(stream, dim, "user_id", "cust_id", Nil) }
+  }
+
   test("intervalJoin: refuses overlapping non-key columns and identical ts names") {
     val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))).toDF("k", "lts")
     val r = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))).toDF("k", "lts")

@@ -247,4 +247,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(string.nonEmpty, "fixture produced no hot spans — twin check is vacuous")
     assert(hashed == string)
   }
+
+  test("heavyHittersCms: exact top-k ordering, CMS bound holds on every row, determinism across runs") {
+    val docs = Seq(
+      (1L, "a a a a b b b c c d"),
+      (2L, "a a b c d e"),
+      (3L, "a b f")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.heavyHittersCms(docs, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    // exact counts: a=7 b=5 c=3 d=2 e=1 f=1; top-4 in (cnt desc, token asc) order
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq(("a", 7L), ("b", 5L), ("c", 3L), ("d", 2L)))
+    assert(out.forall(_._3), "CMS bound must hold under the fixed seed")
+    val again = TextAnalysis.heavyHittersCms(docs, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(again.toSeq == out.toSeq, "fixed-seed sketch must be deterministic")
+    intercept[IllegalArgumentException] { TextAnalysis.heavyHittersCms(docs, "doc_id", "text", k = 0) }
+  }
 }
