@@ -1239,14 +1239,16 @@ object Oracles {
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |WHERE event_type IN ('click','purchase')""".stripMargin,
 
-    // q112: blocked fuzzy match — same blocking key (second name token)
-    // and the same standard Levenshtein metric on both engines
+    // q112: blocked fuzzy match over the compacted name dictionary —
+    // same min-key compaction, same blocking key (second name token),
+    // same standard Levenshtein metric on both engines
     "q112_fuzzy_match" ->
-      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS pid, p_name AS pname, split_part(p_name, ' ', 2) AS blk FROM part)
+      """WITH d AS (SELECT CAST(min(p_partkey) AS BIGINT) AS pid, p_name AS pname FROM part GROUP BY p_name),
+        | p AS (SELECT pid, pname, split_part(pname, ' ', 2) AS blk FROM d)
         |SELECT a.pid id_a, b.pid id_b, a.pname name_a, b.pname name_b,
         |  CAST(levenshtein(a.pname, b.pname) AS INTEGER) dist
         |FROM p a JOIN p b ON a.blk = b.blk AND a.pid < b.pid
-        |WHERE levenshtein(a.pname, b.pname) <= 3""".stripMargin,
+        |WHERE levenshtein(a.pname, b.pname) <= 2""".stripMargin,
 
     // q113: heavy hitters — oracle replays the exact top-20 and pins the
     // deterministic (fixed-seed) CMS bound check to literal TRUE

@@ -625,11 +625,26 @@ object Dedup {
       blockExpr: Column => Column,
       maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"fuzzyPairs: maxDist=$maxDist must be >= 0")
-    val a = df.select(col(idCol).cast("long").as("id_a"), col(nameCol).as("name_a"), blockExpr(col(nameCol)).as("block"))
-    val b = df.select(col(idCol).cast("long").as("id_b"), col(nameCol).as("name_b"), blockExpr(col(nameCol)).as("block_b"))
-    a.join(b, col("block") === col("block_b") && col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("int"))
-      .filter(col("dist") <= maxDist)
+    // Two LOSSLESS prunes keep the within-block quadratic cheap:
+    //  - length band: |len(a)-len(b)| > maxDist implies lev > maxDist, so
+    //    the int compare rides the join condition and most pairs never
+    //    reach the DP at all;
+    //  - banded Levenshtein: the 3-arg built-in computes O(len·maxDist)
+    //    instead of O(len²) and bails to -1 the moment the distance
+    //    provably exceeds the threshold.
+    // Both return exactly the pairs the naive formulation returns.
+    val a = df.select(
+      col(idCol).cast("long").as("id_a"), col(nameCol).as("name_a"),
+      length(col(nameCol)).as("len_a"), blockExpr(col(nameCol)).as("block"))
+    val b = df.select(
+      col(idCol).cast("long").as("id_b"), col(nameCol).as("name_b"),
+      length(col(nameCol)).as("len_b"), blockExpr(col(nameCol)).as("block_b"))
+    a.join(
+        b,
+        col("block") === col("block_b") && col("id_a") < col("id_b") &&
+          abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist).cast("int"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
   }
 
