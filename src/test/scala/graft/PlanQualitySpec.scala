@@ -163,6 +163,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q93 scan must read only doc_id+source, got:\n$p")
   }
 
+  test("q109 batch BM25: term filter and query fan-out are broadcast joins; top-k window partitions by query") {
+    val p = plan("q109_bm25_batch")
+    assert(p.contains("BroadcastHashJoin"), "term-set semi join and qterms fan-out must broadcast")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-vs-corpus shuffle join belongs in batch BM25:\n$p")
+    // the rank window must be keyed by query_id (per-query top-k), never a
+    // global single-partition window — and Spark's WindowGroupLimit should
+    // prune each query's group to k rows BEFORE the full window evaluates
+    assert(p.contains("WindowGroupLimit [query_id"), s"per-query group-limit pushdown missing:\n$p")
+  }
+
+  test("q112 fuzzy match: dictionary compaction aggregates before the block join; banded levenshtein in plan") {
+    val p = plan("q112_fuzzy_match")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "distinct-name compaction must be partial-then-final")
+    assert(p.toLowerCase.contains("levenshtein"), "edit-distance verification missing from plan")
+  }
+
   test("q105 phase 1: no corpus-sized gram string feeds the first shuffle (fused digest only)") {
     import spark.implicits._
     val toks = spark.read.parquet(s"$dir/documents.parquet")
