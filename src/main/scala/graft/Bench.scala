@@ -174,7 +174,8 @@ object Bench {
         "q103_bm25_topk", "q104_stream_interval_join", "q105_substring_dedup",
         "q106_change_feed", "q107_hybrid_rrf", "q108_recipe_substring",
         "q109_bm25_batch", "q110_video_frames",
-        "q111_stream_enrich", "q112_fuzzy_match", "q113_heavy_hitters")
+        "q111_stream_enrich", "q112_fuzzy_match", "q113_heavy_hitters",
+        "q114_ann_pq")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

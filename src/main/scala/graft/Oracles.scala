@@ -69,6 +69,40 @@ object Oracles {
     b.toString
   }
 
+  /** PQ oracle: replay training (all m subspaces as one grouped k-means,
+    * `iters` unrolled iterations), the final per-(vector, subspace) code
+    * assignment, and the index-ordered ADC fold — the q85 recipe extended
+    * with a `sub` grouping column. Same exactness ingredients: ordered
+    * folds for distances, quantized-long means, -2d+c2 argmin with cid
+    * tie-break.
+    */
+  private def pqAdcSql(m: Int, dsub: Int, k: Int, iters: Int, topK: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) x, unnest(range(${m * dsub})) i FROM embeddings),\n"
+    b ++= s" sv AS (SELECT vec_id, i // $dsub sub, i % $dsub j, x FROM ev),\n"
+    b ++= s" cb0 AS (SELECT i // $dsub sub, vec_id cid, i % $dsub j, x y FROM ev WHERE vec_id < $k),\n"
+    for (t <- 0 until iters) {
+      b ++= s" s$t AS (SELECT sv.vec_id, sv.sub, c.cid, sum(sv.x*c.y ORDER BY sv.j) d, sum(c.y*c.y ORDER BY sv.j) c2\n"
+      b ++= s"   FROM sv JOIN cb$t c ON sv.sub = c.sub AND sv.j = c.j GROUP BY sv.vec_id, sv.sub, c.cid),\n"
+      b ++= s" a$t AS (SELECT vec_id, sub, cid FROM (\n"
+      b ++= s"   SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY -2.0*d + c2, cid) rn FROM s$t) WHERE rn = 1),\n"
+      b ++= s" n$t AS (SELECT a.sub, a.cid, sv.j, CAST(sum(CAST(FLOOR(sv.x*1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)/count(*)/1048576.0 y\n"
+      b ++= s"   FROM a$t a JOIN sv ON a.vec_id = sv.vec_id AND a.sub = sv.sub GROUP BY a.sub, a.cid, sv.j),\n"
+      b ++= s" cb${t + 1} AS (SELECT p.sub, p.cid, p.j, COALESCE(n.y, p.y) y FROM cb$t p LEFT JOIN n$t n ON p.sub = n.sub AND p.cid = n.cid AND p.j = n.j),\n"
+    }
+    b ++= s" sF AS (SELECT sv.vec_id, sv.sub, c.cid, sum(sv.x*c.y ORDER BY sv.j) d, sum(c.y*c.y ORDER BY sv.j) c2\n"
+    b ++= s"   FROM sv JOIN cb$iters c ON sv.sub = c.sub AND sv.j = c.j GROUP BY sv.vec_id, sv.sub, c.cid),\n"
+    b ++= s" aF AS (SELECT vec_id, sub, cid FROM (\n"
+    b ++= s"   SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY -2.0*d + c2, cid) rn FROM sF) WHERE rn = 1),\n"
+    b ++= s" qv AS (SELECT i // $dsub sub, i % $dsub j, x qx FROM ev WHERE vec_id = 0),\n"
+    b ++= s" qd AS (SELECT c.sub, c.cid, sum((q.qx - c.y)*(q.qx - c.y) ORDER BY c.j) dist\n"
+    b ++= s"   FROM cb$iters c JOIN qv q ON c.sub = q.sub AND c.j = q.j GROUP BY c.sub, c.cid),\n"
+    b ++= s" sc AS (SELECT a.vec_id, sum(qd.dist ORDER BY a.sub) dist\n"
+    b ++= s"   FROM aF a JOIN qd ON a.sub = qd.sub AND a.cid = qd.cid WHERE a.vec_id <> 0 GROUP BY a.vec_id)\n"
+    b ++= s"SELECT vec_id, CAST(FLOOR(dist*1000000) AS BIGINT) dist_e6 FROM sc ORDER BY dist ASC, vec_id ASC LIMIT $topK"
+    b.toString
+  }
+
   /** q72's probe-3 / cosine-top-20 tail over the final assignment. */
   private val ivfRankTail: String =
     """ qprobe AS (SELECT cid FROM (
@@ -1230,6 +1264,9 @@ object Oracles {
          |    count(*) n_terms_hit FROM scored GROUP BY doc_id)
          |SELECT doc_id, bm25_e12, n_terms_hit FROM agg
          |ORDER BY bm25_e12 DESC, doc_id ASC LIMIT 25""".stripMargin,
+
+    // q114: product-quantized ANN — full training/encoding/ADC replay
+    "q114_ann_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20),
 
     // q111: stream-static enrichment — batch left join over the bounded
     // replay (the streaming run must converge to it exactly; stateless,

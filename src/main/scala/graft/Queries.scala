@@ -2220,6 +2220,38 @@ object Queries {
     Dedup.fuzzyPairs(dict, "rep_id", "p_name", name => element_at(split(name, " "), 2), maxDist = 2)
   }
 
+  /** q114: PRODUCT-QUANTIZED ANN ([[operators.Similarity.trainPqCodebooks]]
+    * + [[operators.Similarity.pqAdcTopK]]) — the 32x-at-rest member of the
+    * quantization family (SQ8 is 4x): 64-dim vectors → 8 subspace codes
+    * against 16-centroid codebooks trained by two deterministic Lloyd
+    * iterations (init = the 16 lowest-id vectors' subvector slices, the
+    * q85 convention per subspace), then the query ranks the corpus
+    * asymmetrically from codes alone via the m×k ADC table. The oracle
+    * replays the ENTIRE chain — both training iterations across all 8
+    * subspaces as grouped k-means, the final code assignment, and the
+    * index-ordered ADC fold — so training, encoding, and serving are all
+    * hash-gated, exactly like q85/q96/q98 for the other family members.
+    */
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val dim = 64
+    val m = 8
+    val dsub = dim / m
+    val seeds = emb
+      .filter(col("vec_id") < 16)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val init: Seq[Seq[(Long, Seq[Double])]] =
+      (0 until m).map(j => seeds.toSeq.zipWithIndex.map { case ((_, v), pos) =>
+        pos.toLong -> v.slice(j * dsub, (j + 1) * dsub)
+      })
+    val cbs = Similarity.trainPqCodebooks(emb, "embedding", dim, init, iters = 2)
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    Similarity.pqAdcTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", dim, cbs, qvec, 20)
+  }
+
   /** q113: COUNT-MIN HEAVY HITTERS ([[operators.TextAnalysis
     * .heavyHittersCms]]) — the exact top-20 corpus tokens, each audited
     * against the mergeable Count-Min Sketch under a fixed seed: `est_ok`

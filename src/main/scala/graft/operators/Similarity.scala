@@ -304,6 +304,128 @@ object Similarity {
       .select(col(idCol), col("__cell").as("cell_id"))
   }
 
+  // ------------------------------------------------------------------- PQ
+
+  /** Product quantization (Jégou et al. 2011, the FAISS "PQ" layout,
+    * public): the vector is split into `m` contiguous subvectors and each
+    * is quantized independently against its own k-centroid codebook, so a
+    * dim-float vector compresses to m small codes (m bytes for k<=256) —
+    * at dim=64/m=8 that is 32x smaller than float32 at rest, the lever
+    * that fits billion-vector indexes in memory where SQ8's 4x cannot.
+    *
+    * Training = m independent deterministic Lloyd runs, executed as ONE
+    * scan per iteration: every subspace's assignment is an [[ivfCell]]
+    * expression over the subvector slice (computed in the same projection),
+    * and the per-(subspace, cell, dim) means accumulate QUANTIZED LONGS
+    * exactly like [[trainIvfCentroids]] — the whole training run is a pure
+    * function of (data, init, iters), independent of partitioning, and a
+    * SQL oracle replays it bit-exactly. Driver state per iteration is
+    * m·k·(dim/m) = dim·k stat rows — bounded.
+    *
+    * Codebook ids must be 0..k-1 (positional — codes index the ADC lookup
+    * table). Init follows the IVF convention: the lowest-id vectors'
+    * subvector slices.
+    */
+  def trainPqCodebooks(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      init: Seq[Seq[(Long, Seq[Double])]],
+      iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    val m = init.length
+    require(m > 0 && dim % m == 0, s"trainPqCodebooks: dim=$dim must split evenly into m=$m subspaces")
+    val dsub = dim / m
+    init.foreach(cb => require(cb.map(_._1) == (0L until cb.length.toLong), "trainPqCodebooks: codebook ids must be 0..k-1"))
+    val scale = 1048576.0 // 2^20 — exact in IEEE 754, same as trainIvfCentroids
+    var cur = init
+    for (_ <- 0 until iters) {
+      val cellsArr = array((0 until m).map(j => ivfCell(slice(col(vecCol), j * dsub + 1, dsub), cur(j))): _*)
+      val stats = df
+        .select(cellsArr.as("cells"), posexplode(col(vecCol)).as(Seq("i", "x")))
+        .select(
+          expr(s"i div $dsub").cast("int").as("sub"),
+          element_at(col("cells"), (expr(s"i div $dsub") + 1).cast("int")).as("cell"),
+          expr(s"i % $dsub").cast("int").as("j"),
+          col("x"))
+        .groupBy(col("sub"), col("cell"), col("j"))
+        .agg(
+          sum(floor(col("x").cast("double") * lit(scale) + lit(0.5))).as("sumq"),
+          count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      cur = cur.zipWithIndex.map { case (cb, sub) =>
+        cb.map { case (cid, c) =>
+          cid -> c.indices.map { j =>
+            stats.get((sub, cid, j)) match {
+              case Some((sumq, cnt)) => (sumq.toDouble / cnt) / scale
+              case None              => c(j) // empty cell: centroid unchanged
+            }
+          }
+        }
+      }
+    }
+    cur
+  }
+
+  /** Per-vector PQ code array: code j = the nearest codebook-j centroid of
+    * subvector j (same argmin/tie rule as [[ivfCell]]). One projection, no
+    * shuffle — encoding rides the scan.
+    */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String, dim: Int, codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = dim / m
+    df.select(
+      col(idCol),
+      array((0 until m).map(j => ivfCell(slice(col(vecCol), j * dsub + 1, dsub), codebooks(j))): _*).as("pq_codes"))
+  }
+
+  /** ADC top-k (asymmetric distance computation): the query stays full
+    * precision; each corpus vector is scored from its m codes alone via a
+    * driver-built m×k lookup table of ||q_j - centroid||² partials, so the
+    * per-vector cost is m table reads + m-1 adds over data that is 32x
+    * smaller at rest — the PQ serving kernel. Distances are exact squared
+    * L2 between the query and each vector's RECONSTRUCTION (the centroid
+    * concatenation); the table fold and the per-vector subspace sum are
+    * both index-ordered, so the oracle replays every ranking bit-exactly.
+    * Ascending distance, ties to the lower id, floor-e6 quantized output.
+    */
+  def pqAdcTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      query: Seq[Float],
+      k: Int): DataFrame = {
+    val m = codebooks.length
+    require(m > 0 && dim % m == 0 && query.length == dim, s"pqAdcTopK: dim=$dim / m=$m / query=${query.length}")
+    val dsub = dim / m
+    codebooks.foreach(cb => require(cb.map(_._1) == (0L until cb.length.toLong), "pqAdcTopK: codebook ids must be 0..k-1"))
+    // driver-side ADC table, index-order folds (oracle: sum ORDER BY j)
+    val table: Seq[Seq[Double]] = (0 until m).map { j =>
+      codebooks(j).map { case (_, c) =>
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = query(j * dsub + t).toDouble - c(t)
+          d += diff * diff
+          t += 1
+        }
+        d
+      }
+    }
+    // left-assoc add chain == the oracle's sum(dist ORDER BY sub)
+    val dist = (0 until m)
+      .map(j => element_at(array(table(j).map(lit): _*), element_at(col("pq_codes"), j + 1).cast("int") + 1))
+      .reduceLeft(_ + _)
+    pqCodes(df, idCol, vecCol, dim, codebooks)
+      .withColumn("__dist", dist)
+      .orderBy(col("__dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), floor(col("__dist") * lit(1000000.0)).cast("long").as("dist_e6"))
+  }
+
   // ------------------------------------------------------------------ SQ8
 
   /** 8-bit scalar quantization (the FAISS "SQ8" recipe, public): each

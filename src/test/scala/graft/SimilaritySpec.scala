@@ -307,4 +307,32 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     assert(after == inline, "probe after single-cell delta commit diverged")
   }
+
+  test("PQ: hand-computed Lloyd iteration, codes, and ADC ranking (m=2, k=2, 4-dim)") {
+    // v0..v3 split into two 2-dim subspaces; init codebooks from v0/v1.
+    // One Lloyd iteration moves sub0 c1 to (3.5,3.5) (mean of v1,v3) and
+    // sub1 c0 to (0.5,0.5) (mean of v0,v3); all arithmetic is exact in
+    // IEEE 754 at these magnitudes, so equality is strict.
+    val vecs = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(4f, 4f, 4f, 4f)),
+      (2L, Seq(0f, 0f, 4f, 4f)),
+      (3L, Seq(3f, 3f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val init = (0 until 2).map(j => Seq(0L -> Seq(0.0, 0.0), 1L -> Seq(4.0, 4.0)))
+    val cbs = Similarity.trainPqCodebooks(vecs, "embedding", dim = 4, init, iters = 1)
+    assert(cbs(0) == Seq(0L -> Seq(0.0, 0.0), 1L -> Seq(3.5, 3.5)))
+    assert(cbs(1) == Seq(0L -> Seq(0.5, 0.5), 1L -> Seq(4.0, 4.0)))
+    val codes = Similarity.pqCodes(vecs, "vec_id", "embedding", 4, cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(0L) == Seq(0L, 0L) && codes(1L) == Seq(1L, 1L))
+    assert(codes(2L) == Seq(0L, 1L) && codes(3L) == Seq(1L, 0L))
+    // query (1,1,1,1): ADC table sub0 = [2, 12.5], sub1 = [0.5, 18]
+    val top = Similarity.pqAdcTopK(vecs, "vec_id", "embedding", 4, cbs, Seq(1f, 1f, 1f, 1f), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(top == Seq(0L -> 2500000L, 3L -> 13000000L, 2L -> 20000000L, 1L -> 30500000L))
+    intercept[IllegalArgumentException] {
+      Similarity.trainPqCodebooks(vecs, "embedding", dim = 4, init.take(1).map(_ => Seq(5L -> Seq(0.0))), iters = 1)
+    }
+  }
 }
