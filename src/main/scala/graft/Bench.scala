@@ -175,7 +175,7 @@ object Bench {
         "q106_change_feed", "q107_hybrid_rrf", "q108_recipe_substring",
         "q109_bm25_batch", "q110_video_frames",
         "q111_stream_enrich", "q112_fuzzy_match", "q113_heavy_hitters",
-        "q114_ann_pq")
+        "q114_ann_pq", "q115_ann_ivf_pq")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

@@ -76,7 +76,7 @@ object Oracles {
     * folds for distances, quantized-long means, -2d+c2 argmin with cid
     * tie-break.
     */
-  private def pqAdcSql(m: Int, dsub: Int, k: Int, iters: Int, topK: Int): String = {
+  private def pqAdcSql(m: Int, dsub: Int, k: Int, iters: Int, topK: Int, coarse: Option[(Int, Int)] = None): String = {
     val b = new StringBuilder
     b ++= s"WITH ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) x, unnest(range(${m * dsub})) i FROM embeddings),\n"
     b ++= s" sv AS (SELECT vec_id, i // $dsub sub, i % $dsub j, x FROM ev),\n"
@@ -94,11 +94,26 @@ object Oracles {
     b ++= s"   FROM sv JOIN cb$iters c ON sv.sub = c.sub AND sv.j = c.j GROUP BY sv.vec_id, sv.sub, c.cid),\n"
     b ++= s" aF AS (SELECT vec_id, sub, cid FROM (\n"
     b ++= s"   SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY -2.0*d + c2, cid) rn FROM sF) WHERE rn = 1),\n"
+    // optional IVF coarse pruning (q72's training-free quantizer + probe):
+    // candidates = vectors assigned to the query's nprobe nearest cells
+    val candFilter = coarse match {
+      case Some((numCells, nprobe)) =>
+        b ++= s" cc AS (SELECT vec_id ccid, i, x cy FROM ev WHERE vec_id < $numCells),\n"
+        b ++= s" cs AS (SELECT ev.vec_id, c.ccid, sum(ev.x*c.cy ORDER BY i) d, sum(c.cy*c.cy ORDER BY i) c2\n"
+        b ++= s"   FROM ev JOIN cc c USING (i) GROUP BY ev.vec_id, c.ccid),\n"
+        b ++= s" ca AS (SELECT vec_id, ccid FROM (\n"
+        b ++= s"   SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id ORDER BY -2.0*d + c2, ccid) rn FROM cs) WHERE rn = 1),\n"
+        b ++= s" qprobe AS (SELECT ccid FROM (\n"
+        b ++= s"   SELECT ccid, row_number() OVER (ORDER BY -2.0*d + c2, ccid) rn FROM cs WHERE vec_id = 0) WHERE rn <= $nprobe),\n"
+        b ++= s" cand AS (SELECT vec_id FROM ca WHERE ccid IN (SELECT ccid FROM qprobe) AND vec_id <> 0),\n"
+        " AND a.vec_id IN (SELECT vec_id FROM cand)"
+      case None => ""
+    }
     b ++= s" qv AS (SELECT i // $dsub sub, i % $dsub j, x qx FROM ev WHERE vec_id = 0),\n"
     b ++= s" qd AS (SELECT c.sub, c.cid, sum((q.qx - c.y)*(q.qx - c.y) ORDER BY c.j) dist\n"
     b ++= s"   FROM cb$iters c JOIN qv q ON c.sub = q.sub AND c.j = q.j GROUP BY c.sub, c.cid),\n"
     b ++= s" sc AS (SELECT a.vec_id, sum(qd.dist ORDER BY a.sub) dist\n"
-    b ++= s"   FROM aF a JOIN qd ON a.sub = qd.sub AND a.cid = qd.cid WHERE a.vec_id <> 0 GROUP BY a.vec_id)\n"
+    b ++= s"   FROM aF a JOIN qd ON a.sub = qd.sub AND a.cid = qd.cid WHERE a.vec_id <> 0$candFilter GROUP BY a.vec_id)\n"
     b ++= s"SELECT vec_id, CAST(FLOOR(dist*1000000) AS BIGINT) dist_e6 FROM sc ORDER BY dist ASC, vec_id ASC LIMIT $topK"
     b.toString
   }
@@ -1267,6 +1282,9 @@ object Oracles {
 
     // q114: product-quantized ANN — full training/encoding/ADC replay
     "q114_ann_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20),
+
+    // q115: IVF+PQ — q114's chain with q72's coarse probe pruning
+    "q115_ann_ivf_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, coarse = Some((8, 3))),
 
     // q111: stream-static enrichment — batch left join over the bounded
     // replay (the streaming run must converge to it exactly; stateless,

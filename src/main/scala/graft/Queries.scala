@@ -2252,6 +2252,44 @@ object Queries {
     Similarity.pqAdcTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", dim, cbs, qvec, 20)
   }
 
+  /** q115: IVF + PQ COMPOSED ([[operators.Similarity.ivfPqTopK]]) — the
+    * FAISS billion-scale serving default under one oracle: the q72
+    * training-free coarse quantizer (first 8 vectors by id) prunes to the
+    * query's 3 nearest cells, and only those candidates rank from their
+    * 8-byte PQ codes via the ADC table (q114's codebooks, trained
+    * corpus-wide). Cell pruning bounds the scan, PQ bounds the bytes per
+    * scanned vector — both 100 TB levers in one plan, every stage
+    * (coarse assignment, probe set, PQ training, encoding, ADC fold)
+    * replayed relationally.
+    */
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val dim = 64
+    val m = 8
+    val dsub = dim / m
+    val coarse = emb
+      .filter(col("vec_id") < 8)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toSeq
+    val seeds = emb
+      .filter(col("vec_id") < 16)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val init: Seq[Seq[(Long, Seq[Double])]] =
+      (0 until m).map(j => seeds.toSeq.zipWithIndex.map { case ((_, v), pos) =>
+        pos.toLong -> v.slice(j * dsub, (j + 1) * dsub)
+      })
+    val cbs = Similarity.trainPqCodebooks(emb, "embedding", dim, init, iters = 2)
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    Similarity.ivfPqTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", dim, coarse, cbs, qvec, nprobe = 3, k = 20)
+  }
+
   /** q113: COUNT-MIN HEAVY HITTERS ([[operators.TextAnalysis
     * .heavyHittersCms]]) — the exact top-20 corpus tokens, each audited
     * against the mergeable Count-Min Sketch under a fixed seed: `est_ok`

@@ -114,6 +114,7 @@ object SparkEntry {
     "q112_fuzzy_match" -> (Queries.q112 _),
     "q113_heavy_hitters" -> (Queries.q113 _),
     "q114_ann_pq" -> (Queries.q114 _),
+    "q115_ann_ivf_pq" -> (Queries.q115 _),
     "q73_group_minhash" -> (Queries.q73 _),
     "q74_stream_sessions" -> (Queries.q74 _),
     "q75_crypto_roundtrip" -> (Queries.q75 _),

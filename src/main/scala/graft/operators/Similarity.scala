@@ -426,6 +426,31 @@ object Similarity {
       .select(col(idCol), floor(col("__dist") * lit(1000000.0)).cast("long").as("dist_e6"))
   }
 
+  /** IVF + PQ composed — the billion-scale serving default (FAISS
+    * "IVFx,PQy"): the coarse quantizer prunes the corpus to the query's
+    * nprobe nearest cells, and only the candidates are ranked, from their
+    * m-byte PQ codes via the ADC table. Cell pruning bounds the scan;
+    * PQ bounds the bytes per scanned vector — at 100 TB both levers are
+    * needed at once. Same argmin/tie/fold conventions as the parts
+    * ([[ivfCell]]/[[ivfProbeCells]]/[[pqAdcTopK]]), so the composition is
+    * oracle-replayable end to end.
+    */
+  def ivfPqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      coarse: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      query: Seq[Float],
+      nprobe: Int,
+      k: Int): DataFrame = {
+    require(nprobe > 0 && nprobe <= coarse.length, s"ivfPqTopK: nprobe=$nprobe vs ${coarse.length} cells")
+    val cells = ivfProbeCells(query, coarse, nprobe)
+    val candidates = df.filter(ivfCell(col(vecCol), coarse).isin(cells: _*))
+    pqAdcTopK(candidates, idCol, vecCol, dim, codebooks, query, k)
+  }
+
   // ------------------------------------------------------------------ SQ8
 
   /** 8-bit scalar quantization (the FAISS "SQ8" recipe, public): each

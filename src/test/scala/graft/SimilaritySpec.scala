@@ -335,4 +335,33 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.trainPqCodebooks(vecs, "embedding", dim = 4, init.take(1).map(_ => Seq(5L -> Seq(0.0))), iters = 1)
     }
   }
+
+  test("ivfPqTopK: coarse probe prunes candidates before ADC; ranking matches the unpruned PQ order") {
+    val vecs = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(4f, 4f, 4f, 4f)),
+      (2L, Seq(0f, 0f, 4f, 4f)),
+      (3L, Seq(3f, 3f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val init = (0 until 2).map(_ => Seq(0L -> Seq(0.0, 0.0), 1L -> Seq(4.0, 4.0)))
+    val cbs = Similarity.trainPqCodebooks(vecs, "embedding", dim = 4, init, iters = 1)
+    val coarse = Seq(0L -> Seq(0.0, 0.0, 0.0, 0.0), 1L -> Seq(4.0, 4.0, 4.0, 4.0))
+    // query (1,1,1,1): nearest coarse cell is 0; v2 and v3 both tie-assign
+    // to cell 0 (equidistant, lower cid wins) -> candidates {v2, v3} only
+    val top = Similarity.ivfPqTopK(
+        vecs.filter($"vec_id" =!= 0L), "vec_id", "embedding", 4, coarse, cbs, Seq(1f, 1f, 1f, 1f), nprobe = 1, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(top == Seq(3L -> 13000000L, 2L -> 20000000L), s"got $top")
+    // nprobe=all cells == plain PQ ranking over the same rows
+    val full = Similarity.ivfPqTopK(
+        vecs.filter($"vec_id" =!= 0L), "vec_id", "embedding", 4, coarse, cbs, Seq(1f, 1f, 1f, 1f), nprobe = 2, k = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val plain = Similarity.pqAdcTopK(
+        vecs.filter($"vec_id" =!= 0L), "vec_id", "embedding", 4, cbs, Seq(1f, 1f, 1f, 1f), 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == plain, "nprobe=all must equal the exhaustive PQ ranking")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(vecs, "vec_id", "embedding", 4, coarse, cbs, Seq(1f, 1f, 1f, 1f), nprobe = 3, k = 4)
+    }
+  }
 }

@@ -122,6 +122,10 @@ def connect(sf_dir, scale=False):
         os.makedirs("/tmp/duckdb_spill", exist_ok=True)
         con.sql("SET memory_limit='80GB'")
         con.sql("SET temp_directory='/tmp/duckdb_spill'")
+        # ordered aggregates hold per-thread buffers that cannot spill;
+        # at 32 threads the big replay oracles (q114/q115 PQ chains) OOM
+        # where 8 threads fit comfortably — trade parallelism for bound
+        con.sql("SET threads=8")
     for t in TABLES:
         # driver testdata = single parquet file; ScaleGen output = a Spark
         # parquet DIRECTORY of part files — glob in that case
