@@ -190,6 +190,30 @@ object Oracles {
        |FROM documents d LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id""".stripMargin
   }
 
+  /** Replay [[graft.operators.Graph.pageRank]] as `iters` unrolled
+    * iteration CTEs over the q116 supplier co-occurrence graph. Every
+    * contribution is `(rank * 85) // (100 * deg)` on BIGINTs — floor
+    * division, exact in both engines — so the ranks match bit-for-bit
+    * with no floating-point association anywhere. Dangling mass is
+    * dropped (the operator's documented formulation).
+    */
+  private def pageRankSql(iters: Int): String = {
+    val b = new StringBuilder
+    b ++= "WITH e AS (SELECT DISTINCT a.l_suppkey src, b.l_suppkey dst FROM lineitem a\n"
+    b ++= "   JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),\n"
+    b ++= " v AS (SELECT DISTINCT src AS vid FROM e UNION SELECT DISTINCT dst FROM e),\n"
+    b ++= " od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),\n"
+    b ++= " r0 AS (SELECT vid, CAST(1000000000000 AS BIGINT) AS rank FROM v),\n"
+    for (t <- 0 until iters) {
+      b ++= s" c$t AS (SELECT e.dst AS vid, CAST(sum((r.rank * 85) // (100 * od.deg)) AS BIGINT) AS mass\n"
+      b ++= s"   FROM e JOIN r$t r ON e.src = r.vid JOIN od ON e.src = od.src GROUP BY e.dst),\n"
+      b ++= s" r${t + 1} AS (SELECT v.vid, CAST(150000000000 + coalesce(c$t.mass, 0) AS BIGINT) AS rank\n"
+      b ++= s"   FROM v LEFT JOIN c$t ON v.vid = c$t.vid)${if (t < iters - 1) "," else ""}\n"
+    }
+    b ++= s"SELECT vid AS s_suppkey, rank AS rank_units FROM r$iters"
+    b.toString
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1313,6 +1337,112 @@ object Oracles {
          | cnt AS (SELECT token, CAST(count(*) AS BIGINT) exact_cnt FROM tok GROUP BY token)
          |SELECT token, exact_cnt, TRUE est_ok
          |FROM cnt ORDER BY exact_cnt DESC, token ASC LIMIT 20""".stripMargin,
+
+    // q116: fixed-point PageRank — 5 unrolled iterations over the
+    // distinct supplier co-occurrence edges; contributions are BIGINT
+    // floor divisions, so the replay is bit-exact (see pageRankSql)
+    "q116_pagerank" -> pageRankSql(iters = 5),
+
+    // q117: gap fill + LOCF — DuckDB densifies with generate_series and
+    // carries with last_value IGNORE NULLS; the span starts at each
+    // user's first observed day so the fill is total
+    "q117_gapfill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS cents,
+        |    count(*) AS n_events
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        | spans AS (SELECT user_id, min(day) d0, max(day) d1 FROM daily GROUP BY 1),
+        | grid AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM spans),
+        | j AS (SELECT g.user_id, g.day, d.cents, coalesce(d.n_events, 0) AS n_events
+        |   FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, day,
+        | last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_locf,
+        | n_events, cents IS NULL AS is_gap
+        |FROM j""".stripMargin,
+
+    // q118: ordered funnel — each CTE is the per-user earliest completion
+    // of its step strictly after the previous step's timestamp
+    "q118_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) t FROM events WHERE event_type = 'signup' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |   WHERE e.event_type = 'view' GROUP BY 1),
+        | s3 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |   WHERE e.event_type = 'click' GROUP BY 1),
+        | s4 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+        |   WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS INTEGER) AS step, 'signup' AS step_name, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin,
+
+    // q119: incremental MV maintenance — the oracle recomputes the
+    // to-version view relationally (global latest order per custkey = the
+    // v2 active snapshot, see q106's derivation), proving the
+    // feed-maintained view equals a full recompute
+    "q119_incremental_mv" ->
+      """WITH latest AS (SELECT o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |  FROM orders)
+        |SELECT CAST(year(o_orderdate) AS BIGINT) AS view_key, count(*) AS n_rows,
+        | CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS cents
+        |FROM latest WHERE rn = 1 GROUP BY 1""".stripMargin,
+
+    // q120: binned range join — the oracle runs the PLAIN non-equi
+    // containment join; hash equality proves the bin blocking is exact
+    "q120_range_join" ->
+      """WITH p AS (SELECT l_shipdate, l_quantity FROM lineitem
+        |   WHERE l_returnflag = 'R' AND l_quantity >= 48),
+        | i AS (SELECT o_orderkey, o_orderdate, o_orderdate + INTERVAL 7 DAY AS end_ts FROM orders
+        |   WHERE o_orderpriority = '1-URGENT'
+        |     AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-03-01')
+        |SELECT i.o_orderkey, count(*) AS n_points,
+        | CAST(sum(CAST(CAST(p.l_quantity AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM p JOIN i ON p.l_shipdate >= i.o_orderdate AND p.l_shipdate < i.end_ts
+        |GROUP BY 1""".stripMargin,
+
+    // q121: leakage-safe split — q30's normalized fingerprint, min-id
+    // representative per group, md5-prefix bucket of the representative
+    "q121_leakage_split" ->
+      """WITH f AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+        |   FROM documents),
+        | r AS (SELECT doc_id, fingerprint, min(doc_id) OVER (PARTITION BY fingerprint) AS rep_id FROM f),
+        | b AS (SELECT *, CAST(('0x'||substr(md5(CAST(rep_id AS VARCHAR)||'split'),1,15)) AS BIGINT) % 10 AS bk FROM r)
+        |SELECT doc_id, fingerprint, rep_id,
+        | CASE WHEN bk < 8 THEN 'train' WHEN bk < 9 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+
+    // q122: cohort retention — distinct activity days joined back to the
+    // per-user first day
+    "q122_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        | coh AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+        |SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+        | count(*) AS n_users
+        |FROM act JOIN coh USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // q123: CUBE with grouping id — both engines emit the same bitmask
+    // (first listed column = most significant bit)
+    "q123_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_lines
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    // q124: trailing-7-day RANGE frame over the daily series — integer
+    // cents, exact floor-division average
+    "q124_moving_agg" ->
+      """WITH daily AS (SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS cents,
+        |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS day_num
+        |  FROM lineitem GROUP BY 1, 2, 4)
+        |SELECT l_returnflag, day, cents,
+        | CAST(sum(cents) OVER w AS BIGINT) AS cents_7d,
+        | count(*) OVER w AS n_days_7d,
+        | CAST(sum(cents) OVER w AS BIGINT) // (count(*) OVER w) AS avg_cents_7d
+        |FROM daily WINDOW w AS (PARTITION BY l_returnflag ORDER BY day_num
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // q110: MJPEG-AVI frame decode — the oracle replays the fixture
     // arithmetic (dims, frame counts, planted truncation) as a structural

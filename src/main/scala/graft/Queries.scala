@@ -2300,4 +2300,146 @@ object Queries {
     */
   def q113(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.heavyHittersCms(t(s, dir, "documents"), "doc_id", "text", k = 20)
+
+  /** q116: PAGERANK ([[operators.Graph.pageRank]]) — 5 fixed-point
+    * iterations over the supplier co-occurrence graph (suppliers sharing
+    * an order, both directions; distinct edges, so the graph is bounded by
+    * the supplier vocabulary squared, not by lineitem volume). Ranks are
+    * integer units of 1e-12 with floor-division contributions, so the
+    * oracle's unrolled 5-iteration CTE chain reproduces every rank
+    * bit-for-bit — no floating-point association anywhere.
+    */
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val x = li.toDF("ok", "src")
+    val y = li.toDF("ok", "dst")
+    val edges = x.join(y, "ok").filter(col("src") =!= col("dst")).select(col("src"), col("dst")).distinct()
+    Graph.pageRank(edges, "src", "dst", iters = 5)
+      .select(col("vid").as("s_suppkey"), col("rank_units"))
+  }
+
+  /** q117: TIME-SERIES GAP FILL + LOCF ([[operators.TimeSeries
+    * .gapFillDaily]]) — per-user daily purchase-cents series densified
+    * over each user's observed span with last-observation-carried-forward
+    * across the gap days. The grid is `sequence`-generated (no driver
+    * calendar); the only window partitions by user.
+    */
+  def q117(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.gapFillDaily(
+      t(s, dir, "events").filter(col("event_type") === "purchase"),
+      "user_id", "ts", "value")
+
+  /** q118: ORDERED-STEP FUNNEL ([[operators.TimeSeries.funnelSteps]]) —
+    * signup → view → click → purchase, each step strictly after the
+    * user's earliest completion of the previous one; per-step user
+    * counts.
+    */
+  def q118(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.funnelSteps(t(s, dir, "events"), "user_id", "ts", "event_type",
+      Seq("signup", "view", "click", "purchase"))
+
+  /** q119: INCREMENTAL MATERIALIZED-VIEW MAINTENANCE ([[operators.Mv]])
+    * — the per-order-year (active-row count, total cents) view over the
+    * q106 SCD-2 warehouse, bootstrapped at v1 and then MAINTAINED to v2
+    * purely from the change feed: O(changed rows) deltas folded into the
+    * view, never a second snapshot scan. The oracle recomputes the v2
+    * view relationally from `orders`, so the hash gate proves
+    * maintain(bootstrap(v1), feed) == recompute(v2) exactly.
+    */
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    val (path, v1, v2) = q106Build(s, dir)
+    q119Maintain(s, path, v1, v2)
+  }
+
+  /** The maintenance read for [[q119]] against a prebuilt warehouse (the
+    * bench times this — the per-commit consumer cost — with the build in
+    * `setup_sec`, like q106).
+    */
+  def q119Maintain(s: SparkSession, path: String, v1: Long, v2: Long): DataFrame = {
+    val keyExpr = year(col("o_orderdate")).cast("long")
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    val snap1 = graft.sources.VersionedTable.read(s, path, Some(v1)).filter(col("actv_flg") === "Y")
+    val base = Mv.bootstrapCountSum(snap1, keyExpr, cents)
+    val feed = graft.sources.VersionedTable.changeFeed(s, path, v1, v2, Seq("o_custkey", "o_orderkey"))
+    Mv.maintainCountSum(base, feed, keyExpr, col("actv_flg") === "Y", cents)
+  }
+
+  /** q120: BINNED RANGE JOIN ([[operators.RangeJoin.binnedIntervalJoin]])
+    * — returned high-quantity line items landing inside 7-day windows
+    * after urgent early-1997 orders, aggregated per window. The bin
+    * equi-join replaces the O(n·m) broadcast-nested-loop plan Spark would
+    * otherwise pick for the pure range predicate; the oracle runs the
+    * plain non-equi join, so the hash gate proves the blocking is exact.
+    */
+  def q120(s: SparkSession, dir: String): DataFrame = {
+    val points = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 48)
+      .select(col("l_shipdate"), col("l_quantity"))
+    val intervals = t(s, dir, "orders")
+      .filter(
+        col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-03-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), (col("o_orderdate") + expr("interval 7 days")).as("end_ts"))
+    RangeJoin.binnedIntervalJoin(points, "l_shipdate", intervals, "o_orderdate", "end_ts", binSeconds = 7L * 86400)
+      .groupBy(col("o_orderkey"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum((col("l_quantity").cast("decimal(18,2)") * 100).cast("long")).as("qty_cents")
+      )
+  }
+
+  /** q121: LEAKAGE-SAFE SPLIT ([[operators.Sampling.groupSafeSplit]]) —
+    * train/val/test assignment hashed from each document's
+    * duplicate-group REPRESENTATIVE (min doc_id per normalized-text
+    * fingerprint, q30's canonical form), so exact duplicates can never
+    * straddle train and test. 8/1/1 buckets of 10.
+    */
+  def q121(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+    Sampling.groupSafeSplit(
+      t(s, dir, "documents").select(col("doc_id"), fp.as("fingerprint")),
+      "doc_id", col("fingerprint"))
+  }
+
+  /** q122: COHORT RETENTION ([[operators.TimeSeries.retentionCohorts]]) —
+    * users cohorted by first-activity day; active-user counts per
+    * (cohort_day, day_offset).
+    */
+  def q122(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.retentionCohorts(t(s, dir, "events"), "user_id", "ts")
+
+  /** q123: CUBE / GROUPING SETS — the native multi-dimensional rollup
+    * surface (q23 covers ROLLUP): all four grouping sets of
+    * (returnflag, linestatus) in one pass with `grouping_id` tagging
+    * which dimensions each row aggregates over. Map-side partial
+    * aggregation applies per grouping set; one shuffle.
+    */
+  def q123(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_lines")
+      )
+
+  /** q124: RANGE-FRAME MOVING AGGREGATE — trailing-7-day revenue per
+    * return flag over the daily series, with a RANGE frame keyed on the
+    * day number so calendar gaps shrink the window (a ROWS frame would
+    * silently span them). Integer cents end-to-end; the trailing average
+    * is an exact floor division.
+    */
+  def q124(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_shipdate").cast("date").as("day"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+      .withColumn("day_num", datediff(col("day"), lit("1992-01-01").cast("date")))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("cents_7d", sum(col("cents")).over(w))
+      .withColumn("n_days_7d", count(lit(1)).over(w))
+      .withColumn("avg_cents_7d", expr("cents_7d div n_days_7d"))
+      .select(col("l_returnflag"), col("day"), col("cents"), col("cents_7d"), col("n_days_7d"), col("avg_cents_7d"))
+  }
 }

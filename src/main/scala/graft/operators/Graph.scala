@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics in DataFrame form (the connected-components
+  * twin lives in [[Dedup.duplicateGroups]]). PageRank here is the
+  * vertex-centric join-aggregate iteration: each round, ranks flow across
+  * the edge relation (one shuffle on src), aggregate at the destination
+  * (one shuffle on dst), and re-join the vertex set.
+  *
+  * Determinism: ranks are held as FIXED-POINT LONGS (units of 1e-12), and
+  * every per-edge contribution is an integer floor-division
+  * `(rank * dampNum) div (dampDen * out_degree)` — exact in any engine, so
+  * distributed summation order cannot perturb a single unit and the DuckDB
+  * oracle replays the iteration bit-for-bit. A floating-point PageRank
+  * would hash-mismatch on association order alone.
+  */
+object Graph {
+
+  /** PageRank over a directed edge list, `iters` synchronous iterations,
+    * damping `dampNum/dampDen` (default 85/100). Vertices = src ∪ dst.
+    * Dangling vertices (no out-edges) retain the teleport term only; their
+    * outbound mass is dropped, the common simplified formulation — stated
+    * here because the oracle must replay the same choice.
+    *
+    * rank_0(v)   = unit
+    * rank_t+1(v) = (unit * (dampDen-dampNum)) div dampDen
+    *             + Σ_{(u,v) ∈ E} (rank_t(u) * dampNum) div (dampDen * deg(u))
+    *
+    * Scale: each iteration is two shuffles of vertex/edge-grain relations
+    * (contribution join on src, aggregate on dst) — the GraphX Pregel cost
+    * without leaving DataFrame-land, so AQE and Tungsten still apply. The
+    * rank lineage is cut every iteration (`localCheckpoint`), keeping the
+    * plan constant-size across rounds; on a real cluster prefer a reliable
+    * `checkpoint` dir for executor-loss recovery (same trade recorded at
+    * [[Dedup.duplicateGroups]]).
+    *
+    * Long-range audit: Σ ranks ≤ |V|·unit; one rank ≤ |V|·unit in the
+    * pathological star, so `rank * dampNum` stays under 2^63 for
+    * |V|·unit·dampNum < 9.2e18 — at unit=1e12, |V| up to ~10^5 with the
+    * default damping. Larger graphs lower `unit`.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      unit: Long = 1000000000000L
+  ): DataFrame = {
+    require(iters >= 0, "pageRank: iters must be >= 0")
+    require(dampNum > 0 && dampDen > dampNum, "pageRank: need 0 < dampNum < dampDen")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val vertices = e.select(col("src").as("vid")).union(e.select(col("dst"))).distinct().localCheckpoint(true)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val teleport = (unit * (dampDen - dampNum)) / dampDen
+    var ranks = vertices.select(col("vid"), lit(unit).as("rank_units"))
+    for (_ <- 0 until iters) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("vid"))
+        .join(outDeg, "src")
+        .select(col("dst"), expr(s"(rank_units * ${dampNum}L) div (${dampDen}L * deg)").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("mass"))
+      ranks = vertices
+        .join(contribs, vertices("vid") === contribs("dst"), "left")
+        .select(col("vid"), (lit(teleport) + coalesce(col("mass"), lit(0L))).as("rank_units"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

@@ -53,4 +53,42 @@ object Sampling {
     }
     df.filter(bucket < threshold)
   }
+
+  /** LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT: assign every row a split by
+    * hashing its GROUP REPRESENTATIVE, not its own id — all members of a
+    * duplicate group land in the same split, so exact duplicates can never
+    * straddle train and test (the canonical eval-contamination bug).
+    *
+    * `groupKey` is the duplicate-group identity (e.g. `md5(text)` for
+    * exact dups; a connected-component label from
+    * [[Dedup.duplicateGroups]] for near-dups). The representative is the
+    * group's minimum id — one window over the group key, no driver state.
+    * Split thresholds are bucket counts out of `denom` (train gets
+    * [0, trainBuckets), val the next `valBuckets`, test the rest).
+    *
+    * Scale: one shuffle on the group key (the window), then a narrow
+    * hash+CASE projection. Hashing the representative (not the group key
+    * itself) keeps the split decorrelated from the grouping function.
+    */
+  def groupSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      groupKey: Column,
+      denom: Long = 10L,
+      trainBuckets: Long = 8L,
+      valBuckets: Long = 1L,
+      salt: String = "split"
+  ): DataFrame = {
+    require(denom > 0 && trainBuckets >= 0 && valBuckets >= 0 && trainBuckets + valBuckets <= denom,
+      "groupSafeSplit: bucket counts must fit in denom")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupKey)
+    val withRep = df.withColumn("rep_id", min(col(idCol)).over(w))
+    val bucket = hashBucket(col("rep_id"), denom, salt)
+    withRep.withColumn(
+      "split",
+      when(bucket < trainBuckets, "train")
+        .when(bucket < trainBuckets + valBuckets, "val")
+        .otherwise("test")
+    )
+  }
 }

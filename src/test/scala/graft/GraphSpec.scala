@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference single-threaded replay of the operator's exact integer
+    * recurrence, for arbitrary edge lists.
+    */
+  private def expected(edges: Seq[(Long, Long)], iters: Int, unit: Long = 1000000000000L): Map[Long, Long] = {
+    val vs = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val teleport = unit * 15L / 100L
+    var rank = vs.map(_ -> unit).toMap
+    for (_ <- 0 until iters) {
+      val mass = edges
+        .groupBy(_._2)
+        .view.mapValues(_.map { case (u, _) => rank(u) * 85L / (100L * deg(u)) }.sum)
+        .toMap
+      rank = vs.map(v => v -> (teleport + mass.getOrElse(v, 0L))).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank: matches the integer recurrence exactly on a cyclic graph") {
+    // 1 -> 2, 1 -> 3, 2 -> 3, 3 -> 1 (cycle so mass keeps moving)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    assert(run(edges, 5) == expected(edges, 5))
+  }
+
+  test("pageRank: a sink vertex keeps only accumulating; its outbound mass is dropped") {
+    val edges = Seq((1L, 2L)) // 2 is dangling
+    val got = run(edges, 3)
+    assert(got == expected(edges, 3))
+    // vertex 1 has no in-edges: teleport only after iteration 1
+    assert(got(1L) == 150000000000L)
+    // vertex 2 receives 85% of 1's teleport-only rank
+    assert(got(2L) == 150000000000L + 150000000000L * 85L / 100L)
+  }
+
+  test("pageRank: iters = 0 returns the uniform initial ranks") {
+    val got = run(Seq((1L, 2L), (2L, 1L)), 0)
+    assert(got == Map(1L -> 1000000000000L, 2L -> 1000000000000L))
+  }
+
+  test("pageRank: rejects degenerate damping") {
+    assertThrows[IllegalArgumentException](
+      Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", 1, dampNum = 100, dampDen = 100))
+  }
+}

@@ -190,4 +190,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("array_join") && !p.contains("concat_ws"),
       s"phase 1 must not materialize gram strings before the duplicate-hash shuffle, got:\n$p")
   }
+
+  test("q120 range join: bin blocking plans as a hash/merge equi-join, never a nested loop") {
+    val p = plan("q120_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range predicate must not fall back to a nested-loop plan:\n$p")
+    assert(p.contains("Join"), "the bin equi-join vanished from the plan")
+  }
+
+  test("q123 cube: grouping sets expand in one pass — a single Expand, partial-then-final agg") {
+    val p = plan("q123_cube")
+    assert("Expand".r.findAllIn(p).size == 1, "CUBE must plan as one Expand, not a union of scans")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial aggregation missing under the cube")
+  }
+
+  test("q117/q124: every window partitions by a key — no single-partition corpus window") {
+    for (name <- Seq("q117_gapfill", "q124_moving_agg")) {
+      val p = plan(name)
+      val unpartitioned = "Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p)
+      assert(unpartitioned.isEmpty, s"$name has an unpartitioned window:\n$p")
+    }
+  }
 }
