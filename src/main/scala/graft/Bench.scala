@@ -179,7 +179,8 @@ object Bench {
         // round-10 batch 2: graph/time-series/view-maintenance operators
         "q116_pagerank", "q117_gapfill", "q118_funnel",
         "q119_incremental_mv", "q120_range_join", "q121_leakage_split",
-        "q122_retention", "q123_cube", "q124_moving_agg")
+        "q122_retention", "q123_cube", "q124_moving_agg",
+        "q125_hll_sketch", "q126_neardup_split", "q127_pit_lookup")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x
@@ -212,6 +213,14 @@ object Bench {
         val (path, v1, v2) = Queries.q106Build(spark, sfDir)
         Some((path, v1, v2, (System.nanoTime() - q106SetupT0) / 1e9))
       } catch { case _: Throwable => None }
+    // One-time q127 PIT-warehouse build (record_from-stamped batches);
+    // the timed op is the probe join, the per-lookup serving cost.
+    val q127SetupT0 = System.nanoTime()
+    val q127Built =
+      try {
+        val (path, _, v2) = Queries.q127Build(spark, sfDir)
+        Some((path, v2, (System.nanoTime() - q127SetupT0) / 1e9))
+      } catch { case _: Throwable => None }
     // benched ops: SparkEntry.queries, with q98 overridden to probe-only
     // against the prebuilt index and q106 to feed-only against the
     // prebuilt warehouse (oracle semantics unchanged — Verify still runs
@@ -225,6 +234,8 @@ object Bench {
         // q119 maintains its view from the SAME prebuilt warehouse — the
         // timed op is bootstrap+feed+fold (the per-commit consumer cost)
         "q119_incremental_mv" -> ((s: SparkSession, _: String) => Queries.q119Maintain(s, path, v1, v2))
+      } ++ q127Built.map { case (path, v2, _) =>
+        "q127_pit_lookup" -> ((s: SparkSession, d: String) => Queries.q127Probe(s, path, v2, d))
       }
 
     // warm-up: every headline query once at the target SF (see scaladoc).
@@ -327,7 +338,8 @@ object Bench {
     val setupJson = {
       val parts =
         q98Built.map { case (_, _, _, t) => s""""q98_index_build":${num(t)}""" }.toSeq ++
-          q106Built.map { case (_, _, _, t) => s""""q106_warehouse_build":${num(t)}""" }.toSeq
+          q106Built.map { case (_, _, _, t) => s""""q106_warehouse_build":${num(t)}""" }.toSeq ++
+          q127Built.map { case (_, _, t) => s""""q127_warehouse_build":${num(t)}""" }.toSeq
       parts.mkString("{", ",", "}")
     }
 

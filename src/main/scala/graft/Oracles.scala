@@ -1338,6 +1338,56 @@ object Oracles {
          |SELECT token, exact_cnt, TRUE est_ok
          |FROM cnt ORDER BY exact_cnt DESC, token ASC LIMIT 20""".stripMargin,
 
+    // q125: mergeable HLL sketches — oracle recomputes the exact side
+    // (n_shards = distinct doc_id%8 present per source) and pins the
+    // 5%-bound audit TRUE; a sketch-estimate violation hash-fails
+    "q125_hll_sketch" ->
+      """SELECT source,
+        | CAST(count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS BIGINT) AS exact_distinct,
+        | CAST(count(DISTINCT doc_id % 8) AS BIGINT) AS n_shards,
+        | TRUE AS est_ok
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // q126: near-dup-aware split — q88's recursive-CTE components,
+    // singletons fall back to their own id, then q121's bucket replay
+    "q126_neardup_split" ->
+      s"""WITH RECURSIVE $simhash60Ctes,
+         | e AS (SELECT a.doc_id ia, b.doc_id ib
+         |   FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |   WHERE bit_count(xor(a.sk60, b.sk60)) <= 4),
+         | sym AS (SELECT ia a, ib b FROM e UNION SELECT ib, ia FROM e),
+         | reach(id, r) AS (
+         |   SELECT a, a FROM sym
+         |   UNION
+         |   SELECT sym.a, reach.r FROM sym JOIN reach ON reach.id = sym.b
+         | ),
+         | comp AS (SELECT id, min(r) lbl FROM reach GROUP BY id),
+         | g AS (SELECT d.doc_id, coalesce(c.lbl, d.doc_id) group_id
+         |   FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         | bk AS (SELECT *, CAST(('0x'||substr(md5(CAST(group_id AS VARCHAR)||'split'),1,15)) AS BIGINT) % 10 b FROM g)
+         |SELECT doc_id, group_id,
+         | CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
+         |FROM bk""".stripMargin,
+
+    // q127: point-in-time lookup — both probe instants replayed
+    // relationally (2001-06-01 sees batch-1 rows, still-open or since
+    // closed; 2002-06-01 sees unsuperseded batch-1 rows plus batch 2)
+    "q127_pit_lookup" ->
+      """WITH w1 AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        | b1 AS (SELECT o_custkey, o_orderkey, o_orderdate FROM w1 WHERE rn = 1),
+        | w2 AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+        | b2 AS (SELECT o_custkey, o_orderkey, o_orderdate FROM w2 WHERE rn = 1),
+        | only_b1 AS (SELECT * FROM b1 WHERE o_custkey NOT IN (SELECT o_custkey FROM b2))
+        |SELECT o_custkey, TIMESTAMP '2001-06-01 00:00:00' AS probe_ts, o_orderkey, o_orderdate FROM b1
+        |UNION ALL
+        |SELECT o_custkey, TIMESTAMP '2002-06-01 00:00:00', o_orderkey, o_orderdate FROM only_b1
+        |UNION ALL
+        |SELECT o_custkey, TIMESTAMP '2002-06-01 00:00:00', o_orderkey, o_orderdate FROM b2""".stripMargin,
+
     // q116: fixed-point PageRank — 5 unrolled iterations over the
     // distinct supplier co-occurrence edges; contributions are BIGINT
     // floor divisions, so the replay is bit-exact (see pageRankSql)

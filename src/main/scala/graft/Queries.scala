@@ -2301,6 +2301,101 @@ object Queries {
   def q113(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.heavyHittersCms(t(s, dir, "documents"), "doc_id", "text", k = 20)
 
+  /** q125: MERGEABLE HLL SKETCHES — per-source distinct-fingerprint
+    * cardinality computed the 100 TB way: shard-local DataSketches HLL
+    * sketches (`hll_sketch_agg` over doc_id%8 shards) merged with
+    * `hll_union_agg`, estimate audited against the exact distinct. The
+    * sketch bytes are the mergeable partial state a 1000-executor corpus
+    * count ships instead of raw values; the audit gate (`est_ok`: within
+    * 5% of exact) is the deterministic output — the oracle recomputes the
+    * exact side and pins est_ok TRUE, the q63/q113 self-validating
+    * pattern, so a bound violation hash-fails rather than hiding.
+    */
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fp"))
+    val sketches = base
+      .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+      .groupBy(col("source"), col("shard"))
+      .agg(hll_sketch_agg(col("fp")).as("sk"))
+    val merged = sketches
+      .groupBy(col("source"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"), count(lit(1)).as("n_shards"))
+    val exact = base.groupBy(col("source")).agg(countDistinct(col("fp")).as("exact_distinct"))
+    merged
+      .join(exact, "source")
+      .select(col("source"), col("exact_distinct"), col("n_shards"),
+        (abs(col("est") - col("exact_distinct")) <= col("exact_distinct") * lit(0.05)).as("est_ok"))
+  }
+
+  /** q126: NEAR-DUP-AWARE SPLIT — the q121 leakage guarantee extended to
+    * NEAR duplicates: q65's SimHash near-dup pairs → q88's connected
+    * components → every doc labeled with its component representative
+    * (singletons keep their own id) → [[operators.Sampling.splitFromRep]].
+    * A paraphrased near-copy can no longer sit in test while its sibling
+    * trains. The oracle replays components with the recursive CTE and the
+    * split with the md5-prefix bucket.
+    */
+  def q126(s: SparkSession, dir: String): DataFrame = {
+    val comps = Dedup.duplicateGroups(q65(s, dir), "id_a", "id_b")
+    val g = t(s, dir, "documents")
+      .select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
+    Sampling.splitFromRep(g, "group_id")
+  }
+
+  /** q127: POINT-IN-TIME LOOKUP JOIN ([[operators.Scd2
+    * .pointInTimeLookup]]) — "the warehouse as it was known at time t",
+    * as a join: every (custkey, probe instant) resolves to the SCD-2
+    * version valid then. The warehouse stamps `record_from` as loader
+    * payload (commit 1 at 2001-01-01, commit 2 at 2002-01-01); probes at
+    * 2001-06-01 see the first batch's rows only (including rows since
+    * superseded), probes at 2002-06-01 see the post-upsert state — no
+    * future leakage in either direction. Oracle replays both probe
+    * instants relationally from `orders`.
+    */
+  def q127(s: SparkSession, dir: String): DataFrame = {
+    val (path, _, v2) = q127Build(s, dir)
+    q127Probe(s, path, v2, dir)
+  }
+
+  /** q127's warehouse build (two SCD-2 commits whose batches carry
+    * `record_from`). Bench times [[q127Probe]] only, build in setup_sec.
+    */
+  def q127Build(s: SparkSession, dir: String): (String, Long, Long) = {
+    val orders = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    def latest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val t1 = lit("2001-01-01 00:00:00").cast("timestamp")
+    val t2 = lit("2002-01-01 00:00:00").cast("timestamp")
+    val batch1 = latest(orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
+      .withColumn("record_from", t1)
+    val batch2 = latest(orders.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")))
+      .withColumn("record_from", t2)
+    val tmp = scratchDir("pit") + "/warehouse"
+    val v1 = Scd2.upsertPartitioned(s, tmp, batch1, Seq("o_custkey"), nBuckets = 16, now = t1)
+    val v2 = Scd2.upsertPartitioned(s, tmp, batch2, Seq("o_custkey"), nBuckets = 16, now = t2)
+    (tmp, v1, v2)
+  }
+
+  /** The probe read for [[q127]]: every warehouse custkey probed at two
+    * instants (between the commits, and after both).
+    */
+  def q127Probe(s: SparkSession, path: String, v2: Long, dir: String): DataFrame = {
+    val wh = graft.sources.VersionedTable.read(s, path, Some(v2))
+    val probes = t(s, dir, "orders")
+      .select(col("o_custkey")).distinct()
+      .withColumn("probe_ts", explode(array(
+        lit("2001-06-01 00:00:00").cast("timestamp"),
+        lit("2002-06-01 00:00:00").cast("timestamp"))))
+    Scd2.pointInTimeLookup(wh, probes, Seq("o_custkey"), "probe_ts")
+      .select(col("o_custkey"), col("probe_ts"), col("o_orderkey"), col("o_orderdate"))
+  }
+
   /** q116: PAGERANK ([[operators.Graph.pageRank]]) — 5 fixed-point
     * iterations over the supplier co-occurrence graph (suppliers sharing
     * an order, both directions; distinct edges, so the graph is bounded by

@@ -79,12 +79,28 @@ object Sampling {
       valBuckets: Long = 1L,
       salt: String = "split"
   ): DataFrame = {
-    require(denom > 0 && trainBuckets >= 0 && valBuckets >= 0 && trainBuckets + valBuckets <= denom,
-      "groupSafeSplit: bucket counts must fit in denom")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(groupKey)
     val withRep = df.withColumn("rep_id", min(col(idCol)).over(w))
-    val bucket = hashBucket(col("rep_id"), denom, salt)
-    withRep.withColumn(
+    splitFromRep(withRep, "rep_id", denom, trainBuckets, valBuckets, salt)
+  }
+
+  /** The split assignment itself, given an ALREADY-RESOLVED group
+    * representative column (what [[groupSafeSplit]] derives with a window;
+    * a near-dup pipeline passes its connected-component label instead —
+    * see q126). Narrow projection, no shuffle.
+    */
+  def splitFromRep(
+      df: DataFrame,
+      repCol: String,
+      denom: Long = 10L,
+      trainBuckets: Long = 8L,
+      valBuckets: Long = 1L,
+      salt: String = "split"
+  ): DataFrame = {
+    require(denom > 0 && trainBuckets >= 0 && valBuckets >= 0 && trainBuckets + valBuckets <= denom,
+      "splitFromRep: bucket counts must fit in denom")
+    val bucket = hashBucket(col(repCol), denom, salt)
+    df.withColumn(
       "split",
       when(bucket < trainBuckets, "train")
         .when(bucket < trainBuckets + valBuckets, "val")

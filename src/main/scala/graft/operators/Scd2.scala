@@ -107,6 +107,37 @@ object Scd2 {
     scd.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** POINT-IN-TIME LOOKUP JOIN: for each probe row, the warehouse version
+    * of its business key that was valid at the probe's timestamp —
+    * time-travel as a join, the backbone of training-feature correctness
+    * (no future leakage: a feature joined "as the warehouse knew it then").
+    *
+    * Validity contract: each version row carries `fromCol` (stamped by the
+    * loader as batch payload) and the upsert-maintained `toCol` (null =
+    * still open); a key's versions must not overlap, so at most one
+    * version matches a probe. Probes whose key had NO valid version at
+    * their timestamp (key not yet loaded, or probed inside a gap) drop out
+    * — inner semantics, the caller outer-joins if absence matters.
+    *
+    * Scale shape: this is an ordinary EQUI-join on the business key with
+    * the containment as a residual filter — no bin blocking needed
+    * (contrast [[RangeJoin.binnedIntervalJoin]], which exists for KEYLESS
+    * containment). One shuffle on the key; AQE handles key skew.
+    */
+  def pointInTimeLookup(
+      warehouse: DataFrame,
+      probes: DataFrame,
+      keyCols: Seq[String],
+      probeTsCol: String,
+      fromCol: String = "record_from",
+      toCol: String = "record_to"
+  ): DataFrame =
+    probes
+      .join(warehouse, keyCols)
+      .filter(
+        col(probeTsCol) >= col(fromCol) &&
+          (col(toCol).isNull || col(probeTsCol) < col(toCol)))
+
   /** O-FULL: full-refresh load (the `*_new` report loaders,
     * loading.py:1937-1956) — plain overwrite, no history.
     */

@@ -75,4 +75,30 @@ class Scd2Spec extends AnyFunSuite {
     assert(out.filter($"payload" === "d").head().getString(3) == "Y")
     assert(out.count() == 6)
   }
+
+  test("pointInTimeLookup: probes resolve to the version valid at their instant; gaps and pre-load probes drop out") {
+    import java.sql.Timestamp
+    def ts(x: String) = Timestamp.valueOf(x)
+    // key 1: v1 [2020, 2021), v2 [2021, open); key 2: single [2022, open)
+    val wh = Seq(
+      (1L, "v1", ts("2020-01-01 00:00:00"), Option(ts("2021-01-01 00:00:00"))),
+      (1L, "v2", ts("2021-01-01 00:00:00"), None: Option[Timestamp]),
+      (2L, "w1", ts("2022-01-01 00:00:00"), None: Option[Timestamp])
+    ).toDF("k", "payload", "record_from", "record_to")
+    val probes = Seq(
+      (1L, ts("2020-06-01 00:00:00")), // inside v1
+      (1L, ts("2021-01-01 00:00:00")), // exactly v2's start: half-open -> v2
+      (1L, ts("2019-06-01 00:00:00")), // before first load: no match
+      (2L, ts("2021-06-01 00:00:00")), // before key 2 existed: no match
+      (2L, ts("2023-01-01 00:00:00")) // open version
+    ).toDF("k", "probe_ts")
+    val got = graft.operators.Scd2.pointInTimeLookup(wh, probes, Seq("k"), "probe_ts")
+      .select($"k", $"probe_ts", $"payload")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getString(2))).toSet
+    assert(got == Set(
+      (1L, "2020-06-01 00:00:00.0", "v1"),
+      (1L, "2021-01-01 00:00:00.0", "v2"),
+      (2L, "2023-01-01 00:00:00.0", "w1")
+    ))
+  }
 }
