@@ -180,7 +180,9 @@ object Bench {
         "q116_pagerank", "q117_gapfill", "q118_funnel",
         "q119_incremental_mv", "q120_range_join", "q121_leakage_split",
         "q122_retention", "q123_cube", "q124_moving_agg",
-        "q125_hll_sketch", "q126_neardup_split", "q127_pit_lookup")
+        "q125_hll_sketch", "q126_neardup_split", "q127_pit_lookup",
+        // round-10 batch 3: perceptual-hash image dedup and friends
+        "q128_image_neardup", "q129_bloom_decontam")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

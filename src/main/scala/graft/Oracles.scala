@@ -1494,6 +1494,59 @@ object Oracles {
         |FROM daily WINDOW w AS (PARTITION BY l_returnflag ORDER BY day_num
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    // q128: image near-dup by perceptual dHash — the oracle replays the
+    // fixture arithmetic (binary cell pattern + planted flip), the integer
+    // block-average (2x2 px blocks of one gray value -> the cell value
+    // itself), the 56-bit difference hash, and a plain all-pairs Hamming
+    // filter; the engine's pigeonhole banding is an exact-recall filter,
+    // so banded output = threshold output (q65's adjudication). The
+    // engine must actually decode every PNG to reach the same pairs.
+    "q128_image_neardup" ->
+      """WITH s AS (SELECT CAST(p_partkey AS BIGINT) id,
+        |    CAST(p_partkey % 10 AS BIGINT) cls,
+        |    CAST((p_partkey // 10) % 63 AS BIGINT) flip
+        |  FROM part WHERE p_partkey <= 300 AND p_partkey % 17 <> 0),
+        | cells AS (SELECT id, r, c,
+        |    CASE WHEN (((cls*31 + r*7 + c*13) % 97) % 2 = 1) <> (r = flip // 9 AND c = flip % 9)
+        |         THEN 200 ELSE 50 END AS v
+        |   FROM s, range(7) tr(r), range(9) tc(c)),
+        | bits AS (SELECT a.id, a.r, a.c,
+        |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bt
+        |   FROM cells a JOIN cells b ON a.id = b.id AND a.r = b.r AND b.c = a.c + 1
+        |   WHERE a.c < 8),
+        | h AS (SELECT id, CAST(sum(bt * (CAST(1 AS BIGINT) << CAST(r*8 + c AS INTEGER))) AS BIGINT) AS dh
+        |   FROM bits GROUP BY id)
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 3""".stripMargin,
+
+    // q129: Bloom decontamination — the oracle replays the deterministic
+    // double-hash probe positions (odd step, power-of-two m) in BIGINT
+    // arithmetic: benchmark n-grams define the set-bit relation, a corpus
+    // n-gram is flagged iff ALL 3 of its probe positions are set (the 3
+    // positions are provably distinct, so count(*) = 3 <=> membership).
+    // False positives reproduce identically on both sides.
+    "q129_bloom_decontam" ->
+      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | sh AS (SELECT doc_id,
+         |   list_distinct(list_transform(
+         |     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
+         |     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) sh
+         |  FROM base),
+         | bp AS (SELECT DISTINCT unnest(sh) h FROM sh WHERE doc_id % 10 = 0),
+         | bbits AS (SELECT DISTINCT (h % 262144 + i * (1 + 2*((h // 262144) % 131072))) % 262144 AS p
+         |   FROM bp, range(3) ti(i)),
+         | cp AS (SELECT doc_id, unnest(sh) h FROM sh WHERE doc_id % 10 <> 0),
+         | cpos AS (SELECT doc_id, h, (h % 262144 + i * (1 + 2*((h // 262144) % 131072))) % 262144 AS p
+         |   FROM cp, range(3) ti(i)),
+         | hits AS (SELECT doc_id, h FROM cpos JOIN bbits USING (p) GROUP BY doc_id, h HAVING count(*) = 3),
+         | agg AS (SELECT doc_id, count(*) AS n_ngrams FROM cp GROUP BY doc_id),
+         | fl AS (SELECT doc_id, count(*) AS n_flagged FROM hits GROUP BY doc_id)
+         |SELECT agg.doc_id, agg.n_ngrams, coalesce(fl.n_flagged, 0) AS n_flagged,
+         | coalesce(fl.n_flagged, 0) >= 2 AS contaminated
+         |FROM agg LEFT JOIN fl USING (doc_id)""".stripMargin,
+
     // q110: MJPEG-AVI frame decode — the oracle replays the fixture
     // arithmetic (dims, frame counts, planted truncation) as a structural
     // per-frame explosion; the engine must actually walk the RIFF and

@@ -2537,4 +2537,67 @@ object Queries {
       .withColumn("avg_cents_7d", expr("cents_7d div n_days_7d"))
       .select(col("l_returnflag"), col("day"), col("cents"), col("cents_7d"), col("n_days_7d"), col("avg_cents_7d"))
   }
+
+  /** q128: IMAGE NEAR-DUP BY PERCEPTUAL HASH — the image twin of q65's
+    * text SimHash pairing, closing the multimodal dedup loop: real PNG
+    * decode ([[operators.Multimodal.dHash56]]: integer luma, 9x7
+    * block-average, 56-bit difference hash) then exact-recall Hamming
+    * pairing via pigeonhole banding ([[operators.Dedup.bandedSketchPairs]]
+    * — 4 chunks x 14 bits for maxHamming=3, no all-pairs join).
+    *
+    * Fixture: 300 icon-like images from `part` — a per-class 9x7 binary
+    * cell pattern (cells 50 or 200 gray, 2x2 px blocks; pattern bit =
+    * ((cls*31 + r*7 + c*13) % 97) % 2) with ONE planted flipped cell per
+    * image (`flip = (p/10) % 63`), so same-class images are genuine near
+    * duplicates 0-4 bits apart; every 17th payload truncated to plant
+    * corruption. PNG is lossless and the hash integer-exact, so the
+    * oracle replays decode+hash+pairing from the generating arithmetic.
+    */
+  def q128(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val specs = t(s, dir, "part")
+      .filter(col("p_partkey") <= 300)
+      .select(
+        col("p_partkey").cast("long"),
+        (col("p_partkey") % 10).cast("int"),
+        expr("(p_partkey div 10) % 63").cast("int")
+      )
+      .as[(Long, Int, Int)]
+    val payloads = specs
+      .mapPartitions { it =>
+        it.map { case (id, cls, flip) =>
+          val png = Multimodal.encodeGrayPng(18, 14, (x, y) => {
+            val (r, c) = (y / 2, x / 2)
+            val pat = ((cls * 31 + r * 7 + c * 13) % 97) % 2 == 1
+            val flipped = r == flip / 9 && c == flip % 9
+            if (pat ^ flipped) 200 else 50
+          })
+          (id, if (id % 17 == 0) png.take(10) else png) // planted corruption
+        }
+      }
+      .toDF("media_id", "payload")
+    val media = Multimodal.toMediaTable(payloads, "media_id", "payload", "png")
+    Multimodal
+      .imageNearDup(s, media, maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** q129: BLOOM-FILTER DECONTAMINATION ([[operators.Dedup.bloomDecontaminate]])
+    * — q78's benchmark screen re-expressed as a compact broadcast: the
+    * benchmark docs' distinct 3-gram hashes fold into a 2^18-bit Bloom
+    * bitset (mergeable aggregation, one 32 KiB row to the driver), and the
+    * corpus probes it through a codegen'd membership expression — no
+    * postings join on the probe side. Emits per-document n-gram and
+    * flagged counts plus a `contaminated` verdict at >= 2 flagged
+    * n-grams; false positives are part of the contract (deterministic
+    * double hashing), and the oracle replays them bit-for-bit.
+    */
+  def q129(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.bloomDecontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text"
+    )
+  }
 }

@@ -275,6 +275,25 @@ object Dedup {
       sketch: Column,
       sketchBits: Int,
       minChunkBits: Int
+  ): DataFrame =
+    bandedSketchPairs(
+      df.select(col(idCol).as("doc_id"), sketch.as("sk")),
+      sketchBits, maxHamming, minChunkBits
+    )
+
+  /** Exact-recall Hamming pairing over ANY precomputed bit sketch (text
+    * SimHash, image dHash, audio fingerprint …): pigeonhole banding into
+    * `maxHamming + 1` chunks — a pair within the budget must agree on at
+    * least one chunk — then a bit_count verify, so the output is exactly
+    * {pairs : hamming <= maxHamming} with no all-pairs join. `sketched`
+    * must have columns `doc_id` and `sk` (LongType sketch). The chunk-width
+    * scale guard is the same as [[simhashNearDup]]'s (see [[MinChunkBits]]).
+    */
+  def bandedSketchPairs(
+      sketched0: DataFrame,
+      sketchBits: Int,
+      maxHamming: Int,
+      minChunkBits: Int = MinChunkBits
   ): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = sketchBits / chunks
@@ -285,9 +304,7 @@ object Dedup {
         s"candidate pairs ~ n^2/${1L << bitsPer} per chunk position, effectively all-pairs at scale. " +
         s"Use maxHamming <= ${sketchBits / minChunkBits - 1}, or pass minChunkBits explicitly for small corpora."
     )
-    val sketched = graft.core.Caching.cached(
-      df.select(col(idCol).as("doc_id"), sketch.as("sk"))
-    )
+    val sketched = graft.core.Caching.cached(sketched0.select(col("doc_id"), col("sk")))
     val banded = sketched.select(
       col("doc_id"),
       col("sk"),
@@ -488,6 +505,55 @@ object Dedup {
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minOverlap)
+  }
+
+  /** Bloom-filter decontamination: the compact-broadcast alternative to
+    * [[crossCorpusOverlap]]'s postings join. The benchmark corpus folds
+    * into an m-bit Bloom bitset ([[graft.plans.BloomFilter.BloomAgg]] —
+    * map-side mergeable, one m/8-byte row to the driver, bounded by
+    * construction), which then rides a codegen'd membership expression
+    * over the corpus n-gram hashes — no join relation on the probe side
+    * at all. Per document: distinct n-gram count, Bloom-flagged count
+    * (false positives included, deterministically — the oracle replays
+    * them), and a `contaminated` verdict at `minHits` flagged n-grams.
+    *
+    * Trade vs the postings join: the postings join reports WHICH benchmark
+    * doc overlaps (attribution); the Bloom screen only answers "is this
+    * n-gram anywhere in the eval suite" — but its probe side is a
+    * broadcast of m/8 bytes regardless of benchmark size, where postings
+    * broadcast grows with the suite. Screen with Bloom at 100 TB, then
+    * attribute the survivors with [[crossCorpusOverlap]].
+    */
+  def bloomDecontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      m: Int = 1 << 18,
+      k: Int = 3,
+      minHits: Int = 2
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def docHashes(df: DataFrame): DataFrame =
+      df.select(
+        col(idCol).as("doc_id"),
+        explode(
+          array_distinct(
+            graft.plans.HashExpressions.shingleHash60(TextAnalysis.tokens(col(textCol)), shingleSize)
+          )
+        ).as("h")
+      )
+    val bits = graft.plans.BloomFilter.build(docHashes(benchmark).select(col("h")).as[Long], m, k)
+    docHashes(corpus)
+      .withColumn("hit", graft.plans.BloomFilter.containsColumn(bits, m, k, col("h")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("hit"), lit(1L)).otherwise(lit(0L))).as("n_flagged")
+      )
+      .withColumn("contaminated", col("n_flagged") >= minHits)
   }
 
   /** Embedding cosine near-dup: pairs above a cosine threshold, blocked by

@@ -186,6 +186,115 @@ object Multimodal {
     )
   }
 
+  /** 56-bit difference hash (dHash) per image: the perceptual fingerprint
+    * image dedup pipelines use — decode, integer-luma, block-average down
+    * to a 9x7 grid, then one bit per horizontally-adjacent cell pair
+    * (cell < right neighbor), bit position `r*8 + c`. 9x7 instead of the
+    * classic 9x8 keeps the hash in 56 bits — always non-negative in a
+    * LongType, so band extraction and XOR replay identically in any
+    * BIGINT engine (the same sign-safety trade as [[graft.operators.Dedup.simhash60]]).
+    *
+    * All arithmetic is integer-exact (luma = (299r+587g+114b)/1000, cell =
+    * floor(sum/count)), so on a lossless fixture the hash is predictable
+    * from the generating arithmetic alone — which is how q128's oracle
+    * replays it in SQL. Cost is one bounded pass per image (every pixel
+    * read once, 63 cells); undecodable payloads degrade to ok=false.
+    */
+  def dHash56(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (gw, gh) = (9, 7)
+    media
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytesOrNull) =>
+          val bytes = Option(bytesOrNull).getOrElse(Array.empty[Byte])
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) (id, 0L, false)
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val sum = Array.ofDim[Long](gh, gw)
+              val cnt = Array.ofDim[Long](gh, gw)
+              var y = 0
+              while (y < h) {
+                val r = y * gh / h
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                  val c = x * gw / w
+                  sum(r)(c) += luma
+                  cnt(r)(c) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              var hash = 0L
+              var r = 0
+              while (r < gh) {
+                var c = 0
+                while (c < gw - 1) {
+                  val l = sum(r)(c) / math.max(1L, cnt(r)(c))
+                  val rt = sum(r)(c + 1) / math.max(1L, cnt(r)(c + 1))
+                  if (l < rt) hash |= 1L << (r * 8 + c)
+                  c += 1
+                }
+                r += 1
+              }
+              (id, hash, true)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => (id, 0L, false)
+          }
+        }
+      }
+      .toDF("media_id", "dhash", "ok")
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: [[dHash56]] each
+    * decodable image, then exact-recall Hamming pairing via
+    * [[graft.operators.Dedup.bandedSketchPairs]] — pigeonhole banding, no
+    * all-pairs join, the image twin of text SimHash near-dup. Emits
+    * (id_a, id_b, hamming) for every decodable pair within `maxHamming`.
+    */
+  def imageNearDup(
+      spark: SparkSession,
+      media: DataFrame,
+      maxHamming: Int = 3,
+      minChunkBits: Int = Dedup.MinChunkBits
+  ): DataFrame =
+    Dedup.bandedSketchPairs(
+      dHash56(spark, media).filter(col("ok")).select(col("media_id").as("doc_id"), col("dhash").as("sk")),
+      sketchBits = 56,
+      maxHamming = maxHamming,
+      minChunkBits = minChunkBits
+    )
+
+  /** Deterministic grayscale PNG from a pixel function via the JDK encoder
+    * — the generic lossless fixture for oracle-checking perceptual-hash
+    * paths: every pixel's gray value is `v(x, y) & 0xff`, so any
+    * integer-exact downstream feature (dHash cells, luma) is predictable
+    * from the generating arithmetic alone.
+    */
+  def encodeGrayPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = v(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
   /** Deterministic solid-gray PNG via the JDK encoder — the synthetic-image
     * fixture for oracle-checking the REAL decode path: PNG is lossless, so
     * [[decodeImages]] on this payload must return exactly (w, h) and a mean

@@ -157,6 +157,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(4L).ok && out(4L).nTracks == -1)
   }
 
+  test("dHash56: known cell grids hash exactly; banding pairs equal the plain Hamming threshold") {
+    // 18x14 px = 9x7 cells of 2x2; a horizontal light-dark alternation has
+    // every (cell < right) bit deterministic: bit(r,c)=1 iff cell c is 50
+    // and c+1 is 200, i.e. c even -> 0->1 alternating from the parity
+    def alt(shift: Int) = Multimodal.encodeGrayPng(18, 14, (x, _) => if ((x / 2 + shift) % 2 == 0) 50 else 200)
+    val uniform = Multimodal.encodeGrayPng(18, 14, (_, _) => 99)
+    val rows = Seq(
+      (1L, alt(0)), (2L, alt(0)),   // identical -> hamming 0
+      (3L, alt(1)),                 // inverted alternation -> far from 1/2
+      (4L, uniform),                // all comparisons equal -> hash 0
+      (5L, Array[Byte](1, 2, 3))    // corrupt -> excluded
+    ).toDF("media_id", "payload")
+    val media = Multimodal.toMediaTable(rows, "media_id", "payload", "png")
+    val hashed = Multimodal.dHash56(spark, media).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // alternation 50,200,50,...: cells c even = 50 -> bit at even c (c<8)
+    val expectedAlt0 = (0 until 7).map(r => Seq(0, 2, 4, 6).map(c => 1L << (r * 8 + c)).sum).sum
+    assert(hashed(1L) == (expectedAlt0, true))
+    assert(hashed(2L) == (expectedAlt0, true))
+    assert(hashed(4L) == (0L, true))
+    assert(!hashed(5L)._2)
+    // exact-recall banding: output == plain threshold filter over ok rows
+    val pairs = Multimodal.imageNearDup(spark, media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toSet
+    val ok = hashed.filter(_._2._2).view.mapValues(_._1).toMap
+    val expected = (for {
+      a <- ok.keys; b <- ok.keys if a < b
+      d = java.lang.Long.bitCount(ok(a) ^ ok(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(pairs == expected && pairs.contains((1L, 2L, 0)))
+  }
+
   test("decodeVideoFrames: real MJPEG-AVI round-trip — per-frame decode, luma within JPEG tolerance") {
     val grays = Seq(30, 128, 220)
     val avi = Multimodal.encodeMjpegAvi(48, 32, grays)

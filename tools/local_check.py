@@ -105,7 +105,11 @@ def apply_scale(oracles):
                  "q98_ann_ivf_sq8",
                  # q97's pipeline CTEs (fp, q, shd) are each referenced
                  # twice — inlining re-tokenizes the corpus 4x at sf1
-                 "q97_corpus_pipeline"):
+                 "q97_corpus_pipeline",
+                 # q116's unrolled iteration chain re-evaluates the edge
+                 # CTE once per rank step when inlined; q126 chains the
+                 # simhash CTEs into a recursive reachability (q88's shape)
+                 "q116_pagerank", "q126_neardup_split"):
         if name in out:
             out[name] = re.sub(r"\b(AS)\s*\(\s*SELECT", r"AS MATERIALIZED (SELECT",
                                out[name], flags=re.IGNORECASE)
