@@ -182,7 +182,7 @@ object Bench {
         "q122_retention", "q123_cube", "q124_moving_agg",
         "q125_hll_sketch", "q126_neardup_split", "q127_pit_lookup",
         // round-10 batch 3: perceptual-hash image dedup and friends
-        "q128_image_neardup", "q129_bloom_decontam")
+        "q128_image_neardup", "q129_bloom_decontam", "q130_bm25_index")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x
@@ -223,6 +223,12 @@ object Bench {
         val (path, _, v2) = Queries.q127Build(spark, sfDir)
         Some((path, v2, (System.nanoTime() - q127SetupT0) / 1e9))
       } catch { case _: Throwable => None }
+    // One-time q130 inverted-index build; the timed op is the bucket-pruned
+    // probe — the per-query serving cost, exactly q98's adjudication.
+    val q130SetupT0 = System.nanoTime()
+    val q130Built =
+      try Some((Queries.q130Build(spark, sfDir), (System.nanoTime() - q130SetupT0) / 1e9))
+      catch { case _: Throwable => None }
     // benched ops: SparkEntry.queries, with q98 overridden to probe-only
     // against the prebuilt index and q106 to feed-only against the
     // prebuilt warehouse (oracle semantics unchanged — Verify still runs
@@ -238,6 +244,8 @@ object Bench {
         "q119_incremental_mv" -> ((s: SparkSession, _: String) => Queries.q119Maintain(s, path, v1, v2))
       } ++ q127Built.map { case (path, v2, _) =>
         "q127_pit_lookup" -> ((s: SparkSession, d: String) => Queries.q127Probe(s, path, v2, d))
+      } ++ q130Built.map { case (idx, _) =>
+        "q130_bm25_index" -> ((s: SparkSession, _: String) => Queries.q130Probe(s, idx))
       }
 
     // warm-up: every headline query once at the target SF (see scaladoc).
@@ -341,7 +349,8 @@ object Bench {
       val parts =
         q98Built.map { case (_, _, _, t) => s""""q98_index_build":${num(t)}""" }.toSeq ++
           q106Built.map { case (_, _, _, t) => s""""q106_warehouse_build":${num(t)}""" }.toSeq ++
-          q127Built.map { case (_, _, t) => s""""q127_warehouse_build":${num(t)}""" }.toSeq
+          q127Built.map { case (_, _, t) => s""""q127_warehouse_build":${num(t)}""" }.toSeq ++
+          q130Built.map { case (_, t) => s""""q130_index_build":${num(t)}""" }.toSeq
       parts.mkString("{", ",", "}")
     }
 

@@ -1304,6 +1304,28 @@ object Oracles {
          |SELECT doc_id, bm25_e12, n_terms_hit FROM agg
          |ORDER BY bm25_e12 DESC, doc_id ASC LIMIT 25""".stripMargin,
 
+    // q130: persisted BM25 index — the probe must serve the exact q103
+    // scoring contract from the stored layout, so the oracle recomputes
+    // it straight from the corpus (index correctness = serving equals
+    // recompute, the q98 adjudication)
+    "q130_bm25_index" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) dl FROM toks),
+         | stats AS (SELECT count(*) n_docs, CAST(sum(dl) AS BIGINT) sum_dl FROM lens),
+         | postings AS (SELECT doc_id, token, count(*) tf
+         |   FROM (SELECT doc_id, unnest(ws) token FROM toks)
+         |   WHERE token IN ('join','window','scan') GROUP BY doc_id, token),
+         | dfreq AS (SELECT token, count(*) df FROM postings GROUP BY token),
+         | scored AS (SELECT p.doc_id,
+         |    CAST(FLOOR(1000000.0e0 * ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)) AS BIGINT)
+         |  * CAST(FLOOR(1000000.0e0 * (CAST(tf AS DOUBLE) * 2.25e0 / (CAST(tf AS DOUBLE) + 1.25e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS BIGINT) term_score_e12
+         |   FROM postings p JOIN dfreq d ON p.token = d.token
+         |   JOIN lens l ON p.doc_id = l.doc_id CROSS JOIN stats),
+         | agg AS (SELECT doc_id, CAST(sum(term_score_e12) AS BIGINT) bm25_e12,
+         |    count(*) n_terms_hit FROM scored GROUP BY doc_id)
+         |SELECT doc_id, bm25_e12, n_terms_hit FROM agg
+         |ORDER BY bm25_e12 DESC, doc_id ASC LIMIT 25""".stripMargin,
+
     // q114: product-quantized ANN — full training/encoding/ADC replay
     "q114_ann_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20),
 

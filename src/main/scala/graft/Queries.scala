@@ -2600,4 +2600,27 @@ object Queries {
       "doc_id", "text"
     )
   }
+
+  /** q130: PERSISTED BM25 INDEX ([[operators.Retrieval.writeBm25Index]] /
+    * [[operators.Retrieval.probeBm25Index]]) — q103's scoring served from
+    * a stored inverted index instead of a per-query corpus tokenization:
+    * postings and document frequencies hash-partitioned by token bucket
+    * on disk, a probe reads only its terms' bucket directories (the text
+    * twin of q98's stored IVF+SQ8 serving path; the bench times the probe
+    * with the one-time build in setup_sec). Result is row-identical to
+    * running bm25TopK directly, which is what the oracle recomputes.
+    */
+  def q130(s: SparkSession, dir: String): DataFrame =
+    q130Probe(s, q130Build(s, dir))
+
+  /** q130's one-time half: tokenize + persist the index layout. */
+  def q130Build(s: SparkSession, dir: String): String = {
+    val idx = scratchDir("bm25idx")
+    Retrieval.writeBm25Index(t(s, dir, "documents"), "doc_id", "text", idx, nBuckets = 16)
+    idx
+  }
+
+  /** q130's per-query half: serve top-25 from the stored postings. */
+  def q130Probe(s: SparkSession, idx: String): DataFrame =
+    Retrieval.probeBm25Index(s, idx, Seq("join", "window", "scan"), 25)
 }

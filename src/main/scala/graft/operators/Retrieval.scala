@@ -67,6 +67,23 @@ object Retrieval {
 
     val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df")) // <= |terms| rows
 
+    scoreAndTopK(postings, dfreq, lens, stats, k, k1, b)
+  }
+
+  /** The shared scoring tail of every BM25 surface: exact e6-floored
+    * per-term partials ([[bm25TopK]]'s determinism contract), long-summed
+    * per doc, TakeOrderedAndProject for the top-k. `postings` must be
+    * (doc_id, token, tf), `dfreq` (token, df), `lens` (doc_id, dl),
+    * `stats` one (n_docs, sum_dl) row.
+    */
+  private def scoreAndTopK(
+      postings: DataFrame,
+      dfreq: DataFrame,
+      lens: DataFrame,
+      stats: DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
     val dl = col("dl").cast("double")
     val tf = col("tf").cast("double")
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
@@ -161,6 +178,78 @@ object Retrieval {
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("bm25_e12"), col("n_terms_hit"), col("rank"))
+  }
+
+  /** PERSISTED inverted index: tokenize the corpus ONCE, store postings
+    * hash-partitioned by token bucket — the text-retrieval twin of the
+    * stored IVF+SQ8 ANN layout (build cost amortizes across every later
+    * probe; a probe touches only its terms' bucket directories, never the
+    * corpus).
+    *
+    * Layout at `path`:
+    *   - `postings/bucket=<b>/` — (doc_id, token, tf), bucket =
+    *     pmod(md5prefix60(token), nBuckets): a probe for t reads exactly
+    *     one bucket dir per term (disk-level partition pruning);
+    *   - `dfreq/bucket=<b>/`  — (token, df): idf inputs come from a
+    *     metadata-sized read, not a postings aggregation;
+    *   - `lens/` — (doc_id, dl); joined only against the pruned
+    *     candidate set at probe time;
+    *   - `stats/` — ONE row (n_docs, sum_dl, n_buckets): the probe reads
+    *     nBuckets from here, so an index is self-describing.
+    */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String, path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"writeBm25Index: nBuckets=$nBuckets must be positive")
+    val toks = graft.core.Caching.cached(
+      docs.select(col(idCol).cast("long").as("doc_id"), TextAnalysis.tokens(col(textCol)).as("ws"))
+    )
+    val lens = toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val postings = toks
+      .select(col("doc_id"), explode(col("ws")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(graft.plans.HashExpressions.md5Prefix60(col("token")), lit(nBuckets.toLong)))
+    postings.write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
+    // one row per distinct token; same bucketing, so df reads prune too
+    postings
+      .groupBy(col("token"), col("bucket"))
+      .agg(count(lit(1)).as("df"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/dfreq")
+    lens.write.mode("overwrite").parquet(s"$path/lens")
+    lens
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets.toLong))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Serve a BM25 top-k from a [[writeBm25Index]] layout: bucket ids for
+    * the probe terms are computed driver-side from the same portable hash,
+    * so the postings/dfreq reads are partition-pruned to |distinct term
+    * buckets| directories. Scoring is the exact [[bm25TopK]] contract —
+    * probeBm25Index(writeBm25Index(corpus)) is row-identical to
+    * bm25TopK(corpus) (proven in RetrievalSpec and oracle q130).
+    */
+  def probeBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.25,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "probeBm25Index: empty query")
+    require(k > 0, "probeBm25Index: k must be positive")
+    val terms = queryTerms.distinct
+    val stats = spark.read.parquet(s"$path/stats")
+    // one bounded driver row: corpus stats + the index's bucket count
+    val nBuckets = stats.select(col("n_buckets")).head().getLong(0)
+    val buckets = terms.map(t => graft.plans.Md5Prefix60.hash(t.getBytes("UTF-8")) % nBuckets).distinct
+    def pruned(sub: String): DataFrame =
+      spark.read.parquet(s"$path/$sub")
+        .filter(col("bucket").isin(buckets: _*))
+        .filter(col("token").isInCollection(terms))
+    val postings = pruned("postings").select(col("doc_id"), col("token"), col("tf"))
+    val dfreq = pruned("dfreq").select(col("token"), col("df"))
+    val lens = spark.read.parquet(s"$path/lens")
+    scoreAndTopK(postings, dfreq, lens, stats.select(col("n_docs"), col("sum_dl")), k, k1, b)
   }
 
   /** Reciprocal-rank fusion of per-system rankings (Cormack et al. 2009):

@@ -122,4 +122,28 @@ class RetrievalSpec extends AnyFunSuite {
       .filter($"query_id" === 0L).collect().map(_.toSeq).toSet
     assert(alone == batched && alone.nonEmpty)
   }
+
+  test("persisted index: probe equals direct bm25TopK; reads prune to the probe terms' buckets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat dog"), (2L, "cat cat fish"), (3L, "dog dog dog dog"),
+      (4L, "bird"), (5L, "fish cat bird"), (6L, "dog fish")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString + "/idx"
+    Retrieval.writeBm25Index(docs, "doc_id", "text", idx, nBuckets = 8)
+
+    val terms = Seq("cat", "fish")
+    val probe = Retrieval.probeBm25Index(spark, idx, terms, k = 10)
+    val direct = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+    assert(probe.collect().map(_.toSeq).toSeq == direct.collect().map(_.toSeq).toSeq)
+
+    // disk-level pruning: the probe's postings scan must carry a bucket
+    // partition filter, and the pruned read must touch fewer partition
+    // dirs than the index has non-empty buckets
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), s"no partition filter in:\n$plan")
+    val allBuckets = new java.io.File(s"$idx/postings").listFiles().count(_.getName.startsWith("bucket="))
+    val probedBuckets = terms.map(t => graft.plans.Md5Prefix60.hash(t.getBytes("UTF-8")) % 8).distinct.size
+    assert(probedBuckets < allBuckets, "fixture degenerate: probe covers every bucket")
+  }
 }
