@@ -1326,6 +1326,17 @@ object Oracles {
          |SELECT doc_id, bm25_e12, n_terms_hit FROM agg
          |ORDER BY bm25_e12 DESC, doc_id ASC LIMIT 25""".stripMargin,
 
+    // q131: bounded-heap per-group top-k — the oracle is the window
+    // formulation the aggregator replaces; identical rows prove the
+    // mergeable partials lose nothing
+    "q131_topk_per_group" ->
+      """SELECT o_custkey, rn AS rk, o_orderkey, price_cents FROM (
+        | SELECT CAST(o_custkey AS BIGINT) o_custkey, CAST(o_orderkey AS BIGINT) o_orderkey,
+        |   CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS price_cents,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) DESC, o_orderkey ASC) rn
+        | FROM orders) WHERE rn <= 3""".stripMargin,
+
     // q114: product-quantized ANN — full training/encoding/ADC replay
     "q114_ann_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20),
 

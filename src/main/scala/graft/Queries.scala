@@ -2623,4 +2623,29 @@ object Queries {
   /** q130's per-query half: serve top-25 from the stored postings. */
   def q130Probe(s: SparkSession, idx: String): DataFrame =
     Retrieval.probeBm25Index(s, idx, Seq("join", "window", "scan"), 25)
+
+  /** q131: PER-GROUP TOP-K VIA BOUNDED-HEAP AGGREGATOR
+    * ([[plans.TopKByScoreAgg]]) — each customer's 3 highest-value orders
+    * (cents desc, orderkey asc tie-break) computed as a mergeable typed
+    * aggregation: map-side partials carry <= k pairs per group, so the
+    * shuffle is k-bounded instead of moving every order row into a
+    * per-group window sort. The oracle replays it as the row_number
+    * window — the aggregator must match the sort-based semantics exactly.
+    */
+  def q131(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.plans.TopKByScoreAgg(3)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey").cast("long"),
+        col("o_orderkey").cast("long"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      )
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._3, t._2)) // (score=cents, id=orderkey)
+      .agg(agg.toColumn)
+      .flatMap { case (ck, ranked) => ranked.map { case (rk, id, cents) => (ck, rk, id, cents) } }
+      .toDF("o_custkey", "rk", "o_orderkey", "price_cents")
+  }
 }

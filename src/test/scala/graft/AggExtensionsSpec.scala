@@ -103,4 +103,35 @@ class AggExtensionsSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(prev)
     }
   }
+
+  test("TopKByScoreAgg: equals the window formulation; merge of partials is lossless") {
+    import graft.plans.TopKByScoreAgg
+    val agg = new TopKByScoreAgg(3)
+    // direct semantics on hand data: ties break by ascending id
+    val rows = Seq((10L, 5L), (10L, 2L), (7L, 1L), (10L, 9L), (12L, 4L), (3L, 8L))
+    val folded = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(folded) == Seq((1L, 4L, 12L), (2L, 2L, 10L), (3L, 5L, 10L)))
+    // merge = top-k of the union, for every split point
+    (0 to rows.size).foreach { cut =>
+      val (l, r) = rows.splitAt(cut)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == agg.finish(folded), s"split at $cut diverged")
+    }
+    // distributed run over many partitions == row_number window + filter
+    val data = (1L to 2000L).map(i => (i % 17, (i * 37) % 101, i)) // (group, score, id)
+    val df = spark.createDataset(data).repartition(13).toDF("g", "s", "id")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val viaWindow = df
+      .withColumn("rk", row_number().over(Window.partitionBy($"g").orderBy($"s".desc, $"id".asc)).cast("long"))
+      .filter($"rk" <= 3).select($"g", $"rk", $"id", $"s")
+      .collect().map(_.toSeq).toSet
+    val viaAgg = spark.createDataset(data).repartition(13)
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.toColumn)
+      .flatMap { case (g, ranked) => ranked.map { case (rk, id, s) => (g, rk, id, s) } }
+      .collect().map(t => Seq(t._1, t._2, t._3, t._4)).toSet
+    assert(viaAgg == viaWindow)
+  }
 }
