@@ -1337,6 +1337,25 @@ object Oracles {
         |     ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) DESC, o_orderkey ASC) rn
         | FROM orders) WHERE rn <= 3""".stripMargin,
 
+    // q132: collocation lift — bigram/unigram counts are exact; the lift
+    // ratio is DOUBLE arithmetic over exact-representable counts with the
+    // identical association on both sides (see collocationsByLift scaladoc)
+    "q132_collocations" ->
+      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | uni AS (SELECT unnest(ws) w FROM base),
+         | un AS (SELECT w, count(*) c FROM uni GROUP BY w),
+         | nu AS (SELECT count(*) n_uni FROM uni),
+         | bi AS (SELECT u.w1, u.w2 FROM (
+         |   SELECT unnest(list_transform(range(1, len(ws)), i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) u
+         |   FROM base WHERE len(ws) >= 2)),
+         | nb AS (SELECT count(*) n_big FROM bi),
+         | bn AS (SELECT w1, w2, count(*) n_ab FROM bi GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT w1, w2, n_ab,
+         | CAST(FLOOR(1000000.0e0 * ((CAST(n_ab AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE))
+         |   / (CAST(n_big AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)))) AS BIGINT) AS lift_e6
+         |FROM bn JOIN un ca ON bn.w1 = ca.w JOIN un cb ON bn.w2 = cb.w
+         |CROSS JOIN nu CROSS JOIN nb""".stripMargin,
+
     // q114: product-quantized ANN — full training/encoding/ADC replay
     "q114_ann_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20),
 

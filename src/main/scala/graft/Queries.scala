@@ -2648,4 +2648,14 @@ object Queries {
       .flatMap { case (ck, ranked) => ranked.map { case (rk, id, cents) => (ck, rk, id, cents) } }
       .toDF("o_custkey", "rk", "o_orderkey", "price_cents")
   }
+
+  /** q132: COLLOCATION MINING BY LIFT
+    * ([[operators.TextAnalysis.collocationsByLift]]) — corpus bigram
+    * statistics for phrase discovery / tokenizer curation: lift =
+    * p(ab)/(p(a)p(b)), the exact-arithmetic stand-in for PMI (monotone,
+    * no `ln`, so the e6-floored value is bit-identical cross-engine).
+    * Bigrams below 5 occurrences are pruned before the join.
+    */
+  def q132(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocationsByLift(t(s, dir, "documents"), "text", minCount = 5L)
 }

@@ -517,4 +517,47 @@ object TextAnalysis {
     import spark.implicits._
     rows.toSeq.toDF("token", "exact_cnt", "est_ok")
   }
+
+  /** Collocation mining by LIFT — the exact-arithmetic PMI variant:
+    *   lift(a,b) = p(ab) / (p(a) p(b))
+    *             = (c_ab * N_uni^2) / (N_big * c_a * c_b)
+    * exp(PMI), monotone in PMI, but computable without `ln` — the one
+    * transcendental whose libm rounding differs across engines. All six
+    * factors are exact counts (< 2^53, so their DOUBLE images are exact),
+    * the products associate left in both engines, and IEEE guarantees
+    * correctly-rounded * and /, so the floored e6 value replays
+    * bit-identically in SQL.
+    *
+    * Scale shape: one shuffle for bigram counts, one for unigram counts
+    * (vocab-bounded result, broadcast back), two single-row count
+    * aggregates. `minCount` prunes the hapax tail BEFORE the join.
+    */
+  def collocationsByLift(docs: DataFrame, textCol: String, minCount: Long = 5L): DataFrame = {
+    val ws = tokens(col(textCol))
+    val toksOnly = docs.select(ws.as("ws"))
+    val uni = toksOnly.select(explode(col("ws")).as("w"))
+    val uniCnt = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(count(lit(1)).as("n_uni"))
+    val bi = toksOnly
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val nBig = bi.agg(count(lit(1)).as("n_big"))
+    val biCnt = bi
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val lift =
+      (col("n_ab").cast("double") * col("n_uni").cast("double") * col("n_uni").cast("double")) /
+        (col("n_big").cast("double") * col("ca").cast("double") * col("cb").cast("double"))
+    biCnt
+      .join(broadcast(uniCnt.select(col("w").as("w1"), col("c").as("ca"))), "w1")
+      .join(broadcast(uniCnt.select(col("w").as("w2"), col("c").as("cb"))), "w2")
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBig))
+      .select(
+        col("w1"), col("w2"), col("n_ab"),
+        floor(lit(1000000.0) * lift).cast("long").as("lift_e6")
+      )
+  }
 }

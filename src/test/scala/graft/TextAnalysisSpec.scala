@@ -264,4 +264,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq, "fixed-seed sketch must be deterministic")
     intercept[IllegalArgumentException] { TextAnalysis.heavyHittersCms(docs, "doc_id", "text", k = 0) }
   }
+
+  test("collocationsByLift: hand-computed lift, minCount prune, short docs contribute no bigrams") {
+    import spark.implicits._
+    // uni: a=3 b=2 c=1 x=1 (N=7 — the short doc still counts as a
+    // unigram); bigrams: (a,b)x2, (b,a), (a,c) (N=4) — no bigram from "x"
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocationsByLift(docs, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // lift(a,b) = (2 * 7 * 7) / (4 * 3 * 2) = 4.08333...
+    assert(out.toSeq == Seq(("a", "b", 2L, 4083333L)))
+  }
 }
