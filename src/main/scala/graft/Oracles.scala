@@ -1356,6 +1356,20 @@ object Oracles {
          |FROM bn JOIN un ca ON bn.w1 = ca.w JOIN un cb ON bn.w2 = cb.w
          |CROSS JOIN nu CROSS JOIN nb""".stripMargin,
 
+    // q133: hash-sampled quantiles — the oracle re-draws the identical
+    // 1-in-16 hash sample and takes the same floored-rank order statistic
+    "q133_sampled_quantiles" ->
+      """WITH s AS (SELECT l_returnflag g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) v
+        |  FROM lineitem
+        |  WHERE CAST(('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)||'#'||CAST(l_linenumber AS VARCHAR)),1,15)) AS BIGINT) % 16 = 0),
+        | n AS (SELECT g, count(*) n_sample FROM s GROUP BY g),
+        | r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) rn FROM s),
+        | t AS (SELECT g, n_sample, q, ((n_sample - 1) * pm) // 1000 + 1 AS rn
+        |   FROM n, (VALUES ('p50', 500), ('p90', 900), ('p99', 990)) tq(q, pm))
+        |SELECT t.g AS l_returnflag, t.q AS quantile, t.n_sample, r.v AS value_cents
+        |FROM t JOIN r ON t.g = r.g AND t.rn = r.rn""".stripMargin,
+
     // q114: product-quantized ANN — full training/encoding/ADC replay
     "q114_ann_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20),
 

@@ -2658,4 +2658,23 @@ object Queries {
     */
   def q132(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.collocationsByLift(t(s, dir, "documents"), "text", minCount = 5L)
+
+  /** q133: HASH-SAMPLED QUANTILES ([[operators.Sampling.hashSampledQuantiles]])
+    * — p50/p90/p99 of line-item price per return flag from a deterministic
+    * 1-in-16 sample (portable hash of the (orderkey, linenumber) row key,
+    * not a seeded RNG), with exact integer order statistics over the
+    * sample. The distributed-quantile recipe whose whole cost is a narrow
+    * filter plus a window over 1/16th of the data — and whose result the
+    * oracle recomputes row-identically, sample and all.
+    */
+  def q133(s: SparkSession, dir: String): DataFrame =
+    Sampling
+      .hashSampledQuantiles(
+        t(s, dir, "lineitem"),
+        "l_returnflag",
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        concat_ws("#", col("l_orderkey").cast("string"), col("l_linenumber").cast("string")),
+        sampleMod = 16L
+      )
+      .select(col("g").as("l_returnflag"), col("quantile"), col("n_sample"), col("value").as("value_cents"))
 }

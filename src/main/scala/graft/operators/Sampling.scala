@@ -107,4 +107,51 @@ object Sampling {
         .otherwise("test")
     )
   }
+
+  /** HASH-SAMPLED QUANTILES per group: the classic distributed quantile
+    * recipe made deterministic — keep rows whose portable key hash lands
+    * in bucket 0 of `sampleMod` (a reproducible 1-in-`sampleMod` sample,
+    * NOT a seeded RNG: re-runs and the SQL oracle see the identical
+    * sample), then take EXACT order statistics of the sample. The
+    * quantile definition is lower-value-at-floored-rank:
+    * rank = floor((n-1) * permille / 1000) + 1 — pure integer arithmetic,
+    * no interpolation, so the emitted value is always a real data value
+    * and replays exactly.
+    *
+    * Scale shape: the corpus-wide work is the narrow sample filter; only
+    * sample rows (1/sampleMod of the data) shuffle into the per-group
+    * rank window. Accuracy follows sample-quantile theory (error
+    * O(1/sqrt(sample size)) in rank space); `sampleMod` is the lever.
+    * Output: one row per (group, quantile) with the sample size alongside
+    * so consumers can judge the estimate's weight.
+    */
+  def hashSampledQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: Column,
+      sampleKey: Column,
+      sampleMod: Long,
+      permilles: Seq[(String, Long)] = Seq("p50" -> 500L, "p90" -> 900L, "p99" -> 990L)
+  ): DataFrame = {
+    require(sampleMod >= 1, s"hashSampledQuantiles: sampleMod=$sampleMod must be >= 1")
+    require(permilles.nonEmpty && permilles.forall { case (_, pm) => pm >= 0 && pm <= 1000 },
+      "hashSampledQuantiles: permilles must be within [0, 1000]")
+    val sample = graft.core.Caching.cached(
+      df.filter(hashBucket(sampleKey, sampleMod) === 0)
+        .select(col(groupCol).as("g"), valueCol.as("v"))
+    )
+    val counts = sample.groupBy(col("g")).agg(count(lit(1)).as("n_sample"))
+    val targets = counts.select(
+      col("g"), col("n_sample"),
+      explode(array(permilles.map { case (q, pm) =>
+        // integer floor division: the rank is exact, never a float rounding
+        struct(lit(q).as("quantile"), (expr(s"((n_sample - 1) * ${pm}L) div 1000") + lit(1L)).as("rn"))
+      }: _*)).as("t")
+    ).select(col("g"), col("n_sample"), col("t.quantile").as("quantile"), col("t.rn").as("rn"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g")).orderBy(col("v"))
+    val ranked = sample.withColumn("rn", row_number().over(w).cast("long"))
+    ranked
+      .join(targets, Seq("g", "rn"))
+      .select(col("g"), col("quantile"), col("n_sample"), col("v").as("value"))
+  }
 }

@@ -50,4 +50,23 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.mixtureSample(corpus, "id", "grp", Map("grp0" -> 1.5))
     )
   }
+
+  test("hashSampledQuantiles: exact floored-rank order statistics; sample is deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // sampleMod=1 keeps everything: quantiles are exact order statistics
+    val df = (1L to 100L).map(i => ("g1", i)).toDF("grp", "v").repartition(7)
+    val out = Sampling
+      .hashSampledQuantiles(df, "grp", col("v"), col("v"), sampleMod = 1L)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // rank = (99 * pm) div 1000 + 1 -> p50: 50th value = 50, p90: 90, p99: 99
+    assert(out == Map("p50" -> (100L, 50L), "p90" -> (100L, 90L), "p99" -> (100L, 99L)))
+    // a 1-in-4 hash sample: re-running yields the identical rows (no RNG)
+    val s1 = Sampling.hashSampledQuantiles(df, "grp", col("v"), col("v"), 4L).collect().map(_.toSeq).toSet
+    val s2 = Sampling.hashSampledQuantiles(df, "grp", col("v"), col("v"), 4L).collect().map(_.toSeq).toSet
+    assert(s1 == s2 && s1.nonEmpty)
+    assertThrows[IllegalArgumentException](
+      Sampling.hashSampledQuantiles(df, "grp", col("v"), col("v"), 0L)
+    )
+  }
 }
