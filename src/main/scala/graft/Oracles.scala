@@ -1370,6 +1370,30 @@ object Oracles {
         |SELECT t.g AS l_returnflag, t.q AS quantile, t.n_sample, r.v AS value_cents
         |FROM t JOIN r ON t.g = r.g AND t.rn = r.rn""".stripMargin,
 
+    // q134: canonical selection — q88's recursive components extended
+    // with singleton fallback (q126's shape), then the keeper window
+    // (longest text, ascending-id tie-break) replayed relationally
+    "q134_canonical_dedup" ->
+      s"""WITH RECURSIVE $simhash60Ctes,
+         | e AS (SELECT a.doc_id ia, b.doc_id ib
+         |   FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |   WHERE bit_count(xor(a.sk60, b.sk60)) <= 4),
+         | sym AS (SELECT ia a, ib b FROM e UNION SELECT ib, ia FROM e),
+         | reach(id, r) AS (
+         |   SELECT a, a FROM sym
+         |   UNION
+         |   SELECT sym.a, reach.r FROM sym JOIN reach ON reach.id = sym.b
+         | ),
+         | comp AS (SELECT id, min(r) lbl FROM reach GROUP BY id),
+         | g AS (SELECT d.doc_id, coalesce(c.lbl, d.doc_id) group_id,
+         |     CAST(len(coalesce(d.text, '')) AS BIGINT) text_len
+         |   FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         | r AS (SELECT doc_id, group_id, text_len,
+         |   row_number() OVER (PARTITION BY group_id ORDER BY text_len DESC, doc_id ASC) rn FROM g),
+         | cn AS (SELECT group_id, doc_id canonical_id FROM r WHERE rn = 1)
+         |SELECT r.doc_id, r.group_id, cn.canonical_id, r.doc_id = cn.canonical_id AS is_canonical
+         |FROM r JOIN cn USING (group_id)""".stripMargin,
+
     // q114: product-quantized ANN — full training/encoding/ADC replay
     "q114_ann_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20),
 

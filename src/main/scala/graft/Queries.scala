@@ -2677,4 +2677,15 @@ object Queries {
         sampleMod = 16L
       )
       .select(col("g").as("l_returnflag"), col("quantile"), col("n_sample"), col("value").as("value_cents"))
+
+  /** q134: CANONICAL SELECTION over near-dup groups
+    * ([[operators.Dedup.canonicalPerGroup]]) — q65's SimHash pairs →
+    * q88's connected components → one keeper per group (longest text,
+    * ascending-id tie-break), with singleton fallback for unpaired docs.
+    * The doc → canonical mapping is the dedup pipeline's final artifact:
+    * filter `is_canonical` for the deduplicated corpus, or keep the
+    * mapping to rewrite references.
+    */
+  def q134(s: SparkSession, dir: String): DataFrame =
+    Dedup.canonicalPerGroup(t(s, dir, "documents"), "doc_id", "text", q65(s, dir))
 }

@@ -507,6 +507,48 @@ object Dedup {
       .filter(col("n_shared") >= minOverlap)
   }
 
+  /** CANONICAL REPRESENTATIVE per near-dup group — the last step of the
+    * dedup pipeline: pairs → components ([[duplicateGroups]]) → ONE keeper
+    * per group, chosen by longest text with ascending-id tie-break (the
+    * "keep the most complete copy" convention). Docs in no pair form
+    * singleton groups of themselves. Emits the full doc → canonical
+    * mapping plus an `is_canonical` flag, so a consumer can either filter
+    * to keepers or rewrite references.
+    *
+    * Scale shape: the keeper choice is a row_number window PARTITIONED BY
+    * group (never corpus-wide), and the mapping join shuffles on group_id
+    * — both bounded by the component structure the banding already paid
+    * for.
+    */
+  def canonicalPerGroup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b"
+  ): DataFrame = {
+    val groups = duplicateGroups(pairs, aCol, bCol)
+    val all = docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        length(coalesce(col(textCol), lit(""))).cast("long").as("text_len")
+      )
+      .join(groups.withColumnRenamed("doc_id", "__gd"), col("doc_id") === col("__gd"), "left")
+      .select(col("doc_id"), col("text_len"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_id"))
+      .orderBy(col("text_len").desc, col("doc_id").asc)
+    val ranked = all.withColumn("rn", row_number().over(w))
+    val canon = ranked.filter(col("rn") === 1).select(col("group_id"), col("doc_id").as("canonical_id"))
+    ranked
+      .join(canon, "group_id")
+      .select(
+        col("doc_id"), col("group_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical")
+      )
+  }
+
   /** Bloom-filter decontamination: the compact-broadcast alternative to
     * [[crossCorpusOverlap]]'s postings join. The benchmark corpus folds
     * into an m-bit Bloom bitset ([[graft.plans.BloomFilter.BloomAgg]] —

@@ -316,4 +316,19 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
     txt.foreach { case (id, t) => assert(stats(id) == md5hex(t)) }
   }
+
+  test("canonicalPerGroup: longest-text keeper with id tie-break; unpaired docs are their own group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short"), (2L, "the longest text here"), (3L, "medium text"), // one group
+      (4L, "same len"), (5L, "same len"),                                // tie -> lower id wins
+      (9L, "a singleton")                                                // no pair
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalPerGroup(docs, "doc_id", "text", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (1L, 2L, false) && out(2L) == (1L, 2L, true) && out(3L) == (1L, 2L, false))
+    assert(out(4L) == (4L, 4L, true) && out(5L) == (4L, 4L, false))
+    assert(out(9L) == (9L, 9L, true))
+  }
 }
