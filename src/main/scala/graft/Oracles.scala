@@ -1394,6 +1394,20 @@ object Oracles {
          |SELECT r.doc_id, r.group_id, cn.canonical_id, r.doc_id = cn.canonical_id AS is_canonical
          |FROM r JOIN cn USING (group_id)""".stripMargin,
 
+    // q135: prefix-filtered exact similarity join — the oracle is the
+    // naive all-pairs threshold join; identical rows prove the prefix
+    // candidate rule loses nothing (integer threshold on both sides)
+    "q135_ppjoin" ->
+      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | st AS (SELECT doc_id, list_distinct(ws) s FROM base WHERE len(list_distinct(ws)) > 0),
+         | pr AS (SELECT a.doc_id id_a, b.doc_id id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) inter,
+         |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) un
+         |   FROM st a JOIN st b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         | CAST(FLOOR(10000.0e0 * (CAST(inter AS DOUBLE) / CAST(un AS DOUBLE))) AS BIGINT) AS jaccard_e4
+         |FROM pr WHERE inter * 5 >= un * 3""".stripMargin,
+
     // q114: product-quantized ANN — full training/encoding/ADC replay
     "q114_ann_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20),
 

@@ -2688,4 +2688,17 @@ object Queries {
     */
   def q134(s: SparkSession, dir: String): DataFrame =
     Dedup.canonicalPerGroup(t(s, dir, "documents"), "doc_id", "text", q65(s, dir))
+
+  /** q135: EXACT SIMILARITY SELF-JOIN BY PREFIX FILTERING
+    * ([[operators.Dedup.jaccardPairsPrefix]]) — every document pair with
+    * token-set Jaccard >= 3/5, exact recall, no all-pairs join: the
+    * AllPairs/PPJoin prefix rule generates candidates from each doc's
+    * rarest-first prefix tokens only, then integer-exact verification.
+    * The banding-free exact member of the near-dup family (MinHash/LSH
+    * trade recall; this trades nothing) — the oracle is the plain
+    * all-pairs threshold join, which the prefix join must reproduce
+    * exactly.
+    */
+  def q135(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text", tNum = 3L, tDen = 5L)
 }

@@ -507,6 +507,75 @@ object Dedup {
       .filter(col("n_shared") >= minOverlap)
   }
 
+  /** EXACT set-similarity self-join via PREFIX FILTERING (the
+    * AllPairs/PPJoin candidate rule — Bayardo, Ma & Srikant, WWW 2007;
+    * Xiao et al., WWW 2008): every pair with token-set Jaccard >=
+    * tNum/tDen, with NO recall loss and NO all-pairs join.
+    *
+    * The theorem: order all tokens canonically (rarest-first here — df
+    * ascending, token ascending — which minimizes candidate fan-out);
+    * with prefix length p(x) = |x| - ceil(t*|x|) + 1, any pair with
+    * J >= t must share at least one PREFIX token. So candidates come from
+    * an inverted index over prefixes only, then an exact verify keeps
+    * {pairs : J >= t} — the banding-free exact twin of the MinHash/LSH
+    * family (those trade recall for speed; this trades nothing and prunes
+    * by frequency structure instead).
+    *
+    * The threshold is a RATIONAL tNum/tDen and both the prefix length and
+    * the verify (inter * tDen >= tNum * union) are integer arithmetic —
+    * no float threshold coupling anywhere, so the oracle's plain all-pairs
+    * replay matches bit-for-bit.
+    *
+    * Scale shape: df is one vocab-bounded aggregation; each doc ships only
+    * its p prefix tokens into the candidate join (p is small at high t —
+    * |x|/tDen-ish); the verify joins token arrays by id — two hash joins
+    * on the candidate set, never on the corpus square.
+    */
+  def jaccardPairsPrefix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tNum: Long,
+      tDen: Long
+  ): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"jaccardPairsPrefix: threshold $tNum/$tDen not in (0, 1]")
+    val sets = graft.core.Caching.cached(
+      docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        array_distinct(TextAnalysis.tokens(col(textCol))).as("s")
+      ).filter(size(col("s")) > 0)
+    )
+    val toks = sets.select(col("doc_id"), explode(col("s")).as("token"))
+    val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // canonical rarest-first order; prefix p = len - ceil(t*len) + 1
+    val ordered = toks
+      .join(broadcast(dfreq), "token")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("o"))
+      .select(
+        col("doc_id"),
+        expr("transform(o, x -> x.token)").as("sorted_toks"),
+        size(col("o")).cast("long").as("len")
+      )
+      .withColumn("p", (col("len") - expr(s"(${tNum}L * len + ${tDen - 1}L) div ${tDen}L") + lit(1L)).cast("int"))
+    val prefixes = ordered.select(col("doc_id"), explode(expr("slice(sorted_toks, 1, p)")).as("token"))
+    val cand = prefixes.select(col("token"), col("doc_id").as("id_a"))
+      .join(prefixes.select(col("token").as("tb"), col("doc_id").as("id_b")),
+        col("token") === col("tb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val verified = cand
+      .join(sets.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("s").as("sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("un", size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("inter"))
+      .filter(col("inter") * tDen >= col("un") * tNum)
+    verified.select(
+      col("id_a"), col("id_b"),
+      floor(lit(10000.0) * (col("inter").cast("double") / col("un").cast("double"))).cast("long").as("jaccard_e4")
+    )
+  }
+
   /** CANONICAL REPRESENTATIVE per near-dup group — the last step of the
     * dedup pipeline: pairs → components ([[duplicateGroups]]) → ONE keeper
     * per group, chosen by longest text with ascending-id tie-break (the

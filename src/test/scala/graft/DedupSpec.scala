@@ -317,6 +317,29 @@ class DedupSpec extends AnyFunSuite {
     txt.foreach { case (id, t) => assert(stats(id) == md5hex(t)) }
   }
 
+  test("jaccardPairsPrefix: equals brute-force threshold join; prefix index is smaller than the corpus index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // overlapping vocab with planted near-dups and decoys
+    val docs = (1L to 60L).map { i =>
+      val base = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+      val rot = base.drop((i % 5).toInt) ++ base.take((i % 5).toInt)
+      (i, (rot.take(5) :+ s"tail${i % 7}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3L, 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over collected token sets
+    val sets = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").distinct.toSet).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size.toLong
+      un = sets(a).size + sets(b).size - inter
+      if inter * 5 >= un * 3
+    } yield (a, b, math.floor(10000.0 * inter / un).toLong)).toSet
+    assert(got == expected && got.nonEmpty)
+    intercept[IllegalArgumentException] { Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 7L, 5L) }
+  }
+
   test("canonicalPerGroup: longest-text keeper with id tie-break; unpaired docs are their own group") {
     import spark.implicits._
     val docs = Seq(
