@@ -1399,14 +1399,20 @@ object Oracles {
     // candidate rule loses nothing (integer threshold on both sides)
     "q135_ppjoin" ->
       s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
-         | st AS (SELECT doc_id, list_distinct(ws) s FROM base WHERE len(list_distinct(ws)) > 0),
+         | sh AS (SELECT doc_id,
+         |   list_distinct(list_transform(
+         |     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
+         |     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) s
+         |  FROM base),
+         | st AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
          | pr AS (SELECT a.doc_id id_a, b.doc_id id_b,
          |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) inter,
          |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) un
          |   FROM st a JOIN st b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b,
          | CAST(FLOOR(10000.0e0 * (CAST(inter AS DOUBLE) / CAST(un AS DOUBLE))) AS BIGINT) AS jaccard_e4
-         |FROM pr WHERE inter * 5 >= un * 3""".stripMargin,
+         |FROM pr WHERE inter * 5 >= un * 2""".stripMargin,
 
     // q114: product-quantized ANN — full training/encoding/ADC replay
     "q114_ann_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20),

@@ -2691,14 +2691,17 @@ object Queries {
 
   /** q135: EXACT SIMILARITY SELF-JOIN BY PREFIX FILTERING
     * ([[operators.Dedup.jaccardPairsPrefix]]) — every document pair with
-    * token-set Jaccard >= 3/5, exact recall, no all-pairs join: the
+    * 3-shingle-set Jaccard >= 2/5, exact recall, no all-pairs join: the
     * AllPairs/PPJoin prefix rule generates candidates from each doc's
-    * rarest-first prefix tokens only, then integer-exact verification.
+    * rarest-first prefix shingles only, then integer-exact verification.
+    * Shingle sets (not unigram token sets) are the element space: a
+    * bounded vocabulary makes unigram prefixes unselective, while rare
+    * shingles exist in any real corpus and carry the pruning.
     * The banding-free exact member of the near-dup family (MinHash/LSH
     * trade recall; this trades nothing) — the oracle is the plain
     * all-pairs threshold join, which the prefix join must reproduce
     * exactly.
     */
   def q135(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text", tNum = 3L, tDen = 5L)
+    Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text", tNum = 2L, tDen = 5L, shingleSize = 3)
 }

@@ -536,32 +536,40 @@ object Dedup {
       idCol: String,
       textCol: String,
       tNum: Long,
-      tDen: Long
+      tDen: Long,
+      shingleSize: Int = 0
   ): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, s"jaccardPairsPrefix: threshold $tNum/$tDen not in (0, 1]")
+    // set elements: unigram tokens (shingleSize <= 1), else n-gram shingle
+    // hashes — the sparse element space prefix filtering wants (a bounded
+    // natural-language vocabulary makes unigram prefixes unselective; see
+    // the q135 threshold history)
+    val elems =
+      if (shingleSize <= 1) array_distinct(TextAnalysis.tokens(col(textCol)))
+      else array_distinct(graft.plans.HashExpressions.shingleHash60(TextAnalysis.tokens(col(textCol)), shingleSize))
     val sets = graft.core.Caching.cached(
-      docs.select(
-        col(idCol).cast("long").as("doc_id"),
-        array_distinct(TextAnalysis.tokens(col(textCol))).as("s")
-      ).filter(size(col("s")) > 0)
+      docs.select(col(idCol).cast("long").as("doc_id"), elems.as("s")).filter(size(col("s")) > 0)
     )
-    val toks = sets.select(col("doc_id"), explode(col("s")).as("token"))
-    val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val toks = sets.select(col("doc_id"), explode(col("s")).as("e"))
+    val dfreq = toks.groupBy(col("e")).agg(count(lit(1)).as("df"))
     // canonical rarest-first order; prefix p = len - ceil(t*len) + 1
     val ordered = toks
-      .join(broadcast(dfreq), "token")
+      .join(dfreq, "e")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("o"))
+      .agg(sort_array(collect_list(struct(col("df"), col("e")))).as("o"))
       .select(
         col("doc_id"),
-        expr("transform(o, x -> x.token)").as("sorted_toks"),
+        expr("transform(o, x -> x.e)").as("sorted_elems"),
         size(col("o")).cast("long").as("len")
       )
       .withColumn("p", (col("len") - expr(s"(${tNum}L * len + ${tDen - 1}L) div ${tDen}L") + lit(1L)).cast("int"))
-    val prefixes = ordered.select(col("doc_id"), explode(expr("slice(sorted_toks, 1, p)")).as("token"))
-    val cand = prefixes.select(col("token"), col("doc_id").as("id_a"))
-      .join(prefixes.select(col("token").as("tb"), col("doc_id").as("id_b")),
-        col("token") === col("tb") && col("id_a") < col("id_b"))
+    val prefixes = ordered.select(col("doc_id"), col("len"), explode(expr("slice(sorted_elems, 1, p)")).as("e"))
+    // size filter (also exact): J >= t forces min(len)*tDen >= max(len)*tNum,
+    // so length-incompatible candidates drop before the distinct/verify
+    val cand = prefixes.select(col("e"), col("doc_id").as("id_a"), col("len").as("la"))
+      .join(prefixes.select(col("e").as("eb"), col("doc_id").as("id_b"), col("len").as("lb")),
+        col("e") === col("eb") && col("id_a") < col("id_b") &&
+          least(col("la"), col("lb")) * tDen >= greatest(col("la"), col("lb")) * tNum)
       .select(col("id_a"), col("id_b"))
       .distinct()
     val verified = cand
