@@ -184,7 +184,8 @@ object Bench {
         // round-10 batch 3: perceptual-hash image dedup and friends
         "q128_image_neardup", "q129_bloom_decontam", "q130_bm25_index",
         "q131_topk_per_group", "q132_collocations", "q133_sampled_quantiles",
-        "q134_canonical_dedup", "q135_ppjoin")
+        "q134_canonical_dedup", "q135_ppjoin",
+        "q136_orc_roundtrip", "q137_embedding_centroids")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

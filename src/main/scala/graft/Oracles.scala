@@ -1414,6 +1414,24 @@ object Oracles {
          | CAST(FLOOR(10000.0e0 * (CAST(inter AS DOUBLE) / CAST(un AS DOUBLE))) AS BIGINT) AS jaccard_e4
          |FROM pr WHERE inter * 5 >= un * 2""".stripMargin,
 
+    // q136: ORC roundtrip — the oracle computes from the original parquet;
+    // equality proves write->read fidelity through the second format
+    "q136_orc_roundtrip" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_orders,
+        | CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1""".stripMargin,
+
+    // q137: per-label centroids — e6-floored longs summed exactly; the
+    // mean is integer division truncating toward zero on both sides
+    // (DuckDB's integer // truncates, matching Spark's div)
+    "q137_embedding_centroids" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+        |    CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * 1000000.0e0) AS BIGINT) v
+        |  FROM embeddings, range(64) t(i))
+        |SELECT label, dim, count(*) AS n_vecs, CAST(sum(v) AS BIGINT) AS sum_e6,
+        | CAST(sum(v) AS BIGINT) // count(*) AS mean_e6
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
     // q114: product-quantized ANN — full training/encoding/ADC replay
     "q114_ann_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20),
 

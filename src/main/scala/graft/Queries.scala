@@ -2704,4 +2704,47 @@ object Queries {
     */
   def q135(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text", tNum = 2L, tDen = 5L, shingleSize = 3)
+
+  /** q136: ORC SINK/SOURCE ROUNDTRIP ([[sources.IO.writeOrc]] /
+    * [[sources.IO.readOrc]]) — the second columnar wire format (Hive/Trino
+    * interchange): orders exported to ORC, read back through Spark's
+    * vectorized ORC scan with a pushed filter, aggregated. The oracle
+    * recomputes from the original parquet — roundtrip fidelity includes
+    * decimals and timestamps; PlanQualitySpec guards that the predicate
+    * reaches the ORC scan.
+    */
+  def q136(s: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("orc") + "/orders"
+    IO.writeOrc(t(s, dir, "orders"), out)
+    q136Agg(IO.readOrc(s, out))
+  }
+
+  /** q136's read-side plan, shared with the plan-quality guard. */
+  def q136Agg(orders: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("cents")
+      )
+
+  /** q137: PER-LABEL EMBEDDING CENTROIDS — the cluster-profiling /
+    * drift-monitoring primitive: element-wise mean embedding per label,
+    * computed in EXACT integer arithmetic (each float dimension is
+    * e6-floored to a long before summing, so the result is independent of
+    * partition summation order — a naive float sum would hash-mismatch
+    * across runs, let alone engines). One posexplode + one shuffle on
+    * (label, dim); the mean is integer division, which truncates toward
+    * zero in BOTH engines (DuckDB's integer `//` truncates too —
+    * verified against a negative-sum dimension).
+    */
+  def q137(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * lit(1000000.0)).cast("long").as("v"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("v")).as("sum_e6"))
+      .withColumn("mean_e6", expr("sum_e6 div n_vecs"))
 }

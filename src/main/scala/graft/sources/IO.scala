@@ -81,6 +81,21 @@ object IO {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC sink/source: the second columnar wire format Spark ships a native
+    * vectorized reader for — interchange with Hive/Trino estates that
+    * standardized on ORC. Same pushdown story as parquet: predicates and
+    * column pruning reach the ORC scan (PlanQualitySpec guards the plan),
+    * so a filtered read of an ORC export costs the stripes it needs, not
+    * the file.
+    */
+  def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S11/S12-equivalent warehouse sink: columnar parquet, partitioned.
     * `mergeSchema` on read covers the reference's schema-evolution behavior
     * (great_expectations.py:337-338).

@@ -211,4 +211,17 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(unpartitioned.isEmpty, s"$name has an unpartitioned window:\n$p")
     }
   }
+
+  test("q136: predicate pushes into the ORC scan; partial-then-final aggregation") {
+    import graft.sources.IO
+    val out = java.nio.file.Files.createTempDirectory("graft-orcplan").toString + "/orders"
+    IO.writeOrc(IO.table(spark, dir, "orders"), out)
+    val p = Queries.q136Agg(IO.readOrc(spark, out)).queryExecution.executedPlan.toString
+    assert(p.contains("Format: orc") || p.toLowerCase.contains("orc"), s"not an ORC scan:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("o_orderpriority"),
+      s"priority predicate did not reach the ORC scan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial aggregation missing")
+    // column pruning: the scan must not read unprojected wide columns
+    assert(!p.contains("o_comment"), "ORC scan reads unprojected columns")
+  }
 }
