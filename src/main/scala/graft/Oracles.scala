@@ -1432,6 +1432,25 @@ object Oracles {
         | CAST(sum(v) AS BIGINT) // count(*) AS mean_e6
         |FROM e GROUP BY 1, 2""".stripMargin,
 
+    // q138: entity resolution — q112's blocked Levenshtein pairs chained
+    // into recursive components; canonical = min id per component with
+    // singleton fallback
+    "q138_entity_resolution" ->
+      """WITH RECURSIVE d AS (SELECT CAST(min(p_partkey) AS BIGINT) AS pid, p_name AS pname FROM part GROUP BY p_name),
+        | p AS (SELECT pid, pname, split_part(pname, ' ', 2) AS blk FROM d),
+        | e AS (SELECT a.pid ia, b.pid ib FROM p a JOIN p b ON a.blk = b.blk AND a.pid < b.pid
+        |   WHERE levenshtein(a.pname, b.pname) <= 2),
+        | sym AS (SELECT ia a, ib b FROM e UNION SELECT ib, ia FROM e),
+        | reach(id, r) AS (
+        |   SELECT a, a FROM sym
+        |   UNION
+        |   SELECT sym.a, reach.r FROM sym JOIN reach ON reach.id = sym.b
+        | ),
+        | comp AS (SELECT id, min(r) lbl FROM reach GROUP BY id)
+        |SELECT p.pid AS name_id, p.pname AS name, coalesce(c.lbl, p.pid) AS entity_id,
+        | p.pid = coalesce(c.lbl, p.pid) AS is_canonical
+        |FROM p LEFT JOIN comp c ON p.pid = c.id""".stripMargin,
+
     // q114: product-quantized ANN — full training/encoding/ADC replay
     "q114_ann_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20),
 

@@ -2747,4 +2747,28 @@ object Queries {
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("v")).as("sum_e6"))
       .withColumn("mean_e6", expr("sum_e6 div n_vecs"))
+
+  /** q138: ENTITY RESOLUTION END-TO-END — q112's blocked fuzzy match
+    * composed into resolved entities: near-identical name pairs
+    * (length-banded Levenshtein <= 2 within blocks) → connected components
+    * ([[operators.Dedup.duplicateGroups]]) → one canonical entity id per
+    * component (the min name id), singleton fallback for unmatched names.
+    * The name → entity_id mapping is what record-linkage consumers join
+    * on; `is_canonical` marks the surviving master record.
+    */
+  def q138(s: SparkSession, dir: String): DataFrame = {
+    val dict = t(s, dir, "part")
+      .groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).cast("long").as("rep_id"))
+    val pairs = Dedup.fuzzyPairs(dict, "rep_id", "p_name", name => element_at(split(name, " "), 2), maxDist = 2)
+    val groups = Dedup.duplicateGroups(pairs, "id_a", "id_b")
+    dict
+      .join(groups.withColumnRenamed("doc_id", "__gid"), col("rep_id") === col("__gid"), "left")
+      .select(
+        col("rep_id").as("name_id"),
+        col("p_name").as("name"),
+        coalesce(col("group_id"), col("rep_id")).as("entity_id")
+      )
+      .withColumn("is_canonical", col("name_id") === col("entity_id"))
+  }
 }
