@@ -185,7 +185,8 @@ object Bench {
         "q128_image_neardup", "q129_bloom_decontam", "q130_bm25_index",
         "q131_topk_per_group", "q132_collocations", "q133_sampled_quantiles",
         "q134_canonical_dedup", "q135_ppjoin",
-        "q136_orc_roundtrip", "q137_embedding_centroids", "q138_entity_resolution")
+        "q136_orc_roundtrip", "q137_embedding_centroids", "q138_entity_resolution",
+        "q139_bpe_training")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

@@ -197,6 +197,41 @@ object Oracles {
     * with no floating-point association anywhere. Dangling mass is
     * dropped (the operator's documented formulation).
     */
+  /** q139 oracle: full BPE-training replay, one unrolled block per merge
+    * step — pair statistics over the word-frequency table, argmax with the
+    * (count desc, pair asc) tie-break, then left-to-right non-overlapping
+    * application via a recursive position-walk CTE (q99's apply shape,
+    * once per step). Every learned merge is independently re-derived.
+    */
+  private def bpeTrainSql(n: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH RECURSIVE base AS (SELECT doc_id, $tokensExpr ws FROM documents),\n"
+    // AS MATERIALIZED is load-bearing, not an optimization hint: DuckDB
+    // inlines every CTE reference, and wd_k is referenced by px_k AND
+    // app_k while wd_{k+1} derives from app_k — inlined, the chain
+    // re-evaluates 2^n times (minutes at n=8; 0.5s materialized)
+    b ++= " wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) freq FROM (SELECT unnest(ws) w FROM base) GROUP BY w),\n"
+    b ++= " wd0 AS MATERIALIZED (SELECT w, freq, string_split(w, '') toks FROM wf),\n"
+    for (k <- 0 until n) {
+      b ++= s" px$k AS (SELECT toks, freq, unnest(range(1, len(toks))) i FROM wd$k),\n"
+      b ++= s" pr$k AS (SELECT toks[i] l, toks[i+1] r, CAST(sum(freq) AS BIGINT) c FROM px$k GROUP BY 1, 2),\n"
+      b ++= s" best$k AS MATERIALIZED (SELECT l, r, c FROM pr$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),\n"
+      b ++= s" app$k(w, freq, toks, pos, out) AS (\n"
+      b ++= s"   SELECT w, freq, toks, 1, CAST([] AS VARCHAR[]) FROM wd$k\n"
+      b ++= "   UNION ALL\n"
+      b ++= "   SELECT a.w, a.freq, a.toks,\n"
+      b ++= "     CASE WHEN a.pos < len(a.toks) AND a.toks[a.pos] = b.l AND a.toks[a.pos+1] = b.r THEN a.pos + 2 ELSE a.pos + 1 END,\n"
+      b ++= "     CASE WHEN a.pos < len(a.toks) AND a.toks[a.pos] = b.l AND a.toks[a.pos+1] = b.r THEN list_append(a.out, b.l || b.r) ELSE list_append(a.out, a.toks[a.pos]) END\n"
+      b ++= s"   FROM app$k a, best$k b WHERE a.pos <= len(a.toks)\n"
+      b ++= " ),\n"
+      b ++= s" wd${k + 1} AS MATERIALIZED (SELECT w, freq, out AS toks FROM app$k WHERE pos > len(toks))${if (k < n - 1) "," else ""}\n"
+    }
+    b ++= (0 until n)
+      .map(k => s"SELECT CAST(${k + 1} AS BIGINT) AS step, l AS lhs, r AS rhs, c AS pair_count FROM best$k")
+      .mkString("", "\nUNION ALL\n", "")
+    b.toString
+  }
+
   private def pageRankSql(iters: Int): String = {
     val b = new StringBuilder
     b ++= "WITH e AS (SELECT DISTINCT a.l_suppkey src, b.l_suppkey dst FROM lineitem a\n"
@@ -1450,6 +1485,9 @@ object Oracles {
         |SELECT p.pid AS name_id, p.pname AS name, coalesce(c.lbl, p.pid) AS entity_id,
         | p.pid = coalesce(c.lbl, p.pid) AS is_canonical
         |FROM p LEFT JOIN comp c ON p.pid = c.id""".stripMargin,
+
+    // q139: distributed BPE merge training — see bpeTrainSql
+    "q139_bpe_training" -> bpeTrainSql(8),
 
     // q114: product-quantized ANN — full training/encoding/ADC replay
     "q114_ann_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20),

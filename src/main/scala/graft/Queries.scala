@@ -2771,4 +2771,16 @@ object Queries {
       )
       .withColumn("is_canonical", col("name_id") === col("entity_id"))
   }
+
+  /** q139: DISTRIBUTED BPE MERGE TRAINING
+    * ([[operators.TextAnalysis.trainBpeMerges]]) — learn the first 8
+    * byte-pair merges from the corpus: per-round weighted pair statistics
+    * over the word-frequency table (the vocab-bounded unit that makes the
+    * loop scale), deterministic argmax, left-to-right application. The
+    * other half of the tokenizer story: q99 APPLIES a merge table, this
+    * TRAINS one. The oracle re-derives every round — statistics, argmax
+    * and application — via unrolled recursive CTEs.
+    */
+  def q139(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.trainBpeMerges(t(s, dir, "documents"), "text", nMerges = 8)
 }

@@ -518,6 +518,80 @@ object TextAnalysis {
     rows.toSeq.toDF("token", "exact_cnt", "est_ok")
   }
 
+  /** DISTRIBUTED BPE MERGE TRAINING (Sennrich et al. 2016) — the training
+    * counterpart of [[graft.plans.Bpe]]'s apply path: learn the first
+    * `nMerges` byte-pair merges from the corpus itself. Classic algorithm,
+    * distributed shape:
+    *   - the unit of work is the WORD-FREQUENCY table (distinct words +
+    *     counts), which is what makes this scale: pair statistics are
+    *     Σ freq over vocab rows, never a pass over raw text after the
+    *     first tokenization. `minFreq` prunes the long typo tail at web
+    *     scale (billions of distinct "words") before the loop;
+    *   - each round is ONE vocab-sized job: adjacent-pair counts weighted
+    *     by word frequency (overlapping positions counted, as in the
+    *     reference implementation), then the argmax merge comes back as a
+    *     single driver row (count desc, pair asc tie-break — total order,
+    *     deterministic);
+    *   - the merge applies to the vocab left-to-right non-overlapping,
+    *     and the new vocab is checkpointed so the plan doesn't grow with
+    *     rounds (the [[Dedup.duplicateGroups]] lineage discipline).
+    *
+    * Output: (step, lhs, rhs, pair_count) — the learned merge table, in
+    * order. Symbols start as single code points (no end-of-word marker —
+    * a documented simplification; merges never cross word boundaries
+    * either way). The DuckDB oracle replays every round: same pair
+    * statistics, same argmax, same left-to-right application via an
+    * unrolled recursive CTE per step.
+    */
+  def trainBpeMerges(docs: DataFrame, textCol: String, nMerges: Int, minFreq: Long = 1L): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64, s"trainBpeMerges: nMerges=$nMerges out of range")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def chars(w: String): Seq[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toSeq
+    var words: org.apache.spark.sql.Dataset[(Seq[String], Long)] = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .as[(String, Long)]
+      .map { case (w, f) => (chars(w), f) }
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val best = words.toDF("syms", "freq")
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr("transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect() // exactly one driver row per round, by construction
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((step.toLong, l, r, c))
+        words = words
+          .map { case (syms, f) => (applyMergeOnce(syms, l, r), f) }
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    learned.toSeq.toDF("step", "lhs", "rhs", "pair_count")
+  }
+
+  /** One merge (l, r) -> l+r applied left-to-right, non-overlapping. */
+  private[graft] def applyMergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
   /** Collocation mining by LIFT — the exact-arithmetic PMI variant:
     *   lift(a,b) = p(ab) / (p(a) p(b))
     *             = (c_ab * N_uni^2) / (N_big * c_a * c_b)

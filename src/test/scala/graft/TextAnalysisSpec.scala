@@ -265,6 +265,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextAnalysis.heavyHittersCms(docs, "doc_id", "text", k = 0) }
   }
 
+  test("trainBpeMerges: hand-traced merges, overlap counting, left-to-right application") {
+    import spark.implicits._
+    // words: aaaa x1, ab x2 -> pairs: (a,a)=3 (overlapping positions), (a,b)=2
+    val docs = Seq((1L, "aaaa ab"), (2L, "ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.trainBpeMerges(docs, "text", nMerges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // step 1: (a,a) count 3; apply -> aaaa = [aa, aa], ab untouched
+    // step 2: (aa,aa) ties (a,b) at 2? (a,b)=2, (aa,aa)=1 -> (a,b) wins
+    // step 3: (aa,aa) count 1
+    assert(out.toSeq == Seq((1L, "a", "a", 3L), (2L, "a", "b", 2L), (3L, "aa", "aa", 1L)))
+    // early exhaustion: once everything is one symbol, training stops
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val ex = TextAnalysis.trainBpeMerges(tiny, "text", nMerges = 5).collect()
+    assert(ex.length == 1 && ex(0).getString(1) == "a" && ex(0).getString(2) == "b")
+  }
+
+  test("applyMergeOnce: non-overlapping left-to-right scan") {
+    assert(TextAnalysis.applyMergeOnce(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(TextAnalysis.applyMergeOnce(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(TextAnalysis.applyMergeOnce(Seq("x"), "a", "b") == Seq("x"))
+  }
+
   test("collocationsByLift: hand-computed lift, minCount prune, short docs contribute no bigrams") {
     import spark.implicits._
     // uni: a=3 b=2 c=1 x=1 (N=7 — the short doc still counts as a
