@@ -1489,6 +1489,40 @@ object Oracles {
     // q139: distributed BPE merge training — see bpeTrainSql
     "q139_bpe_training" -> bpeTrainSql(8),
 
+    // q140: GDPR sweep — final active snapshot = global latest order per
+    // customer (q119's v2 derivation) minus the doomed segment
+    "q140_gdpr_sweep" ->
+      """WITH latest AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        | FROM orders)
+        |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        |FROM latest WHERE rn = 1
+        | AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')""".stripMargin,
+
+    // q141: snapshot drift — v1 stats from the pre-1998 latest batch, v2
+    // from the superseded state (b2 wins, b1 survives where unmatched)
+    "q141_version_drift" ->
+      """WITH b1 AS (SELECT o_custkey, o_totalprice FROM (
+        |    SELECT o_custkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00') WHERE rn = 1),
+        | b2 AS (SELECT o_custkey, o_totalprice FROM (
+        |    SELECT o_custkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') WHERE rn = 1),
+        | act2 AS (SELECT * FROM b2 UNION ALL SELECT * FROM b1 WHERE o_custkey NOT IN (SELECT o_custkey FROM b2)),
+        | s1 AS (SELECT CAST(count(*) AS BIGINT) n_rows, CAST(count(*) AS BIGINT) n_active,
+        |      CAST(count(*) AS BIGINT) n_keys,
+        |      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) cents FROM b1),
+        | s2 AS (SELECT CAST((SELECT count(*) FROM b1) + (SELECT count(*) FROM b2) AS BIGINT) n_rows,
+        |      CAST((SELECT count(*) FROM act2) AS BIGINT) n_active,
+        |      CAST((SELECT count(*) FROM act2) AS BIGINT) n_keys,
+        |      CAST((SELECT sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) FROM act2) AS BIGINT) cents)
+        |SELECT 'n_rows' AS metric, s1.n_rows AS from_value, s2.n_rows AS to_value, s2.n_rows - s1.n_rows AS delta FROM s1, s2
+        |UNION ALL SELECT 'n_active', s1.n_active, s2.n_active, s2.n_active - s1.n_active FROM s1, s2
+        |UNION ALL SELECT 'n_keys', s1.n_keys, s2.n_keys, s2.n_keys - s1.n_keys FROM s1, s2
+        |UNION ALL SELECT 'active_cents', s1.cents, s2.cents, s2.cents - s1.cents FROM s1, s2""".stripMargin,
+
     // q114: product-quantized ANN — full training/encoding/ADC replay
     "q114_ann_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20),
 

@@ -2783,4 +2783,49 @@ object Queries {
     */
   def q139(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.trainBpeMerges(t(s, dir, "documents"), "text", nMerges = 8)
+
+  /** q140: RIGHT-TO-BE-FORGOTTEN SWEEP, ORACLE-GATED — builds the q106
+    * SCD-2 warehouse (two commits), then [[operators.Scd2.deleteKeys]]
+    * removes every record (history included) for the doomed key set (all
+    * MACHINERY-segment customers — a broadcast null-safe anti join over
+    * only the touched buckets), and the surviving ACTIVE snapshot is
+    * emitted. The oracle recomputes final state relationally: global
+    * latest order per customer minus the doomed segment — so the delete
+    * path's bucket pruning, manifest clears and anti-join semantics are
+    * all hash-gated, not just spec-proven.
+    */
+  def q140(s: SparkSession, dir: String): DataFrame = {
+    val (path, _, _) = q106Build(s, dir)
+    val doomed = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey").cast("long").as("o_custkey"))
+    Scd2.deleteKeys(s, path, doomed, Seq("o_custkey"), nBuckets = 16)
+    graft.sources.VersionedTable
+      .read(s, path)
+      .filter(col("actv_flg") === "Y")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+  }
+
+  /** q141: SNAPSHOT-DRIFT DQ between warehouse versions
+    * ([[dq.DqSuite.versionDrift]]) — the nightly between-commits gate:
+    * the same metric set (record count, active count, distinct keys,
+    * active value cents) evaluated against version 1 and version 2 of
+    * the q106 warehouse, emitted as (metric, from, to, delta) rows. The
+    * oracle re-derives both versions' stats from the source relations
+    * (v1 = pre-1998 latest per key, v2 = v1 superseded by the post-1998
+    * batch), so time travel AND the SCD-2 close arithmetic are gated.
+    */
+  def q141(s: SparkSession, dir: String): DataFrame = {
+    val (path, v1, v2) = q106Build(s, dir)
+    def snap(v: Long) = graft.sources.VersionedTable.read(s, path, Some(v))
+    graft.dq.DqSuite.versionDrift(
+      snap(v1), snap(v2),
+      Seq(
+        "n_rows" -> count(lit(1)),
+        "n_active" -> sum(when(col("actv_flg") === "Y", lit(1L)).otherwise(lit(0L))),
+        "n_keys" -> countDistinct(col("o_custkey")),
+        "active_cents" -> sum(when(col("actv_flg") === "Y", (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).otherwise(lit(0L)))
+      )
+    )
+  }
 }

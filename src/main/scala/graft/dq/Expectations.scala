@@ -175,4 +175,34 @@ object DqSuite {
         case _ => None
       }
     }
+
+  /** SNAPSHOT DRIFT between two table states (e.g. two warehouse
+    * versions): evaluate the same metric set against both snapshots in
+    * one aggregation pass each, emit long-format
+    * (metric, from_value, to_value, delta) rows — the between-commits DQ
+    * regression check a nightly load gates on (row-count collapse, key
+    * loss, value drift). Metrics are caller-supplied aggregate Columns,
+    * so the helper is table-agnostic; both aggregations reduce to ONE
+    * row before the driver-free cross join, so cost is two scans and no
+    * shuffle beyond the partial aggs.
+    */
+  def versionDrift(from: DataFrame, to: DataFrame, metrics: Seq[(String, Column)]): DataFrame = {
+    require(metrics.nonEmpty, "versionDrift: no metrics")
+    def stats(df: DataFrame, prefix: String): DataFrame = {
+      val aggs = metrics.map { case (name, c) => c.cast("long").as(s"$prefix$name") }
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val rows = explode(array(metrics.map { case (name, _) =>
+      struct(
+        lit(name).as("metric"),
+        col(s"__f_$name").as("from_value"),
+        col(s"__t_$name").as("to_value"),
+        (col(s"__t_$name") - col(s"__f_$name")).as("delta")
+      )
+    }: _*))
+    stats(from, "__f_")
+      .crossJoin(stats(to, "__t_"))
+      .select(rows.as("r"))
+      .select(col("r.metric"), col("r.from_value"), col("r.to_value"), col("r.delta"))
+  }
 }
