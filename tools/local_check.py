@@ -52,6 +52,30 @@ FROM j WHERE jac >= CAST(0.3 AS DOUBLE)""",
     # to sum(x*y ORDER BY i) — so the twin keeps IEEE-exact results with a
     # per-pair (not per-pair-per-dim) intermediate.
     "q47_embedding_neardup": None,  # filled below (needs the hyperplane masks from oracle_sql.json)
+    # q135's scale twin: candidates from shingle co-occurrence postings
+    # (q36's twin shape) instead of the all-pairs list_intersect — result-
+    # identical for t > 0 (a pair at J >= 2/5 shares >= 1 shingle).
+    # Verified equal to the all-pairs oracle at sf0.01 before first use.
+    "q135_ppjoin": f"""
+WITH base AS (SELECT doc_id, {_TOKENS} ws FROM documents),
+ sh AS (SELECT doc_id,
+   list_distinct(list_transform(
+     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
+     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) sh
+  FROM base),
+ sizes AS (SELECT doc_id, len(sh) n FROM sh WHERE len(sh) > 0),
+ post AS (SELECT doc_id, unnest(sh) s FROM sh),
+ co AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+        FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+ j AS (SELECT id_a, id_b, CAST(inter AS BIGINT) inter,
+       CAST(sa.n + sb.n - inter AS BIGINT) un
+       FROM co JOIN sizes sa ON co.id_a = sa.doc_id
+               JOIN sizes sb ON co.id_b = sb.doc_id)
+SELECT id_a, id_b,
+ CAST(FLOOR(10000.0e0 * (CAST(inter AS DOUBLE) / CAST(un AS DOUBLE))) AS BIGINT) AS jaccard_e4
+FROM j WHERE inter * 5 >= un * 2""",
 }
 
 # q47/q86 twins are REWRITES of the dumped oracle text (the mask literals /
@@ -109,7 +133,7 @@ def apply_scale(oracles):
                  # q116's unrolled iteration chain re-evaluates the edge
                  # CTE once per rank step when inlined; q126 chains the
                  # simhash CTEs into a recursive reachability (q88's shape)
-                 "q116_pagerank", "q126_neardup_split"):
+                 "q116_pagerank", "q126_neardup_split", "q134_canonical_dedup"):
         if name in out:
             out[name] = re.sub(r"\b(AS)\s*\(\s*SELECT", r"AS MATERIALIZED (SELECT",
                                out[name], flags=re.IGNORECASE)
