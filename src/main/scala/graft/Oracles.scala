@@ -203,6 +203,63 @@ object Oracles {
     * application via a recursive position-walk CTE (q99's apply shape,
     * once per step). Every learned merge is independently re-derived.
     */
+  /** Replay [[TextAnalysis.repetitionSignals]] in DuckDB: per-row list
+    * folds only — grams per n, distinct/count arrays for the top-gram
+    * masses (n=2..4), sum-minus-distinct-sum for the duplicate masses
+    * (n=5..10), the same normalized char denominator and FLOOR(x*1e4)
+    * double chain. Chained CTEs bind each array once so nothing is
+    * recomputed quadratically across lambda scopes.
+    */
+  private lazy val repetitionSql: String = {
+    val tops = Seq(2, 3, 4)
+    val dups = 5 to 10
+    def gram(n: Int) =
+      s"""CASE WHEN len(ws) < $n THEN CAST([] AS VARCHAR[])
+         |   ELSE list_transform(range(1, len(ws)-${n - 2}), i -> array_to_string(list_slice(ws, i, i+${n - 1}), ' ')) END AS g$n""".stripMargin
+    val gramCols = (tops ++ dups).map(gram).mkString(",\n   ")
+    val distCols = tops.map(n => s"list_distinct(g$n) AS d$n").mkString(", ")
+    val cntCols = tops
+      .map(n => s"list_transform(d$n, x -> CAST(len(list_filter(g$n, y -> y = x)) AS BIGINT)) AS c$n")
+      .mkString(",\n   ")
+    val topMass = tops
+      .map(n =>
+        s"""COALESCE(list_max(list_transform(range(1, len(d$n)+1),
+           |     i -> CASE WHEN c$n[i] = COALESCE(list_max(c$n), 0) THEN c$n[i] * len(d$n[i]) ELSE 0 END)), 0) AS tm$n""".stripMargin)
+      .mkString(",\n   ")
+    val dupMass = dups
+      .map(n =>
+        s"""CAST(COALESCE(list_sum(list_transform(g$n, x -> len(x))), 0)
+           |   - COALESCE(list_sum(list_transform(list_distinct(g$n), x -> len(x))), 0) AS BIGINT) AS dm$n""".stripMargin)
+      .mkString(",\n   ")
+    def frac(mass: String, out: String) =
+      s"CASE WHEN norm = 0 THEN 0 ELSE CAST(FLOOR(CAST($mass AS DOUBLE) * 10000.0e0 / norm) AS BIGINT) END AS $out"
+    val fracCols =
+      (tops.map(n => frac(s"tm$n", s"top${n}_frac_e4")) ++
+        dups.map(n => frac(s"dm$n", s"dup${n}_frac_e4"))).mkString(",\n  ")
+    val topThr = Map(2 -> 2000, 3 -> 1800, 4 -> 1600)
+    val dupThr = Map(5 -> 1500, 6 -> 1400, 7 -> 1300, 8 -> 1200, 9 -> 1100, 10 -> 1000)
+    val pass =
+      (tops.map(n => s"top${n}_frac_e4 <= ${topThr(n)}") ++
+        dups.map(n => s"dup${n}_frac_e4 <= ${dupThr(n)}")).mkString(" AND ")
+    s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+       | g AS (SELECT doc_id, ws,
+       |   CAST(COALESCE(list_sum(list_transform(ws, x -> len(x))), 0) + greatest(len(ws) - 1, 0) AS BIGINT) AS norm,
+       |   $gramCols
+       |  FROM base),
+       | c AS (SELECT *, $distCols FROM g),
+       | k AS (SELECT *,
+       |   $cntCols
+       |  FROM c),
+       | m AS (SELECT doc_id, norm,
+       |   $topMass,
+       |   $dupMass
+       |  FROM k),
+       | f AS (SELECT doc_id,
+       |  $fracCols
+       | FROM m)
+       |SELECT *, ($pass) AS pass_repetition_full FROM f""".stripMargin
+  }
+
   private def bpeTrainSql(n: Int): String = {
     val b = new StringBuilder
     b ++= s"WITH RECURSIVE base AS (SELECT doc_id, $tokensExpr ws FROM documents),\n"
@@ -1488,6 +1545,10 @@ object Oracles {
 
     // q139: distributed BPE merge training — see bpeTrainSql
     "q139_bpe_training" -> bpeTrainSql(8),
+
+    // q142: Gopher repetition signals — identical per-row list folds
+    // (normalized char denominator, longest-gram tie rule, FLOOR e4)
+    "q142_repetition" -> repetitionSql,
 
     // q140: GDPR sweep — final active snapshot = global latest order per
     // customer (q119's v2 derivation) minus the doomed segment

@@ -2806,6 +2806,18 @@ object Queries {
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
   }
 
+  /** q142: GOPHER REPETITION SIGNALS
+    * ([[TextAnalysis.repetitionSignals]]) — the n-gram char-mass
+    * repetition screens from Rae et al. table A1 (top 2/3/4-gram char
+    * fraction, duplicated 5..10-gram char fraction), per document, with
+    * the paper's thresholds ANDed into `pass_repetition_full`. The oracle
+    * replays the identical per-row list folds (same normalized char
+    * denominator, same longest-gram tie rule) in DuckDB. Zero shuffles:
+    * one scan, one codegen'd projection.
+    */
+  def q142(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(t(s, dir, "documents"))
+
   /** q141: SNAPSHOT-DRIFT DQ between warehouse versions
     * ([[dq.DqSuite.versionDrift]]) — the nightly between-commits gate:
     * the same metric set (record count, active count, distinct keys,

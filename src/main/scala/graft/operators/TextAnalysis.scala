@@ -634,4 +634,74 @@ object TextAnalysis {
         floor(lit(1000000.0) * lift).cast("long").as("lift_e6")
       )
   }
+
+  /** GOPHER REPETITION SIGNALS (Rae et al. 2021 "Scaling Language Models"
+    * table A1 repetition filters, deterministic variant) — the n-gram
+    * char-mass statistics that complete [[gopherQualityGates]]'s
+    * repetition family: for n in {2,3,4} the character fraction of the
+    * MOST FREQUENT word n-gram (`top{n}_frac_e4`); for n in {5..10} the
+    * character fraction of DUPLICATED n-gram occurrences
+    * (`dup{n}_frac_e4`). Reference quality screens: aws_datalake has no
+    * equivalent; this is engine-native pretraining-corpus surface.
+    *
+    * Deterministic choices (cross-engine exactness):
+    *  - characters are measured over the whitespace-normalized token
+    *    join: sum(token lengths) + (n_tokens - 1) single separators;
+    *  - duplicate mass counts every occurrence beyond the first at full
+    *    gram char length (overlapping spans are NOT collapsed — a sum,
+    *    not a span union, so it is order-free);
+    *  - the top gram is max-by-count; an equal-count tie resolves to the
+    *    LONGEST gram, which maximizes — and therefore uniquely defines —
+    *    the reported mass (no lexicographic tie-break needed);
+    *  - fractions exported FLOOR(x*1e4) BIGINT per the determinism rules.
+    *
+    * Thresholds are the paper's: top 2/3/4-gram <= 0.20/0.18/0.16, dup
+    * 5..10-gram <= 0.15/0.14/0.13/0.12/0.11/0.10; `pass_repetition_full`
+    * ANDs all nine.
+    *
+    * SCALE: ZERO shuffles — every signal is a per-row higher-order-
+    * function fold over the bound token array (O(grams x distinct) per
+    * document inside one codegen'd projection); the corpus never leaves
+    * its input partitioning, so the operator costs exactly one scan at
+    * 100 TB. Pathological single documents (millions of tokens) pay a
+    * per-row quadratic — chunk such docs upstream before screening.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = col("__toks")
+    def sumLen(l: Column): Column =
+      coalesce(aggregate(l, lit(0L), (a, x) => a + length(x)), lit(0L))
+    // bind each gram array to a real column once (HOF binding rule)
+    val bound = (2 to 10).foldLeft(
+      df.select(col(idCol), col(textCol).as("__text"))
+        .withColumn("__toks", tokens(col("__text")))
+    ) { (d, n) => d.withColumn(s"__g$n", wordShinglesFromTokens(toks, n)) }
+      .withColumn("__norm", sumLen(toks) + greatest(size(toks).cast("long") - lit(1L), lit(0L)))
+    def fracE4(mass: Column): Column =
+      when(col("__norm") === 0L, lit(0L))
+        .otherwise(floor(mass * lit(10000.0) / col("__norm")))
+        .cast("long")
+    def topMass(n: Int): Column = {
+      val g = col(s"__g$n")
+      val d = array_distinct(g)
+      val counts = transform(d, x => size(filter(g, y => y === x)).cast("long"))
+      val cmax = coalesce(array_max(counts), lit(0L))
+      coalesce(
+        array_max(zip_with(d, counts, (x, c) =>
+          when(c === cmax, c * length(x).cast("long")).otherwise(lit(0L)))),
+        lit(0L)
+      )
+    }
+    def dupMass(n: Int): Column = {
+      val g = col(s"__g$n")
+      sumLen(g) - sumLen(array_distinct(g))
+    }
+    val topThr = Map(2 -> 2000L, 3 -> 1800L, 4 -> 1600L)
+    val dupThr = Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L, 8 -> 1200L, 9 -> 1100L, 10 -> 1000L)
+    val topCols = Seq(2, 3, 4).map(n => fracE4(topMass(n)).as(s"top${n}_frac_e4"))
+    val dupCols = (5 to 10).map(n => fracE4(dupMass(n)).as(s"dup${n}_frac_e4"))
+    val out = bound.select((col(idCol) +: (topCols ++ dupCols)): _*)
+    val pass = (Seq(2, 3, 4).map(n => col(s"top${n}_frac_e4") <= lit(topThr(n))) ++
+      (5 to 10).map(n => col(s"dup${n}_frac_e4") <= lit(dupThr(n)))).reduce(_ && _)
+    out.withColumn("pass_repetition_full", pass)
+  }
 }

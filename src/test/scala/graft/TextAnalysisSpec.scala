@@ -287,6 +287,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.applyMergeOnce(Seq("x"), "a", "b") == Seq("x"))
   }
 
+  test("repetitionSignals: hand-computed top/dup masses, empty doc, tie->longest rule") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),                 // top-gram family
+      (2L, "p q r s t p q r s t"),     // duplicated 5-gram
+      (3L, "")                         // empty -> all zero, passes
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(10)))
+      .sortBy(_._1)
+    // doc 1: norm = 4+3 = 7; g2 = [a a, a a, a b] -> top count 2, mass 2*3=6
+    //   -> floor(60000/7) = 8571; g3 both count 1, len 5 -> 5 -> 7142;
+    //   g4 = [a a a b] mass 7 -> 10000; dup5 empty -> 0. Fails thresholds.
+    assert(out(0) == (1L, 8571L, 7142L, 10000L, 0L, false))
+    // doc 2: norm = 10+9 = 19; g5 has 6 grams of 9 chars, 5 distinct
+    //   -> dup mass 9 -> floor(90000/19) = 4736
+    assert(out(1)._5 == 4736L && !out(1)._6)
+    // doc 3: zero denominator -> all zero fractions, every gate passes
+    assert(out(2) == (3L, 0L, 0L, 0L, 0L, true))
+  }
+
   test("collocationsByLift: hand-computed lift, minCount prune, short docs contribute no bigrams") {
     import spark.implicits._
     // uni: a=3 b=2 c=1 x=1 (N=7 — the short doc still counts as a
