@@ -1550,6 +1550,26 @@ object Oracles {
     // (normalized char denominator, longest-gram tie rule, FLOOR e4)
     "q142_repetition" -> repetitionSql,
 
+    // q143: hashed linear classifier — hash→bucket→fixture-weight→
+    // integer sum replayed per row (weight formula inlined; the Spark
+    // side looks the same value up in the broadcast array literal)
+    "q143_quality_classifier" ->
+      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | f AS (SELECT doc_id,
+         |   list_concat(ws, CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+         |     ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END) feats
+         |  FROM base),
+         | sc AS (SELECT doc_id, CAST(len(feats) AS BIGINT) n_feats,
+         |   CAST(COALESCE(list_sum(list_transform(feats,
+         |     w -> ((CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) % 4096) * 2654435761) % 2001 - 1000)), 0) AS BIGINT) wsum
+         |  FROM f)
+         |SELECT doc_id, n_feats,
+         |  CASE WHEN n_feats = 0 THEN 0
+         |       ELSE CAST(FLOOR(CAST(wsum AS DOUBLE) * 10000.0e0 / n_feats) AS BIGINT) END AS score_e4,
+         |  (n_feats > 0 AND (CASE WHEN n_feats = 0 THEN 0
+         |       ELSE CAST(FLOOR(CAST(wsum AS DOUBLE) * 10000.0e0 / n_feats) AS BIGINT) END) >= 0) AS keep
+         |FROM sc""".stripMargin,
+
     // q140: GDPR sweep — final active snapshot = global latest order per
     // customer (q119's v2 derivation) minus the doomed segment
     "q140_gdpr_sweep" ->

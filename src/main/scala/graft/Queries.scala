@@ -2818,6 +2818,16 @@ object Queries {
   def q142(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionSignals(t(s, dir, "documents"))
 
+  /** q143: HASHED LINEAR QUALITY CLASSIFIER
+    * ([[TextAnalysis.hashedLinearScore]]) — fastText-shape inference:
+    * unigram+bigram features hashed mod 4096 into a broadcast weight
+    * vector (deterministic fixture ramp standing in for learned
+    * weights), mean-weight score FLOOR(x*1e4), keep-threshold at zero.
+    * The oracle replays hash→bucket→weight→integer-sum in DuckDB.
+    */
+  def q143(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashedLinearScore(t(s, dir, "documents"))
+
   /** q141: SNAPSHOT-DRIFT DQ between warehouse versions
     * ([[dq.DqSuite.versionDrift]]) — the nightly between-commits gate:
     * the same metric set (record count, active count, distinct keys,

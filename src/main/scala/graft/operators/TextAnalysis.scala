@@ -704,4 +704,49 @@ object TextAnalysis {
       (5 to 10).map(n => col(s"dup${n}_frac_e4") <= lit(dupThr(n)))).reduce(_ && _)
     out.withColumn("pass_repetition_full", pass)
   }
+
+  /** FASTTEXT-STYLE HASHED LINEAR CLASSIFIER inference (Joulin et al.
+    * 2016 fastText / the CCNet & GPT-3 quality-classifier serving shape):
+    * features are word unigrams plus word bigrams hashed into `buckets`
+    * slots (portable md5-prefix hash mod a power of two), the model is a
+    * dense weight vector indexed by slot, the document score is the MEAN
+    * feature weight, and `keep` thresholds it at zero. This is the
+    * inference dataflow every learned corpus filter runs at 100 TB:
+    * per-row tokenize → hash → O(1) lookup into a BROADCAST weight
+    * array → fold. No trained model ships in this container, so the
+    * weight vector is a deterministic fixture (`w(b) = (b*2654435761 mod
+    * 2001) - 1000`, a centered [-1000,1000] ramp) — swap in real learned
+    * weights without touching the plan.
+    *
+    * SCALE: zero shuffles — the weight array is a plan literal (the
+    * broadcast), scoring is one codegen'd projection per scan; score
+    * arithmetic is integer-sum + one FLOOR(x*1e4) division, so results
+    * are bit-identical across engines and partitionings.
+    */
+  def hashedLinearScore(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 4096
+  ): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0, s"buckets must be a power of two, got $buckets")
+    val weights: Array[Long] = Array.tabulate(buckets)(b => ((b.toLong * 2654435761L) % 2001L) - 1000L)
+    val toks = col("__toks")
+    val slot = (f: Column) =>
+      element_at(lit(weights), (graft.plans.HashExpressions.md5Prefix60(f) % buckets).cast("int") + 1)
+    df.select(col(idCol), col(textCol).as("__text"))
+      .withColumn("__toks", tokens(col("__text")))
+      .withColumn("__feats", concat(toks, wordShinglesFromTokens(toks, 2)))
+      .withColumn("n_feats", size(col("__feats")).cast("long"))
+      .withColumn("__wsum", aggregate(col("__feats"), lit(0L), (a, f) => a + slot(f)))
+      .select(
+        col(idCol),
+        col("n_feats"),
+        when(col("n_feats") === 0L, lit(0L))
+          .otherwise(floor(col("__wsum") * lit(10000.0) / col("n_feats")))
+          .cast("long")
+          .as("score_e4")
+      )
+      .withColumn("keep", col("n_feats") > 0L && col("score_e4") >= 0L)
+  }
 }

@@ -308,6 +308,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2) == (3L, 0L, 0L, 0L, 0L, true))
   }
 
+  test("hashedLinearScore: plain-Scala replay, bigram features, empty doc, non-pow2 rejected") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, "solo")).toDF("doc_id", "text")
+    def w(s: String): Long =
+      ((graft.plans.Md5Prefix60.hash(s.getBytes("UTF-8")) % 4096L) * 2654435761L) % 2001L - 1000L
+    def expected(feats: Seq[String]): (Long, Long) = {
+      val sum = feats.map(w).sum
+      (feats.size.toLong, if (feats.isEmpty) 0L else math.floor(sum * 10000.0 / feats.size).toLong)
+    }
+    val e1 = expected(Seq("alpha", "beta", "alpha", "alpha beta", "beta alpha"))
+    val e3 = expected(Seq("solo"))
+    val out = TextAnalysis.hashedLinearScore(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sortBy(_._1)
+    assert(out(0) == (1L, e1._1, e1._2, e1._2 >= 0L))
+    assert(out(1) == (2L, 0L, 0L, false), "empty doc scores 0 and is dropped")
+    assert(out(2) == (3L, e3._1, e3._2, e3._2 >= 0L))
+    intercept[IllegalArgumentException] { TextAnalysis.hashedLinearScore(docs, buckets = 1000) }
+  }
+
   test("collocationsByLift: hand-computed lift, minCount prune, short docs contribute no bigrams") {
     import spark.implicits._
     // uni: a=3 b=2 c=1 x=1 (N=7 — the short doc still counts as a
