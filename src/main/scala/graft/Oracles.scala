@@ -1550,6 +1550,12 @@ object Oracles {
     // (normalized char denominator, longest-gram tie rule, FLOOR e4)
     "q142_repetition" -> repetitionSql,
 
+    // q144: zone-map pruned range scan — the oracle is the plain filter
+    // (pruning is a scan-elimination optimization, not a semantics change)
+    "q144_zone_map" ->
+      """SELECT CAST(o_orderkey AS BIGINT) o_orderkey, CAST(o_custkey AS BIGINT) o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey BETWEEN 200 AND 499""".stripMargin,
+
     // q143: hashed linear classifier — hash→bucket→fixture-weight→
     // integer sum replayed per row (weight formula inlined; the Spark
     // side looks the same value up in the broadcast array literal)

@@ -2828,6 +2828,27 @@ object Queries {
   def q143(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.hashedLinearScore(t(s, dir, "documents"))
 
+  /** q144: ZONE-MAP DATA SKIPPING
+    * ([[graft.sources.VersionedTable.readZonePruned]]) — the
+    * Delta/Iceberg data-skipping analogue: orders committed RANGE-
+    * CLUSTERED on customer key (partition = custkey/100) with per-
+    * partition min/max recorded in the manifest (`statsCols`), then a
+    * key-range scan that eliminates non-intersecting partitions from
+    * driver metadata before any file is listed. The oracle is the plain
+    * relational filter; ZoneMapSpec asserts partitions were actually
+    * skipped and that stats drop when a partition is rewritten.
+    */
+  def q144(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchDir("zonemap") + "/warehouse"
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_custkey").cast("long").as("o_custkey"), col("o_totalprice"))
+      .withColumn("ck_range", concat(lit("r"), (col("o_custkey") / 100).cast("long").cast("string")))
+    graft.sources.VersionedTable.commitDelta(s, path, orders, "ck_range", statsCols = Seq("o_custkey"))
+    graft.sources.VersionedTable
+      .readZonePruned(s, path, "o_custkey", 200L, 499L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
   /** q141: SNAPSHOT-DRIFT DQ between warehouse versions
     * ([[dq.DqSuite.versionDrift]]) — the nightly between-commits gate:
     * the same metric set (record count, active count, distinct keys,

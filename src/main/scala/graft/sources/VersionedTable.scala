@@ -194,13 +194,20 @@ object VersionedTable {
       updated: DataFrame,
       partCol: String,
       clearedParts: Seq[String] = Nil,
-      extraMeta: Map[String, String] = Map.empty
+      extraMeta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil
   ): Long = {
     val reserved = Set("version", "base", "schema", "committed_at", "partitions", "partition_column")
     require(
       extraMeta.keySet.intersect(reserved).isEmpty,
       s"extraMeta must not use reserved manifest fields: ${extraMeta.keySet.intersect(reserved).mkString(",")}"
     )
+    require(
+      !extraMeta.keys.exists(_.startsWith("zone:")),
+      "zone:* manifest fields are managed by statsCols; do not pass them via extraMeta"
+    )
+    statsCols.foreach(c =>
+      require(c.matches("[A-Za-z0-9_]+"), s"statsCols name '$c' must be [A-Za-z0-9_]+ (it keys manifest fields)"))
     val f = fs(spark, path)
     val v = reserveVersion(f, path)
     // base version read AFTER reserving; re-checked at publish time so a
@@ -219,6 +226,34 @@ object VersionedTable {
     // compact+vacuum can never erase a marker a re-delivered micro-batch
     // needs to see (own extraMeta wins on key collision)
     val meta = base.map(streamMarkers(spark, path, _)).getOrElse(Map.empty) ++ extraMeta
+    // ZONE MAPS (the Delta/Iceberg data-skipping analogue): per written
+    // partition, min/max of each requested long-castable column, recorded
+    // in the manifest as `zone:<col>:<part>` -> "<min>,<max>". One extra
+    // aggregation pass over the BATCH (not the table); the driver holds
+    // one row per touched partition. All-null columns record no entry
+    // (readers must scan such partitions). Stats for carried-forward
+    // partitions are inherited below; partitions rewritten WITHOUT
+    // statsCols drop their stale entries — pruning can only under-prune,
+    // never serve wrong results.
+    val zoneStats: Map[String, Seq[(String, (Long, Long))]] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        val aggs = statsCols.flatMap(c =>
+          Seq(min(col(c).cast("long")).as(s"__mn_$c"), max(col(c).cast("long")).as(s"__mx_$c")))
+        updated
+          .groupBy(col(partCol).cast("string").as("__p"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            r.getString(0) -> statsCols.flatMap { c =>
+              val mn = r.getAs[Any](s"__mn_$c")
+              val mx = r.getAs[Any](s"__mx_$c")
+              if (mn == null || mx == null) None
+              else Some(c -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
+            }
+          }
+          .toMap
+      }
     val tmp = new Path(s"$path/.v=$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     // duplicate the partition column: partitionBy strips __part from the
     // files, the original column survives as data. Values are validated
@@ -271,8 +306,20 @@ object VersionedTable {
         s"concurrent commit on $path (base was $base); retry the delta against the new latest version")
     }
     val parts = (prev -- clearedParts.filterNot(written.contains)) ++ written.map(_ -> v)
+    // zone stats ride the lineage like stream markers, but per PARTITION:
+    // carried-forward partitions keep their base entries, rewritten or
+    // cleared partitions drop them (fresh entries only if statsCols asked)
+    val carried = parts.collect { case (p, pv) if pv != v => p }.toSet
+    val inheritedZone = base
+      .map(zoneMarkers(spark, path, _))
+      .getOrElse(Map.empty[String, String])
+      .filter { case (k, _) => k.split(":", 3).lift(2).exists(carried.contains) }
+    val newZone = zoneStats.flatMap { case (p, cs) =>
+      cs.map { case (c, (mn, mx)) => s"zone:$c:$p" -> s"$mn,$mx" }
+    }
+    val metaAll = inheritedZone ++ meta ++ newZone
     val partsJson = parts.toSeq.sortBy(_._1).map { case (p, pv) => s"${jsonStr(p)}: $pv" }.mkString("{", ", ", "}")
-    val extraJson = meta.toSeq.sortBy(_._1).map { case (k, x) => s", ${jsonStr(k)}: ${jsonStr(x)}" }.mkString
+    val extraJson = metaAll.toSeq.sortBy(_._1).map { case (k, x) => s", ${jsonStr(k)}: ${jsonStr(x)}" }.mkString
     publish(f, path, v,
       s"""{"version": $v, "base": ${base.getOrElse(0L)}, "schema": ${jsonStr(updated.schema.json)}, "committed_at": ${System.currentTimeMillis()}, "partition_column": ${jsonStr(partCol)}, "partitions": $partsJson$extraJson}""")
     // Close the remaining check-then-publish window. Conflict shapes:
@@ -420,6 +467,78 @@ object VersionedTable {
       .filter(e => e.getKey.startsWith("stream_batch") && e.getValue.isTextual)
       .map(e => e.getKey -> e.getValue.asText())
       .toMap
+  }
+
+  /** All `zone:<col>:<part>` data-skipping entries of a commit manifest. */
+  def zoneMarkers(spark: SparkSession, path: String, version: Long): Map[String, String] = {
+    val root = readCommitJson(spark, path, version)
+    scala.jdk.CollectionConverters.IterableHasAsScala(root.properties()).asScala.iterator
+      .filter(e => e.getKey.startsWith("zone:") && e.getValue.isTextual)
+      .map(e => e.getKey -> e.getValue.asText())
+      .toMap
+  }
+
+  /** Zone-map pruning plan for `statsCol BETWEEN lo AND hi`: partitions
+    * split into (scan, skip). A partition is skipped ONLY when its
+    * recorded [min,max] interval misses [lo,hi]; partitions without a
+    * recorded entry are always scanned (stats are an optimization, never
+    * a correctness input). Driver-side metadata only — one manifest read.
+    */
+  def zonePrunePlan(
+      spark: SparkSession,
+      path: String,
+      statsCol: String,
+      lo: Long,
+      hi: Long,
+      version: Option[Long] = None
+  ): (Seq[String], Seq[String]) = {
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val parts = partitionMap(spark, path, v).getOrElse(
+      throw new IllegalStateException(s"table at $path is not delta-committed; zone maps need a manifest"))
+    val zones = zoneMarkers(spark, path, v)
+    val (scan, skip) = parts.keys.toSeq.sorted.partition { p =>
+      zones.get(s"zone:$statsCol:$p") match {
+        case Some(s) =>
+          val Array(mn, mx) = s.split(",", 2)
+          !(mx.toLong < lo || mn.toLong > hi)
+        case None => true
+      }
+    }
+    (scan, skip)
+  }
+
+  /** Zone-map pruned range scan — the 100 TB point of the stats: a
+    * predicate on a CLUSTERED column (z-ordered / range-bucketed layout)
+    * opens only the partitions whose recorded [min,max] intersects the
+    * requested range; everything else is eliminated from DRIVER METADATA
+    * before a single file is listed. The residual predicate is still
+    * applied to the scanned partitions (zone maps prune at partition
+    * granularity, they do not filter rows). On a hash-bucketed layout
+    * every partition spans the full value range and nothing prunes —
+    * cluster first (see the Z-order operator), then skip.
+    */
+  def readZonePruned(
+      spark: SparkSession,
+      path: String,
+      statsCol: String,
+      lo: Long,
+      hi: Long,
+      version: Option[Long] = None
+  ): DataFrame = {
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val residual = col(statsCol).cast("long").between(lo, hi)
+    partitionMap(spark, path, v) match {
+      case None => read(spark, path, Some(v)).filter(residual) // full snapshot: no manifest to prune by
+      case Some(parts) =>
+        val (scan, _) = zonePrunePlan(spark, path, statsCol, lo, hi, Some(v))
+        if (scan.isEmpty) read(spark, path, Some(v)).limit(0).filter(residual)
+        else {
+          val dirs = scan.map(p => s"$path/v=${parts(p)}/p=$p")
+          spark.read.option("mergeSchema", "true").parquet(dirs: _*).filter(residual)
+        }
+    }
   }
 
   /** The partition->version manifest of a delta commit; None for full

@@ -406,4 +406,45 @@ class VersionedTableSpec extends AnyFunSuite {
       VersionedTable.changeFeed(spark, snap, s1, s2, Seq("id"))
     }
   }
+
+  test("zone maps: prune plan, pruned read equality, lineage inheritance, rewrite drops stats") {
+    val path = Files.createTempDirectory("graft-vt-zm").toString + "/t"
+    // two range partitions: lo holds keys 1..10, hi holds 100..110
+    val batch = ((1L to 10L) ++ (100L to 110L)).map(k => (k, if (k < 50) "lo" else "hi")).toDF("k", "p")
+    VersionedTable.commitDelta(spark, path, batch, "p", statsCols = Seq("k"))
+    // range [2,9] intersects only lo
+    val (scan1, skip1) = VersionedTable.zonePrunePlan(spark, path, "k", 2L, 9L)
+    assert(scan1 == Seq("lo") && skip1 == Seq("hi"))
+    val got = VersionedTable.readZonePruned(spark, path, "k", 2L, 9L).select("k").as[Long].collect().sorted
+    assert(got.toSeq == (2L to 9L), "pruned read must equal the full filter")
+    // a disjoint range skips everything and returns empty with the schema intact
+    val (scan0, skip0) = VersionedTable.zonePrunePlan(spark, path, "k", 500L, 600L)
+    assert(scan0.isEmpty && skip0.sorted == Seq("hi", "lo"))
+    assert(VersionedTable.readZonePruned(spark, path, "k", 500L, 600L).count() == 0)
+
+    // delta commit rewriting ONLY hi (no statsCols): lo inherits its zone
+    // entry along the lineage, hi drops its now-stale entry -> always scanned
+    VersionedTable.commitDelta(spark, path, Seq((999L, "hi")).toDF("k", "p"), "p")
+    val zones = VersionedTable.zoneMarkers(spark, path, VersionedTable.latestVersion(spark, path).get)
+    assert(zones.keySet == Set("zone:k:lo"), s"expected only lo's inherited entry, got $zones")
+    val (scan2, skip2) = VersionedTable.zonePrunePlan(spark, path, "k", 2L, 9L)
+    assert(scan2.sorted == Seq("hi", "lo") && skip2.isEmpty, "stat-less partition must be scanned")
+    assert(VersionedTable.readZonePruned(spark, path, "k", 2L, 9L).count() == 8)
+
+    // guard rails: zone:* via extraMeta rejected, bad stats name rejected
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitDelta(spark, path, batch, "p", extraMeta = Map("zone:k:lo" -> "0,1"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitDelta(spark, path, batch, "p", statsCols = Seq("bad:name"))
+    }
+    // all-null stat column records no entry (partition always scanned)
+    val p2 = Files.createTempDirectory("graft-vt-zm2").toString + "/t"
+    val nulls = Seq((Some(1L), "a"), (None: Option[Long], "b")).toDF("k", "p")
+    VersionedTable.commitDelta(spark, p2, nulls, "p", statsCols = Seq("k"))
+    val z2 = VersionedTable.zoneMarkers(spark, p2, VersionedTable.latestVersion(spark, p2).get)
+    assert(z2.keySet == Set("zone:k:a"))
+    val (scanN, skipN) = VersionedTable.zonePrunePlan(spark, p2, "k", 100L, 200L)
+    assert(scanN == Seq("b") && skipN == Seq("a"))
+  }
 }
