@@ -599,6 +599,36 @@ object Oracles {
          |FROM j WHERE jac >= CAST(0.5 AS DOUBLE)""".stripMargin
     },
 
+    // q146: incremental LSH == full q37 replication restricted to pairs
+    // touching the new batch (doc_id % 5 = 0) — bucket candidacy is
+    // symmetric, so probing the index finds exactly these pairs
+    "q146_incremental_lsh" -> {
+      import graft.plans.MinHashSig.{P, a, b}
+      val sigList = (0 until 16)
+        .map(i => s"list_min(list_transform(sh, h -> (${a(i)}*(h%$P)+${b(i)})%$P))")
+        .mkString("[", ",\n   ", "]")
+      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | sh AS (SELECT doc_id,
+         |   list_distinct(list_transform(
+         |     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
+         |     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) sh
+         |  FROM base),
+         | sig AS (SELECT doc_id, $sigList sig FROM sh WHERE len(sh) > 0),
+         | banded AS (SELECT doc_id, unnest(list_transform(range(0, 8),
+         |    b -> CAST(b AS VARCHAR)||':'||CAST(sig[CAST(2*b+1 AS INTEGER)] AS VARCHAR)||','||CAST(sig[CAST(2*b+2 AS INTEGER)] AS VARCHAR))) bucket
+         |  FROM sig),
+         | cand AS (SELECT DISTINCT x.doc_id id_a, y.doc_id id_b
+         |  FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |  WHERE x.doc_id % 5 = 0 OR y.doc_id % 5 = 0),
+         | ver AS (SELECT id_a, id_b, len(list_intersect(p.sh, q.sh)) inter, len(p.sh) la, len(q.sh) lb
+         |  FROM cand JOIN sh p ON id_a = p.doc_id JOIN sh q ON id_b = q.doc_id),
+         | j AS (SELECT id_a, id_b,
+         |    CASE WHEN la+lb-inter = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE)/(la+lb-inter) END jac FROM ver)
+         |SELECT id_a, id_b, CAST(FLOOR(jac*10000) AS BIGINT) AS jaccard_e4
+         |FROM j WHERE jac >= CAST(0.5 AS DOUBLE)""".stripMargin
+    },
+
     // q73: union-MinHash per source — sig_i(union) == min_i over ALL member
     // shingle hashes (mergeable-sketch identity), so the oracle is a plain
     // grouped MIN per permutation
@@ -1549,6 +1579,17 @@ object Oracles {
     // q142: Gopher repetition signals — identical per-row list folds
     // (normalized char denominator, longest-gram tie rule, FLOOR e4)
     "q142_repetition" -> repetitionSql,
+
+    // q145: deferred (deletion-vector) GDPR sweep — same relational
+    // recompute as q140; what differs is the engine path (merge-on-read
+    // anti-join instead of bucket rewrite)
+    "q145_gdpr_deferred" ->
+      """WITH latest AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        | FROM orders)
+        |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        |FROM latest WHERE rn = 1
+        | AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')""".stripMargin,
 
     // q144: zone-map pruned range scan — the oracle is the plain filter
     // (pruning is a scan-elimination optimization, not a semantics change)

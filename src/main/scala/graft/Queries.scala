@@ -2849,6 +2849,44 @@ object Queries {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
 
+  /** q145: DEFERRED GDPR DELETE (deletion vectors, merge-on-read —
+    * [[graft.sources.VersionedTable.deleteKeysDeferred]]): q140's
+    * takedown sweep with the physical rewrite deferred — the delete
+    * commits as a key-list sidecar + manifest entry (O(|keys|),
+    * independent of table size) and every read anti-joins it. Same
+    * oracle as q140 (the relational recompute), gating the merge-on-
+    * read serving path; VersionedTableSpec covers the no-bucket-
+    * rewritten claim, compact's physical apply + entry clear, and
+    * vacuum's sidecar reclaim.
+    */
+  def q145(s: SparkSession, dir: String): DataFrame = {
+    val (path, _, _) = q106Build(s, dir)
+    val doomed = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey").cast("long").as("o_custkey"))
+    graft.sources.VersionedTable.deleteKeysDeferred(s, path, doomed, Seq("o_custkey"))
+    graft.sources.VersionedTable
+      .read(s, path)
+      .filter(col("actv_flg") === "Y")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+  }
+
+  /** q146: INCREMENTAL LSH NEAR-DUP MAINTENANCE
+    * ([[Dedup.lshIndexBuild]] + [[Dedup.lshProbeAndAppend]]) — the
+    * persisted-index shape of q37: corpus (doc_id % 5 != 0) indexed
+    * once, the "daily batch" (doc_id % 5 == 0) probed against the index
+    * with the batch side broadcast, emitting exact-Jaccard-verified
+    * pairs touching at least one new doc, then appended. The oracle is
+    * the FULL q37 LSH replication filtered to batch-touching pairs —
+    * proving the incremental path loses nothing vs the full recompute.
+    */
+  def q146(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = scratchDir("lshidx") + "/index"
+    Dedup.lshIndexBuild(s, idx, docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    Dedup.lshProbeAndAppend(s, idx, docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+  }
+
   /** q141: SNAPSHOT-DRIFT DQ between warehouse versions
     * ([[dq.DqSuite.versionDrift]]) — the nightly between-commits gate:
     * the same metric set (record count, active count, distinct keys,

@@ -919,4 +919,108 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(array_join(expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"), " ").as("kept_text"))
   }
+
+  /** Portable (md5-prefix family) signature table: (doc_id, shingles,
+    * sig) — the persistable LSH index state. Same hash chain as
+    * [[minhashLsh]]`(portable=true)`, factored for the incremental ops.
+    */
+  private def portableSigTable(df: DataFrame, idCol: String, textCol: String, shingleSize: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), array_distinct(graft.plans.HashExpressions.shingleHash60(col("__toks"), shingleSize)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignatureFromHashes(col("shingles"), numHashes))
+
+  /** Hash-free band keys "b:sig[rb],..,sig[rb+r-1]" per doc (the oracle-
+    * replicable key family of [[minhashLsh]]`(portable=true)`).
+    */
+  private def portableBandTable(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(
+      col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        concat_ws(":", lit(b), concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)).as("bucket")
+    )
+
+  /** Build the persisted MinHash+LSH index for a corpus: `sigs/`
+    * (doc_id, shingles, sig) and `bands/` (bucket, doc_id) parquet
+    * tables under `indexPath`. One corpus scan; both tables are linear
+    * in the corpus (bands is x`bands` rows but carries only two narrow
+    * columns). This is the amortized state that makes daily dedup
+    * incremental — built once, probed and appended per batch.
+    */
+  def lshIndexBuild(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2
+  ): Unit = {
+    val sig = graft.core.Caching.cached(portableSigTable(df, idCol, textCol, shingleSize, bands * rowsPerBand))
+    sig.write.mode("overwrite").parquet(s"$indexPath/sigs")
+    portableBandTable(sig, bands, rowsPerBand).write.mode("overwrite").parquet(s"$indexPath/bands")
+  }
+
+  /** INCREMENTAL NEAR-DUP MAINTENANCE: dedup a NEW batch against a
+    * corpus by probing the persisted LSH index instead of recomputing
+    * all-corpus pairs — the shape that turns MinHash dedup from a
+    * full-corpus job into a per-batch job. Returns every near-dup pair
+    * touching at least one new document (new x old and new x new),
+    * exact-Jaccard-verified at `minJaccard`, then appends the batch's
+    * signatures and bands so the index stays current.
+    *
+    * SCALE: the batch side (daily increment) is BROADCAST — the big
+    * persisted `bands/` table is filtered map-side by the probe's bucket
+    * set with no shuffle of the index; only matching postings reach the
+    * candidate join. Old-side shingle fetch is a semi-join by candidate
+    * id (point lookups into `sigs/`, not a scan-to-driver). Result is
+    * identical to running full LSH over (corpus + batch) and keeping
+    * the pairs that touch the batch — the oracle checks exactly that.
+    * Ids must be globally unique across corpus and batches.
+    */
+  def lshProbeAndAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      newBatch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5
+  ): DataFrame = {
+    val newSig = graft.core.Caching.cached(portableSigTable(newBatch, idCol, textCol, shingleSize, bands * rowsPerBand))
+    val newBands = portableBandTable(newSig, bands, rowsPerBand)
+    val oldBands = spark.read.parquet(s"$indexPath/bands")
+    val probe = newBands.select(col("bucket"), col("doc_id").as("__new_id"))
+    val candNewOld = oldBands
+      .join(broadcast(probe), "bucket")
+      .select(least(col("doc_id"), col("__new_id")).as("id_a"), greatest(col("doc_id"), col("__new_id")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val nb = newBands.select(col("bucket").as("__b2"), col("doc_id").as("id_b"))
+    val candNewNew = newBands
+      .join(nb, newBands("bucket") === nb("__b2") && col("doc_id") < col("id_b"))
+      .select(col("doc_id").as("id_a"), col("id_b"))
+    val cand = candNewOld.unionByName(candNewNew).distinct()
+    val allSh = spark.read.parquet(s"$indexPath/sigs").select(col("doc_id"), col("shingles"))
+      .unionByName(newSig.select(col("doc_id"), col("shingles")))
+    val out = cand
+      .join(allSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(allSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), floor(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+    // SEVER LINEAGE before appending: the result plan scans `sigs/`, and
+    // Spark invalidates (and transparently recomputes) any cached plan
+    // over a path that gets appended to — a plain cache() would silently
+    // double-count the batch. localCheckpoint materializes the pairs as
+    // an RDD with no file lineage; real clusters with lossy executors
+    // should use a reliable checkpoint dir here (duplicateGroups'
+    // pattern).
+    val local = out.localCheckpoint()
+    newSig.write.mode("append").parquet(s"$indexPath/sigs")
+    portableBandTable(newSig, bands, rowsPerBand).write.mode("append").parquet(s"$indexPath/bands")
+    local
+  }
 }

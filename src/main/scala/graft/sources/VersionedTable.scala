@@ -195,7 +195,8 @@ object VersionedTable {
       partCol: String,
       clearedParts: Seq[String] = Nil,
       extraMeta: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil
+      statsCols: Seq[String] = Nil,
+      clearDv: Boolean = false
   ): Long = {
     val reserved = Set("version", "base", "schema", "committed_at", "partitions", "partition_column")
     require(
@@ -225,7 +226,15 @@ object VersionedTable {
     // `stream_batch:*` fields, so the NEWEST commit always carries them and
     // compact+vacuum can never erase a marker a re-delivered micro-batch
     // needs to see (own extraMeta wins on key collision)
-    val meta = base.map(streamMarkers(spark, path, _)).getOrElse(Map.empty) ++ extraMeta
+    // deletion vectors ride the lineage like stream markers — every commit
+    // inherits the base's pending `dv:*` entries so merge-on-read keeps
+    // applying them — EXCEPT a physical-apply commit (clearDv: the writer
+    // certifies its data was produced from a DV-applied read of the whole
+    // table, so the entries are spent)
+    val inheritedDv =
+      if (clearDv) Map.empty[String, String]
+      else base.map(dvMarkers(spark, path, _)).getOrElse(Map.empty[String, String])
+    val meta = base.map(streamMarkers(spark, path, _)).getOrElse(Map.empty) ++ inheritedDv ++ extraMeta
     // ZONE MAPS (the Delta/Iceberg data-skipping analogue): per written
     // partition, min/max of each requested long-castable column, recorded
     // in the manifest as `zone:<col>:<part>` -> "<min>,<max>". One extra
@@ -478,6 +487,76 @@ object VersionedTable {
       .toMap
   }
 
+  /** All pending `dv:<id>` deletion-vector entries of a commit manifest
+    * (value format `<file>|<keyCol1,keyCol2,...>`).
+    */
+  def dvMarkers(spark: SparkSession, path: String, version: Long): Map[String, String] = {
+    val root = readCommitJson(spark, path, version)
+    scala.jdk.CollectionConverters.IterableHasAsScala(root.properties()).asScala.iterator
+      .filter(e => e.getKey.startsWith("dv:") && e.getValue.isTextual)
+      .map(e => e.getKey -> e.getValue.asText())
+      .toMap
+  }
+
+  /** DEFERRED KEY DELETION (merge-on-read, the Delta deletion-vector /
+    * Iceberg equality-delete analogue): instead of rewriting every bucket
+    * the doomed keys hash to, commit ONLY a key-list sidecar file
+    * (`_dv/<id>`) plus a metadata-only delta commit whose manifest
+    * carries a `dv:` entry. Every subsequent read — full, partition-
+    * pruned, or time travel at-or-after this version — anti-joins the
+    * pending vectors, so the deletion is visible IMMEDIATELY at metadata
+    * cost O(|keys|), independent of table size. The physical rewrite is
+    * deferred to [[compact]], which folds all pending vectors in and
+    * clears the entries; [[vacuum]] then reclaims spent sidecar files.
+    *
+    * The GDPR trade vs [[graft.operators.Scd2.deleteKeys]] (copy-on-
+    * write): deferred deletes make the takedown instant and cheap, but
+    * the doomed bytes remain on storage until compact+vacuum — run the
+    * physical pass within the compliance window.
+    *
+    * @return the committed version carrying the new vector
+    */
+  def deleteKeysDeferred(spark: SparkSession, path: String, keys: DataFrame, keyCols: Seq[String]): Long =
+    withCommitRetry() {
+      require(keyCols.nonEmpty, "keyCols must be non-empty")
+      keyCols.foreach(c =>
+        require(c.matches("[A-Za-z0-9_]+"), s"keyCol '$c' must be [A-Za-z0-9_]+ (it is serialized in the manifest)"))
+      val v0 = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"no committed versions at $path"))
+      require(partitionMap(spark, path, v0).isDefined,
+        s"table at $path is not delta-committed; deferred deletes need a manifest")
+      val partCol = commitField(spark, path, v0, "partition_column").getOrElse(
+        throw new IllegalStateException(s"version $v0 of $path records no partition_column"))
+      val id = s"dv-${java.util.UUID.randomUUID().toString.take(12)}"
+      keys.select(keyCols.map(col): _*).distinct().write.mode("errorifexists").parquet(s"$path/_dv/$id")
+      try
+        commitDelta(
+          spark, path, read(spark, path, Some(v0)).limit(0), partCol,
+          extraMeta = Map(s"dv:$id" -> s"$id|${keyCols.mkString(",")}"))
+      catch {
+        case e: Throwable =>
+          fs(spark, path).delete(new Path(s"$path/_dv/$id"), true) // unreferenced sidecar
+          throw e
+      }
+    }
+
+  /** Anti-join `df` against every deletion vector pending at `version`
+    * (null-safe on the recorded key columns — a doomed NULL key must
+    * still match NULL-keyed rows). No pending vectors: returns `df`
+    * unchanged, zero plan overhead.
+    */
+  private def applyDvPending(spark: SparkSession, path: String, version: Long, df: DataFrame): DataFrame =
+    applyDvSpecs(spark, path, dvMarkers(spark, path, version).values.toSeq.sorted, df)
+
+  private def applyDvSpecs(spark: SparkSession, path: String, specs: Seq[String], df: DataFrame): DataFrame =
+    specs.foldLeft(df) { (d, spec) =>
+      val Array(file, colsStr) = spec.split("\\|", 2)
+      val cols = colsStr.split(",").toSeq
+      val dv = spark.read.parquet(s"$path/_dv/$file").toDF(cols.map(c => s"__dv_$c"): _*)
+      val cond = cols.map(c => d(c) <=> dv(s"__dv_$c")).reduce(_ && _)
+      d.join(broadcast(dv), cond, "left_anti")
+    }
+
   /** Zone-map pruning plan for `statsCol BETWEEN lo AND hi`: partitions
     * split into (scan, skip). A partition is skipped ONLY when its
     * recorded [min,max] interval misses [lo,hi]; partitions without a
@@ -536,7 +615,8 @@ object VersionedTable {
         if (scan.isEmpty) read(spark, path, Some(v)).limit(0).filter(residual)
         else {
           val dirs = scan.map(p => s"$path/v=${parts(p)}/p=$p")
-          spark.read.option("mergeSchema", "true").parquet(dirs: _*).filter(residual)
+          applyDvPending(spark, path, v,
+            spark.read.option("mergeSchema", "true").parquet(dirs: _*)).filter(residual)
         }
     }
   }
@@ -562,7 +642,7 @@ object VersionedTable {
     val v = version.orElse(latestVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path")
     )
-    partitionMap(spark, path, v) match {
+    val snap = partitionMap(spark, path, v) match {
       case None => spark.read.parquet(s"$path/v=$v")
       case Some(parts) =>
         val dirs = parts.toSeq.sortBy(_._1).map { case (p, pv) => s"$path/v=$pv/p=$p" }
@@ -571,6 +651,9 @@ object VersionedTable {
         // schemas so old partitions surface the new columns as nulls
         spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     }
+    // merge-on-read: deletion vectors pending at v filter EVERY read path
+    // (deferred deletes are visible from their commit version onward)
+    applyDvPending(spark, path, v, snap)
   }
 
   /** Pruned read of ONE partition of a delta-committed table — the scan a
@@ -591,7 +674,12 @@ object VersionedTable {
     )
     val m = partitionMap(spark, path, v).getOrElse(
       throw new IllegalStateException(s"table at $path is not delta-committed; read the snapshot instead"))
-    parts.map(p => m.get(p).map(pv => spark.read.parquet(s"$path/v=$pv/p=$p")))
+    // merge-on-read here too: the SCD-2 touched-bucket rebuild reads
+    // through this path — without the DV filter an upsert would copy
+    // doomed rows back into the buckets it rewrites. DV specs resolved
+    // once, honoring this method's one-manifest-read contract.
+    val dvSpecs = dvMarkers(spark, path, v).values.toSeq.sorted
+    parts.map(p => m.get(p).map(pv => applyDvSpecs(spark, path, dvSpecs, spark.read.parquet(s"$path/v=$pv/p=$p"))))
   }
 
   /** Targeted row deletion (the right-to-be-forgotten / takedown sweep a
@@ -639,8 +727,15 @@ object VersionedTable {
     // hash-repartition by the partition column: each partition value lands
     // wholly in one task -> exactly one output file per partition dir.
     // The read+commit attempt re-runs whole on a commit conflict.
+    // `read` applies pending deletion vectors, so compaction IS the
+    // physical delete pass: clearDv spends the vector entries, and
+    // clearing every prior partition drops any partition whose rows were
+    // ALL deleted (it writes no data and must not carry stale bytes
+    // forward).
+    val prevParts = latestVersion(spark, path)
+      .flatMap(partitionMap(spark, path, _)).map(_.keys.toSeq).getOrElse(Nil)
     val current = read(spark, path).repartition(col(partCol))
-    commitDelta(spark, path, current, partCol)
+    commitDelta(spark, path, current, partCol, clearedParts = prevParts, clearDv = true)
   }
 
   /** VACUUM: delete version data no commit at-or-above `retainVersions`-ago
@@ -683,6 +778,17 @@ object VersionedTable {
       f.delete(new Path(s"$path/_commits/$v.json"), false) // expired commit (if published)
       f.delete(new Path(s"$path/_commits/$v.reserved"), false) // stale marker (if any)
     }
+    // deletion-vector sidecars: reclaim files no RETAINED manifest still
+    // references (compact clears dv entries; after the window rolls past
+    // the pre-compact versions, the doomed bytes' last index dies here —
+    // the point where a GDPR delete becomes physically irreversible)
+    val referencedDv: Set[String] =
+      retained.flatMap(v => dvMarkers(spark, path, v).values.map(_.split("\\|", 2)(0))).toSet
+    val dvDir = new Path(s"$path/_dv")
+    if (f.exists(dvDir))
+      f.listStatus(dvDir).foreach { st =>
+        if (!referencedDv.contains(st.getPath.getName)) f.delete(st.getPath, true)
+      }
     removable
   }
 

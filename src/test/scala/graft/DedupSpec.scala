@@ -354,4 +354,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == (4L, 4L, true) && out(5L) == (4L, 4L, false))
     assert(out(9L) == (9L, 9L, true))
   }
+
+  test("incremental LSH: probe equals full recompute restricted to the batch; index stays current") {
+    val corpusDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about spark query engines and shuffles"),
+      (4L, "another unrelated document describing warehouse commit protocols")
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog tonight") // exact dup of 1, near 10
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString + "/index"
+    Dedup.lshIndexBuild(spark, idx, corpusDocs, "doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got1 = pairSet(Dedup.lshProbeAndAppend(spark, idx, batch1, "doc_id", "text", minJaccard = 0.3))
+    // ground truth: full portable LSH over corpus+batch, batch-touching pairs
+    val full = Dedup
+      .minhashLsh(corpusDocs.unionByName(batch1), "doc_id", "text", minJaccard = 0.3, portable = true)
+      .filter(col("id_a") >= 10L || col("id_b") >= 10L)
+      .select(col("id_a"), col("id_b"), floor(col("jaccard") * 10000).cast("long"))
+    assert(got1 == pairSet(full) && got1.nonEmpty, s"incremental != full: $got1")
+    // a SECOND batch must see batch-1 docs through the appended index
+    val batch2 = Seq((20L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    val got2 = pairSet(Dedup.lshProbeAndAppend(spark, idx, batch2, "doc_id", "text", minJaccard = 0.3))
+    assert(got2.contains((10L, 20L, 10000L)), s"batch-2 probe must match batch-1's appended doc: $got2")
+  }
 }

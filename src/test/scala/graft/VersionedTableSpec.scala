@@ -447,4 +447,49 @@ class VersionedTableSpec extends AnyFunSuite {
     val (scanN, skipN) = VersionedTable.zonePrunePlan(spark, p2, "k", 100L, 200L)
     assert(scanN == Seq("b") && skipN == Seq("a"))
   }
+
+  test("deletion vectors: metadata-only delete, time travel, no resurrection, compact applies, vacuum reclaims") {
+    val path = Files.createTempDirectory("graft-vt-dv").toString + "/t"
+    def f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batch = Seq((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "b"), (4L, "w", "b")).toDF("k", "v", "p")
+    VersionedTable.commitDelta(spark, path, batch, "p")
+    val preParts = VersionedTable.partitionMap(spark, path, 1L).get
+
+    val vDel = VersionedTable.deleteKeysDeferred(spark, path, Seq(2L, 3L).toDF("k"), Seq("k"))
+    // the delete is visible immediately...
+    def keys(ver: Option[Long] = None): Set[Long] =
+      VersionedTable.read(spark, path, ver).select("k").as[Long].collect().toSet
+    assert(keys() == Set(1L, 4L))
+    // ...but NO data bucket was rewritten (every partition still resolves
+    // to its pre-delete version dir) — the metadata-only claim
+    assert(VersionedTable.partitionMap(spark, path, vDel).get == preParts)
+    // time travel BEFORE the delete still sees the doomed rows
+    assert(keys(Some(1L)) == Set(1L, 2L, 3L, 4L))
+    // partition-pruned reads filter too (the SCD-2 rebuild path)
+    val pa = VersionedTable.readPartition(spark, path, "a").get.select("k").as[Long].collect().toSet
+    assert(pa == Set(1L), "readPartition must apply pending vectors")
+
+    // a later commit rewriting partition a must NOT resurrect key 2 in b
+    VersionedTable.commitDelta(spark, path, Seq((5L, "q", "a")).toDF("k", "v", "p"), "p")
+    assert(keys() == Set(5L, 4L), "a carries the rewrite; b still filters key 3 via the inherited vector")
+
+    // compact = the physical pass: vectors applied, entries cleared,
+    // fully-deleted partitions dropped rather than carried stale
+    val vc = VersionedTable.compact(spark, path, "p")
+    assert(VersionedTable.dvMarkers(spark, path, vc).isEmpty, "compact must spend the vectors")
+    assert(keys() == Set(5L, 4L))
+    // vacuum with a window past the pre-compact manifests reclaims the sidecar
+    VersionedTable.vacuum(spark, path, retainVersions = 1, orphanGraceMs = 0L)
+    val dvDir = new org.apache.hadoop.fs.Path(s"$path/_dv")
+    assert(!f.exists(dvDir) || f.listStatus(dvDir).isEmpty, "spent sidecars must be reclaimed")
+    assert(keys() == Set(5L, 4L), "post-vacuum state unchanged")
+
+    // guard rails: full snapshots have no manifest to hang a vector on
+    val snap = Files.createTempDirectory("graft-vt-dv2").toString + "/t"
+    VersionedTable.commit(Seq((1L, "x")).toDF("k", "v"), snap)
+    intercept[IllegalArgumentException] {
+      VersionedTable.deleteKeysDeferred(spark, snap, Seq(1L).toDF("k"), Seq("k"))
+    }
+  }
 }
