@@ -186,7 +186,10 @@ object Bench {
         "q131_topk_per_group", "q132_collocations", "q133_sampled_quantiles",
         "q134_canonical_dedup", "q135_ppjoin",
         "q136_orc_roundtrip", "q137_embedding_centroids", "q138_entity_resolution",
-        "q139_bpe_training", "q140_gdpr_sweep", "q141_version_drift")
+        "q139_bpe_training", "q140_gdpr_sweep", "q141_version_drift",
+        "q142_repetition", "q143_quality_classifier", "q144_zone_map",
+        "q145_gdpr_deferred", "q146_incremental_lsh", "q147_domain_cap",
+        "q148_cdc_apply")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

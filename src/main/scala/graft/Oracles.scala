@@ -1591,6 +1591,33 @@ object Oracles {
         |FROM latest WHERE rn = 1
         | AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')""".stripMargin,
 
+    // q148: CDC apply — replica active snapshot == v2's active set
+    // derived from the source relations (b2 supersedes b1 per custkey)
+    "q148_cdc_apply" ->
+      """WITH b1 AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00') WHERE rn = 1),
+        | b2 AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') WHERE rn = 1)
+        |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM b2
+        |UNION ALL
+        |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM b1
+        | WHERE o_custkey NOT IN (SELECT o_custkey FROM b2)""".stripMargin,
+
+    // q147: domain capping — rank replayed as a window over the same
+    // portable hash (DESC, id ASC tie-break = TopKByScoreAgg's order)
+    "q147_domain_cap" ->
+      s"""WITH h AS (SELECT source, doc_id,
+         |   CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) h
+         |  FROM documents),
+         | r AS (SELECT source, doc_id,
+         |   row_number() OVER (PARTITION BY source ORDER BY h DESC, doc_id ASC) rk
+         |  FROM h)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id FROM r WHERE rk <= 10""".stripMargin,
+
     // q144: zone-map pruned range scan — the oracle is the plain filter
     // (pruning is a scan-elimination optimization, not a semantics change)
     "q144_zone_map" ->

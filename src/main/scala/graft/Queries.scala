@@ -2887,6 +2887,37 @@ object Queries {
     Dedup.lshProbeAndAppend(s, idx, docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
   }
 
+  /** q147: PER-DOMAIN QUOTA CAP ([[operators.Sampling.domainCap]]) —
+    * the "at most N pages per domain" curation rule over `source` as
+    * the domain: deterministic hash-rank selection through the
+    * k-bounded-heap aggregator (no per-domain sort, skew-proof). The
+    * oracle replays the rank as a row_number over (hash DESC, id ASC).
+    */
+  def q147(s: SparkSession, dir: String): DataFrame =
+    Sampling.domainCap(s, t(s, dir, "documents"), "source", "doc_id", maxPerDomain = 10)
+
+  /** q148: CDC DOWNSTREAM APPLY
+    * ([[graft.sources.VersionedTable.applyChangeFeed]]) — the consumer
+    * half of the q106 change feed: a replica bootstrapped at v1 follows
+    * the source to v2 by applying the feed (idempotent upsert-by-key,
+    * touched-bucket rewrite only). Returned rows are the replica's
+    * ACTIVE snapshot; the oracle re-derives v2's active set from the
+    * source relations, so bootstrap + feed + apply are all gated.
+    * VersionedTableSpec asserts full-table equality (history included)
+    * and idempotent re-apply.
+    */
+  def q148(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val (path, v1, v2) = q106Build(s, dir)
+    val replica = scratchDir("cdc_replica") + "/replica"
+    VersionedTable.commitDelta(s, replica, VersionedTable.read(s, path, Some(v1)), "key_bucket")
+    val feed = VersionedTable.changeFeed(s, path, v1, v2, Seq("o_custkey", "o_orderkey"))
+    VersionedTable.applyChangeFeed(s, replica, feed, Seq("o_custkey", "o_orderkey"), "key_bucket")
+    VersionedTable.read(s, replica)
+      .filter(col("actv_flg") === "Y")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+  }
+
   /** q141: SNAPSHOT-DRIFT DQ between warehouse versions
     * ([[dq.DqSuite.versionDrift]]) — the nightly between-commits gate:
     * the same metric set (record count, active count, distinct keys,

@@ -154,4 +154,41 @@ object Sampling {
       .join(targets, Seq("g", "rn"))
       .select(col("g"), col("quantile"), col("n_sample"), col("v").as("value"))
   }
+
+  /** PER-DOMAIN QUOTA CAPPING (the Common-Crawl curation rule "at most
+    * N pages per domain"): keep a deterministic uniform sample of up to
+    * `maxPerDomain` ids per domain, chosen by portable-hash rank
+    * (md5-prefix of the id — no RNG, so retries and both oracle engines
+    * agree). Output (domain, rk, id) with rk = 1-based rank.
+    *
+    * SCALE: per-domain selection runs through the k-bounded-heap
+    * Aggregator ([[graft.plans.TopKByScoreAgg]]), so a degenerate
+    * million-page domain contributes at most k rows per map partition to
+    * the shuffle and NEVER a full per-domain sort — the window-function
+    * formulation (row_number over a domain partition) would sort the
+    * whole skewed domain on one task; this shape caps it at
+    * O(k·partitions) merged in the reduce.
+    */
+  def domainCap(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      maxPerDomain: Int
+  ): DataFrame = {
+    import spark.implicits._
+    require(maxPerDomain > 0, s"maxPerDomain=$maxPerDomain must be positive")
+    val agg = new graft.plans.TopKByScoreAgg(maxPerDomain)
+    df.select(
+      col(domainCol).cast("string"),
+      col(idCol).cast("long"),
+      graft.plans.HashExpressions.md5Prefix60(col(idCol).cast("string"))
+    )
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._3, t._2)) // (score = hash, id)
+      .agg(agg.toColumn)
+      .flatMap { case (d, ranked) => ranked.map { case (rk, id, _) => (d, rk, id) } }
+      .toDF(domainCol, "rk", idCol)
+  }
 }

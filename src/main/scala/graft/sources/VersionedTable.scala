@@ -682,6 +682,59 @@ object VersionedTable {
     parts.map(p => m.get(p).map(pv => applyDvSpecs(spark, path, dvSpecs, spark.read.parquet(s"$path/v=$pv/p=$p"))))
   }
 
+  /** CDC DOWNSTREAM APPLY — the consumer half of [[changeFeed]]: apply a
+    * feed (full-row records tagged `_change_type` insert / delete /
+    * update_preimage / update_postimage) to a REPLICA delta table,
+    * advancing it from the feed's from-state to its to-state. This is
+    * how a derived table (serving copy, regional replica, downstream
+    * mart) follows a source warehouse without full recopies: cost is
+    * proportional to the CHANGED partitions, not the table.
+    *
+    * Upsert semantics make the apply IDEMPOTENT: the replica drops every
+    * row whose key appears anywhere in the feed (pre-images and deletes,
+    * but also insert/post-image keys), then inserts the insert/post-image
+    * rows — re-applying the same feed is a no-op, so an at-least-once
+    * delivery pipeline converges. Only the partitions named by the feed's
+    * `partCol` values are rewritten; the driver holds one partition id
+    * per touched partition.
+    *
+    * @return the replica's committed version
+    */
+  def applyChangeFeed(
+      spark: SparkSession,
+      replicaPath: String,
+      feed: DataFrame,
+      keyCols: Seq[String],
+      partCol: String
+  ): Long = withCommitRetry() {
+    require(keyCols.nonEmpty, "applyChangeFeed: keyCols must be non-empty")
+    require(feed.columns.contains("_change_type"), "applyChangeFeed: feed must carry _change_type")
+    val touched = feed.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (touched.isEmpty)
+      latestVersion(spark, replicaPath).getOrElse(
+        throw new IllegalArgumentException(s"no committed versions at $replicaPath"))
+    else {
+      val existing = readPartitions(spark, replicaPath, touched).flatten
+      val allKeys = feed.select(keyCols.map(col): _*).distinct()
+      val adds = feed
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .drop("_change_type")
+      // NULL-SAFE anti join (a NULL-keyed change must still displace
+      // NULL-keyed replica rows — deleteKeys' rule)
+      val kept = existing.map { part =>
+        val d = allKeys.toDF(keyCols.map(c => s"__chg_$c"): _*)
+        val cond = keyCols.map(c => part(c) <=> d(s"__chg_$c")).reduce(_ && _)
+        part.join(broadcast(d), cond, "left_anti")
+      }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      val next = kept match {
+        case Some(k) => k.unionByName(adds, allowMissingColumns = true)
+        case None => adds
+      }
+      commitDelta(spark, replicaPath, next, partCol, clearedParts = touched)
+    }
+  }
+
   /** Targeted row deletion (the right-to-be-forgotten / takedown sweep a
     * training-data lake must support): rewrite ONLY the partitions that
     * contain matching rows, dropping them; every other partition carries

@@ -69,4 +69,23 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.hashSampledQuantiles(df, "grp", col("v"), col("v"), 0L)
     )
   }
+
+  test("domainCap: cap enforced per domain, hash-rank deterministic, small domains survive whole") {
+    import spark.implicits._
+    val docs = ((1L to 20L).map(i => (i, "big")) ++ Seq((100L, "small"), (101L, "small"))).toDF("doc_id", "source")
+    val out = Sampling.domainCap(spark, docs, "source", "doc_id", maxPerDomain = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byDomain = out.groupBy(_._1)
+    assert(byDomain("big").length == 5 && byDomain("small").length == 2)
+    assert(byDomain("big").map(_._2).sorted.toSeq == (1L to 5L), "ranks must be 1..k")
+    // independent replay: expected keepers = top-5 by (md5-prefix hash DESC, id ASC)
+    val expected = (1L to 20L)
+      .map(i => (graft.plans.Md5Prefix60.hash(i.toString.getBytes("UTF-8")), i))
+      .sortBy { case (h, id) => (-h, id) }.take(5).map(_._2).toSet
+    assert(byDomain("big").map(_._3).toSet == expected)
+    val again = Sampling.domainCap(spark, docs, "source", "doc_id", maxPerDomain = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == out.toSet, "selection must be deterministic")
+    assertThrows[IllegalArgumentException](Sampling.domainCap(spark, docs, "source", "doc_id", 0))
+  }
 }

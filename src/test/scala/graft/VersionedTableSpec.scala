@@ -492,4 +492,27 @@ class VersionedTableSpec extends AnyFunSuite {
       VersionedTable.deleteKeysDeferred(spark, snap, Seq(1L).toDF("k"), Seq("k"))
     }
   }
+
+  test("applyChangeFeed: replica follows source exactly (history included), idempotent re-apply, touched buckets only") {
+    val src = Files.createTempDirectory("graft-vt-cdc-s").toString + "/t"
+    val rep = Files.createTempDirectory("graft-vt-cdc-r").toString + "/t"
+    // v1: three keys across two buckets; v2: update k2, delete-less insert k4, k3 untouched bucket
+    VersionedTable.commitDelta(spark, src,
+      Seq((1L, "a", "b0"), (2L, "b", "b0"), (3L, "c", "b1")).toDF("k", "v", "pb"), "pb")
+    VersionedTable.commitDelta(spark, src,
+      Seq((1L, "a", "b0"), (2L, "B2", "b0"), (4L, "d", "b0")).toDF("k", "v", "pb"), "pb")
+    VersionedTable.commitDelta(spark, rep,
+      VersionedTable.read(spark, src, Some(1L)), "pb")
+    val feed = VersionedTable.changeFeed(spark, src, 1L, 2L, Seq("k"))
+    VersionedTable.applyChangeFeed(spark, rep, feed, Seq("k"), "pb")
+    def state(path: String): Set[(Long, String, String)] =
+      VersionedTable.read(spark, path).select("k", "v", "pb").as[(Long, String, String)].collect().toSet
+    assert(state(rep) == state(src), "replica must equal source v2 exactly")
+    // untouched bucket b1 was NOT rewritten (still resolves to the bootstrap version)
+    val repParts = VersionedTable.partitionMap(spark, rep, VersionedTable.latestVersion(spark, rep).get).get
+    assert(repParts("b1") == 1L, s"untouched bucket must carry forward, got $repParts")
+    // idempotent: re-applying the same feed converges to the same state
+    VersionedTable.applyChangeFeed(spark, rep, feed, Seq("k"), "pb")
+    assert(state(rep) == state(src), "re-apply must be a no-op on state")
+  }
 }
