@@ -1591,6 +1591,41 @@ object Oracles {
         |FROM latest WHERE rn = 1
         | AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')""".stripMargin,
 
+    // q149: containment pairs — q36's postings shape with the
+    // asymmetric ratios; FP chain mirrored (double div, *1e4, FLOOR)
+    "q149_containment" ->
+      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | sh AS (SELECT doc_id,
+         |   list_distinct(list_transform(
+         |     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
+         |     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) sh
+         |  FROM base),
+         | sizes AS (SELECT doc_id, len(sh) n FROM sh WHERE len(sh) > 0),
+         | post AS (SELECT doc_id, unnest(sh) s FROM sh),
+         | co AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+         |        FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         | c AS (SELECT id_a, id_b,
+         |        CAST(co.inter AS DOUBLE) / sa.n cab, CAST(co.inter AS DOUBLE) / sb.n cba
+         |       FROM co JOIN sizes sa ON co.id_a = sa.doc_id
+         |               JOIN sizes sb ON co.id_b = sb.doc_id)
+         |SELECT id_a, id_b,
+         | CAST(FLOOR(cab * 10000) AS BIGINT) AS cont_ab_e4,
+         | CAST(FLOOR(cba * 10000) AS BIGINT) AS cont_ba_e4
+         |FROM c WHERE GREATEST(cab, cba) >= CAST(0.5 AS DOUBLE)""".stripMargin,
+
+    // q150: event-decayed value — DuckDB's ordered list aggregate +
+    // list_reduce replays the same integer fold (0 seed via prepend)
+    "q150_decayed_value" ->
+      """WITH e AS (SELECT user_id,
+        |   list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ORDER BY ts, event_id) vs
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
+        |    (acc, v) -> CAST(FLOOR(acc * 8500 / 10000.0) AS BIGINT) + v) AS decayed_cents
+        |FROM e""".stripMargin,
+
     // q148: CDC apply — replica active snapshot == v2's active set
     // derived from the source relations (b2 supersedes b1 per custkey)
     "q148_cdc_apply" ->

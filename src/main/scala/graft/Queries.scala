@@ -2918,6 +2918,24 @@ object Queries {
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
   }
 
+  /** q149: CONTAINMENT SELF-JOIN ([[Dedup.containmentPairs]]) —
+    * asymmetric |A∩B|/|A| detection of documents mostly contained in
+    * another (quotes/excerpts), which symmetric Jaccard misses when the
+    * container is large. Inverted-index shape; both directions emitted,
+    * pair kept when either reaches 0.5.
+    */
+  def q149(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", shingleSize = 3, minContainment = 0.5)
+
+  /** q150: EVENT-DECAYED VALUE PER USER ([[TimeSeries.decayedValue]]) —
+    * the exponentially-decayed counter behind recency/abuse features:
+    * per-user (ts, id)-ordered integer fold `acc' = floor(acc*0.85) +
+    * cents`. The oracle replays the fold with DuckDB's ordered list
+    * aggregate + list_reduce.
+    */
+  def q150(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.decayedValue(t(s, dir, "events"), "user_id", "ts", "event_id", "value", decayE4 = 8500L)
+
   /** q141: SNAPSHOT-DRIFT DQ between warehouse versions
     * ([[dq.DqSuite.versionDrift]]) — the nightly between-commits gate:
     * the same metric set (record count, active count, distinct keys,

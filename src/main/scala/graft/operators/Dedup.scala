@@ -480,6 +480,61 @@ object Dedup {
       .select((blockCols.map(col) :+ col("id_a")) :+ col("id_b") :+ col("jaccard"): _*)
   }
 
+  /** ASYMMETRIC CONTAINMENT SELF-JOIN — the directional cousin of
+    * [[jaccardPairsWithinBlocks]]: containment C(A in B) = |A∩B| / |A|
+    * detects a document mostly CONTAINED in another (quotes, excerpts,
+    * page-within-site, prompt-in-completion) that symmetric Jaccard
+    * misses when the container is much larger (J stays small while
+    * C(A in B) -> 1). Emits both directions per pair; pairs survive when
+    * either direction reaches `minContainment`.
+    *
+    * Same inverted-index scale shape as the Jaccard join: postings
+    * explode + equi-join means only pairs sharing >= 1 shingle
+    * materialize, the shuffle stays linear in postings, and the optional
+    * hot-shingle cap amputates degenerate boilerplate shingles before
+    * the quadratic step.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      minContainment: Double = 0.5,
+      hotShingleCap: Option[Int] = None
+  ): DataFrame = {
+    require(minContainment > 0, "inverted-index containment requires a positive threshold")
+    val base = graft.core.Caching.cached(
+      df.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+        .select(col("doc_id"), array_distinct(graft.plans.HashExpressions.shingleHash60(col("__toks"), shingleSize)).as("sh"))
+    )
+    val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
+    val allPostings = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    val postings = hotShingleCap match {
+      case None => allPostings
+      case Some(cap) =>
+        require(cap >= 1, "hotShingleCap must be >= 1")
+        val hot = allPostings.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select(col("s"))
+        allPostings.join(hot, Seq("s"), "left_anti")
+    }
+    val inter = postings.toDF("id_a", "s")
+      .join(postings.toDF("id_b", "s"), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("la")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("lb")), "id_b")
+      .withColumn("cab", col("inter").cast("double") / col("la"))
+      .withColumn("cba", col("inter").cast("double") / col("lb"))
+      .filter(greatest(col("cab"), col("cba")) >= minContainment)
+      .select(
+        col("id_a"), col("id_b"),
+        floor(col("cab") * 10000).cast("long").as("cont_ab_e4"),
+        floor(col("cba") * 10000).cast("long").as("cont_ba_e4")
+      )
+  }
+
   /** Benchmark decontamination: corpus documents sharing >= minOverlap
     * distinct word n-grams with ANY benchmark document (the
     * train/eval-contamination sweep every serious training pipeline runs).

@@ -107,4 +107,44 @@ object TimeSeries {
       .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** EVENT-DECAYED VALUE PER KEY (the exponentially-decayed counter
+    * behind recency features, abuse scoring, trending detection):
+    * fold the key's events in (ts, id) order with
+    * `acc' = floor(acc * decayE4 / 1e4) + value_cents` — each newer
+    * event discounts everything before it by `decayE4/1e4`. The decay is
+    * EVENT-INDEXED (one step per event, deterministic) rather than
+    * wall-clock-exponentiated — no floating pow, so the fold is exact
+    * integer arithmetic both engines replay bit-for-bit (the floor's
+    * operands stay far below 2^53, where the IEEE division is exact).
+    *
+    * SCALE: one shuffle on the key; per-key state is the event list of
+    * that key only (bounded by per-key activity, not the corpus). The
+    * streaming twin is a `mapGroupsWithState` counter holding just
+    * (acc, last_ts) — this batch formulation is its replayable oracle.
+    */
+  def decayedValue(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      decayE4: Long
+  ): DataFrame = {
+    require(decayE4 >= 0 && decayE4 <= 10000, s"decayE4=$decayE4 must be in [0, 10000]")
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    events
+      .select(col(keyCol), struct(col(tsCol), col(idCol), cents.as("__cents")).as("__e"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .select(
+        col(keyCol),
+        size(col("__es")).cast("long").as("n_events"),
+        aggregate(
+          transform(col("__es"), e => e.getField("__cents")),
+          lit(0L),
+          (acc, v) => floor(acc * lit(decayE4) / lit(10000L)).cast("long") + v
+        ).as("decayed_cents")
+      )
+  }
 }

@@ -355,6 +355,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out(9L) == (9L, 9L, true))
   }
 
+  test("containmentPairs: asymmetric ratios catch the contained doc Jaccard misses") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "w1 w2 w3 w4"),                          // 2 shingles, fully inside doc 2
+      (2L, "w1 w2 w3 w4 x1 x2 x3 x4 x5 x6 x7 x8"), // 10 shingles
+      (3L, "totally different words here entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, "doc_id", "text", minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // C(1 in 2) = 2/2 = 1.0; C(2 in 1) = 2/10 = 0.2 — Jaccard is 0.2,
+    // below every dedup threshold, but containment flags it
+    assert(out.toSeq == Seq((1L, 2L, 10000L, 2000L)))
+    // raising the threshold past both directions drops the pair
+    assert(Dedup.containmentPairs(d, "doc_id", "text", minContainment = 1.01).count() == 0)
+  }
+
   test("incremental LSH: probe equals full recompute restricted to the batch; index stays current") {
     val corpusDocs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

@@ -81,4 +81,25 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("2024-01-01", 2, 1L) // user 1 back on day 2
     ))
   }
+
+  test("decayedValue: hand-traced integer fold in (ts, id) order; decay bounds enforced") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, 1.00),
+      (1L, ts("2024-01-02 00:00:00"), 11L, 2.00),
+      (1L, ts("2024-01-03 00:00:00"), 12L, 0.50),
+      (2L, ts("2024-01-01 00:00:00"), 13L, 3.33),
+      // same-ts tie for user 3: event_id orders the fold
+      (3L, ts("2024-01-01 00:00:00"), 21L, 1.00),
+      (3L, ts("2024-01-01 00:00:00"), 20L, 2.00)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.decayedValue(ev, "user_id", "ts", "event_id", "value", decayE4 = 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // user 1: 100 -> floor(100*.5)+200 = 250 -> floor(250*.5)+50 = 175
+    assert(out(0) == (1L, 3L, 175L))
+    assert(out(1) == (2L, 1L, 333L))
+    // user 3: id 20 first: 200 -> floor(200*.5)+100 = 200
+    assert(out(2) == (3L, 2L, 200L))
+    assertThrows[IllegalArgumentException](
+      TimeSeries.decayedValue(ev, "user_id", "ts", "event_id", "value", decayE4 = 10001L))
+  }
 }
