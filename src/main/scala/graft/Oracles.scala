@@ -1626,6 +1626,16 @@ object Oracles {
         |    (acc, v) -> CAST(FLOOR(acc * 8500 / 10000.0) AS BIGINT) + v) AS decayed_cents
         |FROM e""".stripMargin,
 
+    // q151: streaming decayed counter — converges to q150's batch fold
+    "q151_stream_decay" ->
+      """WITH e AS (SELECT user_id,
+        |   list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ORDER BY ts, event_id) vs
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
+        |    (acc, v) -> CAST(FLOOR(acc * 8500 / 10000.0) AS BIGINT) + v) AS decayed_cents
+        |FROM e""".stripMargin,
+
     // q148: CDC apply — replica active snapshot == v2's active set
     // derived from the source relations (b2 supersedes b1 per custkey)
     "q148_cdc_apply" ->

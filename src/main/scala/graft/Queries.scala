@@ -2936,6 +2936,26 @@ object Queries {
   def q150(s: SparkSession, dir: String): DataFrame =
     TimeSeries.decayedValue(t(s, dir, "events"), "user_id", "ts", "event_id", "value", decayE4 = 8500L)
 
+  /** q151: STREAMING DECAYED COUNTER
+    * ([[graft.streaming.Streaming.decayedCounter]]) — q150's fold
+    * executed through the streaming engine with O(1) state per key
+    * (acc, count in the state store), bounded AvailableNow replay.
+    * The last emission per key (max n_events) is the converged value;
+    * the oracle is q150's batch fold, so streaming execution, state
+    * round-trips, and the integer fold are all hash-gated.
+    */
+  def q151(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val ev = eventsStream(s, dir).select(
+      col("user_id"), col("event_id"), col("ts"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val raw = runBoundedStream(s, graft.streaming.Streaming.decayedCounter(ev, 8500L), "q151")
+    raw
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("decayed_cents"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"), col("m.decayed_cents").as("decayed_cents"))
+  }
+
   /** q141: SNAPSHOT-DRIFT DQ between warehouse versions
     * ([[dq.DqSuite.versionDrift]]) — the nightly between-commits gate:
     * the same metric set (record count, active count, distinct keys,

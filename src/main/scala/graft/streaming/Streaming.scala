@@ -622,4 +622,48 @@ object Streaming {
           }
       }
   }
+
+  /** STREAMING DECAYED COUNTER — the O(1)-state twin of
+    * [[graft.operators.TimeSeries.decayedValue]]: per-key state is just
+    * (accumulator, count); each micro-batch sorts ITS OWN slice of a
+    * key's events by (ts, event_id) and folds them in with
+    * `acc' = floor(acc * decayE4 / 1e4) + cents` (floorDiv — the exact
+    * integer twin of the batch fold's FLOOR chain). One updated
+    * (key, n, acc) row emits per key per batch; the LAST emission per
+    * key (max n) is the converged value.
+    *
+    * Convergence-to-batch precondition (q104's class of caveat): a key's
+    * events must not INTERLEAVE out of (ts, id) order ACROSS micro-batch
+    * boundaries — within a batch any order is fine (the fold sorts). An
+    * AvailableNow replay of a single file is one batch, trivially
+    * ordered; multi-batch live streams need per-key event-time ordering
+    * across triggers (or a buffer-and-watermark variant) for exact
+    * batch-oracle equality. The production semantic of arrival-order
+    * folding needs no precondition — only ORACLE EQUALITY does.
+    *
+    * Input columns: user_id LONG, event_id LONG, ts TIMESTAMP,
+    * cents LONG. State per key is two longs — 100M keys is ~GBs sharded
+    * across the cluster's state store (RocksDB default in
+    * [[graft.core.Sessions]]).
+    */
+  def decayedCounter(events: DataFrame, decayE4: Long)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(decayE4 >= 0 && decayE4 <= 10000, s"decayE4=$decayE4 must be in [0, 10000]")
+    events
+      .selectExpr("user_id", "event_id", "ts", "cents")
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, java.sql.Timestamp, Long)], state: GroupState[(Long, Long)]) =>
+          val evs = it.toSeq.sortBy(e => (e._3.getTime, e._2))
+          var (acc, n) = state.getOption.getOrElse((0L, 0L))
+          evs.foreach { e =>
+            acc = Math.floorDiv(acc * decayE4, 10000L) + e._4
+            n += 1
+          }
+          state.update((acc, n))
+          Iterator((user, n, acc))
+      }
+      .toDF("user_id", "n_events", "decayed_cents")
+  }
 }

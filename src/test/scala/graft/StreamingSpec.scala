@@ -639,4 +639,39 @@ class StreamingSpec extends AnyFunSuite {
       Streaming.intervalJoin(l, r2, "k", "lts", "rts", "30 minutes", "10 minutes")
     }
   }
+
+  test("decayedCounter: state carries across micro-batches; last emission equals the batch fold") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val landing = java.nio.file.Files.createTempDirectory("graft-decay").toString + "/landing"
+    // user 1 split across two batches in event-time order; user 2 in one
+    writeSlices(landing, Seq(
+      Seq((1L, 10L, ts("2024-01-01 00:00:00"), Some(1.00)),
+          (1L, 11L, ts("2024-01-02 00:00:00"), Some(2.00)),
+          (2L, 20L, ts("2024-01-01 12:00:00"), Some(3.33))),
+      Seq((1L, 12L, ts("2024-01-03 00:00:00"), Some(0.50)))
+    ))
+    val name = s"decay_sink_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val q = Streaming.decayedCounter(stream, 5000L)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "decay stream did not finish")
+    val rows = spark.table(name).as[(Long, Long, Long)].collect().toSet
+    spark.catalog.dropTempView(name)
+    // per-batch emissions: user 1 after batch 1 (n=2, 100->250), after
+    // batch 2 (n=3, floor(250*.5)+50 = 175); user 2 once
+    assert(rows == Set((1L, 2L, 250L), (1L, 3L, 175L), (2L, 1L, 333L)), s"got $rows")
+    // converged value (max n per user) equals the batch fold
+    val batch = graft.operators.TimeSeries.decayedValue(
+      spark.read.parquet(landing), "user_id", "ts", "event_id", "value", 5000L)
+      .as[(Long, Long, Long)].collect().toSet
+    val last = rows.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSet
+    assert(last == batch, s"streaming $last != batch $batch")
+  }
 }
