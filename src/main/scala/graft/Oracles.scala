@@ -1626,6 +1626,37 @@ object Oracles {
         |    (acc, v) -> CAST(FLOOR(acc * 8500 / 10000.0) AS BIGINT) + v) AS decayed_cents
         |FROM e""".stripMargin,
 
+    // q152: triangle counts — identical degree orientation and joins
+    "q152_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey ok, CAST(l_suppkey AS BIGINT) s FROM lineitem),
+        | e0 AS (SELECT DISTINCT least(x.s, y.s) a, greatest(x.s, y.s) b
+        |        FROM li x JOIN li y ON x.ok = y.ok AND x.s <> y.s),
+        | deg AS (SELECT v, count(*) d FROM (SELECT a v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+        | o AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b) THEN a ELSE b END u,
+        |              CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b) THEN b ELSE a END v
+        |       FROM e0 JOIN deg da ON e0.a = da.v JOIN deg db ON e0.b = db.v),
+        | wdg AS (SELECT e1.u, e1.v, e2.v w FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+        | tri AS (SELECT wdg.u, wdg.v, wdg.w FROM wdg JOIN e0 ON e0.a = wdg.v AND e0.b = wdg.w)
+        |SELECT vid AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest([u, v, w]) vid FROM tri) GROUP BY vid""".stripMargin,
+
+    // q153: golden record — per-field arg-max by (non-null, recency)
+    // replayed as one window per field
+    "q153_golden_record" ->
+      """WITH m AS (SELECT p_name, CAST(p_partkey AS BIGINT) pk, p_brand,
+        |   CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE p_type END p_type,
+        |   CAST(p_size AS BIGINT) p_size FROM part),
+        | fb AS (SELECT p_name, p_brand, row_number() OVER (PARTITION BY p_name
+        |   ORDER BY (p_brand IS NOT NULL) DESC, pk DESC) rn FROM m),
+        | ft AS (SELECT p_name, p_type, row_number() OVER (PARTITION BY p_name
+        |   ORDER BY (p_type IS NOT NULL) DESC, pk DESC) rn FROM m),
+        | fs AS (SELECT p_name, p_size, row_number() OVER (PARTITION BY p_name
+        |   ORDER BY (p_size IS NOT NULL) DESC, pk DESC) rn FROM m)
+        |SELECT fb.p_name, fb.p_brand, ft.p_type, fs.p_size
+        |FROM fb JOIN ft ON fb.p_name = ft.p_name AND ft.rn = 1
+        |        JOIN fs ON fb.p_name = fs.p_name AND fs.rn = 1
+        |WHERE fb.rn = 1""".stripMargin,
+
     // q151: streaming decayed counter — converges to q150's batch fold
     "q151_stream_decay" ->
       """WITH e AS (SELECT user_id,

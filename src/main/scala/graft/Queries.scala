@@ -2956,6 +2956,42 @@ object Queries {
       .select(col("user_id"), col("m.n_events").as("n_events"), col("m.decayed_cents").as("decayed_cents"))
   }
 
+  /** q152: PER-VERTEX TRIANGLE COUNTS ([[Graph.triangleCounts]]) over
+    * the co-supplier graph (suppliers sharing an order, q116's graph) —
+    * degree-oriented edge-iterator: wedges built only from each edge's
+    * lower-(degree,id) endpoint, closed against the undirected edge set,
+    * so the hub explosion a naive wedge join hits on power-law graphs is
+    * bounded by the classical O(m^1.5) result. The oracle replays the
+    * identical orientation and joins.
+    */
+  def q152(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey")).distinct()
+    val x = li.toDF("ok", "src")
+    val y = li.toDF("ok", "dst")
+    val edges = x.join(y, "ok").filter(col("src") =!= col("dst")).select(col("src"), col("dst"))
+    Graph.triangleCounts(edges, "src", "dst")
+      .select(col("vid").as("s_suppkey"), col("n_triangles"))
+  }
+
+  /** q153: GOLDEN-RECORD SURVIVORSHIP MERGE ([[Transform.goldenRecord]])
+    * — the MDM consumer of entity resolution: one merged record per
+    * entity (here the exact part-name group) with each field resolved
+    * independently by "latest non-null wins" (recency = p_partkey, the
+    * tie-free order). p_type is deterministically nulled for
+    * partkey%3=0 to exercise the non-null preference. The oracle
+    * replays the per-field arg-max as windows.
+    */
+  def q153(s: SparkSession, dir: String): DataFrame = {
+    val masked = t(s, dir, "part")
+      .select(
+        col("p_name"), col("p_partkey").cast("long").as("p_partkey"),
+        col("p_brand"),
+        when(col("p_partkey") % 3 === 0, lit(null).cast("string")).otherwise(col("p_type")).as("p_type"),
+        col("p_size").cast("long").as("p_size")
+      )
+    Transform.goldenRecord(masked, "p_name", "p_partkey", Seq("p_brand", "p_type", "p_size"))
+  }
+
   /** q141: SNAPSHOT-DRIFT DQ between warehouse versions
     * ([[dq.DqSuite.versionDrift]]) — the nightly between-commits gate:
     * the same metric set (record count, active count, distinct keys,

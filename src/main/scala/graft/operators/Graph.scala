@@ -70,4 +70,61 @@ object Graph {
     }
     ranks
   }
+
+  /** PER-VERTEX TRIANGLE COUNTS over an undirected graph (community /
+    * spam / link-farm structure signals) — the DEGREE-ORIENTED
+    * edge-iterator algorithm: orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher one, build wedges by
+    * joining oriented edges on their source, and close each wedge
+    * against the oriented edge set. Orientation makes the wedge count
+    * Σ d_oriented(u)² with d_oriented ≤ O(√m) on any graph — the
+    * classical bound that keeps a power-law hub from exploding the
+    * intermediate — while leaving the triangle set exactly the set of
+    * closed triples (each found exactly once, at its lowest-ordered
+    * vertex).
+    *
+    * Input edges may be directed/duplicated/self-looped; they normalize
+    * to simple undirected edges first. Output: (vid, n_triangles) for
+    * every vertex in at least one triangle.
+    *
+    * SCALE: three shuffles (degree agg, wedge join on u, closing join on
+    * (v,w)) over edge-grain relations — no vertex ever needs its full
+    * neighborhood in memory, so the operator survives graphs whose hubs
+    * dwarf executor memory.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = graft.core.Caching.cached(
+      edges
+        .select(least(col(srcCol), col(dstCol)).cast("long").as("a"), greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+        .filter(col("a") =!= col("b") && col("a").isNotNull)
+        .distinct()
+    )
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    // orient lower (degree, id) -> higher; (d, id) is a total order
+    val oriented = graft.core.Caching.cached(
+      withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")), col("b")).otherwise(col("a")).as("v")
+      )
+    )
+    val e1 = oriented.select(col("u"), col("v"))
+    val e2 = oriented.select(col("u"), col("v").as("w"))
+    val wedges = e1.join(e2, Seq("u")).filter(col("v") < col("w"))
+    // a wedge (u; v, w) closes iff the oriented edge between v and w
+    // exists — orientation direction between them is unknown, so probe
+    // the undirected set (u < v in `und` by construction)
+    val tri = wedges.join(
+      und.select(col("a").as("v"), col("b").as("w")),
+      Seq("v", "w"),
+      "left_semi"
+    )
+    tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("vid"))
+      .groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -680,21 +680,46 @@ object TextAnalysis {
       when(col("__norm") === 0L, lit(0L))
         .otherwise(floor(mass * lit(10000.0) / col("__norm")))
         .cast("long")
-    def topMass(n: Int): Column = {
+    // SINGLE LINEAR FOLD per n: sort the grams, then one run-length pass
+    // computing BOTH the top-gram mass (max count, tie -> longest) and
+    // the duplicate mass (sum (runLen-1)*gramLen). O(g log g) per row.
+    // The first formulation here was transform(distinct, x ->
+    // filter(g, y = x)) — O(distinct x grams) of INTERPRETED lambda per
+    // row, which ground a 50k-doc corpus for minutes; HOF lambdas don't
+    // codegen, so per-row quadratics must be designed out, not shrugged
+    // at.
+    def runStats(n: Int): Column = {
       val g = col(s"__g$n")
-      val d = array_distinct(g)
-      val counts = transform(d, x => size(filter(g, y => y === x)).cast("long"))
-      val cmax = coalesce(array_max(counts), lit(0L))
-      coalesce(
-        array_max(zip_with(d, counts, (x, c) =>
-          when(c === cmax, c * length(x).cast("long")).otherwise(lit(0L)))),
-        lit(0L)
+      def closeBetter(st: Column): Column = {
+        val cC = st.getField("run")
+        val cM = st.getField("run") * length(st.getField("prev")).cast("long")
+        cC > st.getField("bc") || (cC === st.getField("bc") && cM > st.getField("bm"))
+      }
+      def closedMass(st: Column): Column =
+        st.getField("run") * length(st.getField("prev")).cast("long")
+      def closedDup(st: Column): Column =
+        st.getField("dup") + (st.getField("run") - 1L) * length(st.getField("prev")).cast("long")
+      aggregate(
+        array_sort(g),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("bc"), lit(0L).as("bm"), lit(0L).as("dup")),
+        (st, x) => {
+          val same = st.getField("prev") === x
+          struct(
+            x.as("prev"),
+            when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+            when(!same && closeBetter(st), st.getField("run")).otherwise(st.getField("bc")).as("bc"),
+            when(!same && closeBetter(st), closedMass(st)).otherwise(st.getField("bm")).as("bm"),
+            when(same, st.getField("dup")).otherwise(closedDup(st)).as("dup")
+          )
+        },
+        st => struct(
+          when(closeBetter(st), closedMass(st)).otherwise(st.getField("bm")).as("top"),
+          closedDup(st).as("dup")
+        )
       )
     }
-    def dupMass(n: Int): Column = {
-      val g = col(s"__g$n")
-      sumLen(g) - sumLen(array_distinct(g))
-    }
+    def topMass(n: Int): Column = runStats(n).getField("top")
+    def dupMass(n: Int): Column = runStats(n).getField("dup")
     val topThr = Map(2 -> 2000L, 3 -> 1800L, 4 -> 1600L)
     val dupThr = Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L, 8 -> 1200L, 9 -> 1100L, 10 -> 1000L)
     val topCols = Seq(2, 3, 4).map(n => fracE4(topMass(n)).as(s"top${n}_frac_e4"))

@@ -234,6 +234,28 @@ object Transform {
     (main, sides.toMap)
   }
 
+  /** GOLDEN-RECORD SURVIVORSHIP MERGE (the MDM step after entity
+    * resolution): one merged record per entity where EACH FIELD is
+    * resolved independently by "latest non-null wins" — the newest
+    * (by `orderCol`) row carrying a value for that field supplies it,
+    * so a recent row with a missing attribute does not erase an older
+    * row's value. `orderCol` must be unique within an entity (a commit
+    * sequence / partkey), making the rule total and deterministic.
+    *
+    * Implementation: one hash aggregation, each field folded as
+    * max(struct(non-null flag, order, value)) — a single shuffle on the
+    * entity key regardless of field count, no per-field window passes
+    * (f windows would sort the entity's rows f times).
+    */
+  def goldenRecord(df: DataFrame, entityCol: String, orderCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "goldenRecord: fields must be non-empty")
+    val aggs = fields.map { f =>
+      max(struct(col(f).isNotNull.cast("int").as("nn"), col(orderCol).as("o"), col(f).as("v")))
+        .getField("v").as(f)
+    }
+    df.groupBy(col(entityCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   private def hasPath(df: DataFrame, dotted: String): Boolean = {
     import org.apache.spark.sql.types._
     def walk(dt: DataType, parts: List[String]): Boolean = (dt, parts) match {

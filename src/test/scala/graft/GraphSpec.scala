@@ -55,4 +55,18 @@ class GraphSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", 1, dampNum = 100, dampDen = 100))
   }
+
+  test("triangleCounts: K4 gives 3 per vertex; dedup/self-loop/direction normalization; open wedge is no triangle") {
+    // K4 on {1,2,3,4} with noise: duplicate edges, reversed direction,
+    // a self-loop, and a pendant open wedge 4-5, 5-6 (no 4-6 edge)
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b) // both directions = dedup test
+    val edges = (k4 ++ Seq((1L, 1L), (4L, 5L), (5L, 4L), (5L, 6L))).toDF("src", "dst")
+    val out = Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // K4 has C(4,3)=4 triangles; each vertex sits in C(3,2)=3 of them
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $out")
+    // a pure path has no triangles at all
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(path, "src", "dst").count() == 0)
+  }
 }

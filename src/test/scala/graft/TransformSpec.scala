@@ -147,4 +147,20 @@ class TransformSpec extends AnyFunSuite {
     // bounded index beyond list length -> null
     assert(a.getAs[Any]("targeting_geoTargeting_targetedLocations_1_displayName") == null)
   }
+
+  test("goldenRecord: per-field latest-non-null wins independently; all-null field stays null") {
+    val rows = Seq(
+      // entity A: newest row (o=3) misses brand — brand must survive from o=2
+      ("A", 1L, Some("b1"), Some("t1")),
+      ("A", 2L, Some("b2"), None),
+      ("A", 3L, None, Some("t3")),
+      // entity B: field t null everywhere
+      ("B", 1L, Some("bX"), None)
+    ).toDF("ent", "o", "brand", "t")
+    val out = Transform.goldenRecord(rows, "ent", "o", Seq("brand", "t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(out(0) == ("A", "b2", "t3"), s"got ${out(0)}")
+    assert(out(1) == ("B", "bX", null))
+    assertThrows[IllegalArgumentException](Transform.goldenRecord(rows, "ent", "o", Nil))
+  }
 }
