@@ -1626,6 +1626,22 @@ object Oracles {
         |    (acc, v) -> CAST(FLOOR(acc * 8500 / 10000.0) AS BIGINT) + v) AS decayed_cents
         |FROM e""".stripMargin,
 
+    // q154: type-widening read — the widened union recomputed from orders
+    "q154_widened_read" ->
+      """SELECT CAST(o_orderkey AS BIGINT) k, CAST(o_custkey AS BIGINT) ck,
+        |  CASE WHEN o_custkey > 750 THEN o_totalprice ELSE NULL END price
+        |FROM orders""".stripMargin,
+
+    // q155: replica divergence — which buckets must report diverged
+    // (b3 corrupted, b5 short) plus both row counts, derived relationally
+    "q155_replica_audit" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) k, 'b' || CAST(o_custkey % 8 AS VARCHAR) p FROM orders),
+        | a AS (SELECT p, CAST(count(*) AS BIGINT) rows_a FROM o GROUP BY p),
+        | b AS (SELECT p, CAST(count(*) AS BIGINT) rows_b FROM o
+        |       WHERE NOT (p = 'b5' AND k % 2 = 1) GROUP BY p)
+        |SELECT a.p AS part, rows_a, rows_b, (a.p IN ('b3', 'b5')) AS diverged
+        |FROM a JOIN b ON a.p = b.p""".stripMargin,
+
     // q152: triangle counts — identical degree orientation and joins
     "q152_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey ok, CAST(l_suppkey AS BIGINT) s FROM lineitem),

@@ -2992,6 +2992,58 @@ object Queries {
     Transform.goldenRecord(masked, "p_name", "p_partkey", Seq("p_brand", "p_type", "p_size"))
   }
 
+  /** q154: TYPE-WIDENING SCHEMA-EVOLUTION READ
+    * ([[graft.sources.VersionedTable.readWidened]]) — partitions written
+    * under different numeric types across commits (customer key INT in
+    * the first load, LONG plus a new price column in the second) read
+    * as one relation under the widest type per column; mergeSchema
+    * alone refuses the parquet type conflict. Oracle recomputes the
+    * widened union relationally.
+    */
+  def q154(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val path = scratchDir("widen") + "/t"
+    val o = t(s, dir, "orders")
+    VersionedTable.commitDelta(
+      s, path,
+      o.filter(col("o_custkey") <= 750)
+        .select(col("o_orderkey").cast("long").as("k"), col("o_custkey").cast("int").as("ck"), lit("lo").as("p")),
+      "p")
+    VersionedTable.commitDelta(
+      s, path,
+      o.filter(col("o_custkey") > 750)
+        .select(col("o_orderkey").cast("long").as("k"), col("o_custkey").cast("long").as("ck"), col("o_totalprice").as("price"), lit("hi").as("p")),
+      "p")
+    VersionedTable.readWidened(s, path).select(col("k"), col("ck"), col("price"))
+  }
+
+  /** q155: REPLICA DIVERGENCE AUDIT
+    * ([[graft.sources.VersionedTable.divergedPartitions]]) — the
+    * anti-entropy check for q148-style replicas: per-partition
+    * order-independent content fingerprints (count + xxhash64 sum),
+    * compared without moving any rows between the tables. The replica
+    * here is planted with one corrupted bucket (price drift) and one
+    * short bucket (lost rows); the oracle derives which buckets must
+    * report diverged and both row counts.
+    */
+  def q155(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val pa = scratchDir("diva") + "/t"
+    val pb = scratchDir("divb") + "/t"
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_custkey").cast("long").as("ck"),
+      col("o_totalprice").as("price"),
+      concat(lit("b"), (col("o_custkey") % 8).cast("string")).as("p"))
+    VersionedTable.commitDelta(s, pa, o, "p")
+    val corrupted = o.withColumn(
+      "price",
+      when(col("p") === "b3", col("price") + 1.0).otherwise(col("price"))
+    ).filter(!(col("p") === "b5" && col("k") % 2 === 1))
+    VersionedTable.commitDelta(s, pb, corrupted, "p")
+    VersionedTable.divergedPartitions(s, pa, pb)
+  }
+
   /** q141: SNAPSHOT-DRIFT DQ between warehouse versions
     * ([[dq.DqSuite.versionDrift]]) — the nightly between-commits gate:
     * the same metric set (record count, active count, distinct keys,

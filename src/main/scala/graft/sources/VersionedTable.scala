@@ -557,6 +557,108 @@ object VersionedTable {
       d.join(broadcast(dv), cond, "left_anti")
     }
 
+  /** Numeric type-widening lattice for schema evolution across commits:
+    * integral types widen to the larger integral, fractional to double,
+    * integral + fractional to double (documented lossy above 2^53 —
+    * the standard lakehouse type-widening trade). Anything else must
+    * match exactly.
+    */
+  private[sources] def widenType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType
+  ): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val rank: Map[DataType, Int] =
+      Map(ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3, FloatType -> 4, DoubleType -> 5)
+    if (a == b) a
+    else (rank.get(a), rank.get(b)) match {
+      case (Some(ra), Some(rb)) =>
+        val w = math.max(ra, rb)
+        if (w <= 3) Seq(ByteType, ShortType, IntegerType, LongType)(w)
+        else DoubleType // any fractional participant -> double
+      case _ =>
+        throw new IllegalStateException(s"cannot widen incompatible types $a / $b")
+    }
+  }
+
+  /** TYPE-WIDENING READ (the Delta/Iceberg type-widening story): a
+    * delta table whose partitions were written under DIFFERENT numeric
+    * types across commits (a column upgraded int->long or ->double)
+    * reads as one relation under the WIDEST type per column. Plain
+    * [[read]]'s mergeSchema refuses conflicting parquet types; this
+    * variant reads each partition under its own file schema, casts up
+    * the widening lattice, and unions — missing columns null-pad as in
+    * the drift story. Deletion vectors apply as in every read path.
+    */
+  def readWidened(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    partitionMap(spark, path, v) match {
+      case None => read(spark, path, Some(v))
+      case Some(parts) =>
+        val dfs = parts.toSeq.sortBy(_._1).map { case (p, pv) =>
+          spark.read.parquet(s"$path/v=$pv/p=$p")
+        }
+        val target: Seq[(String, org.apache.spark.sql.types.DataType)] = dfs
+          .flatMap(_.schema.fields.map(f => f.name -> f.dataType))
+          .groupBy(_._1)
+          .map { case (n, ts) => n -> ts.map(_._2).reduce(widenType) }
+          .toSeq
+          .sortBy(_._1)
+        def conform(d: DataFrame): DataFrame =
+          d.select(target.map { case (n, t) =>
+            (if (d.columns.contains(n)) col(n) else lit(null)).cast(t).as(n)
+          }: _*)
+        applyDvPending(spark, path, v, dfs.map(conform).reduce(_.unionByName(_)))
+    }
+  }
+
+  /** REPLICA DIVERGENCE AUDIT (the anti-entropy check behind q148's CDC
+    * replication): compare two delta tables PARTITION BY PARTITION using
+    * an order-independent content fingerprint — count plus the sum of
+    * xxhash64 over each row's common columns — and report, per
+    * partition, both row counts and whether content diverged. Partitions
+    * present on one side only report diverged with the other side's
+    * count null.
+    *
+    * SCALE: one aggregation pass per table (no row-level join between
+    * replicas, no data movement across them — each side reduces to one
+    * fingerprint row per partition, and only those meet). This is how
+    * you audit a 100 TB replica nightly without shipping the table.
+    */
+  def divergedPartitions(spark: SparkSession, pathA: String, pathB: String): DataFrame = {
+    def side(path: String, cols: Seq[String], partCol: String): DataFrame = {
+      val d = read(spark, path)
+      // bit_xor, not sum: hash values span the full long range and an
+      // ANSI sum overflows; xor is commutative/associative (order-free
+      // across partitionings) and cannot overflow. Caveat carried by the
+      // count column: xor cancels EVEN multiplicities of an identical
+      // row, so equal-count same-xor corruption requires swapping pairs
+      // of duplicate rows — detectable only with a stronger (decimal
+      // sum) fingerprint if the table allows exact duplicate rows.
+      d.withColumn("__h", xxhash64(cols.map(c => col(c).cast("string")): _*))
+        .groupBy(col(partCol).cast("string").as("part"))
+        .agg(count(lit(1)).as("rows"), expr("bit_xor(__h)").as("fp"))
+    }
+    def partColOf(path: String): String = {
+      val v = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"no committed versions at $path"))
+      commitField(spark, path, v, "partition_column").getOrElse(
+        throw new IllegalStateException(s"$path is not a delta table (no partition_column)"))
+    }
+    val (pa, pb) = (partColOf(pathA), partColOf(pathB))
+    val common = (read(spark, pathA).columns.toSet intersect read(spark, pathB).columns.toSet).toSeq.sorted
+    require(common.nonEmpty, "replicas share no columns to compare")
+    val a = side(pathA, common, pa).select(col("part"), col("rows").as("rows_a"), col("fp").as("fp_a"))
+    val b = side(pathB, common, pb).select(col("part"), col("rows").as("rows_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("part"), "full_outer")
+      .select(
+        col("part"),
+        col("rows_a"), col("rows_b"),
+        (!(col("fp_a") <=> col("fp_b")) || !(col("rows_a") <=> col("rows_b"))).as("diverged")
+      )
+  }
+
   /** Zone-map pruning plan for `statsCol BETWEEN lo AND hi`: partitions
     * split into (scan, skip). A partition is skipped ONLY when its
     * recorded [min,max] interval misses [lo,hi]; partitions without a

@@ -493,6 +493,32 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("readWidened: int->long and int+double->double across commits; incompatible types refuse") {
+    val path = Files.createTempDirectory("graft-vt-w").toString + "/t"
+    VersionedTable.commitDelta(spark, path, Seq((1, "a")).toDF("v", "p"), "p") // v INT
+    VersionedTable.commitDelta(spark, path, Seq((2L, "b")).toDF("v", "p"), "p") // v LONG
+    val w = VersionedTable.readWidened(spark, path)
+    assert(w.schema("v").dataType.typeName == "long")
+    assert(w.select("v").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    VersionedTable.commitDelta(spark, path, Seq((2.5, "c")).toDF("v", "p"), "p") // v DOUBLE
+    val w2 = VersionedTable.readWidened(spark, path)
+    assert(w2.schema("v").dataType.typeName == "double")
+    assert(w2.select("v").as[Double].collect().sorted.toSeq == Seq(1.0, 2.0, 2.5))
+    VersionedTable.commitDelta(spark, path, Seq(("str", "d")).toDF("v", "p"), "p")
+    intercept[IllegalStateException] { VersionedTable.readWidened(spark, path).collect() }
+  }
+
+  test("divergedPartitions: identical replicas all clean; one-sided partition flags with null count") {
+    val pa = Files.createTempDirectory("graft-vt-da").toString + "/t"
+    val pb = Files.createTempDirectory("graft-vt-db").toString + "/t"
+    val rows = Seq((1L, "x", "p0"), (2L, "y", "p1")).toDF("k", "v", "p")
+    VersionedTable.commitDelta(spark, pa, rows, "p")
+    VersionedTable.commitDelta(spark, pb, rows.unionByName(Seq((3L, "z", "p2")).toDF("k", "v", "p")), "p")
+    val out = VersionedTable.divergedPartitions(spark, pa, pb)
+      .collect().map(r => (r.getString(0), r.getBoolean(3))).toMap
+    assert(out == Map("p0" -> false, "p1" -> false, "p2" -> true))
+  }
+
   test("applyChangeFeed: replica follows source exactly (history included), idempotent re-apply, touched buckets only") {
     val src = Files.createTempDirectory("graft-vt-cdc-s").toString + "/t"
     val rep = Files.createTempDirectory("graft-vt-cdc-r").toString + "/t"
