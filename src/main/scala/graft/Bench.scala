@@ -200,7 +200,7 @@ object Bench {
         "q145_gdpr_deferred", "q146_incremental_lsh", "q147_domain_cap",
         "q148_cdc_apply", "q149_containment", "q150_decayed_value",
         "q151_stream_decay", "q152_triangles", "q153_golden_record",
-        "q154_widened_read", "q155_replica_audit")
+        "q154_widened_read", "q155_replica_audit", "q156_label_screen")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x
@@ -285,8 +285,10 @@ object Bench {
       val safe = df.schema.fields.filter(f => hashable(f.dataType)).map(f => org.apache.spark.sql.functions.col(f.name))
       if (safe.isEmpty) { df.count(); () }
       else {
+        // bit_xor, not sum: hashes span the full long range and an ANSI
+        // sum overflows (killed the first hash_rows run, 93/93 errors)
         df.select(org.apache.spark.sql.functions.xxhash64(safe: _*).as("__h"))
-          .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("__h")))
+          .agg(org.apache.spark.sql.functions.expr("bit_xor(__h)"))
           .head()
         ()
       }

@@ -3044,6 +3044,18 @@ object Queries {
     VersionedTable.divergedPartitions(s, pa, pb)
   }
 
+  /** q156: kNN LABEL-NOISE SCREEN ([[Similarity.knnLabelScreen]]) — the
+    * Cleanlab-style annotation audit: probe vectors (vec_id % 20 == 0,
+    * the suspect batch) ranked against the corpus by exact cosine,
+    * majority label of the 5 nearest neighbors vs own label. The oracle
+    * replays the ordered dot folds, the (cosine, id) ranking, and the
+    * (count, label) majority tie-break.
+    */
+  def q156(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelScreen(
+      t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+      col("vec_id") % 20 === 0, k = 5)
+
   /** q141: SNAPSHOT-DRIFT DQ between warehouse versions
     * ([[dq.DqSuite.versionDrift]]) — the nightly between-commits gate:
     * the same metric set (record count, active count, distinct keys,

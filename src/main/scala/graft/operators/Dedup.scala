@@ -1046,6 +1046,33 @@ object Dedup {
       minJaccard: Double = 0.5
   ): DataFrame = {
     val newSig = graft.core.Caching.cached(portableSigTable(newBatch, idCol, textCol, shingleSize, bands * rowsPerBand))
+    val out = lshProbePairs(spark, indexPath, newSig, bands, rowsPerBand, minJaccard)
+    // SEVER LINEAGE before appending: the result plan scans `sigs/`, and
+    // Spark invalidates (and transparently recomputes) any cached plan
+    // over a path that gets appended to — a plain cache() would silently
+    // double-count the batch. localCheckpoint materializes the pairs as
+    // an RDD with no file lineage; real clusters with lossy executors
+    // should use a reliable checkpoint dir here (duplicateGroups'
+    // pattern).
+    val local = out.localCheckpoint()
+    newSig.write.mode("append").parquet(s"$indexPath/sigs")
+    portableBandTable(newSig, bands, rowsPerBand).write.mode("append").parquet(s"$indexPath/bands")
+    local
+  }
+
+  /** The pre-checkpoint probe plan of [[lshProbeAndAppend]] (batch
+    * bucket set broadcast against the persisted postings, candidates
+    * verified by exact Jaccard) — factored out so plan-shape guards can
+    * inspect the join strategy before the lineage cut hides it.
+    */
+  private[graft] def lshProbePairs(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      newSig: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      minJaccard: Double
+  ): DataFrame = {
     val newBands = portableBandTable(newSig, bands, rowsPerBand)
     val oldBands = spark.read.parquet(s"$indexPath/bands")
     val probe = newBands.select(col("bucket"), col("doc_id").as("__new_id"))
@@ -1060,22 +1087,11 @@ object Dedup {
     val cand = candNewOld.unionByName(candNewNew).distinct()
     val allSh = spark.read.parquet(s"$indexPath/sigs").select(col("doc_id"), col("shingles"))
       .unionByName(newSig.select(col("doc_id"), col("shingles")))
-    val out = cand
+    cand
       .join(allSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(allSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), floor(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
-    // SEVER LINEAGE before appending: the result plan scans `sigs/`, and
-    // Spark invalidates (and transparently recomputes) any cached plan
-    // over a path that gets appended to — a plain cache() would silently
-    // double-count the batch. localCheckpoint materializes the pairs as
-    // an RDD with no file lineage; real clusters with lossy executors
-    // should use a reliable checkpoint dir here (duplicateGroups'
-    // pattern).
-    val local = out.localCheckpoint()
-    newSig.write.mode("append").parquet(s"$indexPath/sigs")
-    portableBandTable(newSig, bands, rowsPerBand).write.mode("append").parquet(s"$indexPath/bands")
-    local
   }
 }

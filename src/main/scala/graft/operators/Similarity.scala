@@ -614,4 +614,52 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** kNN LABEL-NOISE SCREEN (the Cleanlab-style data-cleaning pass): for
+    * each PROBE vector, find its k exact-cosine nearest neighbors in the
+    * corpus (self excluded), take the majority neighbor label (ties →
+    * smallest label), and flag probes whose own label disagrees —
+    * candidate annotation errors for re-labeling. Deterministic
+    * end-to-end: index-order dot folds, (cosine DESC, id ASC) ranking.
+    *
+    * SCALE: the probe set (the suspect batch under audit) BROADCASTS;
+    * the corpus is scanned once with no shuffle of the vectors — the
+    * per-probe top-k runs as a window over probe-keyed candidate rows
+    * (corpus-linear). Screening an ENTIRE 1B-vector corpus against
+    * itself is a different shape: run per-cell via the IVF machinery
+    * (q85/q90) so candidates stay cell-local, and swap the window for
+    * the bounded-heap aggregator (q131's shape).
+    */
+  def knnLabelScreen(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      probePred: Column,
+      k: Int = 5
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k=$k must be >= 1")
+    val corpus = df.select(col(idCol).as("cid"), col(vecCol).as("ce"), col(labelCol).cast("long").as("clab"))
+    val probes = df.filter(probePred)
+      .select(col(idCol).as("pid"), col(vecCol).as("pe"), col(labelCol).cast("long").as("plab"))
+    val scored = corpus
+      .join(broadcast(probes), col("cid") =!= col("pid"))
+      .withColumn("c", cosine(transform(col("pe"), _.cast("double")), transform(col("ce"), _.cast("double"))))
+    val top = scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("pid")).orderBy(col("c").desc, col("cid").asc)))
+      .filter(col("rn") <= k)
+    top
+      .groupBy(col("pid"), col("plab"), col("clab"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rm", row_number().over(Window.partitionBy(col("pid")).orderBy(col("n").desc, col("clab").asc)))
+      .filter(col("rm") === 1)
+      .select(
+        col("pid").as(idCol),
+        col("plab").as("own_label"),
+        col("clab").as("neighbor_label"),
+        col("n").as("n_votes"),
+        (col("plab") =!= col("clab")).as("flagged")
+      )
+  }
 }

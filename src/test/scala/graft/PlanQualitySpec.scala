@@ -224,4 +224,60 @@ class PlanQualitySpec extends AnyFunSuite {
     // column pruning: the scan must not read unprojected wide columns
     assert(!p.contains("o_comment"), "ORC scan reads unprojected columns")
   }
+
+  test("q142/q143: per-row corpus screens are shuffle-free single scans") {
+    Seq("q142_repetition", "q143_quality_classifier").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q: per-row screen must not shuffle:\n$p")
+      assert(!p.contains("Sort "), s"$q: per-row screen must not sort")
+    }
+  }
+
+  test("q146: incremental LSH probes the postings with the BATCH side broadcast") {
+    // inspect the PRE-checkpoint probe plan (the public entry point cuts
+    // lineage before returning, hiding the join strategy)
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("graft-lshplan").toString + "/index"
+    val docs = graft.sources.IO.table(spark, dir, "documents")
+    Dedup.lshIndexBuild(spark, idx, docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    val newSig = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), graft.operators.TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), org.apache.spark.sql.functions.array_distinct(
+        graft.plans.HashExpressions.shingleHash60(col("__toks"), 3)).as("shingles"))
+      .filter(org.apache.spark.sql.functions.size(col("shingles")) > 0)
+      .withColumn("sig", Dedup.minhashSignatureFromHashes(col("shingles"), 16))
+    val p = Dedup.lshProbePairs(spark, idx, newSig, 8, 2, 0.5).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"probe bucket set must broadcast against the index:\n$p")
+  }
+
+  test("q144: zone-map scan opens only intersecting partitions before the residual filter") {
+    import graft.sources.VersionedTable
+    val path = java.nio.file.Files.createTempDirectory("graft-zmplan").toString + "/t"
+    val orders = graft.sources.IO.table(spark, dir, "orders")
+      .selectExpr("CAST(o_orderkey AS LONG) k", "CAST(o_custkey AS LONG) ck",
+        "concat('r', CAST(CAST(o_custkey / 25 AS LONG) AS STRING)) p")
+    VersionedTable.commitDelta(spark, path, orders, "p", statsCols = Seq("ck"))
+    val (scan, skip) = VersionedTable.zonePrunePlan(spark, path, "ck", 30L, 60L)
+    assert(skip.nonEmpty && scan.size < scan.size + skip.size, "zone maps must eliminate partitions")
+    val p = VersionedTable.readZonePruned(spark, path, "ck", 30L, 60L).queryExecution.executedPlan.toString
+    // the plan's file index carries only the scanned partition dirs
+    skip.foreach(s => assert(!p.contains(s"p=$s]") && !p.contains(s"p=$s,"), s"skipped partition p=$s leaked into the scan"))
+  }
+
+  test("q155: replica audit reduces map-side — partial-then-final aggregate, no row-level join between replicas") {
+    val df = SparkEntry.queries("q155_replica_audit")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 4, "per-side partial aggregation missing")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")) // fingerprint rows meet here
+  }
+
+  test("q156: probe batch broadcasts; candidate ranking windows per probe, not globally") {
+    val df = SparkEntry.queries("q156_label_screen")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe set must broadcast:\n$p")
+    assert(!p.contains("Window [") || p.contains("windowspecdefinition(pid"),
+      "ranking window must partition by probe")
+  }
 }

@@ -364,4 +364,26 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.ivfPqTopK(vecs, "vec_id", "embedding", 4, coarse, cbs, Seq(1f, 1f, 1f, 1f), nprobe = 3, k = 4)
     }
   }
+
+  test("knnLabelScreen: planted mislabel flagged, consistent labels pass, self excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two tight clusters in 2-d; vec 3 sits in cluster A but carries B's label
+    val vecs = Seq(
+      (0L, Array(1.00f, 0.01f), 0), (1L, Array(0.99f, 0.02f), 0), (2L, Array(0.98f, 0.00f), 0),
+      (3L, Array(1.00f, 0.03f), 1), // mislabeled
+      (10L, Array(0.01f, 1.00f), 1), (11L, Array(0.02f, 0.99f), 1), (12L, Array(0.00f, 0.98f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelScreen(vecs, "vec_id", "embedding", "label", col("vec_id").isin(0L, 3L, 10L), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4))).sortBy(_._1)
+    // probe 0: neighbors are cluster A (labels 0,0 from 1,2 and 1 from 3) -> majority 0, not flagged
+    assert(out(0) == (0L, 0L, 0L, false))
+    // probe 3: its 3 nearest are all true cluster A -> majority 0, own 1 -> flagged
+    assert(out(1) == (3L, 1L, 0L, true))
+    // probe 10: cluster B majority 1, not flagged
+    assert(out(2) == (10L, 1L, 1L, false))
+    intercept[IllegalArgumentException] {
+      Similarity.knnLabelScreen(vecs, "vec_id", "embedding", "label", col("vec_id") === 0L, k = 0)
+    }
+  }
 }
