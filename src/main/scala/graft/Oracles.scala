@@ -1626,6 +1626,40 @@ object Oracles {
         |    (acc, v) -> CAST(FLOOR(acc * 8500 / 10000.0) AS BIGINT) + v) AS decayed_cents
         |FROM e""".stripMargin,
 
+    // q157: per-dimension stats — e6 floors, HUGEINT variance identity,
+    // truncating divisions (q137's division-semantics precedent)
+    "q157_dimension_stats" ->
+      """WITH e AS (SELECT CAST(i AS BIGINT) dim,
+        |    CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * 1000000.0e0) AS BIGINT) v
+        |  FROM embeddings, range(64) t(i)),
+        | a AS (SELECT dim, CAST(count(*) AS BIGINT) n, CAST(sum(v) AS BIGINT) s,
+        |        CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) ssq
+        |   FROM e GROUP BY dim)
+        |SELECT dim, n, s // n AS mean_e6,
+        | CAST((CAST(n AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_e12
+        |FROM a""".stripMargin,
+
+    // q158: equi-width histogram — identical integer bucket arithmetic,
+    // clamped edges, densified empty buckets
+    "q158_histogram" ->
+      """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) c FROM orders),
+        | b AS (SELECT LEAST(19, GREATEST(0, (c * 20) // 60000000)) bin FROM v),
+        | g AS (SELECT CAST(unnest(range(20)) AS BIGINT) bin),
+        | n AS (SELECT bin, CAST(count(*) AS BIGINT) n FROM b GROUP BY bin)
+        |SELECT g.bin, (g.bin * CAST(60000000 AS BIGINT)) // 20 AS lo_edge_cents,
+        |  COALESCE(n.n, 0) AS n
+        |FROM g LEFT JOIN n ON g.bin = n.bin""".stripMargin,
+
+    // q159: balanced downsample — count floor + (hash DESC, id) rank
+    "q159_balanced_sample" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |   CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) h
+        |  FROM embeddings),
+        | m AS (SELECT min(c) mn FROM (SELECT count(*) c FROM e GROUP BY label)),
+        | r AS (SELECT vec_id, label,
+        |   row_number() OVER (PARTITION BY label ORDER BY h DESC, vec_id ASC) rk FROM e)
+        |SELECT vec_id, label FROM r, m WHERE rk <= mn""".stripMargin,
+
     // q156: kNN label screen — ordered dot folds (q72's chain), then
     // the same two-stage ranking: (cosine DESC, cid) top-5, majority by
     // (count DESC, label ASC)
@@ -1671,8 +1705,10 @@ object Oracles {
     // q152: triangle counts — identical degree orientation and joins
     "q152_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey ok, CAST(l_suppkey AS BIGINT) s FROM lineitem),
-        | e0 AS (SELECT DISTINCT least(x.s, y.s) a, greatest(x.s, y.s) b
-        |        FROM li x JOIN li y ON x.ok = y.ok AND x.s <> y.s),
+        | e0 AS (SELECT a, b FROM (
+        |        SELECT x.s a, y.s b, count(*) n
+        |        FROM li x JOIN li y ON x.ok = y.ok AND x.s < y.s
+        |        GROUP BY x.s, y.s) WHERE n >= 8),
         | deg AS (SELECT v, count(*) d FROM (SELECT a v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
         | o AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b) THEN a ELSE b END u,
         |              CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b) THEN b ELSE a END v

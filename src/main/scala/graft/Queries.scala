@@ -2968,7 +2968,18 @@ object Queries {
     val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey")).distinct()
     val x = li.toDF("ok", "src")
     val y = li.toDF("ok", "dst")
-    val edges = x.join(y, "ok").filter(col("src") =!= col("dst")).select(col("src"), col("dst"))
+    // SUPPORT THRESHOLD (co-occurrence graphs are always thresholded in
+    // practice): an edge needs >= 8 shared orders. Without it the
+    // co-supplier graph densifies toward complete as orders grow —
+    // C(|S|,3) triangles is a property of the GRAPH, not the algorithm —
+    // while the support floor keeps edge density tied to genuine
+    // affinity at every scale.
+    val edges = x.join(y, "ok")
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 8)
+      .select(col("src"), col("dst"))
     Graph.triangleCounts(edges, "src", "dst")
       .select(col("vid").as("s_suppkey"), col("n_triangles"))
   }
@@ -3055,6 +3066,35 @@ object Queries {
     Similarity.knnLabelScreen(
       t(s, dir, "embeddings"), "vec_id", "embedding", "label",
       col("vec_id") % 20 === 0, k = 5)
+
+  /** q157: PER-DIMENSION NORMALIZATION STATS
+    * ([[Similarity.dimensionStats]]) — the exact-integer mean/variance
+    * table a whitening/standardization step consumes; decimal-exact
+    * variance identity, truncating divisions on both engines.
+    */
+  def q157(s: SparkSession, dir: String): DataFrame =
+    Similarity.dimensionStats(t(s, dir, "embeddings"), "embedding")
+
+  /** q158: EQUI-WIDTH HISTOGRAM ([[graft.dq.DqSuite.histogram]]) —
+    * order-price distribution in 20 buckets over [0, 600000) cents,
+    * out-of-range clamped, empty buckets densified. All-integer bucket
+    * arithmetic, replayed exactly by the oracle.
+    */
+  def q158(s: SparkSession, dir: String): DataFrame =
+    graft.dq.DqSuite.histogram(
+      t(s, dir, "orders"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+      loCents = 0L, hiCents = 60000000L, bins = 20)
+
+  /** q159: BALANCED CLASS DOWNSAMPLING
+    * ([[Sampling.balancedDownsample]]) — min-class-size rows per label
+    * by portable-hash rank, the deterministic class-rebalancing step;
+    * the oracle replays the count floor and the (hash DESC, id) rank.
+    */
+  def q159(s: SparkSession, dir: String): DataFrame =
+    Sampling.balancedDownsample(
+      t(s, dir, "embeddings").select(col("vec_id"), col("label").cast("long").as("label")),
+      "label", "vec_id")
 
   /** q141: SNAPSHOT-DRIFT DQ between warehouse versions
     * ([[dq.DqSuite.versionDrift]]) — the nightly between-commits gate:

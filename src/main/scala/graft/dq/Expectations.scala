@@ -205,4 +205,34 @@ object DqSuite {
       .select(rows.as("r"))
       .select(col("r.metric"), col("r.from_value"), col("r.to_value"), col("r.delta"))
   }
+
+  /** EQUI-WIDTH HISTOGRAM of an integer-cents metric — the distribution
+    * profile a DQ dashboard or drift monitor plots: `bins` equal-width
+    * buckets over [loCents, hiCents), out-of-range values clamped into
+    * the edge buckets (so totals reconcile with row counts), empty
+    * buckets emitted with n = 0 (a plot with silent gaps misreads).
+    * All-integer bucket arithmetic — cross-engine exact.
+    *
+    * SCALE: one aggregation with at most `bins` groups; partial
+    * aggregation reduces map-side, the empty-bucket densify is a
+    * `bins`-row broadcast join. One scan, O(bins) output.
+    */
+  def histogram(df: org.apache.spark.sql.DataFrame, valueCents: Column, loCents: Long, hiCents: Long, bins: Int): org.apache.spark.sql.DataFrame = {
+    require(bins >= 1 && hiCents > loCents, s"need bins >= 1 and hi > lo, got bins=$bins [$loCents,$hiCents)")
+    val width = hiCents - loCents
+    val bin = least(lit(bins - 1L), greatest(lit(0L),
+      expr(s"((__v - ${loCents}L) * ${bins}L) div ${width}L")))
+    val counts = df
+      .select(valueCents.cast("long").as("__v"))
+      .select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    val grid = spark.range(bins).select(col("id").as("bin"))
+    grid
+      .join(counts, Seq("bin"), "left")
+      .select(
+        col("bin"),
+        expr(s"${loCents}L + (bin * ${width}L) div ${bins}L").as("lo_edge_cents"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

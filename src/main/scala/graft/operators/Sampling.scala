@@ -169,6 +169,30 @@ object Sampling {
     * whole skewed domain on one task; this shape caps it at
     * O(k·partitions) merged in the reduce.
     */
+  /** BALANCED CLASS DOWNSAMPLING: keep exactly min-class-size rows per
+    * label, selected deterministically by portable-hash rank (no RNG) —
+    * the class-rebalancing step before training on skewed labels. The
+    * min class size enters the plan as a broadcast scalar, not a driver
+    * round-trip; selection reuses [[domainCap]]'s hash-rank rule so a
+    * class's keep-set is stable as OTHER classes grow.
+    *
+    * SCALE: one count aggregation + one per-label rank window. The
+    * window sorts each label's rows — fine for the balanced-training
+    * use (labels are comparable in size by construction after capping);
+    * a pathologically dominant label should be pre-capped with
+    * [[domainCap]]'s bounded-heap shape instead.
+    */
+  def balancedDownsample(df: DataFrame, labelCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__c")).agg(min(col("__c")).as("__m"))
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(graft.plans.HashExpressions.md5Prefix60(col(idCol).cast("string")).desc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(m))
+      .filter(col("__rk") <= col("__m"))
+      .drop("__rk", "__m")
+  }
+
   def domainCap(
       spark: org.apache.spark.sql.SparkSession,
       df: DataFrame,

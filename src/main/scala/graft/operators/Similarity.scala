@@ -615,6 +615,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** PER-DIMENSION NORMALIZATION STATISTICS — the mean/variance table a
+    * feature-normalization (whitening / standardization) step consumes,
+    * in EXACT integer arithmetic: each float dimension e6-floored to a
+    * long (q137's centroid convention), population variance via the
+    * (n·Σv² − (Σv)²) / n² identity computed in DECIMAL(38,0) so the
+    * squared-sum term cannot overflow a long at corpus scale. Both
+    * divisions truncate identically across engines (Spark `div`,
+    * DuckDB `//`).
+    *
+    * SCALE: one posexplode + one (dim)-keyed aggregation — partial
+    * aggregation reduces each partition to at most `dim` rows before the
+    * shuffle, so the corpus never moves; 64 output rows regardless of
+    * corpus size.
+    */
+  def dimensionStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)))
+      .select(
+        col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * lit(1000000.0)).cast("long").as("v"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s"),
+        // decimal accumulator: v² alone fits a long, but the corpus-scale
+        // sum must not be trusted to 63 bits
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("ssq"))
+      .select(
+        col("dim"), col("n"),
+        expr("s div n").as("mean_e6"),
+        expr("(CAST(n AS DECIMAL(38,0)) * ssq - CAST(s AS DECIMAL(38,0)) * s) div (CAST(n AS DECIMAL(38,0)) * n)")
+          .cast("long")
+          .as("var_e12"))
+
   /** kNN LABEL-NOISE SCREEN (the Cleanlab-style data-cleaning pass): for
     * each PROBE vector, find its k exact-cosine nearest neighbors in the
     * corpus (self excluded), take the majority neighbor label (ties →

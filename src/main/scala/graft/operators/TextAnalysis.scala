@@ -667,63 +667,27 @@ object TextAnalysis {
     * per-row quadratic — chunk such docs upstream before screening.
     */
   def repetitionSignals(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = col("__toks")
-    def sumLen(l: Column): Column =
-      coalesce(aggregate(l, lit(0L), (a, x) => a + length(x)), lit(0L))
-    // bind each gram array to a real column once (HOF binding rule)
-    val bound = (2 to 10).foldLeft(
-      df.select(col(idCol), col(textCol).as("__text"))
-        .withColumn("__toks", tokens(col("__text")))
-    ) { (d, n) => d.withColumn(s"__g$n", wordShinglesFromTokens(toks, n)) }
-      .withColumn("__norm", sumLen(toks) + greatest(size(toks).cast("long") - lit(1L), lit(0L)))
-    def fracE4(mass: Column): Column =
+    // ALL NINE masses + the normalized char count come from ONE fused
+    // imperative pass per row ([[graft.plans.RepetitionStats]]) — the
+    // HOF formulations that preceded it (first a transform/filter
+    // quadratic, then a sorted aggregate fold) paid interpreted-lambda
+    // overhead per element x nine n values (~1 ms/row); the custom
+    // Expression runs inside codegen at tens of µs/row with identical
+    // values (the oracle still replays the per-row list folds in SQL).
+    val bound = df
+      .select(col(idCol), col(textCol).as("__text"))
+      .withColumn("__toks", tokens(col("__text")))
+      .withColumn("__st", graft.plans.RepetitionStats.repetitionStats(col("__toks")))
+      .withColumn("__norm", element_at(col("__st"), 10))
+    def fracE4(slot: Int): Column =
       when(col("__norm") === 0L, lit(0L))
-        .otherwise(floor(mass * lit(10000.0) / col("__norm")))
+        .otherwise(floor(element_at(col("__st"), slot) * lit(10000.0) / col("__norm")))
         .cast("long")
-    // SINGLE LINEAR FOLD per n: sort the grams, then one run-length pass
-    // computing BOTH the top-gram mass (max count, tie -> longest) and
-    // the duplicate mass (sum (runLen-1)*gramLen). O(g log g) per row.
-    // The first formulation here was transform(distinct, x ->
-    // filter(g, y = x)) — O(distinct x grams) of INTERPRETED lambda per
-    // row, which ground a 50k-doc corpus for minutes; HOF lambdas don't
-    // codegen, so per-row quadratics must be designed out, not shrugged
-    // at.
-    def runStats(n: Int): Column = {
-      val g = col(s"__g$n")
-      def closeBetter(st: Column): Column = {
-        val cC = st.getField("run")
-        val cM = st.getField("run") * length(st.getField("prev")).cast("long")
-        cC > st.getField("bc") || (cC === st.getField("bc") && cM > st.getField("bm"))
-      }
-      def closedMass(st: Column): Column =
-        st.getField("run") * length(st.getField("prev")).cast("long")
-      def closedDup(st: Column): Column =
-        st.getField("dup") + (st.getField("run") - 1L) * length(st.getField("prev")).cast("long")
-      aggregate(
-        array_sort(g),
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("bc"), lit(0L).as("bm"), lit(0L).as("dup")),
-        (st, x) => {
-          val same = st.getField("prev") === x
-          struct(
-            x.as("prev"),
-            when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
-            when(!same && closeBetter(st), st.getField("run")).otherwise(st.getField("bc")).as("bc"),
-            when(!same && closeBetter(st), closedMass(st)).otherwise(st.getField("bm")).as("bm"),
-            when(same, st.getField("dup")).otherwise(closedDup(st)).as("dup")
-          )
-        },
-        st => struct(
-          when(closeBetter(st), closedMass(st)).otherwise(st.getField("bm")).as("top"),
-          closedDup(st).as("dup")
-        )
-      )
-    }
-    def topMass(n: Int): Column = runStats(n).getField("top")
-    def dupMass(n: Int): Column = runStats(n).getField("dup")
     val topThr = Map(2 -> 2000L, 3 -> 1800L, 4 -> 1600L)
     val dupThr = Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L, 8 -> 1200L, 9 -> 1100L, 10 -> 1000L)
-    val topCols = Seq(2, 3, 4).map(n => fracE4(topMass(n)).as(s"top${n}_frac_e4"))
-    val dupCols = (5 to 10).map(n => fracE4(dupMass(n)).as(s"dup${n}_frac_e4"))
+    // slot layout (1-based element_at): top2..top4 at 1..3, dup5..dup10 at 4..9
+    val topCols = Seq(2, 3, 4).map(n => fracE4(n - 1).as(s"top${n}_frac_e4"))
+    val dupCols = (5 to 10).map(n => fracE4(n - 1).as(s"dup${n}_frac_e4"))
     val out = bound.select((col(idCol) +: (topCols ++ dupCols)): _*)
     val pass = (Seq(2, 3, 4).map(n => col(s"top${n}_frac_e4") <= lit(topThr(n))) ++
       (5 to 10).map(n => col(s"dup${n}_frac_e4") <= lit(dupThr(n)))).reduce(_ && _)

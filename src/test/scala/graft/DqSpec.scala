@@ -108,4 +108,15 @@ class DqSpec extends AnyFunSuite {
     )
     assert(back.select("run_name").distinct().head().getString(0) == "graft-checkpoint-b9")
   }
+
+  test("histogram: exact bucket edges, clamped outliers, empty buckets densified") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // [0, 100) in 4 buckets of width 25; -5 clamps into bin 0, 250 into bin 3
+    val df = Seq(0L, 10L, 24L, 25L, 99L, -5L, 250L).toDF("c")
+    val out = graft.dq.DqSuite.histogram(df, col("c"), 0L, 100L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 0L, 4L), (1L, 25L, 1L), (2L, 50L, 0L), (3L, 75L, 2L)), s"got ${out.toSeq}")
+    intercept[IllegalArgumentException] { graft.dq.DqSuite.histogram(df, col("c"), 10L, 10L, 4) }
+  }
 }

@@ -70,6 +70,27 @@ class SamplingSpec extends AnyFunSuite {
     )
   }
 
+  test("balancedDownsample: every class trimmed to min class size, keep-set stable as others grow") {
+    import spark.implicits._
+    val rows = ((1L to 10L).map(i => (i, 0L)) ++ (101L to 103L).map(i => (i, 1L))).toDF("vec_id", "label")
+    val out = Sampling.balancedDownsample(rows, "label", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byLabel = out.groupBy(_._2)
+    assert(byLabel(0L).length == 3 && byLabel(1L).length == 3, s"got ${out.toSeq}")
+    // hash-rank selection: class 0's keepers are its top-3 by (hash DESC, id)
+    val expected = (1L to 10L)
+      .map(i => (graft.plans.Md5Prefix60.hash(i.toString.getBytes("UTF-8")), i))
+      .sortBy { case (h, id) => (-h, id) }.take(3).map(_._2).toSet
+    assert(byLabel(0L).map(_._1).toSet == expected)
+    // class 1 growing to 5 raises the floor to 5: class 0's new keep-set
+    // is the hash-rank PREFIX extension of the old one (nested samples)
+    val grown = rows.unionByName(Seq((104L, 1L), (105L, 1L)).toDF("vec_id", "label"))
+    val again = Sampling.balancedDownsample(grown, "label", "vec_id")
+      .collect().filter(_.getLong(1) == 0L).map(_.getLong(0)).toSet
+    assert(again.size == 5 && expected.subsetOf(again),
+      s"keep-set must extend the old prefix: was $expected, got $again")
+  }
+
   test("domainCap: cap enforced per domain, hash-rank deterministic, small domains survive whole") {
     import spark.implicits._
     val docs = ((1L to 20L).map(i => (i, "big")) ++ Seq((100L, "small"), (101L, "small"))).toDF("doc_id", "source")

@@ -365,6 +365,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dimensionStats: hand-computed integer mean/variance, negative mean truncation") {
+    import spark.implicits._
+    // dim 0: values 1.0, 2.0, 4.0 -> e6 (1e6, 2e6, 4e6): mean 7e6/3 = 2333333
+    //   var = (3*21e12 - 49e12)/9 = 14e12/9 = 1555555555555 (truncated)
+    // dim 1: values -1.0, -2.0, 0.0 -> sum -3e6, mean -1e6
+    //   var = (3*5e12 - 9e12)/9 = 666666666666
+    val vecs = Seq(
+      (1L, Array(1.0f, -1.0f)), (2L, Array(2.0f, -2.0f)), (3L, Array(4.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.dimensionStats(vecs, "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out(0) == (0L, 3L, 2333333L, 1555555555555L), s"got ${out(0)}")
+    assert(out(1) == (1L, 3L, -1000000L, 666666666666L), s"got ${out(1)}")
+  }
+
   test("knnLabelScreen: planted mislabel flagged, consistent labels pass, self excluded") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
