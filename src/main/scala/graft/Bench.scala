@@ -201,7 +201,8 @@ object Bench {
         "q148_cdc_apply", "q149_containment", "q150_decayed_value",
         "q151_stream_decay", "q152_triangles", "q153_golden_record",
         "q154_widened_read", "q155_replica_audit", "q156_label_screen",
-        "q157_dimension_stats", "q158_histogram", "q159_balanced_sample")
+        "q157_dimension_stats", "q158_histogram", "q159_balanced_sample",
+        "q160_shard_manifest")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

@@ -1387,6 +1387,25 @@ object Oracles {
          |   FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
          |SELECT doc_id, shard, bin_id, n AS n_tokens FROM pack""".stripMargin,
 
+    // q160: shard manifest — q101's recursive packing replay aggregated
+    // per shard with the same xor fingerprint (md5-prefix of doc:bin)
+    "q160_shard_manifest" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, CAST(len($tokensExpr) AS INTEGER) n,
+         |    CAST(doc_id % 8 AS INTEGER) shard FROM documents),
+         | ord AS (SELECT doc_id, n, shard, row_number() OVER (PARTITION BY shard ORDER BY doc_id) rn FROM toks),
+         | pack AS (
+         |   SELECT doc_id, n, shard, rn, CAST(0 AS BIGINT) bin_id, CAST(n AS BIGINT) fill
+         |   FROM ord WHERE rn = 1
+         |   UNION ALL
+         |   SELECT o.doc_id, o.n, o.shard, o.rn,
+         |     CASE WHEN p.fill + o.n > 512 AND p.fill > 0 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |     CASE WHEN p.fill + o.n > 512 AND p.fill > 0 THEN CAST(o.n AS BIGINT) ELSE p.fill + o.n END
+         |   FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  max(bin_id) + 1 AS n_bins, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  bit_xor(CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'||CAST(bin_id AS VARCHAR)),1,15)) AS BIGINT)) AS fingerprint60
+         |FROM pack GROUP BY shard""".stripMargin,
+
     // q102: streaming exact dedup converges to the batch DISTINCT
     "q102_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",

@@ -3096,6 +3096,17 @@ object Queries {
       t(s, dir, "embeddings").select(col("vec_id"), col("label").cast("long").as("label")),
       "label", "vec_id")
 
+  /** q160: TRAINING-SHARD MANIFEST ([[Packing.writeShardManifest]]) —
+    * the shard-writer export step: q101's packing written as one shard
+    * dir per shard plus a self-describing manifest (doc/bin/token
+    * counts, xor content fingerprint binding each doc to its bin). The
+    * oracle replays the recursive packing AND the manifest aggregation.
+    */
+  def q160(s: SparkSession, dir: String): DataFrame =
+    Packing.writeShardManifest(
+      t(s, dir, "documents"), budget = 512, nShards = 8,
+      outDir = scratchDir("shards") + "/out")
+
   /** q141: SNAPSHOT-DRIFT DQ between warehouse versions
     * ([[dq.DqSuite.versionDrift]]) — the nightly between-commits gate:
     * the same metric set (record count, active count, distinct keys,

@@ -65,4 +65,46 @@ object Packing {
       }
       .toDF("doc_id", "shard", "bin_id", "n_tokens")
   }
+
+  /** TRAINING-SHARD EXPORT WITH MANIFEST (the webdataset-style shard
+    * writer a training job consumes): pack the corpus ([[packGreedy]]),
+    * write one parquet shard directory per shard under `outDir`, and
+    * emit a per-shard MANIFEST row — doc count, bin count, token count,
+    * and an order-independent content fingerprint (xor of the portable
+    * md5-prefix hash of "doc_id:bin_id") a loader verifies before
+    * trusting the shard. The manifest itself lands at
+    * `outDir/_manifest` so the dataset is self-describing.
+    *
+    * Fingerprint choices: xor (not a concat-then-hash) keeps the
+    * per-shard state O(1) at any shard size; the hash input binds the
+    * doc to its BIN, so a shard with the right docs in the wrong
+    * packing fails verification.
+    *
+    * SCALE: one packing pass + one (shard)-keyed aggregation; shard
+    * count bounds both the output and the write fan-out. Returns the
+    * manifest DataFrame.
+    */
+  def writeShardManifest(
+      df: DataFrame,
+      budget: Int,
+      nShards: Int,
+      outDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val packed = graft.core.Caching.cached(packGreedy(df, budget, nShards, idCol, textCol))
+    packed.write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/shards")
+    val fp = graft.plans.HashExpressions.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":"), col("bin_id").cast("string")))
+    val withFp = packed.withColumn("__fp", fp)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (max(col("bin_id")) + 1L).as("n_bins"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        expr("bit_xor(__fp)").as("fingerprint60")
+      )
+    withFp.write.mode("overwrite").parquet(s"$outDir/_manifest")
+    df.sparkSession.read.parquet(s"$outDir/_manifest")
+  }
 }

@@ -52,4 +52,35 @@ class PackingSpec extends AnyFunSuite {
       assert(bins == (0L until bins.length))
     }
   }
+
+  test("writeShardManifest: manifest reconciles with shards; loader-side verification catches a wrong-bin shard") {
+    import org.apache.spark.sql.functions._
+    val df = ((0L to 19L)).map(i => (i, doc(3 + (i % 5).toInt))).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"
+    val manifest = Packing.writeShardManifest(df, budget = 8, nShards = 4, outDir = out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(manifest.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(manifest.map(_._2).sum == 20L, "every doc must land in a shard")
+    // loader-side check: recompute each shard's fingerprint from the
+    // WRITTEN files and compare to the manifest
+    val back = spark.read.parquet(s"$out/shards")
+    val recomputed = back
+      .withColumn("__fp", graft.plans.HashExpressions.md5Prefix60(
+        concat(col("doc_id").cast("string"), lit(":"), col("bin_id").cast("string"))))
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(expr("bit_xor(__fp)").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    manifest.foreach { case (sh, _, _, _, fp) =>
+      assert(recomputed(sh) == fp, s"shard $sh fingerprint mismatch")
+    }
+    // a shard with the right docs in the WRONG bin fails verification
+    val corrupted = back.withColumn("bin_id",
+      when(col("shard") === 0 && col("bin_id") === 0, lit(1L)).otherwise(col("bin_id")))
+    val badFp = corrupted
+      .filter(col("shard") === 0)
+      .withColumn("__fp", graft.plans.HashExpressions.md5Prefix60(
+        concat(col("doc_id").cast("string"), lit(":"), col("bin_id").cast("string"))))
+      .agg(expr("bit_xor(__fp)")).head().getLong(0)
+    assert(badFp != manifest.find(_._1 == 0L).get._5, "bin-binding fingerprint must detect mispacking")
+  }
 }
