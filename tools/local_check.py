@@ -51,6 +51,47 @@ FROM j WHERE jac >= CAST(0.3 AS DOUBLE)""",
     # DOUBLE[] folds sequentially in index order — verified bit-identical
     # to sum(x*y ORDER BY i) — so the twin keeps IEEE-exact results with a
     # per-pair (not per-pair-per-dim) intermediate.
+    # q142's scale twin: the default oracle computes the top-gram masses
+    # with list_transform(distinct, x -> list_filter(g, y = x)) — a per-row
+    # QUADRATIC in interpreted lambdas that is fine for the 500-doc driver
+    # gate and infeasible at sf1 (the same quadratic the Spark side designed
+    # out twice). The twin computes the SAME top masses relationally
+    # (unnest -> GROUP BY (doc, n, gram) -> max by (count, len)) and keeps
+    # the linear list forms for the dup masses and norm. Verified equal to
+    # the default oracle at sf0.01 before first use.
+    "q142_repetition": f"""
+WITH base AS (SELECT doc_id, {_TOKENS} ws FROM documents),
+ g AS (SELECT doc_id, ws,
+   CAST(COALESCE(list_sum(list_transform(ws, x -> len(x))), 0) + greatest(len(ws) - 1, 0) AS BIGINT) AS norm,
+   {', '.join(
+     f"CASE WHEN len(ws) < {n} THEN CAST([] AS VARCHAR[]) ELSE list_transform(range(1, len(ws)-{n-2}), i -> array_to_string(list_slice(ws, i, i+{n-1}), ' ')) END AS g{n}"
+     for n in range(2, 11))}
+  FROM base),
+ ex AS ({' UNION ALL '.join(
+     f"SELECT doc_id, {n} AS n, unnest(g{n}) gram FROM g" for n in (2, 3, 4))}),
+ cnt AS (SELECT doc_id, n, gram, count(*) c FROM ex GROUP BY doc_id, n, gram),
+ tr AS (SELECT doc_id, n, c * len(gram) mass,
+    row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, len(gram) DESC) rn FROM cnt),
+ tm AS (SELECT doc_id, n, mass FROM tr WHERE rn = 1),
+ m AS (SELECT g.doc_id, g.norm,
+   {', '.join(
+     f"COALESCE(t{n}.mass, 0) AS tm{n}" for n in (2, 3, 4))},
+   {', '.join(
+     f"CAST(COALESCE(list_sum(list_transform(g{n}, x -> len(x))), 0) - COALESCE(list_sum(list_transform(list_distinct(g{n}), x -> len(x))), 0) AS BIGINT) AS dm{n}"
+     for n in range(5, 11))}
+  FROM g {' '.join(
+     f"LEFT JOIN tm t{n} ON t{n}.doc_id = g.doc_id AND t{n}.n = {n}" for n in (2, 3, 4))}),
+ f AS (SELECT doc_id,
+  {', '.join(
+     f"CASE WHEN norm = 0 THEN 0 ELSE CAST(FLOOR(CAST(tm{n} AS DOUBLE) * 10000.0e0 / norm) AS BIGINT) END AS top{n}_frac_e4"
+     for n in (2, 3, 4))},
+  {', '.join(
+     f"CASE WHEN norm = 0 THEN 0 ELSE CAST(FLOOR(CAST(dm{n} AS DOUBLE) * 10000.0e0 / norm) AS BIGINT) END AS dup{n}_frac_e4"
+     for n in range(5, 11))}
+ FROM m)
+SELECT *, (top2_frac_e4 <= 2000 AND top3_frac_e4 <= 1800 AND top4_frac_e4 <= 1600
+  AND dup5_frac_e4 <= 1500 AND dup6_frac_e4 <= 1400 AND dup7_frac_e4 <= 1300
+  AND dup8_frac_e4 <= 1200 AND dup9_frac_e4 <= 1100 AND dup10_frac_e4 <= 1000) AS pass_repetition_full FROM f""",
     "q47_embedding_neardup": None,  # filled below (needs the hyperplane masks from oracle_sql.json)
     # q135's scale twin: candidates from shingle co-occurrence postings
     # (q36's twin shape) instead of the all-pairs list_intersect — result-
