@@ -149,7 +149,15 @@ object Similarity {
     * quantizer (caller passes sample vectors, e.g. the first-k by id,
     * exact float→double) or the output of [[trainIvfCentroids]].
     */
-  def ivfCell(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
+  def ivfCell(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column =
+    graft.plans.VectorExpressions.nearestCentroid(vec, centroids)
+
+  /** The struct/array_sort formulation of [[ivfCell]] — kept as the parity
+    * baseline for the fused [[graft.plans.NearestCentroid]] kernel
+    * (SimilaritySpec proves them identical). Measured ~12 ms/vector at
+    * k=16 × 8 subspaces vs ~1 µs for the kernel: never use on a hot path.
+    */
+  def ivfCellStruct(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
     val scored = centroids.map { case (cid, c) =>
       val cArr = array(c.map(v => lit(v)): _*)
       // index-order fold, matching the oracle's sum(... ORDER BY i)
@@ -158,6 +166,13 @@ object Similarity {
     }
     element_at(array_sort(array(scored: _*)), 1).getField("cid")
   }
+
+  /** [[ivfCell]] over the contiguous subvector at `offset` (0-based),
+    * without materializing a slice array — PQ's per-subspace assignment
+    * reads the parent vector in place.
+    */
+  def ivfCellAt(vec: Column, centroids: Seq[(Long, Seq[Double])], offset: Int): Column =
+    graft.plans.VectorExpressions.nearestCentroid(vec, centroids, offset)
 
   /** Driver-side mirror of [[ivfCell]] scoring for a literal query vector:
     * the nprobe nearest cells, in (score, cid) order.
@@ -339,7 +354,7 @@ object Similarity {
     val scale = 1048576.0 // 2^20 — exact in IEEE 754, same as trainIvfCentroids
     var cur = init
     for (_ <- 0 until iters) {
-      val cellsArr = array((0 until m).map(j => ivfCell(slice(col(vecCol), j * dsub + 1, dsub), cur(j))): _*)
+      val cellsArr = array((0 until m).map(j => ivfCellAt(col(vecCol), cur(j), j * dsub)): _*)
       val stats = df
         .select(cellsArr.as("cells"), posexplode(col(vecCol)).as(Seq("i", "x")))
         .select(
@@ -377,18 +392,54 @@ object Similarity {
     val dsub = dim / m
     df.select(
       col(idCol),
-      array((0 until m).map(j => ivfCell(slice(col(vecCol), j * dsub + 1, dsub), codebooks(j))): _*).as("pq_codes"))
+      array((0 until m).map(j => ivfCellAt(col(vecCol), codebooks(j), j * dsub)): _*).as("pq_codes"))
   }
+
+  /** Per-vector PQ codes PACKED to one byte each — the at-rest serving
+    * format (m bytes per vector; array<long> in parquet would spend 8).
+    * Same assignment as [[pqCodes]]; requires every codebook k <= 128
+    * ([[graft.plans.PackInt8]]'s clamp range — ample for the standard
+    * k=16/64).
+    */
+  def pqCodesPacked(df: DataFrame, idCol: String, vecCol: String, dim: Int, codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    require(codebooks.forall(_.length <= 128), "pqCodesPacked: codebook k must be <= 128 (int8 at-rest codes)")
+    val m = codebooks.length
+    val dsub = dim / m
+    df.select(
+      col(idCol),
+      graft.plans.VectorExpressions.packInt8(
+        array((0 until m).map(j => ivfCellAt(col(vecCol), codebooks(j), j * dsub).cast("int")): _*)
+      ).as("pq_codes"))
+  }
+
+  /** Driver-side ADC lookup table: table(j)(c) = ||q_j − centroid_{j,c}||²,
+    * inner diff-square fold index-ascending (oracle: sum ORDER BY t).
+    */
+  private def adcTable(codebooks: Seq[Seq[(Long, Seq[Double])]], query: Seq[Float], dsub: Int): Seq[Seq[Double]] =
+    codebooks.indices.map { j =>
+      codebooks(j).map { case (_, c) =>
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = query(j * dsub + t).toDouble - c(t)
+          d += diff * diff
+          t += 1
+        }
+        d
+      }
+    }
 
   /** ADC top-k (asymmetric distance computation): the query stays full
     * precision; each corpus vector is scored from its m codes alone via a
     * driver-built m×k lookup table of ||q_j - centroid||² partials, so the
     * per-vector cost is m table reads + m-1 adds over data that is 32x
-    * smaller at rest — the PQ serving kernel. Distances are exact squared
-    * L2 between the query and each vector's RECONSTRUCTION (the centroid
-    * concatenation); the table fold and the per-vector subspace sum are
-    * both index-ordered, so the oracle replays every ranking bit-exactly.
-    * Ascending distance, ties to the lower id, floor-e6 quantized output.
+    * smaller at rest — the PQ serving kernel ([[graft.plans.AdcDistance]],
+    * a codegen'd loop over PACKED one-byte codes). Distances are exact
+    * squared L2 between the query and each vector's RECONSTRUCTION (the
+    * centroid concatenation); the table fold and the per-vector subspace
+    * sum are both index-ordered, so the oracle replays every ranking
+    * bit-exactly. Ascending distance, ties to the lower id, floor-e6
+    * quantized output.
     */
   def pqAdcTopK(
       df: DataFrame,
@@ -402,29 +453,19 @@ object Similarity {
     require(m > 0 && dim % m == 0 && query.length == dim, s"pqAdcTopK: dim=$dim / m=$m / query=${query.length}")
     val dsub = dim / m
     codebooks.foreach(cb => require(cb.map(_._1) == (0L until cb.length.toLong), "pqAdcTopK: codebook ids must be 0..k-1"))
-    // driver-side ADC table, index-order folds (oracle: sum ORDER BY j)
-    val table: Seq[Seq[Double]] = (0 until m).map { j =>
-      codebooks(j).map { case (_, c) =>
-        var d = 0.0
-        var t = 0
-        while (t < dsub) {
-          val diff = query(j * dsub + t).toDouble - c(t)
-          d += diff * diff
-          t += 1
-        }
-        d
-      }
-    }
-    // left-assoc add chain == the oracle's sum(dist ORDER BY sub)
-    val dist = (0 until m)
-      .map(j => element_at(array(table(j).map(lit): _*), element_at(col("pq_codes"), j + 1).cast("int") + 1))
-      .reduceLeft(_ + _)
-    pqCodes(df, idCol, vecCol, dim, codebooks)
-      .withColumn("__dist", dist)
+    adcTopKOnCodes(pqCodesPacked(df, idCol, vecCol, dim, codebooks), idCol, adcTable(codebooks, query, dsub), k)
+  }
+
+  /** Serve an ADC top-k straight off stored packed codes — the per-query
+    * half of the PQ layout: m byte reads + m adds per vector, the float
+    * column never touched.
+    */
+  def adcTopKOnCodes(codesDf: DataFrame, idCol: String, table: Seq[Seq[Double]], k: Int): DataFrame =
+    codesDf
+      .withColumn("__dist", graft.plans.VectorExpressions.adcDistance(col("pq_codes"), table))
       .orderBy(col("__dist").asc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), floor(col("__dist") * lit(1000000.0)).cast("long").as("dist_e6"))
-  }
 
   /** IVF + PQ composed — the billion-scale serving default (FAISS
     * "IVFx,PQy"): the coarse quantizer prunes the corpus to the query's
@@ -591,6 +632,74 @@ object Similarity {
     val parts = graft.sources.VersionedTable.readPartitions(spark, path, cells, version).flatten
     require(parts.nonEmpty, s"none of the probe cells ${cells.mkString(",")} exist in the index at $path")
     sq8TopKOnCodes(parts.reduce(_.unionByName(_)), idCol, query, k)
+  }
+
+  /** PERSIST the IVF+PQ serving layout ([[ivfPqTopK]]'s scaladoc made
+    * storage-real, the [[writeIvfSq8Index]] pattern at 32x instead of 4x):
+    * each vector encodes ONCE to m packed one-byte PQ codes
+    * ([[pqCodesPacked]]) and is written cell-partitioned by its coarse IVF
+    * cell into a [[graft.sources.VersionedTable]] delta commit, storing
+    * only `(id, cell, pq_codes)` — m bytes per vector at rest (8 bytes for
+    * a 64-dim corpus: 32x under float32), float vectors never stored. A
+    * probe opens ONLY its nprobe partition directories (manifest-pruned)
+    * and folds the ADC table over the codes: nprobe/nCells of the data at
+    * m bytes per row — both 100 TB levers, paid from storage. Training
+    * stays a separate, once-per-corpus step ([[trainPqCodebooks]] on a
+    * hash-sample); the codebooks and coarse centroids are k·dim driver
+    * rows the caller persists alongside (the FAISS index-header analogue).
+    * Incremental loads are commitDelta's contract: a batch rewrites the
+    * cells it touches, every other cell carries forward by reference.
+    *
+    * @return the committed table version
+    */
+  def writePqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      dim: Int,
+      coarse: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]]
+  ): Long = {
+    val m = codebooks.length
+    require(m > 0 && dim % m == 0, s"writePqIndex: dim=$dim / m=$m")
+    val dsub = dim / m
+    val encoded = df
+      .select(
+        col(idCol),
+        ivfCell(col(vecCol), coarse).as("cell"),
+        graft.plans.VectorExpressions.packInt8(
+          array((0 until m).map(j => ivfCellAt(col(vecCol), codebooks(j), j * dsub).cast("int")): _*)
+        ).as("pq_codes"))
+    graft.sources.VersionedTable.commitDelta(spark, path, encoded, "cell")
+  }
+
+  /** Serve a top-k probe from a [[writePqIndex]] table: resolve the
+    * query's nprobe coarse cells driver-side (k·dim work), open exactly
+    * those partitions, fold the driver-built ADC table over the stored
+    * codes ([[adcTopKOnCodes]]). Bit-identical to [[ivfPqTopK]] over the
+    * same corpus — the stored/inline parity the oracle gates. Cells the
+    * table never wrote (possible for tiny corpora) are skipped.
+    */
+  def probePqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      query: Seq[Float],
+      k: Int,
+      dim: Int,
+      coarse: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      nprobe: Int = 3,
+      version: Option[Long] = None
+  ): DataFrame = {
+    val m = codebooks.length
+    require(m > 0 && dim % m == 0 && query.length == dim, s"probePqIndex: dim=$dim / m=$m / query=${query.length}")
+    val cells = ivfProbeCells(query, coarse, nprobe).map(_.toString)
+    val parts = graft.sources.VersionedTable.readPartitions(spark, path, cells, version).flatten
+    require(parts.nonEmpty, s"none of the probe cells ${cells.mkString(",")} exist in the index at $path")
+    adcTopKOnCodes(parts.reduce(_.unionByName(_)), idCol, adcTable(codebooks, query, dim / m), k)
   }
 
   /** IVF ANN top-k: score only vectors assigned to the query's nprobe

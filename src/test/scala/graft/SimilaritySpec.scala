@@ -264,6 +264,72 @@ class SimilaritySpec extends AnyFunSuite {
     assert(composed == direct)
   }
 
+  test("NearestCentroid kernel is bit-identical to the struct/array_sort formulation (incl. offsets)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = emb.filter($"vec_id" < 8).select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).sortBy(_._1).toSeq
+    // whole-vector assignment: kernel == struct formulation on every row
+    val diff = emb.select(
+      Similarity.ivfCell($"embedding", centroids).as("fast"),
+      Similarity.ivfCellStruct($"embedding", centroids).as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(diff == 0, s"kernel diverged from struct formulation on $diff rows")
+    // subspace (offset) assignment == struct formulation over an explicit slice
+    val dsub = 8
+    val subCbs = centroids.map { case (cid, c) => cid -> c.slice(3 * dsub, 4 * dsub) }
+    val diffSub = emb.select(
+      Similarity.ivfCellAt($"embedding", subCbs, 3 * dsub).as("fast"),
+      Similarity.ivfCellStruct(slice($"embedding", 3 * dsub + 1, dsub), subCbs).as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(diffSub == 0, s"offset kernel diverged on $diffSub rows")
+    // tie-break: duplicate centroid under two ids → lower id wins, in any supply order
+    val dup = Seq(5L -> centroids.head._2, 2L -> centroids.head._2)
+    val tied = emb.limit(10).select(Similarity.ivfCell($"embedding", dup).as("c")).collect()
+    tied.foreach(r => assert(r.getLong(0) == 2L, "tie must break to the lower centroid id"))
+  }
+
+  test("packed ADC distance == element_at chain over array codes; persisted PQ probe == inline IVF+PQ") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = 64; val m = 8; val dsub = dim / m
+    val seeds = emb.filter($"vec_id" < 16).orderBy($"vec_id").select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val init = (0 until m).map(j => seeds.toSeq.zipWithIndex.map { case ((_, v), pos) =>
+      pos.toLong -> v.slice(j * dsub, (j + 1) * dsub) })
+    val cbs = Similarity.trainPqCodebooks(emb, "embedding", dim, init, iters = 1)
+    val coarse = emb.filter($"vec_id" < 8).select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).sortBy(_._1).toSeq
+    val qvec = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val corpus = emb.filter($"vec_id" =!= 0)
+
+    // packed codes unpack to exactly the array-typed assignment
+    val packedVsArray = Similarity.pqCodesPacked(corpus, "vec_id", "embedding", dim, cbs)
+      .join(Similarity.pqCodes(corpus, "vec_id", "embedding", dim, cbs).withColumnRenamed("pq_codes", "arr"), "vec_id")
+      .collect()
+    assert(packedVsArray.nonEmpty)
+    packedVsArray.foreach { r =>
+      val packed = r.getAs[Array[Byte]]("pq_codes").map(_.toLong).toSeq
+      val arr = r.getSeq[Long](r.fieldIndex("arr"))
+      assert(packed == arr, s"vec ${r.getLong(0)}: packed $packed != array $arr")
+    }
+
+    // inline IVF+PQ == probe of the persisted index, row for row
+    val inline = Similarity.ivfPqTopK(corpus, "vec_id", "embedding", dim, coarse, cbs, qvec, nprobe = 3, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-pqidx").toString + "/idx"
+    Similarity.writePqIndex(spark, corpus, "vec_id", "embedding", path, dim, coarse, cbs)
+    val stored = graft.sources.VersionedTable.read(spark, path)
+    assert(stored.columns.toSet == Set("vec_id", "cell", "pq_codes"), "PQ index must store codes only")
+    val probed = Similarity.probePqIndex(spark, path, "vec_id", qvec, 20, dim, coarse, cbs, nprobe = 3)
+    // file-level pruning proof, same contract as the SQ8 index
+    val probeCells = Similarity.ivfProbeCells(qvec, coarse, 3).toSet
+    val scanned = probed.inputFiles
+    assert(scanned.nonEmpty && scanned.forall(f => probeCells.exists(c => f.contains(s"/p=$c/"))),
+      s"probe read outside its cells: ${scanned.mkString(",")}")
+    assert(probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == inline)
+  }
+
   test("persisted IVF+SQ8 index: probe reads ONLY nprobe partitions; q98 parity on stored codes") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = emb.filter($"vec_id" < 8).select($"vec_id", $"embedding")
