@@ -79,41 +79,50 @@ object Bench {
     * exactly this). A run at an SF with no prior record gets an empty
     * floor and an honest empty `regressions_x`.
     */
+  /** A query's stable identity across record formats: the `qNNN` prefix.
+    * The round-close record the driver captures uses SHORT keys ("q114")
+    * to fit its bounded tail window (r10: the full-name line outgrew the
+    * 2000-char window and the round parsed as null — the regression guard
+    * was silently disarmed); local records keep full names. Flooring by
+    * prefix makes both formats min-mergeable.
+    */
+  private def qkey(name: String): String = name.split('_').head
+
   private def loadBaseline(sfDir: String): (String, Map[String, Double]) = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val candidates = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
     var used = 0
-    val perRound = candidates.flatMap { f =>
-      try {
-        val parsed = mapper.readTree(f).path("parsed")
-        val recSf = parsed.path("sf").asText("")
-        if (parsed.path("tainted").asBoolean(false)) None
-        else if (sfName(recSf) != sfName(sfDir)) None
-        // floors only compare like-for-like timing policies: records from
-        // the count() era (no timing_action field) under-measured pure-
-        // projection queries (see `materialize`) and would flag every
-        // honest number as a phantom regression
-        else if (parsed.path("timing_action").asText("") != "hash_rows") None
-        else {
-          val both = Seq(parsed.path("queries"), parsed.path("extras")).filter(_.isObject)
-          val m = both.flatMap { node =>
-            scala.jdk.CollectionConverters.IterableHasAsScala(node.properties()).asScala.iterator
-              .filter(_.getValue.isNumber).map(e => e.getKey -> e.getValue.asDouble())
-          }
-          if (m.nonEmpty) { used += 1; Some(m) } else None
+    // accepts either wrapper shape: BENCH_r*.json nests the record under
+    // "parsed" (driver capture), BENCH_LOCAL.json IS the record (our own
+    // full-fidelity write — min-merged so floors survive even a round
+    // whose driver-side capture truncated)
+    def floorsOf(node: com.fasterxml.jackson.databind.JsonNode): Option[Seq[(String, Double)]] = {
+      if (node.path("tainted").asBoolean(false)) None
+      else if (sfName(node.path("sf").asText("")) != sfName(sfDir)) None
+      // floors only compare like-for-like timing policies: records from
+      // the count() era (no timing_action field) under-measured pure-
+      // projection queries (see `materialize`) and would flag every
+      // honest number as a phantom regression
+      else if (node.path("timing_action").asText("") != "hash_rows") None
+      else {
+        val both = Seq(node.path("queries"), node.path("extras")).filter(_.isObject)
+        val m = both.flatMap { n =>
+          scala.jdk.CollectionConverters.IterableHasAsScala(n.properties()).asScala.iterator
+            .filter(_.getValue.isNumber).map(e => qkey(e.getKey) -> e.getValue.asDouble())
         }
+        if (m.nonEmpty) { used += 1; Some(m) } else None
+      }
+    }
+    val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json") || f.getName == "BENCH_LOCAL.json")
+    val perRound = files.flatMap { f =>
+      try {
+        val root = mapper.readTree(f)
+        floorsOf(if (f.getName == "BENCH_LOCAL.json") root else root.path("parsed"))
       } catch { case _: Throwable => None }
     }.flatten
-    // r02 inline floors are count()-era numbers — retired from the merge
-    // with the hash_rows policy switch (kept above as the historical
-    // record); floors reseed from the first hash_rows round per SF
-    val inline: Seq[(String, Double)] = Nil
-    locally { val _ = r02Baseline } // retained for provenance; not merged
-    val merged = (perRound ++ inline)
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
-    val inlineTag = if (inline.nonEmpty) "+r02_inline" else ""
-    (s"min_untainted_rounds(n=$used,sf=${sfName(sfDir)})$inlineTag", merged)
+    locally { val _ = r02Baseline } // retained for provenance; not merged (count()-era policy)
+    val merged = perRound.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    (s"min_untainted_rounds(n=$used,sf=${sfName(sfDir)})", merged)
   }
 
   /** The scale-factor identity of a testdata dir: its basename (the
@@ -202,7 +211,9 @@ object Bench {
         "q151_stream_decay", "q152_triangles", "q153_golden_record",
         "q154_widened_read", "q155_replica_audit", "q156_label_screen",
         "q157_dimension_stats", "q158_histogram", "q159_balanced_sample",
-        "q160_shard_manifest")
+        "q160_shard_manifest",
+        // round-11: persisted IVF+PQ probe (timed probe-only, build in setup)
+        "q161_pq_index_probe")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x
@@ -262,6 +273,29 @@ object Bench {
         Some((rep, (System.nanoTime() - q148SetupT0) / 1e9))
       } catch { case _: Throwable => None }
     }
+    // One-time q140/q145 sweeps (VERDICT r10 "what's wrong #3": their 5-9 s
+    // bench numbers were ~75% in-query warehouse rebuild measured for the
+    // fourth time): each gets its OWN prebuilt warehouse (the sweeps mutate
+    // it, so the shared q106 warehouse can't be reused), the delete runs
+    // once in setup, and the timed op is the serving read — the post-sweep
+    // active read (q140) / the DV merge-on-read path (q145).
+    val q140SetupT0 = System.nanoTime()
+    val q140Built =
+      try Some((Queries.q140Build(spark, sfDir), (System.nanoTime() - q140SetupT0) / 1e9))
+      catch { case _: Throwable => None }
+    val q145SetupT0 = System.nanoTime()
+    val q145Built =
+      try Some((Queries.q145Build(spark, sfDir), (System.nanoTime() - q145SetupT0) / 1e9))
+      catch { case _: Throwable => None }
+    // One-time q161 PQ index build (train + encode + commit); the timed op
+    // is the ADC probe over stored codes — the per-query serving cost.
+    val q161SetupT0 = System.nanoTime()
+    val q161Built =
+      try {
+        val (idx, coarse, cbs, qv) = Queries.q161BuildIndex(spark, sfDir)
+        Some((idx, coarse, cbs, qv, (System.nanoTime() - q161SetupT0) / 1e9))
+      } catch { case _: Throwable => None }
+
     // benched ops: SparkEntry.queries, with q98 overridden to probe-only
     // against the prebuilt index and q106 to feed-only against the
     // prebuilt warehouse (oracle semantics unchanged — Verify still runs
@@ -280,7 +314,18 @@ object Bench {
       } ++ q130Built.map { case (idx, _) =>
         "q130_bm25_index" -> ((s: SparkSession, _: String) => Queries.q130Probe(s, idx))
       } ++ (for ((path, v1, v2, _) <- q106Built; (rep, _) <- q148Built) yield
-        "q148_cdc_apply" -> ((s: SparkSession, _: String) => Queries.q148Apply(s, path, v1, v2, rep)))
+        "q148_cdc_apply" -> ((s: SparkSession, _: String) => Queries.q148Apply(s, path, v1, v2, rep))
+      ) ++ q140Built.map { case (path, _) =>
+        "q140_gdpr_sweep" -> ((s: SparkSession, _: String) => Queries.q140Read(s, path))
+      } ++ q145Built.map { case (path, _) =>
+        "q145_gdpr_deferred" -> ((s: SparkSession, _: String) => Queries.q145Read(s, path))
+      } ++ q106Built.map { case (path, v1, v2, _) =>
+        // q141 diffs versions of the SAME prebuilt warehouse — the timed
+        // cost is two time-travel reads + the metric aggregation
+        "q141_version_drift" -> ((s: SparkSession, _: String) => Queries.q141Drift(s, path, v1, v2))
+      } ++ q161Built.map { case (idx, coarse, cbs, qv, _) =>
+        "q161_pq_index_probe" -> ((s: SparkSession, _: String) => Queries.q161Probe(s, idx, coarse, cbs, qv))
+      }
 
     // FULL-MATERIALIZATION timing action (round-10 fix): `count()` let
     // the optimizer PRUNE pure-projection queries to a metadata-only
@@ -356,7 +401,7 @@ object Bench {
     // contention spike does not. Re-measured names are reported so the
     // record shows which numbers got the second look.
     def flaggedIn(ts: Seq[(String, Option[Double], Option[String])]): Seq[String] =
-      ts.collect { case (k, Some(t), _) if baseline.get(k).exists(b => b > 0 && t > 2 * b) => k }
+      ts.collect { case (k, Some(t), _) if baseline.get(qkey(k)).exists(b => b > 0 && t > 2 * b) => k }
     val remeasured = flaggedIn(timedFirst) ++ flaggedIn(extraTimedFirst)
     def secondLook(ts: Seq[(String, Option[Double], Option[String])]): Seq[(String, Option[Double], Option[String])] =
       ts.map {
@@ -380,8 +425,8 @@ object Bench {
       .collect { case (k, None, Some(m)) => jstr(k) + ":" + jstr(m.take(80)) }
       .mkString("{", ",", "}")
     val regressions = (timed ++ extraTimed).collect {
-      case (k, Some(t), _) if baseline.get(k).exists(b => b > 0 && t > 2 * b) =>
-        jstr(k) + ":" + num(t / baseline(k))
+      case (k, Some(t), _) if baseline.get(qkey(k)).exists(b => b > 0 && t > 2 * b) =>
+        jstr(k) + ":" + num(t / baseline(qkey(k)))
     }.mkString("{", ",", "}")
     val total = timed.flatMap(_._2).sum
     val nErr = timed.count(_._3.isDefined) + extraTimed.count(_._3.isDefined)
@@ -407,15 +452,16 @@ object Bench {
     val tainted = loadStart > 1.5 || extShare.exists(_ > 0.30)
     val loadJson =
       s"""{"start":${num(loadStart)},"end":${num(loadEnd)},"ext_cpu_share":${extShare.map(num).getOrElse("null")}}"""
-    val setupJson = {
-      val parts =
-        q98Built.map { case (_, _, _, t) => s""""q98_index_build":${num(t)}""" }.toSeq ++
-          q106Built.map { case (_, _, _, t) => s""""q106_warehouse_build":${num(t)}""" }.toSeq ++
-          q127Built.map { case (_, _, t) => s""""q127_warehouse_build":${num(t)}""" }.toSeq ++
-          q130Built.map { case (_, t) => s""""q130_index_build":${num(t)}""" }.toSeq ++
-          q148Built.map { case (_, t) => s""""q148_replica_bootstrap":${num(t)}""" }.toSeq
-      parts.mkString("{", ",", "}")
-    }
+    val setupPairs: Seq[(String, Double)] =
+      q98Built.map { case (_, _, _, t) => "q98_index_build" -> t }.toSeq ++
+        q106Built.map { case (_, _, _, t) => "q106_warehouse_build" -> t }.toSeq ++
+        q127Built.map { case (_, _, t) => "q127_warehouse_build" -> t }.toSeq ++
+        q130Built.map { case (_, t) => "q130_index_build" -> t }.toSeq ++
+        q148Built.map { case (_, t) => "q148_replica_bootstrap" -> t }.toSeq ++
+        q140Built.map { case (_, t) => "q140_sweep_build" -> t }.toSeq ++
+        q145Built.map { case (_, t) => "q145_dv_build" -> t }.toSeq ++
+        q161Built.map { case (_, _, _, _, t) => "q161_index_build" -> t }.toSeq
+    val setupJson = setupPairs.map { case (k, t) => s"${jstr(k)}:${num(t)}" }.mkString("{", ",", "}")
 
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},""" +
@@ -423,9 +469,42 @@ object Bench {
         s""""remeasured":${remeasured.distinct.map(jstr).mkString("[", ",", "]")},"extras":$extraTimes,""" +
         s""""baseline":${jstr(baselineName)},"load":$loadJson,"tainted":$tainted,"setup_sec":$setupJson,""" +
         s""""runs_per_query":$runsPerQuery,"aggregation":"min","timing_action":"hash_rows",""" +
-        s""""cache_policy":"warm steady-state; min of $runsPerQuery runs per query; action = xxhash64 over every output column (full materialization, count() pruned pure projections); q98 timed as stored-index probe (build in setup_sec)"}"""
+        s""""cache_policy":"warm steady-state; min of $runsPerQuery runs per query; action = xxhash64 over every output column (full materialization, count() pruned pure projections); q98/q130/q161 timed as stored-index probes, q106/q119/q127/q141/q148 against prebuilt warehouses, q140/q145 as post-sweep serving reads (builds in setup_sec)"}"""
+    // Full-fidelity record → BENCH_LOCAL.json (floor source for the next
+    // run via loadBaseline's min-merge — survives even a truncated
+    // driver-side capture of the stdout line).
     Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
-    println(line)
+
+    // Driver-facing stdout line: the driver recovers it from a BOUNDED
+    // 2000-char TAIL of the build log (r10: the full-name line outgrew the
+    // window and the round's record parsed as null, disarming the
+    // regression guard). Emit the same record with qNNN-prefix keys,
+    // 2-decimal times, and a short cache tag — loadBaseline floors by
+    // prefix, so driver captures and local records min-merge cleanly.
+    def num2(d: Double): String = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def shortMap(ts: Seq[(String, Option[Double], Option[String])]): String =
+      ts.map { case (k, t, _) => jstr(qkey(k)) + ":" + t.map(num2).getOrElse("null") }.mkString("{", ",", "}")
+    // variable-size maps are CAPPED so a pathological run can't push the
+    // line past the driver's window (n_errors carries the true count; the
+    // full record in BENCH_LOCAL.json is uncapped)
+    val shortErrors = (timed ++ extraTimed)
+      .collect { case (k, None, Some(m)) => jstr(qkey(k)) + ":" + jstr(m.take(40)) }
+      .take(3)
+      .mkString("{", ",", "}")
+    val shortRegr = (timed ++ extraTimed).collect {
+      case (k, Some(t), _) if baseline.get(qkey(k)).exists(b => b > 0 && t > 2 * b) =>
+        (t / baseline(qkey(k)), qkey(k))
+    }.sortBy(-_._1).take(8).map { case (x, k) => jstr(k) + ":" + num2(x) }.mkString("{", ",", "}")
+    val shortSetup = setupPairs.map { case (k, t) => s"${jstr(qkey(k))}:${num2(t)}" }.mkString("{", ",", "}")
+    val shortLine =
+      s"""{"metric":"total","value":${num2(total)},"unit":"sec","queries":${shortMap(timed)},"sf":${jstr(sfDir)},""" +
+        s""""errors":$shortErrors,"n_errors":$nErr,"regressions_x":$shortRegr,""" +
+        s""""remeasured":${remeasured.distinct.map(k => jstr(qkey(k))).mkString("[", ",", "]")},""" +
+        s""""extras":${shortMap(extraTimed)},"baseline":${jstr(baselineName)},"load":$loadJson,""" +
+        s""""tainted":$tainted,"setup_sec":$shortSetup,"runs_per_query":$runsPerQuery,""" +
+        s""""aggregation":"min","timing_action":"hash_rows","key_style":"qnum",""" +
+        s""""cache_policy":"warm min-of-$runsPerQuery, hash_rows; index/warehouse builds in setup_sec; full record in BENCH_LOCAL.json"}"""
+    println(shortLine)
     spark.stop()
   }
 }

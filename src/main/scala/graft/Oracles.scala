@@ -1708,7 +1708,7 @@ object Oracles {
     // q154: type-widening read — the widened union recomputed from orders
     "q154_widened_read" ->
       """SELECT CAST(o_orderkey AS BIGINT) k, CAST(o_custkey AS BIGINT) ck,
-        |  CASE WHEN o_custkey > 750 THEN o_totalprice ELSE NULL END price
+        |  CASE WHEN o_custkey % 2 <> 0 THEN o_totalprice ELSE NULL END price
         |FROM orders""".stripMargin,
 
     // q155: replica divergence — which buckets must report diverged
@@ -1856,6 +1856,12 @@ object Oracles {
 
     // q115: IVF+PQ — q114's chain with q72's coarse probe pruning
     "q115_ann_ivf_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, coarse = Some((8, 3))),
+
+    // q161: persisted IVF+PQ index — the probe must reproduce the INLINE
+    // q115 chain exactly (train + encode + coarse prune + ADC), so the
+    // oracle is the same full replay; divergence in the stored codes,
+    // the pack, or the ADC kernel hash-fails
+    "q161_pq_index_probe" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, coarse = Some((8, 3))),
 
     // q111: stream-static enrichment — batch left join over the bounded
     // replay (the streaming run must converge to it exactly; stateless,

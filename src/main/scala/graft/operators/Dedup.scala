@@ -997,9 +997,11 @@ object Dedup {
 
   /** Build the persisted MinHash+LSH index for a corpus: `sigs/`
     * (doc_id, shingles, sig) and `bands/` (bucket, doc_id) parquet
-    * tables under `indexPath`. One corpus scan; both tables are linear
-    * in the corpus (bands is x`bands` rows but carries only two narrow
-    * columns). This is the amortized state that makes daily dedup
+    * tables under `indexPath`, each laid out as `batch=<id>/`
+    * subdirectories with a `_batches/<id>` commit marker per published
+    * batch (see [[lshCommitBatch]]). One corpus scan; both tables are
+    * linear in the corpus (bands is x`bands` rows but carries only two
+    * narrow columns). This is the amortized state that makes daily dedup
     * incremental — built once, probed and appended per batch.
     */
   def lshIndexBuild(
@@ -1013,8 +1015,57 @@ object Dedup {
       rowsPerBand: Int = 2
   ): Unit = {
     val sig = graft.core.Caching.cached(portableSigTable(df, idCol, textCol, shingleSize, bands * rowsPerBand))
-    sig.write.mode("overwrite").parquet(s"$indexPath/sigs")
-    portableBandTable(sig, bands, rowsPerBand).write.mode("overwrite").parquet(s"$indexPath/bands")
+    lshCommitBatch(spark, indexPath, "base", sig, bands, rowsPerBand)
+  }
+
+  /** Publish one batch's index state under a COMMIT-MARKER protocol
+    * (ADVICE r10: the previous two bare parquet appends were non-atomic
+    * and non-idempotent — a failure between them silently lost recall for
+    * every later probe, and a re-run double-appended, duplicating pairs).
+    * The batch's `sigs` and `bands` land in `batch=<id>/` subdirectories
+    * written with OVERWRITE (a re-run of a partial or failed batch
+    * replaces rather than appends), and only after BOTH writes succeed is
+    * the single-file marker `_batches/<id>` created — the commit point,
+    * mirroring VersionedTable's reserve/publish discipline. Readers
+    * ([[lshCommittedTable]]) list the markers and partition-prune to
+    * committed batches, so a half-written batch is simply invisible.
+    */
+  private def lshCommitBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      batchId: String,
+      sig: DataFrame,
+      bands: Int,
+      rowsPerBand: Int
+  ): Unit = {
+    require(batchId.matches("[A-Za-z0-9_-]+"), s"batchId '$batchId' must be filesystem-safe")
+    sig.write.mode("overwrite").parquet(s"$indexPath/sigs/batch=$batchId")
+    portableBandTable(sig, bands, rowsPerBand).write.mode("overwrite").parquet(s"$indexPath/bands/batch=$batchId")
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$indexPath/_batches/$batchId"), true).close()
+  }
+
+  /** Read `sigs` or `bands` restricted to COMMITTED batches: the marker
+    * listing (driver-side, one small-dir list) becomes a partition-column
+    * IN-filter, so uncommitted `batch=` directories are pruned at the
+    * scan and never read.
+    */
+  private def lshCommittedTable(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      table: String
+  ): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/_batches")
+    val committed =
+      if (!fs.exists(dir)) Seq.empty[String]
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    require(committed.nonEmpty, s"no committed batches in the LSH index at $indexPath")
+    spark.read.parquet(s"$indexPath/$table")
+      .filter(col("batch").isin(committed: _*))
+      .drop("batch")
   }
 
   /** INCREMENTAL NEAR-DUP MAINTENANCE: dedup a NEW batch against a
@@ -1033,6 +1084,11 @@ object Dedup {
     * identical to running full LSH over (corpus + batch) and keeping
     * the pairs that touch the batch — the oracle checks exactly that.
     * Ids must be globally unique across corpus and batches.
+    *
+    * The append publishes via [[lshCommitBatch]]'s marker protocol under
+    * a batch id that is a pure function of the batch's doc ids (caller-
+    * overridable), so a crashed or re-delivered batch re-runs to the SAME
+    * id and overwrites its own partial state instead of double-appending.
     */
   def lshProbeAndAppend(
       spark: org.apache.spark.sql.SparkSession,
@@ -1043,7 +1099,8 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 2,
-      minJaccard: Double = 0.5
+      minJaccard: Double = 0.5,
+      batchId: Option[String] = None
   ): DataFrame = {
     val newSig = graft.core.Caching.cached(portableSigTable(newBatch, idCol, textCol, shingleSize, bands * rowsPerBand))
     val out = lshProbePairs(spark, indexPath, newSig, bands, rowsPerBand, minJaccard)
@@ -1055,8 +1112,15 @@ object Dedup {
     // should use a reliable checkpoint dir here (duplicateGroups'
     // pattern).
     val local = out.localCheckpoint()
-    newSig.write.mode("append").parquet(s"$indexPath/sigs")
-    portableBandTable(newSig, bands, rowsPerBand).write.mode("append").parquet(s"$indexPath/bands")
+    // content-derived id: order-independent xor of the batch's doc-id
+    // hashes (one bounded agg over the cached sig table) — deterministic
+    // across re-deliveries of the same batch
+    val bid = batchId.getOrElse {
+      val h = Option(newSig.agg(expr("bit_xor(xxhash64(doc_id))")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      f"x$h%016x"
+    }
+    lshCommitBatch(spark, indexPath, bid, newSig, bands, rowsPerBand)
     local
   }
 
@@ -1074,7 +1138,7 @@ object Dedup {
       minJaccard: Double
   ): DataFrame = {
     val newBands = portableBandTable(newSig, bands, rowsPerBand)
-    val oldBands = spark.read.parquet(s"$indexPath/bands")
+    val oldBands = lshCommittedTable(spark, indexPath, "bands")
     val probe = newBands.select(col("bucket"), col("doc_id").as("__new_id"))
     val candNewOld = oldBands
       .join(broadcast(probe), "bucket")
@@ -1085,7 +1149,7 @@ object Dedup {
       .join(nb, newBands("bucket") === nb("__b2") && col("doc_id") < col("id_b"))
       .select(col("doc_id").as("id_a"), col("id_b"))
     val cand = candNewOld.unionByName(candNewNew).distinct()
-    val allSh = spark.read.parquet(s"$indexPath/sigs").select(col("doc_id"), col("shingles"))
+    val allSh = lshCommittedTable(spark, indexPath, "sigs").select(col("doc_id"), col("shingles"))
       .unionByName(newSig.select(col("doc_id"), col("shingles")))
     cand
       .join(allSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")

@@ -509,6 +509,17 @@ object VersionedTable {
     * deferred to [[compact]], which folds all pending vectors in and
     * clears the entries; [[vacuum]] then reclaims spent sidecar files.
     *
+    * The vector is BOUNDARY-SCOPED (Delta's file-scoped semantics): it
+    * applies only to partitions whose manifest version is at or before
+    * the delete's base version. Data committed AFTER the delete — an
+    * SCD-2 upsert or change-feed insert that legitimately re-introduces
+    * a doomed key — is exempt and stays visible, matching
+    * copy-on-write [[graft.operators.Scd2.deleteKeys]] semantics.
+    * (Caveat inherited from partition-granularity scoping: an upsert
+    * that REWRITES a bucket containing other doomed keys re-emits that
+    * bucket DV-filtered — [[readPartitions]] applies the vectors during
+    * the rebuild — so those keys stay deleted through the rewrite.)
+    *
     * The GDPR trade vs [[graft.operators.Scd2.deleteKeys]] (copy-on-
     * write): deferred deletes make the takedown instant and cheap, but
     * the doomed bytes remain on storage until compact+vacuum — run the
@@ -529,10 +540,17 @@ object VersionedTable {
         throw new IllegalStateException(s"version $v0 of $path records no partition_column"))
       val id = s"dv-${java.util.UUID.randomUUID().toString.take(12)}"
       keys.select(keyCols.map(col): _*).distinct().write.mode("errorifexists").parquet(s"$path/_dv/$id")
+      // the vector is BOUNDARY-SCOPED to the data that existed when the
+      // delete committed (Delta's file-scoped behavior): partitions whose
+      // manifest version pv <= v0 are anti-joined; partitions written by
+      // LATER commits are exempt, so a row legitimately re-inserted with a
+      // doomed key after the delete stays visible (ADVICE r10: the
+      // table-wide vector silently suppressed such re-inserts until
+      // compact, diverging from copy-on-write deleteKeys semantics)
       try
         commitDelta(
           spark, path, read(spark, path, Some(v0)).limit(0), partCol,
-          extraMeta = Map(s"dv:$id" -> s"$id|${keyCols.mkString(",")}"))
+          extraMeta = Map(s"dv:$id" -> s"$id|${keyCols.mkString(",")}|$v0"))
       catch {
         case e: Throwable =>
           fs(spark, path).delete(new Path(s"$path/_dv/$id"), true) // unreferenced sidecar
@@ -550,12 +568,49 @@ object VersionedTable {
 
   private def applyDvSpecs(spark: SparkSession, path: String, specs: Seq[String], df: DataFrame): DataFrame =
     specs.foldLeft(df) { (d, spec) =>
-      val Array(file, colsStr) = spec.split("\\|", 2)
-      val cols = colsStr.split(",").toSeq
-      val dv = spark.read.parquet(s"$path/_dv/$file").toDF(cols.map(c => s"__dv_$c"): _*)
+      val fields = spec.split("\\|", 3)
+      val cols = fields(1).split(",").toSeq
+      val dv = spark.read.parquet(s"$path/_dv/${fields(0)}").toDF(cols.map(c => s"__dv_$c"): _*)
       val cond = cols.map(c => d(c) <=> dv(s"__dv_$c")).reduce(_ && _)
       d.join(broadcast(dv), cond, "left_anti")
     }
+
+  /** Does a dv spec apply to a partition last rewritten at `pv`? A spec
+    * `<file>|<cols>|<boundary>` scopes the vector to partitions committed
+    * at or before the delete's base version; a legacy two-field spec
+    * applies table-wide.
+    */
+  private def dvApplies(spec: String, pv: Long): Boolean = {
+    val fields = spec.split("\\|", 3)
+    fields.length < 3 || pv <= fields(2).toLong
+  }
+
+  /** Assemble a multi-partition read with BOUNDARY-SCOPED deletion
+    * vectors: partitions are grouped by which pending vectors apply to
+    * them (by the pv<=boundary rule), each group anti-joins only its own
+    * vectors, and the groups union back (null-padding across the groups'
+    * schemas exactly as the mergeSchema read did). With no pending
+    * vectors this is one mergeSchema read — zero plan overhead.
+    */
+  private def readWithDv(
+      spark: SparkSession,
+      path: String,
+      dvSpecs: Seq[String],
+      parts: Seq[(String, Long)]
+  ): DataFrame = {
+    val groups = parts.sortBy(_._1)
+      .groupBy { case (_, pv) => dvSpecs.filter(s => dvApplies(s, pv)) }
+      .toSeq
+      .sortBy(_._2.head._1)
+    val dfs = groups.map { case (specs, ps) =>
+      val dirs = ps.map { case (p, pv) => s"$path/v=$pv/p=$p" }
+      // partitions carried forward from older versions may predate a
+      // schema-widening commit — merge schemas so old partitions surface
+      // the new columns as nulls
+      applyDvSpecs(spark, path, specs, spark.read.option("mergeSchema", "true").parquet(dirs: _*))
+    }
+    dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
 
   /** Numeric type-widening lattice for schema evolution across commits:
     * integral types widen to the larger integral, fractional to double,
@@ -609,7 +664,12 @@ object VersionedTable {
           d.select(target.map { case (n, t) =>
             (if (d.columns.contains(n)) col(n) else lit(null)).cast(t).as(n)
           }: _*)
-        applyDvPending(spark, path, v, dfs.map(conform).reduce(_.unionByName(_)))
+        // boundary-scoped DV application per partition (pre-union, so each
+        // partition anti-joins only the vectors that apply to its pv)
+        val dvSpecs = dvMarkers(spark, path, v).values.toSeq.sorted
+        parts.toSeq.sortBy(_._1).zip(dfs).map { case ((_, pv), d) =>
+          conform(applyDvSpecs(spark, path, dvSpecs.filter(s => dvApplies(s, pv)), d))
+        }.reduce(_.unionByName(_))
     }
   }
 
@@ -715,11 +775,9 @@ object VersionedTable {
       case Some(parts) =>
         val (scan, _) = zonePrunePlan(spark, path, statsCol, lo, hi, Some(v))
         if (scan.isEmpty) read(spark, path, Some(v)).limit(0).filter(residual)
-        else {
-          val dirs = scan.map(p => s"$path/v=${parts(p)}/p=$p")
-          applyDvPending(spark, path, v,
-            spark.read.option("mergeSchema", "true").parquet(dirs: _*)).filter(residual)
-        }
+        else
+          readWithDv(spark, path, dvMarkers(spark, path, v).values.toSeq.sorted,
+            scan.map(p => p -> parts(p))).filter(residual)
     }
   }
 
@@ -744,18 +802,14 @@ object VersionedTable {
     val v = version.orElse(latestVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path")
     )
-    val snap = partitionMap(spark, path, v) match {
-      case None => spark.read.parquet(s"$path/v=$v")
-      case Some(parts) =>
-        val dirs = parts.toSeq.sortBy(_._1).map { case (p, pv) => s"$path/v=$pv/p=$p" }
-        // partitions carried forward from older versions may predate a
-        // schema-widening commit (the reference's drift story) — merge
-        // schemas so old partitions surface the new columns as nulls
-        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-    }
     // merge-on-read: deletion vectors pending at v filter EVERY read path
-    // (deferred deletes are visible from their commit version onward)
-    applyDvPending(spark, path, v, snap)
+    // (deferred deletes are visible from their commit version onward),
+    // boundary-scoped so partitions written AFTER a delete are exempt
+    partitionMap(spark, path, v) match {
+      case None => applyDvPending(spark, path, v, spark.read.parquet(s"$path/v=$v"))
+      case Some(parts) =>
+        readWithDv(spark, path, dvMarkers(spark, path, v).values.toSeq.sorted, parts.toSeq)
+    }
   }
 
   /** Pruned read of ONE partition of a delta-committed table — the scan a
@@ -781,7 +835,9 @@ object VersionedTable {
     // doomed rows back into the buckets it rewrites. DV specs resolved
     // once, honoring this method's one-manifest-read contract.
     val dvSpecs = dvMarkers(spark, path, v).values.toSeq.sorted
-    parts.map(p => m.get(p).map(pv => applyDvSpecs(spark, path, dvSpecs, spark.read.parquet(s"$path/v=$pv/p=$p"))))
+    parts.map(p => m.get(p).map { pv =>
+      applyDvSpecs(spark, path, dvSpecs.filter(s => dvApplies(s, pv)), spark.read.parquet(s"$path/v=$pv/p=$p"))
+    })
   }
 
   /** CDC DOWNSTREAM APPLY — the consumer half of [[changeFeed]]: apply a

@@ -396,5 +396,25 @@ class DedupSpec extends AnyFunSuite {
     val batch2 = Seq((20L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
     val got2 = pairSet(Dedup.lshProbeAndAppend(spark, idx, batch2, "doc_id", "text", minJaccard = 0.3))
     assert(got2.contains((10L, 20L, 10000L)), s"batch-2 probe must match batch-1's appended doc: $got2")
+
+    // IDEMPOTENT re-delivery: re-running the same batch resolves to the
+    // same content-derived batch id and OVERWRITES its own state — no
+    // duplicate sig rows, no duplicated pairs (ADVICE r10: the bare
+    // append protocol double-appended here)
+    val got2Again = pairSet(Dedup.lshProbeAndAppend(spark, idx, batch2, "doc_id", "text", minJaccard = 0.3))
+    assert(got2Again == got2, "re-applied batch must yield identical pairs")
+    val sig20 = spark.read.parquet(s"$idx/sigs").filter(col("doc_id") === 20L).count()
+    assert(sig20 == 1L, s"re-delivered batch must not duplicate sig rows, found $sig20")
+
+    // CRASH INVISIBILITY: a batch directory without its _batches marker
+    // (a writer that died between the two table writes) is pruned by
+    // every reader — the index serves only committed batches
+    spark.range(1).selectExpr("999L AS doc_id", "array(1L,2L) AS shingles", "array(1L) AS sig")
+      .write.mode("overwrite").parquet(s"$idx/sigs/batch=crashed1")
+    val got3 = pairSet(Dedup.lshProbeAndAppend(spark, idx,
+      Seq((30L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text"),
+      "doc_id", "text", minJaccard = 0.3))
+    assert(!got3.exists(p => p._1 == 999L || p._2 == 999L), "uncommitted batch must stay invisible")
+    assert(got3.contains((20L, 30L, 10000L)), s"committed batches still serve: $got3")
   }
 }

@@ -493,6 +493,32 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("deletion vectors are boundary-scoped: a post-delete re-insert of a doomed key stays visible") {
+    val path = Files.createTempDirectory("graft-vt-dv3").toString + "/t"
+    val batch = Seq((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "b")).toDF("k", "v", "p")
+    VersionedTable.commitDelta(spark, path, batch, "p")
+    VersionedTable.deleteKeysDeferred(spark, path, Seq(2L, 3L).toDF("k"), Seq("k"))
+    def keys(): Set[Long] =
+      VersionedTable.read(spark, path).select("k").as[Long].collect().toSet
+    assert(keys() == Set(1L), "both doomed keys suppressed after the delete")
+    // key 2 legitimately RE-INSERTED by a later commit: the vector is
+    // scoped to data at-or-before its base version, so the new row is
+    // exempt (copy-on-write deleteKeys semantics) while partition b's
+    // old key 3 stays deleted
+    VersionedTable.commitDelta(spark, path, Seq((1L, "x", "a"), (2L, "y2", "a")).toDF("k", "v", "p"), "p")
+    assert(keys() == Set(1L, 2L), s"re-inserted key must be visible, got ${keys()}")
+    // the re-inserted value, not the doomed original
+    val v2 = VersionedTable.read(spark, path).filter($"k" === 2L).select("v").as[String].head()
+    assert(v2 == "y2")
+    // partition-pruned and zone-pruned read paths agree
+    assert(VersionedTable.readPartition(spark, path, "a").get
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
+    // compact (the physical pass) preserves the re-insert and spends the vector
+    val vc = VersionedTable.compact(spark, path, "p")
+    assert(VersionedTable.dvMarkers(spark, path, vc).isEmpty)
+    assert(keys() == Set(1L, 2L), "compact must not re-suppress the re-insert")
+  }
+
   test("readWidened: int->long and int+double->double across commits; incompatible types refuse") {
     val path = Files.createTempDirectory("graft-vt-w").toString + "/t"
     VersionedTable.commitDelta(spark, path, Seq((1, "a")).toDF("v", "p"), "p") // v INT
