@@ -1662,7 +1662,7 @@ object Oracles {
     // clamped edges, densified empty buckets
     "q158_histogram" ->
       """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) c FROM orders),
-        | b AS (SELECT LEAST(19, GREATEST(0, (c * 20) // 60000000)) bin FROM v),
+        | b AS (SELECT (LEAST(59999999, GREATEST(0, c)) * 20) // 60000000 bin FROM v),
         | g AS (SELECT CAST(unnest(range(20)) AS BIGINT) bin),
         | n AS (SELECT bin, CAST(count(*) AS BIGINT) n FROM b GROUP BY bin)
         |SELECT g.bin, (g.bin * CAST(60000000 AS BIGINT)) // 20 AS lo_edge_cents,

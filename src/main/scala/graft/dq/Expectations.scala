@@ -220,8 +220,14 @@ object DqSuite {
   def histogram(df: org.apache.spark.sql.DataFrame, valueCents: Column, loCents: Long, hiCents: Long, bins: Int): org.apache.spark.sql.DataFrame = {
     require(bins >= 1 && hiCents > loCents, s"need bins >= 1 and hi > lo, got bins=$bins [$loCents,$hiCents)")
     val width = hiCents - loCents
-    val bin = least(lit(bins - 1L), greatest(lit(0L),
-      expr(s"((__v - ${loCents}L) * ${bins}L) div ${width}L")))
+    require(width <= Long.MaxValue / bins, s"bins*width overflows long: [$loCents,$hiCents) x $bins")
+    // clamp the VALUE into [lo, hi) first, then bin: the multiply is then
+    // bounded by bins*width (guarded above). Clamping the BIN after the
+    // multiply let an extreme caller-supplied valueCents overflow
+    // (v-lo)*bins — wrapping to a wrong bucket, or throwing under ANSI
+    // mode, before LEAST/GREATEST could repair it (ADVICE r10).
+    val bin = expr(
+      s"((LEAST(${hiCents - 1}L, GREATEST(${loCents}L, __v)) - ${loCents}L) * ${bins}L) div ${width}L")
     val counts = df
       .select(valueCents.cast("long").as("__v"))
       .select(bin.as("bin"))

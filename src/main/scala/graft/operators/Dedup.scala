@@ -492,7 +492,14 @@ object Dedup {
     * explode + equi-join means only pairs sharing >= 1 shingle
     * materialize, the shuffle stays linear in postings, and the optional
     * hot-shingle cap amputates degenerate boilerplate shingles before
-    * the quadratic step.
+    * the quadratic step. Under a cap, BOTH the intersection and the
+    * denominators |A|/|B| are computed over the REDUCED element space
+    * (each doc's size counts only its retained shingles), so the ratios
+    * stay internally consistent — a pair at threshold that shares capped
+    * boilerplate is judged on its non-boilerplate content rather than
+    * silently underestimated (ADVICE r10: mixing capped intersections
+    * with full-set sizes made both ratios lower bounds with unstated
+    * recall loss).
     */
   def containmentPairs(
       df: DataFrame,
@@ -507,7 +514,6 @@ object Dedup {
       df.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
         .select(col("doc_id"), array_distinct(graft.plans.HashExpressions.shingleHash60(col("__toks"), shingleSize)).as("sh"))
     )
-    val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
     val allPostings = base.select(col("doc_id"), explode(col("sh")).as("s"))
     val postings = hotShingleCap match {
       case None => allPostings
@@ -515,8 +521,14 @@ object Dedup {
         require(cap >= 1, "hotShingleCap must be >= 1")
         val hot = allPostings.groupBy(col("s")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") > cap).select(col("s"))
-        allPostings.join(hot, Seq("s"), "left_anti")
+        // explicit re-select: the USING-join moves `s` first, and the
+        // positional toDF rename below would otherwise swap the columns
+        allPostings.join(hot, Seq("s"), "left_anti").select(col("doc_id"), col("s"))
     }
+    // denominators over the SAME element space as the intersection: with
+    // no cap this equals size(sh) (shingles are distinct); under a cap it
+    // counts only retained shingles. One extra linear aggregation.
+    val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = postings.toDF("id_a", "s")
       .join(postings.toDF("id_b", "s"), Seq("s"))
       .filter(col("id_a") < col("id_b"))

@@ -31,10 +31,11 @@ object Graph {
     * Scale: each iteration is two shuffles of vertex/edge-grain relations
     * (contribution join on src, aggregate on dst) — the GraphX Pregel cost
     * without leaving DataFrame-land, so AQE and Tungsten still apply. The
-    * rank lineage is cut every iteration (`localCheckpoint`), keeping the
-    * plan constant-size across rounds; on a real cluster prefer a reliable
-    * `checkpoint` dir for executor-loss recovery (same trade recorded at
-    * [[Dedup.duplicateGroups]]).
+    * rank lineage is cut every iteration, keeping the plan constant-size
+    * across rounds; pass `checkpointDir` for RELIABLE checkpoints that
+    * survive executor loss (the right choice for an hours-long cluster
+    * run) instead of the default executor-memory `localCheckpoint` —
+    * [[Dedup.duplicateGroups]]' contract.
     *
     * Long-range audit: Σ ranks ≤ |V|·unit; one rank ≤ |V|·unit in the
     * pathological star, so `rank * dampNum` stays under 2^63 for
@@ -48,13 +49,17 @@ object Graph {
       iters: Int,
       dampNum: Long = 85L,
       dampDen: Long = 100L,
-      unit: Long = 1000000000000L
+      unit: Long = 1000000000000L,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     require(iters >= 0, "pageRank: iters must be >= 0")
     require(dampNum > 0 && dampDen > dampNum, "pageRank: need 0 < dampNum < dampDen")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val vertices = e.select(col("src").as("vid")).union(e.select(col("dst"))).distinct().localCheckpoint(true)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val vertices = cut(e.select(col("src").as("vid")).union(e.select(col("dst"))).distinct())
+    val outDeg = cut(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val teleport = (unit * (dampDen - dampNum)) / dampDen
     var ranks = vertices.select(col("vid"), lit(unit).as("rank_units"))
     for (_ <- 0 until iters) {
@@ -63,10 +68,9 @@ object Graph {
         .join(outDeg, "src")
         .select(col("dst"), expr(s"(rank_units * ${dampNum}L) div (${dampDen}L * deg)").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("mass"))
-      ranks = vertices
+      ranks = cut(vertices
         .join(contribs, vertices("vid") === contribs("dst"), "left")
-        .select(col("vid"), (lit(teleport) + coalesce(col("mass"), lit(0L))).as("rank_units"))
-        .localCheckpoint(true)
+        .select(col("vid"), (lit(teleport) + coalesce(col("mass"), lit(0L))).as("rank_units")))
     }
     ranks
   }

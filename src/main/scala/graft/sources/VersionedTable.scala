@@ -696,7 +696,14 @@ object VersionedTable {
       // row, so equal-count same-xor corruption requires swapping pairs
       // of duplicate rows — detectable only with a stronger (decimal
       // sum) fingerprint if the table allows exact duplicate rows.
-      d.withColumn("__h", xxhash64(cols.map(c => col(c).cast("string")): _*))
+      // Each column hashes under a position-tagged null-discriminating
+      // encoding ("<i>:<value>" / "<i>:null") — xxhash64 SKIPS null
+      // inputs, so without the tag a value moving between a null and a
+      // non-null column within a row ((x,null) vs (null,x)) hashed
+      // identically and same-count corruption reported clean (ADVICE r10).
+      d.withColumn("__h", xxhash64(cols.zipWithIndex.map { case (c, i) =>
+        coalesce(concat(lit(s"$i:"), col(c).cast("string")), lit(s"$i:null"))
+      }: _*))
         .groupBy(col(partCol).cast("string").as("part"))
         .agg(count(lit(1)).as("rows"), expr("bit_xor(__h)").as("fp"))
     }

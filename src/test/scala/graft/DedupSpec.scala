@@ -371,6 +371,24 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.containmentPairs(d, "doc_id", "text", minContainment = 1.01).count() == 0)
   }
 
+  test("containmentPairs hot-shingle cap: ratios stay consistent over the reduced element space") {
+    // "common" appears in 4 docs -> hot under cap=2 and amputated; doc 1's
+    // RETAINED shingles {alpha, beta} are fully contained in doc 2, so
+    // C(1 in 2) must be 1.0 over the reduced space. (Mixing the capped
+    // intersection with full-set sizes would report 2/3 and silently drop
+    // the pair at 0.9 — the ADVICE r10 recall loss.)
+    val d = Seq(
+      (1L, "common alpha beta"),
+      (2L, "common alpha beta gamma delta"),
+      (3L, "common fillerone"),
+      (4L, "common fillertwo")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, "doc_id", "text", shingleSize = 1,
+      minContainment = 0.9, hotShingleCap = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 10000L)), s"expected exact containment over retained shingles, got $out")
+  }
+
   test("incremental LSH: probe equals full recompute restricted to the batch; index stays current") {
     val corpusDocs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

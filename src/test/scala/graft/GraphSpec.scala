@@ -51,6 +51,17 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1000000000000L, 2L -> 1000000000000L))
   }
 
+  test("pageRank: reliable checkpoint dir yields identical ranks to localCheckpoint") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 3, checkpointDir = Some(ckpt))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected(edges, 3), "reliable-checkpoint run must match the recurrence exactly")
+    // the lineage cut really went through the reliable store
+    val wrote = new java.io.File(ckpt).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "checkpoint dir must contain materialized RDD state")
+  }
+
   test("pageRank: rejects degenerate damping") {
     assertThrows[IllegalArgumentException](
       Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", 1, dampNum = 100, dampDen = 100))

@@ -543,6 +543,19 @@ class VersionedTableSpec extends AnyFunSuite {
     val out = VersionedTable.divergedPartitions(spark, pa, pb)
       .collect().map(r => (r.getString(0), r.getBoolean(3))).toMap
     assert(out == Map("p0" -> false, "p1" -> false, "p2" -> true))
+
+    // null-discriminating fingerprint: same counts, but a value swapped
+    // between a null and a non-null column within a row must diverge
+    // (xxhash64 skips nulls — untagged inputs hashed (x,null)==(null,x))
+    val pc = Files.createTempDirectory("graft-vt-dc").toString + "/t"
+    val pd = Files.createTempDirectory("graft-vt-dd").toString + "/t"
+    VersionedTable.commitDelta(spark, pc,
+      Seq((1L, Option("x"), Option.empty[String], "p0")).toDF("k", "u", "w", "p"), "p")
+    VersionedTable.commitDelta(spark, pd,
+      Seq((1L, Option.empty[String], Option("x"), "p0")).toDF("k", "u", "w", "p"), "p")
+    val nullSwap = VersionedTable.divergedPartitions(spark, pc, pd)
+      .collect().map(r => (r.getString(0), r.getBoolean(3))).toMap
+    assert(nullSwap == Map("p0" -> true), s"null-position swap must diverge, got $nullSwap")
   }
 
   test("applyChangeFeed: replica follows source exactly (history included), idempotent re-apply, touched buckets only") {
