@@ -5,8 +5,8 @@ import java.nio.file.{Files, Paths}
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * emits ONE machine-readable JSON line — both to stdout (unprefixed; the
-  * build routes forked output straight through) and to BENCH_LOCAL.json in
-  * the working directory, so the driver can parse either.
+  * build routes forked output straight through) and to BENCH_LOCAL_<sf>.json
+  * in the working directory, so the driver can parse either.
   *
   * Failure-honest: a query that throws is recorded with `null` time plus an
   * entry in `errors` (never folded into the headline total as a fake-fast
@@ -112,12 +112,21 @@ object Bench {
         if (m.nonEmpty) { used += 1; Some(m) } else None
       }
     }
+    // Floor sources (r11 fix — the floor must be indestructible):
+    //   BENCH_r*.json        driver round-close captures (record under "parsed")
+    //   BENCH_LOCAL*.json    our own full-fidelity writes, now keyed by SF
+    //                        (legacy un-suffixed file still read for migration)
+    //   BENCH_FLOORS_*.json  the durable min-merged floor store, written ONLY
+    //                        by untainted runs (writeFloors below) — a tainted
+    //                        run can no longer destroy the only usable floor,
+    //                        which is exactly what killed round 11's guard.
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json") || f.getName == "BENCH_LOCAL.json")
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json") ||
+        f.getName.matches("BENCH_LOCAL.*\\.json") || f.getName.matches("BENCH_FLOORS_.*\\.json"))
     val perRound = files.flatMap { f =>
       try {
         val root = mapper.readTree(f)
-        floorsOf(if (f.getName == "BENCH_LOCAL.json") root else root.path("parsed"))
+        floorsOf(if (f.getName.matches("BENCH_r\\d+\\.json")) root.path("parsed") else root)
       } catch { case _: Throwable => None }
     }.flatten
     locally { val _ = r02Baseline } // retained for provenance; not merged (count()-era policy)
@@ -152,6 +161,43 @@ object Bench {
 
   private def loadAvg1m(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Bounded wait-for-quiesce (r11 fix): the round-close record was stamped
+    * tainted because another workload was still draining when the bench
+    * started (1-min load 5.38). Before sampling the taint telemetry, sleep
+    * while the 1-min loadavg says >1.5 runnable external tasks, capped at
+    * 5 minutes so a genuinely-shared machine still produces a (tainted)
+    * record instead of hanging. Returns seconds waited, reported in the
+    * record as `quiesce_wait_sec`.
+    */
+  private def waitForQuiesce(threshold: Double = 1.5, capSec: Int = 300): Double = {
+    val t0 = System.nanoTime()
+    while (loadAvg1m() > threshold && (System.nanoTime() - t0) / 1e9 < capSec)
+      Thread.sleep(10000)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Durable floor store: min-merge this run's per-query times into
+    * BENCH_FLOORS_<sf>.json. Called ONLY for untainted runs — the floors
+    * file monotonically ratchets downward and is immune to both contention
+    * (tainted runs never write it) and cross-SF clobbering (one file per
+    * SF). loadBaseline reads it alongside the round records.
+    */
+  private def writeFloors(sfDir: String, times: Map[String, Double], num: Double => String): Unit = {
+    val file = Paths.get(s"BENCH_FLOORS_${sfName(sfDir)}.json")
+    val existing: Map[String, Double] =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(file.toFile).path("queries")
+        scala.jdk.CollectionConverters.IterableHasAsScala(node.properties()).asScala.iterator
+          .filter(_.getValue.isNumber).map(e => e.getKey -> e.getValue.asDouble()).toMap
+      } catch { case _: Throwable => Map.empty }
+    val merged = (existing.keySet ++ times.keySet).toSeq.sorted.map { k =>
+      k -> (existing.get(k).toSeq ++ times.get(k).toSeq).min
+    }
+    val qs = merged.map { case (k, t) => graft.core.Json.str(k) + ":" + num(t) }.mkString("{", ",", "}")
+    Files.writeString(file,
+      s"""{"sf":${graft.core.Json.str(sfDir)},"tainted":false,"timing_action":"hash_rows","queries":$qs,"note":"min-merged floor store; written only by untainted Bench runs"}""" + "\n")
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -222,6 +268,7 @@ object Bench {
     // across the whole run; the record is stamped tainted when either says
     // another workload shared the machine, and tainted records are excluded
     // from the baseline floor (see loadBaseline).
+    val quiesceWait = waitForQuiesce()
     val loadStart = loadAvg1m()
     val sysT0 = sysBusyTicks(); val selfT0 = selfTicks()
 
@@ -451,7 +498,7 @@ object Bench {
     } yield math.max(0.0, (sysD - (p1 - p0)).toDouble / sysD)
     val tainted = loadStart > 1.5 || extShare.exists(_ > 0.30)
     val loadJson =
-      s"""{"start":${num(loadStart)},"end":${num(loadEnd)},"ext_cpu_share":${extShare.map(num).getOrElse("null")}}"""
+      s"""{"start":${num(loadStart)},"end":${num(loadEnd)},"ext_cpu_share":${extShare.map(num).getOrElse("null")},"quiesce_wait_sec":${num(quiesceWait)}}"""
     val setupPairs: Seq[(String, Double)] =
       q98Built.map { case (_, _, _, t) => "q98_index_build" -> t }.toSeq ++
         q106Built.map { case (_, _, _, t) => "q106_warehouse_build" -> t }.toSeq ++
@@ -470,10 +517,16 @@ object Bench {
         s""""baseline":${jstr(baselineName)},"load":$loadJson,"tainted":$tainted,"setup_sec":$setupJson,""" +
         s""""runs_per_query":$runsPerQuery,"aggregation":"min","timing_action":"hash_rows",""" +
         s""""cache_policy":"warm steady-state; min of $runsPerQuery runs per query; action = xxhash64 over every output column (full materialization, count() pruned pure projections); q98/q130/q161 timed as stored-index probes, q106/q119/q127/q141/q148 against prebuilt warehouses, q140/q145 as post-sweep serving reads (builds in setup_sec)"}"""
-    // Full-fidelity record → BENCH_LOCAL.json (floor source for the next
-    // run via loadBaseline's min-merge — survives even a truncated
-    // driver-side capture of the stdout line).
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
+    // Full-fidelity record → BENCH_LOCAL_<sf>.json, keyed by SF so runs at
+    // different scale factors never clobber each other (r11: a tainted
+    // sf0.001 run overwrote the only untainted sf0.1 record and disarmed
+    // the regression floor). The legacy un-suffixed BENCH_LOCAL.json is
+    // never written anymore — only read, for migration.
+    Files.writeString(Paths.get(s"BENCH_LOCAL_${sfName(sfDir)}.json"), line + "\n")
+    // Durable floor ratchet: only untainted runs may update the floor store.
+    if (!tainted)
+      writeFloors(sfDir,
+        (timed ++ extraTimed).collect { case (k, Some(t), _) => qkey(k) -> t }.toMap, num)
 
     // Driver-facing stdout line: the driver recovers it from a BOUNDED
     // 2000-char TAIL of the build log (r10: the full-name line outgrew the
@@ -503,7 +556,7 @@ object Bench {
         s""""extras":${shortMap(extraTimed)},"baseline":${jstr(baselineName)},"load":$loadJson,""" +
         s""""tainted":$tainted,"setup_sec":$shortSetup,"runs_per_query":$runsPerQuery,""" +
         s""""aggregation":"min","timing_action":"hash_rows","key_style":"qnum",""" +
-        s""""cache_policy":"warm min-of-$runsPerQuery, hash_rows; index/warehouse builds in setup_sec; full record in BENCH_LOCAL.json"}"""
+        s""""cache_policy":"warm min-of-$runsPerQuery, hash_rows; index/warehouse builds in setup_sec; full record in BENCH_LOCAL_<sf>.json"}"""
     println(shortLine)
     spark.stop()
   }
