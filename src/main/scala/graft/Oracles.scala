@@ -118,6 +118,56 @@ object Oracles {
     b.toString
   }
 
+  /** q163's SQL: the residual-encoded IVF+PQ (IVFADC) replay — coarse
+    * assignment, per-vector residual v − μ_cell(v), residual-space PQ
+    * training (same quantized-mean loop as [[pqAdcSql]]), residual
+    * encode, and per-probed-cell ADC against the residual query
+    * q − μ_c. Every fold is index-ordered (sum ORDER BY), so the ranking
+    * replays the Spark kernels bit-exactly.
+    */
+  private def pqResidualAdcSql(m: Int, dsub: Int, k: Int, iters: Int, topK: Int, numCells: Int, nprobe: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) x, unnest(range(${m * dsub})) i FROM embeddings),\n"
+    // coarse quantizer (vectors 0..numCells-1) and each vector's cell
+    b ++= s" cc AS (SELECT vec_id ccid, i, x cy FROM ev WHERE vec_id < $numCells),\n"
+    b ++= s" cs AS (SELECT ev.vec_id, c.ccid, sum(ev.x*c.cy ORDER BY i) d, sum(c.cy*c.cy ORDER BY i) c2\n"
+    b ++= s"   FROM ev JOIN cc c USING (i) GROUP BY ev.vec_id, c.ccid),\n"
+    b ++= s" ca AS (SELECT vec_id, ccid FROM (\n"
+    b ++= s"   SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id ORDER BY -2.0*d + c2, ccid) rn FROM cs) WHERE rn = 1),\n"
+    // residual of every vector against its own coarse centroid
+    b ++= s" rv AS (SELECT ev.vec_id, ev.i, ev.x - c.cy r FROM ev JOIN ca ON ca.vec_id = ev.vec_id\n"
+    b ++= s"   JOIN cc c ON c.ccid = ca.ccid AND c.i = ev.i),\n"
+    b ++= s" sv AS (SELECT vec_id, i // $dsub sub, i % $dsub j, r x FROM rv),\n"
+    b ++= s" cb0 AS (SELECT i // $dsub sub, vec_id cid, i % $dsub j, r y FROM rv WHERE vec_id < $k),\n"
+    for (t <- 0 until iters) {
+      b ++= s" s$t AS (SELECT sv.vec_id, sv.sub, c.cid, sum(sv.x*c.y ORDER BY sv.j) d, sum(c.y*c.y ORDER BY sv.j) c2\n"
+      b ++= s"   FROM sv JOIN cb$t c ON sv.sub = c.sub AND sv.j = c.j GROUP BY sv.vec_id, sv.sub, c.cid),\n"
+      b ++= s" a$t AS (SELECT vec_id, sub, cid FROM (\n"
+      b ++= s"   SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY -2.0*d + c2, cid) rn FROM s$t) WHERE rn = 1),\n"
+      b ++= s" n$t AS (SELECT a.sub, a.cid, sv.j, CAST(sum(CAST(FLOOR(sv.x*1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)/count(*)/1048576.0 y\n"
+      b ++= s"   FROM a$t a JOIN sv ON a.vec_id = sv.vec_id AND a.sub = sv.sub GROUP BY a.sub, a.cid, sv.j),\n"
+      b ++= s" cb${t + 1} AS (SELECT p.sub, p.cid, p.j, COALESCE(n.y, p.y) y FROM cb$t p LEFT JOIN n$t n ON p.sub = n.sub AND p.cid = n.cid AND p.j = n.j),\n"
+    }
+    b ++= s" sF AS (SELECT sv.vec_id, sv.sub, c.cid, sum(sv.x*c.y ORDER BY sv.j) d, sum(c.y*c.y ORDER BY sv.j) c2\n"
+    b ++= s"   FROM sv JOIN cb$iters c ON sv.sub = c.sub AND sv.j = c.j GROUP BY sv.vec_id, sv.sub, c.cid),\n"
+    b ++= s" aF AS (SELECT vec_id, sub, cid FROM (\n"
+    b ++= s"   SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY -2.0*d + c2, cid) rn FROM sF) WHERE rn = 1),\n"
+    // the query's nprobe cells, its per-cell residual, per-cell ADC table
+    b ++= s" qprobe AS (SELECT ccid FROM (\n"
+    b ++= s"   SELECT ccid, row_number() OVER (ORDER BY -2.0*d + c2, ccid) rn FROM cs WHERE vec_id = 0) WHERE rn <= $nprobe),\n"
+    b ++= s" cand AS (SELECT vec_id FROM ca WHERE ccid IN (SELECT ccid FROM qprobe) AND vec_id <> 0),\n"
+    b ++= s" qr AS (SELECT p.ccid, ev.i, ev.x - c.cy qx FROM ev CROSS JOIN qprobe p\n"
+    b ++= s"   JOIN cc c ON c.ccid = p.ccid AND c.i = ev.i WHERE ev.vec_id = 0),\n"
+    b ++= s" qd AS (SELECT q.ccid, c.sub, c.cid, sum((q.qx - c.y)*(q.qx - c.y) ORDER BY c.j) dist\n"
+    b ++= s"   FROM cb$iters c JOIN qr q ON c.sub = q.i // $dsub AND c.j = q.i % $dsub GROUP BY q.ccid, c.sub, c.cid),\n"
+    // score each candidate with ITS OWN cell's table
+    b ++= s" sc AS (SELECT a.vec_id, sum(qd.dist ORDER BY a.sub) dist\n"
+    b ++= s"   FROM aF a JOIN ca ON ca.vec_id = a.vec_id JOIN qd ON qd.ccid = ca.ccid AND qd.sub = a.sub AND qd.cid = a.cid\n"
+    b ++= s"   WHERE a.vec_id IN (SELECT vec_id FROM cand) GROUP BY a.vec_id)\n"
+    b ++= s"SELECT vec_id, CAST(FLOOR(dist*1000000) AS BIGINT) dist_e6 FROM sc ORDER BY dist ASC, vec_id ASC LIMIT $topK"
+    b.toString
+  }
+
   /** q72's probe-3 / cosine-top-20 tail over the final assignment. */
   private val ivfRankTail: String =
     """ qprobe AS (SELECT cid FROM (
@@ -157,6 +207,39 @@ object Oracles {
     */
   private val vecIdSample4: String =
     "(CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % 4) = 0"
+
+  /** q146/q162's SQL (shared): full q37 LSH replication restricted to
+    * pairs touching the new batch (doc_id % 5 = 0) — bucket candidacy is
+    * symmetric, so probing the index finds exactly these pairs, and the
+    * streaming sink's per-batch union reproduces them batch-boundary-
+    * invariantly.
+    */
+  private lazy val incrementalLshSql: String = {
+      import graft.plans.MinHashSig.{P, a, b}
+      val sigList = (0 until 16)
+        .map(i => s"list_min(list_transform(sh, h -> (${a(i)}*(h%$P)+${b(i)})%$P))")
+        .mkString("[", ",\n   ", "]")
+      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | sh AS (SELECT doc_id,
+         |   list_distinct(list_transform(
+         |     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
+         |     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) sh
+         |  FROM base),
+         | sig AS (SELECT doc_id, $sigList sig FROM sh WHERE len(sh) > 0),
+         | banded AS (SELECT doc_id, unnest(list_transform(range(0, 8),
+         |    b -> CAST(b AS VARCHAR)||':'||CAST(sig[CAST(2*b+1 AS INTEGER)] AS VARCHAR)||','||CAST(sig[CAST(2*b+2 AS INTEGER)] AS VARCHAR))) bucket
+         |  FROM sig),
+         | cand AS (SELECT DISTINCT x.doc_id id_a, y.doc_id id_b
+         |  FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |  WHERE x.doc_id % 5 = 0 OR y.doc_id % 5 = 0),
+         | ver AS (SELECT id_a, id_b, len(list_intersect(p.sh, q.sh)) inter, len(p.sh) la, len(q.sh) lb
+         |  FROM cand JOIN sh p ON id_a = p.doc_id JOIN sh q ON id_b = q.doc_id),
+         | j AS (SELECT id_a, id_b,
+         |    CASE WHEN la+lb-inter = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE)/(la+lb-inter) END jac FROM ver)
+         |SELECT id_a, id_b, CAST(FLOOR(jac*10000) AS BIGINT) AS jaccard_e4
+         |FROM j WHERE jac >= CAST(0.5 AS DOUBLE)""".stripMargin
+  }
 
   /** q99's SQL: the merge list comes from [[graft.plans.Bpe.merges]] — ONE
     * definition feeds both engines, so a vocab edit cannot desync them.
@@ -599,35 +682,14 @@ object Oracles {
          |FROM j WHERE jac >= CAST(0.5 AS DOUBLE)""".stripMargin
     },
 
-    // q146: incremental LSH == full q37 replication restricted to pairs
-    // touching the new batch (doc_id % 5 = 0) — bucket candidacy is
-    // symmetric, so probing the index finds exactly these pairs
-    "q146_incremental_lsh" -> {
-      import graft.plans.MinHashSig.{P, a, b}
-      val sigList = (0 until 16)
-        .map(i => s"list_min(list_transform(sh, h -> (${a(i)}*(h%$P)+${b(i)})%$P))")
-        .mkString("[", ",\n   ", "]")
-      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
-         | sh AS (SELECT doc_id,
-         |   list_distinct(list_transform(
-         |     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
-         |       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
-         |     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) sh
-         |  FROM base),
-         | sig AS (SELECT doc_id, $sigList sig FROM sh WHERE len(sh) > 0),
-         | banded AS (SELECT doc_id, unnest(list_transform(range(0, 8),
-         |    b -> CAST(b AS VARCHAR)||':'||CAST(sig[CAST(2*b+1 AS INTEGER)] AS VARCHAR)||','||CAST(sig[CAST(2*b+2 AS INTEGER)] AS VARCHAR))) bucket
-         |  FROM sig),
-         | cand AS (SELECT DISTINCT x.doc_id id_a, y.doc_id id_b
-         |  FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
-         |  WHERE x.doc_id % 5 = 0 OR y.doc_id % 5 = 0),
-         | ver AS (SELECT id_a, id_b, len(list_intersect(p.sh, q.sh)) inter, len(p.sh) la, len(q.sh) lb
-         |  FROM cand JOIN sh p ON id_a = p.doc_id JOIN sh q ON id_b = q.doc_id),
-         | j AS (SELECT id_a, id_b,
-         |    CASE WHEN la+lb-inter = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE)/(la+lb-inter) END jac FROM ver)
-         |SELECT id_a, id_b, CAST(FLOOR(jac*10000) AS BIGINT) AS jaccard_e4
-         |FROM j WHERE jac >= CAST(0.5 AS DOUBLE)""".stripMargin
-    },
+    // q162: the streaming LSH dedup sink's per-batch pair union must equal
+    // the SAME full-recompute restriction q146 is gated on — batch
+    // boundaries may not change the result (each pair is reported exactly
+    // once, by the batch of its later doc), so the oracle is shared.
+    "q162_stream_lsh_dedup" -> incrementalLshSql,
+
+    "q146_incremental_lsh" -> incrementalLshSql,
+
 
     // q73: union-MinHash per source — sig_i(union) == min_i over ALL member
     // shingle hashes (mergeable-sketch identity), so the oracle is a plain
@@ -1862,6 +1924,11 @@ object Oracles {
     // oracle is the same full replay; divergence in the stored codes,
     // the pack, or the ADC kernel hash-fails
     "q161_pq_index_probe" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, coarse = Some((8, 3))),
+
+    // q163: residual-encoded IVF+PQ (IVFADC) — stored-index probe must
+    // reproduce the full residual chain (coarse assign, residual,
+    // residual-space train/encode, per-cell ADC) bit-for-bit
+    "q163_ann_ivf_pq_residual" -> pqResidualAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, numCells = 8, nprobe = 3),
 
     // q111: stream-static enrichment — batch left join over the bounded
     // replay (the streaming run must converge to it exactly; stateless,

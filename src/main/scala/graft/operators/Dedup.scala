@@ -1112,7 +1112,8 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 2,
       minJaccard: Double = 0.5,
-      batchId: Option[String] = None
+      batchId: Option[String] = None,
+      persistPairs: DataFrame => Unit = _ => ()
   ): DataFrame = {
     val newSig = graft.core.Caching.cached(portableSigTable(newBatch, idCol, textCol, shingleSize, bands * rowsPerBand))
     val out = lshProbePairs(spark, indexPath, newSig, bands, rowsPerBand, minJaccard)
@@ -1132,8 +1133,30 @@ object Dedup {
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       f"x$h%016x"
     }
+    // persistPairs runs BEFORE the index commit: the `_batches/<id>`
+    // marker is the batch's single commit point, so a consumer that
+    // durably sinks the pairs here (e.g. the streaming dedup sink's
+    // per-batch parquet) is covered by it — a crash after the marker
+    // means pairs AND index state are both on disk; a crash before it
+    // means the re-delivered batch rewrites both under the same id.
+    persistPairs(local)
     lshCommitBatch(spark, indexPath, bid, newSig, bands, rowsPerBand)
     local
+  }
+
+  /** Whether `batchId` has been committed into the LSH index at
+    * `indexPath` — the idempotence check for at-least-once re-delivery:
+    * a committed batch's probe results are already durably persisted
+    * (see [[lshProbeAndAppend]]'s `persistPairs` ordering), so a
+    * re-delivery can skip the batch outright instead of re-probing.
+    */
+  def lshBatchCommitted(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      batchId: String
+  ): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_batches/$batchId")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** The pre-checkpoint probe plan of [[lshProbeAndAppend]] (batch

@@ -416,12 +416,16 @@ object Similarity {
     * inner diff-square fold index-ascending (oracle: sum ORDER BY t).
     */
   private def adcTable(codebooks: Seq[Seq[(Long, Seq[Double])]], query: Seq[Float], dsub: Int): Seq[Seq[Double]] =
+    adcTableD(codebooks, query.map(_.toDouble), dsub)
+
+  /** [[adcTable]] for an already-double query (the residual-query case). */
+  private def adcTableD(codebooks: Seq[Seq[(Long, Seq[Double])]], query: Seq[Double], dsub: Int): Seq[Seq[Double]] =
     codebooks.indices.map { j =>
       codebooks(j).map { case (_, c) =>
         var d = 0.0
         var t = 0
         while (t < dsub) {
-          val diff = query(j * dsub + t).toDouble - c(t)
+          val diff = query(j * dsub + t) - c(t)
           d += diff * diff
           t += 1
         }
@@ -700,6 +704,183 @@ object Similarity {
     val parts = graft.sources.VersionedTable.readPartitions(spark, path, cells, version).flatten
     require(parts.nonEmpty, s"none of the probe cells ${cells.mkString(",")} exist in the index at $path")
     adcTopKOnCodes(parts.reduce(_.unionByName(_)), idCol, adcTable(codebooks, query, dim / m), k)
+  }
+
+  // ------------------------------------------- residual PQ (FAISS IVFADC)
+
+  /** v − μ_cell(v): the residual a vector leaves after its coarse
+    * centroid is subtracted — the quantity the standard billion-scale
+    * IVFADC layout PQ-encodes (public FAISS design: residuals cluster
+    * far tighter around the origin than raw vectors, so the same m-byte
+    * code budget buys materially better recall). `cell` is the already-
+    * computed coarse assignment (bind it once — don't re-derive it inside
+    * this expression); the centroid lookup is a literal map, evaluated
+    * per row with no join. Float elements widen to double exactly
+    * (IEEE), so a SQL oracle replays the subtraction bit-for-bit.
+    */
+  def residualFromCell(vec: Column, cell: Column, coarse: Seq[(Long, Seq[Double])]): Column = {
+    val lut = map(coarse.flatMap { case (id, c) => Seq(lit(id), array(c.map(lit): _*)) }: _*)
+    zip_with(vec, element_at(lut, cell), (x, mu) => x.cast("double") - mu)
+  }
+
+  /** (id, cell, residual) projection — the shared front half of residual
+    * training and encoding: one [[ivfCell]] assignment, residual bound to
+    * a real column so downstream per-subspace argmins read it in place
+    * instead of re-deriving it m times (the engine's bind-expensive-
+    * subtrees rule).
+    */
+  def withResidual(df: DataFrame, idCol: String, vecCol: String, coarse: Seq[(Long, Seq[Double])]): DataFrame =
+    df.select(col(idCol), col(vecCol), ivfCell(col(vecCol), coarse).as("cell"))
+      .select(col(idCol), col("cell"),
+        residualFromCell(col(vecCol), col("cell"), coarse).as("__resid"))
+
+  /** Train PQ codebooks ON RESIDUALS — [[trainPqCodebooks]]' quantized-
+    * mean Lloyd loop over `v − μ_cell(v)` instead of `v`. Same
+    * determinism contract (exact fixed-point accumulation, empty cells
+    * keep their centroid); `init` must already be residual-space seeds.
+    */
+  def trainResidualPqCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      coarse: Seq[(Long, Seq[Double])],
+      init: Seq[Seq[(Long, Seq[Double])]],
+      iters: Int): Seq[Seq[(Long, Seq[Double])]] =
+    trainPqCodebooks(withResidual(df, idCol, vecCol, coarse), "__resid", dim, init, iters)
+
+  /** (id, cell, pq_codes) with codes assigned in RESIDUAL space — the
+    * IVFADC encoding. Packed one-byte codes ([[pqCodesPacked]]'s at-rest
+    * format); one scan, no shuffle.
+    */
+  def encodeResidualPq(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      coarse: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val m = codebooks.length
+    require(m > 0 && dim % m == 0, s"encodeResidualPq: dim=$dim / m=$m")
+    require(codebooks.forall(_.length <= 128), "encodeResidualPq: codebook k must be <= 128 (int8 at-rest codes)")
+    val dsub = dim / m
+    withResidual(df, idCol, vecCol, coarse).select(
+      col(idCol),
+      col("cell"),
+      graft.plans.VectorExpressions.packInt8(
+        array((0 until m).map(j => ivfCellAt(col("__resid"), codebooks(j), j * dsub).cast("int")): _*)
+      ).as("pq_codes"))
+  }
+
+  /** Per-probed-cell ADC tables for a residual-encoded index: cell c's
+    * table scores against the RESIDUAL QUERY `q − μ_c` (each cell sees
+    * the query from its own centroid's frame — the asymmetric half of
+    * IVFADC). Driver work: nprobe × m × k × dsub, microseconds.
+    */
+  private def residualAdcTables(
+      coarse: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      query: Seq[Float],
+      cells: Seq[Long],
+      dsub: Int): Map[Long, Seq[Seq[Double]]] = {
+    val mu = coarse.toMap
+    cells.map { c =>
+      val qr = query.indices.map(i => query(i).toDouble - mu(c)(i))
+      c -> adcTableD(codebooks, qr, dsub)
+    }.toMap
+  }
+
+  /** Distance column scoring each candidate with ITS OWN cell's residual
+    * ADC table — a CASE over the nprobe probed cells, so one scan covers
+    * all cells and each row pays exactly one codegen'd
+    * [[graft.plans.AdcDistance]] fold.
+    */
+  private def residualDist(tables: Map[Long, Seq[Seq[Double]]], cells: Seq[Long]): Column =
+    cells.tail.foldLeft(
+      when(col("cell") === cells.head,
+        graft.plans.VectorExpressions.adcDistance(col("pq_codes"), tables(cells.head)))) {
+      (acc, c) => acc.when(col("cell") === c,
+        graft.plans.VectorExpressions.adcDistance(col("pq_codes"), tables(c)))
+    }
+
+  private def residualTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored
+      .orderBy(col("__dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), floor(col("__dist") * lit(1000000.0)).cast("long").as("dist_e6"))
+
+  /** IVFADC top-k, inline: coarse prune to the query's nprobe cells, then
+    * rank candidates from their RESIDUAL codes — each cell's candidates
+    * scored against the residual query `q − μ_c`. Distances are exact
+    * squared L2 between q and each vector's reconstruction
+    * `μ_c + concat(codebook centroids)`; same fold orders as
+    * [[pqAdcTopK]], so the oracle replays every ranking bit-exactly.
+    * Ascending distance, ties to the lower id, floor-e6 output.
+    */
+  def ivfPqResidualTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      coarse: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      query: Seq[Float],
+      nprobe: Int,
+      k: Int): DataFrame = {
+    require(nprobe > 0 && nprobe <= coarse.length, s"ivfPqResidualTopK: nprobe=$nprobe vs ${coarse.length} cells")
+    require(query.length == dim, s"ivfPqResidualTopK: query=${query.length} vs dim=$dim")
+    val cells = ivfProbeCells(query, coarse, nprobe)
+    val tables = residualAdcTables(coarse, codebooks, query, cells, dim / codebooks.length)
+    val enc = encodeResidualPq(df, idCol, vecCol, dim, coarse, codebooks)
+      .filter(col("cell").isin(cells: _*))
+    residualTopK(enc.withColumn("__dist", residualDist(tables, cells)), idCol, k)
+  }
+
+  /** Persist the IVFADC layout: residual-encoded m-byte codes,
+    * cell-partitioned ([[writePqIndex]]'s storage shape — file-pruned
+    * probes — with residual codes in place of raw-space codes).
+    */
+  def writeResidualPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      dim: Int,
+      coarse: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]]
+  ): Long =
+    graft.sources.VersionedTable.commitDelta(
+      spark, path, encodeResidualPq(df, idCol, vecCol, dim, coarse, codebooks), "cell")
+
+  /** Serve a top-k from a [[writeResidualPqIndex]] table: open exactly the
+    * query's nprobe cell partitions, score each partition with its own
+    * residual ADC table, union, rank. Bit-identical to
+    * [[ivfPqResidualTopK]] over the same corpus — the stored/inline
+    * parity the oracle gates. Cells the table never wrote are skipped.
+    */
+  def probeResidualPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      query: Seq[Float],
+      k: Int,
+      dim: Int,
+      coarse: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      nprobe: Int = 3,
+      version: Option[Long] = None
+  ): DataFrame = {
+    val m = codebooks.length
+    require(m > 0 && dim % m == 0 && query.length == dim, s"probeResidualPqIndex: dim=$dim / m=$m / query=${query.length}")
+    val cells = ivfProbeCells(query, coarse, nprobe)
+    val tables = residualAdcTables(coarse, codebooks, query, cells, dim / m)
+    val parts = graft.sources.VersionedTable.readPartitions(spark, path, cells.map(_.toString), version)
+    val scored = cells.zip(parts).collect { case (c, Some(p)) =>
+      p.withColumn("__dist", graft.plans.VectorExpressions.adcDistance(col("pq_codes"), tables(c)))
+    }
+    require(scored.nonEmpty, s"none of the probe cells ${cells.mkString(",")} exist in the index at $path")
+    residualTopK(scored.reduce(_.unionByName(_)), idCol, k)
   }
 
   /** IVF ANN top-k: score only vectors assigned to the query's nprobe

@@ -358,8 +358,14 @@ object Streaming {
       dimCols: Seq[String]): DataFrame = {
     require(dimCols.nonEmpty, "enrichStream: select at least one dimension attribute")
     val slim = dim.select((dimKey +: dimCols).map(col): _*)
+    // No forced broadcast() hint: the planner sizes the pruned dimension
+    // against autoBroadcastJoinThreshold each micro-batch, so a dimension
+    // that fits broadcasts (the common case — dimCols prunes it to the
+    // columns used) and one that outgrows the threshold degrades to a
+    // shuffled hash join whose build side is the dimension, instead of a
+    // forced broadcast OOM-ing the driver.
     events
-      .join(broadcast(slim), col(eventKey) === col(dimKey), "left_outer")
+      .join(slim, col(eventKey) === col(dimKey), "left_outer")
       .drop(dimKey)
   }
 
@@ -389,6 +395,64 @@ object Streaming {
       case None =>
         events.select(keys.map(col): _*).dropDuplicates(keys)
     }
+
+  /** STREAMING NEAR-DUP DEDUP against the persisted MinHash+LSH index —
+    * the production shape for continuous corpus ingestion: each
+    * micro-batch of documents probes the index
+    * ([[graft.operators.Dedup.lshProbeAndAppend]] — batch side broadcast,
+    * index never shuffled), durably sinks the exact-Jaccard-verified
+    * near-dup pairs it found to `pairsPath/batch=<id>/`, and appends its
+    * own signatures so later batches dedup against it. The union of all
+    * batches' pairs equals one full LSH recompute over (corpus + all
+    * batches) restricted to pairs touching a batch doc — batch
+    * boundaries don't change the result, only which batch reports each
+    * pair (a pair is reported by the batch of its LATER document,
+    * exactly once).
+    *
+    * Exactly-once under at-least-once re-delivery: the batch id
+    * `<streamId>-b<batchId>` is deterministic under a durable
+    * `checkpointLocation`, pairs are written (overwrite) BEFORE the
+    * index's `_batches/<id>` commit marker, and a re-delivered batch
+    * whose marker already exists ([[graft.operators.Dedup
+    * .lshBatchCommitted]]) is skipped outright — its pairs and index
+    * state are already on disk. A crash before the marker re-runs the
+    * whole batch under the SAME id, overwriting its own partial output.
+    * One sink per (index, streamId), mirroring [[scd2WarehouseSink]]'s
+    * namespacing discipline.
+    */
+  def lshDedupSink(
+      spark: SparkSession,
+      source: DataFrame,
+      indexPath: String,
+      pairsPath: String,
+      idCol: String,
+      textCol: String,
+      checkpointLocation: String,
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5,
+      streamId: String = "lsh"
+  ): StreamingQuery = {
+    require(streamId.matches("[A-Za-z0-9_-]+"), s"streamId '$streamId' must be filesystem-safe")
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val bid = s"$streamId-b$batchId"
+        if (!graft.operators.Dedup.lshBatchCommitted(spark, indexPath, bid)) {
+          graft.operators.Dedup.lshProbeAndAppend(
+            spark, indexPath, df.toDF(), idCol, textCol,
+            shingleSize, bands, rowsPerBand, minJaccard,
+            batchId = Some(bid),
+            persistPairs =
+              _.write.mode("overwrite").parquet(s"$pairsPath/batch=$bid"))
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 
   // ------------------------------------------------------------------
   // Continuous (multi-batch) gap sessionization + cumulative cutover

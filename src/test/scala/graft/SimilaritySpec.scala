@@ -330,6 +330,88 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == inline)
   }
 
+  test("residual PQ (IVFADC): stored probe == inline, probe prunes to its cells, recall beats raw codes at equal byte budget") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = 64; val m = 8; val dsub = dim / m
+    val coarse = emb.filter($"vec_id" < 8).orderBy($"vec_id").select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val mu = coarse.toMap
+    val seeds = emb.filter($"vec_id" < 16).orderBy($"vec_id").select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val rawInit = (0 until m).map(j => seeds.toSeq.zipWithIndex.map { case ((_, v), pos) =>
+      pos.toLong -> v.map(_.toDouble).slice(j * dsub, (j + 1) * dsub).toSeq })
+    val resInit = (0 until m).map { j =>
+      seeds.toSeq.zipWithIndex.map { case ((_, v), pos) =>
+        val c = mu(Similarity.ivfProbeCells(v, coarse, 1).head)
+        pos.toLong -> (j * dsub until (j + 1) * dsub).map(i => v(i).toDouble - c(i)).toSeq
+      }
+    }
+    val rawCbs = Similarity.trainPqCodebooks(emb, "embedding", dim, rawInit, iters = 2)
+    val resCbs = Similarity.trainResidualPqCodebooks(emb, "vec_id", "embedding", dim, coarse, resInit, iters = 2)
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val qvec = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+
+    // inline IVFADC == probe of the persisted residual index, row for row
+    val inline = Similarity.ivfPqResidualTopK(corpus, "vec_id", "embedding", dim, coarse, resCbs, qvec, nprobe = 3, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-pqres").toString + "/idx"
+    Similarity.writeResidualPqIndex(spark, corpus, "vec_id", "embedding", path, dim, coarse, resCbs)
+    val probed = Similarity.probeResidualPqIndex(spark, path, "vec_id", qvec, 20, dim, coarse, resCbs, nprobe = 3)
+    val probeCells = Similarity.ivfProbeCells(qvec, coarse, 3).toSet
+    val scanned = probed.inputFiles
+    assert(scanned.nonEmpty && scanned.forall(f => probeCells.exists(c => f.contains(s"/p=$c/"))),
+      s"probe read outside its cells: ${scanned.mkString(",")}")
+    assert(probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == inline)
+
+    // recall head-to-head at the SAME 8-byte code budget, on CLUSTERED
+    // vectors (the data shape IVFADC exists for: residuals v − μ_cell
+    // concentrate around the origin, so 16 codes/subspace cover them far
+    // better than the full inter-cluster spread raw PQ must span; on
+    // UNclustered uniform-random vectors residual ≈ raw − the nearest of
+    // 8 arbitrary centroids removes almost no energy). Coarse pruning is
+    // off (nprobe = all cells) so only code quality differs; ground
+    // truth is exact squared-L2 computed locally.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8, dim)(rnd.nextGaussian() * 5.0)
+    val pts: Seq[(Long, Seq[Float])] = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      i.toLong -> (0 until dim).map(d => (c(d) + rnd.nextGaussian() * 0.4).toFloat)
+    }
+    val cdf = pts.toDF("vec_id", "embedding")
+    val cCoarse: Seq[(Long, Seq[Double])] =
+      centers.toSeq.zipWithIndex.map { case (c, i) => i.toLong -> c.toSeq }
+    val cMu = cCoarse.toMap
+    val cSeeds = pts.take(16)
+    val cRawInit = (0 until m).map(j => cSeeds.zipWithIndex.map { case ((_, v), pos) =>
+      pos.toLong -> v.map(_.toDouble).slice(j * dsub, (j + 1) * dsub).toSeq })
+    val cResInit = (0 until m).map { j =>
+      cSeeds.zipWithIndex.map { case ((_, v), pos) =>
+        val c = cMu(Similarity.ivfProbeCells(v, cCoarse, 1).head)
+        pos.toLong -> (j * dsub until (j + 1) * dsub).map(i => v(i).toDouble - c(i)).toSeq
+      }
+    }
+    val cRawCbs = Similarity.trainPqCodebooks(cdf, "embedding", dim, cRawInit, iters = 2)
+    val cResCbs = Similarity.trainResidualPqCodebooks(cdf, "vec_id", "embedding", dim, cCoarse, cResInit, iters = 2)
+    val byId = pts.toMap
+    val (resRecall, rawRecall) = Seq(0L, 57L, 123L, 250L, 399L).map { qid =>
+      val q = byId(qid)
+      val rest = cdf.filter($"vec_id" =!= qid)
+      val truth = pts.filter(_._1 != qid).map { case (id, v) =>
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i).toDouble - q(i).toDouble; d += t * t; i += 1 }
+        (d, id)
+      }.sorted.take(20).map(_._2).toSet
+      val res = Similarity.ivfPqResidualTopK(rest, "vec_id", "embedding", dim, cCoarse, cResCbs, q, nprobe = 8, k = 20)
+        .collect().map(_.getLong(0)).toSet
+      val raw = Similarity.pqAdcTopK(rest, "vec_id", "embedding", dim, cRawCbs, q, 20)
+        .collect().map(_.getLong(0)).toSet
+      ((truth & res).size.toDouble / truth.size, (truth & raw).size.toDouble / truth.size)
+    }.unzip
+    val (avgRes, avgRaw) = (resRecall.sum / resRecall.size, rawRecall.sum / rawRecall.size)
+    info(f"residual recall $avgRes%.3f vs raw recall $avgRaw%.3f (per-query res=$resRecall raw=$rawRecall)")
+    assert(avgRes > avgRaw, f"residual encoding should beat raw codes on clustered data at equal bytes: $avgRes%.3f <= $avgRaw%.3f")
+  }
+
   test("persisted IVF+SQ8 index: probe reads ONLY nprobe partitions; q98 parity on stored codes") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = emb.filter($"vec_id" < 8).select($"vec_id", $"embedding")

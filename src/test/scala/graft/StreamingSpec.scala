@@ -674,4 +674,62 @@ class StreamingSpec extends AnyFunSuite {
     val last = rows.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSet
     assert(last == batch, s"streaming $last != batch $batch")
   }
+
+  test("lshDedupSink: per-batch pair union equals one-shot probe; restart with a lost checkpoint re-uses committed batch ids and changes nothing") {
+    import graft.operators.Dedup
+    val tmp = Files.createTempDirectory("graft-lshsink").toString
+    val idx = s"$tmp/index"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "completely unrelated corpus text with different words")
+    ).toDF("doc_id", "text")
+    Dedup.lshIndexBuild(spark, idx, corpus, "doc_id", "text")
+
+    // two staged micro-batch files: batch docs 10/15 near-dup the corpus
+    // and each other; 16 matches nothing
+    val b0 = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val b1 = Seq(
+      (15L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (16L, "nothing shared with anything else at all today"))
+    b0.toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/in/g0")
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/in/g1")
+
+    def runSink(ckpt: String) = {
+      val src = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in/*")
+      val q = Streaming.lshDedupSink(
+        spark, src, idx, s"$tmp/pairs", "doc_id", "text",
+        checkpointLocation = ckpt, streamId = "t")
+      assert(q.awaitTermination(120000), "lsh dedup stream did not finish")
+    }
+    runSink(s"$tmp/ckpt1")
+
+    def pairSet() = spark.read.parquet(s"$tmp/pairs")
+      .select("id_a", "id_b", "jaccard_e4").as[(Long, Long, Long)].collect().toSet
+    val streamed = pairSet()
+    // one-shot equivalent: fresh index over the same corpus, both batches
+    // probed as ONE batch — the batch-boundary-invariance contract
+    val idx2 = s"$tmp/index2"
+    Dedup.lshIndexBuild(spark, idx2, corpus, "doc_id", "text")
+    val oneShot = Dedup.lshProbeAndAppend(
+      spark, idx2, (b0 ++ b1).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == oneShot, s"streamed $streamed != one-shot $oneShot")
+    assert(streamed.map(p => (p._1, p._2)) == Set((1L, 10L), (1L, 15L), (10L, 15L)), s"got $streamed")
+
+    // the stream ran as two committed batches (plus the corpus base)
+    def committed() =
+      new java.io.File(s"$idx/_batches").list().filterNot(_.startsWith(".")).toSet
+    assert(committed() == Set("base", "t-b0", "t-b1"), s"got ${committed()}")
+
+    // kill-and-restart with a LOST checkpoint: batch numbering restarts at
+    // 0 under the same streamId, every re-delivered id hits its commit
+    // marker, and neither the pairs nor the index state change
+    runSink(s"$tmp/ckpt2")
+    assert(pairSet() == streamed, "re-delivery changed the pair set")
+    assert(committed() == Set("base", "t-b0", "t-b1"), "re-delivery appended to the index")
+  }
 }
