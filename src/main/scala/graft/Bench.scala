@@ -344,6 +344,14 @@ object Bench {
         val (idx, coarse, cbs, qv) = Queries.q161BuildIndex(spark, sfDir)
         Some((idx, coarse, cbs, qv, (System.nanoTime() - q161SetupT0) / 1e9))
       } catch { case _: Throwable => None }
+    // One-time q163 residual-PQ index build, same adjudication as q161:
+    // the timed op is the per-cell residual-ADC probe over stored codes.
+    val q163SetupT0 = System.nanoTime()
+    val q163Built =
+      try {
+        val (idx, coarse, cbs, qv) = Queries.q163BuildIndex(spark, sfDir)
+        Some((idx, coarse, cbs, qv, (System.nanoTime() - q163SetupT0) / 1e9))
+      } catch { case _: Throwable => None }
 
     // benched ops: SparkEntry.queries, with q98 overridden to probe-only
     // against the prebuilt index and q106 to feed-only against the
@@ -374,6 +382,8 @@ object Bench {
         "q141_version_drift" -> ((s: SparkSession, _: String) => Queries.q141Drift(s, path, v1, v2))
       } ++ q161Built.map { case (idx, coarse, cbs, qv, _) =>
         "q161_pq_index_probe" -> ((s: SparkSession, _: String) => Queries.q161Probe(s, idx, coarse, cbs, qv))
+      } ++ q163Built.map { case (idx, coarse, cbs, qv, _) =>
+        "q163_ann_ivf_pq_residual" -> ((s: SparkSession, _: String) => Queries.q163Probe(s, idx, coarse, cbs, qv))
       }
 
     // FULL-MATERIALIZATION timing action (round-10 fix): `count()` let
@@ -509,7 +519,8 @@ object Bench {
         q148Built.map { case (_, t) => "q148_replica_bootstrap" -> t }.toSeq ++
         q140Built.map { case (_, t) => "q140_sweep_build" -> t }.toSeq ++
         q145Built.map { case (_, t) => "q145_dv_build" -> t }.toSeq ++
-        q161Built.map { case (_, _, _, _, t) => "q161_index_build" -> t }.toSeq
+        q161Built.map { case (_, _, _, _, t) => "q161_index_build" -> t }.toSeq ++
+        q163Built.map { case (_, _, _, _, t) => "q163_index_build" -> t }.toSeq
     val setupJson = setupPairs.map { case (k, t) => s"${jstr(k)}:${num(t)}" }.mkString("{", ",", "}")
 
     val line =
@@ -518,7 +529,7 @@ object Bench {
         s""""remeasured":${remeasured.distinct.map(jstr).mkString("[", ",", "]")},"extras":$extraTimes,""" +
         s""""baseline":${jstr(baselineName)},"load":$loadJson,"tainted":$tainted,"setup_sec":$setupJson,""" +
         s""""runs_per_query":$runsPerQuery,"aggregation":"min","timing_action":"hash_rows",""" +
-        s""""cache_policy":"warm steady-state; min of $runsPerQuery runs per query; action = xxhash64 over every output column (full materialization, count() pruned pure projections); q98/q130/q161 timed as stored-index probes, q106/q119/q127/q141/q148 against prebuilt warehouses, q140/q145 as post-sweep serving reads (builds in setup_sec)"}"""
+        s""""cache_policy":"warm steady-state; min of $runsPerQuery runs per query; action = xxhash64 over every output column (full materialization, count() pruned pure projections); q98/q130/q161/q163 timed as stored-index probes, q106/q119/q127/q141/q148 against prebuilt warehouses, q140/q145 as post-sweep serving reads (builds in setup_sec)"}"""
     // Full-fidelity record → BENCH_LOCAL_<sf>.json, keyed by SF so runs at
     // different scale factors never clobber each other (r11: a tainted
     // sf0.001 run overwrote the only untainted sf0.1 record and disarmed

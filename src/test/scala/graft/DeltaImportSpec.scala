@@ -545,6 +545,47 @@ class DeltaImportSpec extends AnyFunSuite {
     assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSet == Set((1, "u"), (2, "w")))
   }
 
+  test("name-mode column mapping: a logical RENAME across commits survives replay — latest name at head, original under time travel") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-dimp-cmren").toString
+    // the operation column mapping exists for: commit 1 renames logical
+    // column x -> y by re-issuing metaData with a new logical name over
+    // the SAME physicalName — zero data files rewritten
+    TableFixtures.writeSinglePartParquet(
+      Seq(1, 2).toDF("v").select(col("v").as("col-x1")), s"$root/f0.parquet")
+    TableFixtures.writeSinglePartParquet(
+      Seq(3).toDF("v").select(col("v").as("col-x1")), s"$root/f1.parquet")
+    def mapMeta(phys: String, id: Long): Metadata = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id)
+      .build()
+    def meta(logical: String) = {
+      val schema = StructType(Seq(
+        StructField(logical, IntegerType, nullable = true, mapMeta("col-x1", 1))))
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${graft.core.Json.str(schema.json)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"}}}"""
+    }
+    def add(p: String) =
+      s"""{"add":{"path":${graft.core.Json.str(p)},"partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+    new java.io.File(s"$root/_delta_log").mkdirs()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000000.json"),
+      Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""", meta("x"),
+        add("f0.parquet")).mkString("", "\n", "\n"))
+    Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000001.json"),
+      Seq(meta("y"), add("f1.parquet")).mkString("", "\n", "\n"))
+    // head: both files (pre- and post-rename) read under the NEW name
+    val head = DeltaImport.read(spark, root)
+    assert(head.schema.fieldNames.toSeq == Seq("y"))
+    assert(head.select(col("y")).collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
+    // time travel to v0: the ORIGINAL logical name
+    val v0 = DeltaImport.read(spark, root, versionAsOf = Some(0))
+    assert(v0.schema.fieldNames.toSeq == Seq("x"))
+    assert(v0.select(col("x")).collect().map(_.getInt(0)).toSet == Set(1, 2))
+  }
+
   test("id-mode column mapping: a field without delta.columnMapping.id is refused, not name-matched") {
     val root = Files.createTempDirectory("graft-dimp-cmid-e").toString
     TableFixtures.writeSinglePartParquet(Seq(7).toDF("x"), s"$root/f0.parquet")
