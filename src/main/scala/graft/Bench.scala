@@ -122,7 +122,8 @@ object Bench {
     //                        which is exactly what killed round 11's guard.
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json") ||
-        f.getName.matches("BENCH_LOCAL.*\\.json") || f.getName.matches("BENCH_FLOORS_.*\\.json"))
+        f.getName.matches("BENCH_LOCAL.*\\.json") || f.getName.matches("BENCH_FLOORS_.*\\.json") ||
+        f.getName == "BENCH_SF1.json") // the committed sf1 artifact doubles as the sf1 floor seed
     val perRound = files.flatMap { f =>
       try {
         val root = mapper.readTree(f)

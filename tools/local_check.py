@@ -174,7 +174,12 @@ def apply_scale(oracles):
                  # q116's unrolled iteration chain re-evaluates the edge
                  # CTE once per rank step when inlined; q126 chains the
                  # simhash CTEs into a recursive reachability (q88's shape)
-                 "q116_pagerank", "q126_neardup_split", "q134_canonical_dedup"):
+                 "q116_pagerank", "q126_neardup_split", "q134_canonical_dedup",
+                 # q163's residual chain shares ev/rv/cs across many
+                 # consumers (coarse assign, residual, training, query
+                 # side) — inlined, the training chain re-evaluates
+                 # multiplicatively and OOMs at sf1
+                 "q163_ann_ivf_pq_residual"):
         if name in out:
             out[name] = re.sub(r"\b(AS)\s*\(\s*SELECT", r"AS MATERIALIZED (SELECT",
                                out[name], flags=re.IGNORECASE)
