@@ -262,7 +262,8 @@ object Bench {
         // round-11: persisted IVF+PQ probe (timed probe-only, build in setup)
         "q161_pq_index_probe",
         // round-12: streaming LSH dedup, residual-encoded IVF+PQ (IVFADC)
-        "q162_stream_lsh_dedup", "q163_ann_ivf_pq_residual")
+        "q162_stream_lsh_dedup", "q163_ann_ivf_pq_residual",
+        "q164_stream_vector_index")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

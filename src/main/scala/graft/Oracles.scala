@@ -1930,6 +1930,11 @@ object Oracles {
     // residual-space train/encode, per-cell ADC) bit-for-bit
     "q163_ann_ivf_pq_residual" -> pqResidualAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, numCells = 8, nprobe = 3),
 
+    // q164: the streamed-in index must serve bit-identically to q163's
+    // one-shot build — batch boundaries and re-deliveries perturb nothing,
+    // so the oracle is the same residual-chain replay
+    "q164_stream_vector_index" -> pqResidualAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, numCells = 8, nprobe = 3),
+
     // q111: stream-static enrichment — batch left join over the bounded
     // replay (the streaming run must converge to it exactly; stateless,
     // so no watermark precondition applies)

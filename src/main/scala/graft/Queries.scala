@@ -2410,6 +2410,72 @@ object Queries {
       qvec: Seq[Float]): DataFrame =
     Similarity.probeResidualPqIndex(s, idx, "vec_id", qvec, 20, 64, coarse, cbs, nprobe = 3)
 
+  /** q164: STREAMING VECTOR INGESTION into the persisted residual-PQ
+    * serving index ([[graft.streaming.Streaming.vectorIndexSink]]) —
+    * q163's index maintained under continuous arrival: the initial
+    * commit indexes vec_id % 5 != 0, the rest stream in as two
+    * micro-batches, each appended via a touched-cells-only delta commit
+    * carrying its exactly-once `stream_batch` marker. The final probe
+    * must be bit-identical to q163's one-shot build over the full
+    * corpus — batch boundaries, commit count, and delivery retries must
+    * not perturb a single code — so the oracle is q163's residual-chain
+    * replay verbatim. StreamingSpec adds the lost-checkpoint restart
+    * case (re-delivered batch ids no-op via the manifest marker).
+    */
+  def q164(s: SparkSession, dir: String): DataFrame = {
+    val (idx, coarse, cbs, qvec) = q164BuildAndStream(s, dir)
+    q163Probe(s, idx, coarse, cbs, qvec)
+  }
+  /** q164's build half: initial index commit + two streamed appends. */
+  def q164BuildAndStream(s: SparkSession, dir: String): (String, Seq[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]], Seq[Float]) = {
+    val emb = t(s, dir, "embeddings")
+    val dim = 64
+    val m = 8
+    val dsub = dim / m
+    val coarse = emb
+      .filter(col("vec_id") < 8)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toSeq
+    val mu = coarse.toMap
+    val seeds = emb
+      .filter(col("vec_id") < 16)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val init: Seq[Seq[(Long, Seq[Double])]] =
+      (0 until m).map { j =>
+        seeds.toSeq.zipWithIndex.map { case ((_, v), pos) =>
+          val c = mu(Similarity.ivfProbeCells(v, coarse, 1).head)
+          pos.toLong -> (j * dsub until (j + 1) * dsub).map(i => v(i).toDouble - c(i)).toSeq
+        }
+      }
+    val cbs = Similarity.trainResidualPqCodebooks(emb, "vec_id", "embedding", dim, coarse, init, iters = 2)
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    val root = scratchDir("pqstream")
+    val idx = root + "/idx"
+    // initial index: the standing corpus
+    Similarity.writeResidualPqIndex(
+      s, emb.filter(col("vec_id") =!= 0 && col("vec_id") % 5 =!= 0), "vec_id", "embedding", idx, dim, coarse, cbs)
+    // the rest arrives as a stream of two single-file micro-batches
+    val staged = emb.filter(col("vec_id") =!= 0 && col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+    staged.filter(col("vec_id") % 10 === 0).coalesce(1).write.parquet(root + "/incoming/g0")
+    staged.filter(col("vec_id") % 10 === 5).coalesce(1).write.parquet(root + "/incoming/g5")
+    val src = s.readStream
+      .schema(staged.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root + "/incoming/*")
+    graft.streaming.Streaming.vectorIndexSink(
+      s, src, idx, "vec_id", "embedding", dim, coarse, cbs,
+      checkpointLocation = root + "/ckpt", streamId = "q164"
+    ).awaitTermination()
+    (idx, coarse, cbs, qvec)
+  }
+
   /** q162: STREAMING NEAR-DUP DEDUP through the persisted LSH index
     * ([[graft.streaming.Streaming.lshDedupSink]]) — q146's incremental
     * probe-and-append run as a CONTINUOUS INGESTION stream: the corpus

@@ -853,6 +853,37 @@ object Similarity {
     graft.sources.VersionedTable.commitDelta(
       spark, path, encodeResidualPq(df, idCol, vecCol, dim, coarse, codebooks), "cell")
 
+  /** Append a batch of vectors to a [[writeResidualPqIndex]] table — the
+    * maintenance half of a SERVING ANN index under continuous ingestion:
+    * encode the batch in residual space, read ONLY the touched cell
+    * partitions, union, and publish one delta version. Cost is
+    * O(batch + touched cells), never the index size; untouched cells
+    * carry forward by manifest reference. `extraMeta` lets a streaming
+    * consumer ride its exactly-once `stream_batch:<id>` marker on the
+    * commit ([[graft.streaming.Streaming.vectorIndexSink]]). For cells
+    * that outgrow a comfortable rewrite (billions of vectors), shard the
+    * partition key to (cell, hash-shard) — the same touched-bucket trade
+    * SCD-2 makes.
+    */
+  def appendResidualPqBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      coarse: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      extraMeta: Map[String, String] = Map.empty
+  ): Long = {
+    val enc = graft.core.Caching.cached(encodeResidualPq(df, idCol, vecCol, dim, coarse, codebooks))
+    // bounded collect: at most nCells distinct values (the coarse k)
+    val touched = enc.select(col("cell")).distinct().collect().map(_.getLong(0).toString).toSeq
+    val existing = graft.sources.VersionedTable.readPartitions(spark, path, touched).flatten
+    val updated = (enc +: existing).reduce(_.unionByName(_))
+    graft.sources.VersionedTable.commitDelta(spark, path, updated, "cell", extraMeta = extraMeta)
+  }
+
   /** Serve a top-k from a [[writeResidualPqIndex]] table: open exactly the
     * query's nprobe cell partitions, score each partition with its own
     * residual ADC table, union, rank. Bit-identical to

@@ -454,6 +454,52 @@ object Streaming {
       .start()
   }
 
+  /** STREAMING VECTOR INGESTION into the persisted residual-PQ serving
+    * index ([[graft.operators.Similarity.writeResidualPqIndex]]'s layout)
+    * — the ANN twin of [[lshDedupSink]]: each micro-batch of vectors is
+    * residual-encoded and appended via ONE delta commit that rewrites
+    * only the touched cell partitions
+    * ([[graft.operators.Similarity.appendResidualPqBatch]]); probes keep
+    * serving every committed version throughout. Exactly-once rides the
+    * warehouse's own `stream_batch:<streamId>` manifest marker, checked
+    * INSIDE the commit-retry loop exactly like [[scd2WarehouseSink]]: a
+    * re-delivered batch id no-ops, a zombie driver that loses the commit
+    * race re-checks and sees the winner's marker. The index a probe sees
+    * after batch N is bit-identical to building it from scratch over
+    * (corpus + batches 1..N) — the parity q164's oracle gates.
+    */
+  def vectorIndexSink(
+      spark: SparkSession,
+      source: DataFrame,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      coarse: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      checkpointLocation: String,
+      streamId: String = "vec"
+  ): StreamingQuery = {
+    import graft.sources.VersionedTable
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        VersionedTable.withCommitRetry() {
+          val alreadyApplied = lastStreamBatch(spark, indexPath, streamId).exists(_ >= batchId)
+          if (!alreadyApplied) {
+            graft.operators.Similarity.appendResidualPqBatch(
+              spark, indexPath, df.toDF(), idCol, vecCol, dim, coarse, codebooks,
+              extraMeta = Map(s"stream_batch:$streamId" -> batchId.toString))
+            ()
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ------------------------------------------------------------------
   // Continuous (multi-batch) gap sessionization + cumulative cutover
   // ------------------------------------------------------------------

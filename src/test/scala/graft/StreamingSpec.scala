@@ -732,4 +732,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairSet() == streamed, "re-delivery changed the pair set")
     assert(committed() == Set("base", "t-b0", "t-b1"), "re-delivery appended to the index")
   }
+
+  test("vectorIndexSink: streamed-in index serves identically to a one-shot build; lost-checkpoint restart commits nothing") {
+    import graft.operators.Similarity
+    import graft.sources.VersionedTable
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = 64; val m = 8; val dsub = dim / m
+    val coarse = emb.filter($"vec_id" < 8).orderBy($"vec_id").select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val mu = coarse.toMap
+    val seeds = emb.filter($"vec_id" < 16).orderBy($"vec_id").select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val init = (0 until m).map { j =>
+      seeds.toSeq.zipWithIndex.map { case ((_, v), pos) =>
+        val c = mu(Similarity.ivfProbeCells(v, coarse, 1).head)
+        pos.toLong -> (j * dsub until (j + 1) * dsub).map(i => v(i).toDouble - c(i)).toSeq
+      }
+    }
+    val cbs = Similarity.trainResidualPqCodebooks(emb, "vec_id", "embedding", dim, coarse, init, iters = 1)
+    val qvec = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+
+    val tmp = Files.createTempDirectory("graft-vecsink").toString
+    val idx = s"$tmp/idx"
+    Similarity.writeResidualPqIndex(
+      spark, emb.filter($"vec_id" =!= 0 && $"vec_id" % 5 =!= 0), "vec_id", "embedding", idx, dim, coarse, cbs)
+    val staged = emb.filter($"vec_id" =!= 0 && $"vec_id" % 5 === 0).select($"vec_id", $"embedding")
+    staged.filter($"vec_id" % 10 === 0).coalesce(1).write.parquet(s"$tmp/in/g0")
+    staged.filter($"vec_id" % 10 === 5).coalesce(1).write.parquet(s"$tmp/in/g5")
+
+    def runSink(ckpt: String) = {
+      val src = spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
+      val q = Streaming.vectorIndexSink(
+        spark, src, idx, "vec_id", "embedding", dim, coarse, cbs, checkpointLocation = ckpt, streamId = "t")
+      assert(q.awaitTermination(120000), "vector index stream did not finish")
+    }
+    runSink(s"$tmp/ckpt1")
+
+    // the streamed-in index serves EXACTLY like a one-shot build over the
+    // full corpus (batch boundaries perturb nothing)
+    val oneShotIdx = s"$tmp/oneshot"
+    Similarity.writeResidualPqIndex(
+      spark, emb.filter($"vec_id" =!= 0), "vec_id", "embedding", oneShotIdx, dim, coarse, cbs)
+    def probe(p: String) = Similarity.probeResidualPqIndex(spark, p, "vec_id", qvec, 20, dim, coarse, cbs, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probe(idx) == probe(oneShotIdx), "streamed index diverged from one-shot build")
+
+    // initial commit + 2 micro-batch commits
+    val versionsAfter = VersionedTable.committedVersionsPublic(spark, idx).size
+    assert(versionsAfter == 3, s"expected 3 commits, got $versionsAfter")
+
+    // lost checkpoint: batch ids restart at 0 under the same streamId, the
+    // stream_batch manifest marker no-ops both re-deliveries
+    runSink(s"$tmp/ckpt2")
+    assert(VersionedTable.committedVersionsPublic(spark, idx).size == 3, "re-delivery committed new versions")
+    assert(probe(idx) == probe(oneShotIdx), "re-delivery changed probe results")
+  }
 }

@@ -179,7 +179,7 @@ def apply_scale(oracles):
                  # consumers (coarse assign, residual, training, query
                  # side) — inlined, the training chain re-evaluates
                  # multiplicatively and OOMs at sf1
-                 "q163_ann_ivf_pq_residual"):
+                 "q163_ann_ivf_pq_residual", "q164_stream_vector_index"):
         if name in out:
             out[name] = re.sub(r"\b(AS)\s*\(\s*SELECT", r"AS MATERIALIZED (SELECT",
                                out[name], flags=re.IGNORECASE)
