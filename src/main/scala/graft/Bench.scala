@@ -263,7 +263,10 @@ object Bench {
         "q161_pq_index_probe",
         // round-12: streaming LSH dedup, residual-encoded IVF+PQ (IVFADC)
         "q162_stream_lsh_dedup", "q163_ann_ivf_pq_residual",
-        "q164_stream_vector_index")
+        "q164_stream_vector_index",
+        // round-12: persisted sketch rollup (timed as range probes over the
+        // stored sketches, the two day-range commits in setup)
+        "q165_sketch_rollup")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x
@@ -354,6 +357,14 @@ object Bench {
         val (idx, coarse, cbs, qv) = Queries.q163BuildIndex(spark, sfDir)
         Some((idx, coarse, cbs, qv, (System.nanoTime() - q163SetupT0) / 1e9))
       } catch { case _: Throwable => None }
+    // One-time q165 sketch-rollup build (two day-range commits); the timed
+    // op is the range serve from stored sketch bytes — the recurring cost.
+    val q165SetupT0 = System.nanoTime()
+    val q165Built =
+      try {
+        val path = Queries.q165Build(spark, sfDir)
+        Some((path, (System.nanoTime() - q165SetupT0) / 1e9))
+      } catch { case _: Throwable => None }
 
     // benched ops: SparkEntry.queries, with q98 overridden to probe-only
     // against the prebuilt index and q106 to feed-only against the
@@ -386,6 +397,8 @@ object Bench {
         "q161_pq_index_probe" -> ((s: SparkSession, _: String) => Queries.q161Probe(s, idx, coarse, cbs, qv))
       } ++ q163Built.map { case (idx, coarse, cbs, qv, _) =>
         "q163_ann_ivf_pq_residual" -> ((s: SparkSession, _: String) => Queries.q163Probe(s, idx, coarse, cbs, qv))
+      } ++ q165Built.map { case (path, _) =>
+        "q165_sketch_rollup" -> ((s: SparkSession, d: String) => Queries.q165Probe(s, path, d))
       }
 
     // FULL-MATERIALIZATION timing action (round-10 fix): `count()` let
@@ -522,7 +535,8 @@ object Bench {
         q140Built.map { case (_, t) => "q140_sweep_build" -> t }.toSeq ++
         q145Built.map { case (_, t) => "q145_dv_build" -> t }.toSeq ++
         q161Built.map { case (_, _, _, _, t) => "q161_index_build" -> t }.toSeq ++
-        q163Built.map { case (_, _, _, _, t) => "q163_index_build" -> t }.toSeq
+        q163Built.map { case (_, _, _, _, t) => "q163_index_build" -> t }.toSeq ++
+        q165Built.map { case (_, t) => "q165_rollup_build" -> t }.toSeq
     val setupJson = setupPairs.map { case (k, t) => s"${jstr(k)}:${num(t)}" }.mkString("{", ",", "}")
 
     val line =
@@ -531,7 +545,7 @@ object Bench {
         s""""remeasured":${remeasured.distinct.map(jstr).mkString("[", ",", "]")},"extras":$extraTimes,""" +
         s""""baseline":${jstr(baselineName)},"load":$loadJson,"tainted":$tainted,"setup_sec":$setupJson,""" +
         s""""runs_per_query":$runsPerQuery,"aggregation":"min","timing_action":"hash_rows",""" +
-        s""""cache_policy":"warm steady-state; min of $runsPerQuery runs per query; action = xxhash64 over every output column (full materialization, count() pruned pure projections); q98/q130/q161/q163 timed as stored-index probes, q106/q119/q127/q141/q148 against prebuilt warehouses, q140/q145 as post-sweep serving reads (builds in setup_sec)"}"""
+        s""""cache_policy":"warm steady-state; min of $runsPerQuery runs per query; action = xxhash64 over every output column (full materialization, count() pruned pure projections); q98/q130/q161/q163 timed as stored-index probes, q106/q119/q127/q141/q148 against prebuilt warehouses, q140/q145 as post-sweep serving reads, q165 as range probes over prebuilt sketches (builds in setup_sec)"}"""
     // Full-fidelity record → BENCH_LOCAL_<sf>.json, keyed by SF so runs at
     // different scale factors never clobber each other (r11: a tainted
     // sf0.001 run overwrote the only untainted sf0.1 record and disarmed

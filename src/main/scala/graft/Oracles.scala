@@ -208,6 +208,26 @@ object Oracles {
   private val vecIdSample4: String =
     "(CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % 4) = 0"
 
+  /** q148/q166's SQL (shared): the replica after applying the v1→v2
+    * change feed = the source's v2 active set (b2 wins, b1 survives where
+    * unmatched). q166 streams the same feed in key-hash-split
+    * micro-batches, so the streamed consumer must converge to the
+    * identical state.
+    */
+  private lazy val cdcApplySql: String =
+    """WITH b1 AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      |    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+      |    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00') WHERE rn = 1),
+      | b2 AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      |    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+      |    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') WHERE rn = 1)
+      |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM b2
+      |UNION ALL
+      |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM b1
+      | WHERE o_custkey NOT IN (SELECT o_custkey FROM b2)""".stripMargin
+
   /** q146/q162's SQL (shared): full q37 LSH replication restricted to
     * pairs touching the new batch (doc_id % 5 = 0) — bucket candidacy is
     * symmetric, so probing the index finds exactly these pairs, and the
@@ -1828,19 +1848,12 @@ object Oracles {
 
     // q148: CDC apply — replica active snapshot == v2's active set
     // derived from the source relations (b2 supersedes b1 per custkey)
-    "q148_cdc_apply" ->
-      """WITH b1 AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
-        |    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
-        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
-        |    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00') WHERE rn = 1),
-        | b2 AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
-        |    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
-        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
-        |    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') WHERE rn = 1)
-        |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM b2
-        |UNION ALL
-        |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM b1
-        | WHERE o_custkey NOT IN (SELECT o_custkey FROM b2)""".stripMargin,
+    "q148_cdc_apply" -> cdcApplySql,
+
+    // q166: the STREAMED apply must converge to the same replica state as
+    // q148's one-shot apply — batch boundaries, the exactly-once marker
+    // protocol, and per-key replay atomicity all gated by the same SQL
+    "q166_stream_cdc_apply" -> cdcApplySql,
 
     // q147: domain capping — rank replayed as a window over the same
     // portable hash (DESC, id ASC tie-break = TopKByScoreAgg's order)
@@ -1934,6 +1947,22 @@ object Oracles {
     // one-shot build — batch boundaries and re-deliveries perturb nothing,
     // so the oracle is the same residual-chain replay
     "q164_stream_vector_index" -> pqResidualAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, numCells = 8, nprobe = 3),
+
+    // q165: persisted sketch rollup — exact per-range distincts + day
+    // counts recomputed relationally, est_ok PINNED TRUE (the q125
+    // self-validating pattern: a merged-sketch estimate outside 5% of
+    // exact hash-fails instead of hiding in a tolerance)
+    "q165_sketch_rollup" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, user_id FROM events),
+        | r1 AS (SELECT '2024-01-05..2024-01-14' AS day_range, event_type,
+        |     CAST(count(DISTINCT day) AS BIGINT) AS days_merged,
+        |     CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct, TRUE AS est_ok
+        |   FROM e WHERE day BETWEEN '2024-01-05' AND '2024-01-14' GROUP BY event_type),
+        | r2 AS (SELECT '2024-01-15..2024-01-25' AS day_range, event_type,
+        |     CAST(count(DISTINCT day) AS BIGINT) AS days_merged,
+        |     CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct, TRUE AS est_ok
+        |   FROM e WHERE day BETWEEN '2024-01-15' AND '2024-01-25' GROUP BY event_type)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2""".stripMargin,
 
     // q111: stream-static enrichment — batch left join over the bounded
     // replay (the streaming run must converge to it exactly; stateless,

@@ -3403,4 +3403,115 @@ object Queries {
       )
     )
   }
+
+  /** q165: PERSISTED SKETCH ROLLUP — the pre-aggregation layout every
+    * 100 TB "distinct users over an arbitrary date range" query needs:
+    * per-(day, event_type) HLL sketches committed to the versioned
+    * warehouse DAY-PARTITIONED (two incremental commits here — the
+    * nightly append shape: a new day's load touches only its own
+    * partitions), then range queries served by MERGING the stored
+    * sketch bytes — `readPartitions` over the enumerated day list, so
+    * the manifest prunes to the range's partitions before any file is
+    * listed, and the events table is never rescanned. q125 proved HLL
+    * mergeability inside one job; this is the cross-job half: the
+    * sketches survive as table state and any future range reads
+    * O(days × types) sketch rows instead of the raw corpus. The exact
+    * side is the audit (`est_ok`: merged estimate within 5% of exact),
+    * pinned TRUE by the oracle — the q63/q113/q125 self-validating
+    * pattern, so an estimate drifting out of bound hash-fails.
+    */
+  def q165(s: SparkSession, dir: String): DataFrame = {
+    val path = q165Build(s, dir)
+    q165Probe(s, path, dir)
+  }
+
+  /** q165's build half: two incremental day-range commits of
+    * per-(day, event_type) HLL sketches. Bench times [[q165Probe]] only
+    * (build in setup_sec) — the production shape is one commit per day.
+    */
+  def q165Build(s: SparkSession, dir: String): String = {
+    val path = scratchDir("sketchrollup") + "/rollup"
+    val ev = t(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"), col("user_id"))
+    def sketchDays(pred: Column): DataFrame =
+      ev.filter(pred)
+        .groupBy(col("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    graft.sources.VersionedTable.commitDelta(s, path, sketchDays(col("day") <= lit("2024-01-20")), "day")
+    graft.sources.VersionedTable.commitDelta(s, path, sketchDays(col("day") > lit("2024-01-20")), "day")
+    path
+  }
+
+  /** q165's serving half: two date ranges (one inside the first commit,
+    * one spanning the commit boundary) answered from stored sketches.
+    */
+  def q165Probe(s: SparkSession, path: String, dir: String): DataFrame = {
+    val ranges = Seq(("2024-01-05", "2024-01-14"), ("2024-01-15", "2024-01-25"))
+    val ev = t(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"), col("user_id"))
+    ranges.map { case (lo, hi) =>
+      // enumerate the range's day partitions: the manifest lookup prunes
+      // to exactly these dirs — driver metadata, no file listing outside
+      val days = Iterator.iterate(java.time.LocalDate.parse(lo))(_.plusDays(1))
+        .takeWhile(!_.isAfter(java.time.LocalDate.parse(hi)))
+        .map(_.toString).toSeq
+      val stored = graft.sources.VersionedTable.readPartitions(s, path, days).flatten
+        .reduce(_.unionByName(_))
+      val est = stored
+        .groupBy(col("event_type"))
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+          count(lit(1)).as("days_merged"))
+      val exact = ev.filter(col("day").between(lo, hi))
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, "event_type")
+        .select(
+          lit(s"$lo..$hi").as("day_range"), col("event_type"), col("days_merged"),
+          col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) <= col("exact_distinct") * lit(0.05)).as("est_ok"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** q166: STREAMING CDC REPLICA APPLY
+    * ([[graft.streaming.Streaming.cdcApplySink]]) — q148's consumer run
+    * as a CONTINUOUS stream: the v1→v2 change feed arrives as TWO
+    * micro-batches (key-hash split on o_custkey, so each key's
+    * insert/delete/update pre+post rows stay in one batch), and each
+    * batch applies to the replica as one marker-committed idempotent
+    * upsert (touched-bucket rewrite only). The final replica active set
+    * must equal the source's v2 active set — q148's oracle verbatim, so
+    * batch boundaries, the marker protocol, and replay order are all
+    * hash-gated. StreamingSpec adds the lost-checkpoint restart case
+    * (re-delivered batch ids commit nothing).
+    */
+  def q166(s: SparkSession, dir: String): DataFrame = {
+    val (path, v1, v2) = q106Build(s, dir)
+    q166Stream(s, path, v1, v2)
+  }
+
+  /** q166's per-invocation half: fresh replica bootstrap at v1 + the
+    * two-batch streamed apply + the final active read (Bench reuses the
+    * prebuilt q106 warehouse, so the timed cost is the consumer side).
+    */
+  def q166Stream(s: SparkSession, srcPath: String, v1: Long, v2: Long): DataFrame = {
+    import graft.sources.VersionedTable
+    val root = scratchDir("cdcstream")
+    val replica = root + "/replica"
+    VersionedTable.commitDelta(s, replica, VersionedTable.read(s, srcPath, Some(v1)), "key_bucket")
+    val feed = VersionedTable.changeFeed(s, srcPath, v1, v2, Seq("o_custkey", "o_orderkey"))
+    feed.filter(pmod(col("o_custkey"), lit(2)) === 0).coalesce(1).write.parquet(root + "/incoming/g0")
+    feed.filter(pmod(col("o_custkey"), lit(2)) === 1).coalesce(1).write.parquet(root + "/incoming/g1")
+    val src = s.readStream
+      .schema(feed.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root + "/incoming/*")
+    graft.streaming.Streaming.cdcApplySink(
+      s, src, replica, Seq("o_custkey", "o_orderkey"), "key_bucket",
+      checkpointLocation = root + "/ckpt", streamId = "q166"
+    ).awaitTermination()
+    VersionedTable.read(s, replica)
+      .filter(col("actv_flg") === "Y")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+  }
 }

@@ -872,6 +872,23 @@ object VersionedTable {
       keyCols: Seq[String],
       partCol: String
   ): Long = withCommitRetry() {
+    applyChangeFeedOnce(spark, replicaPath, feed, keyCols, partCol)
+  }
+
+  /** One non-retrying apply attempt, for callers that run their own
+    * [[withCommitRetry]] loop with work that must re-execute alongside the
+    * commit (e.g. [[graft.streaming.Streaming.cdcApplySink]]'s exactly-once
+    * marker check — re-checked on every retry so a lost commit race can't
+    * double-apply a micro-batch). `extraMeta` rides the commit manifest.
+    */
+  def applyChangeFeedOnce(
+      spark: SparkSession,
+      replicaPath: String,
+      feed: DataFrame,
+      keyCols: Seq[String],
+      partCol: String,
+      extraMeta: Map[String, String] = Map.empty
+  ): Long = {
     require(keyCols.nonEmpty, "applyChangeFeed: keyCols must be non-empty")
     require(feed.columns.contains("_change_type"), "applyChangeFeed: feed must carry _change_type")
     val touched = feed.select(col(partCol).cast("string")).distinct()
@@ -896,7 +913,7 @@ object VersionedTable {
         case Some(k) => k.unionByName(adds, allowMissingColumns = true)
         case None => adds
       }
-      commitDelta(spark, replicaPath, next, partCol, clearedParts = touched)
+      commitDelta(spark, replicaPath, next, partCol, clearedParts = touched, extraMeta = extraMeta)
     }
   }
 

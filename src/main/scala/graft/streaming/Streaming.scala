@@ -500,6 +500,50 @@ object Streaming {
       .start()
   }
 
+  /** STREAMING CDC REPLICA APPLY — the consumer half of the change feed
+    * run continuously: each micro-batch of change rows (`_change_type`
+    * insert/delete/update_pre/postimage) is applied to the replica by
+    * [[graft.sources.VersionedTable.applyChangeFeedOnce]] — idempotent
+    * upsert-by-key, touched-bucket rewrite only — as ONE delta commit
+    * carrying the exactly-once `stream_batch:<streamId>` manifest marker.
+    * The marker is checked INSIDE the commit-retry loop (the
+    * [[vectorIndexSink]]/[[scd2WarehouseSink]] discipline): a re-delivered
+    * batch id no-ops, a zombie driver that loses the commit race re-checks
+    * and sees the winner's marker. Precondition: the upstream feed
+    * partitioner must keep all of one key's change rows in one batch
+    * (key-hash splitting satisfies it; q166 stages the feed that way) —
+    * per-key atomicity is what makes replay order within a batch free.
+    */
+  def cdcApplySink(
+      spark: SparkSession,
+      source: DataFrame,
+      replicaPath: String,
+      keyCols: Seq[String],
+      partCol: String,
+      checkpointLocation: String,
+      streamId: String = "cdc"
+  ): StreamingQuery = {
+    import graft.sources.VersionedTable
+    require(streamId.matches("[A-Za-z0-9_-]+"), s"streamId '$streamId' must be filesystem-safe")
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        VersionedTable.withCommitRetry() {
+          val alreadyApplied = lastStreamBatch(spark, replicaPath, streamId).exists(_ >= batchId)
+          if (!alreadyApplied) {
+            VersionedTable.applyChangeFeedOnce(
+              spark, replicaPath, df.toDF(), keyCols, partCol,
+              extraMeta = Map(s"stream_batch:$streamId" -> batchId.toString))
+            ()
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ------------------------------------------------------------------
   // Continuous (multi-batch) gap sessionization + cumulative cutover
   // ------------------------------------------------------------------

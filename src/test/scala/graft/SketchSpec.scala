@@ -29,6 +29,53 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(est - 7321L) <= 7321L * 0.05, s"estimate $est vs exact 7321")
   }
 
+  // ---- q165: persisted sketch rollup ----
+
+  import graft.sources.VersionedTable
+
+  private def rollupRows(days: Seq[Int]) =
+    days.flatMap(d => (1L to 50L).map(u => (f"2024-01-$d%02d", s"t${u % 2}", d * 1000L + u % 37)))
+      .toDF("day", "event_type", "user_id")
+
+  private def sketchByDay(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy($"day", $"event_type").agg(hll_sketch_agg($"user_id").as("sk"))
+
+  test("rollup: incremental day append carries prior day partitions forward untouched") {
+    val path = java.nio.file.Files.createTempDirectory("rollup").toString + "/t"
+    val v1 = VersionedTable.commitDelta(spark, path, sketchByDay(rollupRows(Seq(1, 2))), "day")
+    val m1 = VersionedTable.partitionMap(spark, path, v1).get
+    val v2 = VersionedTable.commitDelta(spark, path, sketchByDay(rollupRows(Seq(3))), "day")
+    val m2 = VersionedTable.partitionMap(spark, path, v2).get
+    assert(m2("2024-01-01") == m1("2024-01-01") && m2("2024-01-02") == m1("2024-01-02"),
+      "a new day's commit must not rewrite prior day partitions")
+    assert(m2("2024-01-03") == v2)
+  }
+
+  test("rollup: merging STORED sketch bytes across days equals the one-shot sketch over the union") {
+    val path = java.nio.file.Files.createTempDirectory("rollup").toString + "/t"
+    val rows = rollupRows(Seq(1, 2, 3))
+    VersionedTable.commitDelta(spark, path, sketchByDay(rows), "day")
+    val merged = VersionedTable.readPartitions(spark, path, Seq("2024-01-01", "2024-01-02")).flatten
+      .reduce(_.unionByName(_))
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      .orderBy($"event_type").collect().map(r => r.getString(0) -> r.getLong(1))
+    val oneShot = rows.filter($"day" <= "2024-01-02")
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est"))
+      .orderBy($"event_type").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(merged.sameElements(oneShot),
+      s"stored-sketch merge must equal the direct sketch: ${merged.toSeq} vs ${oneShot.toSeq}")
+  }
+
+  test("rollup: a range touching uncommitted days prunes them from the manifest, not at runtime") {
+    val path = java.nio.file.Files.createTempDirectory("rollup").toString + "/t"
+    VersionedTable.commitDelta(spark, path, sketchByDay(rollupRows(Seq(1))), "day")
+    val parts = VersionedTable.readPartitions(spark, path, Seq("2024-01-01", "2024-01-09"))
+    assert(parts.head.isDefined && parts(1).isEmpty,
+      "missing day must resolve to None from the manifest (no file listing, no error)")
+  }
+
   import graft.plans.BloomFilter
 
   test("bloom: the 3 probe positions are always distinct and in range") {
