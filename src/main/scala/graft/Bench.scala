@@ -265,8 +265,10 @@ object Bench {
         "q162_stream_lsh_dedup", "q163_ann_ivf_pq_residual",
         "q164_stream_vector_index",
         // round-12: persisted sketch rollup (timed as range probes over the
-        // stored sketches, the two day-range commits in setup)
-        "q165_sketch_rollup")
+        // stored sketches, the two day-range commits in setup), streaming
+        // CDC apply (timed as bootstrap + streamed consumer against the
+        // prebuilt q106 warehouse)
+        "q165_sketch_rollup", "q166_stream_cdc_apply")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x
@@ -399,6 +401,10 @@ object Bench {
         "q163_ann_ivf_pq_residual" -> ((s: SparkSession, _: String) => Queries.q163Probe(s, idx, coarse, cbs, qv))
       } ++ q165Built.map { case (path, _) =>
         "q165_sketch_rollup" -> ((s: SparkSession, d: String) => Queries.q165Probe(s, path, d))
+      } ++ q106Built.map { case (path, v1, v2, _) =>
+        // q166 streams the SAME prebuilt warehouse's feed — the timed cost
+        // is the consumer side (fresh replica bootstrap + 2-batch apply)
+        "q166_stream_cdc_apply" -> ((s: SparkSession, _: String) => Queries.q166Stream(s, path, v1, v2))
       }
 
     // FULL-MATERIALIZATION timing action (round-10 fix): `count()` let

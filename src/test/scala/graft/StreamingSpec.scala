@@ -733,6 +733,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(committed() == Set("base", "t-b0", "t-b1"), "re-delivery appended to the index")
   }
 
+  test("cdcApplySink: streamed apply converges to the one-shot apply; lost-checkpoint restart commits nothing") {
+    import graft.sources.VersionedTable
+    val tmp = Files.createTempDirectory("graft-cdcsink").toString
+    val src = s"$tmp/src"
+    def st(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("k", "v", "cents").withColumn("bucket", pmod($"k", lit(2)).cast("string"))
+    // v1: keys 1..4; v2: update k=2, delete k=3, insert k=5 (both buckets touched)
+    val v1 = VersionedTable.commitDelta(spark, src,
+      st(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))), "bucket")
+    val v2 = VersionedTable.commitDelta(spark, src,
+      st(Seq((1L, "a", 10L), (2L, "B", 25L), (4L, "d", 40L), (5L, "e", 50L))), "bucket")
+    val feed = VersionedTable.changeFeed(spark, src, v1, v2, Seq("k"))
+    feed.filter(pmod($"k", lit(2)) === 0).coalesce(1).write.parquet(s"$tmp/in/g0")
+    feed.filter(pmod($"k", lit(2)) === 1).coalesce(1).write.parquet(s"$tmp/in/g1")
+
+    val replica = s"$tmp/replica"
+    VersionedTable.commitDelta(spark, replica, VersionedTable.read(spark, src, Some(v1)), "bucket")
+
+    def runSink(ckpt: String) = {
+      val in = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
+      val q = Streaming.cdcApplySink(
+        spark, in, replica, Seq("k"), "bucket", checkpointLocation = ckpt, streamId = "t")
+      assert(q.awaitTermination(120000), "cdc apply stream did not finish")
+    }
+    runSink(s"$tmp/ckpt1")
+
+    def state(p: String, v: Option[Long] = None) = VersionedTable.read(spark, p, v)
+      .select("k", "v", "cents").as[(Long, String, Long)].collect().toSet
+    assert(state(replica) == state(src, Some(v2)),
+      s"streamed replica ${state(replica)} != source v2 ${state(src, Some(v2))}")
+
+    // bootstrap + 2 marker-committed micro-batches
+    assert(VersionedTable.committedVersionsPublic(spark, replica).size == 3)
+
+    // lost checkpoint: batch ids restart at 0, both re-deliveries no-op
+    runSink(s"$tmp/ckpt2")
+    assert(VersionedTable.committedVersionsPublic(spark, replica).size == 3,
+      "re-delivery committed new versions")
+    assert(state(replica) == state(src, Some(v2)), "re-delivery changed replica state")
+  }
+
   test("vectorIndexSink: streamed-in index serves identically to a one-shot build; lost-checkpoint restart commits nothing") {
     import graft.operators.Similarity
     import graft.sources.VersionedTable
