@@ -268,7 +268,10 @@ object Bench {
         // stored sketches, the two day-range commits in setup), streaming
         // CDC apply (timed as bootstrap + streamed consumer against the
         // prebuilt q106 warehouse)
-        "q165_sketch_rollup", "q166_stream_cdc_apply")
+        "q165_sketch_rollup", "q166_stream_cdc_apply",
+        // round-12: distributed fixed-point GD training (timed whole —
+        // training IS the operation)
+        "q167_classifier_training")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

@@ -228,6 +228,37 @@ object Oracles {
       |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM b1
       | WHERE o_custkey NOT IN (SELECT o_custkey FROM b2)""".stripMargin
 
+  /** q167's SQL: the full 4-iteration fixed-point GD replayed in unrolled
+    * CTEs — per-(doc,bucket) feature counts, per-doc predictions against
+    * the previous weights, errors vs the e6-scaled label, per-bucket
+    * gradient sums, and the exact floor-division update, all in HUGEINT.
+    * `AS MATERIALIZED` is load-bearing: each w_i feeds both p_{i+1} and
+    * w_{i+1}, so DuckDB's default CTE inlining would re-evaluate the
+    * chain multiplicatively (2^iters scans).
+    */
+  private lazy val trainLinearSql: String = {
+    val iters = 4
+    val b = new StringBuilder
+    b ++= s"WITH base AS (SELECT doc_id, $tokensExpr ws,\n"
+    b ++= "   CASE WHEN lang='en' THEN CAST(1000000 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END y6 FROM documents),\n"
+    b ++= " fx AS MATERIALIZED (SELECT doc_id, unnest(list_concat(ws,\n"
+    b ++= "   CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])\n"
+    b ++= "        ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END)) feat FROM base),\n"
+    b ++= " feats AS MATERIALIZED (SELECT doc_id, CAST(('0x'||substr(md5(feat),1,15)) AS BIGINT) % 4096 AS bucket,\n"
+    b ++= "   CAST(count(*) AS HUGEINT) x FROM fx GROUP BY 1, 2),\n"
+    b ++= " nn AS (SELECT CAST(count(*) AS HUGEINT) * 1024 AS d FROM base),\n"
+    b ++= " w0 AS MATERIALIZED (SELECT DISTINCT bucket, CAST(0 AS HUGEINT) wv FROM feats),\n"
+    for (i <- 1 to iters) {
+      b ++= s" p$i AS MATERIALIZED (SELECT f.doc_id, SUM(f.x * w.wv) pred6 FROM feats f JOIN w${i - 1} w USING (bucket) GROUP BY 1),\n"
+      b ++= s" e$i AS MATERIALIZED (SELECT b.doc_id, COALESCE(p.pred6, 0) - b.y6 AS e6 FROM base b LEFT JOIN p$i p USING (doc_id)),\n"
+      b ++= s" g$i AS MATERIALIZED (SELECT f.bucket, SUM(f.x * e.e6) g FROM feats f JOIN e$i e USING (doc_id) GROUP BY 1),\n"
+      b ++= s" w$i AS MATERIALIZED (SELECT w.bucket, w.wv - (g.g - ((g.g % n.d + n.d) % n.d)) // n.d AS wv\n"
+      b ++= s"   FROM w${i - 1} w JOIN g$i g USING (bucket) CROSS JOIN nn n)${if (i < iters) "," else ""}\n"
+    }
+    b ++= s"SELECT CAST(bucket AS BIGINT) AS bucket, CAST(wv AS BIGINT) AS w_e6 FROM w$iters"
+    b.toString
+  }
+
   /** q146/q162's SQL (shared): full q37 LSH replication restricted to
     * pairs touching the new batch (doc_id % 5 = 0) — bucket candidacy is
     * symmetric, so probing the index finds exactly these pairs, and the
@@ -1854,6 +1885,9 @@ object Oracles {
     // q148's one-shot apply — batch boundaries, the exactly-once marker
     // protocol, and per-key replay atomicity all gated by the same SQL
     "q166_stream_cdc_apply" -> cdcApplySql,
+
+    // q167: distributed GD training replayed iteration-for-iteration
+    "q167_classifier_training" -> trainLinearSql,
 
     // q147: domain capping — rank replayed as a window over the same
     // portable hash (DESC, id ASC tie-break = TopKByScoreAgg's order)

@@ -3514,4 +3514,23 @@ object Queries {
       .filter(col("actv_flg") === "Y")
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
   }
+
+  /** q167: DISTRIBUTED LINEAR-PROBE TRAINING
+    * ([[TextAnalysis.trainHashedLinear]]) — the training half of q143's
+    * learned corpus filter: 4 full-batch gradient-descent iterations on
+    * square loss over the hashed unigram+bigram counts, fixed-point
+    * integer arithmetic end to end (e6-scaled weights, DECIMAL gradient
+    * sums, exact floor-division updates), fixture label `lang = 'en'`.
+    * Each iteration is two map-side-combinable aggregations + a bounded
+    * ≤4096-row gradient collect — the classical model-on-driver
+    * distributed-GD layout. The oracle re-derives ALL four iterations
+    * (features, predictions, errors, gradients, floor-div updates) in
+    * unrolled materialized CTEs, so the distributed training run is
+    * hash-gated weight-for-weight.
+    */
+  def q167(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("label", when(col("lang") === "en", lit(1L)).otherwise(lit(0L)))
+    TextAnalysis.trainHashedLinear(docs, "label")
+  }
 }

@@ -738,4 +738,92 @@ object TextAnalysis {
       )
       .withColumn("keep", col("n_feats") > 0L && col("score_e4") >= 0L)
   }
+
+  /** DISTRIBUTED LINEAR-PROBE TRAINING — the training half of
+    * [[hashedLinearScore]]'s serving dataflow (fastText-shape): full-batch
+    * gradient descent on square loss over hashed unigram+bigram counts,
+    * in FIXED-POINT integer arithmetic so the learned weights are
+    * bit-identical across engines, partitionings, and replays (no float
+    * summation order anywhere).
+    *
+    * Shape per iteration (the classical distributed-GD layout — model on
+    * the driver, data never moves): (1) the current weight vector enters
+    * the plan as a broadcast literal (O(buckets), like the serving path);
+    * (2) one aggregation computes per-doc predictions (map-side partial
+    * agg over the cached feature relation); (3) one aggregation folds the
+    * per-bucket gradient `sum(x * err)`; (4) the ≤`buckets` gradient rows
+    * collect to the driver (bounded by construction) and update `w` by
+    * exact floor division `w -= floor(grad / (N * lrDen))`. Weights are
+    * e6-scaled longs; gradients accumulate in DECIMAL(38,0).
+    *
+    * SCALE: k passes over the feature relation, each two shuffles
+    * (doc-grouped predictions, bucket-grouped gradients) with map-side
+    * combine; the model state is O(buckets) on the driver regardless of
+    * corpus size — the same contract MLlib's gradient aggregation makes.
+    * `lrDen` must satisfy the GD stability bound (1/lrDen < 2/max-row-
+    * norm²; the default 1024 is safe for typical doc lengths).
+    *
+    * @param labelCol 0/1 long column (the fixture target; swap in any
+    *                 deterministic label without touching the plan)
+    * @return (bucket, w_e6) — final weights for every bucket that carries
+    *         at least one feature
+    */
+  def trainHashedLinear(
+      df: DataFrame,
+      labelCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 4096,
+      iters: Int = 4,
+      lrDen: Long = 1024L
+  ): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0, s"buckets must be a power of two, got $buckets")
+    require(iters >= 1 && iters <= 64, s"trainHashedLinear: iters=$iters out of range")
+    require(lrDen >= 1L, s"trainHashedLinear: lrDen=$lrDen must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = col("__toks")
+    val base = df.select(
+      col(idCol).as("__id"),
+      (col(labelCol).cast("long") * lit(1000000L)).as("__y6"),
+      col(textCol).as("__text"))
+    val feats = base
+      .withColumn("__toks", tokens(col("__text")))
+      .withColumn("__feat", explode(concat(toks, wordShinglesFromTokens(toks, 2))))
+      .groupBy(
+        col("__id"),
+        (graft.plans.HashExpressions.md5Prefix60(col("__feat")) % buckets).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = base.select(col("__id"), col("__y6"))
+    val d = BigInt(base.count()) * lrDen
+    val w = Array.fill(buckets)(0L)
+    for (_ <- 1 to iters) {
+      val wv = element_at(lit(w), col("bucket") + 1)
+      val preds = feats
+        .withColumn("__wv", wv)
+        .groupBy(col("__id"))
+        .agg(sum(col("__x") * col("__wv")).as("__pred6"))
+      val err = labels
+        .join(preds, Seq("__id"), "left")
+        .select(col("__id"), (coalesce(col("__pred6"), lit(0L)) - col("__y6")).as("__e6"))
+      val grads = feats
+        .join(err, "__id")
+        .groupBy(col("bucket"))
+        .agg(sum((col("__x") * col("__e6")).cast("decimal(38,0)")).as("__g"))
+        .collect() // bounded: at most `buckets` rows
+      grads.foreach { r =>
+        val b = r.getInt(0)
+        val g = BigInt(r.getDecimal(1).toBigInteger)
+        // exact floor division, portable sign convention
+        w(b) = w(b) - ((g - ((g % d + d) % d)) / d).toLong
+      }
+    }
+    val out = feats.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+      .map(b => (b.toLong, w(b))).toSeq
+      .toDF("bucket", "w_e6")
+    feats.unpersist()
+    out
+  }
 }

@@ -337,4 +337,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     // lift(a,b) = (2 * 7 * 7) / (4 * 3 * 2) = 4.08333...
     assert(out.toSeq == Seq(("a", "b", 2L, 4083333L)))
   }
+
+  test("trainHashedLinear: learned weights separate the classes, stay stable, and training is deterministic") {
+    import spark.implicits._
+    val docs = ((1 to 10).map(i => (i.toLong, "alpha beta gamma", 1L)) ++
+      (11 to 20).map(i => (i.toLong, "xe ye ze", 0L))).toDF("doc_id", "text", "label")
+    def train() = TextAnalysis.trainHashedLinear(docs, "label", iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w1 = train()
+    assert(w1 == train(), "fixed-point training must be bit-deterministic across runs")
+
+    def bucketsOf(feats: Seq[String]): Seq[Long] = feats.toDF("f")
+      .select((graft.plans.HashExpressions.md5Prefix60($"f") % 4096).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val aScore = bucketsOf(Seq("alpha", "beta", "gamma", "alpha beta", "beta gamma"))
+      .map(w1.getOrElse(_, 0L)).sum
+    val bScore = bucketsOf(Seq("xe", "ye", "ze", "xe ye", "ye ze"))
+      .map(w1.getOrElse(_, 0L)).sum
+    // label-1 docs' prediction moves toward the 1e6 target without
+    // overshooting (the lrDen stability bound); label-0 docs start at the
+    // target, so their error — and hence their buckets' weights — stay 0
+    assert(aScore > 0L && aScore <= 1000000L, s"positive-class score $aScore")
+    assert(bScore == 0L, s"negative-class buckets must be untouched, got $bScore")
+
+    // more iterations monotonically close the remaining gap
+    val w8 = TextAnalysis.trainHashedLinear(docs, "label", iters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val aScore8 = bucketsOf(Seq("alpha", "beta", "gamma", "alpha beta", "beta gamma"))
+      .map(w8.getOrElse(_, 0L)).sum
+    assert(aScore8 > aScore && aScore8 <= 1000000L, s"iters=8 score $aScore8 vs iters=4 $aScore")
+  }
 }
