@@ -270,8 +270,8 @@ object Bench {
         // prebuilt q106 warehouse)
         "q165_sketch_rollup", "q166_stream_cdc_apply",
         // round-12: distributed fixed-point GD training (timed whole —
-        // training IS the operation)
-        "q167_classifier_training")
+        // training IS the operation), cross-corpus LSH decontamination
+        "q167_classifier_training", "q168_crosscorpus_lsh")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

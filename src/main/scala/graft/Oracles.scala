@@ -1889,6 +1889,35 @@ object Oracles {
     // q167: distributed GD training replayed iteration-for-iteration
     "q167_classifier_training" -> trainLinearSql,
 
+    // q168: cross-corpus LSH decontamination — q37's portable pipeline
+    // with the candidate join taken ACROSS the corpus/benchmark split
+    "q168_crosscorpus_lsh" -> {
+      import graft.plans.MinHashSig.{P, a, b}
+      val sigList = (0 until 16)
+        .map(i => s"list_min(list_transform(sh, h -> (${a(i)}*(h%$P)+${b(i)})%$P))")
+        .mkString("[", ",\n   ", "]")
+      s"""WITH base AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | sh AS (SELECT doc_id,
+         |   list_distinct(list_transform(
+         |     CASE WHEN len(ws)<3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END,
+         |     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) sh
+         |  FROM base),
+         | sig AS (SELECT doc_id, $sigList sig FROM sh WHERE len(sh) > 0),
+         | banded AS (SELECT doc_id, unnest(list_transform(range(0, 8),
+         |    b -> CAST(b AS VARCHAR)||':'||CAST(sig[CAST(2*b+1 AS INTEGER)] AS VARCHAR)||','||CAST(sig[CAST(2*b+2 AS INTEGER)] AS VARCHAR))) bucket
+         |  FROM sig),
+         | cand AS (SELECT DISTINCT x.doc_id corpus_id, y.doc_id bench_id
+         |  FROM banded x JOIN banded y ON x.bucket = y.bucket
+         |  WHERE x.doc_id % 10 != 7 AND y.doc_id % 10 = 7),
+         | ver AS (SELECT corpus_id, bench_id, len(list_intersect(p.sh, q.sh)) inter, len(p.sh) la, len(q.sh) lb
+         |  FROM cand JOIN sh p ON corpus_id = p.doc_id JOIN sh q ON bench_id = q.doc_id),
+         | j AS (SELECT corpus_id, bench_id,
+         |    CASE WHEN la+lb-inter = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE)/(la+lb-inter) END jac FROM ver)
+         |SELECT corpus_id, bench_id, CAST(FLOOR(jac*10000) AS BIGINT) AS jaccard_e4
+         |FROM j WHERE jac >= CAST(0.5 AS DOUBLE)""".stripMargin
+    },
+
     // q147: domain capping — rank replayed as a window over the same
     // portable hash (DESC, id ASC tie-break = TopKByScoreAgg's order)
     "q147_domain_cap" ->

@@ -3533,4 +3533,24 @@ object Queries {
       .withColumn("label", when(col("lang") === "en", lit(1L)).otherwise(lit(0L)))
     TextAnalysis.trainHashedLinear(docs, "label")
   }
+
+  /** q168: CROSS-CORPUS LSH DECONTAMINATION ([[Dedup.crossCorpusLsh]]) —
+    * NEAR-duplicate benchmark contamination, the scale path past q78's
+    * broadcast exact-overlap screen: corpus (doc_id % 10 != 7) and
+    * benchmark suite (doc_id % 10 == 7) are both MinHash-banded with the
+    * q37-proven portable pipeline and matched by a shuffled band-key
+    * equi-join — no broadcast requirement on the suite, only (id, band)
+    * pairs move — then exact-Jaccard verified at 0.5. The oracle replays
+    * shingles, signatures, band keys, the cross-set candidate join, and
+    * the verification in DuckDB.
+    */
+  def q168(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup
+      .crossCorpusLsh(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2, minJaccard = 0.5)
+      .select(col("corpus_id"), col("bench_id"), floor(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+  }
 }

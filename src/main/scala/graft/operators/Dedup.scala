@@ -574,6 +574,64 @@ object Dedup {
       .filter(col("n_shared") >= minOverlap)
   }
 
+  /** CROSS-CORPUS LSH DECONTAMINATION — NEAR-duplicate matches BETWEEN a
+    * training corpus and a benchmark suite, the scale path past
+    * [[crossCorpusOverlap]]: that operator broadcasts the benchmark's
+    * shingle postings (right when the suite fits in executor memory),
+    * while this one MinHash-bands BOTH sides (the portable md5-prefix
+    * pipeline q37 proves) and equi-joins corpus bands to benchmark bands
+    * on the bucket key — a plain shuffled hash join that scales to a
+    * benchmark suite of ANY size, shipping only (id, band-key) pairs.
+    * Candidates verify by exact Jaccard over the shingle sets, so
+    * banding costs recall only (never precision), exactly q37's
+    * contract. A paraphrased or lightly-edited benchmark item — which
+    * exact n-gram overlap under-counts — still collides in a band.
+    * If the suite IS small, AQE broadcasts the banded benchmark side on
+    * its own; nothing here pins the join strategy.
+    */
+  def crossCorpusLsh(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5
+  ): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def sigTable(df: DataFrame): DataFrame = graft.core.Caching.cached(
+      df
+        .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+        .select(
+          col("doc_id"),
+          array_distinct(graft.plans.HashExpressions.shingleHash60(col("__toks"), shingleSize)).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+        .withColumn("sig", minhashSignatureFromHashes(col("shingles"), numHashes))
+    )
+    // hash-free band keys (band index + signature slice) — the oracle
+    // reproduces them with string concatenation, like q37's portable path
+    val bandKey: Int => Column =
+      b => concat_ws(":", lit(b), concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+    def banded(sigT: DataFrame): DataFrame =
+      sigT.select(col("doc_id"), explode(array((0 until bands).map(bandKey): _*)).as("bucket"))
+    val cSig = sigTable(corpus)
+    val bSig = sigTable(benchmark)
+    val cand = banded(cSig).select(col("bucket"), col("doc_id").as("corpus_id"))
+      .join(
+        banded(bSig).select(col("bucket").as("__bb"), col("doc_id").as("bench_id")),
+        col("bucket") === col("__bb"))
+      .select("corpus_id", "bench_id")
+      .distinct()
+    cand
+      .join(cSig.select(col("doc_id").as("corpus_id"), col("shingles").as("sh_a")), "corpus_id")
+      .join(bSig.select(col("doc_id").as("bench_id"), col("shingles").as("sh_b")), "bench_id")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      // raw (unrounded) jaccard: callers floor-scale for hash-stable output
+      .select(col("corpus_id"), col("bench_id"), col("jaccard"))
+  }
+
   /** EXACT set-similarity self-join via PREFIX FILTERING (the
     * AllPairs/PPJoin candidate rule — Bayardo, Ma & Srikant, WWW 2007;
     * Xiao et al., WWW 2008): every pair with token-set Jaccard >=

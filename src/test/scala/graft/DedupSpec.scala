@@ -435,4 +435,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!got3.exists(p => p._1 == 999L || p._2 == 999L), "uncommitted batch must stay invisible")
     assert(got3.contains((20L, 30L, 10000L)), s"committed batches still serve: $got3")
   }
+
+  test("crossCorpusLsh: planted near-dup contamination found, clean docs and within-set pairs excluded") {
+    import spark.implicits._
+    // corpus doc 1 is a lightly-edited copy of benchmark item 100 (the
+    // paraphrase case exact n-gram screens under-count); 2 is clean;
+    // 3 and 4 duplicate EACH OTHER but match no benchmark item — a
+    // within-corpus pair must NOT be reported by a cross-set screen
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated corpus text with different words entirely"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (200L, "some benchmark question about astronomy and orbital mechanics")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusLsh(corpus, bench, "doc_id", "text", minJaccard = 0.5)
+      .select($"corpus_id", $"bench_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L)), s"expected exactly the planted contamination, got $got")
+  }
 }
