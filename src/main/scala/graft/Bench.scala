@@ -271,7 +271,11 @@ object Bench {
         "q165_sketch_rollup", "q166_stream_cdc_apply",
         // round-12: distributed fixed-point GD training (timed whole —
         // training IS the operation), cross-corpus LSH decontamination
-        "q167_classifier_training", "q168_crosscorpus_lsh")
+        "q167_classifier_training", "q168_crosscorpus_lsh",
+        // round-12: stream-maintained sketch rollup (timed whole — the
+        // 3-batch merge-on-write build IS the operation; serve cost is
+        // q165's)
+        "q169_stream_sketch_mv")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

@@ -228,6 +228,23 @@ object Oracles {
       |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM b1
       | WHERE o_custkey NOT IN (SELECT o_custkey FROM b2)""".stripMargin
 
+  /** q165/q169's SQL (shared): exact per-range distincts + day counts,
+    * est_ok pinned TRUE. q169 streams the same rollup into existence in
+    * user-split micro-batches (merge-on-write), so the served ranges must
+    * be identical.
+    */
+  private lazy val sketchRollupSql: String =
+    """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, user_id FROM events),
+      | r1 AS (SELECT '2024-01-05..2024-01-14' AS day_range, event_type,
+      |     CAST(count(DISTINCT day) AS BIGINT) AS days_merged,
+      |     CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct, TRUE AS est_ok
+      |   FROM e WHERE day BETWEEN '2024-01-05' AND '2024-01-14' GROUP BY event_type),
+      | r2 AS (SELECT '2024-01-15..2024-01-25' AS day_range, event_type,
+      |     CAST(count(DISTINCT day) AS BIGINT) AS days_merged,
+      |     CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct, TRUE AS est_ok
+      |   FROM e WHERE day BETWEEN '2024-01-15' AND '2024-01-25' GROUP BY event_type)
+      |SELECT * FROM r1 UNION ALL SELECT * FROM r2""".stripMargin
+
   /** q167's SQL: the full 4-iteration fixed-point GD replayed in unrolled
     * CTEs — per-(doc,bucket) feature counts, per-doc predictions against
     * the previous weights, errors vs the e6-scaled label, per-bucket
@@ -2015,17 +2032,12 @@ object Oracles {
     // counts recomputed relationally, est_ok PINNED TRUE (the q125
     // self-validating pattern: a merged-sketch estimate outside 5% of
     // exact hash-fails instead of hiding in a tolerance)
-    "q165_sketch_rollup" ->
-      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, user_id FROM events),
-        | r1 AS (SELECT '2024-01-05..2024-01-14' AS day_range, event_type,
-        |     CAST(count(DISTINCT day) AS BIGINT) AS days_merged,
-        |     CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct, TRUE AS est_ok
-        |   FROM e WHERE day BETWEEN '2024-01-05' AND '2024-01-14' GROUP BY event_type),
-        | r2 AS (SELECT '2024-01-15..2024-01-25' AS day_range, event_type,
-        |     CAST(count(DISTINCT day) AS BIGINT) AS days_merged,
-        |     CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct, TRUE AS est_ok
-        |   FROM e WHERE day BETWEEN '2024-01-15' AND '2024-01-25' GROUP BY event_type)
-        |SELECT * FROM r1 UNION ALL SELECT * FROM r2""".stripMargin,
+    "q165_sketch_rollup" -> sketchRollupSql,
+
+    // q169: the STREAM-MAINTAINED rollup must serve the same range reads
+    // as q165's one-shot build — HLL union is associative, so batch
+    // boundaries and the merge-on-write path may not perturb the serve
+    "q169_stream_sketch_mv" -> sketchRollupSql,
 
     // q111: stream-static enrichment — batch left join over the bounded
     // replay (the streaming run must converge to it exactly; stateless,

@@ -3553,4 +3553,33 @@ object Queries {
         "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2, minJaccard = 0.5)
       .select(col("corpus_id"), col("bench_id"), floor(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
   }
+
+  /** q169: STREAMING SKETCH-ROLLUP MAINTENANCE
+    * ([[graft.streaming.Streaming.sketchRollupSink]]) — q165's rollup
+    * built BY A STREAM: the events arrive as THREE user-split
+    * micro-batches, so every batch touches EVERY day and each commit
+    * must MERGE its batch sketches into the stored registers
+    * (merge-on-write — the late-data path q165's append-only build never
+    * exercises), under the exactly-once marker protocol. HLL union is
+    * associative, so the streamed-in rollup must serve the same range
+    * estimates as q165's one-shot build — the oracle is q165's SQL
+    * verbatim, and StreamingSpec pins streamed == one-shot register-for-
+    * register plus the lost-checkpoint restart case.
+    */
+  def q169(s: SparkSession, dir: String): DataFrame = {
+    val root = scratchDir("sketchstream")
+    val path = root + "/rollup"
+    val ev = t(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"), col("user_id"))
+    (0 to 2).foreach(g =>
+      ev.filter(pmod(col("user_id"), lit(3)) === g).coalesce(1).write.parquet(root + s"/incoming/g$g"))
+    val src = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root + "/incoming/*")
+    graft.streaming.Streaming.sketchRollupSink(
+      s, src, path, checkpointLocation = root + "/ckpt", streamId = "q169"
+    ).awaitTermination()
+    q165Probe(s, path, dir)
+  }
 }

@@ -544,6 +544,64 @@ object Streaming {
       .start()
   }
 
+  /** STREAMING SKETCH-ROLLUP MAINTENANCE — the q165 pre-aggregation kept
+    * fresh by a stream instead of nightly jobs, and the proof that the
+    * rollup's state is genuinely MERGEABLE: each micro-batch's
+    * per-(day, event_type) HLL sketches are UNIONED with the stored
+    * sketches of the days the batch touches (merge-on-write — late or
+    * same-day data folds into the existing registers losslessly; HLL
+    * union is associative, so arrival order and batch boundaries cannot
+    * change the state), then committed as ONE delta touching only those
+    * day partitions, under the exactly-once `stream_batch` marker checked
+    * inside the commit-retry loop. Range probes keep serving every
+    * committed version throughout. Per-batch cost: one aggregation of the
+    * batch + a read of the touched days' sketch rows (O(types) KB-sized
+    * rows per day) — never the historical raw events.
+    */
+  def sketchRollupSink(
+      spark: SparkSession,
+      source: DataFrame, // (day STRING, event_type STRING, user_id LONG)
+      rollupPath: String,
+      checkpointLocation: String,
+      streamId: String = "sketch"
+  ): StreamingQuery = {
+    import graft.sources.VersionedTable
+    require(streamId.matches("[A-Za-z0-9_-]+"), s"streamId '$streamId' must be filesystem-safe")
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        VersionedTable.withCommitRetry() {
+          val alreadyApplied = lastStreamBatch(spark, rollupPath, streamId).exists(_ >= batchId)
+          if (!alreadyApplied) {
+            val batchSk = df.toDF()
+              .groupBy(col("day"), col("event_type"))
+              .agg(hll_sketch_agg(col("user_id")).as("sk"))
+            val touched = batchSk.select(col("day")).distinct()
+              .collect().map(_.getString(0)).sorted.toSeq // bounded: days per batch
+            val existing = VersionedTable.latestVersion(spark, rollupPath)
+              .map(_ => VersionedTable.readPartitions(spark, rollupPath, touched).flatten)
+              .getOrElse(Nil)
+              .reduceOption(_.unionByName(_))
+            val merged = existing match {
+              case Some(ex) => ex.select(col("day"), col("event_type"), col("sk"))
+                .unionByName(batchSk)
+                .groupBy(col("day"), col("event_type"))
+                .agg(hll_union_agg(col("sk")).as("sk"))
+              case None => batchSk
+            }
+            VersionedTable.commitDelta(
+              spark, rollupPath, merged, "day",
+              extraMeta = Map(s"stream_batch:$streamId" -> batchId.toString))
+            ()
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ------------------------------------------------------------------
   // Continuous (multi-batch) gap sessionization + cumulative cutover
   // ------------------------------------------------------------------

@@ -733,6 +733,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(committed() == Set("base", "t-b0", "t-b1"), "re-delivery appended to the index")
   }
 
+  test("sketchRollupSink: merge-on-write across batches serves like a one-shot build; lost-checkpoint restart commits nothing") {
+    import graft.sources.VersionedTable
+    val tmp = Files.createTempDirectory("graft-sketchsink").toString
+    // 3 days x 2 types, users deliberately OVERLAPPING across batches so
+    // the same (day, type) sketch is merged on every commit
+    val rows = for (d <- 1 to 3; t <- Seq("a", "b"); u <- 1L to 40L)
+      yield (f"2024-01-0$d%01d", t, d * 100L + u % 25)
+    val ev = rows.toDF("day", "event_type", "user_id")
+    (0 to 2).foreach(g =>
+      ev.filter(pmod($"user_id", lit(3)) === g).coalesce(1).write.parquet(s"$tmp/in/g$g"))
+
+    val rollup = s"$tmp/rollup"
+    def runSink(ckpt: String) = {
+      val src = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
+      val q = Streaming.sketchRollupSink(spark, src, rollup, checkpointLocation = ckpt, streamId = "t")
+      assert(q.awaitTermination(120000), "sketch rollup stream did not finish")
+    }
+    runSink(s"$tmp/ckpt1")
+
+    // streamed-in rollup estimates == one-shot build estimates, per (day, type)
+    def estimates(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"day", $"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val streamed = estimates(VersionedTable.read(spark, rollup))
+    val oneShot = estimates(
+      ev.groupBy($"day", $"event_type").agg(hll_sketch_agg($"user_id").as("sk")))
+    assert(streamed == oneShot, s"streamed $streamed != one-shot $oneShot")
+    // every (day, type) has exactly 25 distinct users — HLL is exact there
+    assert(streamed.values.forall(_ == 25L), s"expected exact 25s, got $streamed")
+
+    // 3 micro-batch commits, each touching all 3 days (the merge path)
+    assert(VersionedTable.committedVersionsPublic(spark, rollup).size == 3)
+
+    // lost checkpoint: re-delivered batch ids no-op against the marker
+    runSink(s"$tmp/ckpt2")
+    assert(VersionedTable.committedVersionsPublic(spark, rollup).size == 3,
+      "re-delivery committed new versions")
+    assert(estimates(VersionedTable.read(spark, rollup)) == oneShot,
+      "re-delivery changed the rollup state")
+  }
+
   test("cdcApplySink: streamed apply converges to the one-shot apply; lost-checkpoint restart commits nothing") {
     import graft.sources.VersionedTable
     val tmp = Files.createTempDirectory("graft-cdcsink").toString
