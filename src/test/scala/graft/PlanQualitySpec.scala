@@ -280,4 +280,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Window [") || p.contains("windowspecdefinition(pid"),
       "ranking window must partition by probe")
   }
+
+  test("q168: cross-corpus band join is a hash equi-join on the band key — never a nested loop") {
+    val p = plan("q168_crosscorpus_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cross-set candidate join must stay an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "band-key equi-join missing")
+  }
+
+  test("q165 probe: range serve scans the sketch table partitions, never the events table") {
+    val path = graft.Queries.q165Build(spark, dir)
+    val probe = graft.Queries.q165Probe(spark, path, dir)
+    // the ESTIMATE branch must read only committed sketch dirs; events
+    // appears solely in the exact-audit branch
+    val p = probe.queryExecution.executedPlan.toString
+    assert("/rollup/v=".r.findAllIn(p).size >= 2,
+      s"range serve must read the stored rollup's committed partitions:\n$p")
+    // partial-then-final sketch union: the merge reduces map-side
+    assert(p.contains("partial_hll_union_agg"), "sketch union must partially aggregate before the exchange")
+  }
 }
