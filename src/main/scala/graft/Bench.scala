@@ -275,7 +275,11 @@ object Bench {
         // round-12: stream-maintained sketch rollup (timed whole — the
         // 3-batch merge-on-write build IS the operation; serve cost is
         // q165's)
-        "q169_stream_sketch_mv")
+        "q169_stream_sketch_mv",
+        // round-12: mixture upsampling (zero-shuffle projection), histogram
+        // rollup (range probes over prebuilt partials, build in setup),
+        // incremental join-MV (bootstrap+feeds+maintain per run)
+        "q170_mixture_upsample", "q171_histogram_rollup", "q172_join_mv")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x
@@ -374,6 +378,14 @@ object Bench {
         val path = Queries.q165Build(spark, sfDir)
         Some((path, (System.nanoTime() - q165SetupT0) / 1e9))
       } catch { case _: Throwable => None }
+    // One-time q171 histogram-partial build; the timed op is the exact
+    // range merge over stored partials.
+    val q171SetupT0 = System.nanoTime()
+    val q171Built =
+      try {
+        val path = Queries.q171Build(spark, sfDir)
+        Some((path, (System.nanoTime() - q171SetupT0) / 1e9))
+      } catch { case _: Throwable => None }
 
     // benched ops: SparkEntry.queries, with q98 overridden to probe-only
     // against the prebuilt index and q106 to feed-only against the
@@ -412,6 +424,12 @@ object Bench {
         // q166 streams the SAME prebuilt warehouse's feed — the timed cost
         // is the consumer side (fresh replica bootstrap + 2-batch apply)
         "q166_stream_cdc_apply" -> ((s: SparkSession, _: String) => Queries.q166Stream(s, path, v1, v2))
+      } ++ q171Built.map { case (path, _) =>
+        "q171_histogram_rollup" -> ((s: SparkSession, _: String) => Queries.q171Probe(s, path))
+      } ++ q106Built.map { case (path, v1, v2, _) =>
+        // q172 maintains its view against the SAME prebuilt fact warehouse —
+        // the timed cost is the consumer cycle (dim build + feeds + maintain)
+        "q172_join_mv" -> ((s: SparkSession, d: String) => Queries.q172Maintain(s, path, v1, v2, d))
       }
 
     // FULL-MATERIALIZATION timing action (round-10 fix): `count()` let
@@ -549,7 +567,8 @@ object Bench {
         q145Built.map { case (_, t) => "q145_dv_build" -> t }.toSeq ++
         q161Built.map { case (_, _, _, _, t) => "q161_index_build" -> t }.toSeq ++
         q163Built.map { case (_, _, _, _, t) => "q163_index_build" -> t }.toSeq ++
-        q165Built.map { case (_, t) => "q165_rollup_build" -> t }.toSeq
+        q165Built.map { case (_, t) => "q165_rollup_build" -> t }.toSeq ++
+        q171Built.map { case (_, t) => "q171_rollup_build" -> t }.toSeq
     val setupJson = setupPairs.map { case (k, t) => s"${jstr(k)}:${num(t)}" }.mkString("{", ",", "}")
 
     val line =
@@ -558,7 +577,7 @@ object Bench {
         s""""remeasured":${remeasured.distinct.map(jstr).mkString("[", ",", "]")},"extras":$extraTimes,""" +
         s""""baseline":${jstr(baselineName)},"load":$loadJson,"tainted":$tainted,"setup_sec":$setupJson,""" +
         s""""runs_per_query":$runsPerQuery,"aggregation":"min","timing_action":"hash_rows",""" +
-        s""""cache_policy":"warm steady-state; min of $runsPerQuery runs per query; action = xxhash64 over every output column (full materialization, count() pruned pure projections); q98/q130/q161/q163 timed as stored-index probes, q106/q119/q127/q141/q148 against prebuilt warehouses, q140/q145 as post-sweep serving reads, q165 as range probes over prebuilt sketches (builds in setup_sec)"}"""
+        s""""cache_policy":"warm steady-state; min of $runsPerQuery runs per query; action = xxhash64 over every output column (full materialization, count() pruned pure projections); q98/q130/q161/q163 timed as stored-index probes, q106/q119/q127/q141/q148 against prebuilt warehouses, q140/q145 as post-sweep serving reads, q165/q171 as range probes over prebuilt rollups (builds in setup_sec)"}"""
     // Full-fidelity record → BENCH_LOCAL_<sf>.json, keyed by SF so runs at
     // different scale factors never clobber each other (r11: a tainted
     // sf0.001 run overwrote the only untainted sf0.1 record and disarmed

@@ -2039,6 +2039,61 @@ object Oracles {
     // boundaries and the merge-on-write path may not perturb the serve
     "q169_stream_sketch_mv" -> sketchRollupSql,
 
+    // q170: mixture upsampling — weight lookup, hash indicator, and
+    // generate_series expansion replayed row-for-row
+    "q170_mixture_upsample" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 23000 WHEN 'src1' THEN 6000
+        |                WHEN 'src2' THEN 15000 WHEN 'src3' THEN 0 ELSE 10000 END AS wv,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10000 AS h
+        |  FROM documents),
+        | n AS (SELECT doc_id, source,
+        |    CAST(wv // 10000 + CASE WHEN h < wv % 10000 THEN 1 ELSE 0 END AS BIGINT) AS n_copies FROM w)
+        |SELECT doc_id, source, n_copies,
+        |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+        |FROM n WHERE n_copies > 0""".stripMargin,
+
+    // q171: histogram rollup — the merged stored partials must equal the
+    // DIRECT histogram of each range recomputed from raw events (exact
+    // mergeability: fixed bounds, addition — no tolerance anywhere)
+    "q171_histogram_rollup" ->
+      """WITH v AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) c FROM events),
+        | g AS (SELECT CAST(unnest(range(16)) AS BIGINT) bin),
+        | r1 AS (SELECT (LEAST(9999, GREATEST(0, c)) * 16) // 10000 bin FROM v
+        |   WHERE day BETWEEN '2024-01-05' AND '2024-01-14'),
+        | n1 AS (SELECT bin, CAST(count(*) AS BIGINT) n FROM r1 GROUP BY bin),
+        | o1 AS (SELECT '2024-01-05..2024-01-14' AS day_range, g.bin,
+        |    (g.bin * CAST(10000 AS BIGINT)) // 16 AS lo_edge_cents, COALESCE(n1.n, 0) AS n
+        |   FROM g LEFT JOIN n1 ON g.bin = n1.bin),
+        | r2 AS (SELECT (LEAST(9999, GREATEST(0, c)) * 16) // 10000 bin FROM v
+        |   WHERE day BETWEEN '2024-01-15' AND '2024-01-25'),
+        | n2 AS (SELECT bin, CAST(count(*) AS BIGINT) n FROM r2 GROUP BY bin),
+        | o2 AS (SELECT '2024-01-15..2024-01-25' AS day_range, g.bin,
+        |    (g.bin * CAST(10000 AS BIGINT)) // 16 AS lo_edge_cents, COALESCE(n2.n, 0) AS n
+        |   FROM g LEFT JOIN n2 ON g.bin = n2.bin)
+        |SELECT * FROM o1 UNION ALL SELECT * FROM o2""".stripMargin,
+
+    // q172: incremental join-view maintenance — the maintained view must
+    // equal the full join recomputed at the to-versions (fact side: the
+    // b2-wins active derivation; dimension side: the segment-update rule)
+    "q172_join_mv" ->
+      """WITH b1 AS (SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |    SELECT o_custkey, o_orderkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00') WHERE rn = 1),
+        | b2 AS (SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |    SELECT o_custkey, o_orderkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') WHERE rn = 1),
+        | a2 AS (SELECT * FROM b2 UNION ALL
+        |        SELECT * FROM b1 WHERE o_custkey NOT IN (SELECT o_custkey FROM b2)),
+        | d2 AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END c_mktsegment
+        |   FROM customer)
+        |SELECT a2.o_custkey, a2.o_orderkey, a2.o_totalprice, d2.c_mktsegment
+        |FROM a2 JOIN d2 ON a2.o_custkey = d2.c_custkey""".stripMargin,
+
     // q111: stream-static enrichment — batch left join over the bounded
     // replay (the streaming run must converge to it exactly; stateless,
     // so no watermark precondition applies)

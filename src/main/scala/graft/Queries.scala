@@ -3582,4 +3582,114 @@ object Queries {
     ).awaitTermination()
     q165Probe(s, path, dir)
   }
+
+  /** q170: TEMPERATURE-WEIGHTED MIXTURE UPSAMPLING
+    * ([[Sampling.upsampleMixture]]) — the data-recipe repetition knob:
+    * src0 at 2.3 epochs, src2 at 1.5, src1 Bernoulli-downsampled to 0.6,
+    * src3 dropped, everything else passed through once. Fractional
+    * epochs decided by the portable md5-prefix hash of the doc id (no
+    * RNG), repetition as one explode(sequence(...)) in the scan's
+    * projection — zero shuffles at any corpus size. The oracle replays
+    * weight lookup, hash indicator, and generate_series expansion.
+    */
+  def q170(s: SparkSession, dir: String): DataFrame =
+    Sampling.upsampleMixture(
+      t(s, dir, "documents").select(col("doc_id"), col("source")),
+      "source", "doc_id",
+      Map("src0" -> 23000L, "src1" -> 6000L, "src2" -> 15000L, "src3" -> 0L))
+
+  /** q171: PERSISTED HISTOGRAM ROLLUP
+    * ([[graft.dq.DqSuite.histogramByKey]]/[[graft.dq.DqSuite.histogramMergeServe]])
+    * — the EXACT-mergeable profiling twin of the q165 sketch rollup:
+    * per-day sparse histogram partials of event value cents (fixed
+    * caller-set bounds, so the same value bins identically in every
+    * partition forever) committed day-partitioned in two incremental
+    * commits, then arbitrary date ranges profiled by ADDING the stored
+    * partials — no tolerance, no sketch: the merged histogram IS the
+    * direct histogram of the range, which the oracle recomputes from
+    * raw events and hash-compares.
+    */
+  def q171(s: SparkSession, dir: String): DataFrame = {
+    val path = q171Build(s, dir)
+    q171Probe(s, path)
+  }
+
+  /** q171's build half: two incremental day-range commits of sparse
+    * per-day histogram partials (bench times [[q171Probe]] only).
+    */
+  def q171Build(s: SparkSession, dir: String): String = {
+    val path = scratchDir("histrollup") + "/rollup"
+    val ev = t(s, dir, "events")
+      .select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    def partials(pred: Column): DataFrame =
+      graft.dq.DqSuite.histogramByKey(
+        ev.filter(pred), col("day"), col("cents"), loCents = 0L, hiCents = 10000L, bins = 16)
+        .withColumnRenamed("key", "day")
+    graft.sources.VersionedTable.commitDelta(s, path, partials(col("day") <= lit("2024-01-20")), "day")
+    graft.sources.VersionedTable.commitDelta(s, path, partials(col("day") > lit("2024-01-20")), "day")
+    path
+  }
+
+  /** q171's serving half: two ranges profiled by exact partial addition. */
+  def q171Probe(s: SparkSession, path: String): DataFrame = {
+    val ranges = Seq(("2024-01-05", "2024-01-14"), ("2024-01-15", "2024-01-25"))
+    ranges.map { case (lo, hi) =>
+      val days = Iterator.iterate(java.time.LocalDate.parse(lo))(_.plusDays(1))
+        .takeWhile(!_.isAfter(java.time.LocalDate.parse(hi)))
+        .map(_.toString).toSeq
+      val stored = graft.sources.VersionedTable.readPartitions(s, path, days).flatten
+        .reduce(_.unionByName(_))
+      graft.dq.DqSuite.histogramMergeServe(stored, loCents = 0L, hiCents = 10000L, bins = 16)
+        .select(lit(s"$lo..$hi").as("day_range"), col("bin"), col("lo_edge_cents"), col("n"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** q172: INCREMENTAL KEYED-JOIN VIEW MAINTENANCE
+    * ([[operators.Mv.maintainKeyedJoin]]) — the join analogue of q119's
+    * count/sum view: V = latest-order ⋈ customer-dimension on custkey,
+    * bootstrapped at (a1, b1), then BOTH sides advance (the q106 SCD-2
+    * upsert on the fact side; a segment update on custkey % 7 = 0 on the
+    * dimension side) and the view follows by recomputing ONLY the keys
+    * either change feed names — every other row carries forward by anti
+    * join, untouched. O(changed keys), never a snapshot join. The oracle
+    * recomputes the full join at the to-versions, so carry/recompute
+    * partitioning errors hash-fail.
+    */
+  def q172(s: SparkSession, dir: String): DataFrame = {
+    val (aPath, a1, a2) = q106Build(s, dir)
+    q172Maintain(s, aPath, a1, a2, dir)
+  }
+
+  /** q172's per-invocation half: dimension-side build + bootstrap + both
+    * feeds + maintenance (Bench reuses the prebuilt q106 fact warehouse,
+    * so the timed cost is the consumer cycle, not the fact-side commits).
+    */
+  def q172Maintain(s: SparkSession, aPath: String, a1: Long, a2: Long, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val bPath = scratchDir("mvjoin") + "/dim"
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("cb", concat(lit("b"), pmod(col("c_custkey"), lit(8L)).cast("string")))
+    val b1 = VersionedTable.commitDelta(s, bPath, cust, "cb")
+    val b2 = VersionedTable.commitDelta(
+      s, bPath,
+      cust.withColumn(
+        "c_mktsegment",
+        when(col("c_custkey") % 7 === 0, lit("UPDATED")).otherwise(col("c_mktsegment"))),
+      "cb")
+    def activeA(v: Long) = VersionedTable.read(s, aPath, Some(v))
+      .filter(col("actv_flg") === "Y")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    def dimB(v: Long) = VersionedTable.read(s, bPath, Some(v))
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val view1 = activeA(a1).join(dimB(b1), "o_custkey")
+    val feedA = VersionedTable.changeFeed(s, aPath, a1, a2, Seq("o_custkey", "o_orderkey"))
+    val feedB = VersionedTable.changeFeed(s, bPath, b1, b2, Seq("c_custkey"))
+    val touched = feedA.select(col("o_custkey"))
+      .unionByName(feedB.select(col("c_custkey").as("o_custkey")))
+    Mv.maintainKeyedJoin(view1, touched, activeA(a2), dimB(b2), "o_custkey")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("c_mktsegment"))
+  }
 }

@@ -241,4 +241,53 @@ object DqSuite {
         expr(s"${loCents}L + (bin * ${width}L) div ${bins}L").as("lo_edge_cents"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Per-key histogram partials for the PERSISTED ROLLUP (q171): the same
+    * clamped-bin arithmetic as [[histogram]], grouped by a partition key
+    * (e.g. day), SPARSE (bins with no rows write no state). The bounds are
+    * CALLER-FIXED, not data-derived — that is what makes the partials
+    * exactly mergeable: the same value maps to the same bin in every
+    * partition forever, so merging is plain addition (no tolerance, no
+    * sketch). Store these day-partitioned; serve ranges with
+    * [[histogramMergeServe]].
+    */
+  def histogramByKey(
+      df: org.apache.spark.sql.DataFrame,
+      keyCol: Column,
+      valueCents: Column,
+      loCents: Long,
+      hiCents: Long,
+      bins: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(bins >= 1 && hiCents > loCents, s"need bins >= 1 and hi > lo, got bins=$bins [$loCents,$hiCents)")
+    val width = hiCents - loCents
+    require(width <= Long.MaxValue / bins, s"bins*width overflows long: [$loCents,$hiCents) x $bins")
+    val bin = expr(
+      s"((LEAST(${hiCents - 1}L, GREATEST(${loCents}L, __v)) - ${loCents}L) * ${bins}L) div ${width}L")
+    df.select(keyCol.as("key"), valueCents.cast("long").as("__v"))
+      .select(col("key"), bin.as("bin"))
+      .groupBy(col("key"), col("bin")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Range serve over stored [[histogramByKey]] partials: exact merge by
+    * addition, densified to the full bin grid with edges. `stored` is the
+    * union of the range's day partitions — O(days × bins) rows, never the
+    * raw events.
+    */
+  def histogramMergeServe(
+      stored: org.apache.spark.sql.DataFrame,
+      loCents: Long,
+      hiCents: Long,
+      bins: Int
+  ): org.apache.spark.sql.DataFrame = {
+    val width = hiCents - loCents
+    val merged = stored.groupBy(col("bin")).agg(sum(col("n")).as("n"))
+    val grid = stored.sparkSession.range(bins).select(col("id").as("bin"))
+    grid
+      .join(merged, Seq("bin"), "left")
+      .select(
+        col("bin"),
+        expr(s"${loCents}L + (bin * ${width}L) div ${bins}L").as("lo_edge_cents"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

@@ -68,4 +68,41 @@ object Mv {
     snapshot
       .groupBy(keyExpr.as("view_key"))
       .agg(count(lit(1)).as("n_rows"), sum(centsExpr).as("cents"))
+
+  /** Incremental maintenance of a KEYED equi-join view V = A ⋈ B, where
+    * each side holds at most one current row per join key (the SCD-2
+    * "latest" / dimension shape). Change feeds from EITHER side name the
+    * touched keys; the view rows for exactly those keys are recomputed
+    * from the two current snapshots restricted to them, and every other
+    * view row carries forward IDENTICALLY (an anti join — no recompute,
+    * no rewrite). A key whose A row was deleted, or whose B row vanished,
+    * naturally leaves the view because the restricted inner join drops it.
+    *
+    * Scale: O(changed keys), never a snapshot join — the touched-key set
+    * is feed-sized, so both semi-join restrictions and the carry anti-join
+    * broadcast it; at warehouse scale the caller additionally reads the
+    * two sides bucket-pruned by the touched keys' buckets (the
+    * key-bucketed layout makes that driver metadata, q148's trick). The
+    * maintained view must equal the full recompute at the to-versions —
+    * q172's oracle hash-gates exactly that.
+    *
+    * @param view        stored view at the from-versions (joinKey + payload)
+    * @param touchedKeys keys named by either side's change feed (any frame
+    *                    with a `joinKey` column; deduplicated here)
+    * @param aCurrent    side A's current rows at the to-version (one per key)
+    * @param bCurrent    side B's current rows at the to-version (one per key)
+    */
+  def maintainKeyedJoin(
+      view: DataFrame,
+      touchedKeys: DataFrame,
+      aCurrent: DataFrame,
+      bCurrent: DataFrame,
+      joinKey: String
+  ): DataFrame = {
+    val keys = touchedKeys.select(col(joinKey)).distinct()
+    val recomputed = aCurrent
+      .join(keys, Seq(joinKey), "left_semi")
+      .join(bCurrent.join(keys, Seq(joinKey), "left_semi"), Seq(joinKey), "inner")
+    view.join(keys, Seq(joinKey), "left_anti").unionByName(recomputed)
+  }
 }

@@ -215,4 +215,40 @@ object Sampling {
       .flatMap { case (d, ranked) => ranked.map { case (rk, id, _) => (d, rk, id) } }
       .toDF(domainCol, "rk", idCol)
   }
+
+  /** TEMPERATURE-WEIGHTED MIXTURE UPSAMPLING — the training-data recipe's
+    * fractional repetition knob ("see Wikipedia 2.3 epochs, CommonCrawl
+    * 0.6"): every row is emitted floor(w) times plus one more with
+    * probability frac(w), decided by the portable md5-prefix hash of the
+    * row id (NO RNG — retries, both oracle engines, and any partitioning
+    * reproduce the same copies). Weights are e4-scaled rationals per
+    * domain; w < 1e4 degrades to a plain Bernoulli downsample, so one
+    * operator covers both directions of the mixture.
+    *
+    * SCALE: zero shuffles — the weight lookup is a broadcast literal map,
+    * the copy count is per-row integer arithmetic, and the repetition is
+    * one `explode(sequence(...))` inside the scan's projection. Output
+    * size is Σ w_d · |d| by construction.
+    */
+  def upsampleMixture(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      weightsE4: Map[String, Long],
+      defaultE4: Long = 10000L // unlisted domains pass through once
+  ): DataFrame = {
+    require(weightsE4.nonEmpty, "upsampleMixture: weightsE4 must be non-empty")
+    require(weightsE4.values.forall(_ >= 0L) && defaultE4 >= 0L, "upsampleMixture: weights must be >= 0")
+    val wCol = weightsE4.toSeq.sortBy(_._1).foldLeft(lit(defaultE4)) { case (acc, (d, w)) =>
+      when(col(domainCol) === d, lit(w)).otherwise(acc)
+    }
+    val h = pmod(graft.plans.HashExpressions.md5Prefix60(col(idCol).cast("string")), lit(10000L))
+    df.withColumn("__w", wCol)
+      .withColumn(
+        "n_copies",
+        (col("__w") / 10000L).cast("long") + when(h < col("__w") % 10000L, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0L)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("__w")
+  }
 }

@@ -119,4 +119,25 @@ class DqSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 0L, 4L), (1L, 25L, 1L), (2L, 50L, 0L), (3L, 75L, 2L)), s"got ${out.toSeq}")
     intercept[IllegalArgumentException] { graft.dq.DqSuite.histogram(df, col("c"), 10L, 10L, 4) }
   }
+
+  test("histogram rollup: stored per-key partials are sparse and their sum equals the direct histogram") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two 'days' of values over [0,100) in 4 bins; day d2 leaves bin 2 empty
+    val rows = Seq(("d1", 5L), ("d1", 30L), ("d1", 60L), ("d2", 10L), ("d2", 80L), ("d2", -7L), ("d2", 400L))
+    val df = rows.toDF("day", "c")
+    val partials = graft.dq.DqSuite.histogramByKey(df, col("day"), col("c"), 0L, 100L, 4)
+      .as[(String, Long, Long)].collect().toSet
+    // SPARSE: only bins that carry rows are stored
+    assert(partials == Set(("d1", 0L, 1L), ("d1", 1L, 1L), ("d1", 2L, 1L),
+      ("d2", 0L, 2L), ("d2", 3L, 2L)), s"got $partials")
+    // merge-serve over the stored partials == the direct one-shot histogram
+    val stored = partials.toSeq.toDF("day", "bin", "n")
+    val merged = graft.dq.DqSuite.histogramMergeServe(stored, 0L, 100L, 4)
+      .orderBy($"bin").as[(Long, Long, Long)].collect().toSeq
+    val direct = graft.dq.DqSuite.histogram(df, col("c"), 0L, 100L, 4)
+      .orderBy($"bin").as[(Long, Long, Long)].collect().toSeq
+    assert(merged == direct, s"merged $merged != direct $direct")
+    assert(merged == Seq((0L, 0L, 3L), (1L, 25L, 1L), (2L, 50L, 1L), (3L, 75L, 2L)))
+  }
 }

@@ -82,4 +82,29 @@ class RangeJoinMvSpec extends AnyFunSuite {
     assert(math.abs(bySplit("train") - 2400) < 300, s"train ${bySplit("train")}")
     assert(bySplit.getOrElse("val", 0L) > 100 && bySplit.getOrElse("test", 0L) > 100)
   }
+
+  test("maintainKeyedJoin: touched keys recompute (update/insert/delete/dim-change), untouched carry verbatim") {
+    import graft.operators.Mv
+    def a(rows: (Long, Long)*) = rows.toDF("k", "a_val")
+    def b(rows: (Long, String)*) = rows.toDF("k", "seg")
+    val a1 = a(1L -> 10L, 2L -> 20L, 3L -> 30L, 5L -> 50L)
+    val b1 = b(1L -> "x", 2L -> "x", 3L -> "x", 4L -> "x", 5L -> "x")
+    val view1 = a1.join(b1, "k")
+    // to-versions: k1 A-updated, k2 A-deleted, k4 A-inserted, k3 B-segment change, k5 untouched
+    val a2 = a(1L -> 11L, 3L -> 30L, 4L -> 40L, 5L -> 99L) // k5 changed too — but NOT fed
+    val b2 = b(1L -> "x", 2L -> "x", 3L -> "y", 4L -> "x", 5L -> "x")
+    val touched = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val got = Mv.maintainKeyedJoin(view1, touched, a2, b2, "k")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 11L, "x"), (3L, 30L, "y"), (4L, 40L, "x"), (5L, 50L, "x")),
+      s"got $got")
+    // k2 left (A delete); k5 carried at the OLD value — the carry is an
+    // anti join against touched keys, never a recompute (a feed that
+    // misses a key shows up here as staleness, not silent repair)
+    // full-feed maintenance equals the full recompute
+    val full = Mv.maintainKeyedJoin(view1, Seq(1L, 2L, 3L, 4L, 5L).toDF("k"), a2, b2, "k")
+      .as[(Long, Long, String)].collect().toSet
+    val recompute = a2.join(b2, "k").as[(Long, Long, String)].collect().toSet
+    assert(full == recompute, s"full maintenance $full != recompute $recompute")
+  }
 }

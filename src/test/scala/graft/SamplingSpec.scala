@@ -109,4 +109,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == out.toSet, "selection must be deterministic")
     assertThrows[IllegalArgumentException](Sampling.domainCap(spark, docs, "source", "doc_id", 0))
   }
+
+  test("upsampleMixture: floor+fractional copies by portable hash, drop at 0, default passthrough") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i =>
+      (i, Seq("a", "b", "c", "d")((i % 4).toInt))).toDF("doc_id", "source")
+    val got = Sampling.upsampleMixture(docs, "source", "doc_id",
+      Map("a" -> 25000L, "b" -> 5000L, "c" -> 0L))
+      .select($"doc_id", $"source", $"n_copies", $"copy_idx")
+      .as[(Long, String, Long, Long)].collect()
+    val byDoc = got.groupBy(_._1)
+    // replay the indicator with the SAME portable hash
+    val h = docs.select($"doc_id",
+      pmod(graft.plans.HashExpressions.md5Prefix60($"doc_id".cast("string")), lit(10000L)))
+      .as[(Long, Long)].collect().toMap
+    docs.as[(Long, String)].collect().foreach { case (id, src) =>
+      val w = Map("a" -> 25000L, "b" -> 5000L, "c" -> 0L).getOrElse(src, 10000L)
+      val want = w / 10000L + (if (h(id) < w % 10000L) 1L else 0L)
+      val copies = byDoc.getOrElse(id, Array.empty).map(_._4).sorted.toSeq
+      assert(copies == (1L to want), s"doc $id ($src, w=$w): copies $copies, want 1..$want")
+    }
+    // every 'c' dropped, every 'd' exactly once, and 'b' genuinely subsampled
+    assert(!got.exists(_._2 == "c"))
+    assert(got.count(_._2 == "d") == 100)
+    val bCount = got.count(_._2 == "b")
+    assert(bCount > 20 && bCount < 80, s"b should Bernoulli-thin to ~50, got $bCount")
+  }
 }
