@@ -279,7 +279,10 @@ object Bench {
         // round-12: mixture upsampling (zero-shuffle projection), histogram
         // rollup (range probes over prebuilt partials, build in setup),
         // incremental join-MV (bootstrap+feeds+maintain per run)
-        "q170_mixture_upsample", "q171_histogram_rollup", "q172_join_mv")
+        "q170_mixture_upsample", "q171_histogram_rollup", "q172_join_mv",
+        // round-12: retention sweep (commit+sweep+read per run — the sweep
+        // IS the operation), dataset card (one aggregation pass)
+        "q173_retention_sweep", "q174_dataset_card")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

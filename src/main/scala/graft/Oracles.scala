@@ -2074,6 +2074,33 @@ object Oracles {
         |   FROM g LEFT JOIN n2 ON g.bin = n2.bin)
         |SELECT * FROM o1 UNION ALL SELECT * FROM o2""".stripMargin,
 
+    // q173: retention sweep — survivors = the plain temporal filter, so
+    // zone-map pruning and the in-partition delete are both hash-gated
+    "q173_retention_sweep" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS o_date_epoch, o_totalprice
+        |FROM orders WHERE epoch(o_orderdate) >= 899251200""".stripMargin,
+
+    // q174: dataset card — every aggregate and e4 ratio replayed exactly
+    "q174_dataset_card" ->
+      s"""WITH b AS (SELECT source, lang, n_chars l,
+         |    CASE WHEN len(trim(text))=0 THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END tok,
+         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) fp
+         |  FROM documents),
+         | s AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+         |    CAST(sum(tok) AS BIGINT) total_tokens,
+         |    CAST(count(DISTINCT lang) AS BIGINT) n_langs,
+         |    CAST(sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) en,
+         |    CAST(sum(CASE WHEN l BETWEEN 100 AND 20000 THEN 1 ELSE 0 END) AS BIGINT) ok
+         |   FROM b GROUP BY source),
+         | d AS (SELECT source, CAST(count(*) AS BIGINT) n_distinct_text
+         |   FROM (SELECT DISTINCT source, fp FROM b) GROUP BY source)
+         |SELECT s.source, n_docs, total_tokens, n_langs, n_distinct_text,
+         |  CAST((en * 10000) // n_docs AS BIGINT) AS en_share_e4,
+         |  CAST(((n_docs - n_distinct_text) * 10000) // n_docs AS BIGINT) AS dup_rate_e4,
+         |  CAST((ok * 10000) // n_docs AS BIGINT) AS quality_share_e4
+         |FROM s JOIN d ON s.source = d.source""".stripMargin,
+
     // q172: incremental join-view maintenance — the maintained view must
     // equal the full join recomputed at the to-versions (fact side: the
     // b2-wins active derivation; dimension side: the segment-update rule)

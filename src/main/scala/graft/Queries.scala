@@ -3692,4 +3692,41 @@ object Queries {
     Mv.maintainKeyedJoin(view1, touched, activeA(a2), dimB(b2), "o_custkey")
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("c_mktsegment"))
   }
+
+  /** q173: RETENTION SWEEP ([[graft.sources.VersionedTable
+    * .retentionSweep]]) — the temporal twin of the q140 keyed GDPR
+    * sweep: orders committed YEAR-partitioned with zone maps on the
+    * epoch column, then "delete everything before 1998-07-01" touches
+    * only the partitions whose zone map intersects the doomed range
+    * (driver metadata — newer years carry forward by manifest
+    * reference; VersionedTableSpec pins their partition versions
+    * unchanged). The oracle is the plain relational filter, so both the
+    * pruning and the in-partition predicate are hash-gated.
+    */
+  def q173(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val path = scratchDir("retention") + "/warehouse"
+    val orders = t(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        unix_timestamp(col("o_orderdate")).as("o_date_epoch"),
+        concat(lit("y"), year(col("o_orderdate")).cast("string")).as("yr"))
+    VersionedTable.commitDelta(s, path, orders, "yr", statsCols = Seq("o_date_epoch"))
+    // mid-year cutoff: y1995-y1997 wholly doomed (dropped via cleared
+    // manifest entries), y1998 straddles (residual predicate inside the
+    // rewrite), y1999+ carried untouched
+    VersionedTable.retentionSweep(s, path, "yr", "o_date_epoch", 899251200L) // 1998-07-01T00:00:00Z
+    VersionedTable.read(s, path)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_date_epoch"), col("o_totalprice"))
+  }
+
+  /** q174: DATASET CARD ([[TextAnalysis.datasetCard]]) — the per-source
+    * datasheet a corpus release ships: doc/token counts, language mix,
+    * exact-dup rate via the q30/q125 normalized fingerprint, and a
+    * length-gate quality share, every ratio an e4-scaled integer `div`
+    * so the card is bit-reproducible. One hash aggregation per source +
+    * a (source, fp) pre-aggregated distinct — O(sources) output rows.
+    */
+  def q174(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.datasetCard(t(s, dir, "documents"))
 }

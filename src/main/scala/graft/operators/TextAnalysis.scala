@@ -826,4 +826,45 @@ object TextAnalysis {
     feats.unpersist()
     out
   }
+
+  /** DATASET CARD — the per-source datasheet every corpus release ships:
+    * document and token counts, language mix, exact-duplicate rate (via
+    * the q30/q125 normalized-text fingerprint), and a simple length-gate
+    * quality share, all as exact integers (e4-scaled shares via integer
+    * `div`, so the card is bit-reproducible cross-engine).
+    *
+    * SCALE: ONE hash aggregation per source (map-side partial; the
+    * distinct-fingerprint side is a (source, fp) pre-aggregation —
+    * shuffle keyed on the pair, never a global distinct), output
+    * O(sources) rows at any corpus size.
+    */
+  def datasetCard(
+      df: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      langCol: String = "lang",
+      nCharsCol: String = "n_chars" // stored length — cross-engine-stable gate input
+  ): DataFrame = {
+    val base = df.select(
+      col(sourceCol).as("source"),
+      col(langCol).as("lang"),
+      col(nCharsCol).cast("long").as("__len"),
+      col(textCol).as("__text"))
+      .withColumn("__tok", tokenCount(col("__text")))
+      .withColumn("__fp", md5(regexp_replace(lower(col("__text")), "[^a-z0-9]", "")))
+    val stats = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__tok")).cast("long").as("total_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("__en"),
+      sum(when(col("__len").between(100L, 20000L), 1L).otherwise(0L)).as("__ok"))
+    val distincts = base.select(col("source"), col("__fp")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_distinct_text"))
+    stats.join(distincts, "source")
+      .select(
+        col("source"), col("n_docs"), col("total_tokens"), col("n_langs"), col("n_distinct_text"),
+        expr("(__en * 10000L) div n_docs").as("en_share_e4"),
+        expr("((n_docs - n_distinct_text) * 10000L) div n_docs").as("dup_rate_e4"),
+        expr("(__ok * 10000L) div n_docs").as("quality_share_e4"))
+  }
 }

@@ -932,7 +932,8 @@ object VersionedTable {
       path: String,
       partCol: String,
       touchedParts: Seq[String],
-      predicate: org.apache.spark.sql.Column
+      predicate: org.apache.spark.sql.Column,
+      statsCols: Seq[String] = Nil // re-record zone maps on the rewritten parts
   ): Long = withCommitRetry() {
     // the WHOLE attempt re-runs on a commit conflict so the re-read rebases
     // on the new latest version
@@ -947,7 +948,42 @@ object VersionedTable {
     // clearedParts: a bucket whose rows ALL matched writes no data — without
     // the explicit clear its old contents would carry forward (resurrected
     // deletes)
-    commitDelta(spark, path, kept, partCol, clearedParts = touchedParts)
+    commitDelta(spark, path, kept, partCol, clearedParts = touchedParts, statsCols = statsCols)
+  }
+
+  /** RETENTION SWEEP — temporal deletion, the time-based twin of the
+    * keyed GDPR sweep: delete every row with `statsCol < cutoffExclusive`,
+    * touching ONLY the partitions whose zone map intersects the doomed
+    * range. On a time-clustered layout (the natural one for event data)
+    * the touched set is the handful of oldest partitions — driver
+    * metadata, no file listing — and everything newer carries forward by
+    * manifest reference; a partition without recorded stats is
+    * conservatively treated as touched ([[deleteWhere]] re-applies the
+    * predicate inside, so over-approximation is safe, and a fully-doomed
+    * partition is dropped via its cleared manifest entry). This is the
+    * nightly "keep 90 days" job at 100 TB/day: cost O(expiring
+    * partitions), never a table scan.
+    *
+    * @return the committed version (the current one if nothing intersects)
+    */
+  def retentionSweep(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      statsCol: String,
+      cutoffExclusive: Long
+  ): Long = {
+    val (touched, _) = zonePrunePlan(spark, path, statsCol, Long.MinValue, cutoffExclusive - 1)
+    if (touched.isEmpty)
+      latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"no committed versions at $path"))
+    else
+      // statsCols: re-record the zone map on the rewritten (straddling)
+      // partitions, so the NEXT sweep still prunes them — without it the
+      // rewrite would drop their stats and the nightly job would degrade
+      // to conservative full-touch over time
+      deleteWhere(spark, path, partCol, touched, col(statsCol).cast("long") < cutoffExclusive,
+        statsCols = Seq(statsCol))
   }
 
   /** COMPACT (the OPTIMIZE analogue): rewrite the CURRENT state of a

@@ -367,4 +367,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(w8.getOrElse(_, 0L)).sum
     assert(aScore8 > aScore && aScore8 <= 1000000L, s"iters=8 score $aScore8 vs iters=4 $aScore")
   }
+
+  test("datasetCard: hand-computed counts, dup rate from normalized fingerprints, e4 integer shares") {
+    import spark.implicits._
+    val docs = Seq(
+      // s1: 4 docs, "A b!" and "a b" normalize identically (dup), 2 en,
+      // one long doc passes the [100, 20000]-char gate
+      ("s1", "en", "A b!", 4L), ("s1", "en", "a b", 3L),
+      ("s1", "de", "etwas anderes", 13L), ("s1", "zh", "x " * 60 + "y", 121L),
+      // s2: 1 doc, no dups, not en, too short for the gate
+      ("s2", "fr", "petit", 5L)
+    ).toDF("source", "lang", "text", "n_chars")
+    val got = TextAnalysis.datasetCard(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    // s1: tokens 2+2+2+61 = 67; distinct fp 3 of 4; en 2/4 = 5000e4;
+    // dup (4-3)/4 = 2500e4; quality 1/4 = 2500e4
+    assert(got("s1") == ((4L, 67L, 3L, 3L, 5000L, 2500L, 2500L)), s"s1: ${got("s1")}")
+    assert(got("s2") == ((1L, 1L, 1L, 1L, 0L, 0L, 0L)), s"s2: ${got("s2")}")
+  }
 }

@@ -580,4 +580,27 @@ class VersionedTableSpec extends AnyFunSuite {
     VersionedTable.applyChangeFeed(spark, rep, feed, Seq("k"), "pb")
     assert(state(rep) == state(src), "re-apply must be a no-op on state")
   }
+
+  test("retentionSweep: doomed partitions drop, straddlers rewrite with the residual, newer carry untouched") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val tmp = Files.createTempDirectory("graft-retention").toString + "/t"
+    // epochs 100..399 in partitions e1(100s), e2(200s), e3(300s)
+    val rows = (100L to 399L).map(e => (e, s"r$e"))
+      .toDF("ts_epoch", "v")
+      .withColumn("pe", concat(lit("e"), (col("ts_epoch") / 100).cast("long").cast("string")))
+    val v1 = VersionedTable.commitDelta(spark, tmp, rows, "pe", statsCols = Seq("ts_epoch"))
+    // cutoff 250: e1 wholly doomed, e2 straddles, e3 untouched
+    VersionedTable.retentionSweep(spark, tmp, "pe", "ts_epoch", 250L)
+    val got = VersionedTable.read(spark, tmp).select("ts_epoch").as[Long].collect().sorted.toSeq
+    assert(got == (250L to 399L), s"survivors wrong: ${got.take(5)}...${got.takeRight(5)}")
+    val parts = VersionedTable.partitionMap(spark, tmp, VersionedTable.latestVersion(spark, tmp).get).get
+    assert(!parts.contains("e1"), "wholly-doomed partition must drop from the manifest")
+    assert(parts("e3") == v1, s"untouched partition must carry forward, got $parts")
+    assert(parts("e2") != v1, "straddling partition must have been rewritten")
+    // nothing intersecting: a no-op returns the current version, no commit
+    val before = VersionedTable.committedVersionsPublic(spark, tmp).size
+    VersionedTable.retentionSweep(spark, tmp, "pe", "ts_epoch", 250L)
+    assert(VersionedTable.committedVersionsPublic(spark, tmp).size == before,
+      "a sweep with nothing expiring must not commit")
+  }
 }
