@@ -3442,6 +3442,27 @@ object Queries {
     path
   }
 
+  /** Enumerate a date range's day strings (the rollup serving paths'
+    * partition list — the manifest lookup prunes to exactly these dirs,
+    * driver metadata, no file listing outside the range).
+    */
+  private def daysInRange(lo: String, hi: String): Seq[String] =
+    Iterator.iterate(java.time.LocalDate.parse(lo))(_.plusDays(1))
+      .takeWhile(!_.isAfter(java.time.LocalDate.parse(hi)))
+      .map(_.toString).toSeq
+
+  /** Union a range's stored rollup partitions; a range no commit covers
+    * serves as an EMPTY relation of the given schema (the dense-grid /
+    * empty-output contract) instead of crashing on empty.reduce.
+    */
+  private def readRangePartitions(
+      s: SparkSession, path: String, days: Seq[String], emptySchema: String): DataFrame =
+    graft.sources.VersionedTable.readPartitions(s, path, days).flatten
+      .reduceOption(_.unionByName(_))
+      .getOrElse(s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(emptySchema)))
+
   /** q165's serving half: two date ranges (one inside the first commit,
     * one spanning the commit boundary) answered from stored sketches.
     */
@@ -3450,13 +3471,8 @@ object Queries {
     val ev = t(s, dir, "events")
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"), col("user_id"))
     ranges.map { case (lo, hi) =>
-      // enumerate the range's day partitions: the manifest lookup prunes
-      // to exactly these dirs — driver metadata, no file listing outside
-      val days = Iterator.iterate(java.time.LocalDate.parse(lo))(_.plusDays(1))
-        .takeWhile(!_.isAfter(java.time.LocalDate.parse(hi)))
-        .map(_.toString).toSeq
-      val stored = graft.sources.VersionedTable.readPartitions(s, path, days).flatten
-        .reduce(_.unionByName(_))
+      val stored = readRangePartitions(s, path, daysInRange(lo, hi),
+        "day STRING, event_type STRING, sk BINARY")
       val est = stored
         .groupBy(col("event_type"))
         .agg(
@@ -3571,8 +3587,11 @@ object Queries {
     val path = root + "/rollup"
     val ev = t(s, dir, "events")
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"), col("user_id"))
+    // coalesce: a NULL user_id must still land in SOME batch (pmod(NULL)
+    // matches no group and would silently drop the row from the stream)
     (0 to 2).foreach(g =>
-      ev.filter(pmod(col("user_id"), lit(3)) === g).coalesce(1).write.parquet(root + s"/incoming/g$g"))
+      ev.filter(pmod(coalesce(col("user_id"), lit(0L)), lit(3)) === g)
+        .coalesce(1).write.parquet(root + s"/incoming/g$g"))
     val src = s.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
@@ -3625,23 +3644,26 @@ object Queries {
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
     def partials(pred: Column): DataFrame =
       graft.dq.DqSuite.histogramByKey(
-        ev.filter(pred), col("day"), col("cents"), loCents = 0L, hiCents = 10000L, bins = 16)
+        ev.filter(pred), col("day"), col("cents"), q171Lo, q171Hi, q171Bins)
         .withColumnRenamed("key", "day")
     graft.sources.VersionedTable.commitDelta(s, path, partials(col("day") <= lit("2024-01-20")), "day")
     graft.sources.VersionedTable.commitDelta(s, path, partials(col("day") > lit("2024-01-20")), "day")
     path
   }
 
+  // q171's histogram bounds — ONE definition shared by build and serve (a
+  // serve restating different bounds would silently mis-edge the grid)
+  private val q171Lo = 0L
+  private val q171Hi = 10000L
+  private val q171Bins = 16
+
   /** q171's serving half: two ranges profiled by exact partial addition. */
   def q171Probe(s: SparkSession, path: String): DataFrame = {
     val ranges = Seq(("2024-01-05", "2024-01-14"), ("2024-01-15", "2024-01-25"))
     ranges.map { case (lo, hi) =>
-      val days = Iterator.iterate(java.time.LocalDate.parse(lo))(_.plusDays(1))
-        .takeWhile(!_.isAfter(java.time.LocalDate.parse(hi)))
-        .map(_.toString).toSeq
-      val stored = graft.sources.VersionedTable.readPartitions(s, path, days).flatten
-        .reduce(_.unionByName(_))
-      graft.dq.DqSuite.histogramMergeServe(stored, loCents = 0L, hiCents = 10000L, bins = 16)
+      val stored = readRangePartitions(s, path, daysInRange(lo, hi),
+        "day STRING, bin BIGINT, n BIGINT")
+      graft.dq.DqSuite.histogramMergeServe(stored, q171Lo, q171Hi, q171Bins)
         .select(lit(s"$lo..$hi").as("day_range"), col("bin"), col("lo_edge_cents"), col("n"))
     }.reduce(_.unionByName(_))
   }

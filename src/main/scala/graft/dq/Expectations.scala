@@ -280,6 +280,11 @@ object DqSuite {
       hiCents: Long,
       bins: Int
   ): org.apache.spark.sql.DataFrame = {
+    // same guards as the build side: a serve restating different bounds
+    // than the partials were built with silently mis-edges the grid, so at
+    // least the degenerate restatements fail loudly here
+    require(bins >= 1 && hiCents > loCents, s"need bins >= 1 and hi > lo, got bins=$bins [$loCents,$hiCents)")
+    require(hiCents - loCents <= Long.MaxValue / bins, s"bins*width overflows long: [$loCents,$hiCents) x $bins")
     val width = hiCents - loCents
     val merged = stored.groupBy(col("bin")).agg(sum(col("n")).as("n"))
     val grid = stored.sparkSession.range(bins).select(col("id").as("bin"))

@@ -245,8 +245,11 @@ object Sampling {
     val h = pmod(graft.plans.HashExpressions.md5Prefix60(col(idCol).cast("string")), lit(10000L))
     df.withColumn("__w", wCol)
       .withColumn(
+        // integer div, not double division: a double quotient's ulp can
+        // swallow the fractional part for extreme weights and emit an
+        // extra copy the oracle's `//` never would
         "n_copies",
-        (col("__w") / 10000L).cast("long") + when(h < col("__w") % 10000L, 1L).otherwise(0L))
+        expr("__w div 10000L") + when(h < col("__w") % 10000L, 1L).otherwise(0L))
       .filter(col("n_copies") > 0L)
       .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
       .drop("__w")

@@ -795,8 +795,12 @@ object TextAnalysis {
         (graft.plans.HashExpressions.md5Prefix60(col("__feat")) % buckets).cast("int").as("bucket"))
       .agg(count(lit(1)).as("__x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // labels persist too: without it each of the k gradient jobs (plus the
+    // count) re-scans and re-projects the source — k+1 redundant corpus
+    // passes on the timed training path
     val labels = base.select(col("__id"), col("__y6"))
-    val d = BigInt(base.count()) * lrDen
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = BigInt(labels.count()) * lrDen
     val w = Array.fill(buckets)(0L)
     for (_ <- 1 to iters) {
       val wv = element_at(lit(w), col("bucket") + 1)
@@ -824,6 +828,7 @@ object TextAnalysis {
       .map(b => (b.toLong, w(b))).toSeq
       .toDF("bucket", "w_e6")
     feats.unpersist()
+    labels.unpersist()
     out
   }
 

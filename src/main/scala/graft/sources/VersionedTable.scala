@@ -973,6 +973,9 @@ object VersionedTable {
       statsCol: String,
       cutoffExclusive: Long
   ): Long = {
+    // Long.MinValue would underflow the zone upper bound below into "touch
+    // everything" — and means "delete nothing" anyway
+    require(cutoffExclusive > Long.MinValue, "retentionSweep: cutoffExclusive must be > Long.MinValue")
     val (touched, _) = zonePrunePlan(spark, path, statsCol, Long.MinValue, cutoffExclusive - 1)
     if (touched.isEmpty)
       latestVersion(spark, path).getOrElse(
