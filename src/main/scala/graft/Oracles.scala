@@ -2101,6 +2101,35 @@ object Oracles {
          |  CAST((ok * 10000) // n_docs AS BIGINT) AS quality_share_e4
          |FROM s JOIN d ON s.source = d.source""".stripMargin,
 
+    // q175: WARC ingestion — every emitted column predicted from the
+    // fixture-generating arithmetic (file grouping, record order, status
+    // rule, body bytes/hash) while the engine must actually gunzip the
+    // member stream and parse both the WARC and HTTP layers; torn files
+    // (every 13th) keep their complete records and gain ONE sentinel row
+    "q175_warc_ingest" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 5000),
+        | r AS (SELECT doc_id // 5 AS fid, doc_id, text,
+        |    CAST(row_number() OVER (PARTITION BY doc_id // 5 ORDER BY doc_id) AS INTEGER) rn,
+        |    CAST(count(*) OVER (PARTITION BY doc_id // 5) AS INTEGER) cnt
+        |  FROM d),
+        | info AS (SELECT DISTINCT fid AS file_id, CAST(0 AS INTEGER) AS rec_idx,
+        |    'warcinfo' AS warc_type, '' AS target_uri, CAST(-1 AS INTEGER) AS http_status,
+        |    CAST(17 AS BIGINT) AS body_len,
+        |    CAST(('0x'||substr(md5('software: graft' || chr(13) || chr(10)),1,15)) AS BIGINT) AS body_h,
+        |    TRUE AS ok FROM r),
+        | resp AS (SELECT fid AS file_id, rn AS rec_idx, 'response' AS warc_type,
+        |    'http://example.com/doc/' || doc_id AS target_uri,
+        |    CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS http_status,
+        |    CAST(strlen(text) AS BIGINT) AS body_len,
+        |    CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS body_h,
+        |    TRUE AS ok
+        |  FROM r WHERE NOT (fid % 13 = 0 AND rn = cnt)),
+        | sent AS (SELECT fid AS file_id, cnt AS rec_idx, '' AS warc_type, '' AS target_uri,
+        |    CAST(-1 AS INTEGER) AS http_status, CAST(-1 AS BIGINT) AS body_len,
+        |    CAST(('0x'||substr(md5(''),1,15)) AS BIGINT) AS body_h, FALSE AS ok
+        |  FROM r WHERE fid % 13 = 0 AND rn = cnt)
+        |SELECT * FROM info UNION ALL SELECT * FROM resp UNION ALL SELECT * FROM sent""".stripMargin,
+
     // q172: incremental join-view maintenance — the maintained view must
     // equal the full join recomputed at the to-versions (fact side: the
     // b2-wins active derivation; dimension side: the segment-update rule)

@@ -3751,4 +3751,53 @@ object Queries {
     */
   def q174(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.datasetCard(t(s, dir, "documents"))
+
+  /** q175: WARC INGESTION ([[graft.sources.Warc]]) — real parsing of the
+    * Common Crawl wire format, both layers: per-record gzip members →
+    * WARC/1.0 header + Content-Length framing → the embedded HTTP/1.1
+    * response message. Fixture files are generated from the documents
+    * table (5 response records behind a warcinfo header per file, status
+    * from doc_id arithmetic), so the DuckDB oracle predicts every column
+    * — record index, type, URI, HTTP status, body byte length, body
+    * md5-prefix hash — while the engine must actually gunzip the member
+    * stream and walk both protocol layers. Every 13th file is truncated
+    * mid-final-member: the torn record must surface as exactly one
+    * ok=false sentinel (complete records kept), the contract that keeps a
+    * poisoned blob from killing a 100 TB ingest sweep.
+    */
+  def q175(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Warc
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") < 5000)
+      .select(expr("doc_id div 5").as("file_id"), col("doc_id"), col("text"))
+    val files = docs
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("recs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions { it =>
+        it.map { case (fid, recs) =>
+          val info = Warc.encodeRecord("warcinfo", "", -1, "software: graft\r\n")
+          val resp = recs.map { case (id, text) =>
+            Warc.encodeRecord("response", s"http://example.com/doc/$id", if (id % 7 == 0) 404 else 200, text)
+          }
+          val bytes = Warc.encodeFile(info +: resp, gzipPerRecord = true)
+          (fid, if (fid % 13 == 0) bytes.dropRight(10) else bytes) // planted torn tail
+        }
+      }
+      .toDF("file_id", "content")
+    Warc
+      .readWarc(s, files)
+      .toDF()
+      .select(
+        col("fileId").as("file_id"),
+        col("recIdx").as("rec_idx"),
+        col("warcType").as("warc_type"),
+        col("targetUri").as("target_uri"),
+        col("httpStatus").as("http_status"),
+        col("bodyLen").as("body_len"),
+        graft.plans.HashExpressions.md5Prefix60(col("body")).as("body_h"),
+        col("ok")
+      )
+  }
 }
