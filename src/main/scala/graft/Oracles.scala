@@ -2130,6 +2130,27 @@ object Oracles {
         |  FROM r WHERE fid % 13 = 0 AND rn = cnt)
         |SELECT * FROM info UNION ALL SELECT * FROM resp UNION ALL SELECT * FROM sent""".stripMargin,
 
+    // q176: line-level dedup — the doomed set (corpus occurrence count
+    // > 2) and the per-document reassembled text are both re-derived
+    // exactly; hash parity with the engine's Md5Prefix60 line keys
+    "q176_line_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | st AS (SELECT doc_id, ws, unnest(range(0, (len(ws)+2)//3)) i FROM toks WHERE len(ws) > 0),
+         | l AS (SELECT doc_id, CAST(i AS INTEGER) pos,
+         |    array_to_string(list_slice(ws, CAST(i*3+1 AS INTEGER), CAST(least(i*3+3, len(ws)) AS INTEGER)), ' ') line
+         |  FROM st),
+         | h AS (SELECT doc_id, pos, line, CAST(('0x'||substr(md5(line),1,15)) AS BIGINT) h FROM l),
+         | doomed AS (SELECT h FROM h GROUP BY h HAVING count(*) > 2),
+         | m AS (SELECT a.doc_id, a.pos, a.line, (d.h IS NOT NULL) dm
+         |   FROM h a LEFT JOIN doomed d ON a.h = d.h),
+         | agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_lines,
+         |    CAST(sum(CASE WHEN dm THEN 1 ELSE 0 END) AS BIGINT) n_dropped,
+         |    array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT dm), chr(10)) new_text
+         |  FROM m GROUP BY doc_id)
+         |SELECT doc_id, n_lines, n_lines - n_dropped AS n_kept, n_dropped,
+         | COALESCE(new_text, '') AS new_text
+         |FROM agg""".stripMargin,
+
     // q172: incremental join-view maintenance — the maintained view must
     // equal the full join recomputed at the to-versions (fact side: the
     // b2-wins active derivation; dimension side: the segment-update rule)

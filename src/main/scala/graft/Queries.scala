@@ -3800,4 +3800,25 @@ object Queries {
         col("ok")
       )
   }
+
+  /** q176: LINE-LEVEL CORPUS DEDUP ([[TextAnalysis.lineDedup]]) — the
+    * CCNet boilerplate strip: lines occurring more than maxDf=2 times
+    * corpus-wide are removed from EVERY document, survivors reassembled
+    * in original order. Documents carry no newlines, so the fixture
+    * materializes lines as 3-word chunks (deterministic arithmetic both
+    * engines replay); the oracle re-derives the doomed set and the exact
+    * reassembled text per document.
+    */
+  def q176(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val lined = docs
+      .withColumn("ws", TextAnalysis.tokens(col("text")))
+      .filter(size(col("ws")) > 0)
+      .withColumn(
+        "lines",
+        expr("transform(sequence(0, (size(ws)+2) div 3 - 1), i -> concat_ws(' ', slice(ws, i*3+1, 3)))")
+      )
+      .select(col("doc_id"), concat_ws("\n", col("lines")).as("text"))
+    TextAnalysis.lineDedup(lined, "doc_id", "text", maxDf = 2L)
+  }
 }

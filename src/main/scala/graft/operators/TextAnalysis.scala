@@ -872,4 +872,65 @@ object TextAnalysis {
         expr("((n_docs - n_distinct_text) * 10000L) div n_docs").as("dup_rate_e4"),
         expr("(__ok * 10000L) div n_docs").as("quality_share_e4"))
   }
+
+  /** LINE-LEVEL corpus dedup (the CCNet / RefinedWeb boilerplate strip,
+    * Wenzek et al. 2020): lines whose corpus-wide occurrence count
+    * exceeds `maxDf` are boilerplate — headers, nav bars, cookie banners,
+    * license blurbs — and are removed from EVERY document; surviving
+    * lines are reassembled in original order. This is the complement of
+    * doc-level dedup: it rescues the unique content of pages that share
+    * chrome, where whole-doc near-dup would either keep the chrome or
+    * drop the page.
+    *
+    * Occurrences are counted per (doc, position) — a line repeated inside
+    * one document counts each time, matching the shard-level CCNet
+    * behavior and keeping the operator exactly replayable in SQL.
+    *
+    * SCALE: three aggregation-shaped exchanges, each on a hashed 8-byte
+    * key, never on line text — (1) the line-hash count (map-side partial
+    * combine), (2) the mark-back join against the doomed set, which is
+    * the boilerplate TAIL (df > maxDf) and therefore orders of magnitude
+    * smaller than the line table — AQE turns the join broadcast when it
+    * fits, and we deliberately do NOT force the hint so an adversarial
+    * corpus with a huge doomed set degrades to a shuffled join instead
+    * of an executor OOM — and (3) the per-doc reassembly. Only (3)
+    * carries line text, and it moves each line exactly once.
+    */
+  def lineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDf: Long,
+      sep: String = "\n"
+  ): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("__ld_id"), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__line")))
+      .withColumn("__h", graft.plans.HashExpressions.md5Prefix60(col("__line")))
+    val doomed = lines
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__h"), lit(true).as("__doomed"))
+    lines
+      .join(doomed, Seq("__h"), "left")
+      .groupBy(col("__ld_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__doomed"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(
+          sep,
+          transform(
+            array_sort(collect_list(when(col("__doomed").isNull, struct(col("__pos"), col("__line"))))),
+            x => x.getField("__line")
+          )
+        ).as("new_text")
+      )
+      .select(
+        col("__ld_id").as(idCol),
+        col("n_lines"),
+        (col("n_lines") - col("n_dropped")).as("n_kept"),
+        col("n_dropped"),
+        col("new_text")
+      )
+  }
 }

@@ -387,4 +387,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got("s1") == ((4L, 67L, 3L, 3L, 5000L, 2500L, 2500L)), s"s1: ${got("s1")}")
     assert(got("s2") == ((1L, 1L, 1L, 1L, 0L, 0L, 0L)), s"s2: ${got("s2")}")
   }
+
+  test("lineDedup: boilerplate lines stripped everywhere, order preserved, within-doc repeats counted") {
+    import spark.implicits._
+    // "cookie banner" appears 3x corpus-wide (twice in doc 1 — within-doc
+    // occurrences count); "unique one/two/three" appear once each
+    val docs = Seq(
+      (1L, "cookie banner\nunique one\ncookie banner"),
+      (2L, "unique two\ncookie banner"),
+      (3L, "unique three")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(docs, "doc_id", "text", maxDf = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((3L, 1L, 2L, "unique one")), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 1L, "unique two")), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((1L, 1L, 0L, "unique three")), s"doc3: ${got(3L)}")
+  }
+
+  test("lineDedup: a fully-boilerplate document survives as an empty row, not a dropped one") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same\nsame"),
+      (2L, "same\nkeep me")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(docs, "doc_id", "text", maxDf = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((2L, 0L, 2L, "")), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 1L, "keep me")), s"doc2: ${got(2L)}")
+  }
+
+  test("lineDedup: maxDf at the boundary keeps lines occurring exactly maxDf times") {
+    import spark.implicits._
+    val docs = Seq((1L, "twice\na"), (2L, "twice\nb")).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(docs, "doc_id", "text", maxDf = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(got(1L) == "twice\na" && got(2L) == "twice\nb")
+  }
 }
