@@ -2130,6 +2130,18 @@ object Oracles {
         |  FROM r WHERE fid % 13 = 0 AND rn = cnt)
         |SELECT * FROM info UNION ALL SELECT * FROM resp UNION ALL SELECT * FROM sent""".stripMargin,
 
+    // q177: Avro roundtrip — the aggregate recomputed from the original
+    // parquet; any loss in the container encode/decode (timestamp micros,
+    // decimal bytes, date, nullable union) breaks the hash
+    "q177_avro_roundtrip" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CASE WHEN o_orderkey % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_pri,
+        | CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+        | CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS max_ts_us,
+        | CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date
+        |FROM orders GROUP BY 1""".stripMargin,
+
     // q176: line-level dedup — the doomed set (corpus occurrence count
     // > 2) and the per-document reassembled text are both re-derived
     // exactly; hash parity with the engine's Md5Prefix60 line keys

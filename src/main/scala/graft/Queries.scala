@@ -3821,4 +3821,38 @@ object Queries {
       .select(col("doc_id"), concat_ws("\n", col("lines")).as("text"))
     TextAnalysis.lineDedup(lined, "doc_id", "text", maxDf = 2L)
   }
+
+  /** q177: AVRO SINK/SOURCE ROUNDTRIP ([[sources.AvroIO]]) — the
+    * row-oriented interchange format of Kafka/schema-registry estates,
+    * written and read with NO connector jar (core Avro ships with
+    * Spark). The projection exercises every logical type the sink maps:
+    * timestamp-micros, date, decimal-as-bytes, and the nullable
+    * union(null, string) (every 50th priority nulled). The oracle
+    * recomputes the aggregate from the original parquet, so container
+    * encode → deflate blocks → decode → type restoration is hash-gated
+    * end to end.
+    */
+  def q177(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.AvroIO
+    val out = scratchDir("avro") + "/orders"
+    val orders = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)").as("o_price_dec"),
+      col("o_orderdate"),
+      to_date(col("o_orderdate")).as("o_date"),
+      when(col("o_orderkey") % 50 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")).as("o_pri")
+    )
+    AvroIO.writeAvro(orders, out)
+    AvroIO.readAvro(s, out)
+      .groupBy(year(col("o_date")).cast("long").as("o_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_pri").isNull, 1L).otherwise(0L)).as("n_null_pri"),
+        sum((col("o_price_dec") * 100).cast("long")).as("cents"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("max_ts_us"),
+        min(col("o_date")).cast("string").as("min_date")
+      )
+  }
 }

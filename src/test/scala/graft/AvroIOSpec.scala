@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.AvroIO
+
+/** Jar-less Avro container sink/source: spec-compliant logical types
+  * (timestamp-micros, local-timestamp-micros, date, decimal bytes),
+  * nullable unions, per-task files, and loud refusal of unsupported types.
+  */
+class AvroIOSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(): String = Files.createTempDirectory("avroio").toString
+
+  private val fullSchema = StructType(Seq(
+    StructField("b", BooleanType, nullable = true),
+    StructField("i", IntegerType, nullable = true),
+    StructField("l", LongType, nullable = false),
+    StructField("f", FloatType, nullable = true),
+    StructField("d", DoubleType, nullable = true),
+    StructField("s", StringType, nullable = true),
+    StructField("bin", BinaryType, nullable = true),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("ntz", TimestampNTZType, nullable = true),
+    StructField("dt", DateType, nullable = true),
+    StructField("dec", DecimalType(18, 2), nullable = true)
+  ))
+
+  test("full-type roundtrip: every supported type survives bit-exact, including nulls") {
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("1997-03-05T12:34:56.123456Z"))
+    val ntz = java.time.LocalDateTime.parse("1997-03-05T12:34:56.123456")
+    val rows = Seq(
+      Row(true, 7, 42L, 1.5f, 2.25, "héllo", Array[Byte](1, 2, 3), ts, ntz,
+        java.sql.Date.valueOf("1997-03-05"), new java.math.BigDecimal("12345.67")),
+      Row(null, null, -9L, null, null, null, null, null, null, null, null)
+    )
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), fullSchema)
+    val out = tmp()
+    AvroIO.writeAvro(df, out)
+    val back = AvroIO.readAvro(spark, out)
+    assert(back.schema === fullSchema)
+    val got = back.orderBy(col("l")).collect()
+    assert(got(1).getBoolean(0) === true && got(1).getInt(1) === 7 && got(1).getLong(2) === 42L)
+    assert(got(1).getFloat(3) === 1.5f && got(1).getDouble(4) === 2.25 && got(1).getString(5) === "héllo")
+    assert(got(1).getAs[Array[Byte]](6).toSeq === Seq[Byte](1, 2, 3))
+    assert(got(1).getTimestamp(7) === ts, "timestamp-micros must be exact to the microsecond")
+    assert(got(1).getAs[java.time.LocalDateTime](8) === ntz, "local-timestamp-micros must be exact")
+    assert(got(1).getDate(9) === java.sql.Date.valueOf("1997-03-05"))
+    assert(got(1).getDecimal(10) === new java.math.BigDecimal("12345.67"))
+    assert((0 until 11).filter(_ != 2).forall(got(0).isNullAt), "nullable union must carry nulls")
+  }
+
+  test("negative and sub-second-boundary timestamps roundtrip (floorDiv path)") {
+    val pre1970 = java.sql.Timestamp.from(java.time.Instant.parse("1969-12-31T23:59:59.999999Z"))
+    val schema = StructType(Seq(StructField("ts", TimestampType, nullable = false)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(pre1970)), 1), schema)
+    val out = tmp()
+    AvroIO.writeAvro(df, out)
+    assert(AvroIO.readAvro(spark, out).collect()(0).getTimestamp(0) === pre1970)
+  }
+
+  test("decimal written at the declared scale regardless of input scale") {
+    val schema = StructType(Seq(StructField("dec", DecimalType(10, 3), nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(new java.math.BigDecimal("5"))), 1), schema)
+    val out = tmp()
+    AvroIO.writeAvro(df, out)
+    assert(AvroIO.readAvro(spark, out).collect()(0).getDecimal(0) === new java.math.BigDecimal("5.000"))
+  }
+
+  test("one container file per non-empty partition; empty partitions write nothing") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("x").repartition(8)
+    val out = tmp()
+    AvroIO.writeAvro(df, out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.nonEmpty && files.length <= 8)
+    assert(AvroIO.readAvro(spark, out).as[Long].collect().sorted.toSeq === (1L to 100L))
+  }
+
+  test("unsupported type refused loudly BEFORE the target is cleared") {
+    import spark.implicits._
+    val out = tmp()
+    AvroIO.writeAvro((1L to 3L).toDF("x"), out)
+    val bad = Seq((1L, Seq("a", "b"))).toDF("x", "arr")
+    val e = intercept[IllegalArgumentException](AvroIO.writeAvro(bad, out))
+    assert(e.getMessage.contains("does not support"))
+    // prior export must still be readable — refusal happened before delete
+    assert(AvroIO.readAvro(spark, out).count() === 3L)
+  }
+
+  test("schema mapping is its own inverse on the supported surface") {
+    assert(AvroIO.structType(AvroIO.avroSchema(fullSchema)) === fullSchema)
+  }
+}
