@@ -282,7 +282,14 @@ object Bench {
         "q170_mixture_upsample", "q171_histogram_rollup", "q172_join_mv",
         // round-12: retention sweep (commit+sweep+read per run — the sweep
         // IS the operation), dataset card (one aggregation pass)
-        "q173_retention_sweep", "q174_dataset_card")
+        "q173_retention_sweep", "q174_dataset_card",
+        // round-12: WARC ingest (fixture encode + two-layer parse per run),
+        // CCNet line dedup (three hashed-key exchanges), Avro roundtrip
+        // (container write + read + aggregate per run — I/O IS the op)
+        "q175_warc_ingest", "q176_line_dedup", "q177_avro_roundtrip",
+        // round-12: HTML extraction (pure codegen regexp chains — the
+        // crawl→text and crawl→link-graph steps)
+        "q178_html_text", "q179_html_links")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

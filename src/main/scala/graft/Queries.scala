@@ -3855,4 +3855,54 @@ object Queries {
         min(col("o_date")).cast("string").as("min_date")
       )
   }
+
+  /** Deterministic HTML fixture per document: head/script/style noise,
+    * block tags, comments, the five core entities, one absolute link
+    * (host and target from doc_id arithmetic), one fragment link (must
+    * be excluded) and one relative link. Both engines construct the
+    * SAME string, so q178/q179 gate the extraction rules themselves.
+    */
+  private def htmlFixture(dir: String, s: SparkSession): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit(" &amp; friends</title><style>p{color:red}</style></head><body><script>var x = \"<p>not text</p>\";</script><h1>Title "),
+          col("doc_id"), lit("</h1><p>"), col("text"),
+          lit("</p><!-- hidden --><div>tail &lt;"), col("doc_id"),
+          lit("&gt;&nbsp;end</div><a href=\"http://site"), pmod(col("doc_id"), lit(7)),
+          lit(".example.com/doc/"), pmod(col("doc_id") * 13, lit(500)),
+          lit("\">next</a><a href=\"#frag\">skip</a><a href='/rel/"), col("doc_id"),
+          lit("'>rel</a></body></html>")
+        ).as("html")
+      )
+
+  /** q178: HTML TEXT EXTRACTION ([[operators.Html.extractText]] /
+    * [[operators.Html.extractTitle]]) — the step between WARC ingest and
+    * the text pipeline, as a pure codegen'd regexp chain (zero UDFs, one
+    * whole-stage pass over a 100 TB crawl). The oracle replays the
+    * IDENTICAL rule chain in DuckDB over the identically-constructed
+    * HTML, so tag stripping, entity decode order (amp last), head/script
+    * removal and whitespace normalization are all hash-gated.
+    */
+  def q178(s: SparkSession, dir: String): DataFrame =
+    htmlFixture(dir, s)
+      .select(
+        col("doc_id"),
+        Html.extractTitle(col("html")).as("title"),
+        Html.extractText(col("html")).as("txt")
+      )
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("txt")).cast("long"))
+
+  /** q179: LINK EXTRACTION ([[operators.Html.extractLinks]] /
+    * [[operators.Html.hostOf]]) — the crawl-graph edge builder: href
+    * targets in document order (fragment-only links excluded), with the
+    * registrable host of absolute URLs (empty for relative). Feeds the
+    * q116 PageRank / q152 triangle operators with real crawl edges.
+    */
+  def q179(s: SparkSession, dir: String): DataFrame =
+    htmlFixture(dir, s)
+      .select(col("doc_id"), posexplode(Html.extractLinks(col("html"))).as(Seq("pos", "url")))
+      .select(col("doc_id"), col("pos"), col("url"), Html.hostOf(col("url")).as("host"))
 }
