@@ -289,7 +289,9 @@ object Bench {
         "q175_warc_ingest", "q176_line_dedup", "q177_avro_roundtrip",
         // round-12: HTML extraction (pure codegen regexp chains — the
         // crawl→text and crawl→link-graph steps)
-        "q178_html_text", "q179_html_links")
+        "q178_html_text", "q179_html_links",
+        // round-12: RNG-free epoch shuffle (one exchange + shard-local sort)
+        "q180_epoch_shuffle")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

@@ -2130,6 +2130,17 @@ object Oracles {
         |  FROM r WHERE fid % 13 = 0 AND rn = cnt)
         |SELECT * FROM info UNION ALL SELECT * FROM resp UNION ALL SELECT * FROM sent""".stripMargin,
 
+    // q180: deterministic epoch shuffle — both epochs' (shard, pos)
+    // re-derived from the identical portable hash chain, RNG-free
+    "q180_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id, e.epoch,
+        |    CAST(('0x'||substr(md5('ep' || CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) k
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e)
+        |SELECT doc_id, CAST(k % 8 AS INTEGER) AS shard,
+        | CAST(row_number() OVER (PARTITION BY epoch, k % 8 ORDER BY k, doc_id) - 1 AS BIGINT) AS pos,
+        | CAST(epoch AS INTEGER) AS epoch
+        |FROM k""".stripMargin,
+
     // q178/q179: HTML extraction — both engines construct the IDENTICAL
     // fixture HTML, then the oracle replays the exact extraction rule
     // chain (same regexes, same order, amp-last entity decode) in DuckDB

@@ -3905,4 +3905,17 @@ object Queries {
     htmlFixture(dir, s)
       .select(col("doc_id"), posexplode(Html.extractLinks(col("html"))).as(Seq("pos", "url")))
       .select(col("doc_id"), col("pos"), col("url"), Html.hostOf(col("url")).as("host"))
+
+  /** q180: DETERMINISTIC EPOCH SHUFFLE ([[Packing.epochShuffle]]) — two
+    * epochs of the same corpus under different seeds: each is a complete,
+    * reproducible permutation (no RNG — portable md5 keys), and the seed
+    * change re-permutes. The oracle re-derives both epochs' (shard, pos)
+    * assignments from the identical hash chain.
+    */
+  def q180(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    Packing.epochShuffle(docs, "doc_id", "ep0", 8)
+      .withColumn("epoch", lit(0))
+      .unionByName(Packing.epochShuffle(docs, "doc_id", "ep1", 8).withColumn("epoch", lit(1)))
+  }
 }

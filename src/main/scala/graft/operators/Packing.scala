@@ -107,4 +107,36 @@ object Packing {
     withFp.write.mode("overwrite").parquet(s"$outDir/_manifest")
     df.sparkSession.read.parquet(s"$outDir/_manifest")
   }
+
+  /** DETERMINISTIC EPOCH SHUFFLE — the training-order randomizer: every
+    * epoch needs a different global permutation of the corpus, and it
+    * must be REPRODUCIBLE (resume a crashed run, replay a loss spike,
+    * bisect a bad batch) — so no RNG anywhere. Each doc's sort key is
+    * the portable 60-bit md5 prefix of `seed ++ ":" ++ id`: changing the
+    * seed (e.g. "ep0" → "ep1") re-permutes everything, re-running with
+    * the same seed is bit-identical on any engine or cluster layout.
+    *
+    * Output: (idCol, shard, pos) — shard = key mod nShards, pos = the
+    * doc's 0-based position in its shard's key order. A loader that
+    * walks shards round-robin by pos consumes the corpus in a globally
+    * shuffled, globally reproducible order.
+    *
+    * SCALE: ONE shuffle (hash-partition by shard) + an in-partition
+    * sort per shard — never a global sort. nShards bounds per-task sort
+    * size and scales with the cluster; the md5 key makes every shard
+    * statistically balanced regardless of id skew.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String, nShards: Int): DataFrame = {
+    val key = graft.plans.HashExpressions.md5Prefix60(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    df.select(col(idCol), key.as("__k"))
+      .withColumn("shard", pmod(col("__k"), lit(nShards.toLong)).cast("int"))
+      .withColumn(
+        "pos",
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+        ) - 1).cast("long")
+      )
+      .drop("__k")
+  }
 }

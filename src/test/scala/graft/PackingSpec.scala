@@ -83,4 +83,35 @@ class PackingSpec extends AnyFunSuite {
       .agg(expr("bit_xor(__fp)")).head().getLong(0)
     assert(badFp != manifest.find(_._1 == 0L).get._5, "bin-binding fingerprint must detect mispacking")
   }
+
+  test("epochShuffle: a complete permutation — every doc exactly once, positions dense per shard") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    val out = Packing.epochShuffle(docs, "doc_id", "ep0", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.map(_._1).sorted.toSeq === (0L until 200L), "every doc exactly once")
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq, s"shard $sh positions must be dense 0..n-1")
+    }
+  }
+
+  test("epochShuffle: same seed bit-identical across runs/partitionings; new seed re-permutes") {
+    import spark.implicits._
+    val a = Packing.epochShuffle((0L until 500L).toDF("doc_id").repartition(7), "doc_id", "s", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = Packing.epochShuffle((0L until 500L).toDF("doc_id").repartition(3), "doc_id", "s", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a === b, "layout-independent determinism")
+    val c = Packing.epochShuffle((0L until 500L).toDF("doc_id"), "doc_id", "s2", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a !== c, "a new seed must produce a different permutation")
+  }
+
+  test("epochShuffle: one exchange, no global sort") {
+    import spark.implicits._
+    val plan = Packing.epochShuffle((0L until 10L).toDF("doc_id"), "doc_id", "x", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), s"must not global-sort:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, s"exactly one hash exchange:\n$plan")
+  }
 }
