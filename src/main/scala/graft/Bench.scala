@@ -290,8 +290,9 @@ object Bench {
         // round-12: HTML extraction (pure codegen regexp chains — the
         // crawl→text and crawl→link-graph steps)
         "q178_html_text", "q179_html_links",
-        // round-12: RNG-free epoch shuffle (one exchange + shard-local sort)
-        "q180_epoch_shuffle")
+        // round-12: RNG-free epoch shuffle (one exchange + shard-local
+        // sort), crawl→corpus end-to-end recipe (WARC encode+parse+extract)
+        "q180_epoch_shuffle", "q181_crawl_corpus")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

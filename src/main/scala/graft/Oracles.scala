@@ -2130,6 +2130,48 @@ object Oracles {
         |  FROM r WHERE fid % 13 = 0 AND rn = cnt)
         |SELECT * FROM info UNION ALL SELECT * FROM resp UNION ALL SELECT * FROM sent""".stripMargin,
 
+    // q181: crawl→corpus end to end — survivors predicted structurally
+    // (404s and the torn last record of every 13th file drop), then the
+    // q178 extraction chain replayed over the identically-built HTML
+    "q181_crawl_corpus" ->
+      """WITH d AS (SELECT doc_id, text, doc_id // 5 AS fid FROM documents),
+        | mx AS (SELECT fid, max(doc_id) mxid FROM d GROUP BY fid),
+        | keep AS (SELECT d.doc_id, d.text FROM d JOIN mx ON d.fid = mx.fid
+        |   WHERE d.doc_id % 7 <> 0 AND NOT (d.fid % 13 = 0 AND d.doc_id = mx.mxid)),
+        | h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; friends</title><style>p{color:red}</style></head><body><script>var x = "<p>not text</p>";</script><h1>Title ' ||
+        |  CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p><!-- hidden --><div>tail &lt;' || CAST(doc_id AS VARCHAR) ||
+        |  '&gt;&nbsp;end</div><a href="http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/doc/' || CAST((doc_id*13) % 500 AS VARCHAR) ||
+        |  '">next</a><a href="#frag">skip</a><a href=''/rel/' || CAST(doc_id AS VARCHAR) || '''>rel</a></body></html>' AS html
+        | FROM keep),
+        | s1 AS (SELECT doc_id, html,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<head\b[^>]*>.*?</head>', ' ', 'g'),
+        |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g') x FROM h),
+        | s2 AS (SELECT doc_id, html,
+        |    regexp_replace(regexp_replace(x,
+        |      '(?i)<(?:/p|/div|/li|/h[1-6]|/tr|br\s*/?)>', ' ', 'g'),
+        |      '<[^>]*>', '', 'g') x FROM s1),
+        | s3 AS (SELECT doc_id, html,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(x,
+        |      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g') x FROM s2),
+        | out AS (SELECT doc_id, html, trim(regexp_replace(x, '\s+', ' ', 'g')) txt FROM s3),
+        | ti AS (SELECT doc_id, txt,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+        |      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g')) title FROM out),
+        | tok AS (SELECT doc_id, title, txt,
+        |    CAST(CASE WHEN len(trim(txt))=0 THEN 0 ELSE len(string_split_regex(trim(txt),'\s+')) END AS BIGINT) n_tokens
+        |  FROM ti)
+        |SELECT doc_id, title,
+        | CAST(('0x'||substr(md5(txt),1,15)) AS BIGINT) AS text_h,
+        | n_tokens, (n_tokens BETWEEN 10 AND 500) AS quality_ok
+        |FROM tok""".stripMargin,
+
     // q180: deterministic epoch shuffle — both epochs' (shard, pos)
     // re-derived from the identical portable hash chain, RNG-free
     "q180_epoch_shuffle" ->

@@ -3761,9 +3761,13 @@ object Queries {
     * — record index, type, URI, HTTP status, body byte length, body
     * md5-prefix hash — while the engine must actually gunzip the member
     * stream and walk both protocol layers. Every 13th file is truncated
-    * mid-final-member: the torn record must surface as exactly one
-    * ok=false sentinel (complete records kept), the contract that keeps a
-    * poisoned blob from killing a 100 TB ingest sweep.
+    * mid-final-member — 16 bytes, deliberately past the 8-byte gzip
+    * trailer AND the ≤3-byte deflate end-of-block straddle, so real
+    * payload symbols are lost and the final record can NEVER still
+    * inflate complete (a 10-byte cut once did, leaving a phantom
+    * survivor) — and the torn record must surface as exactly one
+    * ok=false sentinel (complete records kept), the contract that keeps
+    * a poisoned blob from killing a 100 TB ingest sweep.
     */
   def q175(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -3782,7 +3786,7 @@ object Queries {
             Warc.encodeRecord("response", s"http://example.com/doc/$id", if (id % 7 == 0) 404 else 200, text)
           }
           val bytes = Warc.encodeFile(info +: resp, gzipPerRecord = true)
-          (fid, if (fid % 13 == 0) bytes.dropRight(10) else bytes) // planted torn tail
+          (fid, if (fid % 13 == 0) bytes.dropRight(16) else bytes) // planted torn tail
         }
       }
       .toDF("file_id", "content")
@@ -3917,5 +3921,52 @@ object Queries {
     Packing.epochShuffle(docs, "doc_id", "ep0", 8)
       .withColumn("epoch", lit(0))
       .unionByName(Packing.epochShuffle(docs, "doc_id", "ep1", 8).withColumn("epoch", lit(1)))
+  }
+
+  /** q181: CRAWL → CORPUS END-TO-END — the whole new ingestion surface as
+    * ONE declarative plan: WARC files whose response bodies are real HTML
+    * ([[graft.sources.Warc]] two-layer parse → ok/response/200 screens →
+    * [[operators.Html]] text+title extraction → token-count quality
+    * flag), with doc identity recovered from the target URI. Poison on
+    * the wire (every 13th file torn mid-final-member) and 404s (every
+    * 7th doc) must drop EXACTLY those records — the oracle predicts the
+    * surviving set and replays the extraction chain over it.
+    */
+  def q181(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Warc
+    val files = htmlFixture(dir, s)
+      .select(expr("doc_id div 5").as("file_id"), col("doc_id"), col("html"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("html")))).as("recs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions { it =>
+        it.map { case (fid, recs) =>
+          val info = Warc.encodeRecord("warcinfo", "", -1, "software: graft\r\n")
+          val resp = recs.map { case (id, page) =>
+            Warc.encodeRecord("response", s"http://example.com/doc/$id", if (id % 7 == 0) 404 else 200, page)
+          }
+          val bytes = Warc.encodeFile(info +: resp, gzipPerRecord = true)
+          (fid, if (fid % 13 == 0) bytes.dropRight(16) else bytes)
+        }
+      }
+      .toDF("file_id", "content")
+    Warc
+      .readWarc(s, files)
+      .toDF()
+      .filter(col("ok") && col("warcType") === "response" && col("httpStatus") === 200)
+      .select(
+        regexp_extract(col("targetUri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        Html.extractTitle(col("body")).as("title"),
+        Html.extractText(col("body")).as("txt")
+      )
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("txt")).cast("long"))
+      .select(
+        col("doc_id"),
+        col("title"),
+        graft.plans.HashExpressions.md5Prefix60(col("txt")).as("text_h"),
+        col("n_tokens"),
+        col("n_tokens").between(10L, 500L).as("quality_ok")
+      )
   }
 }

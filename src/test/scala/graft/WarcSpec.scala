@@ -38,7 +38,7 @@ class WarcSpec extends AnyFunSuite {
 
   test("torn gzip tail: complete records kept, exactly one sentinel appended") {
     val full = file(gz = true, Seq("first body", "second body", "third body"))
-    val recs = Warc.parseWarc(3L, full.dropRight(10))
+    val recs = Warc.parseWarc(3L, full.dropRight(16))
     assert(recs.count(!_.ok) === 1)
     val sentinel = recs.last
     assert(!sentinel.ok && sentinel.recIdx === 3 && sentinel.httpStatus === -1 && sentinel.bodyLen === -1L)
@@ -70,7 +70,7 @@ class WarcSpec extends AnyFunSuite {
     val files = Seq(
       (0L, file(gz = true, Seq("a a a", "b b"))),
       (1L, file(gz = true, Seq("c"))),
-      (2L, file(gz = true, Seq("d", "e", "f")).dropRight(10))
+      (2L, file(gz = true, Seq("d", "e", "f")).dropRight(16))
     ).toDF("file_id", "content")
     val out = Warc.readWarc(spark, files)
     val plan = out.toDF().queryExecution.executedPlan.toString
