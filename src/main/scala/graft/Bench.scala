@@ -292,7 +292,10 @@ object Bench {
         "q178_html_text", "q179_html_links",
         // round-12: RNG-free epoch shuffle (one exchange + shard-local
         // sort), crawl→corpus end-to-end recipe (WARC encode+parse+extract)
-        "q180_epoch_shuffle", "q181_crawl_corpus")
+        "q180_epoch_shuffle", "q181_crawl_corpus",
+        // round-12: streaming WARC ingest (5 forced micro-batches over the
+        // landed fixture), T5 span corruption (explode+window+reassembly)
+        "q182_stream_warc", "q183_span_corruption")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

@@ -457,6 +457,33 @@ object Oracles {
     b.toString
   }
 
+  /** Shared by q175 (batch WARC ingest) and q182 (its streaming twin —
+    * the stateless parse must converge to the batch result verbatim).
+    */
+  private val warcIngestOracle: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 5000),
+      | r AS (SELECT doc_id // 5 AS fid, doc_id, text,
+      |    CAST(row_number() OVER (PARTITION BY doc_id // 5 ORDER BY doc_id) AS INTEGER) rn,
+      |    CAST(count(*) OVER (PARTITION BY doc_id // 5) AS INTEGER) cnt
+      |  FROM d),
+      | info AS (SELECT DISTINCT fid AS file_id, CAST(0 AS INTEGER) AS rec_idx,
+      |    'warcinfo' AS warc_type, '' AS target_uri, CAST(-1 AS INTEGER) AS http_status,
+      |    CAST(17 AS BIGINT) AS body_len,
+      |    CAST(('0x'||substr(md5('software: graft' || chr(13) || chr(10)),1,15)) AS BIGINT) AS body_h,
+      |    TRUE AS ok FROM r),
+      | resp AS (SELECT fid AS file_id, rn AS rec_idx, 'response' AS warc_type,
+      |    'http://example.com/doc/' || doc_id AS target_uri,
+      |    CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS http_status,
+      |    CAST(strlen(text) AS BIGINT) AS body_len,
+      |    CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS body_h,
+      |    TRUE AS ok
+      |  FROM r WHERE NOT (fid % 13 = 0 AND rn = cnt)),
+      | sent AS (SELECT fid AS file_id, cnt AS rec_idx, '' AS warc_type, '' AS target_uri,
+      |    CAST(-1 AS INTEGER) AS http_status, CAST(-1 AS BIGINT) AS body_len,
+      |    CAST(('0x'||substr(md5(''),1,15)) AS BIGINT) AS body_h, FALSE AS ok
+      |  FROM r WHERE fid % 13 = 0 AND rn = cnt)
+      |SELECT * FROM info UNION ALL SELECT * FROM resp UNION ALL SELECT * FROM sent""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2106,29 +2133,12 @@ object Oracles {
     // rule, body bytes/hash) while the engine must actually gunzip the
     // member stream and parse both the WARC and HTTP layers; torn files
     // (every 13th) keep their complete records and gain ONE sentinel row
-    "q175_warc_ingest" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 5000),
-        | r AS (SELECT doc_id // 5 AS fid, doc_id, text,
-        |    CAST(row_number() OVER (PARTITION BY doc_id // 5 ORDER BY doc_id) AS INTEGER) rn,
-        |    CAST(count(*) OVER (PARTITION BY doc_id // 5) AS INTEGER) cnt
-        |  FROM d),
-        | info AS (SELECT DISTINCT fid AS file_id, CAST(0 AS INTEGER) AS rec_idx,
-        |    'warcinfo' AS warc_type, '' AS target_uri, CAST(-1 AS INTEGER) AS http_status,
-        |    CAST(17 AS BIGINT) AS body_len,
-        |    CAST(('0x'||substr(md5('software: graft' || chr(13) || chr(10)),1,15)) AS BIGINT) AS body_h,
-        |    TRUE AS ok FROM r),
-        | resp AS (SELECT fid AS file_id, rn AS rec_idx, 'response' AS warc_type,
-        |    'http://example.com/doc/' || doc_id AS target_uri,
-        |    CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS http_status,
-        |    CAST(strlen(text) AS BIGINT) AS body_len,
-        |    CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS body_h,
-        |    TRUE AS ok
-        |  FROM r WHERE NOT (fid % 13 = 0 AND rn = cnt)),
-        | sent AS (SELECT fid AS file_id, cnt AS rec_idx, '' AS warc_type, '' AS target_uri,
-        |    CAST(-1 AS INTEGER) AS http_status, CAST(-1 AS BIGINT) AS body_len,
-        |    CAST(('0x'||substr(md5(''),1,15)) AS BIGINT) AS body_h, FALSE AS ok
-        |  FROM r WHERE fid % 13 = 0 AND rn = cnt)
-        |SELECT * FROM info UNION ALL SELECT * FROM resp UNION ALL SELECT * FROM sent""".stripMargin,
+    "q175_warc_ingest" -> warcIngestOracle,
+
+    // q182: streaming WARC ingestion — the parse is stateless, so the
+    // file-source micro-batch replay must converge to q175's batch parse
+    // bit-for-bit (same oracle verbatim, torn-file sentinels included)
+    "q182_stream_warc" -> warcIngestOracle,
 
     // q181: crawl→corpus end to end — survivors predicted structurally
     // (404s and the torn last record of every 13th file drop), then the
@@ -2171,6 +2181,28 @@ object Oracles {
         | CAST(('0x'||substr(md5(txt),1,15)) AS BIGINT) AS text_h,
         | n_tokens, (n_tokens BETWEEN 10 AND 500) AS quality_ok
         |FROM tok""".stripMargin,
+
+    // q183: T5 span corruption — indicator chain, sentinel numbering and
+    // both reassembled sequences re-derived exactly (RNG-free by design)
+    "q183_span_corruption" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensExpr ws FROM documents),
+         | st AS (SELECT doc_id, ws, unnest(range(0, (len(ws)+2)//3)) sp FROM toks WHERE len(ws) > 0),
+         | sl AS (SELECT doc_id, CAST(sp AS BIGINT) sp,
+         |    array_to_string(list_slice(ws, CAST(sp*3+1 AS INTEGER), CAST(least(sp*3+3, len(ws)) AS INTEGER)), ' ') stext,
+         |    (CAST(('0x'||substr(md5('sc0:' || CAST(doc_id AS VARCHAR) || ':' || CAST(sp AS VARCHAR)),1,15)) AS BIGINT) % 10000) < 3000 masked
+         |  FROM st),
+         | idx AS (SELECT doc_id, sp, stext, masked,
+         |    CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY sp ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) k
+         |  FROM sl),
+         | e AS (SELECT doc_id, sp, masked,
+         |    CASE WHEN masked THEN '<extra_id_' || CAST(k AS VARCHAR) || '>' ELSE stext END in_elem,
+         |    CASE WHEN masked THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || stext END tg_elem
+         |  FROM idx)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         | CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         | array_to_string(list(in_elem ORDER BY sp), ' ') AS input_text,
+         | COALESCE(array_to_string(list(tg_elem ORDER BY sp) FILTER (WHERE masked), ' '), '') AS target_text
+         |FROM e GROUP BY doc_id""".stripMargin,
 
     // q180: deterministic epoch shuffle — both epochs' (shard, pos)
     // re-derived from the identical portable hash chain, RNG-free

@@ -3769,40 +3769,49 @@ object Queries {
     * ok=false sentinel (complete records kept), the contract that keeps
     * a poisoned blob from killing a 100 TB ingest sweep.
     */
-  def q175(s: SparkSession, dir: String): DataFrame = {
+  /** Shared WARC fixture builder: group (doc_id, body) rows 5-per-file
+    * behind a warcinfo record, per-record gzip members, status from
+    * doc_id arithmetic, every 13th file torn 16 bytes (see q175 doc).
+    */
+  private def warcFiles(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     import graft.sources.Warc
-    val docs = t(s, dir, "documents")
-      .filter(col("doc_id") < 5000)
-      .select(expr("doc_id div 5").as("file_id"), col("doc_id"), col("text"))
-    val files = docs
+    docs
+      .select(expr("doc_id div 5").as("file_id"), col("doc_id"), col("body"))
       .groupBy(col("file_id"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("recs"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("body")))).as("recs"))
       .as[(Long, Seq[(Long, String)])]
       .mapPartitions { it =>
         it.map { case (fid, recs) =>
           val info = Warc.encodeRecord("warcinfo", "", -1, "software: graft\r\n")
-          val resp = recs.map { case (id, text) =>
-            Warc.encodeRecord("response", s"http://example.com/doc/$id", if (id % 7 == 0) 404 else 200, text)
+          val resp = recs.map { case (id, b) =>
+            Warc.encodeRecord("response", s"http://example.com/doc/$id", if (id % 7 == 0) 404 else 200, b)
           }
           val bytes = Warc.encodeFile(info +: resp, gzipPerRecord = true)
           (fid, if (fid % 13 == 0) bytes.dropRight(16) else bytes) // planted torn tail
         }
       }
       .toDF("file_id", "content")
-    Warc
-      .readWarc(s, files)
-      .toDF()
-      .select(
-        col("fileId").as("file_id"),
-        col("recIdx").as("rec_idx"),
-        col("warcType").as("warc_type"),
-        col("targetUri").as("target_uri"),
-        col("httpStatus").as("http_status"),
-        col("bodyLen").as("body_len"),
-        graft.plans.HashExpressions.md5Prefix60(col("body")).as("body_h"),
-        col("ok")
-      )
+  }
+
+  /** The q175/q182 output projection over parsed [[graft.sources.Warc.WarcRecord]]s. */
+  private def warcRecordCols(parsed: DataFrame): DataFrame =
+    parsed.select(
+      col("fileId").as("file_id"),
+      col("recIdx").as("rec_idx"),
+      col("warcType").as("warc_type"),
+      col("targetUri").as("target_uri"),
+      col("httpStatus").as("http_status"),
+      col("bodyLen").as("body_len"),
+      graft.plans.HashExpressions.md5Prefix60(col("body")).as("body_h"),
+      col("ok")
+    )
+
+  def q175(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") < 5000)
+      .select(col("doc_id"), col("text").as("body"))
+    warcRecordCols(graft.sources.Warc.readWarc(s, warcFiles(s, docs)).toDF())
   }
 
   /** q176: LINE-LEVEL CORPUS DEDUP ([[TextAnalysis.lineDedup]]) — the
@@ -3933,25 +3942,8 @@ object Queries {
     * surviving set and replays the extraction chain over it.
     */
   def q181(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.sources.Warc
-    val files = htmlFixture(dir, s)
-      .select(expr("doc_id div 5").as("file_id"), col("doc_id"), col("html"))
-      .groupBy(col("file_id"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("html")))).as("recs"))
-      .as[(Long, Seq[(Long, String)])]
-      .mapPartitions { it =>
-        it.map { case (fid, recs) =>
-          val info = Warc.encodeRecord("warcinfo", "", -1, "software: graft\r\n")
-          val resp = recs.map { case (id, page) =>
-            Warc.encodeRecord("response", s"http://example.com/doc/$id", if (id % 7 == 0) 404 else 200, page)
-          }
-          val bytes = Warc.encodeFile(info +: resp, gzipPerRecord = true)
-          (fid, if (fid % 13 == 0) bytes.dropRight(16) else bytes)
-        }
-      }
-      .toDF("file_id", "content")
-    Warc
+    val files = warcFiles(s, htmlFixture(dir, s).select(col("doc_id"), col("html").as("body")))
+    graft.sources.Warc
       .readWarc(s, files)
       .toDF()
       .filter(col("ok") && col("warcType") === "response" && col("httpStatus") === 200)
@@ -3969,4 +3961,61 @@ object Queries {
         col("n_tokens").between(10L, 500L).as("quality_ok")
       )
   }
+
+  /** q182: STREAMING WARC INGESTION — the continuous-crawl production
+    * shape: .warc.gz files land in a directory and a file-source stream
+    * ([[graft.sources.Warc.readWarc]] over `binaryFile` micro-batches,
+    * maxFilesPerTrigger forcing several batches) parses them as they
+    * arrive. The parse is stateless, so batch boundaries cannot perturb
+    * the result: the oracle is q175's, verbatim — the streamed ingest
+    * must converge to the batch parse bit-for-bit, torn-file sentinels
+    * included. Fixture files are written executor-side (no driver
+    * funnel), one .warc.gz per 5 docs.
+    */
+  def q182(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val outDir = scratchDir("warcstream") + "/landing"
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") < 5000)
+      .select(col("doc_id"), col("text").as("body"))
+    warcFiles(s, docs).as[(Long, Array[Byte])].foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.foreach { case (fid, bytes) =>
+        val p = new org.apache.hadoop.fs.Path(f"$outDir%s/part-$fid%05d.warc.gz")
+        val fs = p.getFileSystem(conf)
+        val o = fs.create(p, true)
+        o.write(bytes)
+        o.close()
+      }
+    }
+    val stream = s.readStream
+      .format("binaryFile")
+      // the binaryFile source's FIXED schema — streaming sources refuse
+      // inference, so it is pinned explicitly
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)
+      )))
+      .option("maxFilesPerTrigger", 20)
+      .load(outDir)
+      .select(
+        regexp_extract(col("path"), "part-([0-9]+)\\.warc\\.gz$", 1).cast("long").as("file_id"),
+        col("content")
+      )
+    runBoundedStream(s, warcRecordCols(graft.sources.Warc.readWarc(s, stream).toDF()), "q182")
+  }
+
+  /** q183: T5 SPAN CORRUPTION ([[TextAnalysis.spanCorrupt]]) — the
+    * denoising-objective transform: deterministic (RNG-free) 3-token
+    * spans masked at 30%, inputs carrying `<extra_id_K>` sentinels,
+    * targets listing each sentinel with its original tokens. The oracle
+    * re-derives the indicator chain, sentinel numbering and both
+    * reassembled sequences exactly.
+    */
+  def q183(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanCorrupt(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", seed = "sc0", rateE4 = 3000L, spanLen = 3)
 }

@@ -896,6 +896,74 @@ object TextAnalysis {
     * of an executor OOM — and (3) the per-doc reassembly. Only (3)
     * carries line text, and it moves each line exactly once.
     */
+  /** T5-STYLE SPAN CORRUPTION (Raffel et al. 2020): the seq2seq
+    * denoising objective's data transform — fixed-length token spans are
+    * selected deterministically (portable md5(seed:doc:span) indicator,
+    * NO RNG, so the corruption replays bit-identically across engines,
+    * epochs resume after a crash, and a loss spike can be traced to its
+    * exact batch) and each masked span is replaced by one `<extra_id_K>`
+    * sentinel in the input while the target sequence lists
+    * `<extra_id_K> original tokens...` in order.
+    *
+    * SCALE: one explode + one window + one reassembly aggregation — two
+    * exchanges on the doc key, span text moves exactly once each way.
+    * The indicator is computed per span, not per token, so the hash
+    * work is tokens/spanLen regardless of rate.
+    */
+  def spanCorrupt(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seed: String,
+      rateE4: Long,
+      spanLen: Int
+  ): DataFrame = {
+    val ws = tokens(col(textCol))
+    val spans = df
+      .select(col(idCol).as("__sc_id"), ws.as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .withColumn(
+        "__sp",
+        explode(expr(s"sequence(0, (size(__ws) + ${spanLen - 1}) div $spanLen - 1)"))
+      )
+      .withColumn("__stext", expr(s"concat_ws(' ', slice(__ws, __sp * $spanLen + 1, $spanLen))"))
+      .withColumn(
+        "__masked",
+        pmod(
+          graft.plans.HashExpressions.md5Prefix60(
+            concat(lit(seed), lit(":"), col("__sc_id").cast("string"), lit(":"), col("__sp").cast("string"))),
+          lit(10000L)
+        ) < rateE4
+      )
+      .drop("__ws")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__sc_id"))
+      .orderBy(col("__sp"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val indexed = spans.withColumn(
+      "__k",
+      (sum(when(col("__masked"), 1L).otherwise(0L)).over(w) - 1L)
+    )
+    val sentinel = concat(lit("<extra_id_"), col("__k").cast("string"), lit(">"))
+    indexed
+      .withColumn("__in_elem", when(col("__masked"), sentinel).otherwise(col("__stext")))
+      .withColumn("__tg_elem", when(col("__masked"), concat(sentinel, lit(" "), col("__stext"))))
+      .groupBy(col("__sc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__masked"), 1L).otherwise(0L)).as("n_masked"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("__sp"), col("__in_elem")))), x => x.getField("__in_elem"))).as("input_text"),
+        concat_ws(" ", transform(array_sort(collect_list(when(col("__masked"), struct(col("__sp"), col("__tg_elem"))))), x => x.getField("__tg_elem"))).as("target_text")
+      )
+      .select(
+        col("__sc_id").as(idCol),
+        col("n_spans"),
+        col("n_masked"),
+        col("input_text"),
+        col("target_text")
+      )
+  }
+
   def lineDedup(
       df: DataFrame,
       idCol: String,
