@@ -295,7 +295,10 @@ object Bench {
         "q180_epoch_shuffle", "q181_crawl_corpus",
         // round-12: streaming WARC ingest (5 forced micro-batches over the
         // landed fixture), T5 span corruption (explode+window+reassembly)
-        "q182_stream_warc", "q183_span_corruption")
+        "q182_stream_warc", "q183_span_corruption",
+        // round-12: packed-sequence materialization (two text moves),
+        // importance sampling (zero-shuffle scan filter over the scorer)
+        "q184_packed_sequences", "q185_importance_sample")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

@@ -2182,6 +2182,45 @@ object Oracles {
         | n_tokens, (n_tokens BETWEEN 10 AND 500) AS quality_ok
         |FROM tok""".stripMargin,
 
+    // q184: materialized packed sequences — q101's recursive greedy pack
+    // replayed, then the exact <eos>-joined member text hashed per bin
+    "q184_packed_sequences" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, text, CAST(len($tokensExpr) AS INTEGER) n,
+         |    CAST(doc_id % 8 AS INTEGER) shard FROM documents),
+         | ord AS (SELECT doc_id, text, n, shard, row_number() OVER (PARTITION BY shard ORDER BY doc_id) rn FROM toks),
+         | pack AS (
+         |   SELECT doc_id, text, n, shard, rn, CAST(0 AS BIGINT) bin_id, CAST(n AS BIGINT) fill
+         |   FROM ord WHERE rn = 1
+         |   UNION ALL
+         |   SELECT o.doc_id, o.text, o.n, o.shard, o.rn,
+         |     CASE WHEN p.fill + o.n > 512 AND p.fill > 0 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |     CASE WHEN p.fill + o.n > 512 AND p.fill > 0 THEN CAST(o.n AS BIGINT) ELSE p.fill + o.n END
+         |   FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+         |SELECT CAST(shard AS BIGINT) AS shard, bin_id,
+         | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+         | CAST(('0x'||substr(md5(array_to_string(list(text ORDER BY doc_id), ' <eos> ')),1,15)) AS BIGINT) AS packed_h
+         |FROM pack GROUP BY shard, bin_id""".stripMargin,
+
+    // q185: importance sampling — the q143 scoring chain, the clamp
+    // weight mapping, and the md5(seed:id) acceptance replayed exactly
+    "q185_importance_sample" ->
+      s"""WITH base AS (SELECT doc_id, source, $tokensExpr ws FROM documents),
+         | f AS (SELECT doc_id, source,
+         |   list_concat(ws, CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+         |     ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END) feats
+         |  FROM base),
+         | sc AS (SELECT doc_id, source, CAST(len(feats) AS BIGINT) n_feats,
+         |   CAST(COALESCE(list_sum(list_transform(feats,
+         |     w -> ((CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) % 4096) * 2654435761) % 2001 - 1000)), 0) AS BIGINT) wsum
+         |  FROM f),
+         | wt AS (SELECT doc_id, source,
+         |   greatest(CAST(0 AS BIGINT), least(CAST(10000 AS BIGINT),
+         |     5000 + (CASE WHEN n_feats = 0 THEN 0
+         |       ELSE CAST(FLOOR(CAST(wsum AS DOUBLE) * 10000.0e0 / n_feats) AS BIGINT) END) // 1000)) w_e4
+         |  FROM sc)
+         |SELECT doc_id, source, w_e4 FROM wt
+         |WHERE (CAST(('0x'||substr(md5('is0:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10000) < w_e4""".stripMargin,
+
     // q183: T5 span corruption — indicator chain, sentinel numbering and
     // both reassembled sequences re-derived exactly (RNG-free by design)
     "q183_span_corruption" ->

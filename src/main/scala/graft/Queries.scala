@@ -4018,4 +4018,34 @@ object Queries {
     TextAnalysis.spanCorrupt(
       t(s, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text", seed = "sc0", rateE4 = 3000L, spanLen = 3)
+
+  /** q184: MATERIALIZED PACKED SEQUENCES ([[Packing.materializeBins]]) —
+    * q101's packing assignment fused into the actual training payloads:
+    * one row per (shard, bin) with counts and the portable hash of the
+    * `<eos>`-joined member texts in doc order. The oracle replays the
+    * recursive greedy pack AND the exact joined string.
+    */
+  def q184(s: SparkSession, dir: String): DataFrame =
+    Packing.materializeBins(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      budget = 512, nShards = 8)
+
+  /** q185: IMPORTANCE SAMPLING BY CLASSIFIER WEIGHT
+    * ([[Sampling.importanceSample]] over [[TextAnalysis
+    * .hashedLinearScore]]) — the DSIR-shape data recipe step: each doc's
+    * acceptance probability derives from its quality score
+    * (clamp(5000 + score_e4 div 1000)), and the RNG-free md5(seed:id)
+    * indicator decides. The oracle replays scoring, weight mapping and
+    * the acceptance chain exactly.
+    */
+  def q185(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val scored = TextAnalysis.hashedLinearScore(t(s, dir, "documents"))
+      .select(col("doc_id"), col("score_e4"))
+    val weighted = docs
+      .join(scored, "doc_id")
+      .withColumn("w_e4", greatest(lit(0L), least(lit(10000L), lit(5000L) + expr("score_e4 div 1000"))))
+    Sampling.importanceSample(weighted, "doc_id", "w_e4", "is0")
+      .select(col("doc_id"), col("source"), col("w_e4"))
+  }
 }

@@ -108,6 +108,61 @@ object Packing {
     df.sparkSession.read.parquet(s"$outDir/_manifest")
   }
 
+  /** MATERIALIZED PACKED SEQUENCES — the payload half of [[packGreedy]]:
+    * the actual training sequences a loader feeds the model, one row per
+    * (shard, bin) with the member documents' texts joined by the
+    * `<eos>` separator in doc-id order plus doc/token counts and a
+    * portable content hash. This is what the packing assignment exists
+    * FOR; exporting assignment without payload leaves the fuse-step to
+    * the loader.
+    *
+    * SCALE: text moves exactly twice — once into its shard for the
+    * sequential pack scan, once into its (shard, bin) group for the
+    * fuse — and every group is ≤ budget tokens by construction, so the
+    * reassembly aggregation has bounded row weight at any corpus size.
+    */
+  def materializeBins(
+      df: DataFrame,
+      budget: Int,
+      nShards: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      eos: String = "<eos>"
+  ): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    import df.sparkSession.implicits._
+    val base = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("int").as("n_tokens"),
+      (col(idCol).cast("long") % nShards).cast("int").as("shard"),
+      col(textCol).as("text")
+    )
+    base
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Long, Int, Int, String)]
+      .mapPartitions { it =>
+        var curShard = Int.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, n, sh, text) =>
+          if (sh != curShard) { curShard = sh; bin = 0L; fill = 0L }
+          if (fill + n > budget && fill > 0) { bin += 1; fill = 0L }
+          fill += n
+          (id, sh, bin, n, text)
+        }
+      }
+      .toDF("doc_id", "shard", "bin_id", "n_tokens", "text")
+      .groupBy(col("shard").cast("long").as("shard"), col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        graft.plans.HashExpressions.md5Prefix60(
+          concat_ws(s" $eos ", transform(array_sort(collect_list(struct(col("doc_id"), col("text")))), x => x.getField("text")))
+        ).as("packed_h")
+      )
+  }
+
   /** DETERMINISTIC EPOCH SHUFFLE — the training-order randomizer: every
     * epoch needs a different global permutation of the corpus, and it
     * must be REPRODUCIBLE (resume a crashed run, replay a loss spike,

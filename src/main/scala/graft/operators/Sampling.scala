@@ -254,4 +254,26 @@ object Sampling {
       .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
       .drop("__w")
   }
+
+  /** IMPORTANCE SAMPLING by per-row acceptance weight (the DSIR /
+    * quality-weighted-selection shape, Xie et al. 2023): each row
+    * carries its own acceptance probability as an e4-scaled integer
+    * column (0 = drop, 10000 = always keep), and is kept iff the
+    * portable hash indicator md5(seed:id) % 10000 falls under it —
+    * NO RNG, so the selected subset is reproducible bit-for-bit and
+    * nested (a higher-weight run keeps a superset row-for-row at any
+    * fixed seed). Weights outside [0, 10000] clamp rather than error:
+    * upstream scores are unbounded by contract.
+    *
+    * SCALE: a zero-shuffle filter in the scan projection — the weight
+    * column arrives from whatever scoring pass produced it, and the
+    * indicator is one codegen'd hash per row.
+    */
+  def importanceSample(df: DataFrame, idCol: String, weightE4Col: String, seed: String): DataFrame =
+    df.filter(
+      pmod(
+        graft.plans.HashExpressions.md5Prefix60(concat(lit(seed), lit(":"), col(idCol).cast("string"))),
+        lit(10000L)
+      ) < greatest(lit(0L), least(lit(10000L), col(weightE4Col).cast("long")))
+    )
 }

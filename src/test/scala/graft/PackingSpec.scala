@@ -84,6 +84,23 @@ class PackingSpec extends AnyFunSuite {
     assert(badFp != manifest.find(_._1 == 0L).get._5, "bin-binding fingerprint must detect mispacking")
   }
 
+  test("materializeBins: bins agree with packGreedy; payload hash equals the hand-fused string") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c"), (8L, "d e"), (16L, "f g h i"), // shard 0: 3+2 fit in 5, 4 overflows
+      (1L, "x y z w v")                             // shard 1: exactly the budget
+    ).toDF("doc_id", "text")
+    val bins = Packing.materializeBins(docs, budget = 5, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val assign = Packing.packGreedy(docs, budget = 5, nShards = 8)
+      .collect().map(r => (r.getLong(0), (r.getInt(1).toLong, r.getLong(2)))).toMap
+    assert(assign(0L) == ((0L, 0L)) && assign(8L) == ((0L, 0L)) && assign(16L) == ((0L, 1L)) && assign(1L) == ((1L, 0L)))
+    def h(s: String) = graft.plans.Md5Prefix60.hash(s.getBytes("UTF-8"))
+    assert(bins((0L, 0L)) == ((2L, 5L, h("a b c <eos> d e"))))
+    assert(bins((0L, 1L)) == ((1L, 4L, h("f g h i"))))
+    assert(bins((1L, 0L)) == ((1L, 5L, h("x y z w v"))))
+  }
+
   test("epochShuffle: a complete permutation — every doc exactly once, positions dense per shard") {
     import spark.implicits._
     val docs = (0L until 200L).toDF("doc_id")

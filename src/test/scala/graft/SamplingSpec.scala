@@ -135,4 +135,31 @@ class SamplingSpec extends AnyFunSuite {
     val bCount = got.count(_._2 == "b")
     assert(bCount > 20 && bCount < 80, s"b should Bernoulli-thin to ~50, got $bCount")
   }
+
+  test("importanceSample: per-row acceptance replayed independently; weights clamp; nested by weight") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, (i % 4) match {
+      case 0 => -500L   // clamps to 0 -> always dropped
+      case 1 => 2500L
+      case 2 => 7500L
+      case _ => 99999L  // clamps to 10000 -> always kept
+    })).toDF("doc_id", "w_e4")
+    val kept = Sampling.importanceSample(docs, "doc_id", "w_e4", "sd")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def h(id: Long) = Math.floorMod(graft.plans.Md5Prefix60.hash(s"sd:$id".getBytes("UTF-8")), 10000L)
+    (0L until 400L).foreach { i =>
+      val w = math.max(0L, math.min(10000L, (i % 4) match {
+        case 0 => -500L; case 1 => 2500L; case 2 => 7500L; case _ => 99999L
+      }))
+      assert(kept.contains(i) == (h(i) < w), s"doc $i acceptance mismatch")
+    }
+    assert(!kept.keys.exists(_ % 4 == 0), "clamped-to-zero rows all dropped")
+    assert(kept.keys.count(_ % 4 == 3) == 100, "clamped-to-10000 rows all kept")
+    // nested property: the 2500-weight keeps a SUBSET of what 7500 would keep
+    val lo = Sampling.importanceSample(docs.withColumn("w_e4", lit(2500L)), "doc_id", "w_e4", "sd")
+      .collect().map(_.getLong(0)).toSet
+    val hi = Sampling.importanceSample(docs.withColumn("w_e4", lit(7500L)), "doc_id", "w_e4", "sd")
+      .collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi), "fixed-seed selections must nest by weight")
+  }
 }
