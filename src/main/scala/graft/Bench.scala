@@ -298,7 +298,9 @@ object Bench {
         "q182_stream_warc", "q183_span_corruption",
         // round-12: packed-sequence materialization (two text moves),
         // importance sampling (zero-shuffle scan filter over the scorer)
-        "q184_packed_sequences", "q185_importance_sample")
+        "q184_packed_sequences", "q185_importance_sample",
+        // round-12: k-anonymity publish (O(levels) group-count passes)
+        "q186_k_anonymity")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

@@ -2182,6 +2182,28 @@ object Oracles {
         | n_tokens, (n_tokens BETWEEN 10 AND 500) AS quality_ok
         |FROM tok""".stripMargin,
 
+    // q186: k-anonymity — level choice (per-level min group size vs k)
+    // and the generalized publish re-derived, group sizes included
+    "q186_k_anonymity" ->
+      """WITH m0 AS (SELECT min(cnt) m FROM (SELECT count(*) cnt FROM customer
+        |    GROUP BY c_nationkey, floor(c_acctbal/100))),
+        | m1 AS (SELECT min(cnt) m FROM (SELECT count(*) cnt FROM customer
+        |    GROUP BY c_nationkey // 5, floor(c_acctbal/1000))),
+        | m2 AS (SELECT min(cnt) m FROM (SELECT count(*) cnt FROM customer
+        |    GROUP BY floor(c_acctbal/5000))),
+        | lvl AS (SELECT CASE WHEN (SELECT m FROM m0) >= 10 THEN 0
+        |    WHEN (SELECT m FROM m1) >= 10 THEN 1
+        |    WHEN (SELECT m FROM m2) >= 10 THEN 2 ELSE 3 END l),
+        | gen AS (SELECT c_custkey,
+        |    CAST(CASE l WHEN 0 THEN c_nationkey WHEN 1 THEN c_nationkey // 5 ELSE -1 END AS BIGINT) gen_nation,
+        |    CAST(CASE l WHEN 0 THEN floor(c_acctbal/100)*100 WHEN 1 THEN floor(c_acctbal/1000)*1000
+        |      WHEN 2 THEN floor(c_acctbal/5000)*5000 ELSE -1 END AS BIGINT) gen_bal,
+        |    CAST(l AS INTEGER) gen_level
+        |  FROM customer CROSS JOIN lvl)
+        |SELECT c_custkey, gen_nation, gen_bal, gen_level,
+        | CAST(count(*) OVER (PARTITION BY gen_nation, gen_bal) AS BIGINT) AS group_n
+        |FROM gen""".stripMargin,
+
     // q184: materialized packed sequences — q101's recursive greedy pack
     // replayed, then the exact <eos>-joined member text hashed per bin
     "q184_packed_sequences" ->

@@ -4061,4 +4061,28 @@ object Queries {
     Sampling.importanceSample(weighted, "doc_id", "w_e4", "is0")
       .select(col("doc_id"), col("source"), col("w_e4"))
   }
+
+  /** q186: K-ANONYMITY PUBLISH ([[graft.dq.Anonymize.kAnonymize]]) —
+    * full-domain generalization of the customer quasi-identifiers
+    * (nation, balance band) at the least-general ladder level whose
+    * smallest group reaches k=10; every published row carries its group
+    * size as the verifiable privacy witness. The oracle re-derives the
+    * level choice AND the generalized output.
+    */
+  def q186(s: SparkSession, dir: String): DataFrame = {
+    import graft.dq.Anonymize
+    val ladder: Seq[Anonymize.Level] = Seq(
+      Seq(
+        "gen_nation" -> col("c_nationkey").cast("long"),
+        "gen_bal" -> (floor(col("c_acctbal") / 100) * 100).cast("long")),
+      Seq(
+        "gen_nation" -> expr("c_nationkey div 5").cast("long"),
+        "gen_bal" -> (floor(col("c_acctbal") / 1000) * 1000).cast("long")),
+      Seq(
+        "gen_nation" -> lit(-1L),
+        "gen_bal" -> (floor(col("c_acctbal") / 5000) * 5000).cast("long")),
+      Seq("gen_nation" -> lit(-1L), "gen_bal" -> lit(-1L))
+    )
+    Anonymize.kAnonymize(t(s, dir, "customer"), k = 10L, keyCols = Seq("c_custkey"), ladder = ladder)
+  }
 }
