@@ -299,8 +299,12 @@ object Bench {
         // round-12: packed-sequence materialization (two text moves),
         // importance sampling (zero-shuffle scan filter over the scorer)
         "q184_packed_sequences", "q185_importance_sample",
-        // round-12: k-anonymity publish (O(levels) group-count passes)
-        "q186_k_anonymity")
+        // round-12: k-anonymity publish (O(levels) group-count passes),
+        // JSONL quarantine ingest (write + native PERMISSIVE scan), label
+        // aggregation (one count agg + tiny-frame window; audit adds the
+        // votes-to-consensus join)
+        "q186_k_anonymity", "q187_jsonl_ingest", "q188_label_vote",
+        "q189_annotator_audit")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

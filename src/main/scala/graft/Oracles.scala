@@ -2182,6 +2182,50 @@ object Oracles {
         | n_tokens, (n_tokens BETWEEN 10 AND 500) AS quality_ok
         |FROM tok""".stripMargin,
 
+    // q188/q189: label aggregation — the synthetic vote table (annotator
+    // j mislabels with rate j/10 by md5 indicator), the lexicographic
+    // tie-break consensus, and the reliability audit replayed exactly
+    "q188_label_vote" ->
+      """WITH v AS (SELECT doc_id, CAST(j AS INTEGER) annotator,
+        |    CASE WHEN (CAST(('0x'||substr(md5('an:' || CAST(j AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10) < j
+        |      THEN 'zz' ELSE lang END lbl
+        |  FROM documents, (SELECT unnest(range(5)) j)),
+        | c AS (SELECT doc_id, lbl, CAST(count(*) AS BIGINT) cnt FROM v GROUP BY doc_id, lbl),
+        | r AS (SELECT doc_id, lbl, cnt,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lbl ASC) rn,
+        |    CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) total FROM c)
+        |SELECT doc_id, lbl AS maj_label, cnt AS maj_votes, total AS n_votes,
+        | CAST((cnt * 10000) // total AS BIGINT) AS agreement_e4
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q189_annotator_audit" ->
+      """WITH v AS (SELECT doc_id, CAST(j AS INTEGER) annotator,
+        |    CASE WHEN (CAST(('0x'||substr(md5('an:' || CAST(j AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10) < j
+        |      THEN 'zz' ELSE lang END lbl
+        |  FROM documents, (SELECT unnest(range(5)) j)),
+        | c AS (SELECT doc_id, lbl, CAST(count(*) AS BIGINT) cnt FROM v GROUP BY doc_id, lbl),
+        | r AS (SELECT doc_id, lbl, cnt,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lbl ASC) rn FROM c),
+        | maj AS (SELECT doc_id, lbl AS maj_label FROM r WHERE rn = 1)
+        |SELECT annotator, CAST(count(*) AS BIGINT) AS n_votes,
+        | CAST(sum(CASE WHEN v.lbl = maj.maj_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        | CAST((sum(CASE WHEN v.lbl = maj.maj_label THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS agree_e4
+        |FROM v JOIN maj ON v.doc_id = maj.doc_id
+        |GROUP BY annotator""".stripMargin,
+
+    // q187: JSONL ingest — good lines parse field-exact, planted garbage
+    // lands in quarantine with its raw text hash-bound; both populations
+    // predicted structurally
+    "q187_jsonl_ingest" ->
+      """WITH good AS (SELECT doc_id, lang, n_chars, source, FALSE AS corrupt,
+        |    CAST(('0x'||substr(md5(''),1,15)) AS BIGINT) AS corrupt_h
+        |  FROM documents WHERE doc_id % 19 <> 0),
+        | bad AS (SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+        |    CAST(NULL AS BIGINT) AS n_chars, CAST(NULL AS VARCHAR) AS source, TRUE AS corrupt,
+        |    CAST(('0x'||substr(md5('{broken json line ' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS corrupt_h
+        |  FROM documents WHERE doc_id % 19 = 0)
+        |SELECT * FROM good UNION ALL SELECT * FROM bad""".stripMargin,
+
     // q186: k-anonymity — level choice (per-level min group size vs k)
     // and the generalized publish re-derived, group sizes included
     "q186_k_anonymity" ->

@@ -4085,4 +4085,91 @@ object Queries {
     )
     Anonymize.kAnonymize(t(s, dir, "customer"), k = 10L, keyCols = Seq("c_custkey"), ladder = ladder)
   }
+
+  /** q187: JSONL CORPUS INGEST WITH QUARANTINE — the interchange format
+    * LLM corpora actually ship in (one JSON object per line), read
+    * through Spark's native PERMISSIVE path with an explicit schema and
+    * a `_corrupt_record` column: every 19th line is planted garbage and
+    * must land in quarantine (corrupt=true, nulls elsewhere) WITHOUT
+    * failing the scan, while good lines parse field-exact. Fixture lines
+    * are built with to_json and written executor-side; the oracle
+    * predicts both populations structurally.
+    */
+  def q187(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val outDir = scratchDir("jsonl") + "/corpus"
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 19 === 0, concat(lit("{broken json line "), col("doc_id").cast("string")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"), col("source"))))
+          .as("line")
+      )
+      .as[(Long, String)]
+      .foreachPartition { it: Iterator[(Long, String)] =>
+        if (it.hasNext) {
+          val fs = new org.apache.hadoop.fs.Path(outDir)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          fs.setWriteChecksum(false)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val o = fs.create(new org.apache.hadoop.fs.Path(f"$outDir%s/part-$pid%05d.jsonl"), true)
+          val w = new java.io.OutputStreamWriter(o, "UTF-8")
+          it.foreach { case (_, line) => w.write(line); w.write("\n") }
+          w.close()
+        }
+      }
+    val schema = "doc_id LONG, lang STRING, n_chars LONG, source STRING, _corrupt_record STRING"
+    s.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$outDir/*.jsonl")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        col("source"),
+        col("_corrupt_record").isNotNull.as("corrupt"),
+        graft.plans.HashExpressions.md5Prefix60(coalesce(col("_corrupt_record"), lit(""))).as("corrupt_h")
+      )
+  }
+
+  /** Synthetic annotation fixture: 5 annotators vote on every document's
+    * language; annotator j mislabels as 'zz' with deterministic rate
+    * j/10 (md5 indicator) — annotator 0 is perfect, 4 is worst. Both
+    * engines replay the identical vote table.
+    */
+  private def votesFixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("annotator", explode(expr("sequence(0, 4)")))
+      .withColumn(
+        "label",
+        when(
+          pmod(
+            graft.plans.HashExpressions.md5Prefix60(
+              concat(lit("an:"), col("annotator").cast("string"), lit(":"), col("doc_id").cast("string"))),
+            lit(10L)
+          ) < col("annotator"),
+          lit("zz")
+        ).otherwise(col("lang"))
+      )
+
+  /** q188: MAJORITY-VOTE LABEL AGGREGATION ([[operators.Labels
+    * .majorityVote]]) — collapse 5 annotators' votes into one consensus
+    * label per item with the deterministic lexicographic tie-break,
+    * plus vote counts and the agreement share. The oracle replays the
+    * synthetic vote table and the consensus rule exactly.
+    */
+  def q188(s: SparkSession, dir: String): DataFrame =
+    Labels.majorityVote(votesFixture(s, dir), "doc_id", "label")
+
+  /** q189: ANNOTATOR RELIABILITY AUDIT ([[operators.Labels
+    * .annotatorAgreement]]) — each annotator's agreement rate with the
+    * q188 consensus: the reliability weights a Dawid-Skene refinement
+    * (or a simple annotator screen) starts from. Planted error rates
+    * j/10 must surface as descending agreement.
+    */
+  def q189(s: SparkSession, dir: String): DataFrame =
+    Labels.annotatorAgreement(votesFixture(s, dir), "doc_id", "annotator", "label")
 }
