@@ -2182,6 +2182,29 @@ object Oracles {
         | n_tokens, (n_tokens BETWEEN 10 AND 500) AS quality_ok
         |FROM tok""".stripMargin,
 
+    // q190: distribution drift — grid, clamped bins, e4 shares and the
+    // exact integer TVD replayed (no logarithm anywhere by design)
+    "q190_distribution_drift" ->
+      """WITH r0 AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) v FROM orders
+        |    WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        | c0 AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) v FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+        | grid AS (SELECT CAST(unnest(range(24)) AS BIGINT) bin),
+        | rb AS (SELECT ((LEAST(59999999, GREATEST(0, v)) * 24) // 60000000) bin, count(*) n FROM r0 GROUP BY 1),
+        | cb AS (SELECT ((LEAST(59999999, GREATEST(0, v)) * 24) // 60000000) bin, count(*) n FROM c0 GROUP BY 1),
+        | j AS (SELECT g.bin, (g.bin * CAST(60000000 AS BIGINT)) // 24 AS lo_edge_cents,
+        |    CAST(COALESCE(rb.n, 0) AS BIGINT) ref_n, CAST(COALESCE(cb.n, 0) AS BIGINT) cur_n
+        |  FROM grid g LEFT JOIN rb ON g.bin = rb.bin LEFT JOIN cb ON g.bin = cb.bin),
+        | t AS (SELECT *, CAST(sum(ref_n) OVER () AS BIGINT) rt, CAST(sum(cur_n) OVER () AS BIGINT) ct FROM j),
+        | s AS (SELECT bin, lo_edge_cents, ref_n, cur_n,
+        |    CAST(CASE WHEN rt = 0 THEN 0 ELSE (ref_n * 10000) // rt END AS BIGINT) ref_share_e4,
+        |    CAST(CASE WHEN ct = 0 THEN 0 ELSE (cur_n * 10000) // ct END AS BIGINT) cur_share_e4
+        |  FROM t),
+        | d AS (SELECT *, CAST(abs(cur_share_e4 - ref_share_e4) AS BIGINT) abs_delta_e4 FROM s)
+        |SELECT bin, lo_edge_cents, ref_n, cur_n, ref_share_e4, cur_share_e4, abs_delta_e4,
+        | CAST(sum(abs_delta_e4) OVER () // 2 AS BIGINT) AS tvd_e4
+        |FROM d""".stripMargin,
+
     // q188/q189: label aggregation — the synthetic vote table (annotator
     // j mislabels with rate j/10 by md5 indicator), the lexicographic
     // tie-break consensus, and the reliability audit replayed exactly

@@ -4172,4 +4172,19 @@ object Queries {
     */
   def q189(s: SparkSession, dir: String): DataFrame =
     Labels.annotatorAgreement(votesFixture(s, dir), "doc_id", "annotator", "label")
+
+  /** q190: DISTRIBUTION DRIFT ([[graft.dq.DqSuite.distributionDrift]]) —
+    * order-value distribution, pre-1997 reference vs 1997+ current, on a
+    * fixed 24-bin cent grid: both sides' e4 shares and the exact integer
+    * total-variation distance (no logarithm — bit-identical cross-engine,
+    * unlike PSI/KL). The oracle replays grid, shares and TVD.
+    */
+  def q190(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    graft.dq.DqSuite.distributionDrift(
+      orders.filter(expr("o_orderdate < TIMESTAMP '1997-01-01 00:00:00'")),
+      orders.filter(expr("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'")),
+      cents, loCents = 0L, hiCents = 60000000L, bins = 24)
+  }
 }

@@ -269,6 +269,51 @@ object DqSuite {
       .groupBy(col("key"), col("bin")).agg(count(lit(1)).as("n"))
   }
 
+  /** DISTRIBUTION DRIFT between a reference and a current slice of the
+    * same feature — the training-data monitoring gate ("did this week's
+    * crawl shift the length distribution?"). Both sides histogram on the
+    * SAME fixed integer grid ([[histogram]]'s clamped-bin arithmetic),
+    * shares are e4-floored integers, and the distance is the exact
+    * TOTAL-VARIATION DISTANCE: tvd_e4 = sum(|p - q|) / 2 over e4 shares.
+    * TVD instead of PSI/KL by design: no logarithm means no libm
+    * rounding, so the published drift number is bit-identical across
+    * engines (the same trade as collocationsByLift's exp-free lift) —
+    * and TVD is a real metric with the clean reading "fraction of mass
+    * that moved".
+    *
+    * Output: one row per bin with both sides' counts and shares plus the
+    * (identical) tvd_e4 summary column — self-contained for a drift
+    * dashboard or a threshold gate. SCALE: two map-side-combinable
+    * histogram aggregations, then O(bins) arithmetic; row data moves
+    * never.
+    */
+  def distributionDrift(
+      ref: org.apache.spark.sql.DataFrame,
+      cur: org.apache.spark.sql.DataFrame,
+      valueCents: Column,
+      loCents: Long,
+      hiCents: Long,
+      bins: Int
+  ): org.apache.spark.sql.DataFrame = {
+    val r = histogram(ref, valueCents, loCents, hiCents, bins)
+      .select(col("bin"), col("lo_edge_cents"), col("n").as("ref_n"))
+    val c = histogram(cur, valueCents, loCents, hiCents, bins)
+      .select(col("bin"), col("n").as("cur_n"))
+    val joined = r
+      .join(c, "bin")
+      .withColumn("__rt", sum(col("ref_n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("__ct", sum(col("cur_n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("ref_share_e4", expr("CASE WHEN __rt = 0 THEN 0L ELSE (ref_n * 10000L) div __rt END"))
+      .withColumn("cur_share_e4", expr("CASE WHEN __ct = 0 THEN 0L ELSE (cur_n * 10000L) div __ct END"))
+      .withColumn("abs_delta_e4", abs(col("cur_share_e4") - col("ref_share_e4")))
+    joined
+      .withColumn("__sumd", sum(col("abs_delta_e4")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("tvd_e4", expr("__sumd div 2L")) // integer halving — no double division
+      .select(
+        col("bin"), col("lo_edge_cents"), col("ref_n"), col("cur_n"),
+        col("ref_share_e4"), col("cur_share_e4"), col("abs_delta_e4"), col("tvd_e4"))
+  }
+
   /** Range serve over stored [[histogramByKey]] partials: exact merge by
     * addition, densified to the full bin grid with edges. `stored` is the
     * union of the range's day partitions — O(days × bins) rows, never the

@@ -140,4 +140,32 @@ class DqSpec extends AnyFunSuite {
     assert(merged == direct, s"merged $merged != direct $direct")
     assert(merged == Seq((0L, 0L, 3L), (1L, 25L, 1L), (2L, 50L, 1L), (3L, 75L, 2L)))
   }
+
+  test("distributionDrift: hand-computed shares and exact integer TVD") {
+    import spark.implicits._
+    // grid [0,100) x 4 bins; ref: 4 rows in bin0, 4 in bin1 -> 5000/5000
+    // cur: 2 in bin0, 6 in bin3 -> 2500/0/0/7500
+    val ref = Seq(1L, 2L, 3L, 4L, 30L, 31L, 32L, 33L).toDF("c")
+    val cur = Seq(1L, 2L, 80L, 81L, 82L, 83L, 84L, 85L).toDF("c")
+    val got = graft.dq.DqSuite.distributionDrift(ref, cur, org.apache.spark.sql.functions.col("c"), 0L, 100L, 4)
+      .orderBy($"bin").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    // |5000-2500| + |5000-0| + 0 + |0-7500| = 15000 -> tvd 7500
+    assert(got == Seq(
+      (0L, 4L, 2L, 5000L, 2500L, 2500L, 7500L),
+      (1L, 4L, 0L, 5000L, 0L, 5000L, 7500L),
+      (2L, 0L, 0L, 0L, 0L, 0L, 7500L),
+      (3L, 0L, 6L, 0L, 7500L, 7500L, 7500L)
+    ), got.toString)
+  }
+
+  test("distributionDrift: identical slices give zero TVD; empty current side is total drift-safe") {
+    import spark.implicits._
+    val df = Seq(1L, 40L, 90L).toDF("c")
+    val same = graft.dq.DqSuite.distributionDrift(df, df, org.apache.spark.sql.functions.col("c"), 0L, 100L, 4).collect()
+    assert(same.forall(_.getLong(7) == 0L))
+    val empty = Seq.empty[Long].toDF("c")
+    val out = graft.dq.DqSuite.distributionDrift(df, empty, org.apache.spark.sql.functions.col("c"), 0L, 100L, 4).collect()
+    assert(out.forall(_.getLong(5) == 0L), "empty side has zero shares, no division error")
+  }
 }
