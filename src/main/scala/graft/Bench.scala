@@ -304,7 +304,9 @@ object Bench {
         // aggregation (one count agg + tiny-frame window; audit adds the
         // votes-to-consensus join)
         "q186_k_anonymity", "q187_jsonl_ingest", "q188_label_vote",
-        "q189_annotator_audit")
+        "q189_annotator_audit",
+        // round-12: distribution drift (two histogram passes, O(bins) out)
+        "q190_distribution_drift")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x
