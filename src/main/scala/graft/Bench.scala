@@ -305,8 +305,9 @@ object Bench {
         // votes-to-consensus join)
         "q186_k_anonymity", "q187_jsonl_ingest", "q188_label_vote",
         "q189_annotator_audit",
-        // round-12: distribution drift (two histogram passes, O(bins) out)
-        "q190_distribution_drift")
+        // round-12: distribution drift (two histogram passes, O(bins) out),
+        // XML StAX ingest (encode + parse per run, zero shuffles)
+        "q190_distribution_drift", "q191_xml_ingest")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

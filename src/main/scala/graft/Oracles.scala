@@ -2182,6 +2182,27 @@ object Oracles {
         | n_tokens, (n_tokens BETWEEN 10 AND 500) AS quality_ok
         |FROM tok""".stripMargin,
 
+    // q191: XML ingest — every column predicted structurally while the
+    // engine runs a real StAX parse (the 'a & b' note gates entity
+    // decoding); torn files keep complete records + one sentinel
+    "q191_xml_ingest" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars, text, doc_id // 5 AS fid
+        |    FROM documents WHERE doc_id < 5000),
+        | r AS (SELECT doc_id, lang, n_chars, text, fid,
+        |    CAST(row_number() OVER (PARTITION BY fid ORDER BY doc_id) - 1 AS INTEGER) rn,
+        |    CAST(count(*) OVER (PARTITION BY fid) AS INTEGER) cnt
+        |  FROM d),
+        | good AS (SELECT fid AS file_id, rn AS rec_idx, doc_id, lang, n_chars,
+        |    'a & b' AS note,
+        |    CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS body_h, TRUE AS ok
+        |  FROM r WHERE NOT (fid % 23 = 0 AND rn = cnt - 1)),
+        | sent AS (SELECT fid AS file_id, CAST(cnt - 1 AS INTEGER) AS rec_idx,
+        |    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+        |    CAST(NULL AS BIGINT) AS n_chars, CAST(NULL AS VARCHAR) AS note,
+        |    CAST(('0x'||substr(md5(''),1,15)) AS BIGINT) AS body_h, FALSE AS ok
+        |  FROM r WHERE fid % 23 = 0 AND rn = cnt - 1)
+        |SELECT * FROM good UNION ALL SELECT * FROM sent""".stripMargin,
+
     // q190: distribution drift — grid, clamped bins, e4 shares and the
     // exact integer TVD replayed (no logarithm anywhere by design)
     "q190_distribution_drift" ->

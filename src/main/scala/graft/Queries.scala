@@ -4187,4 +4187,47 @@ object Queries {
       orders.filter(expr("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'")),
       cents, loCents = 0L, hiCents = 60000000L, bins = 24)
   }
+
+  /** q191: XML INGESTION ([[graft.sources.Xml]]) — the enterprise
+    * interchange format parsed with the JDK's StAX (no external libs,
+    * DTD/XXE disabled): one row per `<doc>` record, entity references
+    * decoded by the REAL parser (the constant `&amp;` field must
+    * surface as `&`). Every 23rd file is truncated inside its constant
+    * 23-byte closing tail, so the final record can never complete: torn
+    * files keep their complete records and gain exactly one ok=false
+    * sentinel. The oracle predicts every column structurally.
+    */
+  def q191(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = t(s, dir, "documents")
+      .filter(col("doc_id") < 5000)
+      .select(expr("doc_id div 5").as("file_id"), col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("lang"), col("n_chars"), col("text")))).as("recs"))
+      .as[(Long, Seq[(Long, String, Long, String)])]
+      .mapPartitions { it =>
+        it.map { case (fid, recs) =>
+          val sb = new StringBuilder("""<?xml version="1.0"?><corpus>""")
+          recs.foreach { case (id, lang, nc, text) =>
+            sb ++= s"<doc><id>$id</id><lang>$lang</lang><nc>$nc</nc><note>a &amp; b</note><body>$text</body></doc>"
+          }
+          sb ++= "</corpus>"
+          val bytes = sb.toString.getBytes("UTF-8")
+          (fid, if (fid % 23 == 0) bytes.dropRight(20) else bytes) // cut inside the constant closing tail
+        }
+      }
+      .toDF("file_id", "content")
+    graft.sources.Xml
+      .readXml(s, files, "doc", Seq("id", "lang", "nc", "note", "body"))
+      .select(
+        col("file_id"),
+        col("rec_idx"),
+        col("id").cast("long").as("doc_id"),
+        col("lang"),
+        col("nc").cast("long").as("n_chars"),
+        col("note"),
+        graft.plans.HashExpressions.md5Prefix60(coalesce(col("body"), lit(""))).as("body_h"),
+        col("ok")
+      )
+  }
 }
