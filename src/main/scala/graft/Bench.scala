@@ -307,7 +307,9 @@ object Bench {
         "q189_annotator_audit",
         // round-12: distribution drift (two histogram passes, O(bins) out),
         // XML StAX ingest (encode + parse per run, zero shuffles)
-        "q190_distribution_drift", "q191_xml_ingest")
+        "q190_distribution_drift", "q191_xml_ingest",
+        // round-12: bloom-indexed point lookup (commit+build+probe per run)
+        "q192_bloom_index")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

@@ -2182,6 +2182,14 @@ object Oracles {
         | n_tokens, (n_tokens BETWEEN 10 AND 500) AS quality_ok
         |FROM tok""".stripMargin,
 
+    // q192: bloom-indexed point lookup — the plain IN filter; the index
+    // may only change WHICH partitions open, never the rows
+    "q192_bloom_index" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey IN (107, 1201, 2999, 4507, 7013, 9601, 11251, 13007)""".stripMargin,
+
     // q191: XML ingest — every column predicted structurally while the
     // engine runs a real StAX parse (the 'a & b' note gates entity
     // decoding); torn files keep complete records + one sentinel

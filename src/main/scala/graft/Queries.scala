@@ -4230,4 +4230,35 @@ object Queries {
         col("ok")
       )
   }
+
+  /** q192: BLOOM-INDEXED POINT LOOKUP ([[graft.sources.BloomIndex]]) —
+    * orders committed customer-bucketed (a layout under which an
+    * order-key lookup would scan EVERY partition), then a per-partition
+    * bloom index on o_orderkey built in one pass and probed for a fixed
+    * key set: only claiming partitions open, the exact residual filter
+    * keeps rows exact regardless of FP rate. The oracle is the plain IN
+    * filter; BloomIndexSpec proves partitions were actually skipped.
+    */
+  def q192(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BloomIndex, VersionedTable}
+    val base = scratchDir("bloomidx")
+    val tPath = base + "/orders"
+    val iPath = base + "/idx"
+    val orders = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_custkey"),
+      col("o_totalprice"),
+      concat(lit("b"), pmod(col("o_custkey"), lit(16L)).cast("string")).as("cb")
+    )
+    VersionedTable.commitDelta(s, tPath, orders, "cb")
+    BloomIndex.build(s, tPath, iPath, "o_orderkey", m = 1 << 15, k = 3)
+    val keys = Seq(107L, 1201L, 2999L, 4507L, 7013L, 9601L, 11251L, 13007L).map(_.toString)
+    BloomIndex
+      .lookup(s, iPath, keys)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents")
+      )
+  }
 }
