@@ -484,6 +484,39 @@ object Oracles {
       |  FROM r WHERE fid % 13 = 0 AND rn = cnt)
       |SELECT * FROM info UNION ALL SELECT * FROM resp UNION ALL SELECT * FROM sent""".stripMargin
 
+  /** The q178/q179/q181 fixture HTML expression (must stay identical to
+    * Queries.htmlFixture) and the extraction-rule CTE chain (must stay
+    * identical to operators.Html) — shared so a rule change is mirrored
+    * in ONE place instead of three oracle copies.
+    */
+  private val htmlFixtureSql: String =
+    """  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; friends</title><style>p{color:red}</style></head><body><script>var x = "<p>not text</p>";</script><h1>Title ' ||
+      |  CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p><!-- hidden --><div>tail &lt;' || CAST(doc_id AS VARCHAR) ||
+      |  '&gt;&nbsp;end</div><a href="http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/doc/' || CAST((doc_id*13) % 500 AS VARCHAR) ||
+      |  '">next</a><a href="#frag">skip</a><a href=''/rel/' || CAST(doc_id AS VARCHAR) || '''>rel</a></body></html>' AS html""".stripMargin
+
+  private val htmlChainSql: String =
+    """ s1 AS (SELECT doc_id, html,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      |      '(?is)<head\b[^>]*>.*?</head>', ' ', 'g'),
+      |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g') x FROM h),
+      | s2 AS (SELECT doc_id, html,
+      |    regexp_replace(regexp_replace(x,
+      |      '(?i)<(?:/p|/div|/li|/h[1-6]|/tr|br\s*/?)>', ' ', 'g'),
+      |      '<[^>]*>', '', 'g') x FROM s1),
+      | s3 AS (SELECT doc_id, html,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(x,
+      |      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+      |      '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g') x FROM s2),
+      | out AS (SELECT doc_id, html, trim(regexp_replace(x, '\s+', ' ', 'g')) txt FROM s3),
+      | ti AS (SELECT doc_id, txt,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+      |      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+      |      '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g')) title FROM out)""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2144,38 +2177,16 @@ object Oracles {
     // (404s and the torn last record of every 13th file drop), then the
     // q178 extraction chain replayed over the identically-built HTML
     "q181_crawl_corpus" ->
-      """WITH d AS (SELECT doc_id, text, doc_id // 5 AS fid FROM documents),
+      s"""WITH d AS (SELECT doc_id, text, doc_id // 5 AS fid FROM documents),
         | mx AS (SELECT fid, max(doc_id) mxid FROM d GROUP BY fid),
         | keep AS (SELECT d.doc_id, d.text FROM d JOIN mx ON d.fid = mx.fid
         |   WHERE d.doc_id % 7 <> 0 AND NOT (d.fid % 13 = 0 AND d.doc_id = mx.mxid)),
         | h AS (SELECT doc_id,
-        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; friends</title><style>p{color:red}</style></head><body><script>var x = "<p>not text</p>";</script><h1>Title ' ||
-        |  CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p><!-- hidden --><div>tail &lt;' || CAST(doc_id AS VARCHAR) ||
-        |  '&gt;&nbsp;end</div><a href="http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/doc/' || CAST((doc_id*13) % 500 AS VARCHAR) ||
-        |  '">next</a><a href="#frag">skip</a><a href=''/rel/' || CAST(doc_id AS VARCHAR) || '''>rel</a></body></html>' AS html
+        |$htmlFixtureSql
         | FROM keep),
-        | s1 AS (SELECT doc_id, html,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-        |      '(?is)<head\b[^>]*>.*?</head>', ' ', 'g'),
-        |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-        |      '(?s)<!--.*?-->', ' ', 'g') x FROM h),
-        | s2 AS (SELECT doc_id, html,
-        |    regexp_replace(regexp_replace(x,
-        |      '(?i)<(?:/p|/div|/li|/h[1-6]|/tr|br\s*/?)>', ' ', 'g'),
-        |      '<[^>]*>', '', 'g') x FROM s1),
-        | s3 AS (SELECT doc_id, html,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(x,
-        |      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-        |      '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g') x FROM s2),
-        | out AS (SELECT doc_id, html, trim(regexp_replace(x, '\s+', ' ', 'g')) txt FROM s3),
-        | ti AS (SELECT doc_id, txt,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
-        |      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-        |      '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g')) title FROM out),
+        |$htmlChainSql,
         | tok AS (SELECT doc_id, title, txt,
-        |    CAST(CASE WHEN len(trim(txt))=0 THEN 0 ELSE len(string_split_regex(trim(txt),'\s+')) END AS BIGINT) n_tokens
+        |    CAST(CASE WHEN len(trim(txt))=0 THEN 0 ELSE len(string_split_regex(trim(txt),'\\s+')) END AS BIGINT) n_tokens
         |  FROM ti)
         |SELECT doc_id, title,
         | CAST(('0x'||substr(md5(txt),1,15)) AS BIGINT) AS text_h,
@@ -2376,45 +2387,20 @@ object Oracles {
     // fixture HTML, then the oracle replays the exact extraction rule
     // chain (same regexes, same order, amp-last entity decode) in DuckDB
     "q178_html_text" ->
-      """WITH h AS (SELECT doc_id,
-        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; friends</title><style>p{color:red}</style></head><body><script>var x = "<p>not text</p>";</script><h1>Title ' ||
-        |  CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p><!-- hidden --><div>tail &lt;' || CAST(doc_id AS VARCHAR) ||
-        |  '&gt;&nbsp;end</div><a href="http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/doc/' || CAST((doc_id*13) % 500 AS VARCHAR) ||
-        |  '">next</a><a href="#frag">skip</a><a href=''/rel/' || CAST(doc_id AS VARCHAR) || '''>rel</a></body></html>' AS html
+      s"""WITH h AS (SELECT doc_id,
+        |$htmlFixtureSql
         | FROM documents),
-        | s1 AS (SELECT doc_id, html,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-        |      '(?is)<head\b[^>]*>.*?</head>', ' ', 'g'),
-        |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-        |      '(?s)<!--.*?-->', ' ', 'g') x FROM h),
-        | s2 AS (SELECT doc_id, html,
-        |    regexp_replace(regexp_replace(x,
-        |      '(?i)<(?:/p|/div|/li|/h[1-6]|/tr|br\s*/?)>', ' ', 'g'),
-        |      '<[^>]*>', '', 'g') x FROM s1),
-        | s3 AS (SELECT doc_id, html,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(x,
-        |      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-        |      '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g') x FROM s2),
-        | out AS (SELECT doc_id, html, trim(regexp_replace(x, '\s+', ' ', 'g')) txt FROM s3),
-        | ti AS (SELECT doc_id, txt,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
-        |      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-        |      '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g')) title FROM out)
+        |$htmlChainSql
         |SELECT doc_id, title, txt,
-        | CAST(CASE WHEN len(trim(txt))=0 THEN 0 ELSE len(string_split_regex(trim(txt),'\s+')) END AS BIGINT) AS n_tokens
+        | CAST(CASE WHEN len(trim(txt))=0 THEN 0 ELSE len(string_split_regex(trim(txt),'\\s+')) END AS BIGINT) AS n_tokens
         |FROM ti""".stripMargin,
 
     "q179_html_links" ->
-      """WITH h AS (SELECT doc_id,
-        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; friends</title><style>p{color:red}</style></head><body><script>var x = "<p>not text</p>";</script><h1>Title ' ||
-        |  CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p><!-- hidden --><div>tail &lt;' || CAST(doc_id AS VARCHAR) ||
-        |  '&gt;&nbsp;end</div><a href="http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/doc/' || CAST((doc_id*13) % 500 AS VARCHAR) ||
-        |  '">next</a><a href="#frag">skip</a><a href=''/rel/' || CAST(doc_id AS VARCHAR) || '''>rel</a></body></html>' AS html
+      s"""WITH h AS (SELECT doc_id,
+        |$htmlFixtureSql
         | FROM documents),
         | l AS (SELECT doc_id,
-        |    list_filter(regexp_extract_all(html, '(?i)href\s*=\s*["'']([^"'']+)["'']', 1), x -> x NOT LIKE '#%') ls
+        |    list_filter(regexp_extract_all(html, '(?i)href\\s*=\\s*["'']([^"'']+)["'']', 1), x -> x NOT LIKE '#%') ls
         |  FROM h),
         | e AS (SELECT doc_id, ls, unnest(range(len(ls))) i FROM l WHERE len(ls) > 0)
         |SELECT doc_id, CAST(i AS INTEGER) AS pos, ls[CAST(i+1 AS INTEGER)] AS url,

@@ -3978,13 +3978,14 @@ object Queries {
     val docs = t(s, dir, "documents")
       .filter(col("doc_id") < 5000)
       .select(col("doc_id"), col("text").as("body"))
+    val serConf = new graft.core.SerializableHadoopConf(s.sparkContext.hadoopConfiguration)
     warcFiles(s, docs).as[(Long, Array[Byte])].foreachPartition { it: Iterator[(Long, Array[Byte])] =>
       if (it.hasNext) {
-        // FS resolved once per task, checksum sidecars off: the default
-        // checksummed LocalFileSystem costs ~8 ms/file on small files
-        // (a measured 8 s of the fixture write at 1000 files)
-        val fs = new org.apache.hadoop.fs.Path(outDir)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // FS resolved once per task from the SESSION conf (executor tasks
+        // must see configured object stores), checksum sidecars off: the
+        // default checksummed LocalFileSystem costs ~8 ms/file on small
+        // files (a measured 8 s of the fixture write at 1000 files)
+        val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(serConf.value)
         fs.setWriteChecksum(false)
         it.foreach { case (fid, bytes) =>
           val o = fs.create(new org.apache.hadoop.fs.Path(f"$outDir%s/part-$fid%05d.warc.gz"), true)
@@ -4098,6 +4099,7 @@ object Queries {
   def q187(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val outDir = scratchDir("jsonl") + "/corpus"
+    val serConf = new graft.core.SerializableHadoopConf(s.sparkContext.hadoopConfiguration)
     t(s, dir, "documents")
       .select(
         col("doc_id"),
@@ -4108,8 +4110,7 @@ object Queries {
       .as[(Long, String)]
       .foreachPartition { it: Iterator[(Long, String)] =>
         if (it.hasNext) {
-          val fs = new org.apache.hadoop.fs.Path(outDir)
-            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(serConf.value)
           fs.setWriteChecksum(false)
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val o = fs.create(new org.apache.hadoop.fs.Path(f"$outDir%s/part-$pid%05d.jsonl"), true)
@@ -4209,7 +4210,11 @@ object Queries {
         it.map { case (fid, recs) =>
           val sb = new StringBuilder("""<?xml version="1.0"?><corpus>""")
           recs.foreach { case (id, lang, nc, text) =>
-            sb ++= s"<doc><id>$id</id><lang>$lang</lang><nc>$nc</nc><note>a &amp; b</note><body>$text</body></doc>"
+            // XML-escape the embedded text: the real parser decodes it
+            // back, so the oracle's prediction (original text) still
+            // holds — but an unescaped '&' would tear the WRONG record
+            val esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            sb ++= s"<doc><id>$id</id><lang>$lang</lang><nc>$nc</nc><note>a &amp; b</note><body>$esc</body></doc>"
           }
           sb ++= "</corpus>"
           val bytes = sb.toString.getBytes("UTF-8")

@@ -33,7 +33,9 @@ object Anonymize {
     require(ladder.nonEmpty, "generalization ladder must have at least one level")
     val found = ladder.indexWhere { lv =>
       val grouped = df.groupBy(lv.map { case (n, c) => c.as(n) }: _*).count()
-      grouped.agg(min(col("count"))).head().getLong(0) >= k
+      // empty input: min over zero groups is null — does not qualify
+      val m = grouped.agg(min(col("count"))).head()
+      !m.isNullAt(0) && m.getLong(0) >= k
     }
     if (found < 0) ladder.size - 1 else found
   }
@@ -41,6 +43,12 @@ object Anonymize {
   /** Publish `df` k-anonymized: key columns pass through, quasi columns
     * are generalized at the chosen level, and each row carries the level
     * plus its group size as the verifiable privacy witness.
+    *
+    * FAILS CLOSED: when even the coarsest level cannot reach k (a table
+    * smaller than k, or an unreachable ladder), rows in under-k groups
+    * are SUPPRESSED rather than published — the classic suppression step
+    * that keeps the stated invariant unconditional. At any level
+    * [[chooseLevel]] actually qualified, suppression is a no-op.
     */
   def kAnonymize(df: DataFrame, k: Long, keyCols: Seq[String], ladder: Seq[Level]): DataFrame = {
     val lvl = chooseLevel(df, k, ladder)
@@ -50,5 +58,6 @@ object Anonymize {
     gen
       .withColumn("gen_level", lit(lvl))
       .withColumn("group_n", count(lit(1)).over(w))
+      .filter(col("group_n") >= k) // suppression: every published row provably meets k
   }
 }

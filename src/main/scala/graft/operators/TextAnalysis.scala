@@ -873,29 +873,6 @@ object TextAnalysis {
         expr("(__ok * 10000L) div n_docs").as("quality_share_e4"))
   }
 
-  /** LINE-LEVEL corpus dedup (the CCNet / RefinedWeb boilerplate strip,
-    * Wenzek et al. 2020): lines whose corpus-wide occurrence count
-    * exceeds `maxDf` are boilerplate — headers, nav bars, cookie banners,
-    * license blurbs — and are removed from EVERY document; surviving
-    * lines are reassembled in original order. This is the complement of
-    * doc-level dedup: it rescues the unique content of pages that share
-    * chrome, where whole-doc near-dup would either keep the chrome or
-    * drop the page.
-    *
-    * Occurrences are counted per (doc, position) — a line repeated inside
-    * one document counts each time, matching the shard-level CCNet
-    * behavior and keeping the operator exactly replayable in SQL.
-    *
-    * SCALE: three aggregation-shaped exchanges, each on a hashed 8-byte
-    * key, never on line text — (1) the line-hash count (map-side partial
-    * combine), (2) the mark-back join against the doomed set, which is
-    * the boilerplate TAIL (df > maxDf) and therefore orders of magnitude
-    * smaller than the line table — AQE turns the join broadcast when it
-    * fits, and we deliberately do NOT force the hint so an adversarial
-    * corpus with a huge doomed set degrades to a shuffled join instead
-    * of an executor OOM — and (3) the per-doc reassembly. Only (3)
-    * carries line text, and it moves each line exactly once.
-    */
   /** T5-STYLE SPAN CORRUPTION (Raffel et al. 2020): the seq2seq
     * denoising objective's data transform — fixed-length token spans are
     * selected deterministically (portable md5(seed:doc:span) indicator,
@@ -964,6 +941,29 @@ object TextAnalysis {
       )
   }
 
+  /** LINE-LEVEL corpus dedup (the CCNet / RefinedWeb boilerplate strip,
+    * Wenzek et al. 2020): lines whose corpus-wide occurrence count
+    * exceeds `maxDf` are boilerplate — headers, nav bars, cookie banners,
+    * license blurbs — and are removed from EVERY document; surviving
+    * lines are reassembled in original order. This is the complement of
+    * doc-level dedup: it rescues the unique content of pages that share
+    * chrome, where whole-doc near-dup would either keep the chrome or
+    * drop the page.
+    *
+    * Occurrences are counted per (doc, position) — a line repeated inside
+    * one document counts each time, matching the shard-level CCNet
+    * behavior and keeping the operator exactly replayable in SQL.
+    *
+    * SCALE: three aggregation-shaped exchanges, each on a hashed 8-byte
+    * key, never on line text — (1) the line-hash count (map-side partial
+    * combine), (2) the mark-back join against the doomed set, which is
+    * the boilerplate TAIL (df > maxDf) and therefore orders of magnitude
+    * smaller than the line table — AQE turns the join broadcast when it
+    * fits, and we deliberately do NOT force the hint so an adversarial
+    * corpus with a huge doomed set degrades to a shuffled join instead
+    * of an executor OOM — and (3) the per-doc reassembly. Only (3)
+    * carries line text, and it moves each line exactly once.
+    */
   def lineDedup(
       df: DataFrame,
       idCol: String,

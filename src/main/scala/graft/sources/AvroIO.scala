@@ -145,12 +145,15 @@ object AvroIO {
       case _ => 0
     }
     val dts = st.fields.map(_.dataType)
+    // session Hadoop conf shipped to tasks: object-store credentials,
+    // endpoints and custom schemes must be visible on the executor
+    val serConf = new graft.core.SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
     df.rdd.foreachPartition { it =>
       if (it.hasNext) {
         val schema = new Schema.Parser().parse(schemaJson)
         val pid = TaskContext.getPartitionId()
         val p = new Path(f"$path%s/part-$pid%05d.avro")
-        val pfs = p.getFileSystem(new Configuration())
+        val pfs = p.getFileSystem(serConf.value)
         val out = pfs.create(p, true)
         val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
         writer.setCodec(CodecFactory.deflateCodec(6))

@@ -72,8 +72,15 @@ object BloomIndex {
   /** Pruning decision only (exposed for tests/plan audits): partitions to
     * scan vs skip for the probe keys.
     */
-  def prunePlan(spark: SparkSession, indexPath: String, keys: Seq[String]): (Seq[String], Seq[String]) = {
-    val mt = meta(spark, indexPath)
+  def prunePlan(spark: SparkSession, indexPath: String, keys: Seq[String]): (Seq[String], Seq[String]) =
+    prunePlanWith(spark, indexPath, keys, meta(spark, indexPath))
+
+  private def prunePlanWith(
+      spark: SparkSession,
+      indexPath: String,
+      keys: Seq[String],
+      mt: com.fasterxml.jackson.databind.JsonNode
+  ): (Seq[String], Seq[String]) = {
     val (m, k) = (mt.path("m").asInt(), mt.path("k").asInt())
     val hashes = keys.map(s => graft.plans.Md5Prefix60.hash(s.getBytes("UTF-8")))
     val idx = spark.read.parquet(s"$indexPath/parts")
@@ -91,7 +98,7 @@ object BloomIndex {
     val mt = meta(spark, indexPath)
     val (tablePath, v) = (mt.path("table").asText(), mt.path("version").asLong())
     val (column, partCol) = (mt.path("column").asText(), mt.path("part_col").asText())
-    val (scan, _) = prunePlan(spark, indexPath, keys)
+    val (scan, _) = prunePlanWith(spark, indexPath, keys, mt) // one _meta read per lookup
     val snap = VersionedTable.read(spark, tablePath, Some(v))
     val residual = col(column).cast("string").isin(keys: _*)
     if (scan.isEmpty) snap.limit(0)

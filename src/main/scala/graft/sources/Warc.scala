@@ -94,16 +94,48 @@ object Warc {
     * Returns (decodedBytes, cleanEof): bytes decoded before any error are
     * KEPT, and `cleanEof=false` marks a truncated/corrupt tail so the
     * parser emits its sentinel even when the torn member yielded nothing.
+    *
+    * Members are walked explicitly (RFC 1952 header + raw `Inflater` +
+    * 8-byte trailer) rather than through `GZIPInputStream`: the JDK
+    * stream treats a TRUNCATED NEXT-MEMBER HEADER as a clean end of the
+    * concatenation (its readTrailer swallows the IOException), which
+    * would silently drop a torn record with no sentinel — exactly the
+    * unauditable loss this contract exists to prevent.
     */
   def inflateAll(bytes: Array[Byte]): (Array[Byte], Boolean) = {
     val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    def u(i: Int): Int = bytes(i) & 0xff
     try {
-      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        n = in.read(buf)
+      while (pos < bytes.length) {
+        // RFC 1952 member header: magic, CM=8, FLG, MTIME(4), XFL, OS = 10 bytes
+        if (pos + 10 > bytes.length || u(pos) != 0x1f || u(pos + 1) != 0x8b || u(pos + 2) != 8)
+          return (out.toByteArray, false)
+        val flg = u(pos + 3)
+        var p = pos + 10
+        if ((flg & 0x04) != 0) { // FEXTRA
+          if (p + 2 > bytes.length) return (out.toByteArray, false)
+          p += 2 + (u(p) | (u(p + 1) << 8))
+        }
+        if ((flg & 0x08) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 } // FNAME
+        if ((flg & 0x10) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+        if ((flg & 0x02) != 0) p += 2 // FHCRC
+        if (p > bytes.length) return (out.toByteArray, false)
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(bytes, p, bytes.length - p)
+          val buf = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n > 0) out.write(buf, 0, n)
+            // n == 0 and not finished: input exhausted (cut mid-member) or
+            // a dictionary demand — either way the member cannot complete
+            else if (!inf.finished()) return (out.toByteArray, false)
+          }
+          val consumed = (bytes.length - p) - inf.getRemaining
+          pos = p + consumed + 8 // skip CRC32 + ISIZE
+          if (pos > bytes.length) return (out.toByteArray, false) // trailer torn off
+        } finally inf.end()
       }
       (out.toByteArray, true)
     } catch {
@@ -169,7 +201,9 @@ object Warc {
               }
           }
         }
-        if (!headerOk || clen < 0 || pos + clen + 4 > bytes.length) {
+        // non-overflowing bound: a hostile Content-Length near Long.Max
+        // must read as torn, not wrap negative past the length guard
+        if (!headerOk || clen < 0 || clen > (bytes.length - pos - 4).toLong) {
           torn = true
           done = true
         } else {

@@ -35,6 +35,23 @@ class AnonymizeSpec extends AnyFunSuite {
     assert(Anonymize.chooseLevel(df, 100L, ladder) === 2)
   }
 
+  test("fails closed: under-k groups are suppressed, never published (and k>table yields empty)") {
+    val out = Anonymize.kAnonymize(df, 100L, Seq("id"), ladder)
+    assert(out.count() === 0L, "a 9-row table can never satisfy k=100 — publish nothing")
+    // mixed case: at level 0 with k=3, the (1,A) pair (2 rows) must vanish
+    val l0Only = ladder.take(1)
+    val got = Anonymize.kAnonymize(df, 3L, Seq("id"), l0Only)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(12L, 13L, 14L, 15L, 16L, 17L, 18L), "only the >=3 groups survive suppression")
+  }
+
+  test("empty input: no NPE, empty publish") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Int, String)].toDF("id", "region", "seg")
+    assert(Anonymize.chooseLevel(empty, 2L, ladder) === 2, "empty input qualifies no level; coarsest fallback")
+    assert(Anonymize.kAnonymize(empty, 2L, Seq("id"), ladder).count() === 0L)
+  }
+
   test("published rows carry the level and a group size that honors k") {
     val out = Anonymize.kAnonymize(df, 3L, Seq("id"), ladder)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3), r.getLong(4)))

@@ -53,6 +53,22 @@ class WarcSpec extends AnyFunSuite {
     assert(recs(1).recIdx === 1)
   }
 
+  test("file cut inside a gzip member HEADER still surfaces the sentinel (JDK stream would swallow it)") {
+    val full = file(gz = true, Seq("first body"))
+    // a truncated next-member header after valid members: magic + partial
+    val torn = full ++ Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0)
+    val recs = Warc.parseWarc(4L, torn)
+    assert(recs.count(!_.ok) === 1, s"torn header must yield a sentinel, got $recs")
+    assert(recs.init.forall(_.ok) && recs.init.map(_.body) === Seq("software: graft\r\n", "first body"))
+  }
+
+  test("hostile Content-Length near Long.Max reads as torn, never kills the task") {
+    val evil = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 9223372036854775800\r\n\r\nbody").getBytes("UTF-8")
+    val recs = Warc.parseWarc(6L, evil)
+    assert(recs.map(_.ok) === Seq(false), s"overflow length must be one sentinel, got $recs")
+  }
+
   test("garbage bytes produce a single sentinel, empty input none") {
     val garbage = Warc.parseWarc(9L, "this is not a warc file at all".getBytes("UTF-8"))
     assert(garbage.map(_.ok) === Seq(false))
