@@ -300,4 +300,26 @@ class PlanQualitySpec extends AnyFunSuite {
     // partial-then-final sketch union: the merge reduces map-side
     assert(p.contains("partial_hll_union_agg"), "sketch union must partially aggregate before the exchange")
   }
+
+  test("q176 line dedup: three hashed-key exchanges, no sort, no cartesian, no UDF") {
+    val p = plan("q176_line_dedup")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"line dedup promises <=3 hashed exchanges, plan has $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), "must stay expression-only")
+  }
+
+  test("q185 importance sampling: the scoring subtree is materialized once (InMemoryRelation), filter stays cheap") {
+    val p = plan("q185_importance_sample")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"the cached scoring frame must serve the join — without it the filter inlines the aggregate chain ~6x:\n$p")
+    assert(!p.contains("aggregate(") || p.split("aggregate\\(").length <= 3,
+      s"scoring lambda must not be inlined into the acceptance filter:\n$p")
+  }
+
+  test("q178 HTML extraction: single whole-stage pass, zero exchanges") {
+    val p = plan("q178_html_text")
+    assert(!p.contains("Exchange"), s"pure projection chain must not shuffle:\n$p")
+    assert(p.contains("*("), "regexp chain must run inside whole-stage codegen (starred operators)")
+  }
 }
