@@ -131,6 +131,14 @@ object AvroIO {
 
   /** Sink: one Avro container file per non-empty task partition under
     * `path` (cleared first — overwrite semantics, like the parquet sink).
+    *
+    * COMMIT PROTOCOL (ADVICE r12): the directory is only readable once
+    * every task finished — a `_SUCCESS` marker lands after the job
+    * completes, and [[readAvro]] refuses a directory without it. A job
+    * that dies after some tasks committed leaves a marker-less partial
+    * directory that reads as the loud failure it is, never as a silently
+    * complete dataset. (Task RETRIES are already safe — each partition
+    * overwrites its own deterministic part file.)
     */
   def writeAvro(df: DataFrame, path: String): Unit = {
     val st = df.schema
@@ -171,14 +179,43 @@ object AvroIO {
         } finally writer.close() // closes the FS stream too
       }
     }
+    // all tasks done — publish the directory
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
+  }
+
+  /** Lazy row iterator over one container stream: records decode as the
+    * consumer pulls (container blocks stream one at a time — per-task
+    * memory O(block), never O(file)). The stream closes on exhaustion.
+    */
+  def rowIterator(in: java.io.InputStream, dts: Array[DataType]): Iterator[Row] = {
+    val reader = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    new scala.collection.AbstractIterator[Row] {
+      private var closed = false
+      override def hasNext: Boolean = {
+        if (closed) return false
+        val h = reader.hasNext
+        if (!h) { closed = true; reader.close() }
+        h
+      }
+      override def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException("avro container exhausted")
+        val rec = reader.next()
+        Row.fromSeq(dts.indices.map(i => fromAvro(rec.get(i), dts(i))))
+      }
+    }
   }
 
   /** Source: schema from the first container header (driver-side, one
-    * block read), then one task per file streaming records out.
+    * block read), then one task per file streaming records out lazily
+    * via [[rowIterator]]. Requires the sink's `_SUCCESS` marker — a
+    * partial directory from a failed write job is refused, not silently
+    * read as complete.
     */
   def readAvro(spark: SparkSession, path: String): DataFrame = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(dir, "_SUCCESS")),
+      s"$path has no _SUCCESS marker — refusing a partial/uncommitted avro directory")
     val files = Option(fs.globStatus(new Path(s"$path/*.avro"))).getOrElse(Array.empty)
       .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"no .avro files under $path")
@@ -188,18 +225,7 @@ object AvroIO {
     val dts = st.fields.map(_.dataType)
     val rows = spark.read.format("binaryFile").load(s"$path/*.avro")
       .select("content").rdd
-      .flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](0)
-        val reader = new DataFileStream[GenericRecord](new ByteArrayInputStream(bytes), new GenericDatumReader[GenericRecord]())
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-        try {
-          while (reader.hasNext) {
-            val rec = reader.next()
-            buf += Row.fromSeq(dts.indices.map(i => fromAvro(rec.get(i), dts(i))))
-          }
-        } finally reader.close()
-        buf
-      }
+      .flatMap(r => rowIterator(new ByteArrayInputStream(r.getAs[Array[Byte]](0)), dts))
     spark.createDataFrame(rows, st)
   }
 }

@@ -98,4 +98,47 @@ class AvroIOSpec extends AnyFunSuite {
   test("schema mapping is its own inverse on the supported surface") {
     assert(AvroIO.structType(AvroIO.avroSchema(fullSchema)) === fullSchema)
   }
+
+  test("a partial directory without _SUCCESS is refused, not read as complete") {
+    import spark.implicits._
+    val out = tmp()
+    AvroIO.writeAvro((1L to 10L).toDF("x"), out)
+    // simulate a job that died after some tasks committed
+    assert(new java.io.File(s"$out/_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException](AvroIO.readAvro(spark, out))
+    assert(e.getMessage.contains("_SUCCESS"), s"wrong refusal: ${e.getMessage}")
+  }
+
+  test("rowIterator streams: first row decodes before the container's tail is read") {
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    // hand-build a container with a SMALL sync interval so it holds many
+    // blocks — laziness is per-block, a single-block file proves nothing
+    val schema = AvroIO.avroSchema(StructType(Seq(StructField("s", StringType, nullable = false))))
+    val baos = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.setSyncInterval(1 << 12)
+    w.create(schema, baos)
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { i =>
+      val rec = new GenericData.Record(schema)
+      rec.put(0, s"row-$i " + rnd.alphanumeric.take(200).mkString) // incompressible-ish
+      w.append(rec)
+    }
+    w.close()
+    val bytes = baos.toByteArray
+    var consumed = 0L
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(bytes)
+      override def read(): Int = { val b = in.read(); if (b != -1) consumed += 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = in.read(b, off, len); if (n > 0) consumed += n; n
+      }
+    }
+    val it = AvroIO.rowIterator(counting, Array(StringType))
+    assert(it.next().getString(0).startsWith("row-0"))
+    assert(consumed < bytes.length / 2,
+      s"read $consumed of ${bytes.length} bytes for the first of 2000 rows — not streaming")
+    assert(it.size === 1999) // drain cleanly
+  }
 }

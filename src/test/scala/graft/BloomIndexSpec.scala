@@ -54,6 +54,37 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).filter(col("name") === "name-late").count() === 1L)
   }
 
+  test("distributed prune (over budget) decides identically to the driver-side path") {
+    val base = Files.createTempDirectory("bloomidx").toString
+    // 64 partitions — small enough to test, forced over budget below
+    val df = (0L until 640L).map(i => (i, s"name-$i", s"b${i % 64}")).toDF("id", "name", "cb")
+    VersionedTable.commitDelta(spark, s"$base/t", df, "cb")
+    BloomIndex.build(spark, s"$base/t", s"$base/i", "name", m = 1 << 14, k = 3)
+    val keys = Seq("name-7", "name-100", "name-639", "absent-1", "absent-2")
+    val (scanD, skipD) = BloomIndex.prunePlan(spark, s"$base/i", keys) // driver mode (64 <= 4096)
+    val (scanX, skipX) = BloomIndex.prunePlan(spark, s"$base/i", keys, driverBudgetParts = 1) // forced distributed
+    assert(scanD === scanX && skipD === skipX,
+      s"prune modes disagree: driver=($scanD,$skipD) distributed=($scanX,$skipX)")
+    assert(scanD.nonEmpty && skipD.nonEmpty)
+  }
+
+  test("null partition values cannot reach the index: commitDelta refuses them upstream") {
+    // ADVICE r12 flagged a potential NPE on a null 'part' row. The real
+    // guard is layered: (1) commitDelta refuses null partition values at
+    // the table boundary — asserted here — so a versioned table can never
+    // hold one; (2) build still coalesces to BloomIndex.NullPart and
+    // lookup translates the sentinel to an isNull disjunct, so even a
+    // hypothetical future table source with null partitions would get a
+    // total index instead of an NPE'd sort + silently unmatchable isin.
+    val base = Files.createTempDirectory("bloomidx").toString
+    val df = Seq(
+      (1L, "name-a", "b0"),
+      (3L, "name-null", null.asInstanceOf[String])
+    ).toDF("id", "name", "cb")
+    val e = intercept[Exception](VersionedTable.commitDelta(spark, s"$base/t", df, "cb"))
+    assert(e.getMessage.contains("must not be NULL"), s"unexpected failure mode: ${e.getMessage}")
+  }
+
   test("refusal on a full-snapshot (non-delta) table") {
     val base = Files.createTempDirectory("bloomidx").toString
     VersionedTable.commit(Seq((1L, "x")).toDF("id", "name"), s"$base/t")

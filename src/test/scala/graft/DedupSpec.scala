@@ -389,6 +389,33 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, 10000L)), s"expected exact containment over retained shingles, got $out")
   }
 
+  test("containmentPairs prefix filter: a corpus-wide hot shingle generates ZERO candidates") {
+    // 120 docs, each three unique tokens plus one boilerplate token shared
+    // by ALL of them. The retired postings self-join would materialize
+    // C(120,2) = 7140 candidate rows from the boilerplate key alone (and
+    // 10^12 from a 1M-doc corpus — the scale-killer VERDICT r12 named).
+    // Under the prefix rule the boilerplate token is the most frequent, so
+    // rarest-first ordering keeps it out of every doc's prefix: the unique
+    // prefix tokens hit only their own doc's postings and the candidate
+    // set is EMPTY. Exactness untouched: no doc pair here reaches C >= 0.5
+    // (intersection 1 of 4), so the empty output is also the right answer.
+    val hot = (1L to 120L).map(i => (i, s"u${i}a u${i}b u${i}c boilerplate")).toDF("doc_id", "text")
+    val ordered = Dedup.containmentOrdered(hot, "doc_id", "text",
+      shingleSize = 1, minContainment = 0.5, hotShingleCap = None)
+    assert(Dedup.containmentCandidates(ordered).count() == 0L,
+      "hot shingle leaked into a prefix: the candidate join is quadratic again")
+    assert(Dedup.containmentPairs(hot, "doc_id", "text", shingleSize = 1, minContainment = 0.5).count() == 0L)
+    // recall is intact through the same path: plant one genuine containment
+    // (doc 200's tokens all inside doc 201) in the same hot-shingle corpus
+    val planted = hot.union(Seq(
+      (200L, "p1 p2 p3 boilerplate"),
+      (201L, "p1 p2 p3 p4 p5 p6 p7 boilerplate")
+    ).toDF("doc_id", "text"))
+    val pairs = Dedup.containmentPairs(planted, "doc_id", "text", shingleSize = 1, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((200L, 201L, 10000L)), s"planted containment pair lost by the prefix filter: $pairs")
+  }
+
   test("incremental LSH: probe equals full recompute restricted to the batch; index stays current") {
     val corpusDocs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

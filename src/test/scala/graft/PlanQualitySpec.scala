@@ -317,6 +317,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scoring lambda must not be inlined into the acceptance filter:\n$p")
   }
 
+  test("q149 containment: candidates come from the PREFIX slice, verified by exact intersection") {
+    val p = plan("q149_containment")
+    // the prefix probe (slice of the rarest-first array) must feed the
+    // candidate join — if the raw postings self-join comes back, the slice
+    // and the intersection verify both vanish from the plan
+    assert(p.contains("slice("), s"prefix slice missing — candidate join regressed to raw postings:\n$p")
+    assert(p.contains("array_intersect"), s"exact candidate verify missing:\n$p")
+    // (the rarest-first sort_array is aliased away inside the aggregate in
+    // the executed-plan text; DedupSpec's hot-shingle case guards the
+    // ordering behaviorally — zero candidates is only possible rarest-first)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must stay an equi-join:\n$p")
+  }
+
   test("q178 HTML extraction: single whole-stage pass, zero exchanges") {
     val p = plan("q178_html_text")
     assert(!p.contains("Exchange"), s"pure projection chain must not shuffle:\n$p")

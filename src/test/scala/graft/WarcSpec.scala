@@ -81,6 +81,71 @@ class WarcSpec extends AnyFunSuite {
     assert(recs(1).body === body && recs(1).bodyLen === body.getBytes("UTF-8").length.toLong)
   }
 
+  private def respRaw(uri: String, bodyBytes: Array[Byte], contentType: String): Array[Byte] =
+    Warc.encodeRecordRaw("response", uri, 200, bodyBytes, contentType)
+
+  test("charset precedence: Content-Type header > meta sniff > UTF-8 default") {
+    val latin = "café æø" // café æø — all Latin-1 encodable
+    val file = Warc.encodeFile(Seq(
+      // 1) declared in the HTTP header — wins outright
+      respRaw("http://x/hdr", latin.getBytes("ISO-8859-1"), "text/html; charset=iso-8859-1"),
+      // 2) no header charset, HTML meta declares it
+      respRaw("http://x/meta", s"""<meta charset="iso-8859-1"><p>$latin</p>""".getBytes("ISO-8859-1"), "text/html"),
+      // 3) neither — UTF-8 default
+      respRaw("http://x/dflt", latin.getBytes("UTF-8"), "text/html"),
+      // 4) header AND meta disagree; header wins. Bytes are UTF-8, decode
+      //    is Latin-1 per the DECLARED header → deterministic mojibake
+      respRaw("http://x/both", s"""<meta charset="utf-8"><p>é</p>""".getBytes("UTF-8"), "text/html; charset=ISO-8859-1"),
+      // 5) unsupported charset name falls back to UTF-8, never throws
+      respRaw("http://x/bogus", latin.getBytes("UTF-8"), "text/html; charset=no-such-charset-xyz")
+    ), gzipPerRecord = true)
+    val recs = Warc.parseWarc(1L, file)
+    assert(recs.forall(_.ok))
+    assert(recs(0).body === latin, "header-declared Latin-1 must decode losslessly")
+    assert(recs(1).body === s"""<meta charset="iso-8859-1"><p>$latin</p>""", "meta-declared Latin-1 must decode losslessly")
+    assert(recs(2).body === latin, "undeclared UTF-8 must decode as UTF-8")
+    assert(recs(3).body === "<meta charset=\"utf-8\"><p>Ã©</p>",
+      "header must beat meta: UTF-8 é (C3 A9) read as Latin-1 is Ã©")
+    assert(recs(4).body === latin, "unsupported charset name must fall back to UTF-8")
+    // bodyLen stays the UTF-8 byte length of the DECODED string
+    assert(recs(0).bodyLen === latin.getBytes("UTF-8").length.toLong)
+  }
+
+  test("iterator streaming: the first record emits before the file's tail is read") {
+    // incompressible filler — a constant-char body would gzip to ~200
+    // bytes and one 8 KB compressed chunk read would swallow the file,
+    // proving nothing about laziness
+    val bodies = (0 until 5).map { i =>
+      val rnd = new scala.util.Random(42 + i)
+      s"body-$i " + rnd.alphanumeric.take(160000).mkString
+    }
+    val raw = file(gz = true, bodies)
+    var consumed = 0L
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(raw)
+      override def read(): Int = { val b = in.read(); if (b != -1) consumed += 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = in.read(b, off, len); if (n > 0) consumed += n; n
+      }
+    }
+    val it = Warc.parseWarcIter(1L, counting)
+    val first = it.next() // warcinfo
+    val second = it.next() // first response
+    assert(first.warcType === "warcinfo" && second.body.startsWith("body-0"))
+    assert(consumed < raw.length / 2,
+      s"parse must stream: read $consumed of ${raw.length} bytes for 2 of 6 records")
+    assert(it.toList.count(_.ok) === 4) // drain: remaining responses all parse
+  }
+
+  test("decompression-bomb guard: an over-cap Content-Length degrades to the sentinel") {
+    val small = Warc.encodeRecord("response", "http://x/ok", 200, "fine")
+    val huge = Warc.encodeRecord("response", "http://x/bomb", 200, "z" * 3000)
+    val raw = Warc.encodeFile(Seq(small, huge), gzipPerRecord = true)
+    val recs = Warc.parseWarcIter(5L, new java.io.ByteArrayInputStream(raw), maxBlockBytes = 1024).toList
+    assert(recs.map(_.ok) === Seq(true, false), s"over-cap record must be one sentinel: $recs")
+    assert(recs(0).body === "fine" && recs(1).recIdx === 1)
+  }
+
   test("distributed readWarc: one row per record, zero shuffles") {
     import spark.implicits._
     val files = Seq(
