@@ -3984,14 +3984,21 @@ object Queries {
         // FS resolved once per task from the SESSION conf (executor tasks
         // must see configured object stores), checksum sidecars off: the
         // default checksummed LocalFileSystem costs ~8 ms/file on small
-        // files (a measured 8 s of the fixture write at 1000 files)
-        val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(serConf.value)
-        fs.setWriteChecksum(false)
-        it.foreach { case (fid, bytes) =>
-          val o = fs.create(new org.apache.hadoop.fs.Path(f"$outDir%s/part-$fid%05d.warc.gz"), true)
-          o.write(bytes)
-          o.close()
-        }
+        // files (a measured 8 s of the fixture write at 1000 files).
+        // newInstance, NOT the cached get(): Path.getFileSystem returns
+        // the JVM-cache-shared instance (keyed scheme+authority+ugi), so
+        // setWriteChecksum(false) on it would silently disable checksum
+        // sidecars for every other writer of the scheme (ADVICE r13 #4)
+        val p = new org.apache.hadoop.fs.Path(outDir)
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(p.toUri, serConf.value)
+        try {
+          fs.setWriteChecksum(false)
+          it.foreach { case (fid, bytes) =>
+            val o = fs.create(new org.apache.hadoop.fs.Path(f"$outDir%s/part-$fid%05d.warc.gz"), true)
+            o.write(bytes)
+            o.close()
+          }
+        } finally fs.close()
       }
     }
     val stream = s.readStream
@@ -4110,13 +4117,18 @@ object Queries {
       .as[(Long, String)]
       .foreachPartition { it: Iterator[(Long, String)] =>
         if (it.hasNext) {
-          val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(serConf.value)
-          fs.setWriteChecksum(false)
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val o = fs.create(new org.apache.hadoop.fs.Path(f"$outDir%s/part-$pid%05d.jsonl"), true)
-          val w = new java.io.OutputStreamWriter(o, "UTF-8")
-          it.foreach { case (_, line) => w.write(line); w.write("\n") }
-          w.close()
+          // newInstance for the same cache-pollution reason as the WARC
+          // fixture writer above (ADVICE r13 #4)
+          val p = new org.apache.hadoop.fs.Path(outDir)
+          val fs = org.apache.hadoop.fs.FileSystem.newInstance(p.toUri, serConf.value)
+          try {
+            fs.setWriteChecksum(false)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val o = fs.create(new org.apache.hadoop.fs.Path(f"$outDir%s/part-$pid%05d.jsonl"), true)
+            val w = new java.io.OutputStreamWriter(o, "UTF-8")
+            it.foreach { case (_, line) => w.write(line); w.write("\n") }
+            w.close()
+          } finally fs.close()
         }
       }
     val schema = "doc_id LONG, lang STRING, n_chars LONG, source STRING, _corrupt_record STRING"

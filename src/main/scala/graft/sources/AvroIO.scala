@@ -185,16 +185,21 @@ object AvroIO {
 
   /** Lazy row iterator over one container stream: records decode as the
     * consumer pulls (container blocks stream one at a time — per-task
-    * memory O(block), never O(file)). The stream closes on exhaustion.
+    * memory O(block), never O(file)). The stream closes on exhaustion;
+    * a consumer that ABANDONS the iterator early (limit/take/first)
+    * must call [[java.io.Closeable.close]] itself or arrange a
+    * task-completion hook, as [[readAvro]] does — otherwise the reader
+    * and underlying stream live until GC (ADVICE r13 #4).
     */
-  def rowIterator(in: java.io.InputStream, dts: Array[DataType]): Iterator[Row] = {
+  def rowIterator(in: java.io.InputStream, dts: Array[DataType]): Iterator[Row] with java.io.Closeable = {
     val reader = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-    new scala.collection.AbstractIterator[Row] {
+    new scala.collection.AbstractIterator[Row] with java.io.Closeable {
       private var closed = false
+      override def close(): Unit = if (!closed) { closed = true; reader.close() }
       override def hasNext: Boolean = {
         if (closed) return false
         val h = reader.hasNext
-        if (!h) { closed = true; reader.close() }
+        if (!h) close()
         h
       }
       override def next(): Row = {
@@ -207,15 +212,18 @@ object AvroIO {
 
   /** Source: schema from the first container header (driver-side, one
     * block read), then one task per file streaming records out lazily
-    * via [[rowIterator]]. Requires the sink's `_SUCCESS` marker — a
-    * partial directory from a failed write job is refused, not silently
-    * read as complete.
+    * via [[rowIterator]]. By default requires the sink's `_SUCCESS`
+    * marker — a partial directory from a failed write job is refused,
+    * not silently read as complete. Directories written before the
+    * marker protocol existed, or by external avro tools (which write no
+    * marker), opt out with `requireSuccessMarker = false`.
     */
-  def readAvro(spark: SparkSession, path: String): DataFrame = {
+  def readAvro(spark: SparkSession, path: String, requireSuccessMarker: Boolean = true): DataFrame = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new Path(dir, "_SUCCESS")),
-      s"$path has no _SUCCESS marker — refusing a partial/uncommitted avro directory")
+    require(!requireSuccessMarker || fs.exists(new Path(dir, "_SUCCESS")),
+      s"$path has no _SUCCESS marker — refusing a partial/uncommitted avro directory " +
+        "(readAvro(..., requireSuccessMarker = false) accepts externally-written trees)")
     val files = Option(fs.globStatus(new Path(s"$path/*.avro"))).getOrElse(Array.empty)
       .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"no .avro files under $path")
@@ -225,7 +233,16 @@ object AvroIO {
     val dts = st.fields.map(_.dataType)
     val rows = spark.read.format("binaryFile").load(s"$path/*.avro")
       .select("content").rdd
-      .flatMap(r => rowIterator(new ByteArrayInputStream(r.getAs[Array[Byte]](0)), dts))
+      .mapPartitions { partIt =>
+        partIt.flatMap { r =>
+          val it = rowIterator(new ByteArrayInputStream(r.getAs[Array[Byte]](0)), dts)
+          // a downstream limit/take can abandon `it` mid-file: close at
+          // task end so the container reader never waits for GC
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
+          it
+        }
+      }
     spark.createDataFrame(rows, st)
   }
 }

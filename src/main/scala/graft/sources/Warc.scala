@@ -312,6 +312,19 @@ object Warc {
     private var emitted = 0
     private var done = false
     private var pending: WarcRecord = _
+    private var streamsClosed = false
+
+    /** Frees the Inflater's native zlib buffers (StrictGzipMemberStream
+      * .close → inf.end) and the underlying input the moment the iterator
+      * is exhausted or torn — executor tasks streaming many .warc.gz
+      * files must not wait for GC cleaners to release off-heap memory
+      * (ADVICE r13 #2). Mirrors AvroIO.rowIterator's close-on-exhaustion.
+      */
+    private def closeStreams(): Unit = if (!streamsClosed) {
+      streamsClosed = true
+      try in.close() // closes gz (inf.end) or magicProbe, which closes in0
+      catch { case _: java.io.IOException => () }
+    }
 
     /** One CRLF-terminated line, or Left(leftover bytes) at EOF / over the
       * line cap (leftover feeds the trailing-whitespace tolerance check).
@@ -342,6 +355,20 @@ object Warc {
         off += r
       }
       Some(out)
+    }
+
+    /** Discard exactly `n` bytes in O(chunk) memory; false = EOF first.
+      * (read-loop, not `skip`: InputStream.skip may return 0 forever.)
+      */
+    private def skipFully(n: Long): Boolean = {
+      val buf = new Array[Byte](8 << 10)
+      var left = n
+      while (left > 0) {
+        val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+        if (r == -1) return false
+        left -= r
+      }
+      true
     }
 
     /** True iff the rest of the stream (plus `head`) holds only the
@@ -396,9 +423,21 @@ object Warc {
                 }
             }
           }
-          // the block cap bounds task memory: a hostile Content-Length
-          // (bomb or near-Long.Max) degrades to the sentinel
-          if (!headerOk || clen < 0 || clen > maxBlockBytes) { done = true; return sentinel() }
+          // the block cap bounds task memory: a broken header or
+          // negative Content-Length degrades to the terminal sentinel
+          if (!headerOk || clen < 0) { done = true; return sentinel() }
+          if (clen > maxBlockBytes) {
+            // oversized but well-formed: the block is skippable WITHOUT
+            // buffering it, so emit a sentinel for this record only and
+            // keep parsing — one whale must not drop every record after
+            // it (ADVICE r13 #5). A LYING hostile Content-Length (larger
+            // than the remaining stream) hits EOF mid-skip and ends the
+            // file exactly as the old terminal path did.
+            if (!skipFully(clen) || !skipFully(4L)) done = true
+            val rec = sentinel()
+            emitted += 1
+            return rec
+          }
           readFully(clen.toInt) match {
             case None => done = true; sentinel()
             case Some(block) =>
@@ -417,6 +456,7 @@ object Warc {
 
     override def hasNext: Boolean = {
       if (pending == null && !done) pending = advance()
+      if (done) closeStreams() // advance() has read everything it ever will
       // a torn parse can end the file exactly at a record boundary with
       // the sentinel as the final element; `done` is set by then
       pending != null

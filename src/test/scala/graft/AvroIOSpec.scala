@@ -107,6 +107,29 @@ class AvroIOSpec extends AnyFunSuite {
     assert(new java.io.File(s"$out/_SUCCESS").delete())
     val e = intercept[IllegalArgumentException](AvroIO.readAvro(spark, out))
     assert(e.getMessage.contains("_SUCCESS"), s"wrong refusal: ${e.getMessage}")
+    // externally-written trees (reference avro tools write no marker)
+    // opt out explicitly and read fine (ADVICE r13 #3)
+    val got = AvroIO.readAvro(spark, out, requireSuccessMarker = false)
+      .as[Long].collect().sorted.toSeq
+    assert(got === (1L to 10L), s"opt-out read must see all rows: $got")
+  }
+
+  test("an abandoned rowIterator is closeable early and close is idempotent") {
+    import spark.implicits._
+    val out = tmp()
+    AvroIO.writeAvro((1L to 100L).toDF("x"), out)
+    val f = new java.io.File(out).listFiles().filter(_.getName.endsWith(".avro")).head
+    val it = AvroIO.rowIterator(
+      new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(f.toPath)),
+      Array(LongType))
+    assert(it.hasNext)
+    it.next() // consume one row, then abandon — the limit/take shape
+    it.close()
+    it.close() // idempotent
+    assert(!it.hasNext, "a closed iterator must report exhaustion, not decode more")
+    // and the end-to-end limit path (which abandons per-file iterators
+    // under the task-completion hook) still returns correct rows
+    assert(AvroIO.readAvro(spark, out).limit(3).count() === 3L)
   }
 
   test("rowIterator streams: first row decodes before the container's tail is read") {

@@ -85,6 +85,13 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must not be NULL"), s"unexpected failure mode: ${e.getMessage}")
   }
 
+  test("NullPart sentinel value survives the source de-binarization (leading NUL intact)") {
+    // the literal is now a unicode ESCAPE, not a raw byte, so the file
+    // stays text for git/grep/COPYCHECK — this pins the runtime value
+    assert(BloomIndex.NullPart.charAt(0) === 0.toChar)
+    assert(BloomIndex.NullPart === 0.toChar + "__NULL_PARTITION__")
+  }
+
   test("refusal on a full-snapshot (non-delta) table") {
     val base = Files.createTempDirectory("bloomidx").toString
     VersionedTable.commit(Seq((1L, "x")).toDF("id", "name"), s"$base/t")

@@ -146,6 +146,49 @@ class WarcSpec extends AnyFunSuite {
     assert(recs(0).body === "fine" && recs(1).recIdx === 1)
   }
 
+  test("a mid-file whale is skipped, not terminal: records after it still parse (ADVICE r13)") {
+    val before = Warc.encodeRecord("response", "http://x/a", 200, "first")
+    val whale = Warc.encodeRecord("response", "http://x/whale", 200, "z" * 3000)
+    val after = Warc.encodeRecord("response", "http://x/b", 200, "last")
+    val raw = Warc.encodeFile(Seq(before, whale, after), gzipPerRecord = true)
+    val recs = Warc.parseWarcIter(6L, new java.io.ByteArrayInputStream(raw), maxBlockBytes = 1024).toList
+    assert(recs.map(_.ok) === Seq(true, false, true),
+      s"whale must cost exactly its own record: $recs")
+    assert(recs(0).body === "first" && recs(2).body === "last")
+    assert(recs.map(_.recIdx) === Seq(0, 1, 2), "record indices must stay unique past a skipped whale")
+  }
+
+  test("exhaustion closes the input (and so the Inflater) — no GC-dependent native memory") {
+    var closed = false
+    def mk(gz: Boolean): java.io.InputStream = {
+      closed = false
+      val raw = Warc.encodeFile(Seq(Warc.encodeRecord("response", "http://x/a", 200, "hi")), gzipPerRecord = gz)
+      new java.io.ByteArrayInputStream(raw) { override def close(): Unit = { closed = true; super.close() } }
+    }
+    Warc.parseWarcIter(8L, mk(gz = true)).toList // gzip path: close must reach inf.end + in0
+    assert(closed, "gzip-path input not closed on exhaustion")
+    Warc.parseWarcIter(9L, mk(gz = false)).toList
+    assert(closed, "plain-path input not closed on exhaustion")
+    val torn = mk(gz = true)
+    Warc.parseWarcIter(10L, new TruncatedStream(torn, 40)).toList // torn mid-member
+    assert(closed, "torn-path input not closed")
+  }
+
+  private class TruncatedStream(in: java.io.InputStream, cap: Int) extends java.io.InputStream {
+    private var n = 0
+    override def read(): Int = if (n >= cap) -1 else { n += 1; in.read() }
+    override def close(): Unit = in.close()
+  }
+
+  test("a LYING over-cap Content-Length (past EOF) still ends the file torn") {
+    val ok = Warc.encodeRecord("response", "http://x/a", 200, "first")
+    val lie = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/lie\r\n" +
+      "Content-Length: 999999\r\n\r\ntruncated").getBytes("UTF-8")
+    val raw = ok ++ lie
+    val recs = Warc.parseWarcIter(7L, new java.io.ByteArrayInputStream(raw), maxBlockBytes = 1024).toList
+    assert(recs.map(_.ok) === Seq(true, false), s"lying length = one terminal sentinel: $recs")
+  }
+
   test("distributed readWarc: one row per record, zero shuffles") {
     import spark.implicits._
     val files = Seq(
