@@ -2193,6 +2193,26 @@ object Oracles {
         | n_tokens, (n_tokens BETWEEN 10 AND 500) AS quality_ok
         |FROM tok""".stripMargin,
 
+    // q193: charset-aware WARC decode — the expected decoded text per
+    // planted encoding mode, predicted straight from `documents`:
+    // m0/m1/m2 decode back to the exact body (m2 with its meta prefix),
+    // m3 (UTF-8 bytes under a declared ISO-8859-1) to the deterministic
+    // mojibake of the two planted accented chars
+    "q193_warc_charset" ->
+      """WITH d AS (SELECT doc_id,
+        |    'café señor ' || regexp_replace(substr(text, 1, 80), '[^ -~]', '', 'g') AS body
+        |  FROM documents WHERE doc_id < 400),
+        | m AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS mode,
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 2 THEN '<meta charset="ISO-8859-1"><p>' || body
+        |      WHEN 3 THEN replace(replace(body, 'é', 'Ã©'), 'ñ', 'Ã±')
+        |      ELSE body END AS dec
+        |  FROM d)
+        |SELECT doc_id, mode,
+        | CAST(('0x'||substr(md5(dec),1,15)) AS BIGINT) AS body_h,
+        | CAST(length(dec) AS BIGINT) AS n_chars
+        |FROM m""".stripMargin,
+
     // q192: bloom-indexed point lookup — the plain IN filter; the index
     // may only change WHICH partitions open, never the rows
     "q192_bloom_index" ->

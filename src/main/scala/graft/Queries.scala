@@ -4278,4 +4278,61 @@ object Queries {
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents")
       )
   }
+
+  /** q193: CHARSET-AWARE WARC DECODE — proves the round-13 decode
+    * precedence ([[graft.sources.Warc.resolveCharset]]: Content-Type
+    * header charset > `<meta charset>` sniff > UTF-8) against the DuckDB
+    * oracle, hash-exact on the decoded text. The fixture plants four
+    * body encodings, one per doc in every 4-doc file:
+    *   m0 Latin-1 bytes, header `charset=ISO-8859-1`  (header wins)
+    *   m1 UTF-8 bytes,   header `charset=UTF-8`       (header wins)
+    *   m2 Latin-1 bytes, NO header charset, `<meta charset="ISO-8859-1">`
+    *      in the body (the 1 KB sniff wins)
+    *   m3 UTF-8 bytes but the header DECLARES ISO-8859-1 — the
+    *      declared-vs-actual mismatch: every planted 2-byte UTF-8
+    *      sequence decodes to its deterministic Latin-1 mojibake pair
+    * Bodies derive from `documents.text` (non-ASCII stripped, then the
+    * accented markers injected) so the oracle can predict the decoded
+    * string per doc from the table alone.
+    */
+  def q193(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Warc
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") < 400)
+      .select(
+        col("doc_id"),
+        concat(lit("caf\u00e9 se\u00f1or "),
+          regexp_replace(substring(col("text"), 1, 80), "[^ -~]", "")).as("body"))
+    val files = docs
+      .select(expr("doc_id div 4").as("file_id"), col("doc_id"), col("body"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("body")))).as("recs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions { it =>
+        val meta = "<meta charset=\"ISO-8859-1\"><p>"
+        it.map { case (fid, recs) =>
+          val members = recs.map { case (id, b) =>
+            val uri = s"http://example.com/cs/$id"
+            (id % 4) match {
+              case 0 => Warc.encodeRecordRaw("response", uri, 200, b.getBytes(ISO_8859_1), "text/html; charset=ISO-8859-1")
+              case 1 => Warc.encodeRecordRaw("response", uri, 200, b.getBytes(UTF_8), "text/html; charset=UTF-8")
+              case 2 => Warc.encodeRecordRaw("response", uri, 200, (meta + b).getBytes(ISO_8859_1), "text/html")
+              case _ => Warc.encodeRecordRaw("response", uri, 200, b.getBytes(UTF_8), "text/html; charset=ISO-8859-1")
+            }
+          }
+          (fid, Warc.encodeFile(members, gzipPerRecord = true))
+        }
+      }
+      .toDF("file_id", "content")
+    val id = regexp_extract(col("targetUri"), "/cs/(\\d+)$", 1).cast("long")
+    Warc.readWarc(s, files).toDF()
+      .filter(col("ok"))
+      .select(
+        id.as("doc_id"),
+        (id % 4).cast("int").as("mode"),
+        graft.plans.HashExpressions.md5Prefix60(col("body")).as("body_h"),
+        length(col("body")).cast("long").as("n_chars"))
+  }
 }
