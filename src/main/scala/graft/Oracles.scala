@@ -2281,6 +2281,36 @@ object Oracles {
         | CAST((cnt * 10000) // total AS BIGINT) AS agreement_e4
         |FROM r WHERE rn = 1""".stripMargin,
 
+    // q194: Dawid-Skene hard-EM, both rounds unrolled — c0 majority
+    // seed; w1 per-(annotator,label) e4 precision vs c0; c1 weighted
+    // argmax; w2 vs c1; c2 weighted argmax with its winning score kept
+    "q194_dawid_skene" ->
+      """WITH v AS (SELECT doc_id, CAST(j AS INTEGER) annotator,
+        |    CASE WHEN (CAST(('0x'||substr(md5('an:' || CAST(j AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10) < j
+        |      THEN 'zz' ELSE lang END lbl
+        |  FROM documents, (SELECT unnest(range(5)) j)),
+        | c0c AS (SELECT doc_id, lbl, CAST(count(*) AS BIGINT) cnt FROM v GROUP BY doc_id, lbl),
+        | c0 AS (SELECT doc_id, lbl AS cons FROM (
+        |    SELECT doc_id, lbl, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lbl ASC) rn FROM c0c) WHERE rn = 1),
+        | w1 AS (SELECT v.annotator, v.lbl,
+        |    CAST((sum(CASE WHEN v.lbl = c0.cons THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) w
+        |  FROM v JOIN c0 USING (doc_id) GROUP BY v.annotator, v.lbl),
+        | s1 AS (SELECT v.doc_id, v.lbl, CAST(sum(w1.w) AS BIGINT) sc
+        |  FROM v JOIN w1 ON v.annotator = w1.annotator AND v.lbl = w1.lbl GROUP BY v.doc_id, v.lbl),
+        | c1 AS (SELECT doc_id, lbl AS cons FROM (
+        |    SELECT doc_id, lbl, row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lbl ASC) rn FROM s1) WHERE rn = 1),
+        | w2 AS (SELECT v.annotator, v.lbl,
+        |    CAST((sum(CASE WHEN v.lbl = c1.cons THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) w
+        |  FROM v JOIN c1 USING (doc_id) GROUP BY v.annotator, v.lbl),
+        | s2 AS (SELECT v.doc_id, v.lbl, CAST(sum(w2.w) AS BIGINT) sc
+        |  FROM v JOIN w2 ON v.annotator = w2.annotator AND v.lbl = w2.lbl GROUP BY v.doc_id, v.lbl),
+        | c2 AS (SELECT doc_id, lbl, sc FROM (
+        |    SELECT doc_id, lbl, sc, row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lbl ASC) rn FROM s2) WHERE rn = 1),
+        | m AS (SELECT doc_id, lbl AS maj_label, CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) n_votes,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lbl ASC) rn FROM c0c)
+        |SELECT m.doc_id, m.maj_label, c2.lbl AS ds_label, c2.sc AS ds_score_e4, m.n_votes
+        |FROM m JOIN c2 USING (doc_id) WHERE m.rn = 1""".stripMargin,
+
     "q189_annotator_audit" ->
       """WITH v AS (SELECT doc_id, CAST(j AS INTEGER) annotator,
         |    CASE WHEN (CAST(('0x'||substr(md5('an:' || CAST(j AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10) < j

@@ -4186,6 +4186,20 @@ object Queries {
   def q189(s: SparkSession, dir: String): DataFrame =
     Labels.annotatorAgreement(votesFixture(s, dir), "doc_id", "annotator", "label")
 
+  /** q194: DAWID-SKENE EM REFINEMENT ([[operators.Labels.dawidSkene]])
+    * — two fixed M/E rounds over the q188/q189 vote fixture: per-
+    * (annotator, label) e4 confusion weights against the current
+    * consensus, then the weighted argmax re-label. The oracle unrolls
+    * BOTH rounds as CTEs (q167's unrolled-iteration pattern), so every
+    * intermediate weight and the final label + winning score replay
+    * bit-exact. The planted systematic 'zz' error class is exactly the
+    * case scalar reliability weighting cannot fix and per-label
+    * confusion can (see the operator scaladoc); LabelsSpec measures the
+    * refinement beating majority vote against ground truth.
+    */
+  def q194(s: SparkSession, dir: String): DataFrame =
+    Labels.dawidSkene(votesFixture(s, dir), "doc_id", "annotator", "label", iters = 2)
+
   /** q190: DISTRIBUTION DRIFT ([[graft.dq.DqSuite.distributionDrift]]) —
     * order-value distribution, pre-1997 reference vs 1997+ current, on a
     * fixed 24-bin cent grid: both sides' e4 shares and the exact integer
