@@ -78,10 +78,63 @@ object DeltaExport {
       throw new IllegalStateException(s"commit $v of $path has no schema field")
     )
 
+  /** Rewrite a manifest schema into its column-mapped logical twin:
+    * every field (any nesting depth, through arrays and maps) gains
+    * `delta.columnMapping.id` + `delta.columnMapping.physicalName`
+    * metadata, and TOP-LEVEL fields named in `renames` present their
+    * logical name while the physicalName keeps pointing at the column
+    * the parquet files actually store — Delta's own metadata-only
+    * RENAME COLUMN shape, which [[DeltaImport]] (and delta-spark)
+    * resolve back to the physical columns at scan time. `ids` is the
+    * log-lifetime allocator: a field keeps its id across every
+    * metaData action (the column-mapping spec's stability rule);
+    * fields appearing in later schema-evolution commits extend it.
+    */
+  private def mappedStruct(
+      st: StructType,
+      renames: Map[String, String],
+      ids: scala.collection.mutable.LinkedHashMap[String, Int],
+      prefix: String
+  ): StructType = {
+    def mapType(dt: DataType, key: String): DataType = dt match {
+      case s: StructType => mappedStruct(s, renames, ids, key)
+      case ArrayType(e, n) => ArrayType(mapType(e, s"$key.element"), n)
+      case MapType(k, v, n) => MapType(mapType(k, s"$key.key"), mapType(v, s"$key.value"), n)
+      case other => other
+    }
+    StructType(st.fields.map { f =>
+      val phys = f.name
+      val key = if (prefix.isEmpty) phys else s"$prefix.$phys"
+      val id = ids.getOrElseUpdate(key, ids.size + 1)
+      val logical = if (prefix.isEmpty) renames.getOrElse(phys, phys) else phys
+      val md = new MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", id.toLong)
+        .putString("delta.columnMapping.physicalName", phys)
+        .build()
+      StructField(logical, mapType(f.dataType, key), f.nullable, md)
+    })
+  }
+
   /** Build the Delta log entries for every committed version, oldest first.
     * Pure metadata transform — no data is read or moved.
+    *
+    * `renames` (physical -> logical, top-level columns) and
+    * `columnMapping` turn on name-mode column mapping in the exported
+    * metadata: protocol rises to (2, 5), `configuration` carries
+    * `delta.columnMapping.mode=name` + `maxColumnId`, and every
+    * schemaString field gets its id/physicalName pair. A rename is
+    * therefore exported without touching a single data file, and
+    * survives import-after-export because readers resolve columns by
+    * physicalName, not by the logical label.
     */
-  def buildLog(spark: SparkSession, path: String): Seq[LogEntry] = {
+  def buildLog(
+      spark: SparkSession,
+      path: String,
+      renames: Map[String, String] = Map.empty,
+      columnMapping: Boolean = false
+  ): Seq[LogEntry] = {
+    val mapColumns = columnMapping || renames.nonEmpty
     // vacuumed-history guard: a commit whose referenced dirs were vacuumed
     // (its own JSON surviving via a newer manifest's carry-forward) would
     // export as a PARTIAL file set — files flickering out of and back into
@@ -93,7 +146,17 @@ object DeltaExport {
       versions.lastOption.contains(committed.last),
       s"newest commit ${committed.last} of $path references vacuumed data — table is corrupt"
     )
+    if (renames.nonEmpty) {
+      val newest = DataType.fromJson(commitSchema(spark, path, versions.last)) match {
+        case s: StructType => s.fieldNames.toSet
+        case _ => Set.empty[String]
+      }
+      val missing = renames.keySet -- newest
+      require(missing.isEmpty,
+        s"renames name columns absent from the newest schema of $path: ${missing.toSeq.sorted.mkString(", ")}")
+    }
     val tableId = java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8")).toString
+    val colIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     var prevFiles = Map.empty[String, (Long, Long)]
     var prevSchema: Option[String] = None
     var prevMarkers = Map.empty[String, String]
@@ -101,14 +164,26 @@ object DeltaExport {
       val files = referencedFiles(spark, path, v).map { case (p, sz, mt) => p -> (sz, mt) }.toMap
       val schema = commitSchema(spark, path, v)
       val now = System.currentTimeMillis()
+      val (schemaOut, configJson) =
+        if (!mapColumns) (schema, "{}")
+        else {
+          val mapped = DataType.fromJson(schema) match {
+            case s: StructType => mappedStruct(s, renames, colIds, "").json
+            case _ => schema
+          }
+          (mapped,
+            s"""{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"${colIds.size}"}""")
+        }
       val header = Seq(
         if (i == 0)
-          Some("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+          // column mapping needs reader 2 / writer 5 per the Delta spec
+          Some(if (mapColumns) """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+               else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
         else None,
         if (i == 0 || !prevSchema.contains(schema))
           Some(
             s"""{"metaData":{"id":${Json.str(tableId)},"format":{"provider":"parquet","options":{}},""" +
-              s""""schemaString":${Json.str(schema)},"partitionColumns":[],"configuration":{},"createdTime":$now}}"""
+              s""""schemaString":${Json.str(schemaOut)},"partitionColumns":[],"configuration":$configJson,"createdTime":$now}}"""
           )
         else None
       ).flatten
@@ -158,9 +233,11 @@ object DeltaExport {
       spark: SparkSession,
       path: String,
       logRoot: Option[String] = None,
-      checkpointEvery: Int = 10
+      checkpointEvery: Int = 10,
+      renames: Map[String, String] = Map.empty,
+      columnMapping: Boolean = false
   ): Seq[LogEntry] = {
-    val entries = buildLog(spark, path)
+    val entries = buildLog(spark, path, renames, columnMapping)
     val root = logRoot.getOrElse(path)
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/_delta_log"))
@@ -239,12 +316,17 @@ object DeltaExport {
         }
         if (n.has("metaData")) {
           val m = n.path("metaData")
+          // configuration must survive into the checkpoint: a reader
+          // seeking past the JSON commits would otherwise lose
+          // delta.columnMapping.mode and misread a mapped table
+          val conf = m.path("configuration").fields().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
           metaData = Some(Row(
             m.path("id").asText(),
             Row(m.path("format").path("provider").asText("parquet"), Map.empty[String, String]),
             m.path("schemaString").asText(),
             m.path("partitionColumns").elements().asScala.map(_.asText()).toSeq,
-            Map.empty[String, String],
+            conf,
             m.path("createdTime").asLong()))
         }
         if (n.has("txn")) {

@@ -169,6 +169,63 @@ class DeltaExportSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuum"))
   }
 
+  test("column-mapping export: a renamed column survives import-after-export") {
+    import graft.sources.DeltaImport
+    val path = Files.createTempDirectory("graft-dexp-cm").toString + "/t"
+    VersionedTable.commitDelta(spark, path,
+      Seq(("a", 1, "x1"), ("b", 2, "x2")).toDF("bucket", "x", "name"), "bucket")
+    VersionedTable.commitDelta(spark, path,
+      Seq(("b", 20, "x2b")).toDF("bucket", "x", "name"), "bucket")
+    val entries = DeltaExport.export(spark, path, renames = Map("name" -> "customer_name"))
+
+    // metadata shape: protocol (2,5), name mode + maxColumnId, and the
+    // renamed field carrying its physicalName back to the data files
+    val first = entries.head.actions.map(mapper.readTree)
+    val proto = first.find(_.has("protocol")).get.path("protocol")
+    assert(proto.path("minReaderVersion").asInt() == 2 && proto.path("minWriterVersion").asInt() == 5)
+    val meta = first.find(_.has("metaData")).get.path("metaData")
+    assert(meta.path("configuration").path("delta.columnMapping.mode").asText() == "name")
+    assert(meta.path("configuration").path("delta.columnMapping.maxColumnId").asText() == "3")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(meta.path("schemaString").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema.fieldNames.toSeq == Seq("bucket", "x", "customer_name"))
+    val renamed = schema("customer_name")
+    assert(renamed.metadata.getString("delta.columnMapping.physicalName") == "name")
+    assert(schema.fields.map(_.metadata.getLong("delta.columnMapping.id")).toSeq == Seq(1L, 2L, 3L))
+
+    // the round trip: DeltaImport resolves the logical name back to the
+    // physical parquet column — values identical, zero data rewritten
+    val got = DeltaImport.read(spark, path)
+      .select(col("bucket"), col("x"), col("customer_name")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(("a", 1, "x1"), ("b", 20, "x2b")))
+
+    // renaming a column that does not exist is refused loudly
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.buildLog(spark, path, renames = Map("nope" -> "x2")))
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("column-mapping survives a checkpoint seek (configuration is not dropped)") {
+    import graft.sources.DeltaImport
+    val path = Files.createTempDirectory("graft-dexp-cmc").toString + "/t"
+    (1 to 6).foreach { i =>
+      VersionedTable.commitDelta(spark, path,
+        Seq(("a", i, s"n$i")).toDF("bucket", "x", "name"), "bucket")
+    }
+    DeltaExport.export(spark, path, checkpointEvery = 2, renames = Map("name" -> "label"))
+    // vacuum the JSONs the newest checkpoint (delta version 4) covers:
+    // replay must seed from the checkpoint and STILL know the table is
+    // column-mapped — the metaData there carries no fresh schema action
+    (0L to 4L).foreach(v => assert(new java.io.File(s"$path/_delta_log/" + f"$v%020d.json").delete()))
+    val st = DeltaImport.state(spark, path)
+    assert(st.columnMappingMode == "name",
+      s"checkpoint dropped the column-mapping configuration: mode=${st.columnMappingMode}")
+    val got = DeltaImport.read(spark, path).select(col("x"), col("label")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((6, "n6")))
+  }
+
   test("vacuumed history is skipped, never exported as a partial file set") {
     val path = java.nio.file.Files.createTempDirectory("graft-dexp-v").toString + "/t"
     VersionedTable.commitDelta(spark, path, Seq(("a", 1), ("b", 2)).toDF("bucket", "x"), "bucket")
