@@ -309,7 +309,11 @@ object Bench {
         // XML StAX ingest (encode + parse per run, zero shuffles)
         "q190_distribution_drift", "q191_xml_ingest",
         // round-12: bloom-indexed point lookup (commit+build+probe per run)
-        "q192_bloom_index")
+        "q192_bloom_index",
+        // round-14: charset-aware WARC decode (fixture encode + charset
+        // resolution + decode per run), Dawid-Skene hard-EM refinement
+        // (two M/E rounds over the 5-annotator vote table)
+        "q193_warc_charset", "q194_dawid_skene")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x
