@@ -1,22 +1,45 @@
 package graft
 
 /** Dev profiling harness: times a named subset of SparkEntry.queries
-  * warm, min-of-3 — Bench's methodology without the full suite, for
-  * targeted A/B runs while iterating on one operator (not part of the
-  * driver contract surface; SPARK_GRAFT_SF_DIR overrides the data dir).
+  * warm, min-of-5, under the SAME hash_rows materialization action the
+  * bench uses (count() lets Catalyst prune pure projections — see the
+  * SCALE.md round-10 timing-policy note), so isolated numbers compare
+  * 1:1 with BENCH floors. Not part of the driver contract surface;
+  * SPARK_GRAFT_SF_DIR overrides the data dir.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.Sessions.local(32, "graft-scratch")
+
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
+      def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+        case _ => true
+      }
+      val safe = df.schema.fields.filter(f => hashable(f.dataType)).map(f => org.apache.spark.sql.functions.col(f.name))
+      if (safe.isEmpty) { df.count(); () }
+      else {
+        df.select(org.apache.spark.sql.functions.xxhash64(safe: _*).as("__h"))
+          .agg(org.apache.spark.sql.functions.expr("bit_xor(__h)"))
+          .head()
+        ()
+      }
+    }
+
     val names = if (args.nonEmpty) args.toSeq else Seq("q85_ann_ivf_trained", "q90_ann_ivf_sampled")
-    names.foreach { n => try SparkEntry.queries(n)(spark, sfDir).count() catch { case e: Throwable => println(s"$n warmup failed: $e") } }
+    names.foreach { n =>
+      try materialize(SparkEntry.queries(n)(spark, sfDir))
+      catch { case e: Throwable => println(s"$n warmup failed: $e") }
+    }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9
       }
-      println(f"$n%-24s min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+      println(f"[scratch] $n%-24s min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }
