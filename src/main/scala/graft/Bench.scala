@@ -313,7 +313,10 @@ object Bench {
         // round-14: charset-aware WARC decode (fixture encode + charset
         // resolution + decode per run), Dawid-Skene hard-EM refinement
         // (two M/E rounds over the 5-annotator vote table)
-        "q193_warc_charset", "q194_dawid_skene")
+        "q193_warc_charset", "q194_dawid_skene",
+        // round-14: Delta column-mapping round trip (commit + metadata
+        // export + import read per run — interop cost IS the op)
+        "q195_delta_roundtrip")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

@@ -2213,6 +2213,13 @@ object Oracles {
         | CAST(length(dec) AS BIGINT) AS n_chars
         |FROM m""".stripMargin,
 
+    // q195: Delta column-mapping round trip — the plain relational
+    // predicate; export+import may relabel columns, never touch a row
+    "q195_delta_roundtrip" ->
+      """SELECT o_orderkey, o_custkey AS customer,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+
     // q192: bloom-indexed point lookup — the plain IN filter; the index
     // may only change WHICH partitions open, never the rows
     "q192_bloom_index" ->

@@ -4200,6 +4200,34 @@ object Queries {
   def q194(s: SparkSession, dir: String): DataFrame =
     Labels.dawidSkene(votesFixture(s, dir), "doc_id", "annotator", "label", iters = 2)
 
+  /** q195: DELTA COLUMN-MAPPING ROUND TRIP ([[graft.sources
+    * .DeltaExport]] name mode → [[graft.sources.DeltaImport]]) — commit
+    * an orders slice to a VersionedTable, export its Delta log with TWO
+    * logical renames as pure column-mapping metadata (zero data files
+    * rewritten), then read it back through the Delta import half. The
+    * oracle is the plain relational predicate over `orders`: the whole
+    * export/import machinery may change column LABELS, never a row —
+    * so the interop path is hash-gated end-to-end, not just
+    * spec-proven.
+    */
+  def q195(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaExport, DeltaImport, VersionedTable}
+    val base = scratchDir("deltacm")
+    val tPath = base + "/orders"
+    val orders = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        concat(lit("b"), pmod(col("o_custkey"), lit(8L)).cast("string")).as("cb"))
+    VersionedTable.commitDelta(s, tPath, orders, "cb")
+    DeltaExport.export(s, tPath,
+      renames = Map("o_custkey" -> "customer", "cents" -> "total_cents"))
+    DeltaImport.read(s, tPath)
+      .select(col("o_orderkey"), col("customer"), col("total_cents"))
+  }
+
   /** q190: DISTRIBUTION DRIFT ([[graft.dq.DqSuite.distributionDrift]]) —
     * order-value distribution, pre-1997 reference vs 1997+ current, on a
     * fixed 24-bin cent grid: both sides' e4 shares and the exact integer
