@@ -331,6 +331,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"containment must stay an equi-join:\n$p")
   }
 
+  test("q194 Dawid-Skene: E-step weights re-enter as broadcast, never a vote-table shuffle") {
+    val p = plan("q194_dawid_skene")
+    // the M-step weight frame is annotators x labels (tiny at any corpus
+    // size) — each E-step must join it broadcast so the only vote-table
+    // shuffles are the consensus joins and the per-(item,label) aggs
+    assert(p.contains("BroadcastHashJoin"),
+      s"weighted re-label must broadcast the weight frame:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"EM must stay equi-join-only:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      "EM is pure integer expressions — no UDFs")
+  }
+
   test("q178 HTML extraction: single whole-stage pass, zero exchanges") {
     val p = plan("q178_html_text")
     assert(!p.contains("Exchange"), s"pure projection chain must not shuffle:\n$p")
