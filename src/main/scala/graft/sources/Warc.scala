@@ -298,7 +298,7 @@ object Warc {
       fileId: Long,
       in0: java.io.InputStream,
       maxBlockBytes: Int = DefaultMaxBlockBytes
-  ): Iterator[WarcRecord] = new scala.collection.AbstractIterator[WarcRecord] {
+  ): Iterator[WarcRecord] with java.io.Closeable = new scala.collection.AbstractIterator[WarcRecord] with java.io.Closeable {
     private val magicProbe = new java.io.PushbackInputStream(in0, 2)
     private val gz: Option[StrictGzipMemberStream] = {
       val b0 = magicProbe.read()
@@ -325,6 +325,12 @@ object Warc {
       try in.close() // closes gz (inf.end) or magicProbe, which closes in0
       catch { case _: java.io.IOException => () }
     }
+
+    /** Early-abandonment hook (limit/take): idempotent; the iterator
+      * reports exhaustion afterwards. [[readWarc]] wires this to task
+      * completion, mirroring AvroIO.
+      */
+    override def close(): Unit = { done = true; pending = null; closeStreams() }
 
     /** One CRLF-terminated line, or Left(leftover bytes) at EOF / over the
       * line cap (leftover feeds the trailing-whitespace tolerance check).
@@ -486,8 +492,16 @@ object Warc {
     files
       .select(col(idCol).cast("long"), col(contentCol).cast("binary"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(it => it.flatMap { case (id, raw) =>
-        parseWarcIter(id, new java.io.ByteArrayInputStream(Option(raw).getOrElse(Array.empty)))
-      })
+      .mapPartitions { partIt =>
+        partIt.flatMap { case (id, raw) =>
+          val rit = parseWarcIter(id, new java.io.ByteArrayInputStream(Option(raw).getOrElse(Array.empty)))
+          // a downstream limit/take can abandon the iterator mid-file:
+          // close at task end so the gzip Inflater's native buffers never
+          // wait for GC (same contract as AvroIO.readAvro)
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => rit.close()))
+          rit
+        }
+      }
   }
 }
