@@ -28,6 +28,39 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
+  /** FULL-MATERIALIZATION timing action (round-10 fix): `count()` let
+    * the optimizer PRUNE pure-projection queries to a metadata-only
+    * parquet scan — q142/q143-class per-row operators timed ~0.1 s while
+    * their real cost went unmeasured (q142's first formulation ground
+    * for minutes at sf1 yet "benched" at 0.18 s). Hashing every output
+    * column of every row forces the whole expression tree to evaluate;
+    * the xxhash64+sum on top is one narrow stage, negligible next to the
+    * work it now honestly exposes. Map-typed columns aren't hashable —
+    * such frames (none currently) fall back to count().
+    *
+    * THE one timing action: [[Scratch]] calls this same method, so
+    * isolated floor comparisons stay 1:1 with bench records by
+    * construction (ADVICE r14 #3 — no second copy to drift).
+    */
+  def materialize(df: DataFrame): Unit = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val safe = df.schema.fields.filter(f => hashable(f.dataType)).map(f => org.apache.spark.sql.functions.col(f.name))
+    if (safe.isEmpty) { df.count(); () }
+    else {
+      // bit_xor, not sum: hashes span the full long range and an ANSI
+      // sum overflows (killed the first hash_rows run, 93/93 errors)
+      df.select(org.apache.spark.sql.functions.xxhash64(safe: _*).as("__h"))
+        .agg(org.apache.spark.sql.functions.expr("bit_xor(__h)"))
+        .head()
+      ()
+    }
+  }
+
   /** Re-based comparison floor (VERDICT r02 "what's wrong #5"): per-query
     * seconds from BENCH_r02.json — the first round measured under the
     * CURRENT methodology (warm-up pass + min-of-3), inlined so the
@@ -468,34 +501,6 @@ object Bench {
         // the timed cost is the consumer cycle (dim build + feeds + maintain)
         "q172_join_mv" -> ((s: SparkSession, d: String) => Queries.q172Maintain(s, path, v1, v2, d))
       }
-
-    // FULL-MATERIALIZATION timing action (round-10 fix): `count()` let
-    // the optimizer PRUNE pure-projection queries to a metadata-only
-    // parquet scan — q142/q143-class per-row operators timed ~0.1 s while
-    // their real cost went unmeasured (q142's first formulation ground
-    // for minutes at sf1 yet "benched" at 0.18 s). Hashing every output
-    // column of every row forces the whole expression tree to evaluate;
-    // the xxhash64+sum on top is one narrow stage, negligible next to the
-    // work it now honestly exposes. Map-typed columns aren't hashable —
-    // such frames (none currently) fall back to count().
-    def materialize(df: DataFrame): Unit = {
-      def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-        case _: org.apache.spark.sql.types.MapType => false
-        case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
-        case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
-        case _ => true
-      }
-      val safe = df.schema.fields.filter(f => hashable(f.dataType)).map(f => org.apache.spark.sql.functions.col(f.name))
-      if (safe.isEmpty) { df.count(); () }
-      else {
-        // bit_xor, not sum: hashes span the full long range and an ANSI
-        // sum overflows (killed the first hash_rows run, 93/93 errors)
-        df.select(org.apache.spark.sql.functions.xxhash64(safe: _*).as("__h"))
-          .agg(org.apache.spark.sql.functions.expr("bit_xor(__h)"))
-          .head()
-        ()
-      }
-    }
 
     // warm-up: every headline query once at the target SF (see scaladoc).
     // Errors here are not swallowed silently — they will recur in the timed

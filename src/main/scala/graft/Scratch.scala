@@ -12,22 +12,9 @@ object Scratch {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.Sessions.local(32, "graft-scratch")
 
-    def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
-      def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-        case _: org.apache.spark.sql.types.MapType => false
-        case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
-        case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
-        case _ => true
-      }
-      val safe = df.schema.fields.filter(f => hashable(f.dataType)).map(f => org.apache.spark.sql.functions.col(f.name))
-      if (safe.isEmpty) { df.count(); () }
-      else {
-        df.select(org.apache.spark.sql.functions.xxhash64(safe: _*).as("__h"))
-          .agg(org.apache.spark.sql.functions.expr("bit_xor(__h)"))
-          .head()
-        ()
-      }
-    }
+    // the bench's own timing action — shared, so isolated numbers stay
+    // 1:1 with BENCH floors by construction (ADVICE r14 #3)
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit = Bench.materialize(df)
 
     val names = if (args.nonEmpty) args.toSeq else Seq("q85_ann_ivf_trained", "q90_ann_ivf_sampled")
     names.foreach { n =>

@@ -234,13 +234,12 @@ object AvroIO {
     val rows = spark.read.format("binaryFile").load(s"$path/*.avro")
       .select("content").rdd
       .mapPartitions { partIt =>
+        // a downstream limit/take can abandon an iterator mid-file: ONE
+        // task-completion listener closes whatever is still open, and an
+        // exhausted file de-registers so its bytes free immediately
+        val tracker = graft.core.TaskCloseables.forTask()
         partIt.flatMap { r =>
-          val it = rowIterator(new ByteArrayInputStream(r.getAs[Array[Byte]](0)), dts)
-          // a downstream limit/take can abandon `it` mid-file: close at
-          // task end so the container reader never waits for GC
-          Option(org.apache.spark.TaskContext.get())
-            .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
-          it
+          tracker.track(rowIterator(new ByteArrayInputStream(r.getAs[Array[Byte]](0)), dts))
         }
       }
     spark.createDataFrame(rows, st)

@@ -154,6 +154,14 @@ object DeltaExport {
       val missing = renames.keySet -- newest
       require(missing.isEmpty,
         s"renames name columns absent from the newest schema of $path: ${missing.toSeq.sorted.mkString(", ")}")
+      // the post-rename LOGICAL name set must stay collision-free — a
+      // target equal to an unrenamed column (or two keys sharing one
+      // target) would export a schemaString with duplicate logical names:
+      // a corrupt table importers reject later and less legibly
+      val logical = newest.toSeq.map(c => renames.getOrElse(c, c))
+      val dups = logical.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+      require(dups.isEmpty,
+        s"renames collide: logical column name(s) ${dups.toSeq.sorted.mkString(", ")} would appear more than once in the exported schema of $path")
     }
     val tableId = java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8")).toString
     val colIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]

@@ -365,9 +365,14 @@ object Warc {
 
     /** Discard exactly `n` bytes in O(chunk) memory; false = EOF first.
       * (read-loop, not `skip`: InputStream.skip may return 0 forever.)
+      * The scratch buffer is an iterator field (single-threaded, lazily
+      * allocated) — a file dense with oversized records must not churn a
+      * fresh 8KB array per whale (ADVICE r14 #4).
       */
+    private var skipBuf: Array[Byte] = null
     private def skipFully(n: Long): Boolean = {
-      val buf = new Array[Byte](8 << 10)
+      if (skipBuf == null) skipBuf = new Array[Byte](8 << 10)
+      val buf = skipBuf
       var left = n
       while (left > 0) {
         val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
@@ -439,7 +444,7 @@ object Warc {
             // it (ADVICE r13 #5). A LYING hostile Content-Length (larger
             // than the remaining stream) hits EOF mid-skip and ends the
             // file exactly as the old terminal path did.
-            if (!skipFully(clen) || !skipFully(4L)) done = true
+            if (!skipFully(clen + 4L)) done = true // block + \r\n\r\n trailer in one pass
             val rec = sentinel()
             emitted += 1
             return rec
@@ -493,14 +498,13 @@ object Warc {
       .select(col(idCol).cast("long"), col(contentCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { partIt =>
+        // a downstream limit/take can abandon an iterator mid-file: ONE
+        // task-completion listener closes whatever is still open, and an
+        // exhausted file de-registers so its buffers free immediately
+        // (same contract as AvroIO.readAvro)
+        val tracker = graft.core.TaskCloseables.forTask()
         partIt.flatMap { case (id, raw) =>
-          val rit = parseWarcIter(id, new java.io.ByteArrayInputStream(Option(raw).getOrElse(Array.empty)))
-          // a downstream limit/take can abandon the iterator mid-file:
-          // close at task end so the gzip Inflater's native buffers never
-          // wait for GC (same contract as AvroIO.readAvro)
-          Option(org.apache.spark.TaskContext.get())
-            .foreach(_.addTaskCompletionListener[Unit](_ => rit.close()))
-          rit
+          tracker.track(parseWarcIter(id, new java.io.ByteArrayInputStream(Option(raw).getOrElse(Array.empty))))
         }
       }
   }

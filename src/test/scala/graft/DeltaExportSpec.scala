@@ -204,6 +204,16 @@ class DeltaExportSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       DeltaExport.buildLog(spark, path, renames = Map("nope" -> "x2")))
     assert(e.getMessage.contains("nope"))
+
+    // a rename target colliding with an unrenamed column — or two keys
+    // sharing a target — is refused at export, not left as a duplicate
+    // logical name for importers to choke on (ADVICE r14 #2)
+    val c1 = intercept[IllegalArgumentException](
+      DeltaExport.buildLog(spark, path, renames = Map("name" -> "bucket")))
+    assert(c1.getMessage.contains("bucket"))
+    val c2 = intercept[IllegalArgumentException](
+      DeltaExport.buildLog(spark, path, renames = Map("name" -> "same", "x" -> "same")))
+    assert(c2.getMessage.contains("same"))
   }
 
   test("column-mapping survives a checkpoint seek (configuration is not dropped)") {
