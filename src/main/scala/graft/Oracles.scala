@@ -517,6 +517,34 @@ object Oracles {
       |      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
       |      '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g')) title FROM out)""".stripMargin
 
+  /** Shared by q156 (exact screen) and q196 (IVF-celled screen at
+    * nprobe = all cells — provably the same output): ordered dot folds
+    * (q72's chain), (cosine DESC, cid) top-5, majority by
+    * (count DESC, label ASC).
+    */
+  private val labelScreenSql: String =
+    """WITH p AS (SELECT vec_id pid, embedding pe, CAST(label AS BIGINT) plab
+      |   FROM embeddings WHERE vec_id % 20 = 0),
+      | pr AS (SELECT c.vec_id cid, CAST(c.label AS BIGINT) clab, p.pid, p.plab,
+      |   unnest(c.embedding) x, unnest(p.pe) y, unnest(range(64)) i
+      |   FROM embeddings c, p WHERE c.vec_id <> p.pid),
+      | dots AS (SELECT pid, plab, cid, clab,
+      |    sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d,
+      |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) nx,
+      |    sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) ny
+      |  FROM pr GROUP BY pid, plab, cid, clab),
+      | cos AS (SELECT pid, plab, cid, clab,
+      |    CASE WHEN sqrt(ny)*sqrt(nx)=0 THEN 0.0 ELSE d/(sqrt(ny)*sqrt(nx)) END c FROM dots),
+      | top AS (SELECT pid, plab, clab FROM (
+      |    SELECT pid, plab, clab, row_number() OVER (PARTITION BY pid ORDER BY c DESC, cid ASC) rn
+      |    FROM cos) WHERE rn <= 5),
+      | maj AS (SELECT pid, plab, clab, count(*) n,
+      |    row_number() OVER (PARTITION BY pid ORDER BY count(*) DESC, clab ASC) rm
+      |  FROM top GROUP BY pid, plab, clab)
+      |SELECT pid AS vec_id, plab AS own_label, clab AS neighbor_label,
+      |  CAST(n AS BIGINT) AS n_votes, (plab <> clab) AS flagged
+      |FROM maj WHERE rm = 1""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1872,28 +1900,11 @@ object Oracles {
     // q156: kNN label screen — ordered dot folds (q72's chain), then
     // the same two-stage ranking: (cosine DESC, cid) top-5, majority by
     // (count DESC, label ASC)
-    "q156_label_screen" ->
-      """WITH p AS (SELECT vec_id pid, embedding pe, CAST(label AS BIGINT) plab
-        |   FROM embeddings WHERE vec_id % 20 = 0),
-        | pr AS (SELECT c.vec_id cid, CAST(c.label AS BIGINT) clab, p.pid, p.plab,
-        |   unnest(c.embedding) x, unnest(p.pe) y, unnest(range(64)) i
-        |   FROM embeddings c, p WHERE c.vec_id <> p.pid),
-        | dots AS (SELECT pid, plab, cid, clab,
-        |    sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) d,
-        |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) nx,
-        |    sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) ny
-        |  FROM pr GROUP BY pid, plab, cid, clab),
-        | cos AS (SELECT pid, plab, cid, clab,
-        |    CASE WHEN sqrt(ny)*sqrt(nx)=0 THEN 0.0 ELSE d/(sqrt(ny)*sqrt(nx)) END c FROM dots),
-        | top AS (SELECT pid, plab, clab FROM (
-        |    SELECT pid, plab, clab, row_number() OVER (PARTITION BY pid ORDER BY c DESC, cid ASC) rn
-        |    FROM cos) WHERE rn <= 5),
-        | maj AS (SELECT pid, plab, clab, count(*) n,
-        |    row_number() OVER (PARTITION BY pid ORDER BY count(*) DESC, clab ASC) rm
-        |  FROM top GROUP BY pid, plab, clab)
-        |SELECT pid AS vec_id, plab AS own_label, clab AS neighbor_label,
-        |  CAST(n AS BIGINT) AS n_votes, (plab <> clab) AS flagged
-        |FROM maj WHERE rm = 1""".stripMargin,
+    "q156_label_screen" -> labelScreenSql,
+
+    // q196: the IVF-celled screen at nprobe = ALL cells probes every
+    // cell, so its output is exactly the exact screen's — same oracle
+    "q196_label_screen_ivf" -> labelScreenSql,
 
     // q154: type-widening read — the widened union recomputed from orders
     "q154_widened_read" ->

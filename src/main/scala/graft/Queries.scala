@@ -4228,6 +4228,34 @@ object Queries {
       .select(col("o_orderkey"), col("customer"), col("total_cents"))
   }
 
+  /** q196: IVF-CELLED kNN LABEL SCREEN ([[Similarity.knnLabelScreenIvf]])
+    * — the corpus-scale variant of q156: candidates come from each
+    * probe's nprobe nearest IVF cells (trained exactly like q90: first-8
+    * seed, 1-in-4 hash sample, 3 Lloyd iterations) instead of the whole
+    * corpus, ranked by the same bounded-heap top-k. Gated at
+    * nprobe = ALL cells, where the probed set covers every cell and the
+    * output is provably identical to the exact screen — so the oracle IS
+    * q156's oracle, while the plan is the one that survives a 1B-row
+    * corpus (cell equi-join + k-bounded shuffle; with the corpus stored
+    * partitioned by cell the probe prunes to nprobe partitions).
+    */
+  def q196(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val init = emb
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .sortBy(_._1)
+      .toSeq
+    val trainSample = Sampling.hashBucket(col("vec_id"), 4) === 0
+    val centroids =
+      Similarity.trainIvfCentroids(emb, "embedding", init, iters = 3, sample = Some(trainSample))
+    Similarity.knnLabelScreenIvf(
+      emb, "vec_id", "embedding", "label",
+      col("vec_id") % 20 === 0, centroids, nprobe = centroids.size, k = 5)
+  }
+
   /** q190: DISTRIBUTION DRIFT ([[graft.dq.DqSuite.distributionDrift]]) —
     * order-value distribution, pre-1997 reference vs 1997+ current, on a
     * fixed 24-bin cent grid: both sides' e4 shares and the exact integer

@@ -272,13 +272,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")) // fingerprint rows meet here
   }
 
-  test("q156: probe batch broadcasts; candidate ranking windows per probe, not globally") {
+  test("q156: probe batch broadcasts; top-k is the bounded-heap aggregate — no window, no full-corpus per-probe sort") {
     val df = SparkEntry.queries("q156_label_screen")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"probe set must broadcast:\n$p")
-    assert(!p.contains("Window [") || p.contains("windowspecdefinition(pid"),
-      "ranking window must partition by probe")
+    // the r14 formulation shuffled every (probe x corpus) scored pair into
+    // row_number over (partition by pid) — ONE partition per probe holding
+    // the whole corpus's candidates. The bounded-heap aggregator replaces
+    // it: partial_ aggregation must appear (map-side k-bounded heaps), and
+    // no Window exec may survive anywhere in the plan.
+    assert(!p.contains("Window ["), s"label screen must not rank via a window:\n$p")
+    assert(p.contains("partial_"), s"top-k aggregator must partially aggregate map-side:\n$p")
+  }
+
+  test("q196: IVF screen candidates meet on a cell EQUI-join; no window, map-side partial top-k") {
+    val df = SparkEntry.queries("q196_label_screen_ivf")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the celled variant's whole point: candidate pairing is an equi-join
+    // on the cell key (broadcast of the exploded probe batch), never a
+    // nested-loop over the corpus
+    assert(p.contains("BroadcastHashJoin"), s"cell equi-join must broadcast the probe cells:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"celled candidates must never pair all-corpus:\n$p")
+    assert(!p.contains("Window ["), s"label screen must not rank via a window:\n$p")
+    assert(p.contains("partial_"), s"top-k aggregator must partially aggregate map-side:\n$p")
   }
 
   test("q168: cross-corpus band join is a hash equi-join on the band key — never a nested loop") {

@@ -549,4 +549,38 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.knnLabelScreen(vecs, "vec_id", "embedding", "label", col("vec_id") === 0L, k = 0)
     }
   }
+
+  test("knnLabelScreenIvf: nprobe=all equals the exact screen; nprobe=1 bounds candidates to the probed cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq(
+      (0L, Array(1.00f, 0.01f), 0), (1L, Array(0.99f, 0.02f), 0), (2L, Array(0.98f, 0.00f), 0),
+      (3L, Array(1.00f, 0.03f), 1), // mislabeled: sits in cluster A
+      (10L, Array(0.01f, 1.00f), 1), (11L, Array(0.02f, 0.99f), 1), (12L, Array(0.00f, 0.98f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    // two centroids, one per cluster
+    val cents = Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0))
+    val pred = col("vec_id").isin(0L, 3L, 10L)
+
+    // nprobe = all cells: identical to the exact screen, row for row
+    val exact = Similarity.knnLabelScreen(vecs, "vec_id", "embedding", "label", pred, k = 3)
+      .collect().map(_.toSeq).toSet
+    val celled = Similarity.knnLabelScreenIvf(vecs, "vec_id", "embedding", "label", pred, cents, nprobe = 2, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(celled == exact, s"nprobe=all must reproduce the exact screen:\ncelled=$celled\nexact=$exact")
+
+    // nprobe = 1: each probe sees only its own cell's candidates — probe 3
+    // (cluster A, 4 corpus rows there, 3 others) still flags; votes come
+    // only from cell A (k=3 neighbors all labeled 0)
+    val one = Similarity.knnLabelScreenIvf(vecs, "vec_id", "embedding", "label", pred, cents, nprobe = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+    assert(one.map(_._1).toSeq == Seq(0L, 3L, 10L))
+    assert(one(1) == (3L, 0L, 3L, true), s"got ${one(1)}")
+    // probe 10 probes cell B only: neighbors 11,12 (labels 1,1) -> majority 1
+    assert(one(2) == (10L, 1L, 2L, false), s"got ${one(2)}")
+
+    intercept[IllegalArgumentException] {
+      Similarity.knnLabelScreenIvf(vecs, "vec_id", "embedding", "label", pred, cents, nprobe = 3, k = 3)
+    }
+  }
 }
