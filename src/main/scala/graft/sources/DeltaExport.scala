@@ -32,14 +32,19 @@ import graft.core.Json
   *    partitions (the carried-forward partitions' files stay live without
   *    re-adding — Delta state is cumulative, same as the manifest's
   *    by-reference carry-forward)
-  *  - `partitionValues` is `{}`: the engine keeps the partition column IN
-  *    the data files (the `p=` layout is pure path convention), so the
-  *    exported table is an unpartitioned Delta table whose files happen to
-  *    live under partition-shaped paths — every reader sees the column as
-  *    data, no reconstruction-from-path needed. A consumer wanting Delta-
-  *    side partition pruning would instead declare `partitionColumns` and
-  *    strip the column from the files at export time (a rewrite, not a
-  *    metadata export — out of scope, documented in INTEROP.md).
+  *  - by default `partitionValues` is `{}`: the engine keeps the partition
+  *    column IN the data files (the `p=` layout is pure path convention),
+  *    so the exported table is an unpartitioned Delta table whose files
+  *    happen to live under partition-shaped paths — every reader sees the
+  *    column as data, no reconstruction-from-path needed
+  *  - `partitioned = true` instead DECLARES the manifest's
+  *    partition_column in `metaData.partitionColumns` and stamps each
+  *    add's `partitionValues` from its `p=` path segment, so Delta-side
+  *    readers prune partitions at plan time (the reference's daily stage
+  *    cadence, ingestion.py:247). Still metadata-only: the column stays
+  *    in the data files, which spec-compliant readers never request —
+  *    partition columns are projected from partitionValues, and
+  *    [[DeltaImport]]'s dataSchema drops them the same way.
   *
   * The export is metadata-only: data files are NOT copied, the log's
   * `add.path`s are relative to the table root (exactly Delta's contract),
@@ -132,7 +137,8 @@ object DeltaExport {
       spark: SparkSession,
       path: String,
       renames: Map[String, String] = Map.empty,
-      columnMapping: Boolean = false
+      columnMapping: Boolean = false,
+      partitioned: Boolean = false
   ): Seq[LogEntry] = {
     val mapColumns = columnMapping || renames.nonEmpty
     // vacuumed-history guard: a commit whose referenced dirs were vacuumed
@@ -163,6 +169,42 @@ object DeltaExport {
       require(dups.isEmpty,
         s"renames collide: logical column name(s) ${dups.toSeq.sorted.mkString(", ")} would appear more than once in the exported schema of $path")
     }
+    // PARTITIONED export (INTEROP "declared partitionColumns" mode): the
+    // manifest's partition_column becomes Delta's metaData.partitionColumns
+    // (logical name) and every add carries partitionValues parsed from the
+    // p= layout — so Delta-side readers prune partitions at plan time.
+    // Still metadata-only: the engine keeps the column IN the data files,
+    // which is harmless to spec-compliant readers — they project the
+    // partition column from partitionValues, never requesting it from the
+    // parquet files (DeltaImport's dataSchema drops it the same way).
+    val partCol: Option[String] =
+      if (!partitioned) None
+      else {
+        val cols = versions.map { v =>
+          require(VersionedTable.partitionMap(spark, path, v).isDefined,
+            s"partitioned export: version $v of $path is a full snapshot, not a partitioned commit")
+          VersionedTable.commitField(spark, path, v, "partition_column").getOrElse(
+            throw new IllegalArgumentException(s"partitioned export: version $v of $path records no partition_column"))
+        }.distinct
+        require(cols.size == 1,
+          s"partitioned export: $path changes partition column across commits (${cols.mkString(", ")}) — Delta metadata cannot represent that")
+        require(cols.head.nonEmpty, s"partitioned export: $path records an empty partition_column")
+        Some(cols.head)
+      }
+    // partitionColumns entries are LOGICAL names (they key the logical
+    // schema); partitionValues keys stay PHYSICAL per the column-mapping
+    // protocol — identical strings when no rename touches the column
+    val partColsJson = partCol
+      .map(c => s"[${Json.str(renames.getOrElse(c, c))}]")
+      .getOrElse("[]")
+    val partRe = "(?:^|/)p=([^/]+)/".r
+    def partValuesJson(filePath: String): String = partCol match {
+      case None => "{}"
+      case Some(c) =>
+        val v = partRe.findFirstMatchIn(filePath).map(_.group(1)).getOrElse(
+          throw new IllegalStateException(s"partitioned export: file $filePath has no p= segment"))
+        s"{${Json.str(c)}:${Json.str(v)}}"
+    }
     val tableId = java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8")).toString
     val colIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     var prevFiles = Map.empty[String, (Long, Long)]
@@ -191,7 +233,7 @@ object DeltaExport {
         if (i == 0 || !prevSchema.contains(schema))
           Some(
             s"""{"metaData":{"id":${Json.str(tableId)},"format":{"provider":"parquet","options":{}},""" +
-              s""""schemaString":${Json.str(schemaOut)},"partitionColumns":[],"configuration":$configJson,"createdTime":$now}}"""
+              s""""schemaString":${Json.str(schemaOut)},"partitionColumns":$partColsJson,"configuration":$configJson,"createdTime":$now}}"""
           )
         else None
       ).flatten
@@ -211,7 +253,7 @@ object DeltaExport {
         }
       val adds = (files.keySet -- prevFiles.keySet).toSeq.sorted.map { p =>
         val (sz, mt) = files(p)
-        s"""{"add":{"path":${Json.str(p)},"partitionValues":{},"size":$sz,"modificationTime":$mt,"dataChange":true}}"""
+        s"""{"add":{"path":${Json.str(p)},"partitionValues":${partValuesJson(p)},"size":$sz,"modificationTime":$mt,"dataChange":true}}"""
       }
       val removes = (prevFiles.keySet -- files.keySet).toSeq.sorted.map { p =>
         s"""{"remove":{"path":${Json.str(p)},"deletionTimestamp":$now,"dataChange":true}}"""
@@ -243,9 +285,10 @@ object DeltaExport {
       logRoot: Option[String] = None,
       checkpointEvery: Int = 10,
       renames: Map[String, String] = Map.empty,
-      columnMapping: Boolean = false
+      columnMapping: Boolean = false,
+      partitioned: Boolean = false
   ): Seq[LogEntry] = {
-    val entries = buildLog(spark, path, renames, columnMapping)
+    val entries = buildLog(spark, path, renames, columnMapping, partitioned)
     val root = logRoot.getOrElse(path)
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/_delta_log"))
@@ -343,8 +386,13 @@ object DeltaExport {
         }
         if (n.has("add")) {
           val a = n.path("add")
+          // partitionValues must survive into the checkpoint — a reader
+          // seeking past the JSON commits of a PARTITIONED export would
+          // otherwise lose every file's partition tuple
+          val pv = a.path("partitionValues").fields().asScala
+            .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
           adds(a.path("path").asText()) =
-            (Map.empty[String, String], a.path("size").asLong(), a.path("modificationTime").asLong())
+            (pv, a.path("size").asLong(), a.path("modificationTime").asLong())
         }
         if (n.has("remove")) adds -= n.path("remove").path("path").asText()
       }

@@ -236,6 +236,65 @@ class DeltaExportSpec extends AnyFunSuite {
     assert(got == Set((6, "n6")))
   }
 
+  test("partitioned export: declared partitionColumns + per-add partitionValues, import prunes at plan time") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.DeltaImport
+    val path = Files.createTempDirectory("graft-dexp-part").toString + "/t"
+    VersionedTable.commitDelta(spark, path,
+      Seq(("a", 1), ("a", 2), ("b", 3)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path,
+      Seq(("b", 30)).toDF("bucket", "x"), "bucket")
+    val entries = DeltaExport.export(spark, path, partitioned = true)
+
+    // metadata declares the partition column; every add carries its value
+    // parsed from the p= layout
+    val meta = entries.head.actions.map(mapper.readTree).find(_.has("metaData")).get.path("metaData")
+    assert(meta.path("partitionColumns").elements().asScala.map(_.asText()).toSeq == Seq("bucket"))
+    val adds = entries.flatMap(_.actions.map(mapper.readTree)).filter(_.has("add")).map(_.path("add"))
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      val p = a.path("path").asText()
+      val v = a.path("partitionValues").path("bucket").asText()
+      assert(v.nonEmpty && p.contains(s"p=$v/"), s"add $p must carry its p= value, got bucket=$v")
+    }
+
+    // round trip: the partition column comes back from partitionValues
+    // (the file copy is shadowed — dataSchema drops it), values identical
+    val got = DeltaImport.read(spark, path).select(col("bucket"), col("x")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == Set(("a", 1), ("a", 2), ("b", 30)))
+
+    // the 100 TB property: a filter on the partition column prunes the
+    // non-matching partition's FILES out of the plan entirely (constant-
+    // folded per-partition scans), not post-scan
+    val plan = DeltaImport.read(spark, path).filter(col("bucket") === "a")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("p=a"), s"expected p=a files in the pruned plan:\n$plan")
+    assert(!plan.contains("p=b"), s"p=b leaked into the pruned plan:\n$plan")
+
+    // partitionValues survive a checkpoint seek (checkpointRows carries
+    // them): the "a" files enter the replay ONLY via the checkpoint after
+    // the JSONs it covers are vacuumed — their partition tuple must too
+    VersionedTable.commitDelta(spark, path, Seq(("c", 99)).toDF("bucket", "x"), "bucket")
+    VersionedTable.commitDelta(spark, path, Seq(("b", 31)).toDF("bucket", "x"), "bucket")
+    DeltaExport.export(spark, path, checkpointEvery = 2, partitioned = true)
+    (0L to 2L).foreach(v => assert(new java.io.File(s"$path/_delta_log/" + f"$v%020d.json").delete()))
+    val afterCkpt = DeltaImport.read(spark, path).select(col("bucket"), col("x")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(afterCkpt == Set(("a", 1), ("a", 2), ("b", 31), ("c", 99)))
+    val prunedPlan = DeltaImport.read(spark, path).filter(col("bucket") === "a")
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("p=a") && !prunedPlan.contains("p=b"),
+      s"checkpoint-seeded read must still prune on partitionValues:\n$prunedPlan")
+
+    // a full-snapshot table has no partition layout to declare — refused
+    val snap = Files.createTempDirectory("graft-dexp-snap").toString + "/t"
+    VersionedTable.commit(Seq((1, "x")).toDF("a", "b"), snap)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.buildLog(spark, snap, partitioned = true))
+    assert(e.getMessage.contains("full snapshot"))
+  }
+
   test("vacuumed history is skipped, never exported as a partial file set") {
     val path = java.nio.file.Files.createTempDirectory("graft-dexp-v").toString + "/t"
     VersionedTable.commitDelta(spark, path, Seq(("a", 1), ("b", 2)).toDF("bucket", "x"), "bucket")
