@@ -70,9 +70,13 @@ object IcebergExport {
 
   /** Spark -> Iceberg schema JSON with depth-first field-id assignment.
     * Returns (schema JSON, last assigned column id, top-level field -> id).
-    * Ids are positional: the engine's only evolution shape is append-only
-    * widening (unionByName null-padding), under which ids stay stable
-    * across schema versions — the Iceberg id-resolution contract.
+    * Ids are positional: the engine's evolution shapes are append-only
+    * widening (unionByName null-padding) and in-place RENAME, under both
+    * of which positional ids stay stable across schema versions — the
+    * Iceberg id-resolution contract (a renamed field keeps its
+    * predecessor's id; IcebergExportSpec pins this within one export and
+    * across re-exports). Dropping or inserting a column mid-position is
+    * outside the contract: it would re-key every later field.
     */
   private[graft] def icebergSchemaJson(schema: StructType, schemaId: Int): (String, Int, Map[String, Int]) = {
     var nextId = 0

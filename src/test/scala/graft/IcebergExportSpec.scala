@@ -124,6 +124,43 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(meta.contains("\"current-schema-id\": 1"))
   }
 
+  test("rename across commits keeps stable field ids, within one export and across re-exports") {
+    // mirrors DeltaExportSpec's column-mapping rename case: Iceberg
+    // resolves columns BY ID, so the renamed field must keep the id its
+    // predecessor held (positional depth-first assignment guarantees it
+    // under the engine's append-only + rename evolution contract), and a
+    // re-export must reproduce byte-identical schema JSON for the schemas
+    // it re-emits — fresh-id drift would silently re-key every column
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    def schemaIds(metaPath: String): Seq[Map[String, Int]] = {
+      val meta = mapper.readTree(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(metaPath)))
+      import scala.jdk.CollectionConverters._
+      meta.path("schemas").elements().asScala.toSeq.map { s =>
+        s.path("fields").elements().asScala.map(f => f.path("name").asText() -> f.path("id").asInt()).toMap
+      }
+    }
+    val path = Files.createTempDirectory("graft-iexp-rn").toString + "/t"
+    VersionedTable.commit(Seq(("a", 1)).toDF("bucket", "x"), path)
+    VersionedTable.commit(Seq(("a", 10)).toDF("bucket", "y"), path) // x renamed to y
+    VersionedTable.commit(Seq(("a", 10, "n")).toDF("bucket", "y", "z"), path) // then append
+    IcebergExport.export(spark, path)
+    val ids1 = schemaIds(s"$path/metadata/v1.metadata.json")
+    assert(ids1.size == 3)
+    assert(ids1.forall(_("bucket") == 1), s"bucket must keep id 1 in every schema: $ids1")
+    assert(ids1(0)("x") == 2 && ids1(1)("y") == 2 && ids1(2)("y") == 2,
+      s"the renamed column must keep its predecessor's id: $ids1")
+    assert(ids1(2)("z") == 3, s"appended column takes the next id: $ids1")
+
+    // re-export after one more commit: the carried-over schemas' ids (and
+    // JSON) must not move
+    VersionedTable.commit(Seq(("b", 20, "m")).toDF("bucket", "y", "z"), path)
+    IcebergExport.export(spark, path)
+    val ids2 = schemaIds(s"$path/metadata/v2.metadata.json")
+    assert(ids2.take(3) == ids1, s"re-export drifted carried-over field ids:\nwas $ids1\nnow ${ids2.take(3)}")
+    assert(rows(IcebergImport.read(spark, path).withColumnRenamed("y", "x")) == Set(("b", 20)))
+  }
+
   test("re-export after new commits bumps the metadata version; hint points at the newest") {
     val path = Files.createTempDirectory("graft-iexp-r").toString + "/t"
     VersionedTable.commit(Seq(("a", 1)).toDF("bucket", "x"), path)
