@@ -349,7 +349,10 @@ object Bench {
         "q193_warc_charset", "q194_dawid_skene",
         // round-14: Delta column-mapping round trip (commit + metadata
         // export + import read per run — interop cost IS the op)
-        "q195_delta_roundtrip")
+        "q195_delta_roundtrip",
+        // round-15: IVF-celled kNN label screen (train + celled probe per
+        // run — the corpus-scale twin of q156, timed whole at nprobe=all)
+        "q196_label_screen_ivf")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x
@@ -638,8 +641,19 @@ object Bench {
     // 2-decimal times, and a short cache tag — loadBaseline floors by
     // prefix, so driver captures and local records min-merge cleanly.
     def num2(d: Double): String = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    def shortMap(ts: Seq[(String, Option[Double], Option[String])]): String =
-      ts.map { case (k, t, _) => jstr(qkey(k)) + ":" + t.map(num2).getOrElse("null") }.mkString("{", ",", "}")
+    // the per-query maps are capped to the SLOWEST entries (r14: the full
+    // 190-query maps outgrew the 2000-char window and the round artifact
+    // parsed as null) — the slow tail is what regression reading needs;
+    // n_/sum_ companions carry the full population, and the uncapped
+    // record is durable in BENCH_LOCAL_<sf>.json
+    def shortMap(ts: Seq[(String, Option[Double], Option[String])], top: Int): String =
+      ts.collect { case (k, Some(t), _) => (qkey(k), t) }
+        .sortBy { case (k, t) => (-t, k) }
+        .take(top)
+        .map { case (k, t) => jstr(k) + ":" + num2(t) }
+        .mkString("{", ",", "}")
+    def sumOf(ts: Seq[(String, Option[Double], Option[String])]): Double =
+      ts.collect { case (_, Some(t), _) => t }.sum
     // variable-size maps are CAPPED so a pathological run can't push the
     // line past the driver's window (n_errors carries the true count; the
     // full record in BENCH_LOCAL.json is uncapped)
@@ -651,15 +665,24 @@ object Bench {
       case (k, Some(t), _) if baseline.get(qkey(k)).exists(b => b > 0 && t > 2 * b) =>
         (t / baseline(qkey(k)), qkey(k))
     }.sortBy(-_._1).take(8).map { case (x, k) => jstr(k) + ":" + num2(x) }.mkString("{", ",", "}")
-    val shortSetup = setupPairs.map { case (k, t) => s"${jstr(qkey(k))}:${num2(t)}" }.mkString("{", ",", "}")
-    val shortLine =
-      s"""{"metric":"total","value":${num2(total)},"unit":"sec","queries":${shortMap(timed)},"sf":${jstr(sfDir)},""" +
+    val shortSetup = setupPairs.sortBy { case (k, t) => (-t, k) }.take(8)
+      .map { case (k, t) => s"${jstr(qkey(k))}:${num2(t)}" }.mkString("{", ",", "}")
+    def shortLineAt(qTop: Int, xTop: Int): String =
+      s"""{"metric":"total","value":${num2(total)},"unit":"sec","queries":${shortMap(timed, qTop)},"sf":${jstr(sfDir)},""" +
+        s""""n_queries":${timed.size},"sum_queries":${num2(sumOf(timed))},""" +
         s""""errors":$shortErrors,"n_errors":$nErr,"regressions_x":$shortRegr,""" +
-        s""""remeasured":${remeasured.distinct.map(k => jstr(qkey(k))).mkString("[", ",", "]")},""" +
-        s""""extras":${shortMap(extraTimed)},"baseline":${jstr(baselineName)},"load":$loadJson,""" +
+        s""""remeasured":${remeasured.distinct.map(k => jstr(qkey(k))).take(12).mkString("[", ",", "]")},""" +
+        s""""extras":${shortMap(extraTimed, xTop)},"n_extras":${extraTimed.size},"sum_extras":${num2(sumOf(extraTimed))},""" +
+        s""""baseline":${jstr(baselineName)},"load":$loadJson,""" +
         s""""tainted":$tainted,"setup_sec":$shortSetup,"runs_per_query":$runsPerQuery,""" +
         s""""aggregation":"min","timing_action":"hash_rows","key_style":"qnum",""" +
-        s""""cache_policy":"warm min-of-$runsPerQuery, hash_rows; index/warehouse builds in setup_sec; full record in BENCH_LOCAL_<sf>.json"}"""
+        s""""cache_policy":"warm min-of-$runsPerQuery, hash_rows; maps cap to slowest (sums/counts uncapped); full record in BENCH_LOCAL_<sf>.json"}"""
+    // never fail a finished run over line length: shrink the caps until
+    // the record (plus sbt's trailing "[success]" line) fits the window
+    val shortLine = Seq((30, 15), (15, 8), (6, 3))
+      .map { case (q, x) => shortLineAt(q, x) }
+      .find(_.length <= 1850)
+      .getOrElse(shortLineAt(0, 0))
     println(shortLine)
     spark.stop()
   }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+
 /** Dev profiling harness: times a named subset of SparkEntry.queries
   * warm, min-of-5, under the SAME hash_rows materialization action the
   * bench uses (count() lets Catalyst prune pure projections — see the
@@ -16,13 +18,28 @@ object Scratch {
     // 1:1 with BENCH floors by construction (ADVICE r14 #3)
     def materialize(df: org.apache.spark.sql.DataFrame): Unit = Bench.materialize(df)
 
+    // probe-style queries measure PROBE ONLY in the bench (index built in
+    // setup_sec) — mirror that split here or an isolated A/B compares a
+    // build+probe against a probe-only floor and "regresses" by design
+    lazy val q161Built = Queries.q161BuildIndex(spark, sfDir)
+    lazy val q163Built = Queries.q163BuildIndex(spark, sfDir)
+    val probeStyle: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "q161_pq_index_probe" -> ((s: SparkSession, _: String) => {
+        val (idx, coarse, cbs, qv) = q161Built; Queries.q161Probe(s, idx, coarse, cbs, qv)
+      }),
+      "q163_ann_ivf_pq_residual" -> ((s: SparkSession, _: String) => {
+        val (idx, coarse, cbs, qv) = q163Built; Queries.q163Probe(s, idx, coarse, cbs, qv)
+      })
+    )
+    def op(n: String) = probeStyle.getOrElse(n, SparkEntry.queries(n))
+
     val names = if (args.nonEmpty) args.toSeq else Seq("q85_ann_ivf_trained", "q90_ann_ivf_sampled")
     names.foreach { n =>
-      try materialize(SparkEntry.queries(n)(spark, sfDir))
+      try materialize(op(n)(spark, sfDir))
       catch { case e: Throwable => println(s"$n warmup failed: $e") }
     }
     names.foreach { n =>
-      val fn = SparkEntry.queries(n)
+      val fn = op(n)
       val ts = (1 to 5).map { _ =>
         val t0 = System.nanoTime(); materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9
       }
