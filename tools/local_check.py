@@ -149,6 +149,34 @@ FROM embeddings e JOIN aF a ON a.vec_id = e.vec_id
 WHERE e.vec_id NOT IN (SELECT ib FROM drops)""",
     ),
 }
+# Label screens (q156 exact, q196 IVF-celled at nprobe=all — identical
+# output by construction): the generated ordered-sum oracle builds 20M
+# pair-groups of 64 unnested rows whose ORDER BY i aggregate buffers
+# cannot spill — the kernel OOM-killed DuckDB at 130GB RSS replaying it
+# at sf1 (r15). The scale twin computes the same doubles streaming:
+# list_dot_product per pair row (the q47/q86 rewrite primitive, plus a
+# direct bit-equality proof this round: all 199,900 sf0.1 pair dots and
+# all 2,000 norms exactly equal the ordered folds, and the full oracle
+# output is row-identical at sf0.1).
+_LABEL_SCREEN_SCALE = """
+WITH ed AS (SELECT vec_id, CAST(label AS BIGINT) lab, list_transform(embedding, v -> CAST(v AS DOUBLE)) ev FROM embeddings),
+ n AS (SELECT vec_id, sqrt(list_dot_product(ev, ev)) nrm FROM ed),
+ p AS (SELECT ed.vec_id pid, ed.lab plab, ed.ev pe, n.nrm pn FROM ed JOIN n USING (vec_id) WHERE vec_id % 20 = 0),
+ cos AS (SELECT p.pid, p.plab, c.vec_id cid, c.lab clab,
+    CASE WHEN p.pn * cn.nrm = 0 THEN 0.0 ELSE list_dot_product(c.ev, p.pe) / (p.pn * cn.nrm) END c
+   FROM ed c JOIN n cn ON cn.vec_id = c.vec_id JOIN p ON c.vec_id <> p.pid),
+ top AS (SELECT pid, plab, clab FROM (
+    SELECT pid, plab, clab, row_number() OVER (PARTITION BY pid ORDER BY c DESC, cid ASC) rn
+    FROM cos) WHERE rn <= 5),
+ maj AS (SELECT pid, plab, clab, count(*) n,
+    row_number() OVER (PARTITION BY pid ORDER BY count(*) DESC, clab ASC) rm
+  FROM top GROUP BY pid, plab, clab)
+SELECT pid AS vec_id, plab AS own_label, clab AS neighbor_label,
+  CAST(n AS BIGINT) AS n_votes, (plab <> clab) AS flagged
+FROM maj WHERE rm = 1"""
+SCALE_ORACLES["q156_label_screen"] = _LABEL_SCREEN_SCALE
+SCALE_ORACLES["q196_label_screen_ivf"] = _LABEL_SCREEN_SCALE
+
 del SCALE_ORACLES["q47_embedding_neardup"]
 
 
