@@ -733,7 +733,11 @@ object Dedup {
     * Scale shape: df is one vocab-bounded aggregation; each doc ships only
     * its p prefix tokens into the candidate join (p is small at high t —
     * |x|/tDen-ish); the verify joins token arrays by id — two hash joins
-    * on the candidate set, never on the corpus square.
+    * on the candidate set, never on the corpus square. Candidate emission
+    * is bounded to ONE ROW PER PAIR by the minimal-match rule (see
+    * [[jaccardCandidates]]) — the fix for the round-15 sf3 finding where a
+    * corpus of dense replica families emitted every shared prefix element
+    * per pair (~10^9 rows) into the dedup exchange and died in sort spill.
     */
   def jaccardPairsPrefix(
       docs: DataFrame,
@@ -744,20 +748,55 @@ object Dedup {
       shingleSize: Int = 0
   ): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, s"jaccardPairsPrefix: threshold $tNum/$tDen not in (0, 1]")
-    // set elements: unigram tokens (shingleSize <= 1), else n-gram shingle
-    // hashes — the sparse element space prefix filtering wants (a bounded
-    // natural-language vocabulary makes unigram prefixes unselective; see
-    // the q135 threshold history)
+    val sets = jaccardSets(docs, idCol, textCol, shingleSize)
+    val cand = jaccardCandidates(jaccardOrdered(sets, tNum, tDen), tNum, tDen)
+    // verify: the doc dictionary BROADCASTS into both joins, so the
+    // candidate stream (which on a dense-replica corpus is the dominant
+    // volume — 180M pairs at sf3) never re-exchanges: carrying the two
+    // element arrays through a sort-merge exchange is ~0.5 KB per pair, an
+    // ~84 GB sort at sf3 (the round-15 DNF's second act). A corpus whose
+    // dictionary outgrows the broadcast ceiling drops the hint and pays the
+    // wide exchange across the fleet — per-executor volume stays flat.
+    // The intersection is a merge walk over the pre-sorted arrays
+    // ([[graft.plans.SetExpressions.sortedIntersectCount]]) — zero per-pair
+    // allocation where array_intersect built a throwaway array each pair.
+    val verified = cand
+      .join(broadcast(sets.select(col("doc_id").as("id_a"), col("s").as("sa"))), "id_a")
+      .join(broadcast(sets.select(col("doc_id").as("id_b"), col("s").as("sb"))), "id_b")
+      .withColumn("inter", graft.plans.SetExpressions.sortedIntersectCount(col("sa"), col("sb")).cast("long"))
+      .withColumn("un", size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("inter"))
+      .filter(col("inter") * tDen >= col("un") * tNum)
+    verified.select(
+      col("id_a"), col("id_b"),
+      floor(lit(10000.0) * (col("inter").cast("double") / col("un").cast("double"))).cast("long").as("jaccard_e4")
+    )
+  }
+
+  /** [[jaccardPairsPrefix]] element-set stage: unigram tokens
+    * (shingleSize <= 1) or n-gram shingle hashes — the sparse element space
+    * prefix filtering wants (a bounded natural-language vocabulary makes
+    * unigram prefixes unselective; see the q135 threshold history). Cached:
+    * both the candidate stage and the verify consume it.
+    */
+  private[graft] def jaccardSets(docs: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
     val elems =
       if (shingleSize <= 1) array_distinct(TextAnalysis.tokens(col(textCol)))
       else array_distinct(graft.plans.HashExpressions.shingleHash60(TextAnalysis.tokens(col(textCol)), shingleSize))
-    val sets = graft.core.Caching.cached(
-      docs.select(col(idCol).cast("long").as("doc_id"), elems.as("s")).filter(size(col("s")) > 0)
+    // stored ASCENDING-sorted (set semantics — order is free) so the verify
+    // intersection is a merge walk, not a per-pair hash build
+    graft.core.Caching.cached(
+      docs.select(col(idCol).cast("long").as("doc_id"), sort_array(elems).as("s")).filter(size(col("s")) > 0)
     )
+  }
+
+  /** [[jaccardPairsPrefix]] ordering stage: canonical rarest-first order
+    * (df ascending, element ascending — one vocab-bounded aggregation) and
+    * the exact integer prefix length p = len - ceil(t*len) + 1.
+    */
+  private[graft] def jaccardOrdered(sets: DataFrame, tNum: Long, tDen: Long): DataFrame = {
     val toks = sets.select(col("doc_id"), explode(col("s")).as("e"))
     val dfreq = toks.groupBy(col("e")).agg(count(lit(1)).as("df"))
-    // canonical rarest-first order; prefix p = len - ceil(t*len) + 1
-    val ordered = toks
+    toks
       .join(dfreq, "e")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("e")))).as("o"))
@@ -767,25 +806,63 @@ object Dedup {
         size(col("o")).cast("long").as("len")
       )
       .withColumn("p", (col("len") - expr(s"(${tNum}L * len + ${tDen - 1}L) div ${tDen}L") + lit(1L)).cast("int"))
-    val prefixes = ordered.select(col("doc_id"), col("len"), explode(expr("slice(sorted_elems, 1, p)")).as("e"))
-    // size filter (also exact): J >= t forces min(len)*tDen >= max(len)*tNum,
-    // so length-incompatible candidates drop before the distinct/verify
-    val cand = prefixes.select(col("e"), col("doc_id").as("id_a"), col("len").as("la"))
-      .join(prefixes.select(col("e").as("eb"), col("doc_id").as("id_b"), col("len").as("lb")),
+  }
+
+  /** [[jaccardPairsPrefix]] candidate stage (exposed for the DedupSpec
+    * emission guard): prefix-postings self-join under the MINIMAL-MATCH
+    * rule — each candidate pair materializes from exactly ONE of its
+    * shared prefix elements, so no distinct/aggregation exchange follows
+    * the join at all.
+    *
+    * The rule: emit the match at element e only when the two docs share
+    * NOTHING before it — each posting carries the elements preceding its
+    * position in the doc's canonical (rarest-first) order, and the join
+    * condition requires those before-sets disjoint
+    * ([[graft.plans.SetExpressions.sortedOverlap]], an allocation-free
+    * merge walk; the slices are re-sorted numerically at build time so the
+    * walk needs no df lookup). Exactness: a qualifying pair's globally
+    * minimal shared element lies inside both prefixes (the AllPairs
+    * pigeonhole — if it didn't, inter <= ceil(t*len) - 1 < required), its
+    * before-sets are disjoint by minimality, and every other shared prefix
+    * element sees it in both before-sets — so exactly one row survives per
+    * pair. Before the rule, a corpus of dense replica families (ScaleGen's
+    * 30-way near-dup construction — the honest stress case) emitted every
+    * shared prefix element per pair: ~10^9 rows into the dedup exchange at
+    * sf3, >70 GB of sort spill, DNF. The before-slices cost O(p^2/2) longs
+    * per DOC shipped once, vs O(p) per PAIR saved — the trade wins
+    * precisely when pairs/doc is large, i.e. when it matters.
+    *
+    * Two further exact prunes ride the same join condition: the length
+    * filter (J >= t forces min(len)*tDen >= max(len)*tNum) and PPJoin's
+    * POSITIONAL bound — at the minimal match, shared elements are that
+    * element plus matches strictly after both positions, so
+    * inter <= 1 + min(la - ia, lb - ib); pairs whose bound can't reach the
+    * required overlap ceil(tNum*(la+lb)/(tNum+tDen)) drop before verify.
+    * (The bound is only valid at a minimal match; non-minimal rows are
+    * already killed by the disjointness conjunct, so the conjunction stays
+    * exact.)
+    */
+  private[graft] def jaccardCandidates(ordered: DataFrame, tNum: Long, tDen: Long): DataFrame = {
+    val prefixes = ordered
+      .select(
+        col("doc_id"), col("len"), col("sorted_elems"),
+        posexplode(expr("slice(sorted_elems, 1, p)")).as(Seq("pos0", "e")))
+      .select(
+        col("doc_id"), col("len"), col("pos0"), col("e"),
+        sort_array(expr("slice(sorted_elems, 1, pos0)")).as("before"))
+    val left = prefixes.select(
+      col("e"), col("doc_id").as("id_a"), col("len").as("la"), col("pos0").as("ia0"), col("before").as("ba"))
+    val right = prefixes.select(
+      col("e").as("eb"), col("doc_id").as("id_b"), col("len").as("lb"), col("pos0").as("ib0"), col("before").as("bb"))
+    left
+      .join(
+        right,
         col("e") === col("eb") && col("id_a") < col("id_b") &&
-          least(col("la"), col("lb")) * tDen >= greatest(col("la"), col("lb")) * tNum)
+          least(col("la"), col("lb")) * tDen >= greatest(col("la"), col("lb")) * tNum &&
+          !graft.plans.SetExpressions.sortedOverlap(col("ba"), col("bb")) &&
+          (lit(1L) + least(col("la") - col("ia0") - 1L, col("lb") - col("ib0") - 1L)) * (tNum + tDen) >=
+            lit(tNum) * (col("la") + col("lb")))
       .select(col("id_a"), col("id_b"))
-      .distinct()
-    val verified = cand
-      .join(sets.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("s").as("sb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("un", size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("inter"))
-      .filter(col("inter") * tDen >= col("un") * tNum)
-    verified.select(
-      col("id_a"), col("id_b"),
-      floor(lit(10000.0) * (col("inter").cast("double") / col("un").cast("double"))).cast("long").as("jaccard_e4")
-    )
   }
 
   /** CANONICAL REPRESENTATIVE per near-dup group — the last step of the

@@ -340,6 +340,68 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 7L, 5L) }
   }
 
+  test("jaccardCandidates: minimal-match rule emits each candidate pair exactly once on dense replica families") {
+    import spark.implicits._
+    // ScaleGen's honest stress case: 30-way replica families (identical base
+    // text + a replica-distinct tail token), where every within-family pair
+    // shares ~its whole prefix. Before the minimal-match rule, candidate
+    // generation emitted one row per shared prefix element per pair (the sf3
+    // DNF); the rule bounds emissions to one row per pair with zero
+    // aggregation downstream of the join.
+    val bases = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi",
+      "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen",
+      "red orange yellow green blue indigo violet cyan magenta maroon olive navy teal silver gold bronze"
+    )
+    val docs = (for {
+      (b, f) <- bases.zipWithIndex
+      i <- 1 to 30
+    } yield ((f * 100 + i).toLong, s"$b zreplica${i}tok")).toDF("doc_id", "text")
+    val cand = Dedup.jaccardCandidates(
+      Dedup.jaccardOrdered(Dedup.jaccardSets(docs, "doc_id", "text", shingleSize = 3), 2L, 5L), 2L, 5L)
+    val rows = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length, "a candidate pair was emitted more than once")
+    // every within-family pair is a true near-dup and must be present
+    // (exact recall), and nothing crosses families (disjoint vocabularies)
+    val within = (for { f <- 0 until 3; i <- 1 to 30; j <- (i + 1) to 30 }
+      yield ((f * 100 + i).toLong, (f * 100 + j).toLong)).toSet
+    assert(within.subsetOf(rows.toSet))
+    assert(rows.forall(p => p._1 / 100 == p._2 / 100))
+    // end-to-end on the same corpus: verified output matches brute force
+    val got = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 2L, 5L, shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == within)
+  }
+
+  test("SortedArraysOverlap: merge-walk matches expectations on sorted inputs, both eval paths and both element types") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L), false),
+      (Seq(1L, 3L, 5L), Seq(5L, 7L), true),
+      (Seq.empty[Long], Seq(1L), false),
+      (Seq(-9L, 0L, 2L), Seq(-9L), true),
+      (Seq(Long.MinValue, Long.MaxValue), Seq(Long.MaxValue), true),
+      (Seq(1L, 2L, 3L), Seq.empty[Long], false)
+    ).toDF("a", "b", "want")
+    val got = df.withColumn("got", graft.plans.SetExpressions.sortedOverlap(col("a"), col("b")))
+    // codegen path (filter inside whole-stage codegen)
+    assert(got.filter(col("got") =!= col("want")).count() == 0)
+    // string element space (unigram mode): UTF8 binary order
+    val sdf = Seq(
+      (Seq("ant", "bee", "cat"), Seq("bee", "dog"), true),
+      (Seq("ant", "cat"), Seq("bee", "dog"), false),
+      (Seq.empty[String], Seq.empty[String], false)
+    ).toDF("a", "b", "want")
+    val sgot = sdf.withColumn("got", graft.plans.SetExpressions.sortedOverlap(col("a"), col("b")))
+    assert(sgot.filter(col("got") =!= col("want")).count() == 0)
+    // interpreted path
+    val lt = org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
+    val expr = graft.plans.SortedArraysOverlap(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1L, 4L, 9L), lt),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(2L, 4L), lt))
+    assert(expr.eval(null) == true)
+  }
+
   test("canonicalPerGroup: longest-text keeper with id tie-break; unpaired docs are their own group") {
     import spark.implicits._
     val docs = Seq(

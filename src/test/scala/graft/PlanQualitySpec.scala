@@ -349,6 +349,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"containment must stay an equi-join:\n$p")
   }
 
+  test("q135 PPJoin: minimal-match candidates — no distinct/aggregate exchange after the posting join") {
+    // the round-15 sf3 fix: candidate pairs materialize from exactly one
+    // shared prefix element (before-set disjointness in the join condition,
+    // the codegen'd sorted merge walk), so the 10^9-row dedup exchange that
+    // spilled at sf3 must never come back
+    val p = plan("q135_ppjoin")
+    assert(p.contains("sortedarraysoverlap"),
+      s"minimal-match before-set disjointness missing from the candidate join condition:\n$p")
+    assert(p.contains("posexplode"),
+      s"positional postings missing — the positional bound needs match positions:\n$p")
+    // exactly the aggregates the operator owns may remain: the df count,
+    // the per-doc collect_list, and the verify side — NO pair-keyed
+    // aggregate or distinct between the candidate join and the verify
+    assert(!p.contains("HashAggregate(keys=[id_a"),
+      s"pair-keyed dedup exchange is back after the candidate join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n$p")
+  }
+
   test("q194 Dawid-Skene: E-step weights re-enter as broadcast, never a vote-table shuffle") {
     val p = plan("q194_dawid_skene")
     // the M-step weight frame is annotators x labels (tiny at any corpus
