@@ -76,7 +76,9 @@ object Oracles {
     * folds for distances, quantized-long means, -2d+c2 argmin with cid
     * tie-break.
     */
-  private def pqAdcSql(m: Int, dsub: Int, k: Int, iters: Int, topK: Int, coarse: Option[(Int, Int)] = None): String = {
+  private def pqAdcSql(
+      m: Int, dsub: Int, k: Int, iters: Int, topK: Int,
+      coarse: Option[(Int, Int)] = None, rerank: Option[Int] = None): String = {
     val b = new StringBuilder
     b ++= s"WITH ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) x, unnest(range(${m * dsub})) i FROM embeddings),\n"
     b ++= s" sv AS (SELECT vec_id, i // $dsub sub, i % $dsub j, x FROM ev),\n"
@@ -114,7 +116,24 @@ object Oracles {
     b ++= s"   FROM cb$iters c JOIN qv q ON c.sub = q.sub AND c.j = q.j GROUP BY c.sub, c.cid),\n"
     b ++= s" sc AS (SELECT a.vec_id, sum(qd.dist ORDER BY a.sub) dist\n"
     b ++= s"   FROM aF a JOIN qd ON a.sub = qd.sub AND a.cid = qd.cid WHERE a.vec_id <> 0$candFilter GROUP BY a.vec_id)\n"
-    b ++= s"SELECT vec_id, CAST(FLOOR(dist*1000000) AS BIGINT) dist_e6 FROM sc ORDER BY dist ASC, vec_id ASC LIMIT $topK"
+    rerank match {
+      case None =>
+        b ++= s"SELECT vec_id, CAST(FLOOR(dist*1000000) AS BIGINT) dist_e6 FROM sc ORDER BY dist ASC, vec_id ASC LIMIT $topK"
+      case Some(shortlist) =>
+        // two-stage serve: ADC shortlist of `shortlist` ids, then exact
+        // cosine re-rank over the float vectors — the q40 fold verbatim
+        // (index-ordered sums, zero-norm guard, floor-e6), restricted to
+        // the shortlist
+        b ++= s", short AS (SELECT vec_id FROM sc ORDER BY dist ASC, vec_id ASC LIMIT $shortlist),\n"
+        b ++= s" dots AS (SELECT ev.vec_id,\n"
+        b ++= s"    sum(ev.x*q.x ORDER BY ev.i) d,\n"
+        b ++= s"    sum(ev.x*ev.x ORDER BY ev.i) nx,\n"
+        b ++= s"    sum(q.x*q.x ORDER BY ev.i) ny\n"
+        b ++= s"  FROM ev JOIN (SELECT i, x FROM ev WHERE vec_id = 0) q USING (i)\n"
+        b ++= s"  WHERE ev.vec_id IN (SELECT vec_id FROM short) GROUP BY ev.vec_id),\n"
+        b ++= s" cosr AS (SELECT vec_id, CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END c FROM dots)\n"
+        b ++= s"SELECT vec_id, CAST(FLOOR(c*1000000) AS BIGINT) AS cosine_e6 FROM cosr ORDER BY c DESC, vec_id ASC LIMIT $topK"
+    }
     b.toString
   }
 
@@ -2079,6 +2098,10 @@ object Oracles {
 
     // q114: product-quantized ANN — full training/encoding/ADC replay
     "q114_ann_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20),
+
+    // q197: two-stage PQ serve — q114's ADC chain keeps a top-100
+    // shortlist, exact cosine (q40's fold) re-ranks it to the final 20
+    "q197_ann_pq_rerank" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, rerank = Some(100)),
 
     // q115: IVF+PQ — q114's chain with q72's coarse probe pruning
     "q115_ann_ivf_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, coarse = Some((8, 3))),

@@ -4256,6 +4256,38 @@ object Queries {
       col("vec_id") % 20 === 0, centroids, nprobe = centroids.size, k = 5)
   }
 
+  /** q197: PQ ADC SHORTLIST → EXACT RE-RANK
+    * ([[operators.Similarity.pqAdcRerankTopK]]) — the two-stage serving
+    * recipe the recall table demands: q114's exact training/encoding chain
+    * produces the codes, ADC ranks the whole corpus from 8 bytes per
+    * vector, the top-100 shortlist re-scores against the float column by
+    * exact cosine (q40's fold), and the final top-20 is by true cosine.
+    * The oracle replays the entire chain — training, encoding, ADC
+    * shortlist, cosine re-rank — so the recipe's recall recovery
+    * (RECALL_SF1: 0.45 code-only → measured post-re-rank) is hash-gated,
+    * not asserted.
+    */
+  def q197(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val dim = 64
+    val m = 8
+    val dsub = dim / m
+    val seeds = emb
+      .filter(col("vec_id") < 16)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val init: Seq[Seq[(Long, Seq[Double])]] =
+      (0 until m).map(j => seeds.toSeq.zipWithIndex.map { case ((_, v), pos) =>
+        pos.toLong -> v.slice(j * dsub, (j + 1) * dsub)
+      })
+    val cbs = Similarity.trainPqCodebooks(emb, "embedding", dim, init, iters = 2)
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    Similarity.pqAdcRerankTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", dim, cbs, qvec, k = 20, shortlist = 100)
+  }
+
   /** q190: DISTRIBUTION DRIFT ([[graft.dq.DqSuite.distributionDrift]]) —
     * order-value distribution, pre-1997 reference vs 1997+ current, on a
     * fixed 24-bin cent grid: both sides' e4 shares and the exact integer

@@ -25,7 +25,7 @@ object RecallEval {
     val family = Seq(
       "q41_ann_lsh", "q72_ann_ivf", "q85_ann_ivf_trained", "q90_ann_ivf_sampled",
       "q96_ann_sq8", "q114_ann_pq", "q115_ann_ivf_pq", "q161_pq_index_probe",
-      "q163_ann_ivf_pq_residual")
+      "q163_ann_ivf_pq_residual", "q197_ann_pq_rerank")
     val recalls = family.map { n =>
       val ids = topIds(n)
       n -> (exact.intersect(ids).size.toDouble / exact.size)

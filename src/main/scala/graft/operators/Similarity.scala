@@ -465,6 +465,35 @@ object Similarity {
     adcTopKOnCodes(pqCodesPacked(df, idCol, vecCol, dim, codebooks), idCol, adcTable(codebooks, query, dsub), k)
   }
 
+  /** PQ serving with EXACT RE-RANK — the production recipe the recall table
+    * demands (RECALL_SF1: plain m=8/k=16 ADC holds recall@20 ≈ 0.45; the
+    * standard fix is FAISS's two-stage serve): ADC ranks the WHOLE corpus
+    * from codes alone (m byte reads per vector — the cheap pass), keeps a
+    * shortlist of `shortlist` ids, and only those re-score against the
+    * full-precision float vectors by exact cosine ([[bruteForceTopK]]'s
+    * kernel — the same fold as the q40 baseline, so recall lost to code
+    * compression is recovered wherever the true neighbor survives the
+    * shortlist). The shortlist is k-bounded and BROADCAST into a semi join,
+    * so the re-rank pass reads the float column for `shortlist` rows only —
+    * at 100 TB the expensive column is touched ~100 times per query, not
+    * a billion.
+    */
+  def pqAdcRerankTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      query: Seq[Float],
+      k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"pqAdcRerankTopK: shortlist=$shortlist must be >= k=$k")
+    val short = pqAdcTopK(df, idCol, vecCol, dim, codebooks, query, shortlist).select(col(idCol))
+    val cands = df.join(broadcast(short), Seq(idCol), "left_semi")
+    bruteForceTopK(cands, idCol, vecCol, query, k)
+      .select(col(idCol), floor(col("cosine") * lit(1000000.0)).cast("long").as("cosine_e6"))
+  }
+
   /** Serve an ADC top-k straight off stored packed codes — the per-query
     * half of the PQ layout: m byte reads + m adds per vector, the float
     * column never touched.

@@ -513,6 +513,34 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pqAdcRerankTopK: shortlist=corpus equals exact cosine; small shortlist stays within ADC's top ids; k bound enforced") {
+    val vecs = (0L to 12L).map { i =>
+      (i, Seq(i.toFloat, (i % 3).toFloat, (12 - i).toFloat, 1f))
+    }.toDF("vec_id", "embedding")
+    val init = (0 until 2).map(_ => Seq(0L -> Seq(0.0, 0.0), 1L -> Seq(8.0, 2.0)))
+    val cbs = Similarity.trainPqCodebooks(vecs, "embedding", dim = 4, init, iters = 1)
+    val q = Seq(6f, 1f, 6f, 1f)
+    val rest = vecs.filter($"vec_id" =!= 0L)
+    // shortlist covering the whole corpus -> re-rank IS the exact ranking
+    val full = Similarity.pqAdcRerankTopK(rest, "vec_id", "embedding", 4, cbs, q, k = 5, shortlist = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 5)
+      .select($"vec_id", org.apache.spark.sql.functions.floor($"cosine" * 1000000).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == exact, s"full-shortlist re-rank must equal exact cosine: $full vs $exact")
+    // a tight shortlist: output ids are a subset of the ADC shortlist, and
+    // they are ordered by exact cosine (not by ADC distance)
+    val shortIds = Similarity.pqAdcTopK(rest, "vec_id", "embedding", 4, cbs, q, 6)
+      .collect().map(_.getLong(0)).toSet
+    val tight = Similarity.pqAdcRerankTopK(rest, "vec_id", "embedding", 4, cbs, q, k = 4, shortlist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tight.map(_._1).toSet.subsetOf(shortIds))
+    assert(tight.map(_._2).reverse == tight.map(_._2).reverse.sorted, "re-rank order must be cosine desc")
+    intercept[IllegalArgumentException] {
+      Similarity.pqAdcRerankTopK(rest, "vec_id", "embedding", 4, cbs, q, k = 10, shortlist = 5)
+    }
+  }
+
   test("dimensionStats: hand-computed integer mean/variance, negative mean truncation") {
     import spark.implicits._
     // dim 0: values 1.0, 2.0, 4.0 -> e6 (1e6, 2e6, 4e6): mean 7e6/3 = 2333333
