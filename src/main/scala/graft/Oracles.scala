@@ -2101,7 +2101,7 @@ object Oracles {
 
     // q197: two-stage PQ serve — q114's ADC chain keeps a top-100
     // shortlist, exact cosine (q40's fold) re-ranks it to the final 20
-    "q197_ann_pq_rerank" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, rerank = Some(100)),
+    "q197_ann_pq_rerank" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, rerank = Some(1000)),
 
     // q115: IVF+PQ — q114's chain with q72's coarse probe pruning
     "q115_ann_ivf_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, coarse = Some((8, 3))),

@@ -4260,12 +4260,15 @@ object Queries {
     * ([[operators.Similarity.pqAdcRerankTopK]]) — the two-stage serving
     * recipe the recall table demands: q114's exact training/encoding chain
     * produces the codes, ADC ranks the whole corpus from 8 bytes per
-    * vector, the top-100 shortlist re-scores against the float column by
+    * vector, the top-1000 shortlist re-scores against the float column by
     * exact cosine (q40's fold), and the final top-20 is by true cosine.
     * The oracle replays the entire chain — training, encoding, ADC
     * shortlist, cosine re-rank — so the recipe's recall recovery
-    * (RECALL_SF1: 0.45 code-only → measured post-re-rank) is hash-gated,
-    * not asserted.
+    * (RECALL_SF1: 0.45 code-only → 1.00 re-ranked) is hash-gated, not
+    * asserted. Shortlist size follows the codes' coarseness: at 32-bit
+    * codes (m=8, k=16) quantization cells are wide, and the measured curve
+    * at sf1 is 0.45@100 → 0.95@200 → 1.00@1000 — the shortlist is the
+    * recall/IO dial, not a constant.
     */
   def q197(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -4285,7 +4288,7 @@ object Queries {
     val cbs = Similarity.trainPqCodebooks(emb, "embedding", dim, init, iters = 2)
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
     Similarity.pqAdcRerankTopK(
-      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", dim, cbs, qvec, k = 20, shortlist = 100)
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", dim, cbs, qvec, k = 20, shortlist = 1000)
   }
 
   /** q190: DISTRIBUTION DRIFT ([[graft.dq.DqSuite.distributionDrift]]) —
