@@ -85,10 +85,13 @@ object Dedup {
     def hashedShingles(toks: Column): Column =
       if (portable) graft.plans.HashExpressions.shingleHash60(toks, shingleSize)
       else transform(TextAnalysis.wordShinglesFromTokens(toks, shingleSize), s => xxhash64(s))
+    // shingle sets are stored ASCENDING-sorted (set semantics — order is
+    // free; the minhash fold below is order-independent) so the verify
+    // intersection is a single merge walk instead of per-pair array builds
     val withSig = graft.core.Caching.cached(
       df
         .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
-        .select(col("doc_id"), array_distinct(hashedShingles(col("__toks"))).as("shingles"))
+        .select(col("doc_id"), sort_array(array_distinct(hashedShingles(col("__toks")))).as("shingles"))
         .filter(size(col("shingles")) > 0)
         .withColumn("sig", minhashSignatureFromHashes(col("shingles"), numHashes))
       // the signature table feeds three plan branches (banding + both sides
@@ -118,13 +121,24 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
-    // verify candidates only: join the (small) shingle sets back by id
+    // verify candidates only: the shingle DICTIONARY broadcasts into both
+    // joins (the q135/q149 verify pattern — the candidate stream, which
+    // dominates on a dense near-dup corpus, never re-exchanges its pair
+    // rows through a sort), and |A∩B| is one allocation-free merge walk
+    // over the ascending-sorted arrays instead of two array_intersect
+    // materializations per pair. Same integer intersection, same union
+    // arithmetic — the jaccard double (and the oracle hash) is unchanged.
+    // A corpus whose dictionary outgrows the broadcast ceiling drops the
+    // hint and pays the wide exchange across the fleet.
     val shA = withSig.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val shB = withSig.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val inter = graft.plans.SetExpressions.sortedIntersectCount(col("sh_a"), col("sh_b"))
+    val union = (size(col("sh_a")) + size(col("sh_b")) - col("__inter")).cast("double")
     cand
-      .join(shA, "id_a")
-      .join(shB, "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(broadcast(shA), "id_a")
+      .join(broadcast(shB), "id_b")
+      .withColumn("__inter", inter)
+      .withColumn("jaccard", when(union === 0, lit(0.0)).otherwise(col("__inter").cast("double") / union))
       .filter(col("jaccard") >= minJaccard)
       // raw (unrounded) jaccard: callers floor-scale for hash-stable output
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -317,10 +331,23 @@ object Dedup {
     )
     val a = banded.select(col("chunk").as("ca"), col("doc_id").as("id_a"), col("sk").as("sk_a"))
     val b = banded.select(col("chunk").as("cb"), col("doc_id").as("id_b"), col("sk").as("sk_b"))
-    a.join(b, a("ca") === b("cb") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sk_a", "sk_b")
-      .distinct()
-      .withColumn("hamming", bit_count(col("sk_a").bitwiseXOR(col("sk_b"))))
+    // MINIMAL-MATCH rule (the q135 candidate-emission fix, applied to chunk
+    // banding): a pair within the Hamming budget agrees on up to `chunks`
+    // chunk positions and would emit once per agreement; instead of
+    // collapsing the multiplicity with a distinct EXCHANGE (32 bytes per
+    // emitted row through a shuffle), the join condition keeps only the
+    // match at the FIRST agreeing chunk index — computable row-locally
+    // from the two sketches already in the join output (a when-chain of
+    // bitwise tests over sk_a XOR sk_b, codegen'd). Every matched pair has
+    // >= 1 agreeing chunk by construction, so exactly one row survives per
+    // pair and the distinct stage is deleted outright.
+    val xorSk = col("sk_a").bitwiseXOR(col("sk_b"))
+    val mask = (1L << bitsPer) - 1
+    val firstAgree = (0 until chunks).reverse.foldLeft(lit(-1)) { (acc, c) =>
+      when(shiftrightunsigned(xorSk, c * bitsPer).bitwiseAND(lit(mask)) === 0, lit(c)).otherwise(acc)
+    }
+    a.join(b, a("ca") === b("cb") && col("id_a") < col("id_b") && a("ca").getField("c") === firstAgree)
+      .withColumn("hamming", bit_count(xorSk))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
@@ -526,10 +553,16 @@ object Dedup {
   ): DataFrame = {
     val ordered = containmentOrdered(df, idCol, textCol, shingleSize, minContainment, hotShingleCap)
     val cand = containmentCandidates(ordered)
+    // verify: the doc dictionary BROADCASTS into both joins (q135's verify
+    // pattern — the candidate stream never re-exchanges its pair rows), and
+    // |A∩B| is one allocation-free merge walk over numerically re-sorted
+    // copies of the element arrays (`se` is rarest-first for the prefix;
+    // set intersection is order-free, so the per-dict-row sort is pure
+    // cost-shaping and the count — and the oracle hash — is unchanged).
     cand
-      .join(ordered.select(col("doc_id").as("id_a"), col("se").as("sa"), col("len").as("la")), "id_a")
-      .join(ordered.select(col("doc_id").as("id_b"), col("se").as("sb"), col("len").as("lb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .join(broadcast(ordered.select(col("doc_id").as("id_a"), sort_array(col("se")).as("sa"), col("len").as("la"))), "id_a")
+      .join(broadcast(ordered.select(col("doc_id").as("id_b"), sort_array(col("se")).as("sb"), col("len").as("lb"))), "id_b")
+      .withColumn("inter", graft.plans.SetExpressions.sortedIntersectCount(col("sa"), col("sb")).cast("long"))
       .withColumn("cab", col("inter").cast("double") / col("la"))
       .withColumn("cba", col("inter").cast("double") / col("lb"))
       .filter(greatest(col("cab"), col("cba")) >= minContainment)
@@ -968,15 +1001,22 @@ object Dedup {
       minCosine: Double = 0.95,
       dim: Int = 64
   ): DataFrame = {
+    // norms are ROW-constants: fold each vector's norm once per row here
+    // instead of re-folding both norms for every within-bucket pair (the
+    // q86/q156 per-pair defect). `na * nb` keeps norm(a)*norm(b)'s operand
+    // order and dot() is the same index-order fold, so the cosine double —
+    // and the oracle hash — is bit-identical.
     val bucketed = df.select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
-      Similarity.lshBucket(col(vecCol), dim, nBits).as("bucket")
+      Similarity.lshBucket(col(vecCol), dim, nBits).as("bucket"),
+      Similarity.norm(col(vecCol)).as("n")
     )
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val b = bucketed.select(col("bucket").as("bucket_b"), col("id").as("id_b"), col("v").as("vb"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = bucketed.select(col("bucket").as("bucket_b"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    val nn = col("na") * col("nb")
     a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cosine", when(nn === 0, lit(0.0)).otherwise(Similarity.dot(col("va"), col("vb")) / nn))
       .filter(col("cosine") >= minCosine)
       // raw (bit-exact index-order fold) cosine: callers floor-scale
       .select(col("id_a"), col("id_b"), col("cosine"))

@@ -341,7 +341,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // candidate join — if the raw postings self-join comes back, the slice
     // and the intersection verify both vanish from the plan
     assert(p.contains("slice("), s"prefix slice missing — candidate join regressed to raw postings:\n$p")
-    assert(p.contains("array_intersect"), s"exact candidate verify missing:\n$p")
+    assert(p.contains("sortedarraysintersectcount"), s"exact candidate verify missing:\n$p")
     // (the rarest-first sort_array is aliased away inside the aggregate in
     // the executed-plan text; DedupSpec's hot-shingle case guards the
     // ordering behaviorally — zero candidates is only possible rarest-first)
@@ -366,6 +366,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"pair-keyed dedup exchange is back after the candidate join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidate generation must stay an equi-join:\n$p")
+  }
+
+  test("q37 MinHash-LSH: verify joins broadcast the shingle dictionary, intersect is the merge walk") {
+    // round-15: the candidate stream must never re-exchange its pair rows
+    // carrying two shingle arrays (the q135 verify pattern), and |A∩B| is
+    // the allocation-free sorted merge walk, not per-pair array builds
+    val p = plan("q37_minhash_lsh")
+    assert(p.contains("sortedarraysintersectcount"),
+      s"merge-walk intersect missing — per-pair array_intersect churn is back:\n$p")
+    assert(!p.contains("array_intersect"),
+      s"array_intersect materializes a throwaway array per verified pair:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"shingle dictionary must broadcast into both verify joins:\n$p")
+  }
+
+  test("q65/q88 sketch banding: minimal-match chunk join — no pair-keyed distinct exchange") {
+    // round-15: a pair agreeing on k chunks used to emit k rows into a
+    // distinct exchange; the first-agreeing-chunk predicate in the join
+    // condition keeps exactly one, so no pair-keyed aggregate may follow
+    for (name <- Seq("q65_simhash_neardup", "q88_dup_groups")) {
+      val p = plan(name)
+      assert(!p.contains("HashAggregate(keys=[id_a"),
+        s"$name: pair-keyed dedup exchange is back after the chunk join:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: banding must stay an equi-join:\n$p")
+    }
   }
 
   test("q194 Dawid-Skene: E-step weights re-enter as broadcast, never a vote-table shuffle") {
