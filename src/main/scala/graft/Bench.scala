@@ -351,8 +351,10 @@ object Bench {
         // export + import read per run — interop cost IS the op)
         "q195_delta_roundtrip",
         // round-15: IVF-celled kNN label screen (train + celled probe per
-        // run — the corpus-scale twin of q156, timed whole at nprobe=all)
-        "q196_label_screen_ivf")
+        // run — the corpus-scale twin of q156, timed whole at nprobe=all),
+        // PQ ADC shortlist -> exact re-rank (train + encode + two-stage
+        // serve per run — the production recipe over the code layouts)
+        "q196_label_screen_ivf", "q197_ann_pq_rerank")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x
