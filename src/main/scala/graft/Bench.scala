@@ -354,7 +354,10 @@ object Bench {
         // run — the corpus-scale twin of q156, timed whole at nprobe=all),
         // PQ ADC shortlist -> exact re-rank (train + encode + two-stage
         // serve per run — the production recipe over the code layouts)
-        "q196_label_screen_ivf", "q197_ann_pq_rerank")
+        "q196_label_screen_ivf", "q197_ann_pq_rerank",
+        // round-15: cross-dimension covariance (posexplode + reused-exchange
+        // self-join + partial-agg to 2080 rows — the PCA/whitening prep)
+        "q198_covariance")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

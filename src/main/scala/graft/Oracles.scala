@@ -2103,6 +2103,23 @@ object Oracles {
     // shortlist, exact cosine (q40's fold) re-ranks it to the final 20
     "q197_ann_pq_rerank" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, rerank = Some(1000)),
 
+    // q198: cross-dimension covariance — e6-floored values, HUGEINT second
+    // moments, the (n·Σvᵢvⱼ − Σvᵢ·Σvⱼ)/n² identity; `//` and Spark `div`
+    // both truncate toward zero (verified on negative numerators)
+    "q198_covariance" ->
+      """WITH e AS (SELECT vec_id, CAST(i AS BIGINT) dim,
+        |    CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * 1000000.0e0) AS BIGINT) v
+        |  FROM embeddings, range(64) t(i)),
+        | p AS (SELECT x.dim i, y.dim j,
+        |        CAST(count(*) AS BIGINT) n,
+        |        CAST(sum(x.v) AS BIGINT) si, CAST(sum(y.v) AS BIGINT) sj,
+        |        CAST(sum(CAST(x.v AS HUGEINT) * y.v) AS HUGEINT) sij
+        |   FROM e x JOIN e y ON x.vec_id = y.vec_id AND x.dim <= y.dim
+        |   GROUP BY 1, 2)
+        |SELECT i AS dim_i, j AS dim_j, n,
+        | CAST((CAST(n AS HUGEINT) * sij - CAST(si AS HUGEINT) * sj) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS cov_e12
+        |FROM p""".stripMargin,
+
     // q115: IVF+PQ — q114's chain with q72's coarse probe pruning
     "q115_ann_ivf_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, coarse = Some((8, 3))),
 

@@ -4440,4 +4440,15 @@ object Queries {
         graft.plans.HashExpressions.md5Prefix60(col("body")).as("body_h"),
         length(col("body")).cast("long").as("n_chars"))
   }
+
+  /** q198: CROSS-DIMENSION COVARIANCE MATRIX over the embedding corpus —
+    * the PCA/ZCA-whitening preprocessing table
+    * ([[operators.Similarity.covarianceMatrix]]: q157's per-dimension
+    * diagonal generalized to all dim·(dim+1)/2 unordered pairs). Exact
+    * integer arithmetic end to end (e6-floored values, DECIMAL(38,0)
+    * second moments, truncating divisions in both engines), so the
+    * oracle replays every covariance cell bit-for-bit.
+    */
+  def q198(s: SparkSession, dir: String): DataFrame =
+    Similarity.covarianceMatrix(t(s, dir, "embeddings"), "vec_id", "embedding")
 }

@@ -1003,6 +1003,53 @@ object Similarity {
           .cast("long")
           .as("var_e12"))
 
+  /** CROSS-DIMENSION COVARIANCE MATRIX — the full second-moment table a
+    * PCA / ZCA-whitening preprocessing step consumes ([[dimensionStats]]
+    * is its diagonal), in the same EXACT integer arithmetic: dimensions
+    * e6-floored to longs, population covariance via the
+    * (n·Σvᵢvⱼ − Σvᵢ·Σvⱼ) / n² identity in DECIMAL(38,0). Both engines'
+    * integral divisions truncate toward zero (Spark `div`; DuckDB `//`,
+    * verified on negatives — covariance numerators, unlike variance, CAN
+    * be negative), so the published integers are bit-identical. One row
+    * per unordered dimension pair i ≤ j — dim·(dim+1)/2 rows at any
+    * corpus size.
+    *
+    * SCALE: posexplode to (row, dim, v), then a self-join on the row id
+    * with the i ≤ j residual. Both join inputs are the SAME subtree, so
+    * the exchange is planned once and reused — one shuffle of n·dim
+    * narrow rows; the join's n·dim²/2 output feeds partial aggregation
+    * directly (≤ dim·(dim+1)/2 rows per map partition cross the final
+    * exchange), so the quadratic-in-dim mass never re-shuffles. At a
+    * corpus where even the n·dim exploded exchange dominates, the
+    * escape hatch is a per-row outer-product fold as a custom
+    * expression; the join formulation wins while embeddings are a
+    * fraction of the raw text mass (64 longs/row here vs ~KB of text).
+    */
+  def covarianceMatrix(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = df
+      .select(col(idCol).as("__row"), posexplode(col(vecCol)))
+      .select(
+        col("__row"),
+        col("pos"),
+        floor(col("col").cast("double") * lit(1000000.0)).cast("long").as("v"))
+    val a = e.select(col("__row"), col("pos").as("i"), col("v").as("vi"))
+    val b = e.select(col("__row").as("__row2"), col("pos").as("j"), col("v").as("vj"))
+    a.join(b, col("__row") === col("__row2") && col("i") <= col("j"))
+      .groupBy(col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("vi")).as("si"),
+        sum(col("vj")).as("sj"),
+        sum(expr("CAST(vi AS DECIMAL(38,0)) * vj")).as("sij"))
+      .select(
+        col("dim_i"),
+        col("dim_j"),
+        col("n"),
+        expr("(CAST(n AS DECIMAL(38,0)) * sij - CAST(si AS DECIMAL(38,0)) * sj) div (CAST(n AS DECIMAL(38,0)) * n)")
+          .cast("long")
+          .as("cov_e12"))
+  }
+
   /** kNN LABEL-NOISE SCREEN (the Cleanlab-style data-cleaning pass): for
     * each PROBE vector, find its k exact-cosine nearest neighbors in the
     * corpus (self excluded), take the majority neighbor label (ties →

@@ -394,6 +394,17 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q198 covariance: exploded self-join reuses one exchange, partial agg before the O(dim^2) shuffle") {
+    val p = plan("q198_covariance")
+    // both join inputs are the same (id, dim, v) subtree — the exchange
+    // must plan once and be reused, not scanned+shuffled twice
+    assert(p.contains("ReusedExchange") || p.contains("ReusedSubquery") || p.contains("BroadcastHashJoin"),
+      s"self-join re-shuffles the exploded relation twice:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"partial aggregation missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair expansion must stay an equi-join:\n$p")
+  }
+
   test("q194 Dawid-Skene: E-step weights re-enter as broadcast, never a vote-table shuffle") {
     val p = plan("q194_dawid_skene")
     // the M-step weight frame is annotators x labels (tiny at any corpus

@@ -556,6 +556,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1) == (1L, 3L, -1000000L, 666666666666L), s"got ${out(1)}")
   }
 
+  test("covarianceMatrix: hand-computed cells, diagonal == dimensionStats, negative truncation toward zero") {
+    import spark.implicits._
+    // 3 vectors, 2 dims -> e6: (5e5,-25e4), (1e6,75e4), (0,5e5)
+    // (0,0): si=sj=15e5, sij=1.25e12 -> (3*1.25e12 - 2.25e12)/9 = 166666666666 (trunc)
+    // (0,1): si=15e5, sj=1e6, sij=6.25e11 -> (1.875e12 - 1.5e12)/9 = 41666666666
+    // (1,1): si=sj=1e6, sij=8.75e11 -> (2.625e12 - 1e12)/9 = 180555555555
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f)), (2L, Array(1.0f, 0.75f)), (3L, Array(0.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.covarianceMatrix(vecs, "vec_id", "embedding")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 3)
+    assert(out((0L, 0L)) == (3L, 166666666666L))
+    assert(out((0L, 1L)) == (3L, 41666666666L))
+    assert(out((1L, 1L)) == (3L, 180555555555L))
+    // the diagonal must equal dimensionStats' variance column exactly
+    val diag = Similarity.dimensionStats(vecs, "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(diag(0L) == out((0L, 0L))._2 && diag(1L) == out((1L, 1L))._2)
+    // negative covariance: numerator -3.3e12 / 9 must truncate TOWARD ZERO
+    // (-366666666666), not floor (-366666666667) — the cross-engine contract
+    val anti = Seq(
+      (1L, Array(1.0f, -0.5f)), (2L, Array(-1.0f, 0.6f)), (3L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val c01 = Similarity.covarianceMatrix(anti, "vec_id", "embedding")
+      .filter(col("dim_i") === 0 && col("dim_j") === 1).head().getLong(3)
+    assert(c01 == -366666666666L, s"got $c01")
+  }
+
   test("knnLabelScreen: planted mislabel flagged, consistent labels pass, self excluded") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
