@@ -30,10 +30,28 @@ object RecallEval {
       val ids = topIds(n)
       n -> (exact.intersect(ids).size.toDouble / exact.size)
     }
+    // knob points (eval-only — q41's committed config stays the
+    // oracle-gated 8×5 surface): the q41 row's claim that table count
+    // buys recall is MEASURED here at the same scale point, so the
+    // serving recipe ("raise tables until recall clears the bar, cost
+    // grows linearly in the fused bucket pass") rests on a record
+    import org.apache.spark.sql.functions.{col, floor => ffloor}
+    val emb = graft.sources.IO.table(spark, sfDir, "embeddings")
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    val knobs = Seq(8, 16, 32).map { tables =>
+      val ids = graft.operators.Similarity
+        .lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qvec, 20, tables = tables)
+        .collect().map(_.getLong(0)).toSet
+      tables -> (exact.intersect(ids).size.toDouble / exact.size)
+    }
+    val knobJson = knobs
+      .map { case (t, r) => s""""lsh_${t}_tables":${"%.2f".format(r)}""" }
+      .mkString("{", ",", "}")
+
     val json = recalls
       .map { case (n, r) => s""""${n.split('_').head}":${"%.2f".format(r)}""" }
       .mkString("{", ",", "}")
-    println(s"""[recall] {"sf":"$sfDir","k":20,"baseline":"q40","recall_at_20":$json}""")
+    println(s"""[recall] {"sf":"$sfDir","k":20,"baseline":"q40","recall_at_20":$json,"lsh_table_knob":$knobJson}""")
     spark.stop()
   }
 }
