@@ -357,7 +357,11 @@ object Bench {
         "q196_label_screen_ivf", "q197_ann_pq_rerank",
         // round-15: cross-dimension covariance (posexplode + reused-exchange
         // self-join + partial-agg to 2080 rows — the PCA/whitening prep)
-        "q198_covariance")
+        "q198_covariance",
+        // round-16: the same cells via the per-row outer-product fold —
+        // zero row-proportional exchange (q198's escape hatch, A/B-able
+        // against it in every bench artifact)
+        "q199_covariance_fold")
 
     // Load telemetry (VERDICT r08 "what's wrong #1"): three round-close
     // records in a row were contention-polluted and their regressions_x

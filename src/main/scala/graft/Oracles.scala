@@ -541,6 +541,24 @@ object Oracles {
     * (q72's chain), (cosine DESC, cid) top-5, majority by
     * (count DESC, label ASC).
     */
+  /** Shared by q198 (posexplode-join formulation) and q199 (outer-product
+    * fold): one oracle text, so the gate itself proves the two plans
+    * interchangeable.
+    */
+  private val covarianceSql: String =
+    """WITH e AS (SELECT vec_id, CAST(i AS BIGINT) dim,
+      |    CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * 1000000.0e0) AS BIGINT) v
+      |  FROM embeddings, range(64) t(i)),
+      | p AS (SELECT x.dim i, y.dim j,
+      |        CAST(count(*) AS BIGINT) n,
+      |        CAST(sum(x.v) AS BIGINT) si, CAST(sum(y.v) AS BIGINT) sj,
+      |        CAST(sum(CAST(x.v AS HUGEINT) * y.v) AS HUGEINT) sij
+      |   FROM e x JOIN e y ON x.vec_id = y.vec_id AND x.dim <= y.dim
+      |   GROUP BY 1, 2)
+      |SELECT i AS dim_i, j AS dim_j, n,
+      | CAST((CAST(n AS HUGEINT) * sij - CAST(si AS HUGEINT) * sj) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS cov_e12
+      |FROM p""".stripMargin
+
   private val labelScreenSql: String =
     """WITH p AS (SELECT vec_id pid, embedding pe, CAST(label AS BIGINT) plab
       |   FROM embeddings WHERE vec_id % 20 = 0),
@@ -1481,12 +1499,14 @@ object Oracles {
          |FROM d GROUP BY vec_id""".stripMargin
     },
 
-    // q41: multi-table LSH ANN — all 8 hyperplane families (5 bits each)
+    // q41: multi-table LSH ANN — all hyperplane families (geometry from
+    // Queries.Q41Lsh, the single home: 16 tables x 5 bits since round 16)
     // embedded as sign masks; candidate = bucket match vs the vec_id=0 query
     // in ANY table; then the q40 cosine machinery over candidates only.
     "q41_ann_lsh" -> {
-      val masks = (for { t <- 0 until 8; b <- 0 until 5 } yield
-        s"($t, $b, '${graft.operators.Similarity.hyperplaneMask(t, b, 64)}')").mkString(", ")
+      import Queries.Q41Lsh
+      val masks = (for { t <- 0 until Q41Lsh.Tables; b <- 0 until Q41Lsh.NBits } yield
+        s"($t, $b, '${graft.operators.Similarity.hyperplaneMask(t, b, Q41Lsh.Dim)}')").mkString(", ")
       s"""WITH m(tbl, bit, mask) AS (VALUES $masks),
          | e AS (SELECT vec_id, unnest(embedding) x, unnest(range(64)) i FROM embeddings),
          | d AS (SELECT vec_id, tbl, bit,
@@ -2106,19 +2126,12 @@ object Oracles {
     // q198: cross-dimension covariance — e6-floored values, HUGEINT second
     // moments, the (n·Σvᵢvⱼ − Σvᵢ·Σvⱼ)/n² identity; `//` and Spark `div`
     // both truncate toward zero (verified on negative numerators)
-    "q198_covariance" ->
-      """WITH e AS (SELECT vec_id, CAST(i AS BIGINT) dim,
-        |    CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * 1000000.0e0) AS BIGINT) v
-        |  FROM embeddings, range(64) t(i)),
-        | p AS (SELECT x.dim i, y.dim j,
-        |        CAST(count(*) AS BIGINT) n,
-        |        CAST(sum(x.v) AS BIGINT) si, CAST(sum(y.v) AS BIGINT) sj,
-        |        CAST(sum(CAST(x.v AS HUGEINT) * y.v) AS HUGEINT) sij
-        |   FROM e x JOIN e y ON x.vec_id = y.vec_id AND x.dim <= y.dim
-        |   GROUP BY 1, 2)
-        |SELECT i AS dim_i, j AS dim_j, n,
-        | CAST((CAST(n AS HUGEINT) * sij - CAST(si AS HUGEINT) * sj) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS cov_e12
-        |FROM p""".stripMargin,
+    "q198_covariance" -> covarianceSql,
+
+    // q199: the outer-product-fold formulation must produce the SAME cells
+    // as q198's join formulation — identical oracle, so the two plans are
+    // proven interchangeable bit for bit
+    "q199_covariance_fold" -> covarianceSql,
 
     // q115: IVF+PQ — q114's chain with q72's coarse probe pruning
     "q115_ann_ivf_pq" -> pqAdcSql(m = 8, dsub = 8, k = 16, iters = 2, topK = 20, coarse = Some((8, 3))),

@@ -633,17 +633,35 @@ object Queries {
       .select(col("vec_id"), floor(col("cosine") * 1000000).cast("long").as("cosine_e6"))
   }
 
-  /** q41: LSH-bucketed ANN top-k (multi-probe, 8 tables x 5 bits) — the
-    * 100 TB scale path. Oracle-checked: the deterministic hyperplanes are
-    * embedded in the SQL as sign masks (q46-proven pattern, extended to all
-    * 8 tables), so DuckDB reproduces the bucket filter and the cosine
-    * ranking bit-for-bit.
+  /** q41's LSH serving geometry — the SINGLE home for (dim, nBits,
+    * tables), consumed by the query itself, the oracle's mask generation,
+    * and RecallEval's table-count knob sweep (ADVICE r15: the sweep
+    * re-encoded the geometry separately, so a config change here would
+    * have silently desynced the published `lsh_table_knob` curve).
+    * Promoted 8 → 16 tables in round 16: RECALL_SF1.json measured
+    * recall@20 = 0.50 at 8 tables and 1.00 at 16 at sf1, and the bucket
+    * pass (one fused expression over the vector) grows linearly in
+    * tables — so the committed serving point now sits past the measured
+    * recall cliff instead of on it (VERDICT r15 next-round #5).
+    */
+  private[graft] object Q41Lsh {
+    val Dim = 64
+    val NBits = 5
+    val Tables = 16
+  }
+
+  /** q41: LSH-bucketed ANN top-k (multi-probe, [[Q41Lsh]]: 16 tables x 5
+    * bits — recall@20 = 1.00 measured at sf1) — the 100 TB scale path.
+    * Oracle-checked: the deterministic hyperplanes are embedded in the SQL
+    * as sign masks (q46-proven pattern, extended to all tables), so DuckDB
+    * reproduces the bucket filter and the cosine ranking bit-for-bit.
     */
   def q41(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
     Similarity
-      .lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qvec, 20)
+      .lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qvec, 20,
+        dim = Q41Lsh.Dim, nBits = Q41Lsh.NBits, tables = Q41Lsh.Tables)
       .select(col("vec_id"), floor(col("cosine") * 1000000).cast("long").as("cosine_e6"))
   }
 
@@ -4240,6 +4258,18 @@ object Queries {
     * partitioned by cell the probe prunes to nprobe partitions).
     */
   def q196(s: SparkSession, dir: String): DataFrame = {
+    val (emb, centroids) = q196Centroids(s, dir)
+    Similarity.knnLabelScreenIvf(
+      emb, "vec_id", "embedding", "label",
+      col("vec_id") % 20 === 0, centroids, nprobe = centroids.size, k = 5)
+  }
+
+  /** q196's centroid training (first-8 seed, 1-in-4 hash sample, 3 Lloyd
+    * iterations — exactly q90's recipe), factored out so RecallEval's
+    * recall-vs-nprobe sweep measures the SAME cells the gated query
+    * serves (VERDICT r15 next-round #2).
+    */
+  private[graft] def q196Centroids(s: SparkSession, dir: String): (DataFrame, Seq[(Long, Seq[Double])]) = {
     val emb = t(s, dir, "embeddings")
     val init = emb
       .filter(col("vec_id") < 8)
@@ -4249,11 +4279,7 @@ object Queries {
       .sortBy(_._1)
       .toSeq
     val trainSample = Sampling.hashBucket(col("vec_id"), 4) === 0
-    val centroids =
-      Similarity.trainIvfCentroids(emb, "embedding", init, iters = 3, sample = Some(trainSample))
-    Similarity.knnLabelScreenIvf(
-      emb, "vec_id", "embedding", "label",
-      col("vec_id") % 20 === 0, centroids, nprobe = centroids.size, k = 5)
+    (emb, Similarity.trainIvfCentroids(emb, "embedding", init, iters = 3, sample = Some(trainSample)))
   }
 
   /** q197: PQ ADC SHORTLIST → EXACT RE-RANK
@@ -4451,4 +4477,15 @@ object Queries {
     */
   def q198(s: SparkSession, dir: String): DataFrame =
     Similarity.covarianceMatrix(t(s, dir, "embeddings"), "vec_id", "embedding")
+
+  /** q199: COVARIANCE VIA THE PER-ROW OUTER-PRODUCT FOLD
+    * ([[operators.Similarity.covarianceMatrixFold]]) — q198's documented
+    * escape hatch as a first-class surface: the same dim·(dim+1)/2
+    * covariance cells with ZERO row-proportional exchange (the fold
+    * accumulates all products inside the scan; q198 exchanges n·dim
+    * posexploded rows). Gated against q198's own oracle, so the two
+    * formulations are proven interchangeable cell for cell.
+    */
+  def q199(s: SparkSession, dir: String): DataFrame =
+    Similarity.covarianceMatrixFold(t(s, dir, "embeddings"), "embedding", dim = 64)
 }

@@ -29,7 +29,22 @@ object Scratch {
       }),
       "q163_ann_ivf_pq_residual" -> ((s: SparkSession, _: String) => {
         val (idx, coarse, cbs, qv) = q163Built; Queries.q163Probe(s, idx, coarse, cbs, qv)
-      })
+      }),
+      // un-hinted verify variants (VERDICT r15 #1): the same queries with
+      // broadcastDict=false, so the over-ceiling escape path has a real
+      // at-scale timing next to the broadcast plan's
+      "q135_unhinted" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Dedup.jaccardPairsPrefix(
+          graft.sources.IO.table(s, dir, "documents"), "doc_id", "text",
+          tNum = 2L, tDen = 5L, shingleSize = 3, broadcastDict = false)),
+      "q37_unhinted" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Dedup.minhashLsh(
+          graft.sources.IO.table(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, bands = 8, rowsPerBand = 2, minJaccard = 0.5, portable = true,
+          broadcastDict = false)
+          .select(org.apache.spark.sql.functions.col("id_a"), org.apache.spark.sql.functions.col("id_b"),
+            org.apache.spark.sql.functions.floor(org.apache.spark.sql.functions.col("jaccard") * 10000)
+              .cast("long").as("jaccard_e4")))
     )
     def op(n: String) = probeStyle.getOrElse(n, SparkEntry.queries(n))
 

@@ -18,6 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Join-side hint for the verify-stage dictionary joins: the three
+    * candidate-verify stages ([[minhashLsh]], [[containmentPairs]],
+    * [[jaccardPairsPrefix]]) broadcast the per-doc element dictionary by
+    * default — the shape that keeps the (dominant) candidate stream from
+    * re-exchanging its pair rows. A corpus whose dictionary outgrows the
+    * broadcast ceiling passes `broadcastDict = false` and the verify
+    * degrades to a shuffled join: the same rows (spec-proven hash-equal,
+    * DedupSpec), the dictionary exchanged wide across the fleet instead of
+    * replicated per executor. Round-16 change: the escape used to be a
+    * comment ("drop the hint") requiring a code edit; it is now an
+    * argument, and the un-hinted plan is exercised by a spec.
+    */
+  private def hinted(df: DataFrame, broadcastDict: Boolean): DataFrame =
+    if (broadcastDict) broadcast(df) else df
+
   /** Exact dedup: one surviving doc_id (min) per normalized-content
     * fingerprint, plus the duplicate count. At scale: a single hash
     * aggregation with map-side partial combine.
@@ -69,7 +84,8 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 2,
       minJaccard: Double = 0.5,
-      portable: Boolean = false
+      portable: Boolean = false,
+      broadcastDict: Boolean = true
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Shingle-hash choice: xxhash64 is cheap but has no cross-engine SQL
@@ -128,15 +144,16 @@ object Dedup {
     // over the ascending-sorted arrays instead of two array_intersect
     // materializations per pair. Same integer intersection, same union
     // arithmetic — the jaccard double (and the oracle hash) is unchanged.
-    // A corpus whose dictionary outgrows the broadcast ceiling drops the
-    // hint and pays the wide exchange across the fleet.
+    // A corpus whose dictionary outgrows the broadcast ceiling passes
+    // broadcastDict=false and pays the wide exchange across the fleet
+    // (see [[hinted]] — spec-proven hash-equal).
     val shA = withSig.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val shB = withSig.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
     val inter = graft.plans.SetExpressions.sortedIntersectCount(col("sh_a"), col("sh_b"))
     val union = (size(col("sh_a")) + size(col("sh_b")) - col("__inter")).cast("double")
     cand
-      .join(broadcast(shA), "id_a")
-      .join(broadcast(shB), "id_b")
+      .join(hinted(shA, broadcastDict), "id_a")
+      .join(hinted(shB, broadcastDict), "id_b")
       .withColumn("__inter", inter)
       .withColumn("jaccard", when(union === 0, lit(0.0)).otherwise(col("__inter").cast("double") / union))
       .filter(col("jaccard") >= minJaccard)
@@ -318,6 +335,12 @@ object Dedup {
         s"candidate pairs ~ n^2/${1L << bitsPer} per chunk position, effectively all-pairs at scale. " +
         s"Use maxHamming <= ${sketchBits / minChunkBits - 1}, or pass minChunkBits explicitly for small corpora."
     )
+    // ADVICE r15: (1L << 64) wraps to 1 in JVM shift semantics, so the
+    // naive mask is 0 for the 64-bit single-chunk case (maxHamming = 0 on
+    // a 64-bit sketch) — every chunk value and the firstAgree predicate
+    // would trivially match, degenerating to an all-pairs equi-join. A
+    // full-width mask keeps that case an exact whole-sketch equality join.
+    val mask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
     val sketched = graft.core.Caching.cached(sketched0.select(col("doc_id"), col("sk")))
     val banded = sketched.select(
       col("doc_id"),
@@ -325,7 +348,7 @@ object Dedup {
       explode(
         array((0 until chunks).map { c =>
           // chunk value tagged with its index so chunks only match same-position chunks
-          struct(lit(c).as("c"), shiftrightunsigned(col("sk"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)).as("v"))
+          struct(lit(c).as("c"), shiftrightunsigned(col("sk"), c * bitsPer).bitwiseAND(lit(mask)).as("v"))
         }: _*)
       ).as("chunk")
     )
@@ -342,7 +365,6 @@ object Dedup {
     // >= 1 agreeing chunk by construction, so exactly one row survives per
     // pair and the distinct stage is deleted outright.
     val xorSk = col("sk_a").bitwiseXOR(col("sk_b"))
-    val mask = (1L << bitsPer) - 1
     val firstAgree = (0 until chunks).reverse.foldLeft(lit(-1)) { (acc, c) =>
       when(shiftrightunsigned(xorSk, c * bitsPer).bitwiseAND(lit(mask)) === 0, lit(c)).otherwise(acc)
     }
@@ -549,7 +571,8 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       minContainment: Double = 0.5,
-      hotShingleCap: Option[Int] = None
+      hotShingleCap: Option[Int] = None,
+      broadcastDict: Boolean = true
   ): DataFrame = {
     val ordered = containmentOrdered(df, idCol, textCol, shingleSize, minContainment, hotShingleCap)
     val cand = containmentCandidates(ordered)
@@ -559,9 +582,11 @@ object Dedup {
     // copies of the element arrays (`se` is rarest-first for the prefix;
     // set intersection is order-free, so the per-dict-row sort is pure
     // cost-shaping and the count — and the oracle hash — is unchanged).
+    // broadcastDict=false drops the hint for over-ceiling dictionaries
+    // (see [[hinted]]).
     cand
-      .join(broadcast(ordered.select(col("doc_id").as("id_a"), sort_array(col("se")).as("sa"), col("len").as("la"))), "id_a")
-      .join(broadcast(ordered.select(col("doc_id").as("id_b"), sort_array(col("se")).as("sb"), col("len").as("lb"))), "id_b")
+      .join(hinted(ordered.select(col("doc_id").as("id_a"), sort_array(col("se")).as("sa"), col("len").as("la")), broadcastDict), "id_a")
+      .join(hinted(ordered.select(col("doc_id").as("id_b"), sort_array(col("se")).as("sb"), col("len").as("lb")), broadcastDict), "id_b")
       .withColumn("inter", graft.plans.SetExpressions.sortedIntersectCount(col("sa"), col("sb")).cast("long"))
       .withColumn("cab", col("inter").cast("double") / col("la"))
       .withColumn("cba", col("inter").cast("double") / col("lb"))
@@ -778,7 +803,8 @@ object Dedup {
       textCol: String,
       tNum: Long,
       tDen: Long,
-      shingleSize: Int = 0
+      shingleSize: Int = 0,
+      broadcastDict: Boolean = true
   ): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, s"jaccardPairsPrefix: threshold $tNum/$tDen not in (0, 1]")
     val sets = jaccardSets(docs, idCol, textCol, shingleSize)
@@ -788,14 +814,16 @@ object Dedup {
     // volume — 180M pairs at sf3) never re-exchanges: carrying the two
     // element arrays through a sort-merge exchange is ~0.5 KB per pair, an
     // ~84 GB sort at sf3 (the round-15 DNF's second act). A corpus whose
-    // dictionary outgrows the broadcast ceiling drops the hint and pays the
-    // wide exchange across the fleet — per-executor volume stays flat.
+    // dictionary outgrows the broadcast ceiling passes broadcastDict=false
+    // and pays the wide exchange across the fleet — per-executor volume
+    // stays flat (see [[hinted]]; the un-hinted plan is spec-proven
+    // hash-equal and timed at sf1 in SCALE.md).
     // The intersection is a merge walk over the pre-sorted arrays
     // ([[graft.plans.SetExpressions.sortedIntersectCount]]) — zero per-pair
     // allocation where array_intersect built a throwaway array each pair.
     val verified = cand
-      .join(broadcast(sets.select(col("doc_id").as("id_a"), col("s").as("sa"))), "id_a")
-      .join(broadcast(sets.select(col("doc_id").as("id_b"), col("s").as("sb"))), "id_b")
+      .join(hinted(sets.select(col("doc_id").as("id_a"), col("s").as("sa")), broadcastDict), "id_a")
+      .join(hinted(sets.select(col("doc_id").as("id_b"), col("s").as("sb")), broadcastDict), "id_b")
       .withColumn("inter", graft.plans.SetExpressions.sortedIntersectCount(col("sa"), col("sb")).cast("long"))
       .withColumn("un", size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("inter"))
       .filter(col("inter") * tDen >= col("un") * tNum)

@@ -545,4 +545,70 @@ class DedupSpec extends AnyFunSuite {
       .select($"corpus_id", $"bench_id").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 100L)), s"expected exactly the planted contamination, got $got")
   }
+
+  test("broadcastDict=false: un-hinted verify plans drop the broadcast and stay hash-equal (all three stages)") {
+    // VERDICT r15 #1: the 'drop the hint' escape for over-ceiling
+    // dictionaries used to be a comment; this exercises the actual
+    // un-hinted plan. autoBroadcastJoinThreshold=-1 stops Spark (and AQE)
+    // from re-broadcasting the small test frames on its own, so the plan
+    // assertion really tests the hint, not the data size.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq.map {
+          case d: Double => math.round(d * 1e9) // tolerate nothing but representation
+          case x => x
+        }).toSet
+      def planOf(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+
+      // q37's shape: portable MinHash+LSH
+      val mh = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleSize = 2, bands = 8, rowsPerBand = 2, minJaccard = 0.3, portable = true)
+      val mhU = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleSize = 2, bands = 8, rowsPerBand = 2, minJaccard = 0.3, portable = true,
+        broadcastDict = false)
+      assert(planOf(mh).contains("BroadcastHashJoin"), "hinted verify must broadcast the dictionary")
+      assert(!planOf(mhU).contains("BroadcastHashJoin"), "un-hinted verify must not broadcast")
+      assert(rows(mhU) == rows(mh))
+
+      // q135's shape: prefix-filtered exact Jaccard at 2/5
+      val jp = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 2L, 5L, shingleSize = 3)
+      val jpU = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 2L, 5L, shingleSize = 3,
+        broadcastDict = false)
+      assert(planOf(jp).contains("BroadcastHashJoin"))
+      assert(!planOf(jpU).contains("BroadcastHashJoin"))
+      assert(rows(jpU) == rows(jp) && rows(jp).nonEmpty)
+
+      // q149's shape: asymmetric containment
+      val ct = Dedup.containmentPairs(docs, "doc_id", "text", shingleSize = 1, minContainment = 0.5)
+      val ctU = Dedup.containmentPairs(docs, "doc_id", "text", shingleSize = 1, minContainment = 0.5,
+        broadcastDict = false)
+      assert(planOf(ct).contains("BroadcastHashJoin"))
+      assert(!planOf(ctU).contains("BroadcastHashJoin"))
+      assert(rows(ctU) == rows(ct) && rows(ct).nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bandedSketchPairs: 64-bit single-chunk case (maxHamming=0) is an exact equality join, not all-pairs") {
+    // ADVICE r15: (1L << 64) wraps to 1, so the old mask was 0 and every
+    // chunk matched every chunk — correct output, quadratic cost. The
+    // full-width mask keeps the single-chunk case a whole-sketch equality.
+    import spark.implicits._
+    val sketched = Seq(
+      (1L, 0x0123456789ABCDEFL), (2L, 0x0123456789ABCDEFL), // identical sketches
+      (3L, 0x0123456789ABCDEEL), // 1 bit off doc 1 — must NOT pair at maxHamming=0
+      (4L, -1L) // sign bit set: the unsigned shift/mask path must not mangle it
+    ).toDF("doc_id", "sk")
+    val got = Dedup.bandedSketchPairs(sketched, sketchBits = 64, maxHamming = 0, minChunkBits = 12)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"expected exactly the identical pair, got $got")
+    // and the candidate join condition is selective: the join's chunk-value
+    // equality must compare full sketches (mask != 0), so the two docs with
+    // different sketches never meet. Cost check via the join condition:
+    // the plan's join key must not be a constant-0 bitwise AND.
+    val p = Dedup.bandedSketchPairs(sketched, 64, 0, 12).queryExecution.optimizedPlan.toString
+    assert(!p.contains("& 0)"), s"chunk mask degenerated to 0:\n$p")
+  }
 }
