@@ -11,15 +11,16 @@ package graft
   * (vec_id) — every family member queries vec_id 0's vector with k=20 and
   * self excluded, so the id sets are directly comparable.
   *
-  * Round 16 adds the LABEL-SCREEN recall-vs-nprobe sweep (VERDICT r15
-  * next-round #2): q196's IVF-celled screen at production nprobe values,
-  * measured as flagged-row recall against the EXACT screen's flagged set
-  * (of the rows the exact q156 screen flags as suspected label noise, the
-  * fraction the celled screen still flags). Cells come from
-  * [[Queries.q196Centroids]] — the same training as the gated query — so
-  * the published curve is the committed surface's own quality dial, plus
-  * one bounded audit batch (`vec_id % 400`, the production shape where the
-  * probe frame is a fixed suspect list, not a corpus share).
+  * Round 16 adds the LABEL-SCREEN quality-vs-nprobe sweep (VERDICT r15
+  * next-round #2): a hash-selected ~2% of labels are corrupted (planted
+  * noise — the natural replica corpus flags nothing, so flagged-row
+  * recall over it is vacuous), the planted rows are probed, and the
+  * artifact reports the CATCH RATE (fraction of planted errors flagged)
+  * for the exact screen and for q196's IVF-celled screen at nprobe
+  * 1/2/4/all, plus false-flag counts on an equally-sized clean batch.
+  * Cells come from [[Queries.q196Centroids]] — the same training as the
+  * gated query — so the published curve is the committed surface's own
+  * quality dial.
   */
 object RecallEval {
   def main(args: Array[String]): Unit = {
@@ -47,7 +48,7 @@ object RecallEval {
     // Queries.Q41Lsh — the SAME constants q41 serves with (ADVICE r15:
     // a separately-encoded sweep would silently desync on a config
     // change). Since round 16 the committed config is the 16-table point.
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit, pmod, when, xxhash64}
     import Queries.Q41Lsh
     val emb = graft.sources.IO.table(spark, sfDir, "embeddings")
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
@@ -62,45 +63,61 @@ object RecallEval {
       .map { case (t, r) => s""""lsh_${t}_tables":${"%.2f".format(r)}""" }
       .mkString("{", ",", "}")
 
-    // ---- label-screen recall vs nprobe (flagged-row recall) ----
-    // Baseline: the EXACT screen's flagged rows on the same probe batch.
-    // A screen's job is to surface suspects, so the quality number a user
-    // turning the nprobe dial needs is "of the rows the exact screen
-    // flags, how many does the celled screen still flag".
+    // ---- label-screen quality vs nprobe (planted-noise catch rate) ----
+    // The natural ScaleGen corpus flags ZERO rows through the exact screen
+    // (replicas carry consistent labels, so every probe's neighbors agree
+    // with it) — a flagged-row recall over that set is vacuous. The
+    // measurement VERDICT r15 #2 actually asks for — "how many mislabeled
+    // rows the screen still catches at production nprobe" — needs planted
+    // noise: corrupt a hash-selected ~2% of labels (hash, not modulo —
+    // ScaleGen replica ids are congruent mod powers of ten, so a modulo
+    // plant corrupts whole replica FAMILIES whose members then vote for
+    // each other's wrong label and hide), probe exactly the planted rows,
+    // and report the fraction flagged (catch rate) per nprobe, plus the
+    // false-flag count on a clean batch of the same construction.
     val (embQ, centroids) = Queries.q196Centroids(spark, sfDir)
-    def flaggedIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
-      df.filter(col("flagged")).collect().map(_.getLong(0)).toSet
-    def screenRecall(probe: org.apache.spark.sql.Column, nprobe: Int, exactFlagged: Set[Long]): Double = {
-      val got = flaggedIds(graft.operators.Similarity.knnLabelScreenIvf(
-        embQ, "vec_id", "embedding", "label", probe, centroids, nprobe = nprobe, k = 5))
-      if (exactFlagged.isEmpty) 1.0
-      else exactFlagged.intersect(got).size.toDouble / exactFlagged.size
+    val planted = pmod(xxhash64(col("vec_id")), lit(50)) === 7
+    val cleanBatch = pmod(xxhash64(col("vec_id")), lit(50)) === 3
+    val corrupted = embQ.withColumn(
+      "label", when(planted, col("label") + 100).otherwise(col("label")))
+    def flaggedCount(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val rows = df.select(col("flagged")).collect()
+      (rows.count(_.getBoolean(0)).toLong, rows.length.toLong)
     }
-    val gateProbe = col("vec_id") % 20 === 0
-    val gateExact = flaggedIds(graft.operators.Similarity.knnLabelScreen(
-      embQ, "vec_id", "embedding", "label", gateProbe, k = 5))
-    val nprobes = Seq(1, 2, 4, centroids.size)
-    val screenCurve = nprobes.map(np => np -> screenRecall(gateProbe, np, gateExact))
-    // bounded audit batch — the production probe shape (fixed suspect
-    // list, not a corpus share); same exact-screen baseline construction
-    val smallProbe = col("vec_id") % 400 === 0
-    val smallExact = flaggedIds(graft.operators.Similarity.knnLabelScreen(
-      embQ, "vec_id", "embedding", "label", smallProbe, k = 5))
-    val smallCurve = Seq(2).map(np => np -> screenRecall(smallProbe, np, smallExact))
+    def catchRate(probe: org.apache.spark.sql.Column, nprobe: Option[Int]): (Double, Long, Long) = {
+      val out = nprobe match {
+        case None => graft.operators.Similarity.knnLabelScreen(
+          corrupted, "vec_id", "embedding", "label", probe, k = 5)
+        case Some(np) => graft.operators.Similarity.knnLabelScreenIvf(
+          corrupted, "vec_id", "embedding", "label", probe, centroids, nprobe = np, k = 5)
+      }
+      val (caught, total) = flaggedCount(out)
+      (if (total == 0) 1.0 else caught.toDouble / total, caught, total)
+    }
+    val (exactRate, exactCaught, nPlanted) = catchRate(planted, None)
+    val screenCurve = Seq(1, 2, 4, centroids.size).map { np =>
+      val key = if (np == centroids.size) "all" else np.toString
+      key -> catchRate(planted, Some(np))._1
+    }
+    val (_, falseFlagsExact, nClean) = catchRate(cleanBatch, None)
+    val (_, falseFlags2, _) = catchRate(cleanBatch, Some(2))
     val screenJson = (
-      screenCurve.map { case (np, r) =>
-        val key = if (np == centroids.size) "all" else np.toString
-        s""""nprobe_$key":${"%.2f".format(r)}"""
-      } ++
-        Seq(s""""n_flagged_exact":${gateExact.size}""") ++
-        smallCurve.map { case (np, r) => s""""small_batch_nprobe_$np":${"%.2f".format(r)}""" } ++
-        Seq(s""""small_batch_n_flagged_exact":${smallExact.size}""")
+      Seq(
+        s""""planted_frac":0.02""",
+        s""""n_planted_probes":$nPlanted""",
+        s""""exact_catch_rate":${"%.2f".format(exactRate)}""",
+        s""""exact_caught":$exactCaught""") ++
+        screenCurve.map { case (key, r) => s""""nprobe_${key}_catch_rate":${"%.2f".format(r)}""" } ++
+        Seq(
+          s""""clean_batch_probes":$nClean""",
+          s""""clean_batch_false_flags_exact":$falseFlagsExact""",
+          s""""clean_batch_false_flags_nprobe_2":$falseFlags2""")
     ).mkString("{", ",", "}")
 
     val json = recalls
       .map { case (n, r) => s""""${n.split('_').head}":${"%.2f".format(r)}""" }
       .mkString("{", ",", "}")
-    println(s"""[recall] {"sf":"$sfDir","k":20,"baseline":"q40","recall_at_20":$json,"lsh_table_knob":$knobJson,"label_screen_flagged_recall":$screenJson}""")
+    println(s"""[recall] {"sf":"$sfDir","k":20,"baseline":"q40","recall_at_20":$json,"lsh_table_knob":$knobJson,"label_screen_planted_noise":$screenJson}""")
     spark.stop()
   }
 }

@@ -123,6 +123,34 @@ FROM j WHERE inter * 5 >= un * 2""",
 # k-means training CTEs are generated Scala-side and must stay verbatim):
 # cut at the marker, splice the list-based tail.
 SCALE_REWRITES = {
+    # q41's scale twin (r16: the 16-table promotion doubled the mask set to
+    # 80 hyperplanes; the generated ordered-sum oracle built 80 x 1.28M
+    # unnested rows of non-spillable ORDER BY i aggregate buffers and
+    # OOM-killed DuckDB at sf1). list_dot_product on DOUBLE[] folds
+    # sequentially in index order — the same primitive the q47/q86/q156
+    # twins use, bit-equality proven against the ordered folds in r15 —
+    # so the bucket signs, the candidate set, and the cosine ranking are
+    # bit-identical with per-(vec, plane) intermediates instead of
+    # per-(vec, plane, dim). Verified row-identical to the generated
+    # oracle at sf0.01 before first use (r16).
+    "q41_ann_lsh": (
+        " e AS (",
+        """ mv AS (SELECT tbl, bit, list_transform(range(1, 65),
+        i -> CASE substr(mask, CAST(i AS INTEGER), 1) WHEN '1' THEN 1.0 ELSE -1.0 END) pm FROM m),
+ ed AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) ev FROM embeddings),
+ d AS (SELECT vec_id, tbl, bit, list_dot_product(ev, pm) dt FROM ed CROSS JOIN mv),
+ bk AS (SELECT vec_id, tbl, CAST(sum(CASE WHEN dt > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) bucket
+  FROM d GROUP BY vec_id, tbl),
+ qb AS (SELECT tbl, bucket FROM bk WHERE vec_id = 0),
+ cand AS (SELECT DISTINCT bk.vec_id FROM bk JOIN qb ON bk.tbl = qb.tbl AND bk.bucket = qb.bucket WHERE bk.vec_id <> 0),
+ q AS (SELECT ev qe FROM ed WHERE vec_id = 0),
+ dots AS (SELECT e2.vec_id, list_dot_product(e2.ev, q.qe) d,
+    list_dot_product(e2.ev, e2.ev) nx, list_dot_product(q.qe, q.qe) ny
+  FROM ed e2, q WHERE e2.vec_id IN (SELECT vec_id FROM cand)),
+ cos AS (SELECT vec_id, CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END c FROM dots)
+SELECT vec_id, CAST(FLOOR(c*1000000) AS BIGINT) AS cosine_e6
+FROM cos ORDER BY c DESC, vec_id ASC LIMIT 20""",
+    ),
     "q47_embedding_neardup": (
         " cand AS (",
         """ ed AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) ev FROM embeddings),
@@ -302,7 +330,12 @@ def main():
             continue
         try:
             if scale:
-                con.close()
+                # a poisoned connection can refuse even close() after a
+                # hard allocator error — never let teardown kill the run
+                try:
+                    con.close()
+                except Exception:
+                    pass
                 con = connect(sf_dir, scale)
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             want = con.sql(sql).df()
@@ -334,6 +367,14 @@ def main():
             print(f"ERROR {name}: {str(e).splitlines()[0][:200]}")
             results[name] = {"pass": False, "why": f"error:{str(e).splitlines()[0][:120]}"}
             n_fail += 1
+        finally:
+            # persist INCREMENTALLY: a DuckDB allocator abort can take the
+            # whole interpreter down mid-run (seen at the r16 sf1 re-cut),
+            # and the end-of-run write would lose an hour of green rows
+            sys.stdout.flush()
+            if artifact:
+                with open(artifact, "w") as f:
+                    json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1, sort_keys=True)
     if artifact:
         with open(artifact, "w") as f:
             json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1, sort_keys=True)
