@@ -4297,9 +4297,24 @@ object Queries {
     * recall/IO dial, not a constant.
     */
   def q197(s: SparkSession, dir: String): DataFrame = {
+    val (emb, cbs, qvec) = q197PqSetup(s, dir, m = 8)
+    Similarity.pqAdcRerankTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", 64, cbs, qvec, k = 20, shortlist = 1000)
+  }
+
+  /** q197's PQ training chain (first-16 seeds per subspace, 2 Lloyd
+    * iterations), factored out with the subspace count `m` as the one
+    * free knob so RecallEval's shortlist-depth-per-code-size sweep
+    * (VERDICT r16 #7) measures the SAME training the gated query serves —
+    * the q196Centroids single-homing rule applied to the PQ geometry.
+    * The committed q197 surface is m = 8 (32-bit codes at k = 16).
+    */
+  private[graft] def q197PqSetup(
+      s: SparkSession, dir: String, m: Int
+  ): (DataFrame, Seq[Seq[(Long, Seq[Double])]], Seq[Float]) = {
     val emb = t(s, dir, "embeddings")
     val dim = 64
-    val m = 8
+    require(dim % m == 0, s"q197PqSetup: m=$m must divide dim=$dim")
     val dsub = dim / m
     val seeds = emb
       .filter(col("vec_id") < 16)
@@ -4313,8 +4328,7 @@ object Queries {
       })
     val cbs = Similarity.trainPqCodebooks(emb, "embedding", dim, init, iters = 2)
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
-    Similarity.pqAdcRerankTopK(
-      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", dim, cbs, qvec, k = 20, shortlist = 1000)
+    (emb, cbs, qvec)
   }
 
   /** q190: DISTRIBUTION DRIFT ([[graft.dq.DqSuite.distributionDrift]]) —

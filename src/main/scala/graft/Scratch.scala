@@ -44,6 +44,22 @@ object Scratch {
           broadcastDict = false)
           .select(org.apache.spark.sql.functions.col("id_a"), org.apache.spark.sql.functions.col("id_b"),
             org.apache.spark.sql.functions.floor(org.apache.spark.sql.functions.col("jaccard") * 10000)
+              .cast("long").as("jaccard_e4"))),
+      // DictHint.Auto variants (VERDICT r16 #6): the timing includes the
+      // eager stats job, so the ledger shows what Auto actually costs next
+      // to the plan it picks (sf1: the un-hinted plan; sf3: broadcast)
+      "q135_auto" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Dedup.jaccardPairsPrefix(
+          graft.sources.IO.table(s, dir, "documents"), "doc_id", "text",
+          tNum = 2L, tDen = 5L, shingleSize = 3,
+          broadcastDict = graft.operators.Dedup.DictHint.Auto())),
+      "q37_auto" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Dedup.minhashLsh(
+          graft.sources.IO.table(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, bands = 8, rowsPerBand = 2, minJaccard = 0.5, portable = true,
+          broadcastDict = graft.operators.Dedup.DictHint.Auto())
+          .select(org.apache.spark.sql.functions.col("id_a"), org.apache.spark.sql.functions.col("id_b"),
+            org.apache.spark.sql.functions.floor(org.apache.spark.sql.functions.col("jaccard") * 10000)
               .cast("long").as("jaccard_e4")))
     )
     def op(n: String) = probeStyle.getOrElse(n, SparkEntry.queries(n))

@@ -18,20 +18,168 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Join-side hint for the verify-stage dictionary joins: the three
-    * candidate-verify stages ([[minhashLsh]], [[containmentPairs]],
-    * [[jaccardPairsPrefix]]) broadcast the per-doc element dictionary by
-    * default — the shape that keeps the (dominant) candidate stream from
-    * re-exchanging its pair rows. A corpus whose dictionary outgrows the
-    * broadcast ceiling passes `broadcastDict = false` and the verify
-    * degrades to a shuffled join: the same rows (spec-proven hash-equal,
-    * DedupSpec), the dictionary exchanged wide across the fleet instead of
-    * replicated per executor. Round-16 change: the escape used to be a
-    * comment ("drop the hint") requiring a code edit; it is now an
-    * argument, and the un-hinted plan is exercised by a spec.
+  /** Dictionary-broadcast policy for the candidate-verify joins of the
+    * three verify stages ([[minhashLsh]], [[containmentPairs]],
+    * [[jaccardPairsPrefix]]).
+    *
+    * [[DictHint.Broadcast]] (the benched default) replicates the per-doc
+    * element dictionary so the (dominant) candidate stream never
+    * re-exchanges its pair rows; [[DictHint.Shuffle]] drops the hint for
+    * dictionaries past the broadcast ceiling — same rows (spec-proven
+    * hash-equal, DedupSpec), the dictionary exchanged wide across the
+    * fleet instead of replicated per executor; [[DictHint.Auto]] measures
+    * the corpus and picks (VERDICT r16 #6 — the SCALE.md rule of thumb,
+    * made executable). Booleans still work at every call site
+    * (`broadcastDict = false`) via the companion implicit.
     */
+  sealed trait DictHint
+  object DictHint {
+    import scala.language.implicitConversions
+
+    /** Always hint — candidate mass dominates and the dictionary fits. */
+    case object Broadcast extends DictHint
+
+    /** Never hint — the over-ceiling escape; per-executor exchange volume
+      * stays flat where the broadcast would OOM at collect.
+      */
+    case object Shuffle extends DictHint
+
+    /** Measure and decide. Costs one small eager stats job at
+      * DataFrame-construction time (the [[graft.operators.Similarity]]
+      * guardedBroadcast precedent — a measured fact beats a stale stats
+      * estimate when one failure mode is an OOM):
+      *
+      *  1. SAFETY: estimated dictionary bytes
+      *     (docs × (avg set length × 8 + ~48 B row overhead)) above
+      *     `maxDictBytes` → [[Shuffle]], the 100 TB rule — broadcast only
+      *     while the dictionary fits the executor heap.
+      *  2. COST: otherwise [[Broadcast]] iff the estimated verify
+      *     re-exchange payload (candidate rows × 2 element arrays) is at
+      *     least `minPayloadRatio` × dictionary bytes. Candidate rows are
+      *     ESTIMATED from the same postings the candidate stage joins
+      *     (Σ c·(c−1)/2 over join-key frequencies — an upper bound on the
+      *     pre-filter join volume, consistent across scales), so the knob
+      *     tracks the actual crossover quantity: at sf1 the un-hinted
+      *     sort-merge verify measured FASTER (the broadcast's
+      *     collect+replicate cost exceeds the shuffle it saves while the
+      *     payload-to-dictionary ratio is low), at sf3 the un-hinted plan
+      *     DNFed where the broadcast ran in ~30-42 s (SCALE.md r16 A/B).
+      *     The default ratio is calibrated between those two measured
+      *     points (SCALE.md r17 ledger).
+      */
+    final case class Auto(
+        maxDictBytes: Long = Auto.MaxDictBytes,
+        minPayloadRatio: Double = Auto.MinPayloadRatio
+    ) extends DictHint
+    object Auto {
+      /** Default dictionary-bytes ceiling: 2 GB — inside a typical
+        * executor's storage/broadcast headroom and the driver collect
+        * budget at default configs.
+        */
+      val MaxDictBytes: Long = 2048L * 1024 * 1024
+
+      /** Default payload-to-dictionary crossover, calibrated from the
+        * r16/r17 measured A/B (SCALE.md r17 ledger, [[graft.DictAutoProbe]]):
+        * on q135's stage the sf1 corpus measures ratio 2219 and the
+        * un-hinted verify WINS (6.50 vs 7.92 s), the sf3 corpus measures
+        * 6698 and the un-hinted plan DNFs where broadcast runs in ~30-42 s
+        * — so the crossover lies inside [2219, 6698] and the default sits
+        * near the bracket's geometric midpoint (√(2219·6698) ≈ 3855).
+        */
+      val MinPayloadRatio: Double = 4000.0
+    }
+
+    /** Compatibility: `broadcastDict = true/false` call sites keep their
+      * meaning (true = [[Broadcast]], false = [[Shuffle]]).
+      */
+    implicit def fromBoolean(b: Boolean): DictHint = if (b) Broadcast else Shuffle
+  }
+
   private def hinted(df: DataFrame, broadcastDict: Boolean): DataFrame =
     if (broadcastDict) broadcast(df) else df
+
+  /** Resolve a [[DictHint]] to hint-or-not for one verify stage.
+    * `dict` must be the stage's (cached) dictionary frame, `setSize` its
+    * element-count column, and `estCandidates` the stage-specific
+    * candidate-volume estimator (evaluated lazily — only Auto under the
+    * byte ceiling pays for it).
+    */
+  private def resolveDictHint(
+      hint: DictHint,
+      dict: DataFrame,
+      setSize: Column,
+      estCandidates: => Long
+  ): Boolean = hint match {
+    case DictHint.Broadcast => true
+    case DictHint.Shuffle   => false
+    case a: DictHint.Auto =>
+      val row = dict.agg(count(lit(1)).as("n"), avg(setSize).as("l")).head()
+      val n = row.getLong(0)
+      if (n == 0L) true // empty dictionary broadcasts trivially
+      else {
+        val setBytes = row.getDouble(1) * 8.0
+        val dictBytes = n.toDouble * (setBytes + 48.0)
+        if (dictBytes > a.maxDictBytes.toDouble) false
+        else estCandidates.toDouble * 2.0 * setBytes >= a.minPayloadRatio * dictBytes
+      }
+  }
+
+  /** [[DictHint.Auto]]'s decision inputs for the q135/q37/q149 stages on a
+    * given corpus — the measured facts behind the calibrated default
+    * ratio (SCALE.md r17 ledger; consumed by [[graft.DictAutoProbe]]).
+    * Returns (dictRows, avgSetLen, dictBytes, estCandidates, payloadRatio).
+    */
+  private[graft] def autoStatsMinhashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, bands: Int, rowsPerBand: Int, portable: Boolean): (Long, Double, Double, Long, Double) = {
+    // mirrors minhashLsh's signature/banding stages exactly (same hashes,
+    // same band keys) without running the verify
+    val numHashes = bands * rowsPerBand
+    def hashedShingles(toks: Column): Column =
+      if (portable) graft.plans.HashExpressions.shingleHash60(toks, shingleSize)
+      else transform(TextAnalysis.wordShinglesFromTokens(toks, shingleSize), s => xxhash64(s))
+    val withSig = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), sort_array(array_distinct(hashedShingles(col("__toks")))).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignatureFromHashes(col("shingles"), numHashes))
+    val bandKey: Int => Column =
+      if (portable) b => concat_ws(":", lit(b), concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+      else b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+    val banded = withSig.select(col("doc_id"), explode(array((0 until bands).map(bandKey): _*)).as("bucket"))
+    autoStatsOf(withSig, size(col("shingles")), selfJoinVolume(banded, "bucket"))
+  }
+
+  /** [[autoStatsMinhashLsh]]'s twin for the jaccardPairsPrefix stage. */
+  private[graft] def autoStatsJaccardPrefix(
+      docs: DataFrame, idCol: String, textCol: String,
+      tNum: Long, tDen: Long, shingleSize: Int): (Long, Double, Double, Long, Double) = {
+    val sets = jaccardSets(docs, idCol, textCol, shingleSize)
+    val ordered = jaccardOrdered(sets, tNum, tDen)
+    autoStatsOf(sets, size(col("s")),
+      selfJoinVolume(ordered.select(explode(expr("slice(sorted_elems, 1, p)")).as("e")), "e"))
+  }
+
+  private def autoStatsOf(dict: DataFrame, setSize: Column, estCand: Long): (Long, Double, Double, Long, Double) = {
+    val row = dict.agg(count(lit(1)).as("n"), avg(setSize).as("l")).head()
+    val n = row.getLong(0)
+    val avgLen = if (n == 0) 0.0 else row.getDouble(1)
+    val setBytes = avgLen * 8.0
+    val dictBytes = n.toDouble * (setBytes + 48.0)
+    val ratio = if (dictBytes == 0) 0.0 else estCand.toDouble * 2.0 * setBytes / dictBytes
+    (n, avgLen, dictBytes, estCand, ratio)
+  }
+
+  /** Σ c·(c−1)/2 over the frequency of `keyCol` in `postings` — the
+    * pre-filter self-join volume estimator [[DictHint.Auto]] feeds on
+    * (exact for a self-join on the key; an upper bound on what survives
+    * the candidate-stage filters).
+    */
+  private def selfJoinVolume(postings: DataFrame, keyCol: String): Long =
+    postings
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
+      .head().getLong(0)
 
   /** Exact dedup: one surviving doc_id (min) per normalized-content
     * fingerprint, plus the duplicate count. At scale: a single hash
@@ -85,7 +233,7 @@ object Dedup {
       rowsPerBand: Int = 2,
       minJaccard: Double = 0.5,
       portable: Boolean = false,
-      broadcastDict: Boolean = true
+      broadcastDict: DictHint = DictHint.Broadcast
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Shingle-hash choice: xxhash64 is cheap but has no cross-engine SQL
@@ -145,15 +293,18 @@ object Dedup {
     // materializations per pair. Same integer intersection, same union
     // arithmetic — the jaccard double (and the oracle hash) is unchanged.
     // A corpus whose dictionary outgrows the broadcast ceiling passes
-    // broadcastDict=false and pays the wide exchange across the fleet
-    // (see [[hinted]] — spec-proven hash-equal).
+    // broadcastDict=Shuffle and pays the wide exchange across the fleet
+    // (spec-proven hash-equal); Auto measures the banded-bucket volume
+    // and the signature-table size and picks (see [[DictHint.Auto]]).
+    val bd = resolveDictHint(broadcastDict, withSig, size(col("shingles")),
+      selfJoinVolume(banded, "bucket"))
     val shA = withSig.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val shB = withSig.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
     val inter = graft.plans.SetExpressions.sortedIntersectCount(col("sh_a"), col("sh_b"))
     val union = (size(col("sh_a")) + size(col("sh_b")) - col("__inter")).cast("double")
     cand
-      .join(hinted(shA, broadcastDict), "id_a")
-      .join(hinted(shB, broadcastDict), "id_b")
+      .join(hinted(shA, bd), "id_a")
+      .join(hinted(shB, bd), "id_b")
       .withColumn("__inter", inter)
       .withColumn("jaccard", when(union === 0, lit(0.0)).otherwise(col("__inter").cast("double") / union))
       .filter(col("jaccard") >= minJaccard)
@@ -572,21 +723,35 @@ object Dedup {
       shingleSize: Int = 3,
       minContainment: Double = 0.5,
       hotShingleCap: Option[Int] = None,
-      broadcastDict: Boolean = true
+      broadcastDict: DictHint = DictHint.Broadcast
   ): DataFrame = {
     val ordered = containmentOrdered(df, idCol, textCol, shingleSize, minContainment, hotShingleCap)
     val cand = containmentCandidates(ordered)
+    // Auto estimator: the candidate stage joins PREFIX postings against
+    // FULL postings, so the pre-filter volume is Σ_e prefix-df(e)·df(e)
+    // (includes each doc's self-match — an upper bound, consistent across
+    // scales).
+    def prefixFullVolume: Long = {
+      val pc = ordered.select(explode(expr("slice(se, 1, p)")).as("e"))
+        .groupBy(col("e")).agg(count(lit(1)).as("pc"))
+      val fc = ordered.select(explode(col("se")).as("e"))
+        .groupBy(col("e")).agg(count(lit(1)).as("fc"))
+      pc.join(fc, "e")
+        .agg(coalesce(sum(col("pc") * col("fc")), lit(0L)))
+        .head().getLong(0)
+    }
+    val bd = resolveDictHint(broadcastDict, ordered, col("len"), prefixFullVolume)
     // verify: the doc dictionary BROADCASTS into both joins (q135's verify
     // pattern — the candidate stream never re-exchanges its pair rows), and
     // |A∩B| is one allocation-free merge walk over numerically re-sorted
     // copies of the element arrays (`se` is rarest-first for the prefix;
     // set intersection is order-free, so the per-dict-row sort is pure
     // cost-shaping and the count — and the oracle hash — is unchanged).
-    // broadcastDict=false drops the hint for over-ceiling dictionaries
-    // (see [[hinted]]).
+    // broadcastDict=Shuffle drops the hint for over-ceiling dictionaries;
+    // Auto measures and picks (see [[DictHint.Auto]]).
     cand
-      .join(hinted(ordered.select(col("doc_id").as("id_a"), sort_array(col("se")).as("sa"), col("len").as("la")), broadcastDict), "id_a")
-      .join(hinted(ordered.select(col("doc_id").as("id_b"), sort_array(col("se")).as("sb"), col("len").as("lb")), broadcastDict), "id_b")
+      .join(hinted(ordered.select(col("doc_id").as("id_a"), sort_array(col("se")).as("sa"), col("len").as("la")), bd), "id_a")
+      .join(hinted(ordered.select(col("doc_id").as("id_b"), sort_array(col("se")).as("sb"), col("len").as("lb")), bd), "id_b")
       .withColumn("inter", graft.plans.SetExpressions.sortedIntersectCount(col("sa"), col("sb")).cast("long"))
       .withColumn("cab", col("inter").cast("double") / col("la"))
       .withColumn("cba", col("inter").cast("double") / col("lb"))
@@ -804,26 +969,32 @@ object Dedup {
       tNum: Long,
       tDen: Long,
       shingleSize: Int = 0,
-      broadcastDict: Boolean = true
+      broadcastDict: DictHint = DictHint.Broadcast
   ): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, s"jaccardPairsPrefix: threshold $tNum/$tDen not in (0, 1]")
     val sets = jaccardSets(docs, idCol, textCol, shingleSize)
-    val cand = jaccardCandidates(jaccardOrdered(sets, tNum, tDen), tNum, tDen)
+    val ordered = jaccardOrdered(sets, tNum, tDen)
+    val cand = jaccardCandidates(ordered, tNum, tDen)
+    // Auto estimator: candidates come from the prefix-postings self-join,
+    // so the pre-filter volume is Σ_e prefix-df(e)·(prefix-df(e)−1)/2.
+    val bd = resolveDictHint(broadcastDict, sets, size(col("s")),
+      selfJoinVolume(ordered.select(explode(expr("slice(sorted_elems, 1, p)")).as("e")), "e"))
     // verify: the doc dictionary BROADCASTS into both joins, so the
     // candidate stream (which on a dense-replica corpus is the dominant
     // volume — 180M pairs at sf3) never re-exchanges: carrying the two
     // element arrays through a sort-merge exchange is ~0.5 KB per pair, an
     // ~84 GB sort at sf3 (the round-15 DNF's second act). A corpus whose
-    // dictionary outgrows the broadcast ceiling passes broadcastDict=false
-    // and pays the wide exchange across the fleet — per-executor volume
-    // stays flat (see [[hinted]]; the un-hinted plan is spec-proven
-    // hash-equal and timed at sf1 in SCALE.md).
+    // dictionary outgrows the broadcast ceiling passes
+    // broadcastDict=Shuffle and pays the wide exchange across the fleet —
+    // per-executor volume stays flat (the un-hinted plan is spec-proven
+    // hash-equal and timed at sf1 in SCALE.md); Auto measures and picks
+    // (see [[DictHint.Auto]]).
     // The intersection is a merge walk over the pre-sorted arrays
     // ([[graft.plans.SetExpressions.sortedIntersectCount]]) — zero per-pair
     // allocation where array_intersect built a throwaway array each pair.
     val verified = cand
-      .join(hinted(sets.select(col("doc_id").as("id_a"), col("s").as("sa")), broadcastDict), "id_a")
-      .join(hinted(sets.select(col("doc_id").as("id_b"), col("s").as("sb")), broadcastDict), "id_b")
+      .join(hinted(sets.select(col("doc_id").as("id_a"), col("s").as("sa")), bd), "id_a")
+      .join(hinted(sets.select(col("doc_id").as("id_b"), col("s").as("sb")), bd), "id_b")
       .withColumn("inter", graft.plans.SetExpressions.sortedIntersectCount(col("sa"), col("sb")).cast("long"))
       .withColumn("un", size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("inter"))
       .filter(col("inter") * tDen >= col("un") * tNum)

@@ -1127,22 +1127,50 @@ object Similarity {
     * "small side" to 50M rows at a 1B-row corpus and OOMs the driver at
     * broadcast-collect time. Default: 4M rows ≈ 2.2 GB of 64-float
     * vectors + norms — above any sane audit batch, under typical executor
-    * memory. Past the ceiling the hint is DROPPED and the screen degrades
-    * to a non-broadcast join (same rows — spec-proven hash-equal on an
-    * oversized probe frame, SimilaritySpec) instead of failing.
+    * memory. The row ceiling is additionally clamped in BYTES against the
+    * DRIVER's collect budget (ADVICE r16: broadcast also collects on the
+    * driver, and `spark.driver.maxResultSize` defaults to 1g — a batch
+    * between ~1 GB and a rows-only ceiling would still broadcast and die
+    * at collect): effective cap = min(maxRows, driverBudget / estRowBytes)
+    * with estRowBytes measured from one probe row's vector length (see
+    * [[guardedBroadcast]]). Past the ceiling the hint is DROPPED and the
+    * screen degrades to a non-broadcast join (same rows — spec-proven
+    * hash-equal on an oversized probe frame, SimilaritySpec) instead of
+    * failing.
     */
   val MaxBroadcastProbes: Int = 4 * 1000 * 1000
 
-  /** Count-guarded broadcast hint: one early-stopping `limit(n+1).count()`
-    * job over the probe frame (column-pruned to the filter inputs — the
-    * vectors don't move) decides hint vs no-hint. The extra job is
-    * deliberate: a row-count fact beats a stale stats estimate when the
-    * failure mode is a driver OOM.
+  /** Count-guarded broadcast hint (one early-stopping `limit(n+1).count()`
+    * job over the probe frame decides hint vs no-hint; the count's scan is
+    * column-pruned only down to the columns the probe frame carries — on
+    * the IVF path that includes the vector, which `pcell` derives from, so
+    * the guard job reads the vectors too; the probe lineage is then
+    * recomputed once more by the real join, a deliberate trade against
+    * persisting an unbounded frame). The extra job is deliberate: a
+    * row-count fact beats a stale stats estimate when the failure mode is
+    * a driver OOM.
+    *
+    * The caller's row ceiling is clamped against the driver collect
+    * budget: `spark.driver.maxResultSize` (default 1g; 0 = unlimited →
+    * a fixed 2 GB budget stands in, since driver memory is still finite)
+    * × 1/2 headroom (the collected rows and the built broadcast relation
+    * coexist on the driver), over a per-row estimate from one sampled
+    * probe row — id + label + norm + 4·dim vector bytes + ~48 B row
+    * overhead, ×2 for the hashed-relation expansion.
     */
   private def guardedBroadcast(probes: DataFrame, maxRows: Int): DataFrame = {
     require(maxRows >= 0, s"maxBroadcastProbes=$maxRows must be >= 0")
-    val cap = math.min(maxRows.toLong + 1L, Int.MaxValue.toLong).toInt
-    if (probes.limit(cap).count() > maxRows) probes else broadcast(probes)
+    val conf = probes.sparkSession.conf
+    val maxResult = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(conf.get("spark.driver.maxResultSize", "1g"))
+    val driverBudget = (if (maxResult <= 0) 2048L * 1024 * 1024 else maxResult) / 2
+    val sample = probes.head(1)
+    if (sample.isEmpty) return broadcast(probes) // empty frame: trivially under any ceiling
+    val vecBytes = sample(0).toSeq.collectFirst { case s: scala.collection.Seq[_] => 4L * s.length }.getOrElse(256L)
+    val estRowBytes = 2L * (vecBytes + 24 + 48)
+    val byteCappedRows = math.min(maxRows.toLong, driverBudget / estRowBytes)
+    val cap = math.min(byteCappedRows + 1L, Int.MaxValue.toLong).toInt
+    if (probes.limit(cap).count() > byteCappedRows) probes else broadcast(probes)
   }
 
   /** Per-pair cosine over raw float vectors, norms PRECOMPUTED per row

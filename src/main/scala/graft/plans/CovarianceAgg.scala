@@ -106,10 +106,15 @@ object CovarianceFoldAgg {
   /** Decode one packed buffer into (dim_i, dim_j, n, cov_e12) cells with
     * the oracle's integer semantics: cov = (n·Σvᵢvⱼ − Σvᵢ·Σvⱼ) div n²,
     * BigInteger division truncating toward zero (= DECIMAL `div`).
+    *
+    * n = 0 (empty corpus) decodes to ZERO cells — matching the join
+    * formulation, whose groupBy over an empty exploded frame emits an
+    * empty result (ADVICE r16: a throw here diverged the two formulations'
+    * "interchangeable bit for bit" contract exactly on empty input).
     */
   def cells(dim: Int, buf: Seq[Long]): Seq[(Long, Long, Long, Long)] = {
     val n = buf(0)
-    require(n > 0, "CovarianceFoldAgg: empty input (n = 0)")
+    if (n == 0) return Seq.empty
     val base = 1 + dim
     val nBig = BigInt(n)
     val den = nBig * nBig

@@ -591,6 +591,59 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("DictHint.Auto: picks Shuffle past the byte ceiling, Broadcast past the payload ratio, hash-equal both ways") {
+    // VERDICT r16 #6: the SCALE.md rule of thumb as an executable mode.
+    // The crossover is forced from both sides on the same corpus by
+    // turning the two knobs, so the spec pins the decision LOGIC (the
+    // measured calibration lives in SCALE.md's sf1/sf3 ledger).
+    import graft.operators.Dedup.DictHint
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def planOf(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+      def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq.map {
+          case d: Double => math.round(d * 1e9)
+          case x => x
+        }).toSet
+      val base = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 2L, 5L, shingleSize = 3)
+
+      // SAFETY leg: a 1-byte dictionary ceiling forces Shuffle no matter
+      // how favorable the payload ratio is
+      val autoSafety = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 2L, 5L, shingleSize = 3,
+        broadcastDict = DictHint.Auto(maxDictBytes = 1L, minPayloadRatio = 0.0))
+      assert(!planOf(autoSafety).contains("BroadcastHashJoin"),
+        "Auto must drop the hint when the dictionary exceeds the byte ceiling")
+      assert(rows(autoSafety) == rows(base) && rows(base).nonEmpty)
+
+      // COST leg, broadcast side: ratio 0 under a roomy ceiling → any
+      // nonzero candidate volume clears the bar → Broadcast
+      val autoBcast = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 2L, 5L, shingleSize = 3,
+        broadcastDict = DictHint.Auto(minPayloadRatio = 0.0))
+      assert(planOf(autoBcast).contains("BroadcastHashJoin"),
+        "Auto must broadcast when the payload-to-dictionary ratio clears the threshold")
+      assert(rows(autoBcast) == rows(base))
+
+      // COST leg, shuffle side: an unreachable ratio under the same roomy
+      // ceiling → Shuffle (the sf1 regime, where un-hinted measured faster)
+      val autoShuffle = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 2L, 5L, shingleSize = 3,
+        broadcastDict = DictHint.Auto(minPayloadRatio = 1e18))
+      assert(!planOf(autoShuffle).contains("BroadcastHashJoin"),
+        "Auto must stay un-hinted while the candidate payload is small relative to the dictionary")
+      assert(rows(autoShuffle) == rows(base))
+
+      // the other two stages honor Auto too (decision legs shared)
+      val mhAuto = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleSize = 2, bands = 8, rowsPerBand = 2, minJaccard = 0.3, portable = true,
+        broadcastDict = DictHint.Auto(maxDictBytes = 1L))
+      assert(!planOf(mhAuto).contains("BroadcastHashJoin"))
+      val ctAuto = Dedup.containmentPairs(docs, "doc_id", "text", shingleSize = 1, minContainment = 0.5,
+        broadcastDict = DictHint.Auto(minPayloadRatio = 0.0))
+      assert(planOf(ctAuto).contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bandedSketchPairs: 64-bit single-chunk case (maxHamming=0) is an exact equality join, not all-pairs") {
     // ADVICE r15: (1L << 64) wraps to 1, so the old mask was 0 and every
     // chunk matched every chunk — correct output, quadratic cost. The

@@ -712,4 +712,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cells.map(c => (c._1, c._2)).toSet == Set((0L, 0L), (0L, 1L), (1L, 1L)))
     assert(cells.forall(_._3 == 1000L))
   }
+
+  test("covarianceMatrixFold: empty corpus decodes to zero cells, matching the join formulation") {
+    // ADVICE r16: the fold used to throw on n=0 while the join formulation
+    // returned an empty frame — the "interchangeable bit for bit" contract
+    // must hold on empty input too.
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.covarianceMatrix(empty, "vec_id", "embedding").count() == 0L)
+    assert(Similarity.covarianceMatrixFold(empty, "embedding", dim = 3).count() == 0L)
+    assert(graft.plans.CovarianceFoldAgg.cells(3, new graft.plans.CovarianceFoldAgg(3).zero).isEmpty)
+  }
 }
