@@ -63,9 +63,11 @@ object DictNecessity {
         shingleSize = 1, bands = 8, rowsPerBand = 2, minJaccard = 0.5, portable = false,
         broadcastDict = hint)
       .select(col("id_a"), col("id_b"), floor(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+    // bit_xor, not sum: hashes span the full long range and an ANSI sum
+    // overflows (the Bench.materialize lesson)
     val agg = out
       .select(xxhash64(col("id_a"), col("id_b"), col("jaccard_e4")).as("h"))
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("hash"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("hash"))
       .head()
     val sec = (System.nanoTime() - t0) / 1e9
     println(

@@ -95,8 +95,17 @@ object Dedup {
     implicit def fromBoolean(b: Boolean): DictHint = if (b) Broadcast else Shuffle
   }
 
+  /** [[DictHint.Shuffle]] PINS the verify to a sort-merge join
+    * (`hint("merge")`) — mere absence of the broadcast hint is not the
+    * escape: on lineages whose size estimates undershoot (generated or
+    * freshly-cached frames with no file-scan stats), the planner
+    * re-broadcasts the dictionary on its own and re-introduces the exact
+    * collect OOM the escape exists to avoid (observed in the
+    * [[graft.DictNecessity]] demo: the "un-hinted" 360 MB dictionary was
+    * estimated under the 64 MB threshold and died at broadcast build).
+    */
   private def hinted(df: DataFrame, broadcastDict: Boolean): DataFrame =
-    if (broadcastDict) broadcast(df) else df
+    if (broadcastDict) broadcast(df) else df.hint("merge")
 
   /** Resolve a [[DictHint]] to hint-or-not for one verify stage.
     * `dict` must be the stage's (cached) dictionary frame, `setSize` its

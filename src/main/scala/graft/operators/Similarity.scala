@@ -1114,7 +1114,7 @@ object Similarity {
       .select(col(idCol).cast("long").as("pid"), col(vecCol).as("pe"), col(labelCol).cast("long").as("plab"))
       .withColumn("pn", sqrt(dot(col("pe"), col("pe"))))
     val scored = corpus
-      .join(guardedBroadcast(probes, maxBroadcastProbes), col("cid") =!= col("pid"))
+      .join(guardedBroadcast(probes, maxBroadcastProbes, "shuffle_replicate_nl"), col("cid") =!= col("pid"))
       .withColumn("c", pairCosine)
     majorityOfTopK(scored, idCol, k)
   }
@@ -1158,7 +1158,7 @@ object Similarity {
     * probe row — id + label + norm + 4·dim vector bytes + ~48 B row
     * overhead, ×2 for the hashed-relation expansion.
     */
-  private def guardedBroadcast(probes: DataFrame, maxRows: Int): DataFrame = {
+  private def guardedBroadcast(probes: DataFrame, maxRows: Int, fallbackHint: String): DataFrame = {
     require(maxRows >= 0, s"maxBroadcastProbes=$maxRows must be >= 0")
     val conf = probes.sparkSession.conf
     val maxResult = org.apache.spark.network.util.JavaUtils
@@ -1170,7 +1170,13 @@ object Similarity {
     val estRowBytes = 2L * (vecBytes + 24 + 48)
     val byteCappedRows = math.min(maxRows.toLong, driverBudget / estRowBytes)
     val cap = math.min(byteCappedRows + 1L, Int.MaxValue.toLong).toInt
-    if (probes.limit(cap).count() > byteCappedRows) probes else broadcast(probes)
+    // past the ceiling the fallback strategy is PINNED, not left to the
+    // planner: a probe frame whose size estimate undershoots (generated
+    // or freshly-cached lineage) would otherwise be re-broadcast by the
+    // planner itself, reintroducing the collect OOM (the Dedup.hinted
+    // lesson, r17). Exact screen (non-equi join): shuffle_replicate_nl;
+    // celled screen (cell equi-join): merge.
+    if (probes.limit(cap).count() > byteCappedRows) probes.hint(fallbackHint) else broadcast(probes)
   }
 
   /** Per-pair cosine over raw float vectors, norms PRECOMPUTED per row
@@ -1241,7 +1247,7 @@ object Similarity {
     // the guard counts the EXPLODED frame (nprobe rows per probe) — that
     // is exactly what broadcasts, so the ceiling bounds the real payload
     val scored = corpus
-      .join(guardedBroadcast(probes, maxBroadcastProbes),
+      .join(guardedBroadcast(probes, maxBroadcastProbes, "merge"),
         col("ccell") === col("pcell") && col("cid") =!= col("pid"))
       .withColumn("c", pairCosine)
     majorityOfTopK(scored, idCol, k)

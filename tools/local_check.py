@@ -177,6 +177,124 @@ FROM embeddings e JOIN aF a ON a.vec_id = e.vec_id
 WHERE e.vec_id NOT IN (SELECT ib FROM drops)""",
     ),
 }
+# SimHash near-dup family (q65/q88/q126/q134): the generated oracle pairs
+# sketches with an ALL-PAIRS inequality join (`s a JOIN s b ON a.doc_id <
+# b.doc_id WHERE bit_count(...) <= 4`) — 1.25B pair evaluations at sf1
+# (slow but feasible), 11.25B at sf3 (a single query ran 3h without
+# finishing). The scale twin is the pigeonhole banding the Spark side
+# itself uses (Dedup.simhashNearDup60 / bandedSketchPairs): hamming <= 4
+# over 60 bits split into 5 DISJOINT 12-bit chunks forces at least one
+# chunk with zero differing bits, so candidates from a chunk-equality
+# equi-join have full recall; DISTINCT collapses multi-chunk candidates
+# and the bit_count verify is unchanged — result-identical by the same
+# argument the Spark operator's spec pins. Verified equal to the all-pairs
+# oracle at sf0.01 before first use (r17).
+_SIMHASH_BANDED_CH = (
+    " ch AS (SELECT doc_id, sk60, j, (sk60 >> (j*12)) & 4095 cv"
+    " FROM s CROSS JOIN (SELECT unnest(range(5)) j) js),\n")
+# q88/q126/q134 share one generated e-CTE verbatim; q65 inlines the join
+# in its final SELECT. Literal-substring substitution, applied before the
+# MATERIALIZED pass (which then also covers the new ch CTE); .index()
+# raises if the generated SQL drifts — good.
+SCALE_SUBS = {
+    "q65_simhash_neardup": (
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+ CAST(bit_count(xor(a.sk60, b.sk60)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sk60, b.sk60)) <= 4""",
+        ","
+        + _SIMHASH_BANDED_CH
+        + """ pruned AS (SELECT DISTINCT a.doc_id ia, a.sk60 sa, b.doc_id ib, b.sk60 sb
+   FROM ch a JOIN ch b ON a.j = b.j AND a.cv = b.cv AND a.doc_id < b.doc_id)
+SELECT ia AS id_a, ib AS id_b,
+ CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM pruned
+WHERE bit_count(xor(sa, sb)) <= 4""",
+    ),
+}
+_E_CTE_ALLPAIRS = """ e AS (SELECT a.doc_id ia, b.doc_id ib
+   FROM s a JOIN s b ON a.doc_id < b.doc_id
+   WHERE bit_count(xor(a.sk60, b.sk60)) <= 4),"""
+_E_CTE_BANDED = (
+    _SIMHASH_BANDED_CH
+    + """ e AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
+   FROM ch a JOIN ch b ON a.j = b.j AND a.cv = b.cv AND a.doc_id < b.doc_id
+   WHERE bit_count(xor(a.sk60, b.sk60)) <= 4),""")
+for _q in ("q88_dup_groups", "q126_neardup_split", "q134_canonical_dedup"):
+    SCALE_SUBS[_q] = (_E_CTE_ALLPAIRS, _E_CTE_BANDED)
+
+# The recursive `reach` closure enumerates EVERY (node, reachable-node)
+# pair — Σ component² rows with edges×frontier intermediates per
+# iteration; at sf3 (3.04M near-dup edges) a count over it ran 9+ min
+# without finishing standalone. The scale twin computes the SAME
+# components (min-member label per connected component) with a THIRD
+# independent implementation — union-find with path compression over the
+# banded edge list, driver-side — registered as __simhash_comp and
+# consumed by the spliced SQL. Verified equal to the recursive original
+# at sf0.01 before first use (r17); the edge list it folds is itself the
+# equality-proven banded twin above.
+_REACH_Q88_TAIL = """ sym AS (SELECT ia a, ib b FROM e UNION SELECT ib, ia FROM e),
+ reach(id, r) AS (
+   SELECT a, a FROM sym
+   UNION
+   SELECT sym.a, reach.r FROM sym JOIN reach ON reach.id = sym.b
+ )
+SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id"""
+_REACH_COMP_CTE = """ sym AS (SELECT ia a, ib b FROM e UNION SELECT ib, ia FROM e),
+ reach(id, r) AS (
+   SELECT a, a FROM sym
+   UNION
+   SELECT sym.a, reach.r FROM sym JOIN reach ON reach.id = sym.b
+ ),
+ comp AS (SELECT id, min(r) lbl FROM reach GROUP BY id),"""
+# banded-edges SQL (reach text intact) per closure-substituted query,
+# filled by apply_scale for register_simhash_comp to cut at ' sym AS ('
+PRECOMPUTE_SRC = {}
+SCALE_CLOSURE_SUBS = {
+    # q88's replacement swallows the e-CTE's trailing comma (the reach
+    # tail was the last CTE; the splice ends the WITH list at e)
+    "q88_dup_groups": (",\n" + _REACH_Q88_TAIL,
+                       "\nSELECT id AS doc_id, lbl AS group_id FROM __simhash_comp"),
+    "q126_neardup_split": (_REACH_COMP_CTE,
+                           " comp AS (SELECT id, lbl FROM __simhash_comp),"),
+    "q134_canonical_dedup": (_REACH_COMP_CTE,
+                             " comp AS (SELECT id, lbl FROM __simhash_comp),"),
+}
+
+
+def register_simhash_comp(con, scaled_sql):
+    """Run the banded edge stage of `scaled_sql`, union-find the components
+    driver-side, and register the (id, lbl=min member) table the closure
+    substitution consumes."""
+    idx = scaled_sql.index(" sym AS (")
+    edges_sql = scaled_sql[:idx].rstrip().rstrip(",") + "\nSELECT ia, ib FROM e"
+    edges = con.sql(edges_sql).fetchall()
+    parent = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = set()
+    for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
+    rows = [(n, find(n)) for n in sorted(nodes)]
+    comp_df = pd.DataFrame(rows, columns=["id", "lbl"])
+    try:
+        con.unregister("__simhash_comp")
+    except Exception:
+        pass
+    con.register("__simhash_comp", comp_df)
+
 # Label screens (q156 exact, q196 IVF-celled at nprobe=all — identical
 # output by construction): the generated ordered-sum oracle builds 20M
 # pair-groups of 64 unnested rows whose ORDER BY i aggregate buffers
@@ -216,6 +334,17 @@ def apply_scale(oracles):
         base = oracles[name]
         cut = base.index(marker)  # raises if the generated SQL drifts — good
         out[name] = base[:cut] + tail
+    for name, (old, new) in SCALE_SUBS.items():
+        base = out[name]
+        base.index(old)  # raises if the generated SQL drifts — good
+        out[name] = base.replace(old, new)
+    for name, (old, new) in SCALE_CLOSURE_SUBS.items():
+        base = out[name]
+        base.index(old)  # raises if the generated SQL drifts — good
+        # the precompute step needs the banded-edges version WITH the
+        # original reach text still present (it cuts at ' sym AS (')
+        PRECOMPUTE_SRC[name] = base
+        out[name] = base.replace(old, new)
     # DuckDB 1.0 INLINES every CTE reference; the chained k-means iteration
     # CTEs (c1 <- c0 twice, c2 <- c1 twice, ...) therefore re-evaluate
     # exponentially — irrelevant at the sf0.01 gate, an 80GB OOM at sf1.
@@ -239,6 +368,20 @@ def apply_scale(oracles):
         if name in out:
             out[name] = re.sub(r"\b(AS)\s*\(\s*SELECT", r"AS MATERIALIZED (SELECT",
                                out[name], flags=re.IGNORECASE)
+    # q86's pair CTEs must NOT materialize: `pd` is the within-cell pair
+    # join whose rows each carry two 64-double lists — ~27 GB at sf1
+    # (fit under the 80 GB bound), ~250 GB at sf3 (the r17 OOM). Each is
+    # single-consumer, so un-materializing just streams the join output
+    # into the DISTINCT. The k-means chain CTEs above them stay
+    # MATERIALIZED (they are the multi-consumer ones the regex exists for).
+    if "q86_semantic_dedup" in out:
+        q86 = out["q86_semantic_dedup"]
+        for cte in (" p AS MATERIALIZED (SELECT a.vec_id ia",
+                    " pd AS MATERIALIZED (SELECT ia, ib",
+                    " drops AS MATERIALIZED (SELECT DISTINCT ib"):
+            q86.index(cte)  # raises if the generated SQL drifts — good
+            q86 = q86.replace(cte, cte.replace(" MATERIALIZED", ""))
+        out["q86_semantic_dedup"] = q86
     return out
 
 
@@ -252,10 +395,12 @@ def connect(sf_dir, scale=False):
         os.makedirs("/tmp/duckdb_spill", exist_ok=True)
         con.sql("SET memory_limit='80GB'")
         con.sql("SET temp_directory='/tmp/duckdb_spill'")
-        # ordered aggregates hold per-thread buffers that cannot spill;
-        # at 32 threads the big replay oracles (q114/q115 PQ chains) OOM
-        # where 8 threads fit comfortably — trade parallelism for bound
-        con.sql("SET threads=8")
+        # ordered aggregates and hash-join builds hold per-thread buffers
+        # that cannot spill; at 32 threads the big replay oracles
+        # (q114/q115 PQ chains) OOM where 8 threads fit, and at sf3 the
+        # SimHash banded-join replays (q86/q88) OOM at 8 threads where 4
+        # fit (r17) — trade parallelism for bound
+        con.sql("SET threads=4")
     for t in TABLES:
         # driver testdata = single parquet file; ScaleGen output = a Spark
         # parquet DIRECTORY of part files — glob in that case
@@ -337,6 +482,8 @@ def main():
                 except Exception:
                     pass
                 con = connect(sf_dir, scale)
+            if scale and name in PRECOMPUTE_SRC:
+                register_simhash_comp(con, PRECOMPUTE_SRC[name])
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             want = con.sql(sql).df()
             g, w = normalize(got), normalize(want)
