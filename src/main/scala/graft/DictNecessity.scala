@@ -16,22 +16,26 @@ import org.apache.spark.sql.functions._
   *
   * Corpus (deterministic, no RNG): `nDocs` documents of `nToks` distinct
   * tokens each — every token unique to its document, so the element
-  * DICTIONARY is nDocs·nToks longs (~6.4 GB heap-expanded at the
-  * defaults, far past a 2 GB driver/executor) — plus `nDup` exact
-  * duplicate pairs, so the CANDIDATE mass is tiny (every non-duplicate
-  * doc's band buckets are unique). The q37 minhashLsh shape runs the
-  * verify; output = the nDup duplicate pairs at jaccard 1.0, printed with
-  * a deterministic row hash so the surviving plans' outputs are
-  * comparable across JVMs.
+  * DICTIONARY is nDocs·nToks longs (45M longs / ~360 MB of row data at
+  * the defaults, hash-relation-building to several GB — past a 2 GB
+  * driver/executor) — plus `nDup` exact duplicate pairs, so the CANDIDATE
+  * mass is tiny (every non-duplicate doc's band buckets are unique). The
+  * q37 minhashLsh shape runs the verify; output = the nDup duplicate
+  * pairs at jaccard 1.0, printed with a deterministic row hash so the
+  * surviving plans' outputs are comparable across JVMs.
   *
-  * Knobs via env: DICT_NDOCS (default 400000), DICT_NTOKS (250),
-  * DICT_NDUP (100).
+  * Knobs via env: DICT_NDOCS (default 150000), DICT_NTOKS (300),
+  * DICT_NDUP (100) — the defaults ARE the measured SCALE.md configuration
+  * (ADVICE r17: the duplicate pair ids are (i, nDocs+i), so the published
+  * rows=100 / row_hash 2454861968864518729 reproduce only at the ledgered
+  * nDocs; running `runMain graft.DictNecessity <mode>` with no env now
+  * matches the table verbatim).
   */
 object DictNecessity {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("unhinted")
-    val nDocs = sys.env.getOrElse("DICT_NDOCS", "400000").toInt
-    val nToks = sys.env.getOrElse("DICT_NTOKS", "250").toInt
+    val nDocs = sys.env.getOrElse("DICT_NDOCS", "150000").toInt
+    val nToks = sys.env.getOrElse("DICT_NTOKS", "300").toInt
     val nDup = sys.env.getOrElse("DICT_NDUP", "100").toInt
     val spark = graft.core.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, s"graft-dict-necessity-$mode")

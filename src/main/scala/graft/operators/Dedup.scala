@@ -74,9 +74,37 @@ object Dedup {
     object Auto {
       /** Default dictionary-bytes ceiling: 2 GB — inside a typical
         * executor's storage/broadcast headroom and the driver collect
-        * budget at default configs.
+        * budget at default configs. Always further clamped against the
+        * LIVE budgets via [[effectiveCeiling]] (ADVICE r17).
         */
       val MaxDictBytes: Long = 2048L * 1024 * 1024
+
+      /** Hashed-relation expansion over the raw column-bytes estimate,
+        * measured by [[graft.DictNecessity]]: a dictionary estimated
+        * ~360 MB expands through collect + relation build to kill both a
+        * 2 GB heap (hard OOM) and a 3 GB heap (broadcast-build abort) —
+        * ~8x once build scratch and the coexisting collected rows count.
+        */
+      val HashedRelationExpansion: Long = 8L
+
+      /** ADVICE r17: a static byte ceiling alone under-protects on
+        * default configs — broadcast also COLLECTS on the driver
+        * (`spark.driver.maxResultSize`, default 1g, bounds the serialized
+        * rows; <= 0 means unlimited) and the relation build wants
+        * [[HashedRelationExpansion]]x the raw estimate in live heap, so a
+        * 0.5-2 GB estimated dictionary used to pass the 2 GB check and
+        * die at collect/build. Effective ceiling = the caller's, clamped
+        * against both live budgets (half the heap left for everything
+        * else). Pure arithmetic — spec-pinned with synthetic budgets
+        * (DedupSpec); at the [[graft.DictNecessity]] corpus this clamp
+        * alone (2 GB heap -> 128 MB ceiling < the ~360 MB estimate)
+        * already forces the surviving Shuffle plan.
+        */
+      def effectiveCeiling(maxDictBytes: Long, maxResultSize: Long, maxHeap: Long): Long = {
+        val collectBudget = if (maxResultSize <= 0) Long.MaxValue else maxResultSize
+        val buildBudget = maxHeap / 2 / HashedRelationExpansion
+        math.min(maxDictBytes, math.min(collectBudget, buildBudget))
+      }
 
       /** Default payload-to-dictionary crossover, calibrated from the
         * r16/r17 measured A/B (SCALE.md r17 ledger, [[graft.DictAutoProbe]]):
@@ -128,7 +156,12 @@ object Dedup {
       else {
         val setBytes = row.getDouble(1) * 8.0
         val dictBytes = n.toDouble * (setBytes + 48.0)
-        if (dictBytes > a.maxDictBytes.toDouble) false
+        val ceiling = DictHint.Auto.effectiveCeiling(
+          a.maxDictBytes,
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            dict.sparkSession.conf.get("spark.driver.maxResultSize", "1g")),
+          Runtime.getRuntime.maxMemory)
+        if (dictBytes > ceiling.toDouble) false
         else estCandidates.toDouble * 2.0 * setBytes >= a.minPayloadRatio * dictBytes
       }
   }

