@@ -189,7 +189,12 @@ object Dedup {
       if (portable) b => concat_ws(":", lit(b), concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
       else b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
     val banded = withSig.select(col("doc_id"), explode(array((0 until bands).map(bandKey): _*)).as("bucket"))
-    autoStatsOf(withSig, size(col("shingles")), selfJoinVolume(banded, "bucket"))
+    // the stats job runs TWO actions over the signature lineage (dict agg
+    // + postings volume) — cache it for the probe's duration so the
+    // shingling/minhashing isn't recomputed (VERDICT r17 #8 hygiene)
+    withSig.cache()
+    try autoStatsOf(withSig, size(col("shingles")), selfJoinVolume(banded, "bucket"))
+    finally withSig.unpersist()
   }
 
   /** [[autoStatsMinhashLsh]]'s twin for the jaccardPairsPrefix stage. */
@@ -197,9 +202,15 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       tNum: Long, tDen: Long, shingleSize: Int): (Long, Double, Double, Long, Double) = {
     val sets = jaccardSets(docs, idCol, textCol, shingleSize)
-    val ordered = jaccardOrdered(sets, tNum, tDen)
-    autoStatsOf(sets, size(col("s")),
-      selfJoinVolume(ordered.select(explode(expr("slice(sorted_elems, 1, p)")).as("e")), "e"))
+    // same two-action shape as autoStatsMinhashLsh: the ordered frame's
+    // prefix postings AND the dict agg both fold the shingle sets — cache
+    // across the pair of jobs (VERDICT r17 #8 hygiene)
+    sets.cache()
+    try {
+      val ordered = jaccardOrdered(sets, tNum, tDen)
+      autoStatsOf(sets, size(col("s")),
+        selfJoinVolume(ordered.select(explode(expr("slice(sorted_elems, 1, p)")).as("e")), "e"))
+    } finally sets.unpersist()
   }
 
   private def autoStatsOf(dict: DataFrame, setSize: Column, estCand: Long): (Long, Double, Double, Long, Double) = {

@@ -391,27 +391,87 @@ def apply_scale(oracles):
         if name in out:
             out[name] = re.sub(r"\b(AS)\s*\(\s*SELECT", r"AS MATERIALIZED (SELECT",
                                out[name], flags=re.IGNORECASE)
-    # q86's pair CTEs must NOT materialize: `pd` is the within-cell pair
-    # join whose rows each carry two 64-double lists — ~27 GB at sf1
-    # (fit under the 80 GB bound), ~250 GB at sf3 (the r17 OOM). Each is
-    # single-consumer, so un-materializing just streams the join output
-    # into the DISTINCT. The k-means chain CTEs above them stay
-    # MATERIALIZED (they are the multi-consumer ones the regex exists for).
+    # q86's pair stage is evaluated CELL BY CELL (r18): the monolithic
+    # rewrite's within-cell pair join carries two 64-double lists per row
+    # — ~27 GB at sf1, ~250 GB at sf3 — and r17's un-materialize mitigation
+    # still spilled past the DISK budget at sf3 (41+ GB written before
+    # "No space left on device"). The pair set partitions EXACTLY by cell
+    # id, so the precompute runs the k-means chain once (registering the
+    # aF assignment), then one bounded per-cell query for the drop set —
+    # identical per-pair arithmetic (same list_dot_product projection,
+    # same threshold), with per-cell peak ~1/k of the monolith and nothing
+    # quadratic materialized. Verified equal to the monolithic rewrite at
+    # sf0.01 before first use (r18). The final SQL reads only the two
+    # registered tables — the chain runs exactly once, in the precompute
+    # (the q88 lesson: DuckDB 1.0 evaluates unreferenced MATERIALIZED CTEs).
     if "q86_semantic_dedup" in out:
         q86 = out["q86_semantic_dedup"]
-        for cte in (" p AS MATERIALIZED (SELECT a.vec_id ia",
-                    " pd AS MATERIALIZED (SELECT ia, ib",
-                    " drops AS MATERIALIZED (SELECT DISTINCT ib"):
-            q86.index(cte)  # raises if the generated SQL drifts — good
-            q86 = q86.replace(cte, cte.replace(" MATERIALIZED", ""))
-        out["q86_semantic_dedup"] = q86
+        q86.index(" ed AS MATERIALIZED (SELECT vec_id, list_transform")  # drift guard
+        PRECOMPUTE_SRC["q86_semantic_dedup"] = q86
+        out["q86_semantic_dedup"] = """SELECT e.vec_id, a.cid AS cell_id
+FROM embeddings e JOIN __semdedup_assign a ON a.vec_id = e.vec_id
+WHERE e.vec_id NOT IN (SELECT ib FROM __semdedup_drops)"""
     return out
+
+
+def register_semdedup_drops(con, scaled_sql):
+    """q86's celled precompute: run the k-means chain once for the cell
+    assignment, then the drop set one cell at a time — the pair join
+    partitions exactly by cell, so the union of per-cell DISTINCT drop
+    sets IS the monolithic drop set, at 1/k the peak footprint."""
+    idx = scaled_sql.index(" ed AS MATERIALIZED (SELECT vec_id, list_transform")
+    assign_sql = scaled_sql[:idx].rstrip().rstrip(",") + "\nSELECT vec_id, cid FROM aF"
+    assign = con.sql(assign_sql).df().astype("int64")
+    try:
+        con.unregister("__semdedup_assign")
+    except Exception:
+        pass
+    con.register("__semdedup_assign", assign)
+    drops = set()
+    for c in sorted(assign["cid"].unique()):
+        # per-pair arithmetic verbatim from the monolithic rewrite: ev is
+        # the same double-cast list, d/nx/ny the same list_dot_product
+        # calls with ia on the left, the same CASE'd cosine and threshold
+        cell_sql = f"""
+WITH ed AS (SELECT e.vec_id, list_transform(e.embedding, v -> CAST(v AS DOUBLE)) ev
+            FROM embeddings e JOIN __semdedup_assign a ON a.vec_id = e.vec_id WHERE a.cid = {c}),
+ pd AS (SELECT a.vec_id ia, b.vec_id ib, list_dot_product(a.ev, b.ev) d,
+        list_dot_product(a.ev, a.ev) nx, list_dot_product(b.ev, b.ev) ny
+        FROM ed a JOIN ed b ON a.vec_id < b.vec_id)
+SELECT DISTINCT ib FROM pd
+WHERE (CASE WHEN sqrt(nx)*sqrt(ny)=0 THEN 0.0 ELSE d/(sqrt(nx)*sqrt(ny)) END) >= 0.3"""
+        drops.update(r[0] for r in con.sql(cell_sql).fetchall())
+    drops_df = pd.DataFrame(sorted(drops), columns=["ib"]).astype("int64")
+    try:
+        con.unregister("__semdedup_drops")
+    except Exception:
+        pass
+    con.register("__semdedup_drops", drops_df)
 
 
 def connect(sf_dir, scale=False):
     con = duckdb.connect()
     import os
     if scale:
+        # DuckDB's bundled jemalloc retains tens of thousands of VM
+        # mappings under the ordered-aggregate allocation pattern: at sf3
+        # the q86 k-means chain alone needs ~117k maps, and the kernel
+        # default vm.max_map_count=65530 makes a 16 KB block allocation
+        # fail at ~5 GB RSS with "Out of Memory Error ... (bad
+        # allocation)" — the true face of the r17 q86/q88 sf3 DNFs (NOT
+        # the 80 GB data volume; measured r18 with a /proc/self/maps
+        # monitor: fail at maps=65531, pass at maps=116918 once raised).
+        # Raise it when we can (root in the build container); best-effort
+        # — the run proceeds either way and a genuine failure is still
+        # recorded honestly.
+        try:
+            with open("/proc/sys/vm/max_map_count") as f:
+                cur = int(f.read())
+            if cur < 1048576:
+                with open("/proc/sys/vm/max_map_count", "w") as f:
+                    f.write("1048576")
+        except (OSError, ValueError):
+            pass
         # big-SF runs: bound the allocator and spill to disk instead of
         # dying; one fresh connection per query (a DuckDB OOM poisons the
         # connection for every later query)
@@ -506,7 +566,9 @@ def main():
                     pass
                 con = connect(sf_dir, scale)
             if scale and name in PRECOMPUTE_SRC:
-                register_simhash_comp(con, PRECOMPUTE_SRC[name])
+                fn = (register_semdedup_drops if name == "q86_semantic_dedup"
+                      else register_simhash_comp)
+                fn(con, PRECOMPUTE_SRC[name])
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             want = con.sql(sql).df()
             g, w = normalize(got), normalize(want)
