@@ -3475,8 +3475,7 @@ object Queries {
     */
   private def readRangePartitions(
       s: SparkSession, path: String, days: Seq[String], emptySchema: String): DataFrame =
-    graft.sources.VersionedTable.readPartitions(s, path, days).flatten
-      .reduceOption(_.unionByName(_))
+    graft.sources.VersionedTable.readPartitionsUnioned(s, path, days)
       .getOrElse(s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(emptySchema)))

@@ -183,20 +183,28 @@ object Scd2 {
   ): Long = {
     import graft.sources.VersionedTable
     def attempt(): Long = {
-      val b = batch.withColumn(bucketCol, keyBucket(keyCols, nBuckets))
-      // bounded driver-side list: at most nBuckets values
-      val touched = b.select(bucketCol).distinct().collect().map(_.getLong(0)).sorted
-      val targetTouched = VersionedTable.latestVersion(spark, warehousePath) match {
-        case Some(v) =>
-          // one manifest read resolves every touched bucket
-          val existing = VersionedTable.readPartitions(spark, warehousePath, touched.map(_.toString).toSeq, Some(v)).flatten
-          // buckets last rewritten before a schema-widening load have the old
-          // schema — null-pad across buckets like read()'s mergeSchema does
-          existing.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse(emptyTarget(b, bucketCol))
-        case None => emptyTarget(b, bucketCol)
-      }
-      val result = upsert(targetTouched, b, keyCols, now)
-      VersionedTable.commitDelta(spark, warehousePath, result, bucketCol, extraMeta = commitMeta)
+      // operator-scoped cache of the bucketed batch (round-18, guide §2.4):
+      // the batch subtree (often a window/join pipeline) is referenced by
+      // the touched-list collect, the upsert's key set, and the inserted
+      // branch — uncached it re-executed up to 3x per load. Batch-sized
+      // (bounded by the load, not the table), MEMORY_AND_DISK, released at
+      // commit; recomputed per invocation, never across runs.
+      val (b, ownB) = graft.core.Caching.cachedOwned(batch.withColumn(bucketCol, keyBucket(keyCols, nBuckets)))
+      try {
+        // bounded driver-side list: at most nBuckets values
+        val touched = b.select(bucketCol).distinct().collect().map(_.getLong(0)).sorted
+        val targetTouched = VersionedTable.latestVersion(spark, warehousePath) match {
+          case Some(v) =>
+            // one manifest read + ONE multi-dir relation for every touched
+            // bucket (round-18: was one scan per bucket + a 16-way union);
+            // mergeSchema null-pads drift as the union did
+            VersionedTable.readPartitionsUnioned(spark, warehousePath, touched.map(_.toString).toSeq, Some(v))
+              .getOrElse(emptyTarget(b, bucketCol))
+          case None => emptyTarget(b, bucketCol)
+        }
+        val result = upsert(targetTouched, b, keyCols, now)
+        VersionedTable.commitDelta(spark, warehousePath, result, bucketCol, extraMeta = commitMeta)
+      } finally graft.core.Caching.releaseOwned(b, ownB)
     }
     // a losing concurrent writer aborts with ConcurrentModificationException;
     // the whole attempt (target read + upsert + commit) rebases on the new
@@ -226,20 +234,21 @@ object Scd2 {
     val touched = doomed
       .withColumn(bucketCol, keyBucket(keyCols, nBuckets))
       .select(bucketCol).distinct().collect().map(_.getLong(0)).sorted.map(_.toString).toSeq
-    val existing = VersionedTable.readPartitions(spark, warehousePath, touched).flatten
-    if (existing.isEmpty)
-      VersionedTable.latestVersion(spark, warehousePath)
-        .getOrElse(throw new IllegalArgumentException(s"no committed versions at $warehousePath"))
-    else {
-      // NULL-SAFE anti join: a doomed key with NULL components must still
-      // match NULL-keyed target rows (plain left_anti equality never
-      // matches NULL, which would silently survive a takedown)
-      val kept = existing.map { part =>
+    // single-relation touched read (round-18): the anti join distributes
+    // over the bucket union — one scan + one join instead of per-bucket
+    val existing = VersionedTable.readPartitionsUnioned(spark, warehousePath, touched)
+    existing match {
+      case None =>
+        VersionedTable.latestVersion(spark, warehousePath)
+          .getOrElse(throw new IllegalArgumentException(s"no committed versions at $warehousePath"))
+      case Some(part) =>
+        // NULL-SAFE anti join: a doomed key with NULL components must still
+        // match NULL-keyed target rows (plain left_anti equality never
+        // matches NULL, which would silently survive a takedown)
         val d = doomed.toDF(keyCols.map(c => s"__del_$c"): _*)
         val cond = keyCols.map(c => part(c) <=> d(s"__del_$c")).reduce(_ && _)
-        part.join(broadcast(d), cond, "left_anti")
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
-      VersionedTable.commitDelta(spark, warehousePath, kept, bucketCol, clearedParts = touched)
+        val kept = part.join(broadcast(d), cond, "left_anti")
+        VersionedTable.commitDelta(spark, warehousePath, kept, bucketCol, clearedParts = touched)
     }
   }
 

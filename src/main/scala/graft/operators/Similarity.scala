@@ -667,9 +667,11 @@ object Similarity {
       version: Option[Long] = None
   ): DataFrame = {
     val cells = ivfProbeCells(query, centroids, nprobe).map(_.toString)
-    val parts = graft.sources.VersionedTable.readPartitions(spark, path, cells, version).flatten
+    // one multi-dir relation for the probed cells (round-18: was one scan
+    // per cell + a union)
+    val parts = graft.sources.VersionedTable.readPartitionsUnioned(spark, path, cells, version)
     require(parts.nonEmpty, s"none of the probe cells ${cells.mkString(",")} exist in the index at $path")
-    sq8TopKOnCodes(parts.reduce(_.unionByName(_)), idCol, query, k)
+    sq8TopKOnCodes(parts.get, idCol, query, k)
   }
 
   /** PERSIST the IVF+PQ serving layout ([[ivfPqTopK]]'s scaladoc made
@@ -735,9 +737,10 @@ object Similarity {
     val m = codebooks.length
     require(m > 0 && dim % m == 0 && query.length == dim, s"probePqIndex: dim=$dim / m=$m / query=${query.length}")
     val cells = ivfProbeCells(query, coarse, nprobe).map(_.toString)
-    val parts = graft.sources.VersionedTable.readPartitions(spark, path, cells, version).flatten
+    // one multi-dir relation for the probed cells (round-18)
+    val parts = graft.sources.VersionedTable.readPartitionsUnioned(spark, path, cells, version)
     require(parts.nonEmpty, s"none of the probe cells ${cells.mkString(",")} exist in the index at $path")
-    adcTopKOnCodes(parts.reduce(_.unionByName(_)), idCol, adcTable(codebooks, query, dim / m), k)
+    adcTopKOnCodes(parts.get, idCol, adcTable(codebooks, query, dim / m), k)
   }
 
   // ------------------------------------------- residual PQ (FAISS IVFADC)
@@ -913,8 +916,9 @@ object Similarity {
     val enc = graft.core.Caching.cached(encodeResidualPq(df, idCol, vecCol, dim, coarse, codebooks))
     // bounded collect: at most nCells distinct values (the coarse k)
     val touched = enc.select(col("cell")).distinct().collect().map(_.getLong(0).toString).toSeq
-    val existing = graft.sources.VersionedTable.readPartitions(spark, path, touched).flatten
-    val updated = (enc +: existing).reduce(_.unionByName(_))
+    // one multi-dir relation for the touched cells (round-18)
+    val existing = graft.sources.VersionedTable.readPartitionsUnioned(spark, path, touched)
+    val updated = (enc +: existing.toSeq).reduce(_.unionByName(_))
     graft.sources.VersionedTable.commitDelta(spark, path, updated, "cell", extraMeta = extraMeta)
   }
 
@@ -940,12 +944,18 @@ object Similarity {
     require(m > 0 && dim % m == 0 && query.length == dim, s"probeResidualPqIndex: dim=$dim / m=$m / query=${query.length}")
     val cells = ivfProbeCells(query, coarse, nprobe)
     val tables = residualAdcTables(coarse, codebooks, query, cells, dim / m)
-    val parts = graft.sources.VersionedTable.readPartitions(spark, path, cells.map(_.toString), version)
-    val scored = cells.zip(parts).collect { case (c, Some(p)) =>
-      p.withColumn("__dist", graft.plans.VectorExpressions.adcDistance(col("pq_codes"), tables(c)))
-    }
-    require(scored.nonEmpty, s"none of the probe cells ${cells.mkString(",")} exist in the index at $path")
-    residualTopK(scored.reduce(_.unionByName(_)), idCol, k)
+    // one multi-dir relation for the probed cells (round-18: was one scan
+    // per cell + a union). Each cell still scores against ITS OWN residual
+    // ADC table: the stored `cell` data column selects the table via a
+    // per-cell CASE over the same literal tables — row-for-row the per-
+    // partition withColumn it replaces.
+    val parts = graft.sources.VersionedTable.readPartitionsUnioned(spark, path, cells.map(_.toString), version)
+    require(parts.nonEmpty, s"none of the probe cells ${cells.mkString(",")} exist in the index at $path")
+    val distByCell = cells
+      .map(c => (c, graft.plans.VectorExpressions.adcDistance(col("pq_codes"), tables(c))))
+      .foldLeft(lit(null).cast("double")) { case (acc, (c, d)) => when(col("cell") === c, d).otherwise(acc) }
+    val scored = parts.get.withColumn("__dist", distByCell)
+    residualTopK(scored, idCol, k)
   }
 
   /** IVF ANN top-k: score only vectors assigned to the query's nprobe

@@ -284,8 +284,19 @@ object VersionedTable {
     // reservation is harmless — readers only follow *.json)
     val (written, finalDir) =
       try {
+        // REBALANCE by the partition value before the partitioned write
+        // (round-18, guide §6 "coalesce on write"): without it every task
+        // of the upstream join/union stage opens a writer per partition
+        // value it holds (observed: 48 files for a 16-bucket commit whose
+        // rows fit in one), and at scale the same layout degrades to
+        // tasks x partitions small files. The rebalance shuffle carries
+        // only the batch being committed; AQE sizes the output tasks to
+        // spark.sql.adaptive.advisoryPartitionSizeInBytes (scale-adaptive:
+        // tiny commits coalesce to one writer, large commits split at the
+        // advisory size, skewed buckets split too).
         updated
           .withColumn("__part", validatedPart)
+          .hint("rebalance", col("__part"))
           .write.partitionBy("__part").mode("overwrite").parquet(tmp.toString)
         val w = f.listStatus(tmp).map(_.getPath.getName).filter(_.startsWith("__part=")).map(_.stripPrefix("__part="))
         w.foreach { p => // defense in depth; the write-side validation already enforced this
@@ -847,6 +858,34 @@ object VersionedTable {
     })
   }
 
+  /** Pruned read of several partitions as ONE relation (round-18, guide
+    * §2.4/§6): [[readPartitions]] builds a separate parquet relation per
+    * bucket and every caller unions them — a 16-bucket upsert planned 16
+    * leaf scans, 16 file listings and a 16-way union per touched-bucket
+    * read. This variant hands all requested dirs of each DV-group to a
+    * single mergeSchema read (exactly [[read]]'s own assembly, via
+    * [[readWithDv]]), so the read plans and lists once and downstream
+    * joins see one relation. Returns None when none of the requested
+    * partitions exist. Row set identical to unioning [[readPartitions]]
+    * (same dirs, same DV filters; mergeSchema null-pads drift exactly as
+    * `unionByName(allowMissingColumns)` did).
+    */
+  def readPartitionsUnioned(
+      spark: SparkSession,
+      path: String,
+      parts: Seq[String],
+      version: Option[Long] = None
+  ): Option[DataFrame] = {
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path")
+    )
+    val m = partitionMap(spark, path, v).getOrElse(
+      throw new IllegalStateException(s"table at $path is not delta-committed; read the snapshot instead"))
+    val present = parts.distinct.flatMap(p => m.get(p).map(pv => p -> pv))
+    if (present.isEmpty) None
+    else Some(readWithDv(spark, path, dvMarkers(spark, path, v).values.toSeq.sorted, present))
+  }
+
   /** CDC DOWNSTREAM APPLY — the consumer half of [[changeFeed]]: apply a
     * feed (full-row records tagged `_change_type` insert / delete /
     * update_preimage / update_postimage) to a REPLICA delta table,
@@ -897,7 +936,10 @@ object VersionedTable {
       latestVersion(spark, replicaPath).getOrElse(
         throw new IllegalArgumentException(s"no committed versions at $replicaPath"))
     else {
-      val existing = readPartitions(spark, replicaPath, touched).flatten
+      // single-relation touched read (round-18): the anti join distributes
+      // over the bucket union, so one scan + one join replaces a
+      // per-bucket join fan-out (same broadcast dict either way)
+      val existing = readPartitionsUnioned(spark, replicaPath, touched)
       val allKeys = feed.select(keyCols.map(col): _*).distinct()
       val adds = feed
         .filter(col("_change_type").isin("insert", "update_postimage"))
@@ -908,7 +950,7 @@ object VersionedTable {
         val d = allKeys.toDF(keyCols.map(c => s"__chg_$c"): _*)
         val cond = keyCols.map(c => part(c) <=> d(s"__chg_$c")).reduce(_ && _)
         part.join(broadcast(d), cond, "left_anti")
-      }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      }
       val next = kept match {
         case Some(k) => k.unionByName(adds, allowMissingColumns = true)
         case None => adds
@@ -937,14 +979,13 @@ object VersionedTable {
   ): Long = withCommitRetry() {
     // the WHOLE attempt re-runs on a commit conflict so the re-read rebases
     // on the new latest version
-    val existing = readPartitions(spark, path, touchedParts).flatten
+    // single-relation touched read (round-18): filter distributes over the
+    // bucket union; mergeSchema null-pads drift as the union did
+    val existing = readPartitionsUnioned(spark, path, touchedParts)
     require(existing.nonEmpty, s"none of ${touchedParts.mkString(",")} exist at $path — nothing to delete")
     // SQL DELETE semantics: remove rows where the predicate is TRUE; rows
     // where it evaluates NULL are KEPT (a bare !predicate would drop them)
-    // allowMissingColumns: partitions last rewritten before a schema-widening
-    // commit still have the old schema — null-pad, mirroring read()'s
-    // mergeSchema drift story
-    val kept = existing.map(_.filter(!coalesce(predicate, lit(false)))).reduce(_.unionByName(_, allowMissingColumns = true))
+    val kept = existing.get.filter(!coalesce(predicate, lit(false)))
     // clearedParts: a bucket whose rows ALL matched writes no data — without
     // the explicit clear its old contents would carry forward (resurrected
     // deletes)
@@ -1105,9 +1146,15 @@ object VersionedTable {
     val mNew = manifest(toVersion)
     val changed = (mOld.keySet ++ mNew.keySet).filter(p => mOld.get(p) != mNew.get(p)).toSeq.sorted
 
-    def side(m: Map[String, Long]): Option[DataFrame] =
-      changed.flatMap(p => m.get(p).map(pv => spark.read.parquet(s"$path/v=$pv/p=$p")))
-        .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    // one multi-dir relation per side (round-18, guide §2.4): the previous
+    // per-partition read + unionByName planned one leaf scan per changed
+    // bucket per side (2 x 16 scans for the q106 feed); mergeSchema
+    // null-pads cross-commit drift exactly as the union did
+    def side(m: Map[String, Long]): Option[DataFrame] = {
+      val dirs = changed.flatMap(p => m.get(p).map(pv => s"$path/v=$pv/p=$p"))
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*))
+    }
 
     (side(mOld), side(mNew)) match {
       case (None, None) =>
@@ -1145,12 +1192,29 @@ object VersionedTable {
         def packed(df: Option[DataFrame], structName: String): DataFrame = df match {
           case Some(d) =>
             val w = widen(d)
-            val keyed = w.select(keyCols.map(col) :+ struct(payload.map(col): _*).as(structName): _*)
-            // loud uniqueness guard: a duplicated key makes the full-outer
-            // diff many-to-many and the change rows meaningless
-            val dup = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1).collect()
-            require(dup.isEmpty, s"changeFeed: key ${keyCols.mkString("(", ",", ")")} is not unique in changed partitions (e.g. ${dup.headOption.map(_.toString).getOrElse("")})")
-            keyed
+            // loud uniqueness guard, folded INTO the plan (round-18): the
+            // previous eager groupBy+collect guard re-ran the whole side's
+            // scan as a separate job before the diff even started (two
+            // extra full jobs per feed). One aggregation now both packs
+            // and guards: a duplicated key makes the full-outer diff
+            // many-to-many, so assert_true throws at execution time with
+            // the offending key; for unique keys (the only passing case)
+            // first() is the single row and the output is identical. The
+            // agg's hash partitioning on keyCols is exactly the join's, so
+            // the exchange is shared — no extra shuffle.
+            w.select(keyCols.map(col) :+ struct(payload.map(col): _*).as(structName): _*)
+              .groupBy(keyCols.map(col): _*)
+              .agg(count(lit(1)).as("__c"), first(col(structName)).as(structName))
+              .filter(coalesce(
+                assert_true(
+                  col("__c") <= 1,
+                  concat(
+                    lit(s"changeFeed: key ${keyCols.mkString("(", ",", ")")} is not unique in changed partitions (e.g. "),
+                    concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+                    lit(")"))
+                ).cast("boolean"),
+                lit(true)))
+              .select(keyCols.map(col) :+ col(structName): _*)
           case None =>
             // absent side: no rows, but the join still needs the shape
             val w = widen(newDf.orElse(oldDf).get).limit(0)

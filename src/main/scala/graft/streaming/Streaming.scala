@@ -186,10 +186,10 @@ object Streaming {
               val b = df.withColumn("__kb", graft.operators.Scd2.keyBucket(keyCols, nBuckets))
               // bounded driver-side list: at most nBuckets values
               val touched = b.select("__kb").distinct().collect().map(_.getLong(0)).sorted
-              val parts = VersionedTable
-                .readPartitions(spark, warehousePath, touched.map(_.toString).toSeq, Some(ver))
-                .flatten
-              parts.reduceOption(_.unionByName(_, allowMissingColumns = true)) match {
+              // single-relation touched read (round-18: one scan, not one
+              // per bucket + a union)
+              VersionedTable
+                .readPartitionsUnioned(spark, warehousePath, touched.map(_.toString).toSeq, Some(ver)) match {
                 case None => df // none of the touched buckets exist yet
                 // a batch carrying columns the warehouse lacks is schema
                 // drift: nothing can be content-identical, apply it whole
@@ -580,9 +580,7 @@ object Streaming {
             val touched = batchSk.select(col("day")).distinct()
               .collect().map(_.getString(0)).sorted.toSeq // bounded: days per batch
             val existing = VersionedTable.latestVersion(spark, rollupPath)
-              .map(_ => VersionedTable.readPartitions(spark, rollupPath, touched).flatten)
-              .getOrElse(Nil)
-              .reduceOption(_.unionByName(_))
+              .flatMap(_ => VersionedTable.readPartitionsUnioned(spark, rollupPath, touched))
             val merged = existing match {
               case Some(ex) => ex.select(col("day"), col("event_type"), col("sk"))
                 .unionByName(batchSk)

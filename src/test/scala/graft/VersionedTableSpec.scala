@@ -180,13 +180,18 @@ class VersionedTableSpec extends AnyFunSuite {
   test("compact folds accumulated small files into one file per partition; vacuum then reclaims") {
     val path = Files.createTempDirectory("graft-vt9").toString + "/t"
     VersionedTable.commitDelta(spark, path, Seq((0L, 1, "a"), (1L, 2, "b")).toDF("bucket", "id", "v"), "bucket")
-    // second load rewrites bucket 0 from a 3-task dataframe -> 3 small
-    // files land in its partition dir
-    VersionedTable.commitDelta(
-      spark, path,
-      Seq((0L, 3, "c"), (0L, 4, "d"), (0L, 5, "e")).toDF("bucket", "id", "v").repartition(3),
-      "bucket"
-    )
+    // second load rewrites bucket 0 with maxRecordsPerFile=1 -> 3 small
+    // files land in its partition dir (the real-world accumulation shape;
+    // since the round-18 rebalance-on-write a multi-task upstream no
+    // longer fans out one file per task per partition)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try
+      VersionedTable.commitDelta(
+        spark, path,
+        Seq((0L, 3, "c"), (0L, 4, "d"), (0L, 5, "e")).toDF("bucket", "id", "v").repartition(3),
+        "bucket"
+      )
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
     def files(p: String) = new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
     assert(files(s"$path/v=2/p=0") > 1, "fixture should produce multiple small files")
     val cv = VersionedTable.compact(spark, path, "bucket")
@@ -385,9 +390,17 @@ class VersionedTableSpec extends AnyFunSuite {
 
     val v3 = VersionedTable.commitDelta(spark, path,
       Seq((7L, "a", 1, "q"), (7L, "a", 2, "r")).toDF("id", "p", "x", "extra"), "p")
-    intercept[IllegalArgumentException] {
+    // the uniqueness guard is folded into the plan since round-18 (it
+    // fires at execution via assert_true instead of an eager pre-job) —
+    // still loud, still names the offending key
+    val e = intercept[Exception] {
       VersionedTable.changeFeed(spark, path, v2, v3, Seq("id")).collect()
     }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(
+      chain(e).exists(t => Option(t.getMessage).exists(_.contains("is not unique in changed partitions"))),
+      s"wrong error: $e")
   }
 
   test("changeFeed: identical rewrite emits nothing; version order and snapshot tables refused") {
