@@ -618,7 +618,6 @@ object Dedup {
       edges.union(edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
     )
     var labels = sym.select(col("src").as("id")).distinct().withColumn("lbl", col("id"))
-    val changedAcc = spark.sparkContext.longAccumulator("graft.duplicateGroups.changed")
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -636,19 +635,19 @@ object Dedup {
       // pointer-jump: l2(v) = l1(l1(v)). Every min-label is itself a node id
       // present in `prop`, so the inner join preserves all rows.
       val hop = prop.select(col("id").as("jid"), col("l1").as("jlbl"))
+      // convergence flag as a codegen column (round-18, guide §4 "prefer
+      // built-in expressions"): the previous accumulator ran every row
+      // through a deserializing Dataset.map each round — off the
+      // whole-stage-codegen path for the loop's entire payload. The flag
+      // rides the eager checkpoint (the round's only job); the follow-up
+      // any-changed probe scans the checkpointed partitions, recomputing
+      // nothing.
       val jumped = prop
         .join(hop, prop("l1") === hop("jid"))
-        .select(prop("id"), prop("old"), hop("jlbl").as("lbl"))
-      val before = changedAcc.value
-      val tracked = jumped
-        .as[(Long, Long, Long)]
-        .map { case (id, old, lbl) =>
-          if (lbl != old) changedAcc.add(1L)
-          (id, lbl)
-        }
-        .toDF("id", "lbl")
-      labels = materialize(tracked) // the eager checkpoint IS the round's only job
-      converged = changedAcc.value == before
+        .select(prop("id"), hop("jlbl").as("lbl"), (hop("jlbl") =!= prop("old")).as("__chg"))
+      val mat = materialize(jumped) // the eager checkpoint IS the round's only job
+      converged = mat.filter(col("__chg")).limit(1).isEmpty
+      labels = mat.select(col("id"), col("lbl"))
       it += 1
     }
     require(converged, s"component labeling did not converge in $maxIters rounds — raise maxIters")

@@ -787,6 +787,14 @@ object TextAnalysis {
       col(idCol).as("__id"),
       (col(labelCol).cast("long") * lit(1000000L)).as("__y6"),
       col(textCol).as("__text"))
+    // Both persisted frames are REPARTITIONED BY __id before the persist
+    // (round-18, guide §2.4 "two operations keyed the same way share one
+    // exchange"): every iteration's prediction aggregation groups feats by
+    // __id and the gradient join keys feats⋈err by __id — with the cache
+    // already hash-partitioned on __id, the per-iteration plans need no
+    // exchange of the corpus-sized feature frame at all (only the
+    // doc-count-sized err/preds frames move), where previously each of the
+    // k iterations re-shuffled feats twice.
     val feats = base
       .withColumn("__toks", tokens(col("__text")))
       .withColumn("__feat", explode(concat(toks, wordShinglesFromTokens(toks, 2))))
@@ -794,11 +802,13 @@ object TextAnalysis {
         col("__id"),
         (graft.plans.HashExpressions.md5Prefix60(col("__feat")) % buckets).cast("int").as("bucket"))
       .agg(count(lit(1)).as("__x"))
+      .repartition(col("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // labels persist too: without it each of the k gradient jobs (plus the
     // count) re-scans and re-projects the source — k+1 redundant corpus
     // passes on the timed training path
     val labels = base.select(col("__id"), col("__y6"))
+      .repartition(col("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d = BigInt(labels.count()) * lrDen
     val w = Array.fill(buckets)(0L)

@@ -930,7 +930,14 @@ object VersionedTable {
   ): Long = {
     require(keyCols.nonEmpty, "applyChangeFeed: keyCols must be non-empty")
     require(feed.columns.contains("_change_type"), "applyChangeFeed: feed must carry _change_type")
-    val touched = feed.select(col(partCol).cast("string")).distinct()
+    // feed-scoped cache (round-18): the feed subtree is referenced by the
+    // touched-partition collect, the displaced-key set, and the adds
+    // branch — uncached (e.g. a changeFeed diff, or a streaming
+    // micro-batch source) it re-executed up to 3x per apply. Feed-sized,
+    // MEMORY_AND_DISK, released before return.
+    val (feedC, ownF) = graft.core.Caching.cachedOwned(feed)
+    try {
+    val touched = feedC.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     if (touched.isEmpty)
       latestVersion(spark, replicaPath).getOrElse(
@@ -940,8 +947,8 @@ object VersionedTable {
       // over the bucket union, so one scan + one join replaces a
       // per-bucket join fan-out (same broadcast dict either way)
       val existing = readPartitionsUnioned(spark, replicaPath, touched)
-      val allKeys = feed.select(keyCols.map(col): _*).distinct()
-      val adds = feed
+      val allKeys = feedC.select(keyCols.map(col): _*).distinct()
+      val adds = feedC
         .filter(col("_change_type").isin("insert", "update_postimage"))
         .drop("_change_type")
       // NULL-SAFE anti join (a NULL-keyed change must still displace
@@ -957,6 +964,7 @@ object VersionedTable {
       }
       commitDelta(spark, replicaPath, next, partCol, clearedParts = touched, extraMeta = extraMeta)
     }
+    } finally graft.core.Caching.releaseOwned(feedC, ownF)
   }
 
   /** Targeted row deletion (the right-to-be-forgotten / takedown sweep a

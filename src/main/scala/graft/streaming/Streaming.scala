@@ -574,24 +574,30 @@ object Streaming {
         VersionedTable.withCommitRetry() {
           val alreadyApplied = lastStreamBatch(spark, rollupPath, streamId).exists(_ >= batchId)
           if (!alreadyApplied) {
-            val batchSk = df.toDF()
-              .groupBy(col("day"), col("event_type"))
-              .agg(hll_sketch_agg(col("user_id")).as("sk"))
-            val touched = batchSk.select(col("day")).distinct()
-              .collect().map(_.getString(0)).sorted.toSeq // bounded: days per batch
-            val existing = VersionedTable.latestVersion(spark, rollupPath)
-              .flatMap(_ => VersionedTable.readPartitionsUnioned(spark, rollupPath, touched))
-            val merged = existing match {
-              case Some(ex) => ex.select(col("day"), col("event_type"), col("sk"))
-                .unionByName(batchSk)
+            // batch-scoped cache (round-18): the batch aggregation feeds
+            // both the touched-day collect and the merge union — uncached
+            // it re-aggregated the whole micro-batch twice
+            val (batchSk, own) = graft.core.Caching.cachedOwned(
+              df.toDF()
                 .groupBy(col("day"), col("event_type"))
-                .agg(hll_union_agg(col("sk")).as("sk"))
-              case None => batchSk
-            }
-            VersionedTable.commitDelta(
-              spark, rollupPath, merged, "day",
-              extraMeta = Map(s"stream_batch:$streamId" -> batchId.toString))
-            ()
+                .agg(hll_sketch_agg(col("user_id")).as("sk")))
+            try {
+              val touched = batchSk.select(col("day")).distinct()
+                .collect().map(_.getString(0)).sorted.toSeq // bounded: days per batch
+              val existing = VersionedTable.latestVersion(spark, rollupPath)
+                .flatMap(_ => VersionedTable.readPartitionsUnioned(spark, rollupPath, touched))
+              val merged = existing match {
+                case Some(ex) => ex.select(col("day"), col("event_type"), col("sk"))
+                  .unionByName(batchSk)
+                  .groupBy(col("day"), col("event_type"))
+                  .agg(hll_union_agg(col("sk")).as("sk"))
+                case None => batchSk
+              }
+              VersionedTable.commitDelta(
+                spark, rollupPath, merged, "day",
+                extraMeta = Map(s"stream_batch:$streamId" -> batchId.toString))
+              ()
+            } finally graft.core.Caching.releaseOwned(batchSk, own)
           }
         }
         ()
