@@ -426,7 +426,15 @@ object Bench {
     val q148SetupT0 = System.nanoTime()
     val q148Built = (if (keep("q148_cdc_apply")) q106Built else None).flatMap { case (path, v1, _, _) =>
       try {
-        val rep = java.nio.file.Files.createTempDirectory("bench-q148").toString + "/replica"
+        // fast scratch medium, mirroring Queries.scratchRoot (round-18):
+        // the replica is per-run ephemeral
+        val repBase = sys.env.get("SPARK_GRAFT_SCRATCH").orElse {
+          if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm"))) Some("/dev/shm") else None
+        }
+        val rep = (repBase match {
+          case Some(b) => java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(b), "bench-q148")
+          case None => java.nio.file.Files.createTempDirectory("bench-q148")
+        }).toString + "/replica"
         graft.sources.VersionedTable.commitDelta(
           spark, rep, graft.sources.VersionedTable.read(spark, path, Some(v1)), "key_bucket")
         Some((rep, (System.nanoTime() - q148SetupT0) / 1e9))

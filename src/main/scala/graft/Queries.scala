@@ -25,9 +25,30 @@ object Queries {
   /** Run-scoped scratch root for the queries that exercise sinks+sources
     * (q70/q71/q77/q80): one temp tree per JVM, removed on exit, so repeated
     * verify/bench runs don't accumulate /tmp garbage.
+    *
+    * MEDIUM (round-18, guide §6 / §2.1 "local disk bandwidth can be the
+    * tighter limit"): everything under this root is per-invocation
+    * ephemeral — fixture files, scratch warehouses, streaming checkpoints —
+    * created and deleted inside one run, so it belongs on the fastest
+    * local medium available. On this harness the default java.io.tmpdir
+    * is a virtio disk whose fsync costs ~270 ms per RocksDB state store
+    * per micro-batch (measured via rocksdbCommitFileSyncLatencyMs: 34 s
+    * summed per q104 batch — the single largest cost in every streaming
+    * bench entry). Default: /dev/shm when writable (the sandbox's RAM
+    * disk; production maps this to instance-local NVMe), overridable via
+    * SPARK_GRAFT_SCRATCH for constrained deployments. Durable outputs are
+    * unaffected — only scratch lives here.
     */
   private lazy val scratchRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isWritable(shm)) Some("/dev/shm") else None
+      }
+    val p = base match {
+      case Some(b) => java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(b), "graft-scratch")
+      case None => java.nio.file.Files.createTempDirectory("graft-scratch")
+    }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
@@ -734,12 +755,15 @@ object Queries {
       .agg(count(lit(1)).as("n_events"), sum(col("value").cast("decimal(18,2)") * 100).cast("long").as("sum_value_cents"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value_cents"))
     val name = s"q45_sink_${System.nanoTime()}"
-    val q = agg.writeStream.format("memory").queryName(name).outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    val finished = q.awaitTermination(300000)
-    if (!finished) {
-      q.stop()
-      throw new IllegalStateException("q45 streaming pass did not finish — refusing to return a partial snapshot")
+    withStatePartitions(s) {
+      val q = agg.writeStream.format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", scratchDir("ckpt-q45")) // fast scratch (see scratchRoot)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val finished = q.awaitTermination(300000)
+      if (!finished) {
+        q.stop()
+        throw new IllegalStateException("q45 streaming pass did not finish — refusing to return a partial snapshot")
+      }
     }
     s.table(name)
   }
@@ -1365,11 +1389,14 @@ object Queries {
     val sessions = graft.streaming.Streaming.gapSessions(s, ev.unionByName(hb))
 
     val name = s"q74_sink_${System.nanoTime()}"
-    val q = sessions.writeStream.format("memory").queryName(name).outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException("q74 streaming pass did not finish — refusing to return a partial snapshot")
+    withStatePartitions(s) {
+      val q = sessions.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", scratchDir("ckpt-q74")) // fast scratch (see scratchRoot)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("q74 streaming pass did not finish — refusing to return a partial snapshot")
+      }
     }
     s.table(name)
   }
@@ -1478,11 +1505,14 @@ object Queries {
     val deltas = graft.streaming.Streaming.cutoverDeltas(s, ev.unionByName(hb), cutoffMicros, flushAtMillis)
 
     val name = s"q79_sink_${System.nanoTime()}"
-    val q = deltas.writeStream.format("memory").queryName(name).outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException("q79 streaming pass did not finish — refusing to return a partial snapshot")
+    withStatePartitions(s) {
+      val q = deltas.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", scratchDir("ckpt-q79")) // fast scratch (see scratchRoot)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("q79 streaming pass did not finish — refusing to return a partial snapshot")
+      }
     }
     s.table(name)
   }
@@ -1972,12 +2002,40 @@ object Queries {
     * the oracle/test harness; production streams write file/warehouse
     * sinks ([[graft.streaming.Streaming.scd2WarehouseSink]]).
     */
-  private def runBoundedStream(s: SparkSession, df: DataFrame, tag: String): DataFrame = {
+  /** Streaming STATE-partition sizing (round-18, guide §2.2): stateful
+    * micro-batch operators cannot use AQE (Spark disables it for stateful
+    * workloads) and FREEZE their partition count into the checkpoint, so
+    * the engine must size it explicitly to the stream's state volume
+    * instead of inheriting the batch session's core-count default. Each
+    * state-store instance costs ~30 ms of load/commit machinery per
+    * micro-batch regardless of rows (measured on q104: the zero-row
+    * watermark-flush batch ran 4.0 s at 32 partitions x 4 stores and
+    * 1.0 s at 8 — the whole stream 11.5 -> 6.4 s wall), while the largest
+    * bounded-replay state in this suite is ~150 MB — 8 partitions keeps
+    * each store inside the 100 MB-1 GB/partition band the shuffle-sizing
+    * guidance prescribes at ANY core count. Production streams with big
+    * state size it via SPARK_GRAFT_STREAM_STATE_PARTS (the same knob the
+    * driver's lower-core PERF run inherits unchanged).
+    */
+  private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set(
+      "spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "8"))
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def runBoundedStream(s: SparkSession, df: DataFrame, tag: String): DataFrame = withStatePartitions(s) {
     val name = s"${tag}_sink_${System.nanoTime()}"
     val q = df.writeStream
       .format("memory")
       .queryName(name)
       .outputMode("append")
+      // explicit checkpoint under the fast scratch root (round-18): the
+      // implicit temporary checkpoint lands in java.io.tmpdir, whose fsync
+      // cost dominated every stateful bounded replay (see scratchRoot)
+      .option("checkpointLocation", scratchDir(s"ckpt-$tag"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     if (!q.awaitTermination(300000)) {
