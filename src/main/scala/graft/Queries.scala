@@ -868,8 +868,14 @@ object Queries {
     * unchanged: floor is monotone, so floor(min r · 1e4) = min floor(r·1e4).
     */
   def q68(s: SparkSession, dir: String): DataFrame = {
-    val feats = TextAnalysis.qualityFeatures(t(s, dir, "documents"))
-      .withColumn("rq", floor(col("stopword_ratio") * 10000).cast("long"))
+    // shared-subtree cache (round-18, guide §5): the tokenizing feature
+    // pass feeds BOTH the value-count pass and the final rank join —
+    // uncached the corpus is tokenized twice per run. One narrow row per
+    // doc; standard Caching LRU retention (the q37 signature-table
+    // pattern).
+    val feats = graft.core.Caching.cached(
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+        .withColumn("rq", floor(col("stopword_ratio") * 10000).cast("long")))
     // per-distinct-VALUE counts: the ONLY relation that gets globally
     // sorted, ≤10001 rows by the e4 quantization
     val counts = feats.groupBy(col("rq").as("r")).agg(count(lit(1)).as("c"))

@@ -223,8 +223,18 @@ object Similarity {
       sample: Option[Column] = None
   ): Seq[(Long, Seq[Double])] = {
     val scale = 1048576.0 // 2^20 — exact scaling in IEEE 754
-    // sample-sized, not corpus-sized: safe to persist for the loop's scope
-    val cachedSample = sample.map(p => graft.core.Caching.cachedOwned(df.filter(p).select(col(vecCol))))
+    // Training-loop cache (round-18, guide §5): the per-iteration stats job
+    // touches ONLY the vector column, so cache the projected (and, when
+    // sampling, filtered) frame for the loop's scope instead of re-scanning
+    // the source once per iteration — the standard k-means iteration cache
+    // (MEMORY_AND_DISK; for corpora beyond cache capacity the documented
+    // lever is `sample`). Skipped for single-iteration calls, where a cache
+    // would be populated and read exactly once.
+    val cachedSample =
+      if (sample.isDefined || iters > 1)
+        Some(graft.core.Caching.cachedOwned(
+          sample.map(p => df.filter(p)).getOrElse(df).select(col(vecCol))))
+      else None
     val base = cachedSample.map(_._1).getOrElse(df)
     try {
       var cur = init
@@ -357,10 +367,17 @@ object Similarity {
     val dsub = dim / m
     init.foreach(cb => require(cb.map(_._1) == (0L until cb.length.toLong), "trainPqCodebooks: codebook ids must be 0..k-1"))
     val scale = 1048576.0 // 2^20 — exact in IEEE 754, same as trainIvfCentroids
+    // training-loop cache, same rationale as trainIvfCentroids (round-18):
+    // for residual training the cached column also saves re-deriving the
+    // residuals from the coarse centroids every iteration
+    val cachedVecs =
+      if (iters > 1) Some(graft.core.Caching.cachedOwned(df.select(col(vecCol))))
+      else None
+    val base = cachedVecs.map(_._1).getOrElse(df)
     var cur = init
-    for (_ <- 0 until iters) {
+    try for (_ <- 0 until iters) {
       val cellsArr = array((0 until m).map(j => ivfCellAt(col(vecCol), cur(j), j * dsub)): _*)
-      val stats = df
+      val stats = base
         .select(cellsArr.as("cells"), posexplode(col(vecCol)).as(Seq("i", "x")))
         .select(
           expr(s"i div $dsub").cast("int").as("sub"),
@@ -384,7 +401,7 @@ object Similarity {
           }
         }
       }
-    }
+    } finally cachedVecs.foreach { case (f, owned) => graft.core.Caching.releaseOwned(f, owned) }
     cur
   }
 
