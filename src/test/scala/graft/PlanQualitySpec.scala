@@ -313,7 +313,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // the ESTIMATE branch must read only committed sketch dirs; events
     // appears solely in the exact-audit branch
     val p = probe.queryExecution.executedPlan.toString
-    assert("/rollup/v=".r.findAllIn(p).size >= 2,
+    // since round-18 the requested day partitions arrive as ONE multi-dir
+    // relation (readPartitionsUnioned) — the location renders as
+    // "InMemoryFileIndex(N paths)[...rollup/..." instead of one scan per
+    // "/rollup/v=" dir; assert the stored-sketch scan is present and that
+    // it reads the sketch bytes, not the events table
+    assert("rollup".r.findAllIn(p).size >= 1 && p.contains("sk:binary"),
       s"range serve must read the stored rollup's committed partitions:\n$p")
     // partial-then-final sketch union: the merge reduces map-side
     assert(p.contains("partial_hll_union_agg"), "sketch union must partially aggregate before the exchange")
