@@ -40,10 +40,20 @@ object Queries {
     * unaffected — only scratch lives here.
     */
   private lazy val scratchRoot: java.nio.file.Path = {
+    // Capacity gate (round-19, ADVICE r18): tmpfs is typically capped at
+    // half RAM, so /dev/shm is only auto-selected when it has generous
+    // headroom for the suite's scratch footprint (streaming RocksDB state,
+    // checkpoints, scratch warehouses — ~1 GB at sf1, scaling with SF).
+    // 8 GiB covers sf3 several times over; larger deployments point
+    // SPARK_GRAFT_SCRATCH at instance-local NVMe explicitly (README
+    // troubleshooting) — that override skips the gate.
+    val minShmBytes = 8L << 30
     val base = sys.env.get("SPARK_GRAFT_SCRATCH")
       .orElse {
         val shm = java.nio.file.Paths.get("/dev/shm")
-        if (java.nio.file.Files.isWritable(shm)) Some("/dev/shm") else None
+        if (java.nio.file.Files.isWritable(shm) &&
+          shm.toFile.getUsableSpace >= minShmBytes) Some("/dev/shm")
+        else None
       }
     val p = base match {
       case Some(b) => java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(b), "graft-scratch")
@@ -2709,9 +2719,23 @@ object Queries {
     */
   def q116(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val x = li.toDF("ok", "src")
-    val y = li.toDF("ok", "dst")
-    val edges = x.join(y, "ok").filter(col("src") =!= col("dst")).select(col("src"), col("dst")).distinct()
+    // Edge derivation via per-order supplier SETS (round-19, guide §2.3/
+    // §2.4, VERDICT r18 #3): the former self-join shuffled lineitem TWICE
+    // (once per join side, both keyed on l_orderkey) before exploding the
+    // pairs into the (src,dst) distinct. One collect_set aggregation
+    // shuffles it ONCE — partial aggregation dedups (order, supplier)
+    // map-side — and the pair explosion happens post-shuffle on the
+    // order-local sets. Same (src,dst) pair set: suppliers sharing an
+    // order, both directions, src != dst, distinct. Orders carry a
+    // bounded line count, so the per-order set (and its |set|^2 local
+    // explosion) is O(1) per order at any corpus size.
+    val edges = li
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_suppkey")).as("ss"))
+      .select(explode(col("ss")).as("src"), col("ss"))
+      .select(col("src"), explode(col("ss")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
     Graph.pageRank(edges, "src", "dst", iters = 5)
       .select(col("vid").as("s_suppkey"), col("rank_units"))
   }
@@ -4092,10 +4116,14 @@ object Queries {
         org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)
       )))
-      // ~5 micro-batches at ANY scale factor: a fixed files-per-trigger
+      // ~3 micro-batches at ANY scale factor: a fixed files-per-trigger
       // melts into per-batch overhead as the file count grows (50
-      // batches at sf0.1 cost 15 s of pure trigger machinery)
-      .option("maxFilesPerTrigger", math.max(1L, (IO.listFiles(s, s"$outDir/part-*.warc.gz").size + 4L) / 5L).toString)
+      // batches at sf0.1 cost 15 s of pure trigger machinery; the
+      // round-18 5-batch shape still spent ~1.2 s/batch on file-source
+      // relist + replan — VERDICT r18 #2 prescribes the coarser trigger:
+      // 3 batches keep the multi-trigger incremental semantics under
+      // test while shedding two rounds of per-batch machinery)
+      .option("maxFilesPerTrigger", math.max(1L, (IO.listFiles(s, s"$outDir/part-*.warc.gz").size + 2L) / 3L).toString)
       .load(outDir)
       .select(
         regexp_extract(col("path"), "part-([0-9]+)\\.warc\\.gz$", 1).cast("long").as("file_id"),

@@ -65,6 +65,19 @@ object Caching {
   /** Number of frames currently tracked (and persisted) by the registry. */
   def registrySize: Int = synchronized(lru.size)
 
+  /** Unpersist and forget every frame the registry tracks. Measurement
+    * hygiene hook (round-19, VERDICT r18 #6): the bench clears the
+    * registry between timed repetitions so min-of-N measures the
+    * steady-state cost — cache population INCLUDED — instead of runs 2..N
+    * reading a cache run 1 left warm. Unpersists are non-blocking; frames
+    * are recomputed on demand if anything still references them.
+    */
+  def clearRegistry(): Unit = synchronized {
+    val it = lru.values().iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); () }
+    lru.clear()
+  }
+
   /** Like [[cached]], but reports ownership and bypasses the LRU registry:
     * `owned = true` iff THIS call created the cache entry (the caller must
     * then [[releaseOwned]] when done); `false` means someone upstream

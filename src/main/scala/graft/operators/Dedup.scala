@@ -594,11 +594,14 @@ object Dedup {
     * rounds; pass `checkpointDir` to use RELIABLE checkpoints (survive
     * executor loss — the right choice for an hours-long run) instead of
     * the default executor-memory `localCheckpoint`. Convergence is
-    * detected by a LongAccumulator bumped during the checkpoint's own
-    * materializing action, so a round costs exactly ONE job — no separate
-    * driver-blocking count(). (Task retries can only inflate the counter
-    * on rounds that genuinely changed labels; a converged round adds
-    * exactly zero from every attempt, so the zero-test is retry-safe.)
+    * detected by a codegen `__chg` boolean column carried on the
+    * checkpointed frame (round-18: the previous LongAccumulator ran every
+    * row through a deserializing Dataset.map): the eager checkpoint is
+    * still the round's one materializing job, and a second, cheap
+    * scan-only probe (`filter(__chg).limit(1).isEmpty`) then reads the
+    * checkpointed partitions — recomputing nothing — to decide
+    * convergence. Flag-on-data is also immune to the task-retry
+    * double-count hazard accumulators carry.
     */
   def duplicateGroups(
       pairs: DataFrame,

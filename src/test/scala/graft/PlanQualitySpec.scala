@@ -314,12 +314,26 @@ class PlanQualitySpec extends AnyFunSuite {
     // appears solely in the exact-audit branch
     val p = probe.queryExecution.executedPlan.toString
     // since round-18 the requested day partitions arrive as ONE multi-dir
-    // relation (readPartitionsUnioned) — the location renders as
-    // "InMemoryFileIndex(N paths)[...rollup/..." instead of one scan per
-    // "/rollup/v=" dir; assert the stored-sketch scan is present and that
-    // it reads the sketch bytes, not the events table
-    assert("rollup".r.findAllIn(p).size >= 1 && p.contains("sk:binary"),
-      s"range serve must read the stored rollup's committed partitions:\n$p")
+    // relation (readPartitionsUnioned); round-19 (ADVICE r18 #5) pins the
+    // assertion to the SKETCH SCAN's own line: its InMemoryFileIndex
+    // location must point under the committed rollup table (the plan
+    // renderer truncates the path list, so the v=/p= tail is not always
+    // visible) with MULTIPLE partition dirs, and the same scan must read
+    // the sketch bytes — "rollup" somewhere else in the text no longer
+    // satisfies the check
+    val sketchScanLines = p.linesIterator.filter(l =>
+      l.contains("InMemoryFileIndex") && l.contains("rollup/") && l.contains("sk:binary")).toSeq
+    assert(sketchScanLines.nonEmpty,
+      s"range serve must scan the stored rollup's committed partition dirs (sk:binary scan):\n$p")
+    val nPaths = "InMemoryFileIndex\\((\\d+) paths\\)".r
+    assert(sketchScanLines.forall(l => nPaths.findFirstMatchIn(l).exists(_.group(1).toInt >= 2)),
+      s"sketch scan should read the requested committed day partitions as one multi-dir relation:\n$p")
+    // the events table feeds ONLY the exact-audit subtree: exactly the
+    // audit branch's scans of it, never a scan under the estimate branch
+    // (2 ranges x 1 audit scan each = at most 2 file-index mentions)
+    val eventsScans = "events\\.parquet".r.findAllIn(p).size
+    assert(eventsScans <= 2,
+      s"events may appear only under the exact-audit subtree (found $eventsScans mentions):\n$p")
     // partial-then-final sketch union: the merge reduces map-side
     assert(p.contains("partial_hll_union_agg"), "sketch union must partially aggregate before the exchange")
   }

@@ -205,6 +205,33 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, path).collect().map(_.getInt(1)).sorted.toSeq == Seq(2, 3, 4, 5))
   }
 
+  test("commitDelta rebalance gate: tiny commits skip the shuffle, above-advisory commits stay file-bounded") {
+    val path = Files.createTempDirectory("graft-vt-gate").toString + "/t"
+    def files(p: String): Int =
+      Option(new java.io.File(p).listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    // SMALL (estimate far below the default 64 MB advisory): the gate must
+    // SKIP the rebalance — the write keeps the upstream task layout, so a
+    // multi-task batch fans out >1 file per partition dir (the r17 shape;
+    // harmless for a commit this size, and proof no exchange was inserted)
+    val small = (0 until 64).map(i => (i % 4L, i.toLong)).toDF("bucket", "id").repartition(8)
+    VersionedTable.commitDelta(spark, path, small, "bucket")
+    val smallFiles = (0 until 4).map(b => files(s"$path/v=1/p=$b")).sum
+    assert(smallFiles > 4, s"small commit should keep the task fanout (gate skips the shuffle), got $smallFiles files")
+    // LARGE (estimate above advisory): lower the advisory so the same
+    // shape crosses the gate — the rebalance bounds files per partition
+    // dir by AQE sizing instead of tasks x partitions (8 tasks x 4 buckets
+    // = up to 32 files ungated)
+    val prevAdvisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try {
+      val big = (0 until 20000).map(i => (i % 4L, i.toLong)).toDF("bucket", "id").repartition(8)
+      VersionedTable.commitDelta(spark, path, big, "bucket")
+      val perDir = (0 until 4).map(b => files(s"$path/v=2/p=$b"))
+      assert(perDir.forall(n => n >= 1 && n <= 4),
+        s"rebalanced commit must bound files per partition dir (AQE-sized), got $perDir")
+    } finally spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevAdvisory)
+  }
+
   test("vacuum removes dead orphans and expired snapshots, keeps referenced delta dirs") {
     val path = Files.createTempDirectory("graft-vt7").toString + "/t"
     // delta table: v1 writes buckets 0/1/2; v2 rewrites only bucket 1
