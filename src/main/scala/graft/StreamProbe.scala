@@ -37,9 +37,15 @@ object StreamProbe {
         case _ => raw
       }
     }
-    val clicks = src().filter(col("event_type") === "click")
+    // A/B lever (round-19): SPROBE_SINGLE=1 derives both join sides from
+    // ONE FileStreamSource (the q104 production shape since round-19);
+    // default keeps the round-18 two-source shape for comparison.
+    val single = sys.env.get("SPROBE_SINGLE").contains("1")
+    val shared = src()
+    def side() = if (single) shared else src()
+    val clicks = side().filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
-    val purchases = src().filter(col("event_type") === "purchase")
+    val purchases = side().filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"), col("value"))
     val joined = graft.streaming.Streaming
       .intervalJoin(clicks, purchases, "user_id", "click_ts", "purchase_ts", "30 minutes", "1 hour")

@@ -795,14 +795,22 @@ object TextAnalysis {
     // exchange of the corpus-sized feature frame at all (only the
     // doc-count-sized err/preds frames move), where previously each of the
     // k iterations re-shuffled feats twice.
+    // The __id repartition sits BELOW the (id, bucket) aggregation
+    // (round-19): hash partitioning on __id alone satisfies the grouping's
+    // clustered distribution, so the aggregate runs exchange-free on the
+    // repartitioned rows and the frame persists already keyed by __id —
+    // ONE exchange of the feature rows instead of the round-18 two
+    // (partial-agg exchange on (id,bucket), then a second full exchange
+    // re-keying the aggregated frame to __id).
     val feats = base
       .withColumn("__toks", tokens(col("__text")))
       .withColumn("__feat", explode(concat(toks, wordShinglesFromTokens(toks, 2))))
-      .groupBy(
+      .select(
         col("__id"),
         (graft.plans.HashExpressions.md5Prefix60(col("__feat")) % buckets).cast("int").as("bucket"))
-      .agg(count(lit(1)).as("__x"))
       .repartition(col("__id"))
+      .groupBy(col("__id"), col("bucket"))
+      .agg(count(lit(1)).as("__x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // labels persist too: without it each of the k gradient jobs (plus the
     // count) re-scans and re-projects the source — k+1 redundant corpus

