@@ -312,13 +312,23 @@ object VersionedTable {
         // (r18 behavior); under-estimation coalesces a somewhat larger
         // batch through one writer — bounded by how far stats can be off
         // for the join/union shapes commits carry.
+        //
+        // TWO-BAND cutoff at advisory/16 (sf1 re-bench evidence): a
+        // single writer is only free while the batch is genuinely tiny —
+        // at ~10-14 MB (the suite's sf1 commit batches) coalesce(1)
+        // serialized the post-exchange apply work and the multi-file
+        // partitioned write that the rebalance parallelizes (q148 sf1
+        // 1.8->3.1 s, q144 sf1 5.1 s measured with a single-band gate),
+        // while the sf0.1-scale builder commits (~1-2 MB) keep the full
+        // zero-shuffle win. The cutoff scales with the advisory conf, so
+        // deployments that raise the advisory raise both bands together.
         val advisory = spark.sessionState.conf.getConf(
           org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
         val estBytes = updated.queryExecution.optimizedPlan.stats.sizeInBytes
         val staged = updated.withColumn("__part", validatedPart)
         val placed =
-          if (estBytes > BigInt(advisory)) staged.hint("rebalance", col("__part"))
-          else staged.coalesce(1)
+          if (estBytes <= BigInt(advisory) / 16) staged.coalesce(1)
+          else staged.hint("rebalance", col("__part"))
         placed.write.partitionBy("__part").mode("overwrite").parquet(tmp.toString)
         val w = f.listStatus(tmp).map(_.getPath.getName).filter(_.startsWith("__part=")).map(_.stripPrefix("__part="))
         w.foreach { p => // defense in depth; the write-side validation already enforced this
